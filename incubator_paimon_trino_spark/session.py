@@ -1,0 +1,46 @@
+"""SparkSession factory tuned for the engine.
+
+Local testing runs on ``local[N]`` but every setting is chosen to also hold on
+a 1000-executor cluster reading ~100 TB:
+
+- AQE on (runtime shuffle-partition coalescing, skew-join splitting, join
+  strategy switch) — replaces the reference's hand-rolled split weighting
+  (``TrinoSplitManagerBase.java:50-63``) with runtime re-planning.
+- ``spark.sql.session.timeZone=UTC`` — the reference forces UTC packing for
+  timestamptz values (``TrinoPageSourceBase.java:216-219``); we match.
+- Arrow enabled — all Python-side operators use vectorized Pandas UDFs, never
+  row-at-a-time UDFs.
+- shuffle partitions default to cores locally; on a real cluster AQE coalesces
+  from a deliberately-high initial number, so we leave
+  ``spark.sql.adaptive.coalescePartitions.initialPartitionNum`` unset locally
+  and document it as the scale knob.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "incubator_paimon_trino_spark", *, shuffle_partitions: int | None = None) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus.isdigit() else 32
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "90g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,139 @@
+"""Local mirror of the driver's DuckDB-oracle correctness check.
+
+Runs every registered query at a given SF, runs its oracle SQL in DuckDB on
+the same parquet tables, and compares row-count + column names + an
+order-insensitive value digest. Exact value equality is required (the driver
+hashes values), so this is a strict superset of whatever normalization the
+driver applies.
+
+Usage:  python tools/check.py [sf_dir] [query_name ...]
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import hashlib
+import math
+import sys
+import time
+from decimal import Decimal
+from pathlib import Path
+
+import duckdb
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def _norm(v):
+    if v is None:
+        return "\0"
+    if isinstance(v, bool):
+        return f"b:{v}"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "f:nan"
+        return f"f:{v!r}"
+    if isinstance(v, Decimal):
+        f = float(v)
+        return f"f:{f!r}"
+    if isinstance(v, int):
+        return f"i:{v}"
+    if isinstance(v, dt.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(dt.timezone.utc).replace(tzinfo=None)
+        return f"t:{v.isoformat()}"
+    if isinstance(v, dt.date):
+        return f"d:{v.isoformat()}"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_norm(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{_norm(k)}={_norm(v[k])}" for k in sorted(v, key=str)) + "}"
+    if isinstance(v, (bytes, bytearray)):
+        return "x:" + bytes(v).hex()
+    return f"s:{v}"
+
+
+def digest(colnames, rows):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    lines = sorted("|".join(_norm(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256()
+    for ln in lines:
+        h.update(ln.encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 and "/" in sys.argv[1] else "/root/testdata/sf0.01"
+    only = [a for a in sys.argv[1:] if "/" not in a]
+
+    import __spark_entry__ as entrymod
+    from incubator_paimon_trino_spark import get_spark
+
+    spark = get_spark("check")
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    names = only or list(qs)
+
+    con = duckdb.connect()
+    for t in ("region nation customer supplier part orders lineitem events documents embeddings").split():
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    n_pass = n_fail = n_noracle = 0
+    for name in names:
+        t0 = time.time()
+        try:
+            sdf = qs[name](spark, sf_dir)
+            srows = sdf.collect()
+            scols = sdf.columns
+        except Exception as e:
+            print(f"FAIL  {name}: spark error: {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"NOORC {name}: rows={len(srows)} ({time.time()-t0:.1f}s)")
+            n_noracle += 1
+            continue
+        try:
+            res = con.execute(oracles[name])
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+        except Exception as e:
+            print(f"FAIL  {name}: duckdb error: {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        problems = []
+        if len(srows) != len(orows):
+            problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
+        if sorted(scols) != sorted(ocols):
+            problems.append(f"cols spark={sorted(scols)} oracle={sorted(ocols)}")
+        if not problems:
+            ds = digest(scols, [tuple(r) for r in srows])
+            do = digest(ocols, orows)
+            if ds != do:
+                problems.append("value-hash mismatch")
+                # show first differing row for debugging
+                so = sorted(range(len(scols)), key=lambda i: scols[i])
+                oo = sorted(range(len(ocols)), key=lambda i: ocols[i])
+                sset = sorted("|".join(_norm(r[i]) for i in so) for r in srows)
+                oset = sorted("|".join(_norm(r[i]) for i in oo) for r in orows)
+                for a, b in zip(sset, oset):
+                    if a != b:
+                        problems.append(f"  spark : {a[:240]}")
+                        problems.append(f"  oracle: {b[:240]}")
+                        break
+        if problems:
+            print(f"FAIL  {name}: " + "; ".join(problems[:1]))
+            for p in problems[1:]:
+                print(p)
+            n_fail += 1
+        else:
+            print(f"PASS  {name}: rows={len(srows)} ({time.time()-t0:.1f}s)")
+            n_pass += 1
+
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_noracle} no-oracle, of {len(names)}")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
