@@ -1,1 +1,317 @@
-"""Placeholder — populated in later milestones."""
+"""Aggregation surface — SURVEY §2.B aggregation rows.
+
+The reference delegates all aggregation to the Trino engine (nothing in the
+connector); the inherited conformance suite names the surface: sum/count/min/
+max/avg/count-distinct, approx_percentile, approx_set/HLL, grouping sets,
+rollup (``common-test/TestTrinoDistributedQuery.java:96-181, 601, 686-725,
+765``). Spark's physical plan is partial (map-side) + final hash aggregation —
+the scalable shape: only one shuffle of pre-aggregated partials, keyed by the
+group-by columns.
+
+Approximate aggregates are algorithm-specific (Spark HLL++ / KLL vs DuckDB's
+sketches), so their values can't hash-match an oracle — they get rows-only
+checks, with the *exact* counterparts oracle-checked alongside.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from incubator_paimon_trino_spark.operators.registry import (
+    davg,
+    dsum,
+    register,
+    sql_davg,
+    sql_dsum,
+    views,
+)
+from incubator_paimon_trino_spark.sources import table
+
+
+@register(
+    "agg_sum_global",
+    oracle=f"SELECT {sql_dsum('l_quantity', 'total_qty')}, COUNT(*) AS n FROM lineitem",
+)
+def agg_sum_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global SUM with no grouping (ITCase ``SELECT SUM(b)`` — :273)."""
+    return table(spark, sf_dir, "lineitem").agg(
+        dsum("l_quantity", "total_qty"), F.count("*").alias("n")
+    )
+
+
+@register(
+    "agg_min_max_count",
+    oracle="""
+    SELECT o_orderstatus,
+           MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
+           MIN(o_orderdate) AS first_date, MAX(o_orderdate) AS last_date,
+           COUNT(*) AS n_orders, COUNT(DISTINCT o_custkey) AS n_customers
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_min_max_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIN/MAX are order-insensitive on doubles — no decimal treatment needed."""
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+            F.min("o_orderdate").alias("first_date"),
+            F.max("o_orderdate").alias("last_date"),
+            F.count("*").alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+    )
+
+
+@register(
+    "agg_group_multi_key_orderby",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum('l_quantity', 'sum_qty')},
+           {sql_davg('l_discount', 'avg_disc')},
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def agg_group_multi_key_orderby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key GROUP BY + ORDER BY (ITCase :298-303 shape)."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(dsum("l_quantity", "sum_qty"), davg("l_discount", "avg_disc"), F.count("*").alias("n"))
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "agg_having",
+    oracle=f"""
+    SELECT l_partkey, COUNT(*) AS n, {sql_dsum('l_quantity', 'sum_qty')}
+    FROM lineitem GROUP BY l_partkey
+    HAVING COUNT(*) > 35
+    """,
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING = post-aggregation filter."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(F.count("*").alias("n"), dsum("l_quantity", "sum_qty"))
+        .filter(F.col("n") > 35)
+    )
+
+
+@register(
+    "agg_count_distinct_multi",
+    oracle="""
+    SELECT COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps,
+           COUNT(DISTINCT l_orderkey) AS n_orders
+    FROM lineitem
+    """,
+)
+def agg_count_distinct_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple COUNT(DISTINCT) in one query — Spark plans an expand + two-phase
+    aggregate; at scale this is one extra shuffle, not N."""
+    return table(spark, sf_dir, "lineitem").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+@register("agg_approx_count_distinct")  # rows-only: HLL++ sketch != DuckDB's sketch
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct — Trino suite ``testApproxSet*`` / ``testP4ApproxSet*``.
+
+    HLL++ with rsd 1% — at 100 TB this replaces a full distinct shuffle with a
+    fixed-size sketch merge. Value is algorithm-specific → rows-only check;
+    the exact counterpart is oracle-checked in ``agg_count_distinct_multi``.
+    """
+    return table(spark, sf_dir, "lineitem").agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
+    )
+
+
+@register(
+    "agg_percentile_exact",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY l_quantity) AS DOUBLE) AS median_qty,
+           CAST(PERCENTILE_CONT(0.9) WITHIN GROUP (ORDER BY l_quantity) AS DOUBLE) AS p90_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentile (both engines: linear interpolation).
+
+    l_quantity is integral-valued, so interpolation arithmetic is exact in
+    double — hash-safe.
+    """
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_quantity", 0.5).alias("median_qty"),
+            F.percentile("l_quantity", 0.9).alias("p90_qty"),
+        )
+    )
+
+
+@register("agg_approx_percentile")  # rows-only: KLL/GK sketch != DuckDB t-digest
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (Trino suite ``testApproxPercentile``) — sketch-based,
+    bounded memory at any scale; rows-only check (exact twin above)."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median_price"))
+    )
+
+
+@register(
+    "agg_stddev_variance",
+    oracle="""
+    SELECT l_linestatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS s1,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(9,2)) * CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS s2
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def agg_stddev_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moment aggregates via exact decimal power sums (hash-stable), from which
+    variance/stddev are a driver-side epsilon: var = (s2 - s1²/n)/(n-1).
+
+    Spark's native ``stddev``/``variance`` use Welford-style merging whose
+    float rounding is partition-order-dependent — fine for analytics, wrong
+    for an exact-hash oracle, so the checked query exposes the sums.
+    """
+    q = F.col("l_quantity").cast("decimal(9,2)")
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(q).cast("double").alias("s1"),
+            F.sum(q * q).cast("double").alias("s2"),
+        )
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus, {sql_dsum('l_quantity', 'sum_qty')}, COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (Trino suite ``testRollupOverUnion``): subtotals per prefix."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(dsum("l_quantity", "sum_qty"), F.count("*").alias("n"))
+    )
+
+
+@register(
+    "agg_cube",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority, {sql_dsum('o_totalprice', 'sum_price')}, COUNT(*) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(dsum("o_totalprice", "sum_price"), F.count("*").alias("n"))
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus, {sql_dsum('l_extendedprice', 'sum_price')}
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via Spark SQL (same Expand-based plan as rollup)."""
+    views(spark, sf_dir, "lineitem")
+    return spark.sql(
+        f"""
+        SELECT l_returnflag, l_linestatus, {sql_dsum('l_extendedprice', 'sum_price')}
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@register(
+    "agg_pivot",
+    oracle=f"""
+    SELECT l_returnflag,
+           {sql_dsum("CASE WHEN l_linestatus = 'O' THEN l_quantity END", 'O')},
+           {sql_dsum("CASE WHEN l_linestatus = 'F' THEN l_quantity END", 'F')}
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: per-status quantity columns (oracle = CASE-WHEN equivalent)."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(F.col("l_quantity").cast("decimal(9,2)")).cast("double"))
+    )
+
+
+@register(
+    "agg_conditional_sum",
+    oracle=f"""
+    SELECT o_custkey,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+           {sql_dsum("CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END", 'urgent_value')}
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def agg_conditional_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered/conditional aggregation (COUNT FILTER / SUM(CASE...))."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_finished"),
+        F.sum(
+            F.when(F.col("o_orderpriority") == "1-URGENT", F.col("o_totalprice")).cast(
+                "decimal(9,2)"
+            )
+        )
+        .cast("double")
+        .alias("urgent_value"),
+    )
+
+
+@register(
+    "agg_collect_sorted",
+    oracle="""
+    SELECT n_regionkey, array_to_string(list_sort(list(n_name)), ',') AS nations
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list / array_agg — sorted so the value is order-independent."""
+    return (
+        table(spark, sf_dir, "nation")
+        .groupBy("n_regionkey")
+        .agg(F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"))
+    )

@@ -78,6 +78,19 @@ def davg(col: str | Column, alias: str) -> Column:
     return (F.sum(dec2(c)).cast("double") / F.count(c)).alias(alias)
 
 
+def views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    """Register driver tables as temp views so a query can use ``spark.sql``.
+
+    The SQL surface (correlated subqueries, GROUPING SETS, EXISTS, ...) is part
+    of the capability inventory — Catalyst compiles SQL and DataFrame calls to
+    the same plans, so using ``spark.sql`` here is idiomatic, not a shortcut.
+    """
+    from incubator_paimon_trino_spark.sources import table as _table
+
+    for n in names:
+        _table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
 # Oracle SQL textual equivalents (for f-string interpolation in oracle queries)
 def sql_dsum(expr: str, alias: str) -> str:
     return f"CAST(SUM(CAST({expr} AS DECIMAL(9,2))) AS DOUBLE) AS {alias}"

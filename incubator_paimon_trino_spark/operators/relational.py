@@ -1,1 +1,589 @@
-"""Placeholder — populated in later milestones."""
+"""Scan, projection, filter, limit, distinct, cast, scalar functions, nested
+types, and (correlated) subqueries — SURVEY §2.B rows 1-5 and the scalar rows.
+
+Reference parity notes:
+- Filter forms mirror exactly the predicate set the connector's
+  ``TrinoFilterConverter`` can push (``common/TrinoFilterConverter.java:85-213``):
+  =, <, <=, >, >=, IN, IS NULL, IS NOT NULL, BETWEEN (range with open/closed
+  bounds), OR of ranges. In Spark these are plain ``Column`` predicates and
+  Catalyst pushes them into the parquet scan (``PushedFilters``) — the whole
+  220-line converter collapses into declarative expressions.
+- Projection mirrors ``applyProjection`` (``common/TrinoMetadataBase.java:382-411``):
+  ``select`` prunes the parquet ``ReadSchema``.
+- LIMIT mirrors ``applyLimit`` + early-stop (``common/TrinoMetadataBase.java:418-445``,
+  ``TrinoPageSourceBase.java:142-146``); Spark's ``CollectLimitExec`` stops
+  early the same way. Oracle-checked limits are tie-broken to be deterministic.
+- Nested access mirrors the complex-type E2E (map/row/array —
+  ``common-test/TestTrinoITCase.java:258-261``). Structural values are built
+  with Spark functions and *accessed* back to scalars so both engines hash
+  identical primitive values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from incubator_paimon_trino_spark.operators.registry import register, views
+from incubator_paimon_trino_spark.sources import table
+
+# --- scan / projection -----------------------------------------------------
+
+
+@register("scan_select_star", oracle="SELECT * FROM region")
+def scan_select_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-table scan, all columns (ITCase ``SELECT *`` — :270)."""
+    return table(spark, sf_dir, "region")
+
+
+@register(
+    "projection_pushdown",
+    oracle="SELECT c_custkey, c_mktsegment FROM customer",
+)
+def projection_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-of-5 column projection; parquet ReadSchema shrinks to 2 columns."""
+    return table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+
+
+# --- every pushable filter form (TrinoFilterConverter parity) --------------
+
+
+@register(
+    "filter_equality",
+    oracle="SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'F'",
+)
+def filter_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderstatus")
+    )
+
+
+@register(
+    "filter_range_bounds",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+    WHERE l_quantity > 10 AND l_quantity <= 15
+    """,
+)
+def filter_range_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open low bound + closed high bound (converter range path :181-213)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.filter((F.col("l_quantity") > 10) & (F.col("l_quantity") <= 15)).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
+@register(
+    "filter_in_list",
+    oracle="""
+    SELECT p_partkey, p_brand FROM part
+    WHERE p_brand IN ('Brand#1', 'Brand#7', 'Brand#23')
+    """,
+)
+def filter_in_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN over discrete values (converter :168-170)."""
+    return (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_brand").isin("Brand#1", "Brand#7", "Brand#23"))
+        .select("p_partkey", "p_brand")
+    )
+
+
+@register(
+    "filter_between",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_totalprice BETWEEN 100000 AND 150000
+    """,
+)
+def filter_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice").between(100000, 150000))
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "filter_null_checks",
+    oracle="""
+    SELECT e.event_id, NULLIF(e.event_type, 'error') AS maybe_type
+    FROM events e
+    WHERE NULLIF(e.event_type, 'error') IS NULL
+    """,
+)
+def filter_null_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IS NULL (converter :134). Driver data is null-free, so nulls are
+    manufactured with NULLIF — the filter then has real work to do."""
+    ev = table(spark, sf_dir, "events")
+    maybe = F.nullif(F.col("event_type"), F.lit("error"))
+    return ev.select(F.col("event_id"), maybe.alias("maybe_type")).filter(
+        F.col("maybe_type").isNull()
+    )
+
+
+@register(
+    "filter_not_null",
+    oracle="""
+    SELECT e.event_id, NULLIF(e.event_type, 'error') AS maybe_type
+    FROM events e
+    WHERE NULLIF(e.event_type, 'error') IS NOT NULL
+    """,
+)
+def filter_not_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    maybe = F.nullif(F.col("event_type"), F.lit("error"))
+    return ev.select(F.col("event_id"), maybe.alias("maybe_type")).filter(
+        F.col("maybe_type").isNotNull()
+    )
+
+
+@register(
+    "filter_or_of_ranges",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+    WHERE l_extendedprice < 1000 OR l_extendedprice > 100000
+    """,
+)
+def filter_or_of_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR of disjoint ranges — the converter builds PredicateBuilder.or of
+    range predicates; Spark pushes the disjunction to parquet as-is."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.filter((F.col("l_extendedprice") < 1000) | (F.col("l_extendedprice") > 100000)).select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+
+
+@register(
+    "filter_like",
+    oracle="SELECT p_partkey, p_name FROM part WHERE p_name LIKE '%gold%'",
+)
+def filter_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE — engine-side in the reference (Trino), built-in Column op here."""
+    return table(spark, sf_dir, "part").filter(F.col("p_name").like("%gold%")).select(
+        "p_partkey", "p_name"
+    )
+
+
+@register(
+    "filter_rlike",
+    oracle=r"""
+    SELECT p_partkey, p_type FROM part
+    WHERE regexp_matches(p_type, '^(PROMO|LARGE)')
+    """,
+)
+def filter_rlike(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_type").rlike(r"^(PROMO|LARGE)"))
+        .select("p_partkey", "p_type")
+    )
+
+
+# --- limit / sort / distinct ----------------------------------------------
+
+
+@register(
+    "limit_topk_deterministic",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
+    """,
+)
+def limit_topk_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY + LIMIT → Spark TakeOrderedAndProject (no full sort at scale)."""
+    return (
+        table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(25)
+    )
+
+
+@register("limit_rowcount", oracle="SELECT COUNT(*) AS n FROM (SELECT * FROM lineitem LIMIT 100)")
+def limit_rowcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bare LIMIT is nondeterministic in *which* rows it returns, but exact in
+    how many — mirroring the reference's guard that the engine always re-applies
+    LIMIT (``applyLimit`` never 'guaranteed', ``TrinoMetadataBase.java:418-445``)."""
+    return table(spark, sf_dir, "lineitem").limit(100).agg(F.count("*").alias("n"))
+
+
+@register(
+    "distinct_values",
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def distinct_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+@register(
+    "sort_multi_key",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    ORDER BY n_regionkey DESC, n_name
+    """,
+)
+def sort_multi_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "nation").orderBy(F.desc("n_regionkey"), "n_name")
+
+
+# --- casts -----------------------------------------------------------------
+
+
+@register(
+    "cast_roundtrip",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderkey AS VARCHAR) AS key_str,
+           CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS key_back,
+           CAST(o_orderkey AS INTEGER) AS key_int,
+           CAST(o_totalprice AS DECIMAL(12,2)) AS price_dec,
+           CAST(o_orderdate AS DATE) AS order_date
+    FROM orders
+    """,
+)
+def cast_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CAST surface (engine-side in reference; ``testCast`` in the Trino suite).
+
+    double→DECIMAL(12,2) is exact here (values are 2-decimal); timestamp→DATE
+    truncates identically in both engines.
+    """
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderkey").cast("string").alias("key_str"),
+        F.col("o_orderkey").cast("string").cast("bigint").alias("key_back"),
+        F.col("o_orderkey").cast("int").alias("key_int"),
+        F.col("o_totalprice").cast("decimal(12,2)").alias("price_dec"),
+        F.col("o_orderdate").cast("date").alias("order_date"),
+    )
+
+
+# --- scalar functions ------------------------------------------------------
+
+
+@register(
+    "scalar_string_functions",
+    oracle="""
+    SELECT c_custkey,
+           UPPER(c_name) AS name_upper,
+           LOWER(c_mktsegment) AS seg_lower,
+           LENGTH(c_name) AS name_len,
+           SUBSTRING(c_name, 1, 8) AS name_prefix,
+           c_name || '/' || c_mktsegment AS name_seg,
+           REPLACE(c_name, 'Customer', 'Cst') AS name_repl,
+           TRIM(LPAD(c_mktsegment, 12, ' ')) AS seg_trim,
+           CONTAINS(c_name, '00') AS has_00
+    FROM customer
+    """,
+)
+def scalar_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.lower("c_mktsegment").alias("seg_lower"),
+        F.length("c_name").alias("name_len"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.concat_ws("/", "c_name", "c_mktsegment").alias("name_seg"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cst")).alias("name_repl"),
+        F.trim(F.lpad("c_mktsegment", 12, " ")).alias("seg_trim"),
+        F.col("c_name").contains("00").alias("has_00"),
+    )
+
+
+@register(
+    "scalar_regexp_functions",
+    oracle=r"""
+    SELECT p_partkey,
+           regexp_extract(p_brand, 'Brand#(\d+)', 1) AS brand_num,
+           regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled
+    FROM part
+    """,
+)
+def scalar_regexp_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_brand", r"Brand#(\d+)", 1).alias("brand_num"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+    )
+
+
+@register(
+    "scalar_date_functions",
+    oracle="""
+    SELECT o_orderkey,
+           EXTRACT(YEAR FROM o_orderdate) AS order_year,
+           EXTRACT(MONTH FROM o_orderdate) AS order_month,
+           EXTRACT(DAY FROM o_orderdate) AS order_day,
+           EXTRACT(QUARTER FROM o_orderdate) AS order_quarter,
+           CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           CAST(o_orderdate + INTERVAL 30 DAY AS TIMESTAMP) AS due_ts,
+           DATEDIFF('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS days_since_epoch_start,
+           DAYOFWEEK(o_orderdate) + 1 AS dow
+    FROM orders
+    """,
+)
+def scalar_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time scalar surface. Outputs are cast so both engines agree on
+    types: DuckDB EXTRACT yields BIGINT, Spark year() yields INT → cast up."""
+    o = table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).cast("bigint").alias("order_year"),
+        F.month(d).cast("bigint").alias("order_month"),
+        F.dayofmonth(d).cast("bigint").alias("order_day"),
+        F.quarter(d).cast("bigint").alias("order_quarter"),
+        F.date_trunc("month", d).alias("month_start"),
+        (d + F.expr("INTERVAL 30 DAYS")).alias("due_ts"),
+        F.datediff(F.to_date(d), F.lit("1995-01-01").cast("date")).cast("bigint").alias(
+            "days_since_epoch_start"
+        ),
+        F.dayofweek(d).cast("bigint").alias("dow"),
+    )
+
+
+@register(
+    "scalar_math_functions",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice * 0.5, 1) AS half_price,
+           ABS(l_discount - 0.05) AS disc_dist,
+           CAST(CEIL(l_quantity) AS BIGINT) AS qty_ceil,
+           CAST(FLOOR(l_extendedprice) AS BIGINT) AS price_floor,
+           SQRT(l_quantity) AS qty_sqrt,
+           MOD(CAST(l_orderkey AS INTEGER), 7) AS key_mod,
+           CAST(SIGN(l_discount - 0.05) AS DOUBLE) AS disc_sign,
+           GREATEST(l_tax, l_discount) AS max_rate,
+           LEAST(l_tax, l_discount) AS min_rate
+    FROM lineitem
+    """,
+)
+def scalar_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math scalars restricted to IEEE-exact ops (sqrt/abs/round/floor/ceil/
+    mod) so values are bit-identical across engines — transcendentals (exp/ln)
+    are libm-dependent and belong in rows-only checks, not hash compares."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * 0.5, 1).alias("half_price"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dist"),
+        F.ceil("l_quantity").alias("qty_ceil"),
+        F.floor("l_extendedprice").alias("price_floor"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        (F.col("l_orderkey").cast("int") % 7).alias("key_mod"),
+        F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
+        F.greatest("l_tax", "l_discount").alias("max_rate"),
+        F.least("l_tax", "l_discount").alias("min_rate"),
+    )
+
+
+@register(
+    "scalar_conditional",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 300000 THEN 'high'
+                WHEN o_totalprice > 100000 THEN 'mid'
+                ELSE 'low' END AS price_band,
+           COALESCE(NULLIF(o_orderstatus, 'O'), 'open') AS status_or_open,
+           IF(o_orderpriority = '1-URGENT', 1, 0) AS is_urgent
+    FROM orders
+    """,
+)
+def scalar_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 300000, "high")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("low")
+        .alias("price_band"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("open")).alias(
+            "status_or_open"
+        ),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("is_urgent"),
+    )
+
+
+@register(
+    "scalar_json_functions",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num
+    FROM events
+    """,
+)
+def scalar_json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction over the ``events.props`` JSON-string column."""
+    ev = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    return ev.select("event_id", k.alias("k_str"), k.cast("bigint").alias("k_num"))
+
+
+# --- nested types: build structurally, access back to scalars --------------
+
+
+@register(
+    "nested_array_ops",
+    oracle="""
+    SELECT p_partkey,
+           words[1] AS first_word,
+           words[len(words)] AS last_word,
+           len(words) AS n_words,
+           array_to_string(list_sort(words), '+') AS sorted_joined
+    FROM (SELECT p_partkey, string_split(p_name, ' ') AS words FROM part)
+    """,
+)
+def nested_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARRAY construction + index/size/sort/join (ITCase t4 array column)."""
+    p = table(spark, sf_dir, "part").withColumn("words", F.split("p_name", " "))
+    return p.select(
+        "p_partkey",
+        F.element_at("words", 1).alias("first_word"),
+        F.element_at("words", -1).alias("last_word"),
+        F.size("words").cast("bigint").alias("n_words"),
+        F.array_join(F.array_sort("words"), "+").alias("sorted_joined"),
+    )
+
+
+@register(
+    "nested_explode_unnest",
+    oracle="""
+    SELECT p_partkey, UNNEST(string_split(p_type, ' ')) AS word
+    FROM part
+    """,
+)
+def nested_explode_unnest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode == UNNEST: one output row per array element."""
+    p = table(spark, sf_dir, "part")
+    return p.select("p_partkey", F.explode(F.split("p_type", " ")).alias("word"))
+
+
+@register(
+    "nested_struct_access",
+    oracle="""
+    SELECT n_nationkey,
+           struct_extract(info, 'name') AS nation_name,
+           struct_extract(info, 'region') AS region_key
+    FROM (SELECT n_nationkey, {'name': n_name, 'region': n_regionkey} AS info FROM nation)
+    """,
+)
+def nested_struct_access(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROW type: build a struct, read fields back (ITCase t4 ``innerrow``)."""
+    n = table(spark, sf_dir, "nation").withColumn(
+        "info", F.struct(F.col("n_name").alias("name"), F.col("n_regionkey").alias("region"))
+    )
+    return n.select(
+        "n_nationkey",
+        F.col("info.name").alias("nation_name"),
+        F.col("info.region").alias("region_key"),
+    )
+
+
+@register(
+    "nested_map_access",
+    oracle="""
+    SELECT event_id, m['type'][1] AS type_val, len(map_keys(m)) AS n_keys
+    FROM (SELECT event_id, MAP {'type': event_type, 'src': 'events'} AS m FROM events)
+    """,
+)
+def nested_map_access(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP type: build, key-lookup, cardinality (ITCase t4 ``map`` column)."""
+    ev = table(spark, sf_dir, "events").withColumn(
+        "m", F.create_map(F.lit("type"), F.col("event_type"), F.lit("src"), F.lit("events"))
+    )
+    return ev.select(
+        "event_id",
+        F.col("m")["type"].alias("type_val"),
+        F.size(F.map_keys("m")).cast("bigint").alias("n_keys"),
+    )
+
+
+# --- subqueries (SQL surface; Catalyst decorrelates) -----------------------
+
+
+@register(
+    "subquery_correlated_exists",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    """,
+)
+def subquery_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS (Trino suite ``testCorrelatedExistsSubqueries``).
+
+    Catalyst rewrites to a left-semi join — same plan the Trino optimizer
+    produces by decorrelation.
+    """
+    views(spark, sf_dir, "customer", "orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+        """
+    )
+
+
+@register(
+    "subquery_not_in",
+    oracle="""
+    SELECT s_suppkey, s_name FROM supplier
+    WHERE s_nationkey NOT IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 0)
+    """,
+)
+def subquery_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir, "supplier", "nation")
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name FROM supplier
+        WHERE s_nationkey NOT IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 0)
+        """
+    )
+
+
+@register(
+    "subquery_correlated_scalar",
+    oracle="""
+    SELECT p_partkey, p_retailprice,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l WHERE l.l_partkey = p.p_partkey) AS n_lineitems
+    FROM part p
+    """,
+)
+def subquery_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (``testCorrelatedScalarSubqueries``)."""
+    views(spark, sf_dir, "part", "lineitem")
+    return spark.sql(
+        """
+        SELECT p_partkey, p_retailprice,
+               (SELECT COUNT(*) FROM lineitem l WHERE l.l_partkey = p.p_partkey) AS n_lineitems
+        FROM part p
+        """
+    )
+
+
+@register(
+    "subquery_uncorrelated_scalar",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_totalprice > (SELECT AVG(o_totalprice) * 1.9 FROM orders)
+    """,
+)
+def subquery_uncorrelated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar in a predicate — AVG(double) feeds a `>` comparison,
+    where ulp-level engine differences don't flip the outcome for this data
+    (no o_totalprice sits within 1e-6 of the 1.9×avg threshold)."""
+    views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_totalprice > (SELECT AVG(o_totalprice) * 1.9 FROM orders)
+        """
+    )

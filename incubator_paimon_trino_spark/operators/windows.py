@@ -1,1 +1,237 @@
-"""Placeholder — populated in later milestones."""
+"""Window-function surface — SURVEY §2.B window rows.
+
+Named by the Trino suite: ``testCustomRank``, ``testRowNumberLimit``,
+``testTopNPartitionedWindow``, ``testTopNRank`` (engine-side; nothing in the
+connector). Spark: ``Window.partitionBy().orderBy()`` + ranking/frame
+functions — one shuffle on the partition key, sort within partitions.
+
+Determinism: every ORDER BY inside a window is made total (tie-broken to a
+unique key) so ranking values hash-match the oracle exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from incubator_paimon_trino_spark.operators.registry import register
+from incubator_paimon_trino_spark.sources import table
+
+
+@register(
+    "window_row_number_rank",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+           RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderstatus) AS status_rank,
+           DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderstatus) AS status_dense_rank
+    FROM orders
+    """,
+)
+def window_row_number_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    by_price = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    by_status = W.partitionBy("o_custkey").orderBy("o_orderstatus")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.row_number().over(by_price).alias("rn"),
+        F.rank().over(by_status).alias("status_rank"),
+        F.dense_rank().over(by_status).alias("status_dense_rank"),
+    )
+
+
+@register(
+    "window_topn_per_group",
+    oracle="""
+    SELECT * FROM (
+      SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+             ROW_NUMBER() OVER (PARTITION BY l_suppkey
+                                ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber, l_partkey) AS rn
+      FROM lineitem
+    ) WHERE rn <= 3
+    """,
+)
+def window_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N per group (``testTopNPartitionedWindow``). Spark pushes the rn<=N
+    filter into the window sort (WindowGroupLimit) — no full rank materialized."""
+    li = table(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_suppkey").orderBy(
+        F.desc("l_extendedprice"), "l_orderkey", "l_linenumber", "l_partkey"
+    )
+    return (
+        li.select(
+            "l_suppkey",
+            "l_orderkey",
+            "l_linenumber",
+            "l_extendedprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "window_lag_lead",
+    oracle="""
+    SELECT user_id, event_id,
+           LAG(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_event,
+           LEAD(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_event,
+           CAST(FLOOR((epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) / 1000) AS BIGINT) AS ms_since_prev
+    FROM events
+    """,
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.lag("event_id").over(w).alias("prev_event"),
+        F.lead("event_id").over(w).alias("next_event"),
+        ((F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts)) / 1000)
+        .cast("bigint")
+        .alias("ms_since_prev"),
+    )
+
+
+@register(
+    "window_running_sum_frame",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(SUM(CAST(value AS DECIMAL(9,2))) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value,
+           CAST(SUM(CAST(value AS DECIMAL(9,2))) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS window3_value
+    FROM events
+    """,
+)
+def window_running_sum_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROWS frames: running total + sliding 3-row sum (decimal-exact)."""
+    ev = table(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(9,2)")
+    base = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.sum(v).over(base.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("double")
+        .alias("running_value"),
+        F.sum(v).over(base.rowsBetween(-2, W.currentRow)).cast("double").alias("window3_value"),
+    )
+
+
+@register(
+    "window_range_frame",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                          RANGE BETWEEN 10000 PRECEDING AND 10000 FOLLOWING) AS n_similar_orders
+    FROM orders
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over a value column (peers by value distance, not row count)."""
+    o = table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_totalprice").rangeBetween(-10000, 10000)
+    return o.select(
+        "o_custkey", "o_orderkey", "o_totalprice", F.count("*").over(w).alias("n_similar_orders")
+    )
+
+
+@register(
+    "window_ntile_percent",
+    oracle="""
+    SELECT c_custkey, c_acctbal,
+           NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile,
+           CAST(PERCENT_RANK() OVER (ORDER BY c_acctbal, c_custkey) AS DOUBLE) AS pct_rank,
+           CAST(CUME_DIST() OVER (ORDER BY c_acctbal, c_custkey) AS DOUBLE) AS cume
+    FROM customer
+    """,
+)
+def window_ntile_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global (unpartitioned) window — single-partition sort; fine for dims,
+    an anti-pattern for fact tables at scale (documented deliberately)."""
+    c = table(spark, sf_dir, "customer")
+    w = W.orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_acctbal",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+@register(
+    "window_first_last_value",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           FIRST_VALUE(l_extendedprice) OVER
+             (PARTITION BY l_orderkey
+              ORDER BY l_linenumber, l_extendedprice, l_partkey, l_suppkey) AS first_price,
+           LAST_VALUE(l_extendedprice) OVER
+             (PARTITION BY l_orderkey
+              ORDER BY l_linenumber, l_extendedprice, l_partkey, l_suppkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_price
+    FROM lineitem
+    """,
+)
+def window_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # (l_orderkey, l_linenumber) is NOT unique in the driver data — the window
+    # order must be total or first/last are nondeterministic.
+    li = table(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_extendedprice", "l_partkey", "l_suppkey"
+    )
+    wfull = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.first("l_extendedprice").over(w).alias("first_price"),
+        F.last("l_extendedprice").over(wfull).alias("last_price"),
+    )
+
+
+@register(
+    "window_sessionization",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new_session
+      FROM events
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events, MIN(ts) AS session_start
+    FROM (
+      SELECT user_id, event_id, ts,
+             SUM(is_new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM gaps
+    )
+    GROUP BY user_id, session_id
+    """,
+)
+def window_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-min-gap sessions via lag + cumulative-sum session ids
+    — the standard batch formulation (streaming twin: ``session_window``)."""
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_ms = 30 * 60 * 1000
+    is_new = F.when(
+        F.lag("ts").over(w).isNull()
+        | ((F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))) / 1000 > gap_ms),
+        1,
+    ).otherwise(0)
+    sess = F.sum(is_new).over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+    return (
+        ev.withColumn("session_id", sess)
+        .groupBy("user_id", "session_id")
+        .agg(F.count("*").alias("n_events"), F.min("ts").alias("session_start"))
+    )

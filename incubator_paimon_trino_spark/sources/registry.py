@@ -37,7 +37,19 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     Scans stay fully declarative so Catalyst pushes filters/projections into
     the parquet reader (`PushedFilters` / `ReadSchema` in the physical plan).
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects outright. We read nanos as raw INT64
+    (``nanosAsLong``, set here so it also holds under the driver's own
+    session) and truncate to a micros timestamp — matching how DuckDB's
+    TIMESTAMP_NS surfaces through Python (datetime has micros precision).
     """
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
