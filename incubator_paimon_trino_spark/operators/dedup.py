@@ -1,1 +1,309 @@
-"""Placeholder — populated in later milestones."""
+"""Deduplication operators for training-data pipelines (north-star surface).
+
+Five families, each at its 100 TB-scale plan shape:
+
+- **exact**         — hash-groupBy on a normalization fingerprint: one shuffle
+                      keyed by a 128-bit hash, no full-text comparison.
+- **n-gram Jaccard**— inverted-index self-join on shingles (join key = shingle)
+                      + count-based Jaccard: never materializes the O(n²) pair
+                      space, only pairs sharing ≥1 shingle.
+- **MinHash + LSH** — fixed-size signature per doc (k hashed mins), banded into
+                      buckets; candidate pairs only from same-bucket collisions;
+                      exact Jaccard verification on the (tiny) candidate set.
+- **SimHash**       — 64-bit weighted-bit fingerprint; hamming-ball candidates
+                      via 4×16-bit band exact-match (pigeonhole: distance ≤ 3
+                      ⇒ at least one band identical).
+- **embedding cosine** — see ``similarity.py`` for the ANN machinery; here the
+                      near-dup pair filter.
+
+All hashing is Spark's ``xxhash64`` (JVM-side, seeded via literal prefixes) —
+deterministic across runs/partitions, so rows-only checks are stable. The
+sketch-based ops have no ANSI-SQL twin (DuckDB lacks xxhash64) → rows-only;
+the exact ops are fully oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from incubator_paimon_trino_spark.operators.registry import register
+from incubator_paimon_trino_spark.sources import table
+
+# MinHash parameters: 32 permutations, 8 bands × 4 rows ⇒ catches J≥0.5 pairs
+# with ~97% probability ((1-(1-J^4)^8)).
+_N_PERMS = 32
+_N_BANDS = 8
+_ROWS_PER_BAND = _N_PERMS // _N_BANDS
+
+
+def _shingles(words_col: str = "words") -> F.Column:
+    """Distinct word 3-grams from a split-words array, built JVM-side."""
+    return F.array_distinct(
+        F.expr(
+            f"transform(sequence(0, greatest(size({words_col}) - 3, -1)),"
+            f" i -> concat_ws(' ', {words_col}[i], {words_col}[i+1], {words_col}[i+2]))"
+        )
+    )
+
+
+def shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").withColumn("words", F.split("text", " "))
+    return d.select("doc_id", _shingles().alias("shingles"))
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint
+      FROM documents
+    )
+    SELECT doc_id, fingerprint,
+           CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY fingerprint) THEN 1 ELSE 0 END AS is_kept
+    FROM fp
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: normalization fingerprint + keep-lowest-id-per-group.
+
+    At scale: one hash shuffle on the fingerprint; survivors = one row per
+    group. Emits the keep/drop decision per doc so the policy is auditable.
+    """
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.regexp_replace("text", r"\s+", " ")))
+    w = W.partitionBy("fingerprint")
+    return (
+        d.select("doc_id", fp.alias("fingerprint"))
+        .withColumn("is_kept", F.when(F.col("doc_id") == F.min("doc_id").over(w), 1).otherwise(0))
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS s
+      FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+           UNNEST(range(1, GREATEST(len(words) - 1, 1))) AS t(i)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           n_common * 1.0 / (sa.n + sb.n - n_common) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= 0.6
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via inverted-index join.
+
+    Join key is the shingle, so only docs sharing a shingle ever meet —
+    the O(n²) pair space is never built. Jaccard from integer counts
+    (|A∩B| / (|A|+|B|-|A∩B|)) — exact arithmetic, hash-stable.
+    At 100 TB the one refinement needed is dropping ultra-frequent shingles
+    (stop-shingles) before the join to cap bucket skew — same plan shape.
+    """
+    sh = (
+        shingled_docs(spark, sf_dir)
+        .select("doc_id", F.explode("shingles").alias("s"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "s")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "s")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("n_common") * 1.0 / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= 0.6)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, array<long> of _N_PERMS minhashes). Each 'permutation' is
+    min over shingles of xxhash64 with a distinct literal seed prefix —
+    the standard hashing trick replacing true permutations.
+
+    Built as ONE SQL expression with nested lambdas (p over permutations, s
+    over shingles). Composing many Python-lambda ``F.transform`` calls inside
+    a single projection mis-binds the lambda variables (wrong values,
+    partition-order-dependent) — nested SQL lambdas scope correctly.
+    """
+    sh = shingled_docs(spark, sf_dir)
+    sig = F.expr(
+        f"transform(sequence(0, {_N_PERMS - 1}),"
+        " p -> array_min(transform(shingles, s -> xxhash64(concat('perm', p, ':', s)))))"
+    )
+    return sh.select("doc_id", sig.alias("sig"))
+
+
+@register("dedup_minhash_lsh")  # rows-only: xxhash64 has no DuckDB twin
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + banded LSH near-dup pairs, verified by signature agreement.
+
+    Pipeline: signature (fixed 32 longs/doc) → explode into 8 band keys →
+    self-join on (band, band_hash) → estimated Jaccard = fraction of agreeing
+    signature positions ≥ 0.5. Only same-bucket pairs are compared; at corpus
+    scale the shuffle carries signatures (32×8 bytes/doc), not documents.
+    Cross-checked against exact Jaccard in tests (tests/test_dedup.py).
+    """
+    sigs = minhash_signatures(spark, sf_dir)
+    bands = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.element_at("sig", b * _ROWS_PER_BAND + r + 1) for r in range(_ROWS_PER_BAND)]
+                        ).alias("bh"),
+                    )
+                    for b in range(_N_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "sig", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+    left = bands.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), "band", "bh")
+    right = bands.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"), "band", "bh")
+    est = F.expr(
+        f"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) / {float(_N_PERMS)}"
+    )
+    return (
+        left.join(right, ["band", "bh"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+        .withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "est_jaccard")
+    )
+
+
+@register("dedup_simhash")  # rows-only: xxhash64 has no DuckDB twin
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 64-bit fingerprint, 4×16-bit band candidates,
+    hamming distance ≤ 3 verification (pigeonhole: distance ≤ 3 over 4 bands
+    guarantees at least one identical band, so banding loses no true pair).
+
+    Fingerprint: frequency-weighted — each (token, count) contributes
+    ±count to each of the 64 bit-sums; bit b of the simhash is the sign of
+    sum b.
+    """
+    # Frequency-weighted simhash via codegen-friendly conditional aggregates:
+    # explode tokens → (doc, token, count) → 64 conditional SUMs (one per bit).
+    # Higher-order array lambdas would be interpreted row-at-a-time; a wide
+    # hash-aggregate stays inside whole-stage codegen and shuffles once.
+    d = table(spark, sf_dir, "documents")
+    tok = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("h", F.xxhash64("token"))
+    )
+    bit_aggs = [
+        F.sum(
+            F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, F.col("cnt")).otherwise(
+                -F.col("cnt")
+            )
+        ).alias(f"s{b}")
+        for b in range(64)
+    ]
+    sums = tok.groupBy("doc_id").agg(*bit_aggs)
+    simhash_expr = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN CAST({1 << b if b < 63 else -(1 << 63)} AS BIGINT) ELSE 0L END)"
+        for b in range(64)
+    )
+    docs = sums.select("doc_id", F.expr(simhash_expr).alias("simhash"))
+    bands = docs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("simhash", 16 * b).bitwiseAND(F.lit(0xFFFF)).alias("bh"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+    left = bands.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("h_a"), "band", "bh")
+    right = bands.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("h_b"), "band", "bh")
+    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (
+        left.join(right, ["band", "bh"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "h_a", "h_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+        .withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= 3)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+             / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) AS cosine
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, ROUND(cosine, 6) AS cosine_r
+    FROM pairs WHERE cosine >= 0.4
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: cosine ≥ 0.4 (driver embeddings are
+    near-orthogonal; real corpora use ~0.95).
+
+    This oracle-checked variant is the brute-force O(n²) reference semantics
+    on the small dim table; the bucketed scale path is
+    ``similarity.ann_lsh_bucketed``. Cosine is computed as a sequential
+    double fold over the array — same element order as DuckDB's
+    list_dot_product, so values match to the last bit; output rounded to 6dp
+    only as belt-and-suspenders.
+    """
+    e = table(spark, sf_dir, "embeddings").withColumn(
+        "emb", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("eb"))
+    dot = lambda u, v: F.aggregate(  # noqa: E731
+        F.zip_with(u, v, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    cosine = dot(F.col("ea"), F.col("eb")) / (
+        F.sqrt(dot(F.col("ea"), F.col("ea"))) * F.sqrt(dot(F.col("eb"), F.col("eb")))
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", cosine)
+        .filter(F.col("cosine") >= 0.4)
+        .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine_r"))
+    )

@@ -1,1 +1,149 @@
-"""Placeholder — populated in later milestones."""
+"""Multimodal-column operators: image/audio/video as opaque ``binary`` columns
+with typed metadata, processed by Arrow-batched Pandas UDFs.
+
+The container has no image/audio codecs, so the *decode* step is a
+deterministic stub (clearly marked); everything around it — schema, binary
+payload handling, metadata struct, ``mapInPandas`` batch iteration, partition
+strategy — is real and tested. Swapping the stub for PIL/libsndfile is a
+one-function change that doesn't touch the Spark plumbing.
+
+Scale notes: payloads travel as Arrow binary batches (zero-copy to pandas);
+feature extraction is embarrassingly parallel (no shuffle); the only shuffle
+in ``multimodal_frame_sample`` is the final per-asset aggregation.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from incubator_paimon_trino_spark.operators.registry import register
+from incubator_paimon_trino_spark.sources import table
+
+#: Marks stubs that a production build must replace with a real codec.
+DECODE_IS_STUBBED = True
+
+
+def media_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize a media-asset table from ``documents``: payload = UTF-8
+    bytes of the text (stand-in for image bytes), plus a typed metadata
+    struct — the schema a real ingest would carry.
+
+    Columns: asset_id, media_type, payload binary, meta struct<width int,
+    height int, sample_rate int, n_frames int>.
+    """
+    d = table(spark, sf_dir, "documents")
+    fake_dim = lambda col, m, base: (F.crc32(col) % m + base).cast("int")  # noqa: E731
+    return d.select(
+        F.col("doc_id").alias("asset_id"),
+        F.element_at(F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+                     (F.col("doc_id") % 3 + 1).cast("int")).alias("media_type"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            fake_dim(F.col("text"), 1024, 256).alias("width"),
+            fake_dim(F.concat(F.col("text"), F.lit("h")), 768, 256).alias("height"),
+            F.lit(16000).alias("sample_rate"),
+            (F.col("n_chars") % 240 + 1).cast("int").alias("n_frames"),
+        ).alias("meta"),
+    )
+
+
+@register(
+    "multimodal_binary_metadata",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,
+           md5(text) AS payload_md5,
+           CAST(n_chars % 240 + 1 AS INTEGER) AS n_frames
+    FROM documents
+    """,
+)
+def multimodal_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column handling oracle-checked end to end: payload byte length,
+    content digest of the bytes, metadata struct field access."""
+    a = media_assets(spark, sf_dir)
+    return a.select(
+        "asset_id",
+        "media_type",
+        F.octet_length("payload").cast("bigint").alias("payload_bytes"),
+        F.md5("payload").alias("payload_md5"),
+        F.col("meta.n_frames").alias("n_frames"),
+    )
+
+
+def _stub_decode_features(payload: bytes, n_feat: int = 8) -> list[float]:
+    """STUB decoder: a real build decodes the image/audio and pools features.
+
+    Deterministic fake: byte-histogram moments over the raw payload, so the
+    full binary → fixed-width-float-vector path (the part Spark cares about)
+    is exercised with stable values.
+    """
+    if not payload:
+        return [0.0] * n_feat
+    acc = [0] * n_feat
+    for i, b in enumerate(payload):
+        acc[i % n_feat] += b
+    total = float(len(payload))
+    return [round(a / total, 6) for a in acc]
+
+
+@register("multimodal_feature_extract")  # rows-only: stubbed decoder has no SQL twin
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode + feature-extract via ``mapInPandas``: Arrow batches of binary
+    payloads in, fixed-width float feature vectors out.
+
+    The batch loop is the real production shape (iterate pa→pandas batches,
+    vectorize per batch, yield); only ``_stub_decode_features`` is fake.
+    """
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "media_type": pdf["media_type"],
+                    "features": pdf["payload"].map(_stub_decode_features),
+                    "payload_bytes": pdf["payload"].map(len).astype("int64"),
+                }
+            )
+
+    a = media_assets(spark, sf_dir).select("asset_id", "media_type", "payload")
+    return a.mapInPandas(
+        extract,
+        schema="asset_id bigint, media_type string, features array<double>, payload_bytes bigint",
+    )
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH assets AS (
+      SELECT doc_id AS asset_id, CAST(n_chars % 240 + 1 AS INTEGER) AS n_frames
+      FROM documents
+      WHERE doc_id % 3 = 2
+    )
+    SELECT asset_id, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+           CAST(MIN(frame_idx) AS INTEGER) AS first_frame,
+           CAST(MAX(frame_idx) AS INTEGER) AS last_frame
+    FROM (SELECT asset_id, UNNEST(range(0, n_frames, 10)) AS frame_idx FROM assets)
+    GROUP BY asset_id
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling plan: every-10th-frame index expansion per video
+    asset (sequence + explode — the real decode would map each (asset,
+    frame_idx) to a frame grab), then per-asset stats."""
+    a = media_assets(spark, sf_dir).filter(F.col("media_type") == "video")
+    frames = a.select(
+        "asset_id",
+        F.explode(F.sequence(F.lit(0), F.col("meta.n_frames") - 1, F.lit(10))).alias("frame_idx"),
+    )
+    return frames.groupBy("asset_id").agg(
+        F.count("*").alias("n_sampled"),
+        F.min("frame_idx").alias("first_frame"),
+        F.max("frame_idx").alias("last_frame"),
+    )
