@@ -1,0 +1,3 @@
+from incubator_paimon_trino_spark.catalog.warehouse import WarehouseCatalog
+
+__all__ = ["WarehouseCatalog"]

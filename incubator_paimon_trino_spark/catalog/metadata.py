@@ -1,0 +1,158 @@
+"""Table metadata: field-id-based schemas, snapshots, options.
+
+Mirrors the reference's metadata model:
+- Schema with explicit, evolvable fields — ``SchemaChange.addColumn/
+  renameColumn/dropColumn/setOption`` (``common/TrinoMetadataBase.java:289-342``,
+  ``common/TrinoMetadata.java:114-135``). Columns carry immutable **field ids**
+  so renames never orphan data written under an older schema (SURVEY §7 step 4).
+- Snapshot per commit with the same columns the reference's ``$snapshots``
+  system table exposes: ``snapshot_id, schema_id, commit_user,
+  commit_identifier, commit_kind`` (``common-test/TestTrinoITCase.java:287-288``).
+- Table options accept the reference's underscore-mangled Paimon CoreOptions
+  keys (``common/TrinoTableOptionUtils.java:51-135``): ``bucket``,
+  ``bucket_key``, ``file_format``, ``changelog_producer``, ``merge_engine``...
+  stored verbatim; consumed where our engine has an equivalent behavior.
+
+Serialization is plain JSON files under the table directory — human-readable,
+atomic-rename committed, no external services.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from dataclasses import dataclass, field
+
+from pyspark.sql import types as T
+
+#: Commit kinds, matching Paimon's Snapshot.CommitKind surface.
+COMMIT_APPEND = "APPEND"
+COMMIT_OVERWRITE = "OVERWRITE"
+COMMIT_COMPACT = "COMPACT"
+
+#: Hidden columns carried by primary-key table data files (FIXTURES.md F1).
+SEQ_COL = "_seq"
+KIND_COL = "_row_kind"
+
+
+@dataclass
+class Field:
+    id: int
+    name: str
+    type: str  # Spark simpleString, e.g. 'bigint', 'array<double>'
+    nullable: bool = True
+
+    def to_json(self) -> dict:
+        return {"id": self.id, "name": self.name, "type": self.type, "nullable": self.nullable}
+
+    @staticmethod
+    def from_json(d: dict) -> "Field":
+        return Field(d["id"], d["name"], d["type"], d.get("nullable", True))
+
+
+@dataclass
+class TableSchema:
+    """One version of a table's schema; ``schema_id`` increments per change."""
+
+    schema_id: int
+    fields: list[Field]
+    primary_key: list[str] = field(default_factory=list)
+    partition_keys: list[str] = field(default_factory=list)
+    options: dict[str, str] = field(default_factory=dict)
+    highest_field_id: int = -1
+
+    def to_json(self) -> dict:
+        return {
+            "schema_id": self.schema_id,
+            "fields": [f.to_json() for f in self.fields],
+            "primary_key": self.primary_key,
+            "partition_keys": self.partition_keys,
+            "options": self.options,
+            "highest_field_id": self.highest_field_id,
+        }
+
+    @staticmethod
+    def from_json(d: dict) -> "TableSchema":
+        return TableSchema(
+            d["schema_id"],
+            [Field.from_json(f) for f in d["fields"]],
+            d.get("primary_key", []),
+            d.get("partition_keys", []),
+            d.get("options", {}),
+            d.get("highest_field_id", -1),
+        )
+
+    def spark_schema(self) -> T.StructType:
+        return T.StructType(
+            [T.StructField(f.name, _parse_type(f.type), f.nullable) for f in self.fields]
+        )
+
+    def field_by_name(self, name: str) -> Field:
+        for f in self.fields:
+            if f.name.lower() == name.lower():  # reference lowercases names (FieldNameUtils)
+                return f
+        raise KeyError(f"no column {name!r}; have {[f.name for f in self.fields]}")
+
+
+@dataclass
+class Snapshot:
+    """One committed version of a table (= Paimon snapshot)."""
+
+    snapshot_id: int
+    schema_id: int
+    commit_user: str
+    commit_identifier: int
+    commit_kind: str
+    timestamp_ms: int
+    #: live data files as of this snapshot: list of {path, schema_id}
+    files: list[dict] = field(default_factory=list)
+    record_count: int = 0
+
+    def to_json(self) -> dict:
+        return {
+            "snapshot_id": self.snapshot_id,
+            "schema_id": self.schema_id,
+            "commit_user": self.commit_user,
+            "commit_identifier": self.commit_identifier,
+            "commit_kind": self.commit_kind,
+            "timestamp_ms": self.timestamp_ms,
+            "files": self.files,
+            "record_count": self.record_count,
+        }
+
+    @staticmethod
+    def from_json(d: dict) -> "Snapshot":
+        return Snapshot(
+            d["snapshot_id"],
+            d["schema_id"],
+            d["commit_user"],
+            d["commit_identifier"],
+            d["commit_kind"],
+            d["timestamp_ms"],
+            d.get("files", []),
+            d.get("record_count", 0),
+        )
+
+
+def _parse_type(s: str) -> T.DataType:
+    """Spark type from its DDL/simpleString form."""
+    return T.StructType.fromDDL(f"c {s}")[0].dataType
+
+
+def write_json_atomic(path: str, payload: dict) -> None:
+    """Write-then-rename so readers never observe a torn manifest."""
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".tmp")
+    try:
+        with os.fdopen(fd, "w") as fh:
+            json.dump(payload, fh, indent=1, sort_keys=True)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+
+def read_json(path: str) -> dict:
+    with open(path) as fh:
+        return json.load(fh)

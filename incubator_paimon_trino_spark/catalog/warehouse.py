@@ -1,0 +1,470 @@
+"""WarehouseCatalog — the lake-table catalog the reference implements as a
+Trino connector, re-expressed Spark-first.
+
+Layout (one directory tree, no services):
+
+    warehouse/
+      <db>.db/
+        <table>/
+          schema/schema-<id>.json       # full schema history (evolution by field id)
+          snapshot/snapshot-<v>.json    # one manifest per commit
+          snapshot/LATEST               # pointer file
+          data/c<v>-*.parquet           # immutable data files per commit
+
+Reference parity map (SURVEY §2.A):
+- A14 list/describe            → ``list_databases/list_tables/describe``
+- A15 CREATE/DROP SCHEMA       → ``create_database/drop_database``
+- A16 CREATE TABLE (+PK/partitions/options) → ``create_table``
+- A17 RENAME/DROP TABLE        → ``rename_table/drop_table``
+- A18 ADD/RENAME/DROP COLUMN   → ``add_column/rename_column/drop_column``
+  (field-id mapping: files written under old schemas stay readable)
+- A19 SET PROPERTIES           → ``set_options``
+- A11/A12 time travel          → ``read_table(version_as_of=, timestamp_as_of=)``
+- A13 system tables            → ``read_table("t$snapshots")`` etc.
+- A9 merge-on-read             → PK tables merged at read (see
+  ``operators/merge_on_read.py``)
+- beyond reference: a write path (``insert_into``, ``delete_where``) — the
+  reference is read-only and relies on external writers
+  (``SimpleTableTestHelper.java:46-53``); our engine writes its own snapshots.
+
+Scale notes: manifests list full live-file sets (simple, atomic); at real
+scale these become delta manifests + metadata compaction, which changes the
+manifest reader only — the table/commit model is unchanged. Data files are
+written by Spark executors in parallel; only the (tiny) JSON commit is
+driver-side, matching Paimon's coordinator-side commit protocol.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from incubator_paimon_trino_spark.catalog.metadata import (
+    COMMIT_APPEND,
+    COMMIT_OVERWRITE,
+    KIND_COL,
+    SEQ_COL,
+    Field,
+    Snapshot,
+    TableSchema,
+    read_json,
+    write_json_atomic,
+)
+
+_SYSTEM_SUFFIXES = ("snapshots", "schemas", "files", "options")
+
+
+class WarehouseCatalog:
+    def __init__(self, warehouse: str, spark: SparkSession, commit_user: str = "spark-graft"):
+        self.warehouse = os.path.abspath(warehouse)
+        self.spark = spark
+        self.commit_user = commit_user
+        os.makedirs(self.warehouse, exist_ok=True)
+
+    # ------------------------------------------------------------------ paths
+    def _db_dir(self, db: str) -> str:
+        return os.path.join(self.warehouse, f"{db}.db")
+
+    def _table_dir(self, db: str, table: str) -> str:
+        return os.path.join(self._db_dir(db), table)
+
+    # ------------------------------------------------------------ databases
+    def create_database(self, db: str, ignore_if_exists: bool = False) -> None:
+        d = self._db_dir(db)
+        if os.path.exists(d):
+            if ignore_if_exists:
+                return
+            raise ValueError(f"database {db!r} already exists")
+        os.makedirs(d)
+
+    def drop_database(self, db: str, cascade: bool = False) -> None:
+        d = self._db_dir(db)
+        if not os.path.exists(d):
+            raise ValueError(f"database {db!r} does not exist")
+        if os.listdir(d) and not cascade:
+            raise ValueError(f"database {db!r} is not empty")
+        shutil.rmtree(d)
+
+    def list_databases(self) -> list[str]:
+        return sorted(
+            e[: -len(".db")] for e in os.listdir(self.warehouse) if e.endswith(".db")
+        )
+
+    def list_tables(self, db: str) -> list[str]:
+        d = self._db_dir(db)
+        if not os.path.exists(d):
+            raise ValueError(f"database {db!r} does not exist")
+        return sorted(e for e in os.listdir(d) if os.path.isdir(os.path.join(d, e)))
+
+    # ---------------------------------------------------------------- tables
+    def create_table(
+        self,
+        db: str,
+        table: str,
+        columns: list[tuple[str, str]],
+        primary_key: list[str] | None = None,
+        partitioned_by: list[str] | None = None,
+        options: dict[str, str] | None = None,
+    ) -> None:
+        """CREATE TABLE with PK / partition keys / Paimon-style options.
+
+        ``columns`` is [(name, spark_type_ddl)]. Option keys use the
+        reference's underscore mangling (``file_format``, ``bucket_key``,
+        ``changelog_producer`` — ``TrinoTableOptionUtils.java:130-135``).
+        """
+        tdir = self._table_dir(db, table)
+        if not os.path.exists(self._db_dir(db)):
+            raise ValueError(f"database {db!r} does not exist")
+        if os.path.exists(tdir):
+            raise ValueError(f"table {db}.{table} already exists")
+        primary_key = list(primary_key or [])
+        partitioned_by = list(partitioned_by or [])
+        names = [c[0] for c in columns]
+        for k in primary_key + partitioned_by:
+            if k not in names:
+                raise ValueError(f"key column {k!r} not in columns {names}")
+        fields = [Field(i, n, t) for i, (n, t) in enumerate(columns)]
+        schema = TableSchema(
+            schema_id=0,
+            fields=fields,
+            primary_key=primary_key,
+            partition_keys=partitioned_by,
+            options=dict(options or {}),
+            highest_field_id=len(fields) - 1,
+        )
+        self._write_schema(tdir, schema)
+        os.makedirs(os.path.join(tdir, "snapshot"), exist_ok=True)
+        os.makedirs(os.path.join(tdir, "data"), exist_ok=True)
+
+    def drop_table(self, db: str, table: str) -> None:
+        tdir = self._table_dir(db, table)
+        if not os.path.exists(tdir):
+            raise ValueError(f"table {db}.{table} does not exist")
+        shutil.rmtree(tdir)
+
+    def rename_table(self, db: str, table: str, new_table: str) -> None:
+        src, dst = self._table_dir(db, table), self._table_dir(db, new_table)
+        if not os.path.exists(src):
+            raise ValueError(f"table {db}.{table} does not exist")
+        if os.path.exists(dst):
+            raise ValueError(f"table {db}.{new_table} already exists")
+        os.replace(src, dst)
+
+    # ------------------------------------------------------- schema history
+    def _write_schema(self, tdir: str, schema: TableSchema) -> None:
+        write_json_atomic(
+            os.path.join(tdir, "schema", f"schema-{schema.schema_id}.json"), schema.to_json()
+        )
+
+    def _schema(self, tdir: str, schema_id: int) -> TableSchema:
+        return TableSchema.from_json(
+            read_json(os.path.join(tdir, "schema", f"schema-{schema_id}.json"))
+        )
+
+    def _latest_schema(self, tdir: str) -> TableSchema:
+        ids = [
+            int(os.path.basename(p)[len("schema-") : -len(".json")])
+            for p in glob.glob(os.path.join(tdir, "schema", "schema-*.json"))
+        ]
+        if not ids:
+            raise ValueError(f"not a table directory: {tdir}")
+        return self._schema(tdir, max(ids))
+
+    def schema_of(self, db: str, table: str) -> TableSchema:
+        return self._latest_schema(self._table_dir(db, table))
+
+    def describe(self, db: str, table: str) -> list[tuple[str, str]]:
+        s = self.schema_of(db, table)
+        return [(f.name, f.type) for f in s.fields]
+
+    # ---------------------------------------------------- schema evolution
+    def add_column(self, db: str, table: str, name: str, type_ddl: str) -> None:
+        tdir = self._table_dir(db, table)
+        s = self._latest_schema(tdir)
+        if any(f.name.lower() == name.lower() for f in s.fields):
+            raise ValueError(f"column {name!r} already exists")
+        s.highest_field_id += 1
+        s.fields.append(Field(s.highest_field_id, name, type_ddl))
+        s.schema_id += 1
+        self._write_schema(tdir, s)
+
+    def rename_column(self, db: str, table: str, name: str, new_name: str) -> None:
+        tdir = self._table_dir(db, table)
+        s = self._latest_schema(tdir)
+        if any(f.name.lower() == new_name.lower() for f in s.fields):
+            raise ValueError(f"column {new_name!r} already exists")
+        f = s.field_by_name(name)
+        if f.name in s.primary_key or f.name in s.partition_keys:
+            s.primary_key = [new_name if k == f.name else k for k in s.primary_key]
+            s.partition_keys = [new_name if k == f.name else k for k in s.partition_keys]
+        f.name = new_name  # field id unchanged — old files remain readable
+        s.schema_id += 1
+        self._write_schema(tdir, s)
+
+    def drop_column(self, db: str, table: str, name: str) -> None:
+        tdir = self._table_dir(db, table)
+        s = self._latest_schema(tdir)
+        f = s.field_by_name(name)
+        if f.name in s.primary_key or f.name in s.partition_keys:
+            raise ValueError(f"cannot drop key column {name!r}")
+        s.fields = [x for x in s.fields if x.id != f.id]
+        s.schema_id += 1
+        self._write_schema(tdir, s)
+
+    def set_options(self, db: str, table: str, options: dict[str, str]) -> None:
+        tdir = self._table_dir(db, table)
+        s = self._latest_schema(tdir)
+        s.options.update(options)
+        s.schema_id += 1
+        self._write_schema(tdir, s)
+
+    # -------------------------------------------------------------- commits
+    def _snapshots(self, tdir: str) -> list[Snapshot]:
+        out = []
+        for p in sorted(glob.glob(os.path.join(tdir, "snapshot", "snapshot-*.json"))):
+            out.append(Snapshot.from_json(read_json(p)))
+        return sorted(out, key=lambda s: s.snapshot_id)
+
+    def _latest_snapshot(self, tdir: str) -> Snapshot | None:
+        snaps = self._snapshots(tdir)
+        return snaps[-1] if snaps else None
+
+    def insert_into(
+        self,
+        db: str,
+        table: str,
+        df: DataFrame,
+        overwrite: bool = False,
+        row_kind: str | None = None,
+    ) -> int:
+        """Commit ``df`` as a new snapshot; returns the snapshot id.
+
+        PK tables tag rows with ``(_seq, _row_kind)`` (FIXTURES.md F1):
+        ``_seq`` = snapshot id (commit-level sequencing, like Paimon's default
+        sequence number), ``_row_kind`` = 'I' or 'D' — either uniform via the
+        ``row_kind`` argument or per-row via an existing ``_row_kind`` column.
+        Executors write the parquet in parallel; the driver then commits the
+        manifest with an atomic rename.
+        """
+        tdir = self._table_dir(db, table)
+        schema = self._latest_schema(tdir)
+        prev = self._latest_snapshot(tdir)
+        version = (prev.snapshot_id if prev else 0) + 1
+
+        expected = [f.name for f in schema.fields]
+        have = list(df.columns)
+        extra = [c for c in have if c not in expected + [KIND_COL]]
+        missing = [c for c in expected if c not in have]
+        if extra or missing:
+            raise ValueError(f"schema mismatch: extra={extra} missing={missing} expected={expected}")
+        out = df.select(*expected, *([KIND_COL] if KIND_COL in have else []))
+
+        if schema.primary_key:
+            if KIND_COL not in out.columns:
+                out = out.withColumn(KIND_COL, F.lit(row_kind or "I"))
+            out = out.withColumn(SEQ_COL, F.lit(version).cast("bigint"))
+        elif KIND_COL in out.columns or row_kind not in (None, "I"):
+            raise ValueError("row kinds require a primary-key table")
+
+        commit_dir = os.path.join(tdir, "data", f"c{version}")
+        writer = out.write.mode("errorifexists")
+        if schema.partition_keys:
+            writer = writer.partitionBy(*schema.partition_keys)
+        writer.parquet(commit_dir)
+        n = out.count()
+
+        new_files = [
+            {"path": os.path.relpath(p, tdir), "schema_id": schema.schema_id}
+            for p in glob.glob(os.path.join(commit_dir, "**", "*.parquet"), recursive=True)
+        ]
+        files = new_files if (overwrite or prev is None) else prev.files + new_files
+        snap = Snapshot(
+            snapshot_id=version,
+            schema_id=schema.schema_id,
+            commit_user=self.commit_user,
+            commit_identifier=version,
+            commit_kind=COMMIT_OVERWRITE if overwrite else COMMIT_APPEND,
+            timestamp_ms=int(time.time() * 1000),
+            files=files,
+            record_count=(0 if overwrite else (prev.record_count if prev else 0)) + n,
+        )
+        write_json_atomic(os.path.join(tdir, "snapshot", f"snapshot-{version}.json"), snap.to_json())
+        write_json_atomic(os.path.join(tdir, "snapshot", "LATEST"), {"snapshot_id": version})
+        return version
+
+    def delete_where(self, db: str, table: str, condition) -> int:
+        """DELETE: write -D changelog rows for matching keys (PK tables only).
+
+        The reference has no DELETE (negative finding, SURVEY §2.A) — data
+        changes arrive via external writers. We go further: a delete is just
+        an anti-commit, merged away at read time.
+        """
+        schema = self.schema_of(db, table)
+        if not schema.primary_key:
+            raise ValueError("delete_where requires a primary-key table")
+        doomed = self.read_table(f"{db}.{table}").filter(condition)
+        return self.insert_into(db, table, doomed, row_kind="D")
+
+    # ---------------------------------------------------------------- reads
+    def read_table(
+        self,
+        name: str,
+        version_as_of: int | None = None,
+        timestamp_as_of: int | None = None,
+        with_system_columns: bool = False,
+    ) -> DataFrame:
+        """Read ``db.table`` (or ``db.table$system``) as a DataFrame.
+
+        - ``version_as_of=n``    — pin snapshot n (``FOR VERSION AS OF`` /
+          ``scan.snapshot-id`` — ``TrinoMetadata.java:102-108``)
+        - ``timestamp_as_of=ms`` — latest snapshot with commit ts ≤ ms
+          (``FOR TIMESTAMP AS OF`` / ``scan.timestamp-millis`` — ``:82-100``)
+        - PK tables are merged-on-read unless ``with_system_columns`` (which
+          exposes the raw changelog incl. ``_seq``/``_row_kind``).
+        """
+        db, _, rest = name.partition(".")
+        table, _, suffix = rest.partition("$")
+        if suffix:
+            return self._system_table(db, table, suffix)
+        tdir = self._table_dir(db, table)
+        schema = self._latest_schema(tdir)
+
+        snaps = self._snapshots(tdir)
+        if version_as_of is not None:
+            match = [s for s in snaps if s.snapshot_id == version_as_of]
+            if not match:
+                raise ValueError(f"no snapshot {version_as_of} (have {[s.snapshot_id for s in snaps]})")
+            snap = match[0]
+        elif timestamp_as_of is not None:
+            older = [s for s in snaps if s.timestamp_ms <= timestamp_as_of]
+            if not older:
+                raise ValueError(f"no snapshot at or before {timestamp_as_of}")
+            snap = older[-1]
+        else:
+            snap = snaps[-1] if snaps else None
+
+        if snap is None or not snap.files:
+            empty = schema.spark_schema()
+            if schema.primary_key and with_system_columns:
+                from pyspark.sql import types as T
+
+                empty = empty.add(SEQ_COL, T.LongType()).add(KIND_COL, T.StringType())
+            return self.spark.createDataFrame([], empty)
+
+        df = self._read_files(tdir, schema, snap)
+        if schema.primary_key and not with_system_columns:
+            from incubator_paimon_trino_spark.operators.merge_on_read import merge_on_read
+
+            df = merge_on_read(
+                df,
+                primary_key=schema.primary_key,
+                merge_engine=schema.options.get("merge_engine", "deduplicate"),
+            )
+        elif not with_system_columns:
+            df = df.select(*[f.name for f in schema.fields])
+        return df
+
+    def _read_files(self, tdir: str, schema: TableSchema, snap: Snapshot) -> DataFrame:
+        """Union snapshot files, mapping columns by FIELD ID per file schema.
+
+        Files are grouped by the schema they were written under; each group is
+        read with that schema, columns renamed old→current by field id,
+        dropped fields discarded, added fields filled with NULL — then
+        unioned. This is exactly the reference's evolution contract (A18):
+        rename must not orphan data.
+        """
+        groups: dict[int, list[str]] = {}
+        for f in snap.files:
+            groups.setdefault(f["schema_id"], []).append(os.path.join(tdir, f["path"]))
+        current = {f.id: f for f in schema.fields}
+        parts: list[DataFrame] = []
+        is_pk = bool(schema.primary_key)
+        for sid, paths in sorted(groups.items()):
+            old = self._schema(tdir, sid)
+            df = (
+                self.spark.read.option("basePath", os.path.join(tdir, "data"))
+                .schema(_physical_schema(old, is_pk))
+                .parquet(*paths)
+            )
+            cols = []
+            for fid, cur in sorted(current.items()):
+                old_field = next((of for of in old.fields if of.id == fid), None)
+                if old_field is None:
+                    cols.append(F.lit(None).cast(cur.type).alias(cur.name))
+                else:
+                    cols.append(F.col(old_field.name).cast(cur.type).alias(cur.name))
+            if is_pk:
+                cols += [F.col(SEQ_COL), F.col(KIND_COL)]
+            parts.append(df.select(*cols))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    # -------------------------------------------------------- system tables
+    def _system_table(self, db: str, table: str, suffix: str) -> DataFrame:
+        """``table$suffix`` resolution (A13) — reference test reads
+        ``t2$snapshots`` (``TestTrinoITCase.java:284-289``)."""
+        if suffix not in _SYSTEM_SUFFIXES:
+            raise ValueError(f"unknown system table suffix {suffix!r}; have {_SYSTEM_SUFFIXES}")
+        tdir = self._table_dir(db, table)
+        if suffix == "snapshots":
+            rows = [
+                (
+                    s.snapshot_id,
+                    s.schema_id,
+                    s.commit_user,
+                    s.commit_identifier,
+                    s.commit_kind,
+                    s.timestamp_ms,
+                    s.record_count,
+                )
+                for s in self._snapshots(tdir)
+            ]
+            return self.spark.createDataFrame(
+                rows,
+                "snapshot_id bigint, schema_id bigint, commit_user string, "
+                "commit_identifier bigint, commit_kind string, timestamp_ms bigint, "
+                "record_count bigint",
+            )
+        if suffix == "schemas":
+            rows = []
+            for p in sorted(glob.glob(os.path.join(tdir, "schema", "schema-*.json"))):
+                s = TableSchema.from_json(read_json(p))
+                rows.append(
+                    (
+                        s.schema_id,
+                        ",".join(f"{f.name} {f.type}" for f in s.fields),
+                        ",".join(s.primary_key),
+                        ",".join(s.partition_keys),
+                    )
+                )
+            return self.spark.createDataFrame(
+                rows, "schema_id bigint, fields string, primary_key string, partition_keys string"
+            )
+        if suffix == "files":
+            snap = self._latest_snapshot(tdir)
+            rows = [(f["path"], f["schema_id"]) for f in (snap.files if snap else [])]
+            return self.spark.createDataFrame(rows, "path string, schema_id bigint")
+        # options
+        s = self._latest_schema(tdir)
+        return self.spark.createDataFrame(
+            sorted(s.options.items()), "key string, value string"
+        )
+
+    def snapshots(self, db: str, table: str) -> DataFrame:
+        return self._system_table(db, table, "snapshots")
+
+
+def _physical_schema(schema: TableSchema, is_pk: bool):
+    from pyspark.sql import types as T
+
+    s = schema.spark_schema()
+    if is_pk:
+        s = s.add(SEQ_COL, T.LongType()).add(KIND_COL, T.StringType())
+    return s

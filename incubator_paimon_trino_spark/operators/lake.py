@@ -1,1 +1,176 @@
-"""Placeholder — populated in later milestones."""
+"""Lake-table queries for the driver harness: time travel, merge-on-read,
+snapshots, schema evolution — each builds a real warehouse table from driver
+data at query time, then reads it back, so the oracle checks the END-TO-END
+write→commit→read path, not a mock.
+
+Each call materializes into a fresh unique temp dir (the returned DataFrame
+reads lazily, so the directory must outlive the call).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from incubator_paimon_trino_spark.catalog import WarehouseCatalog
+from incubator_paimon_trino_spark.operators.registry import register
+from incubator_paimon_trino_spark.sources import table
+
+
+def _fresh_catalog(spark: SparkSession) -> WarehouseCatalog:
+    return WarehouseCatalog(tempfile.mkdtemp(prefix="ipt_lake_"), spark)
+
+
+def _orders_commits(spark: SparkSession, sf_dir: str):
+    """Deterministic 2-commit derivation from ``orders``: one row per custkey
+    per commit (MOR ties within a commit would otherwise be ambiguous)."""
+    o = table(spark, sf_dir, "orders")
+    c1 = (
+        o.filter(F.col("o_orderkey") <= 1000)
+        .groupBy("o_custkey")
+        .agg(F.max("o_orderkey").alias("last_order"), F.count("*").alias("n"))
+    )
+    c2 = (
+        o.filter(F.col("o_orderkey") > 1000)
+        .groupBy("o_custkey")
+        .agg(F.max("o_orderkey").alias("last_order"), F.count("*").alias("n"))
+        .withColumn("_row_kind", F.when(F.col("o_custkey") % 7 == 0, "D").otherwise("I"))
+    )
+    return c1, c2
+
+
+_C1_SQL = """
+  SELECT o_custkey, MAX(o_orderkey) AS last_order, COUNT(*) AS n
+  FROM orders WHERE o_orderkey <= 1000 GROUP BY o_custkey
+"""
+_C2_SQL = """
+  SELECT o_custkey, MAX(o_orderkey) AS last_order, COUNT(*) AS n,
+         CASE WHEN o_custkey % 7 = 0 THEN 'D' ELSE 'I' END AS kind
+  FROM orders WHERE o_orderkey > 1000 GROUP BY o_custkey
+"""
+
+
+def _pk_table(spark: SparkSession, sf_dir: str) -> tuple[WarehouseCatalog, str]:
+    cat = _fresh_catalog(spark)
+    cat.create_database("lake")
+    cat.create_table(
+        "lake",
+        "cust_orders",
+        [("o_custkey", "bigint"), ("last_order", "bigint"), ("n", "bigint")],
+        primary_key=["o_custkey"],
+    )
+    c1, c2 = _orders_commits(spark, sf_dir)
+    cat.insert_into("lake", "cust_orders", c1)
+    cat.insert_into("lake", "cust_orders", c2)
+    return cat, "lake.cust_orders"
+
+
+@register(
+    "lake_time_travel_v1",
+    oracle=f"SELECT * FROM ({_C1_SQL})",
+)
+def lake_time_travel_v1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``FOR VERSION AS OF 1`` (A11): after two commits, snapshot 1 must show
+    exactly the first commit's merged state (``TestTrinoITCase.java:517-536``)."""
+    cat, name = _pk_table(spark, sf_dir)
+    return cat.read_table(name, version_as_of=1)
+
+
+@register(
+    "lake_merge_on_read",
+    oracle=f"""
+    WITH c1 AS ({_C1_SQL}), c2 AS ({_C2_SQL})
+    SELECT COALESCE(c2.o_custkey, c1.o_custkey) AS o_custkey,
+           COALESCE(c2.last_order, c1.last_order) AS last_order,
+           COALESCE(c2.n, c1.n) AS n
+    FROM c1 FULL OUTER JOIN c2 ON c1.o_custkey = c2.o_custkey
+    WHERE c2.kind IS NULL OR c2.kind <> 'D'
+    """,
+)
+def lake_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 deduplicate merge engine end-to-end: upserts override commit 1,
+    deletes (custkey % 7 = 0 in commit 2) vanish from SELECT *."""
+    cat, name = _pk_table(spark, sf_dir)
+    return cat.read_table(name)
+
+
+@register(
+    "lake_snapshots_system_table",
+    oracle=f"""
+    SELECT CAST(1 AS BIGINT) AS snapshot_id, CAST(0 AS BIGINT) AS schema_id,
+           'spark-graft' AS commit_user, 'APPEND' AS commit_kind,
+           (SELECT COUNT(*) FROM ({_C1_SQL})) AS record_count
+    UNION ALL
+    SELECT 2, 0, 'spark-graft', 'APPEND',
+           (SELECT COUNT(*) FROM ({_C1_SQL})) + (SELECT COUNT(*) FROM ({_C2_SQL}))
+    """,
+)
+def lake_snapshots_system_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``t$snapshots`` (A13): the reference's exact column surface minus the
+    wall-clock timestamp (``TestTrinoITCase.java:287-288``)."""
+    cat, name = _pk_table(spark, sf_dir)
+    return cat.read_table(f"{name}$snapshots").select(
+        "snapshot_id", "schema_id", "commit_user", "commit_kind", "record_count"
+    )
+
+
+@register(
+    "lake_schema_evolution",
+    oracle="""
+    SELECT n_nationkey AS id, n_name AS label, CAST(NULL AS BIGINT) AS pop
+    FROM nation
+    UNION ALL
+    SELECT r_regionkey + 100, r_name, CAST(r_regionkey * 1000 AS BIGINT) FROM region
+    """,
+)
+def lake_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A18 end-to-end: write under schema v0, ADD COLUMN + RENAME COLUMN,
+    write under the new schema, read both file generations through the
+    field-id mapping (old rows get NULL for the added column; renamed column
+    reads old files' data)."""
+    cat = _fresh_catalog(spark)
+    cat.create_database("lake")
+    cat.create_table("lake", "ev", [("id", "bigint"), ("name", "string")])
+    n = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("bigint").alias("id"), F.col("n_name").alias("name")
+    )
+    cat.insert_into("lake", "ev", n)
+    cat.add_column("lake", "ev", "pop", "bigint")
+    cat.rename_column("lake", "ev", "name", "label")
+    r = table(spark, sf_dir, "region").select(
+        (F.col("r_regionkey") + 100).cast("bigint").alias("id"),
+        F.col("r_name").alias("label"),
+        (F.col("r_regionkey") * 1000).cast("bigint").alias("pop"),
+    )
+    cat.insert_into("lake", "ev", r)
+    return cat.read_table("lake.ev")
+
+
+@register(
+    "lake_partition_pruned_scan",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS order_year
+    FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1997
+    """,
+)
+def lake_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 'enforced' partition predicate: write partitioned by year, read one
+    partition — Catalyst prunes at the file listing (PartitionFilters), the
+    exact behavior the reference implements by marking partition-key domains
+    enforced (``TrinoMetadataBase.java:363-376``)."""
+    cat = _fresh_catalog(spark)
+    cat.create_database("lake")
+    cat.create_table(
+        "lake",
+        "orders_by_year",
+        [("o_orderkey", "bigint"), ("o_totalprice", "double"), ("order_year", "int")],
+        partitioned_by=["order_year"],
+    )
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", F.year("o_orderdate").alias("order_year")
+    )
+    cat.insert_into("lake", "orders_by_year", o)
+    return cat.read_table("lake.orders_by_year").filter(F.col("order_year") == 1997)

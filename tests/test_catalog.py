@@ -1,0 +1,225 @@
+"""Lake-catalog E2E mirroring the reference's ITCase golden scenarios
+(``common-test/TestTrinoITCase.java`` fixtures, extracted in FIXTURES.md).
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from incubator_paimon_trino_spark.catalog import WarehouseCatalog
+
+
+@pytest.fixture()
+def cat(spark, tmp_path):
+    return WarehouseCatalog(str(tmp_path / "wh"), spark)
+
+
+T1_COLS = [("a", "int"), ("b", "bigint"), ("aCa", "string"), ("d", "string")]
+
+
+def _mk_t1(cat, spark, db="default", name="t1"):
+    cat.create_database(db, ignore_if_exists=True)
+    cat.create_table(db, name, T1_COLS, primary_key=["a"])
+    rows = [(1, 2, "1", "1", "I"), (3, 4, "2", "2", "I"), (5, 6, "3", "3", "I"), (3, 4, "2", "2", "D")]
+    df = spark.createDataFrame(rows, "a int, b bigint, aCa string, d string, _row_kind string")
+    cat.insert_into(db, name, df)
+
+
+def test_f1_pk_delete_merge(cat, spark):
+    """F1: +I(1),+I(3),+I(5),-D(3) in ONE commit → SELECT * yields keys {1,5}
+    (TestTrinoITCase.java:89-94 → :270-271)."""
+    _mk_t1(cat, spark)
+    got = sorted(tuple(r) for r in cat.read_table("default.t1").collect())
+    assert got == [(1, 2, "1", "1"), (5, 6, "3", "3")]
+    # projection incl. the deliberately mixed-case column (:272)
+    proj = sorted(tuple(r) for r in cat.read_table("default.t1").select("a", "aCa").collect())
+    assert proj == [(1, "1"), (5, "3")]
+
+
+def test_f2_time_travel(cat, spark):
+    """F2: two commits; VERSION AS OF 1 → 2 rows, AS OF 2 → 4; TIMESTAMP
+    between commits → 2 (TestTrinoITCase.java:517-536)."""
+    cat.create_database("default", ignore_if_exists=True)
+    cat.create_table("default", "t2", T1_COLS, primary_key=["a"])
+    mk = lambda rows: spark.createDataFrame(rows, "a int, b bigint, aCa string, d string")  # noqa: E731
+    cat.insert_into("default", "t2", mk([(1, 2, "1", "1"), (3, 4, "2", "2")]))
+    t_between = int(time.time() * 1000)
+    time.sleep(0.01)
+    cat.insert_into("default", "t2", mk([(5, 6, "3", "3"), (7, 8, "4", "4")]))
+    assert cat.read_table("default.t2", version_as_of=1).count() == 2
+    assert cat.read_table("default.t2", version_as_of=2).count() == 4
+    assert cat.read_table("default.t2", timestamp_as_of=t_between).count() == 2
+    with pytest.raises(ValueError):
+        cat.read_table("default.t2", version_as_of=99)
+    # $snapshots system table (:284-289)
+    snaps = cat.read_table("default.t2$snapshots").collect()
+    assert [(s.snapshot_id, s.schema_id, s.commit_user, s.commit_kind) for s in snaps] == [
+        (1, 0, "spark-graft", "APPEND"),
+        (2, 0, "spark-graft", "APPEND"),
+    ]
+
+
+def test_f3_partitioned_append(cat, spark):
+    """F3: append-only partitioned table; GROUP BY pt,a golden
+    (TestTrinoITCase.java:298-303) and partition-scoped read."""
+    from pyspark.sql import functions as F
+
+    cat.create_database("default", ignore_if_exists=True)
+    cat.create_table(
+        "default",
+        "t3",
+        [("pt", "string"), ("a", "int"), ("b", "bigint"), ("c", "bigint"), ("d", "int")],
+        partitioned_by=["pt"],
+    )
+    df = spark.createDataFrame(
+        [("1", 1, 1, 1, 1), ("1", 1, 2, 2, 2), ("2", 3, 3, 3, 3)],
+        "pt string, a int, b bigint, c bigint, d int",
+    )
+    cat.insert_into("default", "t3", df)
+    got = (
+        cat.read_table("default.t3")
+        .groupBy("pt", "a")
+        .agg(F.sum("b").alias("sb"), F.sum("d").alias("sd"))
+        .orderBy("pt", "a")
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [("1", 1, 3, 3), ("2", 3, 3, 3)]
+    assert cat.read_table("default.t3").filter(F.col("pt") == "1").count() == 2
+    # partition pruning reaches the file listing
+    plan = (
+        cat.read_table("default.t3")
+        .filter(F.col("pt") == "1")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan
+
+
+def test_f6_empty_table(cat, spark):
+    """F6: empty table SELECT * → [] (TestTrinoITCase.java:264-266)."""
+    cat.create_database("default", ignore_if_exists=True)
+    cat.create_table("default", "empty_t", [("a", "int"), ("b", "bigint")])
+    assert cat.read_table("default.empty_t").count() == 0
+    assert [f.name for f in cat.read_table("default.empty_t").schema.fields] == ["a", "b"]
+
+
+def test_ddl_lifecycle(cat, spark):
+    """A14-A19: databases, rename/drop table, add/rename/drop column,
+    set options (TestTrinoITCase.java:327-501)."""
+    cat.create_database("testdb")
+    assert "testdb" in cat.list_databases()
+    cat.create_table(
+        "testdb",
+        "orders",
+        [("order_key", "bigint"), ("order_status", "string"), ("total_price", "double"), ("order_date", "date")],
+        primary_key=["order_key", "order_date"],
+        partitioned_by=["order_date"],
+        options={"file_format": "PARQUET", "bucket": "2", "bucket_key": "order_key", "changelog_producer": "input"},
+    )
+    assert cat.list_tables("testdb") == ["orders"]
+    # rename table (:364-407)
+    cat.rename_table("testdb", "orders", "orders2")
+    assert cat.list_tables("testdb") == ["orders2"]
+    # column evolution (:409-479)
+    cat.add_column("testdb", "orders2", "comment", "string")
+    cat.rename_column("testdb", "orders2", "comment", "note")
+    assert ("note", "string") in cat.describe("testdb", "orders2")
+    cat.drop_column("testdb", "orders2", "note")
+    assert all(n != "note" for n, _ in cat.describe("testdb", "orders2"))
+    with pytest.raises(ValueError):
+        cat.drop_column("testdb", "orders2", "order_key")  # PK protected
+    # set properties (:481-501)
+    cat.set_options("testdb", "orders2", {"write_only": "true"})
+    opts = dict((r.key, r.value) for r in cat.read_table("testdb.orders2$options").collect())
+    assert opts["write_only"] == "true" and opts["bucket"] == "2"
+    cat.drop_table("testdb", "orders2")
+    assert cat.list_tables("testdb") == []
+    cat.drop_database("testdb")
+    assert "testdb" not in cat.list_databases()
+
+
+def test_schema_evolution_reads_old_files(cat, spark):
+    """A18 contract: files written before add/rename stay readable; renamed
+    column maps by field id; dropped column disappears; added column is NULL
+    for old rows."""
+    cat.create_database("default", ignore_if_exists=True)
+    cat.create_table("default", "ev", [("id", "int"), ("v", "string")])
+    cat.insert_into("default", "ev", spark.createDataFrame([(1, "one")], "id int, v string"))
+    cat.add_column("default", "ev", "extra", "bigint")
+    cat.rename_column("default", "ev", "v", "val")
+    cat.insert_into(
+        "default", "ev", spark.createDataFrame([(2, "two", 22)], "id int, val string, extra bigint")
+    )
+    got = {r.id: (r.val, r.extra) for r in cat.read_table("default.ev").collect()}
+    assert got == {1: ("one", None), 2: ("two", 22)}
+    cat.drop_column("default", "ev", "extra")
+    got2 = {r.id: r.val for r in cat.read_table("default.ev").collect()}
+    assert got2 == {1: "one", 2: "two"}
+    assert "extra" not in cat.read_table("default.ev").columns
+
+
+def test_delete_where_and_upsert(cat, spark):
+    """Write-path extensions beyond the read-only reference: upsert by PK +
+    delete_where."""
+    _mk_t1(cat, spark)
+    # upsert: new value for key 1 in a later commit wins
+    cat.insert_into(
+        "default", "t1", spark.createDataFrame([(1, 99, "x", "y")], "a int, b bigint, aCa string, d string")
+    )
+    got = {r.a: r.b for r in cat.read_table("default.t1").collect()}
+    assert got == {1: 99, 5: 6}
+    from pyspark.sql import functions as F
+
+    cat.delete_where("default", "t1", F.col("a") == 5)
+    assert {r.a for r in cat.read_table("default.t1").collect()} == {1}
+    # raw changelog still shows everything
+    raw = cat.read_table("default.t1", with_system_columns=True)
+    assert raw.count() == 6 and {"_seq", "_row_kind"} <= set(raw.columns)
+
+
+def test_merge_engines(cat, spark):
+    """partial-update / aggregation / first-row merge engines
+    (TrinoTableOptionUtils.java:98,113-118 enum surface)."""
+    cat.create_database("default", ignore_if_exists=True)
+    mk = lambda rows, ddl: spark.createDataFrame(rows, ddl)  # noqa: E731
+
+    cat.create_table(
+        "default", "pu", [("k", "int"), ("x", "string"), ("y", "string")],
+        primary_key=["k"], options={"merge_engine": "partial-update"},
+    )
+    cat.insert_into("default", "pu", mk([(1, "a", None)], "k int, x string, y string"))
+    cat.insert_into("default", "pu", mk([(1, None, "b")], "k int, x string, y string"))
+    assert [tuple(r) for r in cat.read_table("default.pu").collect()] == [(1, "a", "b")]
+
+    cat.create_table(
+        "default", "agg", [("k", "int"), ("n", "bigint"), ("tag", "string")],
+        primary_key=["k"], options={"merge_engine": "aggregation"},
+    )
+    cat.insert_into("default", "agg", mk([(1, 10, "t1"), (1, 5, "t2")], "k int, n bigint, tag string"))
+    cat.insert_into("default", "agg", mk([(1, 1, "t3")], "k int, n bigint, tag string"))
+    assert [tuple(r) for r in cat.read_table("default.agg").collect()] == [(1, 16, "t3")]
+
+    cat.create_table(
+        "default", "fr", [("k", "int"), ("v", "string")],
+        primary_key=["k"], options={"merge_engine": "first-row"},
+    )
+    cat.insert_into("default", "fr", mk([(1, "first")], "k int, v string"))
+    cat.insert_into("default", "fr", mk([(1, "second")], "k int, v string"))
+    assert [tuple(r) for r in cat.read_table("default.fr").collect()] == [(1, "first")]
+
+
+def test_overwrite_commit(cat, spark):
+    cat.create_database("default", ignore_if_exists=True)
+    cat.create_table("default", "ow", [("a", "int")])
+    cat.insert_into("default", "ow", spark.createDataFrame([(1,), (2,)], "a int"))
+    cat.insert_into("default", "ow", spark.createDataFrame([(9,)], "a int"), overwrite=True)
+    assert [r.a for r in cat.read_table("default.ow").collect()] == [9]
+    kinds = [r.commit_kind for r in cat.snapshots("default", "ow").collect()]
+    assert kinds == ["APPEND", "OVERWRITE"]
