@@ -1,0 +1,144 @@
+"""Paimon ↔ Spark type mapping — the SURVEY §1.3 table as code.
+
+Mirror of the reference's bidirectional visitor (``common/TrinoTypeUtils.java``:
+Paimon→Trino ``:73-199``, Trino→Paimon ``:201-274``), with Spark as the target
+type system; unit-tested with display-name goldens like
+``common-test/TestTrinoType.java:57-218``.
+
+Documented semantic gaps (SURVEY §1.3 / §7 hard spots):
+- CHAR(n)/VARCHAR(n) map to unbounded ``StringType`` — length is metadata
+  only (Spark has no CHAR padding; comparisons should rtrim where CHAR
+  semantics matter).
+- TIME(p) maps to ``LongType`` millis-of-day (Spark <4 has no TimeType; the
+  reference uses TIME(3) — ``TrinoTypeUtils.java:148-151``).
+- TIMESTAMP(p) precision ladder {0,3,6} collapses to micros
+  (``TimestampNTZType``); TIMESTAMP WITH LOCAL TIME ZONE maps to
+  ``TimestampType`` with the session pinned to UTC, matching the reference's
+  forced UTC packing (``TrinoPageSourceBase.java:216-219``).
+- MULTISET<T> maps to ``MAP<T, INT>`` (element → multiplicity), same trick
+  Trino uses (``TrinoTypeUtils.java:171-173``).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import types as T
+
+
+def paimon_to_spark(type_str: str) -> T.DataType:
+    """Parse a Paimon/SQL type string into a Spark DataType."""
+    s = type_str.strip()
+    up = s.upper()
+    if up in ("BOOLEAN",):
+        return T.BooleanType()
+    if up == "TINYINT":
+        return T.ByteType()
+    if up == "SMALLINT":
+        return T.ShortType()
+    if up in ("INT", "INTEGER"):
+        return T.IntegerType()
+    if up == "BIGINT":
+        return T.LongType()
+    if up in ("FLOAT", "REAL"):
+        return T.FloatType()
+    if up == "DOUBLE":
+        return T.DoubleType()
+    if up == "DATE":
+        return T.DateType()
+    if up in ("STRING", "VARCHAR", "CHAR"):
+        return T.StringType()
+    if up in ("BINARY", "VARBINARY", "BYTES"):
+        return T.BinaryType()
+    m = re.fullmatch(r"DECIMAL\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)", up)
+    if m:
+        p, sc = int(m.group(1)), int(m.group(2))
+        if p > 38:
+            raise ValueError(f"decimal precision {p} exceeds 38")
+        return T.DecimalType(p, sc)
+    m = re.fullmatch(r"(?:CHAR|VARCHAR)\s*\(\s*(\d+)\s*\)", up)
+    if m:
+        return T.StringType()  # length bound is metadata-only in Spark
+    m = re.fullmatch(r"TIME(?:\s*\(\s*\d+\s*\))?", up)
+    if m:
+        return T.LongType()  # millis of day (no TimeType pre-Spark-4 TIME)
+    if re.fullmatch(r"TIMESTAMP\s*(\(\s*\d\s*\))?\s*(WITH\s+LOCAL\s+TIME\s+ZONE)?", up):
+        with_ltz = "WITH LOCAL TIME ZONE" in up
+        return T.TimestampType() if with_ltz else T.TimestampNTZType()
+    m = re.fullmatch(r"ARRAY\s*<(.*)>", s, re.IGNORECASE | re.DOTALL)
+    if m:
+        return T.ArrayType(paimon_to_spark(m.group(1)))
+    m = re.fullmatch(r"MULTISET\s*<(.*)>", s, re.IGNORECASE | re.DOTALL)
+    if m:
+        return T.MapType(paimon_to_spark(m.group(1)), T.IntegerType(), False)
+    m = re.fullmatch(r"MAP\s*<(.*)>", s, re.IGNORECASE | re.DOTALL)
+    if m:
+        k, v = _split_top(m.group(1))
+        return T.MapType(paimon_to_spark(k), paimon_to_spark(v))
+    m = re.fullmatch(r"ROW\s*[<(](.*)[>)]", s, re.IGNORECASE | re.DOTALL)
+    if m:
+        fields = []
+        for part in _split_top(m.group(1), many=True):
+            name, _, ftype = part.strip().partition(" ")
+            fields.append(T.StructField(name, paimon_to_spark(ftype)))
+        return T.StructType(fields)
+    raise ValueError(f"unsupported Paimon type: {type_str!r}")
+
+
+def spark_to_paimon(dt: T.DataType) -> str:
+    """Spark DataType → Paimon type display string (TrinoTypeUtils :201-274)."""
+    if isinstance(dt, T.BooleanType):
+        return "BOOLEAN"
+    if isinstance(dt, T.ByteType):
+        return "TINYINT"
+    if isinstance(dt, T.ShortType):
+        return "SMALLINT"
+    if isinstance(dt, T.IntegerType):
+        return "INT"
+    if isinstance(dt, T.LongType):
+        return "BIGINT"
+    if isinstance(dt, T.FloatType):
+        return "FLOAT"
+    if isinstance(dt, T.DoubleType):
+        return "DOUBLE"
+    if isinstance(dt, T.DecimalType):
+        return f"DECIMAL({dt.precision}, {dt.scale})"
+    if isinstance(dt, T.StringType):
+        return "STRING"
+    if isinstance(dt, T.BinaryType):
+        return "BYTES"
+    if isinstance(dt, T.DateType):
+        return "DATE"
+    if isinstance(dt, T.TimestampNTZType):
+        return "TIMESTAMP(6)"
+    if isinstance(dt, T.TimestampType):
+        return "TIMESTAMP(6) WITH LOCAL TIME ZONE"
+    if isinstance(dt, T.ArrayType):
+        return f"ARRAY<{spark_to_paimon(dt.elementType)}>"
+    if isinstance(dt, T.MapType):
+        return f"MAP<{spark_to_paimon(dt.keyType)}, {spark_to_paimon(dt.valueType)}>"
+    if isinstance(dt, T.StructType):
+        inner = ", ".join(f"{f.name} {spark_to_paimon(f.dataType)}" for f in dt.fields)
+        return f"ROW<{inner}>"
+    raise ValueError(f"unsupported Spark type: {dt}")
+
+
+def _split_top(s: str, many: bool = False) -> list[str]:
+    """Split on top-level commas (not inside <> or ())."""
+    parts, depth, cur = [], 0, []
+    for ch in s:
+        if ch in "<(":
+            depth += 1
+        elif ch in ">)":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    if many:
+        return [p for p in parts if p.strip()]
+    if len(parts) != 2:
+        raise ValueError(f"expected two type args in {s!r}")
+    return parts

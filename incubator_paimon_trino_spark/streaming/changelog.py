@@ -1,0 +1,130 @@
+"""Structured Streaming over warehouse changelogs.
+
+The reference only *stores* streaming table options (``StartupMode``,
+``StreamingReadMode``, ``ChangelogProducer`` — ``TrinoTableOptionUtils.java:
+94-107``) and never reads streams (negative finding, SURVEY §2.A). We
+implement actual streaming reads on top of the same table layout:
+
+- Every commit adds immutable parquet files under ``data/c<v>/`` — exactly
+  the contract Spark's file-stream source needs: new files appear atomically,
+  old files never change. ``read_changelog_stream`` is therefore just
+  ``spark.readStream.parquet`` with the table's physical schema; PK tables
+  surface ``(_seq, _row_kind)`` so downstream operators see the changelog
+  (+I/-D), matching ``StreamingReadMode.changelog``.
+- ``StartupMode.latest-full`` ≈ process existing files then tail
+  (the file source's default); tests drive it with ``availableNow``.
+
+Watermarked windows, session windows, and ``applyInPandasWithState`` give the
+stateful-operator surface Trino lacks entirely.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from incubator_paimon_trino_spark.catalog.metadata import KIND_COL, SEQ_COL
+from incubator_paimon_trino_spark.catalog.warehouse import WarehouseCatalog, _physical_schema
+
+
+def read_changelog_stream(cat: WarehouseCatalog, name: str) -> DataFrame:
+    """Streaming DataFrame over ``db.table``'s commit stream.
+
+    PK tables yield changelog rows (``_seq``/``_row_kind`` included);
+    append-only tables yield plain rows. New commits are picked up as their
+    files land — at scale, with ``maxFilesPerTrigger`` to bound batch size.
+    """
+    db, _, table = name.partition(".")
+    tdir = cat._table_dir(db, table)
+    schema = cat._latest_schema(tdir)
+    phys = _physical_schema(schema, bool(schema.primary_key))
+    return (
+        cat.spark.readStream.schema(phys)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(os.path.join(tdir, "data", "c*"))
+    )
+
+
+def windowed_counts(stream: DataFrame, ts_col: str, key_col: str, window: str = "5 minutes",
+                    watermark: str = "10 minutes") -> DataFrame:
+    """Watermarked tumbling-window counts — the canonical late-data-tolerant
+    streaming aggregation (SURVEY §2.B streaming row)."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window), F.col(key_col))
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            F.col(key_col),
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sessionized_counts(stream: DataFrame, ts_col: str, key_col: str, gap: str = "30 minutes") -> DataFrame:
+    """Session windows (gap-based) — streaming twin of the batch
+    ``window_sessionization`` operator."""
+    return (
+        stream.withWatermark(ts_col, "1 hour")
+        .groupBy(F.session_window(ts_col, gap), F.col(key_col))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col(key_col),
+            "n_events",
+        )
+    )
+
+
+def running_totals_stateful(stream: DataFrame, key_col: str, value_col: str) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-key
+    running event count + value total, state carried across micro-batches.
+
+    The per-group pandas function is the escape hatch for operators Spark's
+    built-in streaming aggregates can't express (custom eviction, model
+    state, ...). State is a single (count, total) row per key — O(keys)
+    memory, shuffle-partitioned by key.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdf_iter, state: GroupState):
+        count, total = state.get() if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            count += len(pdf)
+            total += float(pdf[value_col].sum())
+        state.update((count, total))
+        import pandas as pd
+
+        yield pd.DataFrame({key_col: [key[0]], "n_events": [count], "total_value": [total]})
+
+    return (
+        stream.groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=f"{key_col} bigint, n_events bigint, total_value double",
+            stateStructType="n bigint, total double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_to_completion(stream_df: DataFrame, query_name: str, output_mode: str = "update") -> DataFrame:
+    """Drive a streaming query over all currently-available input (availableNow)
+    into an in-memory sink and return the result as a batch DataFrame.
+
+    Session-window aggregations require ``complete``/``append`` output mode.
+    """
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.sql(f"SELECT * FROM {query_name}")

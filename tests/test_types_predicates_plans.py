@@ -1,0 +1,186 @@
+"""Unit tests mirroring the reference's type-mapping and filter-converter
+suites (``common-test/TestTrinoType.java``, ``TestTrinoFilterConverter.java``),
+plus physical-plan pushdown assertions."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from incubator_paimon_trino_spark.functions.predicates import (
+    ColumnDomain,
+    Range,
+    apply_tuple_domain,
+)
+from incubator_paimon_trino_spark.functions.types import paimon_to_spark, spark_to_paimon
+from incubator_paimon_trino_spark.plans.explain import (
+    count_shuffles,
+    partition_filters,
+    pushed_filters,
+    read_schema_columns,
+    uses_broadcast_join,
+)
+from tests.conftest import SF_SMOKE
+
+
+# ---- type mapping (TestTrinoType.java:57-218 analogue) ---------------------
+
+CASES = [
+    ("BOOLEAN", T.BooleanType()),
+    ("TINYINT", T.ByteType()),
+    ("SMALLINT", T.ShortType()),
+    ("INT", T.IntegerType()),
+    ("BIGINT", T.LongType()),
+    ("FLOAT", T.FloatType()),
+    ("DOUBLE", T.DoubleType()),
+    ("DECIMAL(10, 2)", T.DecimalType(10, 2)),
+    ("DECIMAL(38, 0)", T.DecimalType(38, 0)),
+    ("CHAR(1)", T.StringType()),
+    ("VARCHAR(10)", T.StringType()),
+    ("STRING", T.StringType()),
+    ("BYTES", T.BinaryType()),
+    ("DATE", T.DateType()),
+    ("TIME(3)", T.LongType()),
+    ("TIMESTAMP(3)", T.TimestampNTZType()),
+    ("TIMESTAMP(6)", T.TimestampNTZType()),
+    ("TIMESTAMP(3) WITH LOCAL TIME ZONE", T.TimestampType()),
+    ("ARRAY<INT>", T.ArrayType(T.IntegerType())),
+    ("MAP<STRING, BIGINT>", T.MapType(T.StringType(), T.LongType())),
+    ("MULTISET<STRING>", T.MapType(T.StringType(), T.IntegerType(), False)),
+    (
+        "ROW<innercol1 INT, innercol2 STRING>",
+        T.StructType(
+            [T.StructField("innercol1", T.IntegerType()), T.StructField("innercol2", T.StringType())]
+        ),
+    ),
+    (
+        "ARRAY<MAP<STRING, ROW<a INT, b ARRAY<DOUBLE>>>>",
+        T.ArrayType(
+            T.MapType(
+                T.StringType(),
+                T.StructType(
+                    [
+                        T.StructField("a", T.IntegerType()),
+                        T.StructField("b", T.ArrayType(T.DoubleType())),
+                    ]
+                ),
+            )
+        ),
+    ),
+]
+
+
+@pytest.mark.parametrize("paimon,spark_type", CASES)
+def test_paimon_to_spark(paimon, spark_type):
+    assert paimon_to_spark(paimon) == spark_type
+
+
+def test_roundtrip_goldens():
+    assert spark_to_paimon(T.DecimalType(10, 2)) == "DECIMAL(10, 2)"
+    assert spark_to_paimon(T.TimestampNTZType()) == "TIMESTAMP(6)"
+    assert spark_to_paimon(T.TimestampType()) == "TIMESTAMP(6) WITH LOCAL TIME ZONE"
+    assert (
+        spark_to_paimon(paimon_to_spark("ARRAY<MAP<STRING, BIGINT>>")) == "ARRAY<MAP<STRING, BIGINT>>"
+    )
+    assert spark_to_paimon(paimon_to_spark("ROW<a INT, b STRING>")) == "ROW<a INT, b STRING>"
+
+
+def test_decimal_over_38_rejected():
+    with pytest.raises(ValueError):
+        paimon_to_spark("DECIMAL(39, 0)")
+
+
+# ---- predicate conversion (TestTrinoFilterConverter.java:53-256 analogue) --
+
+
+def _df(spark):
+    return spark.createDataFrame(
+        [(1, 10.0, "x", None), (2, 20.0, "y", "v"), (3, None, "z", "w"), (4, 40.0, None, "u")],
+        "id int, val double, name string, opt string",
+    )
+
+
+def test_domain_ops(spark):
+    df = _df(spark)
+    assert apply_tuple_domain(df, [ColumnDomain("id", op="=", value=2)]).count() == 1
+    assert apply_tuple_domain(df, [ColumnDomain("id", op="<", value=3)]).count() == 2
+    assert apply_tuple_domain(df, [ColumnDomain("id", op=">=", value=3)]).count() == 2
+    assert apply_tuple_domain(df, [ColumnDomain("id", in_values=[1, 4])]).count() == 2
+    assert apply_tuple_domain(df, [ColumnDomain("val", is_null=True)]).count() == 1
+    assert apply_tuple_domain(df, [ColumnDomain("val", is_null=False)]).count() == 3
+
+
+def test_domain_ranges_and_or(spark):
+    df = _df(spark)
+    # closed/open bounds (BETWEEN family)
+    r = ColumnDomain("id", ranges=[Range(low=2, high=3)])
+    assert apply_tuple_domain(df, [r]).count() == 2
+    r2 = ColumnDomain("id", ranges=[Range(low=2, high=3, low_inclusive=False)])
+    assert apply_tuple_domain(df, [r2]).count() == 1
+    # OR of disjoint ranges
+    r3 = ColumnDomain("id", ranges=[Range(high=1), Range(low=4)])
+    assert apply_tuple_domain(df, [r3]).count() == 2
+    # null-allowed OR (converter :120-124)
+    r4 = ColumnDomain("val", ranges=[Range(low=15.0)], null_allowed=True)
+    assert apply_tuple_domain(df, [r4]).count() == 3
+
+
+def test_domain_conjunction(spark):
+    df = _df(spark)
+    got = apply_tuple_domain(
+        df, [ColumnDomain("id", op=">", value=1), ColumnDomain("name", is_null=False)]
+    )
+    assert got.count() == 2
+
+
+def test_structural_rejection_strict_mode(spark):
+    """Reference A6: domains on ARRAY/MAP/ROW throw (TrinoFilterConverter
+    :148-154). Our engine handles them, but strict mode reproduces the guard."""
+    df = spark.createDataFrame([([1, 2],)], "arr array<int>")
+    with pytest.raises(NotImplementedError):
+        apply_tuple_domain(df, [ColumnDomain("arr", is_null=False)], strict_scalar=True)
+    assert apply_tuple_domain(df, [ColumnDomain("arr", is_null=False)]).count() == 1
+
+
+def test_unsupported_op_rejected(spark):
+    with pytest.raises(ValueError):
+        ColumnDomain("id", op="LIKE", value="x").to_column()
+
+
+# ---- plan assertions ------------------------------------------------------
+
+
+def test_filter_and_projection_pushdown(spark):
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    q = li.filter(F.col("l_quantity") > 10).select("l_orderkey", "l_quantity")
+    pf = pushed_filters(q)
+    assert any("l_quantity" in f and "GreaterThan" in f for f in pf), pf
+    assert read_schema_columns(q) == ["l_orderkey", "l_quantity"]
+
+
+def test_broadcast_join_plan(spark):
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    supp = spark.read.parquet(f"{SF_SMOKE}/supplier.parquet")
+    j = li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+    assert uses_broadcast_join(j)
+    assert count_shuffles(j) == 0  # dim join must not shuffle the fact side
+
+
+def test_partition_pruning_in_warehouse_table(spark, tmp_path):
+    from incubator_paimon_trino_spark.catalog import WarehouseCatalog
+
+    cat = WarehouseCatalog(str(tmp_path / "wh"), spark)
+    cat.create_database("p")
+    cat.create_table("p", "t", [("k", "int"), ("pt", "string")], partitioned_by=["pt"])
+    cat.insert_into(
+        "p", "t", spark.createDataFrame([(1, "a"), (2, "b"), (3, "b")], "k int, pt string")
+    )
+    q = cat.read_table("p.t").filter(F.col("pt") == "b")
+    assert any("pt" in f for f in partition_filters(q))
+    assert q.count() == 2
