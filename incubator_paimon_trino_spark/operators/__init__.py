@@ -16,10 +16,12 @@ def load_all() -> None:
         joins,
         lake,
         multimodal,
+        patterns,
         relational,
         setops,
         similarity,
         text,
         tpch,
+        udfs,
         windows,
     )

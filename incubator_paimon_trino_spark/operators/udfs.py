@@ -1,0 +1,136 @@
+"""UDF / UDAF / UDTF surface (SURVEY §2.B row: engine-side in the reference).
+
+Demonstrates each Python-extension tier at its right use and cost:
+- scalar **Pandas UDF** (Arrow-vectorized) — the production slow path;
+- **grouped-agg Pandas UDF** (custom UDAF);
+- **applyInPandas** (grouped-map, e.g. per-group normalization);
+- **Python UDTF** (table function, Spark 4).
+
+Each does exact integer/fixed-point arithmetic so a plain-SQL oracle can
+verify values — proving the Arrow round-trip is lossless, not just "runs".
+The hot-path guidance stands: these exist for logic the built-ins can't
+express; everything else in this repo stays JVM-side.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from incubator_paimon_trino_spark.operators.registry import register
+from incubator_paimon_trino_spark.sources import table
+
+
+@register(
+    "udf_pandas_scalar",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_cents,
+           CAST(CAST(l_quantity AS BIGINT) * CAST(ROUND(l_discount * 100) AS BIGINT) AS BIGINT) AS qty_disc_units
+    FROM lineitem
+    """,
+)
+def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized scalar UDF: exact cents conversion in pandas."""
+
+    @F.pandas_udf("bigint")
+    def to_cents(price: pd.Series) -> pd.Series:
+        return (price * 100).round().astype("int64")
+
+    @F.pandas_udf("bigint")
+    def qty_disc(qty: pd.Series, disc: pd.Series) -> pd.Series:
+        return qty.astype("int64") * (disc * 100).round().astype("int64")
+
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        to_cents("l_extendedprice").alias("price_cents"),
+        qty_disc("l_quantity", "l_discount").alias("qty_disc_units"),
+    )
+
+
+@register(
+    "udaf_pandas_grouped",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+           CAST(MAX(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                - MIN(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents_range
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def udaf_pandas_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom UDAFs as grouped-agg Pandas UDFs (exact integer math)."""
+
+    @F.pandas_udf("bigint")
+    def total_cents(price: pd.Series) -> int:
+        return int((price * 100).round().astype("int64").sum())
+
+    @F.pandas_udf("bigint")
+    def cents_range(price: pd.Series) -> int:
+        c = (price * 100).round().astype("int64")
+        return int(c.max() - c.min())
+
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        total_cents("l_extendedprice").alias("total_cents"),
+        cents_range("l_extendedprice").alias("cents_range"),
+    )
+
+
+@register(
+    "udf_grouped_map_normalize",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT)
+             - MIN(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER (PARTITION BY o_custkey) AS cents_above_min
+    FROM orders
+    """,
+)
+def udf_grouped_map_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas grouped-map: per-customer price normalization — one
+    pandas frame per group, shuffled by the group key."""
+
+    def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        cents = (pdf["o_totalprice"] * 100).round().astype("int64")
+        return pd.DataFrame(
+            {
+                "o_custkey": pdf["o_custkey"],
+                "o_orderkey": pdf["o_orderkey"],
+                "cents_above_min": cents - cents.min(),
+            }
+        )
+
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+    return o.groupBy("o_custkey").applyInPandas(
+        normalize, schema="o_custkey bigint, o_orderkey bigint, cents_above_min bigint"
+    )
+
+
+@register(
+    "udtf_expand_priorities",
+    oracle="""
+    SELECT o_orderkey, UNNEST(range(1, CAST(substring(o_orderpriority, 1, 1) AS BIGINT) + 1)) AS urgency_level
+    FROM orders WHERE o_orderkey <= 100
+    """,
+)
+def udtf_expand_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 table function): N output rows per input row,
+    N parsed from the priority label — the lateral-join shape."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="o_orderkey bigint, urgency_level bigint")
+    class ExpandPriority:
+        def eval(self, okey: int, priority: str):
+            for lvl in range(1, int(priority[0]) + 1):
+                yield okey, lvl
+
+    spark.udtf.register("expand_priority", ExpandPriority)
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 100)
+    o.createOrReplaceTempView("udtf_orders_in")
+    return spark.sql(
+        "SELECT t.o_orderkey, t.urgency_level "
+        "FROM udtf_orders_in, LATERAL expand_priority(o_orderkey, o_orderpriority) t"
+    )
