@@ -271,16 +271,35 @@ class WarehouseCatalog:
         elif KIND_COL in out.columns or row_kind not in (None, "I"):
             raise ValueError("row kinds require a primary-key table")
 
+        # bucketing (reference options bucket/bucket_key — A16): hash-
+        # repartition on the bucket key so each commit writes exactly
+        # `bucket` files per partition, co-locating equal keys. Joins between
+        # two tables bucketed the same way then shuffle far less data (and
+        # with storage-partitioned-join-aware readers, not at all).
+        n_buckets = int(schema.options.get("bucket", "0") or 0)
+        bucket_key = schema.options.get("bucket_key") or (
+            schema.primary_key[0] if schema.primary_key else None
+        )
+        if n_buckets > 0 and bucket_key:
+            out = out.repartition(n_buckets, F.col(bucket_key))
+
         commit_dir = os.path.join(tdir, "data", f"c{version}")
         writer = out.write.mode("errorifexists")
         if schema.partition_keys:
             writer = writer.partitionBy(*schema.partition_keys)
-        writer.parquet(commit_dir)
+        fmt = schema.options.get("file_format", "PARQUET").upper()
+        if fmt == "ORC":
+            writer.orc(commit_dir)
+        elif fmt == "PARQUET":
+            writer.parquet(commit_dir)
+        else:
+            raise ValueError(f"unsupported file_format {fmt!r} (have PARQUET, ORC)")
         n = out.count()
 
+        ext = "orc" if fmt == "ORC" else "parquet"
         new_files = [
-            {"path": os.path.relpath(p, tdir), "schema_id": schema.schema_id}
-            for p in glob.glob(os.path.join(commit_dir, "**", "*.parquet"), recursive=True)
+            {"path": os.path.relpath(p, tdir), "schema_id": schema.schema_id, "format": ext}
+            for p in glob.glob(os.path.join(commit_dir, "**", f"*.{ext}"), recursive=True)
         ]
         files = new_files if (overwrite or prev is None) else prev.files + new_files
         snap = Snapshot(
@@ -309,6 +328,92 @@ class WarehouseCatalog:
             raise ValueError("delete_where requires a primary-key table")
         doomed = self.read_table(f"{db}.{table}").filter(condition)
         return self.insert_into(db, table, doomed, row_kind="D")
+
+    def compact(self, db: str, table: str) -> int:
+        """Rewrite the table's live data into one fresh commit (COMPACT kind).
+
+        The LSM analogue of Paimon's compaction: many small per-commit files
+        (and, for PK tables, accumulated changelog rows) collapse into the
+        merged state written once. Reads before/after are equivalent; history
+        stays time-travelable because old snapshots keep their file lists.
+        """
+        tdir = self._table_dir(db, table)
+        schema = self._latest_schema(tdir)
+        prev = self._latest_snapshot(tdir)
+        if prev is None:
+            raise ValueError(f"nothing to compact in {db}.{table}")
+        merged = self.read_table(f"{db}.{table}")  # merged view under latest schema
+        version = prev.snapshot_id + 1
+
+        out = merged
+        if schema.primary_key:
+            out = out.withColumn(KIND_COL, F.lit("I")).withColumn(
+                SEQ_COL, F.lit(version).cast("bigint")
+            )
+        n_buckets = int(schema.options.get("bucket", "0") or 0)
+        bucket_key = schema.options.get("bucket_key") or (
+            schema.primary_key[0] if schema.primary_key else None
+        )
+        if n_buckets > 0 and bucket_key:
+            out = out.repartition(n_buckets, F.col(bucket_key))
+        commit_dir = os.path.join(tdir, "data", f"c{version}")
+        writer = out.write.mode("errorifexists")
+        if schema.partition_keys:
+            writer = writer.partitionBy(*schema.partition_keys)
+        fmt = schema.options.get("file_format", "PARQUET").upper()
+        ext = "orc" if fmt == "ORC" else "parquet"
+        writer.format(ext).save(commit_dir)
+        n = out.count()
+        files = [
+            {"path": os.path.relpath(p, tdir), "schema_id": schema.schema_id, "format": ext}
+            for p in glob.glob(os.path.join(commit_dir, "**", f"*.{ext}"), recursive=True)
+        ]
+        snap = Snapshot(
+            snapshot_id=version,
+            schema_id=schema.schema_id,
+            commit_user=self.commit_user,
+            commit_identifier=version,
+            commit_kind="COMPACT",
+            timestamp_ms=int(time.time() * 1000),
+            files=files,  # replaces the live set
+            record_count=n,
+        )
+        write_json_atomic(os.path.join(tdir, "snapshot", f"snapshot-{version}.json"), snap.to_json())
+        write_json_atomic(os.path.join(tdir, "snapshot", "LATEST"), {"snapshot_id": version})
+        return version
+
+    def analyze(self, db: str, table: str) -> dict:
+        """ANALYZE TABLE: per-column min/max/null-count/NDV into the table
+        metadata — the statistics input the reference never provides to its
+        engine (``getTableProperties`` returns empty,
+        ``TrinoMetadataBase.java:132-136``); a documented free improvement.
+        """
+        df = self.read_table(f"{db}.{table}")
+        aggs = []
+        for f in df.schema.fields:
+            c = f.name
+            aggs += [
+                F.min(c).cast("string").alias(f"{c}__min"),
+                F.max(c).cast("string").alias(f"{c}__max"),
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
+                F.approx_count_distinct(c).alias(f"{c}__ndv"),
+            ]
+        row = df.agg(*aggs).collect()[0].asDict()
+        stats = {"row_count": df.count(), "columns": {}}
+        for f in df.schema.fields:
+            stats["columns"][f.name] = {
+                "min": row[f"{f.name}__min"],
+                "max": row[f"{f.name}__max"],
+                "null_count": int(row[f"{f.name}__nulls"] or 0),
+                "ndv": int(row[f"{f.name}__ndv"] or 0),
+            }
+        tdir = self._table_dir(db, table)
+        write_json_atomic(os.path.join(tdir, "stats.json"), stats)
+        return stats
+
+    def stats_of(self, db: str, table: str) -> dict | None:
+        p = os.path.join(self._table_dir(db, table), "stats.json")
+        return read_json(p) if os.path.exists(p) else None
 
     # ---------------------------------------------------------------- reads
     def read_table(
@@ -378,18 +483,22 @@ class WarehouseCatalog:
         unioned. This is exactly the reference's evolution contract (A18):
         rename must not orphan data.
         """
-        groups: dict[int, list[str]] = {}
+        groups: dict[tuple[int, str], list[str]] = {}
         for f in snap.files:
-            groups.setdefault(f["schema_id"], []).append(os.path.join(tdir, f["path"]))
+            key = (f["schema_id"], f.get("format", "parquet"))
+            groups.setdefault(key, []).append(os.path.join(tdir, f["path"]))
         current = {f.id: f for f in schema.fields}
         parts: list[DataFrame] = []
         is_pk = bool(schema.primary_key)
-        for sid, paths in sorted(groups.items()):
+        for (sid, fmt), paths in sorted(groups.items()):
             old = self._schema(tdir, sid)
+            # .format().load(list) — DataFrameReader.orc() has no varargs
+            # (its 2nd positional is mergeSchema), unlike .parquet().
             df = (
                 self.spark.read.option("basePath", os.path.join(tdir, "data"))
                 .schema(_physical_schema(old, is_pk))
-                .parquet(*paths)
+                .format(fmt)
+                .load(paths)
             )
             cols = []
             for fid, cur in sorted(current.items()):

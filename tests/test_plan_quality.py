@@ -1,0 +1,86 @@
+"""Scale-shape regression tests: the plans we'd want at 100 TB, asserted on
+the physical plans we actually get. A query that silently loses its broadcast
+or gains a shuffle fails here long before it fails a real-cluster run."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from incubator_paimon_trino_spark.plans import (
+    count_shuffles,
+    physical_plan,
+    pushed_filters,
+    read_schema_columns,
+    uses_broadcast_join,
+)
+from tests.conftest import SF_SMOKE
+
+
+def _q(name):
+    import __spark_entry__ as e
+
+    return e.queries()[name]
+
+
+def test_q6_reads_only_needed_columns(spark):
+    df = _q("q6_forecast_revenue")(spark, SF_SMOKE)
+    cols = read_schema_columns(df)
+    # scan must be pruned to the filter+agg columns, nothing else
+    assert set(cols) == {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"}
+    pf = pushed_filters(df)
+    assert any("l_shipdate" in f for f in pf) and any("l_discount" in f for f in pf)
+
+
+def test_q3_broadcasts_customer_dim(spark):
+    df = _q("q3_shipping_priority")(spark, SF_SMOKE)
+    assert uses_broadcast_join(df)
+
+
+def test_q5_six_table_join_single_fact_shuffle(spark):
+    """All five dims broadcast; the only hash shuffles are the
+    orders↔lineitem co-shuffle and the final aggregation."""
+    df = _q("q5_local_supplier_volume")(spark, SF_SMOKE)
+    plan = physical_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert count_shuffles(df) <= 3
+
+
+def test_q1_single_shuffle_aggregation(spark):
+    """Partial (map-side) + final agg: exactly one hash shuffle on the
+    group-by keys."""
+    df = _q("q1_pricing_summary")(spark, SF_SMOKE)
+    assert count_shuffles(df) <= 2  # group-by + (range for order-by)
+    assert "partial" in physical_plan(df).lower() or "HashAggregate" in physical_plan(df)
+
+
+def test_topn_uses_window_group_limit(spark):
+    """rn <= 3 must push into the window sort (no full-rank materialization)."""
+    df = _q("window_topn_per_group")(spark, SF_SMOKE)
+    assert "WindowGroupLimit" in physical_plan(df)
+
+
+def test_topk_limit_uses_take_ordered(spark):
+    df = _q("limit_topk_deterministic")(spark, SF_SMOKE)
+    assert "TakeOrderedAndProject" in physical_plan(df)
+
+
+def test_semi_join_for_exists(spark):
+    df = _q("q4_order_priority")(spark, SF_SMOKE)
+    assert "LeftSemi" in physical_plan(df)
+
+
+def test_minhash_band_join_is_hash_join(spark):
+    """The LSH candidate join must be an equi hash/sort-merge join on
+    (band, bh) — never a nested-loop/cartesian."""
+    df = _q("dedup_minhash_lsh")(spark, SF_SMOKE)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ann_topk_broadcasts_queries(spark):
+    df = _q("ann_cosine_topk")(spark, SF_SMOKE)
+    assert uses_broadcast_join(df)
