@@ -22,6 +22,7 @@ def load_all() -> None:
         similarity,
         text,
         tpch,
+        tpch2,
         udfs,
         windows,
     )
