@@ -13,6 +13,7 @@ def load_all() -> None:
     from incubator_paimon_trino_spark.operators import (  # noqa: F401
         aggregates,
         dedup,
+        events,
         joins,
         lake,
         multimodal,
