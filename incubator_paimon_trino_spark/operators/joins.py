@@ -202,14 +202,28 @@ def join_range_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("join_asof")  # rows-only: merge_asof has no single-statement ANSI twin
+@register(
+    "join_asof",
+    oracle="""
+    SELECT l.user_id, l.o_orderkey, r.event_id AS asof_event
+    FROM (SELECT o_custkey % 500 AS user_id, o_orderdate AS t, o_orderkey
+          FROM orders) l
+    ASOF LEFT JOIN (SELECT user_id, ts, event_id FROM events) r
+      ON l.user_id = r.user_id AND r.ts < l.t
+    """,
+)
 def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """As-of join: latest event at-or-before each order date per customer-user.
+    """As-of join: latest event strictly before each order date per customer-user.
 
     Implemented as union + window (`last_value` ignoring nulls over time order)
     — pure shuffle-sort, no per-row Python, scales with the data. The common
     alternative (`applyInPandas` + `pd.merge_asof` per key) is kept in
     tests for parity checking.
+
+    Tie semantics: at equal timestamps the order row sorts before events
+    (nulls-first on ev_id), so an event at exactly the order date is NOT
+    matched — strict "before", mirrored by ``r.ts < l.t`` in DuckDB's native
+    ASOF JOIN oracle.
     """
     o = table(spark, sf_dir, "orders").withColumn("user_id", F.col("o_custkey") % 500)
     ev = table(spark, sf_dir, "events").select(
