@@ -41,7 +41,7 @@ import os
 import shutil
 import time
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from incubator_paimon_trino_spark.catalog.metadata import (
@@ -328,6 +328,89 @@ class WarehouseCatalog:
             raise ValueError("delete_where requires a primary-key table")
         doomed = self.read_table(f"{db}.{table}").filter(condition)
         return self.insert_into(db, table, doomed, row_kind="D")
+
+    def update_where(self, db: str, table: str, condition, assignments: dict) -> int:
+        """UPDATE: upsert re-written rows for matching keys (PK tables only).
+
+        ``assignments`` maps column name → Column expression (or literal).
+        On a PK table an update is just a fresh +I commit — the deduplicate
+        merge engine makes the higher-sequence row win at read time, so no
+        read-modify-write of data files happens (the LSM way). The reference
+        has no UPDATE at all (negative finding, SURVEY §2.A).
+        """
+        schema = self.schema_of(db, table)
+        if not schema.primary_key:
+            raise ValueError("update_where requires a primary-key table")
+        bad = set(assignments) & set(schema.primary_key)
+        if bad:
+            raise ValueError(f"cannot update primary-key columns {sorted(bad)}")
+        updated = self.read_table(f"{db}.{table}").filter(condition)
+        for col, expr in assignments.items():
+            if col not in [f.name for f in schema.fields]:
+                raise ValueError(f"unknown column {col!r}")
+            updated = updated.withColumn(col, expr if isinstance(expr, Column) else F.lit(expr))
+        return self.insert_into(db, table, updated)
+
+    def merge_into(
+        self,
+        db: str,
+        table: str,
+        source: DataFrame,
+        on: list[str],
+        when_matched: str | None = "update",
+        when_not_matched: str | None = "insert",
+    ) -> int:
+        """MERGE INTO (Delta/Iceberg-style upsert) in ONE atomic commit.
+
+        - ``when_matched="update"``: source row replaces the target row
+          (full-row upsert — the new +I outranks the old sequence).
+        - ``when_matched="delete"``: matching target keys get -D rows.
+        - ``when_not_matched="insert"``: source rows with no target match
+          become +I rows.
+
+        All clauses land in a single snapshot via per-row ``_row_kind``, so
+        readers see the merge atomically (time travel shows before/after,
+        never a half-merge). Trino's Paimon connector has no MERGE (the
+        engine-level write tests are skipped —
+        ``TestTrinoDistributedQuery.java:69-77``); this is capability beyond
+        the reference, matching Paimon's own Spark writer surface.
+
+        Scale: the matched/not-matched split is one left join of source
+        against the merged target keys — target keys project to the PK
+        columns only, so the join input is narrow; with a broadcast-sized
+        source the fact table never shuffles.
+        """
+        schema = self.schema_of(db, table)
+        if not schema.primary_key:
+            raise ValueError("merge_into requires a primary-key table")
+        if sorted(on) != sorted(schema.primary_key):
+            raise ValueError(f"merge keys {on} must equal the primary key {schema.primary_key}")
+        if when_matched not in ("update", "delete", None):
+            raise ValueError(f"when_matched must be 'update', 'delete', or None, got {when_matched!r}")
+        if when_not_matched not in ("insert", None):
+            raise ValueError(f"when_not_matched must be 'insert' or None, got {when_not_matched!r}")
+
+        target = self.read_table(f"{db}.{table}")
+        target_keys = target.select(*on)
+        pieces = []
+        if when_matched == "update":
+            pieces.append(
+                source.join(target_keys, on, "left_semi").withColumn(KIND_COL, F.lit("I"))
+            )
+        elif when_matched == "delete":
+            pieces.append(
+                target.join(source.select(*on), on, "left_semi").withColumn(KIND_COL, F.lit("D"))
+            )
+        if when_not_matched == "insert":
+            pieces.append(
+                source.join(target_keys, on, "left_anti").withColumn(KIND_COL, F.lit("I"))
+            )
+        if not pieces:
+            raise ValueError("merge_into with no clauses is a no-op")
+        out = pieces[0]
+        for p in pieces[1:]:
+            out = out.unionByName(p)
+        return self.insert_into(db, table, out)
 
     def compact(self, db: str, table: str) -> int:
         """Rewrite the table's live data into one fresh commit (COMPACT kind).

@@ -223,3 +223,43 @@ def test_overwrite_commit(cat, spark):
     assert [r.a for r in cat.read_table("default.ow").collect()] == [9]
     kinds = [r.commit_kind for r in cat.snapshots("default", "ow").collect()]
     assert kinds == ["APPEND", "OVERWRITE"]
+
+
+def test_update_where(cat, spark):
+    """UPDATE as an upsert commit: matching PK rows re-written with new values."""
+    from pyspark.sql import functions as F
+
+    _mk_t1(cat, spark)  # live keys {1, 5}
+    cat.update_where("default", "t1", F.col("a") == 1, {"b": F.col("b") + 100, "d": "upd"})
+    got = {r.a: (r.b, r.d) for r in cat.read_table("default.t1").collect()}
+    assert got == {1: (102, "upd"), 5: (6, "3")}
+    with pytest.raises(ValueError):
+        cat.update_where("default", "t1", F.col("a") == 1, {"a": 9})  # PK col
+    with pytest.raises(ValueError):
+        cat.update_where("default", "t1", F.col("a") == 1, {"nope": 1})  # unknown col
+
+
+def test_merge_into(cat, spark):
+    """MERGE INTO: update-matched + insert-not-matched in one snapshot;
+    delete-matched variant; all atomic (one commit per merge)."""
+    _mk_t1(cat, spark)  # live keys {1, 5}
+    src = spark.createDataFrame(
+        [(1, 111, "u", "u"), (7, 77, "n", "n")], "a int, b bigint, aCa string, d string"
+    )
+    before = cat.snapshots("default", "t1").count()
+    cat.merge_into("default", "t1", src, on=["a"])
+    assert cat.snapshots("default", "t1").count() == before + 1  # atomic: ONE commit
+    got = {r.a: r.b for r in cat.read_table("default.t1").collect()}
+    assert got == {1: 111, 5: 6, 7: 77}
+
+    # delete-matched: source names keys {5, 999}; only 5 exists → only 5 deleted
+    src2 = spark.createDataFrame(
+        [(5, 0, "", ""), (999, 0, "", "")], "a int, b bigint, aCa string, d string"
+    )
+    cat.merge_into("default", "t1", src2, on=["a"], when_matched="delete", when_not_matched=None)
+    assert {r.a for r in cat.read_table("default.t1").collect()} == {1, 7}
+
+    with pytest.raises(ValueError):
+        cat.merge_into("default", "t1", src, on=["b"])  # keys must equal PK
+    with pytest.raises(ValueError):
+        cat.merge_into("default", "t1", src, on=["a"], when_matched=None, when_not_matched=None)
