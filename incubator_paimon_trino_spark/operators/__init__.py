@@ -18,6 +18,7 @@ def load_all() -> None:
         lake,
         multimodal,
         patterns,
+        hof,
         relational,
         setops,
         similarity,

@@ -332,3 +332,83 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine") >= 0.4)
         .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine_r"))
     )
+
+
+@register(
+    "dedup_cluster_components",
+    oracle="""
+    WITH RECURSIVE sh AS (
+      SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS s
+      FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+           UNNEST(range(1, GREATEST(len(words) - 1, 1))) AS t(i)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= 0.6
+    ),
+    edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+              UNION ALL SELECT doc_b, doc_a FROM pairs),
+    walk(id, comp) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.v, w.comp FROM walk w JOIN edges e ON e.u = w.id
+    )
+    SELECT id AS doc_id, MIN(comp) AS component FROM walk GROUP BY id
+    """,
+)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment: connected components over the near-dup
+    graph (edges = n-gram Jaccard ≥ 0.6), labels = min doc_id reachable.
+
+    Pair lists (``dedup_ngram_jaccard``) are not enough for a real dedup
+    pass — transitive duplicates (A~B, B~C but A≁C) must land in ONE
+    cluster so exactly one representative survives. This is iterative
+    min-label propagation: each round every node takes the min of its own
+    and its neighbors' labels; labels only decrease, so an unchanged label
+    checksum is a fixpoint. The oracle is the same fixpoint computed by
+    DuckDB's recursive CTE.
+
+    Scale shape: edges are materialized once (``localCheckpoint``) and
+    re-joined each round — hash-partitioned on ``u``, so every round is one
+    co-partitioned join + one groupBy, no O(n²) anything. Rounds = graph
+    diameter; for trillion-edge graphs swap the body for the large-star/
+    small-star rewrite (Kiveris et al., "Connected Components in MapReduce",
+    SoCC'14) which converges in O(log n) rounds — same per-round plan.
+    Driver-side loop is control flow only (one scalar checksum per round);
+    data never leaves the executors.
+    """
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).toDF("u", "v").localCheckpoint()
+
+    comp = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .withColumn("component", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    prev_sum = comp.agg(F.sum("component")).collect()[0][0]
+    while True:
+        msgs = (
+            comp.join(edges, comp["doc_id"] == edges["u"])
+            .groupBy(F.col("v").alias("doc_id"))
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        comp = (
+            comp.join(msgs, "doc_id", "left")
+            .select("doc_id", F.least("component", "nbr_min").alias("component"))
+            .localCheckpoint()
+        )
+        new_sum = comp.agg(F.sum("component")).collect()[0][0]
+        if new_sum == prev_sum:
+            return comp
+        prev_sum = new_sum

@@ -77,3 +77,28 @@ def test_feature_extract_deterministic(spark):
     b = multimodal_feature_extract(spark, SF_ORACLE).orderBy("asset_id").limit(5).collect()
     assert a == b
     assert all(len(r["features"]) == 8 for r in a)
+
+
+def test_cluster_components_transitive_closure(spark):
+    """Every near-dup pair lands in one component, components are closed
+    under the edge relation, and labels are the min doc_id of the cluster."""
+    from incubator_paimon_trino_spark.operators.dedup import (
+        dedup_cluster_components,
+        dedup_ngram_jaccard,
+    )
+
+    comp = {r.doc_id: r.component for r in dedup_cluster_components(spark, SF_ORACLE).collect()}
+    pairs = _pairs(dedup_ngram_jaccard(spark, SF_ORACLE))
+    assert pairs, "fixture should contain near-dup pairs"
+    for a, b in pairs:
+        assert comp[a] == comp[b], f"edge ({a},{b}) split across components"
+    # label = min member id, and non-members keep their own id as label
+    members: dict[int, set[int]] = {}
+    for d, c in comp.items():
+        members.setdefault(c, set()).add(d)
+    for c, ds in members.items():
+        assert c == min(ds)
+    linked = {d for p in pairs for d in p}
+    for d, c in comp.items():
+        if d not in linked:
+            assert c == d
