@@ -315,3 +315,105 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_regionkey")
         .agg(F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"))
     )
+
+
+@register(
+    "agg_corr_covar_closed_form",
+    oracle="""
+    SELECT l_returnflag, n,
+           ROUND((n*sxy - sx*sy) / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)), 6) AS corr_qty_price,
+           ROUND((n*sxy - sx*sy) / (n*n), 4) AS covar_pop_qty_price
+    FROM (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(9,2)) * CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2)) * CAST(l_extendedprice AS DECIMAL(9,2))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(9,2)) * CAST(l_extendedprice AS DECIMAL(9,2))) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag)
+    """,
+)
+def agg_corr_covar_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORR / COVAR_POP via the closed form over exact decimal sums.
+
+    Built-in ``corr`` streams Welford-style co-moments whose float value
+    depends on partition merge order — unusable under a value-hash oracle.
+    The closed form ``(n·Σxy − Σx·Σy) / (√(n·Σx² − (Σx)²) · √(n·Σy² − (Σy)²))``
+    over exact DECIMAL sums gives bit-identical doubles in any engine and any
+    partitioning: the only float ops are the final few, on identical inputs.
+    Same single-shuffle partial+final plan as any hash aggregate.
+    """
+    x = F.col("l_quantity").cast("decimal(9,2)")
+    y = F.col("l_extendedprice").cast("decimal(9,2)")
+    base = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(x).cast("double").alias("sx"),
+            F.sum(y).cast("double").alias("sy"),
+            F.sum(x * x).cast("double").alias("sxx"),
+            F.sum(y * y).cast("double").alias("syy"),
+            F.sum(x * y).cast("double").alias("sxy"),
+        )
+    )
+    n, sx, sy, sxx, syy, sxy = [F.col(c) for c in ["n", "sx", "sy", "sxx", "syy", "sxy"]]
+    return base.select(
+        "l_returnflag",
+        "n",
+        F.round((n * sxy - sx * sy) / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)), 6).alias("corr_qty_price"),
+        F.round((n * sxy - sx * sy) / (n * n), 4).alias("covar_pop_qty_price"),
+    )
+
+
+@register(
+    "agg_histogram_width_bucket",
+    oracle="""
+    SELECT CASE WHEN value < 0 THEN 0 WHEN value >= 500 THEN 11
+                ELSE CAST(FLOOR(value / 50) AS BIGINT) + 1 END AS bucket,
+           COUNT(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def agg_histogram_width_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram: ``width_bucket`` + count per bucket (Trino's
+    ``width_bucket``/``histogram`` family). The oracle spells out the same
+    arithmetic (bucket width 500/10 = 50 is exact in binary, so
+    ``floor(value/50)`` is the identical IEEE operation in both engines).
+    One map-side-combined shuffle of ≤12 groups — constant-size at any scale.
+    """
+    return (
+        table(spark, sf_dir, "events")
+        .select(F.width_bucket("value", F.lit(0.0), F.lit(500.0), F.lit(10)).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "agg_bool_bitwise",
+    oracle="""
+    SELECT o_orderstatus,
+           bool_and(o_totalprice > 1000) AS all_big,
+           bool_or(o_totalprice > 400000) AS any_huge,
+           bit_and(o_custkey) AS anded,
+           bit_or(o_custkey) AS ored,
+           bit_xor(o_custkey) AS xored
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_bool_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOOL_AND/BOOL_OR (Trino ``every``/``any_value`` family) and bitwise
+    AND/OR/XOR aggregates — all order-independent, so no decimal treatment."""
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.bool_and(F.col("o_totalprice") > 1000).alias("all_big"),
+            F.bool_or(F.col("o_totalprice") > 400000).alias("any_huge"),
+            F.bit_and("o_custkey").alias("anded"),
+            F.bit_or("o_custkey").alias("ored"),
+            F.bit_xor("o_custkey").alias("xored"),
+        )
+    )
