@@ -587,3 +587,47 @@ def subquery_uncorrelated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE o_totalprice > (SELECT AVG(o_totalprice) * 1.9 FROM orders)
         """
     )
+
+
+@register(
+    "scalar_string_date_functions2",
+    oracle="""
+    SELECT o_orderkey,
+           split_part(o_orderpriority, '-', 1) AS prio_num,
+           strpos(o_orderpriority, '-') AS dash_pos,
+           translate(o_orderstatus, 'FOP', 'fop') AS status_lc,
+           lpad(CAST(o_orderkey AS VARCHAR), 8, '0') AS padded,
+           reverse(o_orderstatus) AS rev,
+           repeat(o_orderstatus, 3) AS rep,
+           quarter(o_orderdate) AS q,
+           isodow(o_orderdate) AS iso_dow,
+           week(o_orderdate) AS woy,
+           last_day(o_orderdate) AS eom,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mstart,
+           date_diff('day', o_orderdate, TIMESTAMP '1998-12-31') AS days_left
+    FROM orders
+    """,
+)
+def scalar_string_date_functions2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second batch of Trino scalar functions: split_part/strpos/translate/
+    lpad/reverse/repeat and quarter/ISO-weekday/week-of-year/last_day/
+    date_trunc/date_diff. Day-of-week is compared in ISO numbering (Mon=1)
+    — Spark's ``dayofweek`` starts at Sunday=1, DuckDB's at Sunday=0, so
+    both sides use the ISO form instead. All stay in whole-stage codegen.
+    """
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.split_part("o_orderpriority", F.lit("-"), F.lit(1)).alias("prio_num"),
+        F.instr("o_orderpriority", "-").alias("dash_pos"),
+        F.translate("o_orderstatus", "FOP", "fop").alias("status_lc"),
+        F.lpad(F.col("o_orderkey").cast("string"), 8, "0").alias("padded"),
+        F.reverse("o_orderstatus").alias("rev"),
+        F.repeat("o_orderstatus", 3).alias("rep"),
+        F.quarter("o_orderdate").alias("q"),
+        (F.weekday("o_orderdate") + 1).alias("iso_dow"),
+        F.weekofyear("o_orderdate").alias("woy"),
+        F.last_day("o_orderdate").alias("eom"),
+        F.date_trunc("month", "o_orderdate").alias("mstart"),
+        F.datediff(F.lit("1998-12-31").cast("timestamp"), "o_orderdate").alias("days_left"),
+    )
