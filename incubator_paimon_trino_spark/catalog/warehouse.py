@@ -36,8 +36,10 @@ driver-side, matching Paimon's coordinator-side commit protocol.
 
 from __future__ import annotations
 
+import datetime as _dt
 import glob
 import os
+import re
 import shutil
 import time
 
@@ -651,6 +653,61 @@ class WarehouseCatalog:
 
     def snapshots(self, db: str, table: str) -> DataFrame:
         return self._system_table(db, table, "snapshots")
+
+    # ------------------------------------------------------------------ SQL
+    _TABLE_REF = re.compile(
+        r"\b(?P<db>[A-Za-z_]\w*)\.(?P<tbl>[A-Za-z_]\w*)(?:\$(?P<sys>\w+))?"
+        r"(?:\s+FOR\s+(?:VERSION\s+AS\s+OF\s+(?P<ver>\d+)"
+        r"|TIMESTAMP\s+AS\s+OF\s+(?P<ts>\d+|'[^']*')))?",
+        re.IGNORECASE,
+    )
+
+    def sql(self, query: str) -> DataFrame:
+        """Run SQL over lake tables — the Trino entry-point surface (SURVEY
+        §3.1/§3.2) on Spark SQL.
+
+        ``db.table`` references (plus ``db.table$snapshots``-style system
+        tables — A13 — and ``FOR VERSION AS OF n`` / ``FOR TIMESTAMP AS OF
+        ts`` time travel — A11) are resolved through the catalog: each
+        becomes a temp view over the catalog's DataFrame (merge-on-read,
+        snapshot-pinned, etc.) and the query text is rewritten to the view
+        name. Spark SQL then plans the query exactly as Trino's engine
+        would plan over connector handles — pushdowns reach the parquet
+        scan through the view.
+
+        Dotted names that do not resolve in the catalog (e.g. alias.column
+        references) are left untouched. Timestamps accept epoch-millis or a
+        quoted ``'YYYY-MM-DD HH:MM:SS'`` literal (UTC).
+        """
+        dbs = set(self.list_databases())
+        out, last = [], 0
+        for m in self._TABLE_REF.finditer(query):
+            db, tbl, sys_sfx = m.group("db"), m.group("tbl"), m.group("sys")
+            if db not in dbs or tbl not in self.list_tables(db):
+                continue
+            ver = int(m.group("ver")) if m.group("ver") else None
+            ts_raw = m.group("ts")
+            ts = None
+            if ts_raw is not None:
+                if ts_raw.startswith("'"):
+                    dt = _dt.datetime.fromisoformat(ts_raw.strip("'"))
+                    ts = int(dt.replace(tzinfo=_dt.timezone.utc).timestamp() * 1000)
+                else:
+                    ts = int(ts_raw)
+            view = f"{db}__{tbl}"
+            name = f"{db}.{tbl}"
+            if sys_sfx:
+                view += f"__{sys_sfx}"
+                name += f"${sys_sfx}"
+            if ver is not None:
+                view += f"__v{ver}"
+            if ts is not None:
+                view += f"__t{ts}"
+            self.read_table(name, version_as_of=ver, timestamp_as_of=ts).createOrReplaceTempView(view)
+            out.append(query[last : m.start()])
+            out.append(view)
+            last = m.end()
+        return self.spark.sql("".join(out) + query[last:])
 
 
 def _physical_schema(schema: TableSchema, is_pk: bool):

@@ -263,3 +263,32 @@ def test_merge_into(cat, spark):
         cat.merge_into("default", "t1", src, on=["b"])  # keys must equal PK
     with pytest.raises(ValueError):
         cat.merge_into("default", "t1", src, on=["a"], when_matched=None, when_not_matched=None)
+
+
+def test_sql_facade(cat, spark):
+    """SQL entry point over lake tables: ITCase-golden queries run as SQL
+    strings with db.table resolution, system tables, and time travel."""
+    _mk_t1(cat, spark)  # PK table, merged live keys {1, 5}
+    got = sorted(tuple(r) for r in cat.sql("SELECT * FROM default.t1").collect())
+    assert got == [(1, 2, "1", "1"), (5, 6, "3", "3")]
+    # projection + filter + agg through Spark SQL (ITCase :272-273 shapes)
+    assert cat.sql("SELECT SUM(b) AS s FROM default.t1").collect()[0].s == 8
+    assert cat.sql("SELECT a, aCa FROM default.t1 WHERE a < 4").collect()[0].a == 1
+    # join of a lake table with itself via aliases (alias.column must not be
+    # mis-resolved as a table reference)
+    n = cat.sql(
+        "SELECT x.a FROM default.t1 x JOIN default.t1 y ON x.a = y.a"
+    ).count()
+    assert n == 2
+    # system table (A13)
+    snaps = cat.sql("SELECT snapshot_id, commit_kind FROM default.t1$snapshots").collect()
+    assert [(s.snapshot_id, s.commit_kind) for s in snaps] == [(1, "APPEND")]
+    # time travel (A11): second commit, then pin version 1
+    cat.insert_into(
+        "default", "t1",
+        spark.createDataFrame([(9, 9, "9", "9")], "a int, b bigint, aCa string, d string"),
+    )
+    assert cat.sql("SELECT COUNT(*) AS c FROM default.t1").collect()[0].c == 3
+    assert cat.sql(
+        "SELECT COUNT(*) AS c FROM default.t1 FOR VERSION AS OF 1"
+    ).collect()[0].c == 2
