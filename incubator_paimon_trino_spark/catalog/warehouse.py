@@ -524,6 +524,19 @@ class WarehouseCatalog:
         tdir = self._table_dir(db, table)
         schema = self._latest_schema(tdir)
 
+        # A12 session-property time travel: Trino's `scan_snapshot_id` /
+        # `scan_timestamp_millis` session props are copied into dynamic table
+        # options on every read (TrinoSessionProperties.java:36-77,
+        # TrinoTableHandle.java:128-142). Spark's session-scoped equivalent
+        # is spark.conf; explicit per-read arguments win over session props.
+        if version_as_of is None and timestamp_as_of is None:
+            conf_ver = self.spark.conf.get("spark.paimon.scan.snapshot-id", None)
+            conf_ts = self.spark.conf.get("spark.paimon.scan.timestamp-millis", None)
+            if conf_ver is not None:
+                version_as_of = int(conf_ver)
+            elif conf_ts is not None:
+                timestamp_as_of = int(conf_ts)
+
         snaps = self._snapshots(tdir)
         if version_as_of is not None:
             match = [s for s in snaps if s.snapshot_id == version_as_of]

@@ -292,3 +292,22 @@ def test_sql_facade(cat, spark):
     assert cat.sql(
         "SELECT COUNT(*) AS c FROM default.t1 FOR VERSION AS OF 1"
     ).collect()[0].c == 2
+
+
+def test_session_property_time_travel(cat, spark):
+    """A12: scan_snapshot_id / scan_timestamp_millis session properties pin
+    every read, explicit arguments win (TrinoSessionProperties.java:36-77)."""
+    cat.create_database("default", ignore_if_exists=True)
+    cat.create_table("default", "sp", [("a", "int")])
+    cat.insert_into("default", "sp", spark.createDataFrame([(1,)], "a int"))
+    cat.insert_into("default", "sp", spark.createDataFrame([(2,)], "a int"))
+    try:
+        spark.conf.set("spark.paimon.scan.snapshot-id", "1")
+        assert cat.read_table("default.sp").count() == 1
+        # explicit argument overrides the session property
+        assert cat.read_table("default.sp", version_as_of=2).count() == 2
+        # SQL facade reads through the same path
+        assert cat.sql("SELECT COUNT(*) AS c FROM default.sp").collect()[0].c == 1
+    finally:
+        spark.conf.unset("spark.paimon.scan.snapshot-id")
+    assert cat.read_table("default.sp").count() == 2
