@@ -36,6 +36,7 @@ driver-side, matching Paimon's coordinator-side commit protocol.
 
 from __future__ import annotations
 
+import dataclasses
 import datetime as _dt
 import glob
 import os
@@ -58,7 +59,7 @@ from incubator_paimon_trino_spark.catalog.metadata import (
     write_json_atomic,
 )
 
-_SYSTEM_SUFFIXES = ("snapshots", "schemas", "files", "options")
+_SYSTEM_SUFFIXES = ("snapshots", "schemas", "files", "options", "audit_log")
 
 
 class WarehouseCatalog:
@@ -620,6 +621,18 @@ class WarehouseCatalog:
         if suffix not in _SYSTEM_SUFFIXES:
             raise ValueError(f"unknown system table suffix {suffix!r}; have {_SYSTEM_SUFFIXES}")
         tdir = self._table_dir(db, table)
+        if suffix == "audit_log":
+            # changelog view with the row kind exposed as `rowkind` (Paimon's
+            # `table$audit_log`); append-only tables surface all rows as +I.
+            schema = self._latest_schema(tdir)
+            df = self.read_table(f"{db}.{table}", with_system_columns=True)
+            if schema.primary_key:
+                return df.select(
+                    F.col(KIND_COL).alias("rowkind"), *[f.name for f in schema.fields]
+                )
+            return df.select(
+                F.lit("I").alias("rowkind"), *[f.name for f in schema.fields]
+            )
         if suffix == "snapshots":
             rows = [
                 (
@@ -666,6 +679,36 @@ class WarehouseCatalog:
 
     def snapshots(self, db: str, table: str) -> DataFrame:
         return self._system_table(db, table, "snapshots")
+
+    def read_incremental(self, name: str, from_snapshot: int, to_snapshot: int) -> DataFrame:
+        """Rows committed in snapshots ``(from_snapshot, to_snapshot]`` —
+        Paimon's ``incremental-between`` scan, the batch twin of the
+        changelog stream.
+
+        Data files are immutable and manifests accumulate them, so the delta
+        is a pure file-set difference: no data is read to compute it, and
+        the scan touches only the delta files (at 100 TB an incremental
+        consumer reads GBs, not the table). PK tables keep ``(_seq,
+        _row_kind)`` so consumers can apply upserts/deletes downstream.
+        """
+        db, _, table = name.partition(".")
+        tdir = self._table_dir(db, table)
+        if from_snapshot > to_snapshot:
+            raise ValueError(f"from_snapshot {from_snapshot} > to_snapshot {to_snapshot}")
+        snaps = {s.snapshot_id: s for s in self._snapshots(tdir)}
+        if to_snapshot not in snaps:
+            raise ValueError(f"no snapshot {to_snapshot} (have {sorted(snaps)})")
+        if from_snapshot and from_snapshot not in snaps:
+            raise ValueError(f"no snapshot {from_snapshot} (have {sorted(snaps)})")
+        schema = self._latest_schema(tdir)
+        base = {f["path"] for f in snaps[from_snapshot].files} if from_snapshot else set()
+        delta = [f for f in snaps[to_snapshot].files if f["path"] not in base]
+        snap = snaps[to_snapshot]
+        if not delta:
+            empty = _physical_schema(schema, bool(schema.primary_key))
+            return self.spark.createDataFrame([], empty)
+        pruned = dataclasses.replace(snap, files=delta)
+        return self._read_files(tdir, schema, pruned)
 
     # ------------------------------------------------------------------ SQL
     _TABLE_REF = re.compile(

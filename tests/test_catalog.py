@@ -311,3 +311,31 @@ def test_session_property_time_travel(cat, spark):
     finally:
         spark.conf.unset("spark.paimon.scan.snapshot-id")
     assert cat.read_table("default.sp").count() == 2
+
+
+def test_incremental_read_and_audit_log(cat, spark):
+    """incremental-between scan (delta file sets, no data read to plan) and
+    the $audit_log system table exposing rowkind."""
+    _mk_t1(cat, spark)  # commit 1: +I(1),+I(3),+I(5),-D(3)
+    cat.insert_into(
+        "default", "t1",
+        spark.createDataFrame([(7, 8, "4", "4")], "a int, b bigint, aCa string, d string"),
+    )
+    inc = cat.read_incremental("default.t1", 1, 2)
+    assert [(r.a, r._row_kind) for r in inc.collect()] == [(7, "I")]
+    # (0, n] = full changelog up to n
+    assert cat.read_incremental("default.t1", 0, 1).count() == 4
+    # empty delta
+    assert cat.read_incremental("default.t1", 2, 2).count() == 0
+    with pytest.raises(ValueError):
+        cat.read_incremental("default.t1", 2, 1)
+    with pytest.raises(ValueError):
+        cat.read_incremental("default.t1", 1, 99)
+
+    audit = cat.read_table("default.t1$audit_log")
+    got = sorted((r.rowkind, r.a) for r in audit.collect())
+    assert got == [("D", 3), ("I", 1), ("I", 3), ("I", 5), ("I", 7)]
+    # append-only tables: all +I
+    cat.create_table("default", "ap", [("x", "int")])
+    cat.insert_into("default", "ap", spark.createDataFrame([(1,), (2,)], "x int"))
+    assert {r.rowkind for r in cat.read_table("default.ap$audit_log").collect()} == {"I"}
