@@ -164,14 +164,33 @@ def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_percentile")  # rows-only: KLL/GK sketch != DuckDB t-digest
+@register(
+    "agg_approx_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_disc(l_extendedprice, [0.25, 0.5, 0.75, 0.95]) AS approx_quantiles
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_percentile (Trino suite ``testApproxPercentile``) — sketch-based,
-    bounded memory at any scale; rows-only check (exact twin above)."""
+    """approx_percentile (Trino suite ``testApproxPercentile``) — GK sketch,
+    bounded memory at any scale.
+
+    Oracle-checkable because the accuracy knob (1e6) exceeds the group sizes
+    at oracle/bench SF, making the Greenwald-Khanna sketch exact: it returns
+    the discrete dataset value at each rank — the same definition as
+    DuckDB's ``quantile_disc`` — independent of partition merge order. At
+    cluster scale the same query degrades gracefully to ±1e-6-rank error
+    with ~constant sketch memory; only the accuracy/memory trade moves.
+    """
     return (
         table(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median_price"))
+        .agg(
+            F.percentile_approx(
+                "l_extendedprice", [0.25, 0.5, 0.75, 0.95], 1000000
+            ).alias("approx_quantiles")
+        )
     )
 
 

@@ -631,3 +631,28 @@ def scalar_string_date_functions2(spark: SparkSession, sf_dir: str) -> DataFrame
         F.date_trunc("month", "o_orderdate").alias("mstart"),
         F.datediff(F.lit("1998-12-31").cast("timestamp"), "o_orderdate").alias("days_left"),
     )
+
+
+@register(
+    "scalar_variant_json",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_num,
+           json_extract_string(props, '$.k') AS k_str
+    FROM events
+    """,
+)
+def scalar_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through the VARIANT type (Spark 4): JSON is
+    parsed once into Spark's binary variant encoding, then fields are
+    extracted with ``variant_get`` — at scale this beats per-access
+    ``get_json_object`` re-parsing, and variant columns can be stored
+    shredded in parquet. DuckDB's JSON type plays the oracle role.
+    """
+    ev = table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.k", "bigint").alias("k_num"),
+        F.variant_get(v, "$.k", "string").alias("k_str"),
+    )
