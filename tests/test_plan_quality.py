@@ -84,3 +84,24 @@ def test_minhash_band_join_is_hash_join(spark):
 def test_ann_topk_broadcasts_queries(spark):
     df = _q("ann_cosine_topk")(spark, SF_SMOKE)
     assert uses_broadcast_join(df)
+
+
+def test_corr_closed_form_single_shuffle(spark):
+    """The closed-form corr is one partial+final hash aggregate — no extra
+    exchange for the final arithmetic."""
+    df = _q("agg_corr_covar_closed_form")(spark, SF_SMOKE)
+    assert count_shuffles(df) <= 1
+
+
+def test_all_quantified_broadcasts_scalar(spark):
+    """`> ALL` rewrite must broadcast the 1-row MAX, not shuffle the fact."""
+    df = _q("subquery_all_quantified")(spark, SF_SMOKE)
+    assert uses_broadcast_join(df)
+    assert count_shuffles(df) <= 1  # only the subquery's own agg
+
+
+def test_histogram_pushes_partial_agg(spark):
+    df = _q("agg_histogram_width_bucket")(spark, SF_SMOKE)
+    plan = physical_plan(df)
+    assert "partial" in plan.lower()
+    assert count_shuffles(df) <= 1
