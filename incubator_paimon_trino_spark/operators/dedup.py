@@ -412,3 +412,112 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         if new_sum == prev_sum:
             return comp
         prev_sum = new_sum
+
+
+_MD5_PERMS = 16
+_MD5_BANDS = 4
+_MD5_RPB = _MD5_PERMS // _MD5_BANDS
+
+
+def _md5_int(col: F.Column) -> F.Column:
+    """Deterministic 60-bit integer from the md5 hex prefix — the one hash
+    family Spark and DuckDB share bit-for-bit (xxhash64 has no DuckDB twin).
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+@register(
+    "dedup_minhash_lsh_md5",
+    oracle="""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS s
+      FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+           UNNEST(range(1, GREATEST(len(words) - 1, 1))) AS t(i)
+    ),
+    mh AS (
+      SELECT doc_id, i,
+             MIN(CAST(CAST(('0x' || substring(md5(s || ':' || CAST(i AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT)) AS m
+      FROM sh, UNNEST(range(0, 16)) AS t(i)
+      GROUP BY doc_id, i
+    ),
+    sig AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM mh GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, b, md5(array_to_string(sig[b*4+1 : b*4+4], ',')) AS bkey
+      FROM sig, UNNEST(range(0, 4)) AS t(b)
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM bands x JOIN bands y ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+    ),
+    est AS (
+      SELECT c.doc_a, c.doc_b, SUM(CASE WHEN ma.m = mb.m THEN 1 ELSE 0 END) / 16.0 AS est_jaccard
+      FROM cand c
+      JOIN mh ma ON ma.doc_id = c.doc_a
+      JOIN mh mb ON mb.doc_id = c.doc_b AND mb.i = ma.i
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= 0.5
+    """,
+)
+def dedup_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + banded LSH with a FULL value-hash oracle.
+
+    Same sketch/banding algorithm as ``dedup_minhash_lsh`` (which keeps the
+    faster xxhash64 and is cross-validated statistically in tests), but the
+    permutation hashes derive from md5 — computable identically in DuckDB —
+    so the entire pipeline (signatures → band buckets → candidate pairs →
+    estimated Jaccard) is verified value-by-value, not just statistically.
+    16 permutations, 4 bands × 4 rows; est-Jaccard = agreeing positions /16
+    (k/16.0 is exact binary arithmetic in both engines).
+
+    Scale shape is identical to the xxhash64 variant: signatures are fixed
+    16×8 bytes/doc, candidates come only from shared band buckets — the
+    O(n²) pair space never materializes.
+    """
+    tok = exploded_shingles(spark, sf_dir)
+    aggs = [
+        F.min(_md5_int(F.concat_ws(":", "s", F.lit(str(i))))).alias(f"m{i}")
+        for i in range(_MD5_PERMS)
+    ]
+    sigs = (
+        tok.groupBy("doc_id")
+        .agg(*aggs)
+        .select("doc_id", F.array(*[F.col(f"m{i}") for i in range(_MD5_PERMS)]).alias("sig"))
+    )
+    bands = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("sig", b * _MD5_RPB + r + 1).cast("string")
+                                    for r in range(_MD5_RPB)
+                                ],
+                            )
+                        ).alias("bkey"),
+                    )
+                    for b in range(_MD5_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "sig", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+    left = bands.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), "band", "bkey")
+    right = bands.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"), "band", "bkey")
+    est = F.expr(
+        f"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) / {float(_MD5_PERMS)}"
+    )
+    return (
+        left.join(right, ["band", "bkey"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+        .withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "est_jaccard")
+    )
