@@ -521,3 +521,93 @@ def dedup_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("est_jaccard") >= 0.5)
         .select("doc_a", "doc_b", "est_jaccard")
     )
+
+
+@register(
+    "dedup_simhash_md5",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, token, COUNT(*) AS cnt,
+             CAST(CAST(('0x' || substring(md5(token), 1, 15)) AS UBIGINT) AS BIGINT) AS h
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+      GROUP BY doc_id, token
+    ),
+    bits AS (
+      SELECT doc_id, b, SUM(CASE WHEN (h >> b) & 1 = 1 THEN cnt ELSE -cnt END) AS s
+      FROM tok, UNNEST(range(0, 60)) AS t(b)
+      GROUP BY doc_id, b
+    ),
+    docs AS (
+      SELECT doc_id, SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS simhash
+      FROM bits GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, simhash, b AS band, (simhash >> (15 * b)) & 32767 AS bh
+      FROM docs, UNNEST(range(0, 4)) AS t(b)
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                      x.simhash AS h_a, y.simhash AS h_b
+      FROM bands x JOIN bands y ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(bit_count(xor(h_a, h_b)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(h_a, h_b)) <= 3
+    """,
+)
+def dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash with a FULL value-hash oracle (md5-derived token hashes).
+
+    Same algorithm as ``dedup_simhash`` but on a 60-bit fingerprint (the
+    md5-prefix integer both engines can compute): frequency-weighted bit
+    sums, 4 bands × 15 bits, hamming ≤ 3 — pigeonhole still guarantees a
+    shared band for every true pair. All arithmetic is integer, so the
+    oracle matches exactly; the 64-bit xxhash64 variant remains the
+    production path.
+    """
+    d = table(spark, sf_dir, "documents")
+    tok = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("h", _md5_int(F.col("token")))
+    )
+    bit_aggs = [
+        F.sum(
+            F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, F.col("cnt")).otherwise(
+                -F.col("cnt")
+            )
+        ).alias(f"s{b}")
+        for b in range(60)
+    ]
+    sums = tok.groupBy("doc_id").agg(*bit_aggs)
+    simhash_expr = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0L END)" for b in range(60)
+    )
+    docs = sums.select("doc_id", F.expr(simhash_expr).alias("simhash"))
+    bands = docs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("simhash", 15 * b).bitwiseAND(F.lit(0x7FFF)).alias("bh"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+    left = bands.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("h_a"), "band", "bh")
+    right = bands.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("h_b"), "band", "bh")
+    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (
+        left.join(right, ["band", "bh"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "h_a", "h_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+        .withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= 3)
+        .select("doc_a", "doc_b", "hamming")
+    )
