@@ -185,3 +185,111 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("norm"), 6).alias("min_norm"),
         F.round(F.max("norm"), 6).alias("max_norm"),
     )
+
+
+def _lsh_bucket_md5(emb_col: str) -> Column:
+    """Hyperplane bucket with md5-derived plane weights (DuckDB-replicable:
+    md5 is the shared hash family — see ``dedup._md5_int``). Same structure
+    as ``_lsh_bucket``; only the pseudo-random source differs."""
+    return F.expr(
+        "aggregate(sequence(0, {np} - 1), 0, (acc, p) -> acc + "
+        " (CASE WHEN aggregate("
+        "   zip_with({col}, transform(sequence(0, size({col}) - 1),"
+        "     d -> (pmod(cast(conv(substring(md5(concat('plane', p, ':', d)), 1, 15), 16, 10) as bigint),"
+        "           10001) / 10000.0) - 0.5),"
+        "     (x, w) -> x * w),"
+        "   cast(0.0 as double), (acc2, x) -> acc2 + x) > 0"
+        " THEN shiftleft(1, p) ELSE 0 END))".format(np=_N_PLANES, col=emb_col)
+    )
+
+
+@register(
+    "ann_lsh_bucketed_md5",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS norm
+      FROM embeddings
+    ),
+    planes AS (
+      SELECT p, list_transform(range(0, 64),
+               d -> (CAST(CAST(('0x' || substring(md5('plane' || CAST(p AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 1, 15)) AS UBIGINT) % 10001 AS DOUBLE) / 10000.0) - 0.5) AS w
+      FROM UNNEST(range(0, {_N_PLANES})) AS t(p)
+    ),
+    sigs AS (
+      SELECT e.vec_id,
+             CAST(SUM(CASE WHEN list_dot_product(e.emb, planes.w) > 0
+                           THEN (1 << p) ELSE 0 END) AS INT) AS bucket
+      FROM e, planes GROUP BY e.vec_id
+    ),
+    eb AS (SELECT e.*, s.bucket FROM e JOIN sigs s USING (vec_id)),
+    masks AS (
+      SELECT 0 AS m
+      UNION ALL SELECT (1 << a) FROM UNNEST(range(0, {_N_PLANES})) t(a)
+      UNION ALL SELECT (1 << a) | (1 << b)
+        FROM UNNEST(range(0, {_N_PLANES})) t(a), UNNEST(range(0, {_N_PLANES})) u(b)
+        WHERE b > a
+    ),
+    probes AS (
+      SELECT q.vec_id AS query_id, q.emb AS q_emb, q.norm AS q_norm,
+             xor(q.bucket, m.m) AS bucket
+      FROM eb q, masks m WHERE q.vec_id < {_N_QUERIES}
+    ),
+    cands AS (
+      SELECT p.query_id, c.vec_id,
+             list_dot_product(c.emb, p.q_emb) / (c.norm * p.q_norm) AS cosine
+      FROM eb c JOIN probes p USING (bucket)
+      WHERE c.vec_id <> p.query_id
+    )
+    SELECT query_id, vec_id AS neighbor_id, ROUND(cosine, 6) AS cosine_r, rnk
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, vec_id) AS rnk
+          FROM (SELECT DISTINCT query_id, vec_id, cosine FROM cands))
+    WHERE rnk <= {_TOP_K}
+    """,
+)
+def ann_lsh_bucketed_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN with a FULL value-hash oracle.
+
+    Identical plan to ``ann_lsh_bucketed`` (bucket corpus once, multiprobe
+    ≤2-bit flips, exact cosine + top-k within candidates) but the hyperplane
+    weights derive from md5, so DuckDB reproduces buckets, candidate sets,
+    cosines, and ranks exactly. Dot products are sequential folds — the
+    accumulation order matches DuckDB's ``list_dot_product``, keeping every
+    double bit-identical (same property the brute-force oracle relies on).
+    """
+    from pyspark.sql import Window as W
+
+    e = embeddings_normalized(spark, sf_dir).withColumn("bucket", _lsh_bucket_md5("emb"))
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    flips = [F.col("q_bucket")]
+    flips += [F.col("q_bucket").bitwiseXOR(F.lit(1 << p)) for p in range(_N_PLANES)]
+    flips += [
+        F.col("q_bucket").bitwiseXOR(F.lit((1 << a) | (1 << b)))
+        for a in range(_N_PLANES)
+        for b in range(a + 1, _N_PLANES)
+    ]
+    probes = q.withColumn("bucket", F.explode(F.array(*flips)))
+    cands = (
+        e.join(probes, "bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cosine", _dot(F.col("emb"), F.col("q_emb")) / (F.col("norm") * F.col("q_norm")))
+        .select("query_id", "vec_id", "cosine")
+        .distinct()
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
+    return (
+        cands.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round("cosine", 6).alias("cosine_r"),
+            "rnk",
+        )
+    )
