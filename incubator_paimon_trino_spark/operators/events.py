@@ -250,3 +250,44 @@ def streaming_stateful_running_counts(spark: SparkSession, sf_dir: str) -> DataF
         .agg(F.max("n_events").alias("n_events"))
         .orderBy("user_id")
     )
+
+
+@register(
+    "events_cohort_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             date_diff('week', f.cohort_week, date_trunc('week', e.ts)) AS week_offset
+      FROM events e JOIN firsts f USING (user_id)
+    )
+    SELECT CAST(cohort_week AS TIMESTAMP) AS cohort_week, week_offset, COUNT(*) AS n_users
+    FROM activity GROUP BY 1, 2
+    """,
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen week, counted per week
+    offset of later activity — the standard product-analytics rollup.
+
+    Both engines truncate weeks to Monday (ISO), and the offset divides two
+    week-aligned timestamps, so the integer arithmetic matches exactly.
+    Scale shape: one groupBy for first-seen, one co-partitioned join back on
+    user_id (at 100 TB: both sides hash-partition on user_id — AQE handles
+    the heavy-user skew), one distinct, one count.
+    """
+    ev = table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(F.date_trunc("week", F.min("ts")).alias("cohort_week"))
+    act = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week")) / 7)
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return act.groupBy("cohort_week", "week_offset").agg(F.count("*").alias("n_users"))
