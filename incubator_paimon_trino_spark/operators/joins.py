@@ -252,3 +252,41 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         merged.filter(F.col("okey").isNotNull())
         .select("user_id", F.col("okey").alias("o_orderkey"), "asof_event")
     )
+
+
+@register(
+    "join_skew_salted",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(9,2))) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted equi join: fact keys get a salt of ``_SALTS`` shards, the
+    build side is replicated across all salts, and the join key becomes
+    (key, salt) — a hot key's rows now spread over ``_SALTS`` reducers
+    instead of one straggler task.
+
+    The oracle is the PLAIN join: salting must be a pure physical rewrite
+    with identical results. (AQE's skewJoin handles moderate skew
+    automatically; explicit salting is the pattern for the pathological
+    hot-key case — e.g. a null-ish default key holding 10% of a 100 TB
+    fact table — where one reducer would otherwise spill forever.)
+    """
+    _SALTS = 8
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    salted_fact = li.withColumn("_salt", F.pmod(F.xxhash64("l_extendedprice"), F.lit(_SALTS)))
+    replicated_build = o.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(s) for s in range(_SALTS)]))
+    )
+    joined = salted_fact.join(
+        replicated_build,
+        (F.col("l_orderkey") == F.col("o_orderkey")) & (salted_fact["_salt"] == replicated_build["_salt"]),
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("l_extendedprice").cast("decimal(9,2)")).cast("double").alias("revenue"),
+    )

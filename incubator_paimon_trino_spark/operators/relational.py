@@ -656,3 +656,25 @@ def scalar_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.variant_get(v, "$.k", "bigint").alias("k_num"),
         F.variant_get(v, "$.k", "string").alias("k_str"),
     )
+
+
+@register(
+    "limit_offset_pagination",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20 OFFSET 40
+    """,
+)
+def limit_offset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY ... LIMIT k OFFSET n (page 3 of 20) — deterministic because
+    the sort is total. Spark still plans a top-(n+k) rather than a full
+    sort, so pagination stays cheap at scale (but deep OFFSET is O(n+k) —
+    keyset pagination is the 100 TB answer, same plan as filter+limit)."""
+    return (
+        table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .offset(40)
+        .limit(20)
+    )
