@@ -436,3 +436,24 @@ def agg_bool_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.bit_xor("o_custkey").alias("xored"),
         )
     )
+
+
+@register(
+    "agg_grouping_id",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus, o_orderpriority) AS gid,
+           COUNT(*) AS n
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING_ID bitmask distinguishing subtotal levels in a ROLLUP —
+    Spark's ``grouping_id()`` and DuckDB/Postgres ``GROUPING(cols...)`` use
+    the same bit order (leftmost column = most-significant bit)."""
+    return (
+        table(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.grouping_id().alias("gid"), F.count("*").alias("n"))
+        .select("o_orderstatus", "o_orderpriority", "gid", "n")
+    )
