@@ -174,3 +174,34 @@ def lake_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cat.insert_into("lake", "orders_by_year", o)
     return cat.read_table("lake.orders_by_year").filter(F.col("order_year") == 1997)
+
+
+@register(
+    "lake_orc_scan",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n, MAX(o_totalprice) AS max_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def lake_orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC round-trip through the driver harness: write an ORC-format lake
+    table (``file_format`` option — ``FileFormatType`` enum,
+    ``TrinoTableOptionUtils.java:96,111-112``; exercised with
+    ``file_format='ORC'`` at ``TestTrinoITCase.java:352``), read it back,
+    aggregate. The oracle recomputes from the source — any ORC write/read
+    corruption breaks the hash."""
+    cat = _fresh_catalog(spark)
+    cat.create_database("lake")
+    cat.create_table(
+        "lake",
+        "orders_orc",
+        [("o_orderstatus", "string"), ("o_totalprice", "double")],
+        options={"file_format": "ORC"},
+    )
+    src = table(spark, sf_dir, "orders").select("o_orderstatus", "o_totalprice")
+    cat.insert_into("lake", "orders_orc", src)
+    return (
+        cat.read_table("lake.orders_orc")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"), F.max("o_totalprice").alias("max_price"))
+    )
