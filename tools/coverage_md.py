@@ -41,6 +41,42 @@ for name, fn in sorted(QUERIES.items()):
     oracle = "full (hash)" if name in ORACLES else "rows-only"
     rows.append((mod, name, oracle, doc))
 
+SURVEY_2B = [
+    ("Scan + SELECT *", "scan_select_star"),
+    ("Projection", "projection_pushdown"),
+    ("Filter: comparisons / ranges", "filter_equality, filter_range_bounds, filter_between"),
+    ("Filter: IN / IS [NOT] NULL / OR-of-ranges / LIKE", "filter_in_list, filter_null_checks, filter_not_null, filter_or_of_ranges, filter_like, filter_rlike"),
+    ("LIMIT (+ OFFSET)", "limit_rowcount, limit_topk_deterministic, limit_offset_pagination"),
+    ("Aggregation: SUM global", "agg_sum_global"),
+    ("GROUP BY multi-key + ORDER BY", "agg_group_multi_key_orderby, agg_having, agg_conditional_sum"),
+    ("count/min/max/avg/count-distinct", "agg_min_max_count, agg_count_distinct_multi, agg_collect_sorted, agg_pivot"),
+    ("Approximate aggs (HLL / percentile sketches)", "agg_approx_count_distinct, agg_approx_percentile; exact twins agg_percentile_exact, agg_count_distinct_multi"),
+    ("Statistical aggs", "agg_stddev_variance, agg_corr_covar_closed_form, agg_histogram_width_bucket, agg_bool_bitwise"),
+    ("Joins: inner/outer/semi/anti/cross/theta", "join_inner_equi, join_left_outer, join_right_outer, join_full_outer, join_left_semi, join_left_anti, join_cross, join_theta_inequality, join_skew_salted"),
+    ("Joins: as-of / range / banded", "join_asof, join_range_banded"),
+    ("Subqueries: correlated/uncorrelated/quantified", "subquery_correlated_exists, subquery_correlated_scalar, subquery_uncorrelated_scalar, subquery_not_in, subquery_all_quantified"),
+    ("Window: ranking / frames / top-N / sessionize", "window_row_number_rank, window_topn_per_group, window_lag_lead, window_running_sum_frame, window_range_frame, window_ntile_percent, window_first_last_value, window_sessionization"),
+    ("Sort / Top-K", "sort_multi_key, limit_topk_deterministic"),
+    ("Set ops", "setop_union_all, setop_union_distinct, setop_intersect, setop_intersect_all, setop_except, setop_except_all, setop_chained_union_order_limit"),
+    ("Grouping sets / CUBE / ROLLUP / GROUPING_ID", "agg_grouping_sets, agg_cube, agg_rollup, agg_grouping_id"),
+    ("DISTINCT", "distinct_values"),
+    ("CAST / coercion", "cast_roundtrip"),
+    ("Scalar functions (string/date/math/regexp/json/conditional)", "scalar_string_functions, scalar_string_date_functions2, scalar_date_functions, scalar_math_functions, scalar_regexp_functions, scalar_json_functions, scalar_variant_json, scalar_conditional"),
+    ("Nested: row/map/array access, UNNEST [WITH ORDINALITY]", "nested_struct_access, nested_map_access, nested_array_ops, nested_explode_unnest, nested_posexplode_ordinality"),
+    ("Array higher-order functions", "hof_transform_filter, hof_reduce_aggregate, hof_zip_with_weighted"),
+    ("SHOW / DDL / information_schema", "WarehouseCatalog APIs + cat.sql() (tests/test_catalog.py); lake_snapshots_system_table"),
+    ("EXPLAIN", "plans/ helpers + tests/test_plan_quality.py"),
+    ("Time travel / system tables / merge-on-read (connector A9-A13)", "lake_time_travel_v1, lake_snapshots_system_table, lake_merge_on_read, lake_schema_evolution, lake_partition_pruned_scan, lake_orc_scan"),
+    ("Streaming (beyond reference)", "streaming_tumbling_counts, streaming_session_windows, streaming_stateful_running_counts, events_tumbling_window, events_sliding_window, events_cohort_retention"),
+    ("UDF/UDAF/UDTF", "udf_pandas_scalar, udaf_pandas_grouped, udf_grouped_map_normalize, udtf_expand_priorities"),
+    ("MATCH_RECOGNIZE-shaped patterns", "pattern_funnel_view_click_purchase, pattern_error_within_5min_of_purchase, pattern_longest_click_streak"),
+    ("Dedup (pipeline)", "dedup_exact, dedup_ngram_jaccard, dedup_minhash_lsh, dedup_minhash_lsh_md5, dedup_simhash, dedup_simhash_md5, dedup_embedding_cosine, dedup_cluster_components"),
+    ("Similarity search (pipeline)", "ann_cosine_topk, ann_lsh_bucketed, ann_lsh_bucketed_md5, embedding_norm_stats"),
+    ("Text analysis (pipeline)", "text_langid, text_quality_score, text_token_count, text_fingerprint, text_rolling_hash_shingles"),
+    ("Multimodal (pipeline)", "multimodal_binary_metadata, multimodal_feature_extract, multimodal_frame_sample"),
+    ("TPC-H suite", "q1..q22 (22 queries)"),
+]
+
 out = [
     "# COVERAGE — registry inventory vs SURVEY.md §2",
     "",
@@ -49,7 +85,13 @@ out = [
     "Generated by `python tools/coverage_md.py > COVERAGE.md` — regenerate after",
     "adding queries.",
     "",
+    "## SURVEY §2 rows → query names",
+    "",
+    "| SURVEY §2 row | queries |",
+    "|---|---|",
 ]
+out += [f"| {row} | {qs} |" for row, qs in SURVEY_2B]
+out += [""]
 cur = None
 for mod, name, oracle, doc in sorted(rows):
     if mod != cur:
