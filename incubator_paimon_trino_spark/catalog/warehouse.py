@@ -415,6 +415,35 @@ class WarehouseCatalog:
             out = out.unionByName(p)
         return self.insert_into(db, table, out)
 
+    def expire_snapshots(self, db: str, table: str, keep_last: int = 1) -> dict:
+        """Expire all but the newest ``keep_last`` snapshots and delete data
+        files no surviving snapshot references — Paimon's snapshot
+        expiration (``snapshot.num-retained.*`` options), the operation that
+        bounds a lake table's storage over time.
+
+        Time travel to an expired version then fails with the same "no
+        snapshot" error as a never-existing version. The live view is
+        untouched: the newest snapshot's file list survives by construction.
+        Metadata-only planning — the file diff is computed from manifests;
+        data files are deleted, never read.
+        """
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        tdir = self._table_dir(db, table)
+        snaps = self._snapshots(tdir)
+        doomed, kept = snaps[:-keep_last], snaps[-keep_last:]
+        if not doomed:
+            return {"expired_snapshots": 0, "deleted_files": 0}
+        live = {f["path"] for s in kept for f in s.files}
+        dead = {f["path"] for s in doomed for f in s.files} - live
+        for rel in sorted(dead):
+            p = os.path.join(tdir, rel)
+            if os.path.exists(p):
+                os.remove(p)
+        for s in doomed:
+            os.remove(os.path.join(tdir, "snapshot", f"snapshot-{s.snapshot_id}.json"))
+        return {"expired_snapshots": len(doomed), "deleted_files": len(dead)}
+
     def compact(self, db: str, table: str) -> int:
         """Rewrite the table's live data into one fresh commit (COMPACT kind).
 

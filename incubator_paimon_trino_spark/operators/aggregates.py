@@ -457,3 +457,24 @@ def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.grouping_id().alias("gid"), F.count("*").alias("n"))
         .select("o_orderstatus", "o_orderpriority", "gid", "n")
     )
+
+
+@register(
+    "agg_approx_count_distinct_bounded",
+    oracle="SELECT TRUE AS within_bounds",
+)
+def agg_approx_count_distinct_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ estimate checked against its own accuracy contract: the sketch
+    values themselves are algorithm-specific (rows-only twin
+    ``agg_approx_count_distinct``), but |estimate − exact| / exact must stay
+    within ~3× the configured rsd — that bound IS oracle-checkable. Both the
+    estimate and the exact count are computed in one aggregate pass."""
+    est = table(spark, sf_dir, "lineitem").agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx"),
+        F.countDistinct("l_partkey").alias("exact"),
+    )
+    return est.select(
+        (
+            F.abs(F.col("approx") - F.col("exact")) / F.col("exact") < 0.03
+        ).alias("within_bounds")
+    )

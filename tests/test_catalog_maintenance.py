@@ -79,3 +79,32 @@ def test_analyze_stats(cat, spark):
     assert stats["columns"]["v"]["null_count"] == 1
     assert cat.stats_of("m", "st")["row_count"] == 3
     assert cat.stats_of("m", "nonexistent" ) is None if False else True
+
+
+def test_expire_snapshots(cat, spark):
+    """Expiration drops old snapshots + unreferenced files; live reads and
+    surviving time travel are untouched."""
+    import glob
+    import os
+
+    import pytest
+
+    cat.create_database("default", ignore_if_exists=True)
+    cat.create_table("default", "ex", [("a", "int")])
+    for i in range(4):
+        cat.insert_into("default", "ex", spark.createDataFrame([(i,)], "a int"))
+    tdir = os.path.join(cat.warehouse, "default.db", "ex")
+    files_before = len(glob.glob(os.path.join(tdir, "data", "**", "*.parquet"), recursive=True))
+
+    # overwrite commit makes snapshots 1-4's files partially unreferenced
+    cat.insert_into("default", "ex", spark.createDataFrame([(99,)], "a int"), overwrite=True)
+    stats = cat.expire_snapshots("default", "ex", keep_last=1)
+    assert stats["expired_snapshots"] == 4
+    assert stats["deleted_files"] == files_before  # all pre-overwrite files dead
+    assert [r.a for r in cat.read_table("default.ex").collect()] == [99]
+    with pytest.raises(ValueError):
+        cat.read_table("default.ex", version_as_of=2)
+    assert cat.snapshots("default", "ex").count() == 1
+
+    # keep_last > count is a no-op
+    assert cat.expire_snapshots("default", "ex", keep_last=5)["expired_snapshots"] == 0

@@ -105,3 +105,38 @@ def test_histogram_pushes_partial_agg(spark):
     plan = physical_plan(df)
     assert "partial" in plan.lower()
     assert count_shuffles(df) <= 1
+
+
+def test_dynamic_partition_pruning_on_lake_table(spark, tmp_path):
+    """A partitioned lake table joined to a filtered dim must plan DPP
+    (dynamicpruning subquery on the partition key) — the runtime pruning
+    the reference lists as TODO (TrinoSplitManagerBase.java:38-39)."""
+    from pyspark.sql import functions as F
+
+    from incubator_paimon_trino_spark.catalog import WarehouseCatalog
+    from incubator_paimon_trino_spark.sources import table as t
+
+    cat = WarehouseCatalog(str(tmp_path / "wh"), spark)
+    cat.create_database("dpp")
+    cat.create_table(
+        "dpp", "orders_p",
+        [("o_orderkey", "bigint"), ("o_custkey", "bigint"), ("o_orderstatus", "string")],
+        partitioned_by=["o_orderstatus"],
+    )
+    cat.insert_into(
+        "dpp", "orders_p",
+        t(spark, SF_SMOKE, "orders").select("o_orderkey", "o_custkey", "o_orderstatus"),
+    )
+    fact = cat.read_table("dpp.orders_p")
+    # dim filter on a NON-join column: the surviving statuses are only known
+    # at runtime, so static pruning can't apply — the fact scan must carry a
+    # dynamicpruning subquery on the partition key.
+    dim = (
+        t(spark, SF_SMOKE, "orders")
+        .select("o_orderstatus", "o_orderpriority")
+        .distinct()
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+    )
+    joined = fact.join(dim, "o_orderstatus").groupBy("o_orderstatus").count()
+    plan = physical_plan(joined)
+    assert "dynamicpruning" in plan.lower()
