@@ -59,7 +59,7 @@ from incubator_paimon_trino_spark.catalog.metadata import (
     write_json_atomic,
 )
 
-_SYSTEM_SUFFIXES = ("snapshots", "schemas", "files", "options", "audit_log")
+_SYSTEM_SUFFIXES = ("snapshots", "schemas", "files", "options", "audit_log", "tags")
 
 
 class WarehouseCatalog:
@@ -415,6 +415,76 @@ class WarehouseCatalog:
             out = out.unionByName(p)
         return self.insert_into(db, table, out)
 
+    @staticmethod
+    def _prune_empty_dirs(root: str) -> None:
+        """Remove commit directories that hold no data files anymore — only
+        Spark write markers (_SUCCESS, .crc) — bottom-up, so a future commit
+        of the same version can write its directory fresh."""
+        for dirpath, dirnames, filenames in os.walk(root, topdown=False):
+            if dirpath == root:
+                continue
+            data = [f for f in filenames if f.endswith((".parquet", ".orc"))]
+            leftover_dirs = [d for d in dirnames if os.path.exists(os.path.join(dirpath, d))]
+            if not data and not leftover_dirs:
+                for f in filenames:
+                    os.remove(os.path.join(dirpath, f))
+                os.rmdir(dirpath)
+
+    def _tags(self, tdir: str) -> dict:
+        path = os.path.join(tdir, "snapshot", "TAGS")
+        return read_json(path) if os.path.exists(path) else {}
+
+    def create_tag(self, db: str, table: str, tag: str, snapshot_id: int | None = None) -> None:
+        """Name a snapshot (Paimon tags): a durable pointer that survives
+        snapshot expiration of *other* versions and reads back via
+        ``read_table(tag=...)`` or the ``$tags`` system table."""
+        tdir = self._table_dir(db, table)
+        snaps = {s.snapshot_id for s in self._snapshots(tdir)}
+        if snapshot_id is None:
+            snapshot_id = max(snaps) if snaps else None
+        if snapshot_id not in snaps:
+            raise ValueError(f"no snapshot {snapshot_id} (have {sorted(snaps)})")
+        tags = self._tags(tdir)
+        if tag in tags:
+            raise ValueError(f"tag {tag!r} already exists (-> snapshot {tags[tag]})")
+        tags[tag] = snapshot_id
+        write_json_atomic(os.path.join(tdir, "snapshot", "TAGS"), tags)
+
+    def delete_tag(self, db: str, table: str, tag: str) -> None:
+        tdir = self._table_dir(db, table)
+        tags = self._tags(tdir)
+        if tag not in tags:
+            raise ValueError(f"no tag {tag!r}")
+        del tags[tag]
+        write_json_atomic(os.path.join(tdir, "snapshot", "TAGS"), tags)
+
+    def rollback_to(self, db: str, table: str, snapshot_id: int) -> None:
+        """Roll the table back to ``snapshot_id``: later snapshots are
+        dropped and their files (unreferenced by any survivor) deleted.
+        The next commit continues from the restored version."""
+        tdir = self._table_dir(db, table)
+        snaps = self._snapshots(tdir)
+        ids = [s.snapshot_id for s in snaps]
+        if snapshot_id not in ids:
+            raise ValueError(f"no snapshot {snapshot_id} (have {ids})")
+        kept = [s for s in snaps if s.snapshot_id <= snapshot_id]
+        doomed = [s for s in snaps if s.snapshot_id > snapshot_id]
+        live = {f["path"] for s in kept for f in s.files}
+        dead = {f["path"] for s in doomed for f in s.files} - live
+        for rel in sorted(dead):
+            p = os.path.join(tdir, rel)
+            if os.path.exists(p):
+                os.remove(p)
+        for s_ in doomed:
+            os.remove(os.path.join(tdir, "snapshot", f"snapshot-{s_.snapshot_id}.json"))
+        self._prune_empty_dirs(os.path.join(tdir, "data"))
+        tags = self._tags(tdir)
+        stale = [t for t, sid in tags.items() if sid > snapshot_id]
+        for t in stale:
+            del tags[t]
+        write_json_atomic(os.path.join(tdir, "snapshot", "TAGS"), tags)
+        write_json_atomic(os.path.join(tdir, "snapshot", "LATEST"), {"snapshot_id": snapshot_id})
+
     def expire_snapshots(self, db: str, table: str, keep_last: int = 1) -> dict:
         """Expire all but the newest ``keep_last`` snapshots and delete data
         files no surviving snapshot references — Paimon's snapshot
@@ -431,7 +501,9 @@ class WarehouseCatalog:
             raise ValueError("keep_last must be >= 1")
         tdir = self._table_dir(db, table)
         snaps = self._snapshots(tdir)
-        doomed, kept = snaps[:-keep_last], snaps[-keep_last:]
+        tagged = set(self._tags(tdir).values())
+        doomed = [s for s in snaps[:-keep_last] if s.snapshot_id not in tagged]
+        kept = [s for s in snaps if s not in doomed]
         if not doomed:
             return {"expired_snapshots": 0, "deleted_files": 0}
         live = {f["path"] for s in kept for f in s.files}
@@ -442,6 +514,7 @@ class WarehouseCatalog:
                 os.remove(p)
         for s in doomed:
             os.remove(os.path.join(tdir, "snapshot", f"snapshot-{s.snapshot_id}.json"))
+        self._prune_empty_dirs(os.path.join(tdir, "data"))
         return {"expired_snapshots": len(doomed), "deleted_files": len(dead)}
 
     def compact(self, db: str, table: str) -> int:
@@ -537,6 +610,7 @@ class WarehouseCatalog:
         version_as_of: int | None = None,
         timestamp_as_of: int | None = None,
         with_system_columns: bool = False,
+        tag: str | None = None,
     ) -> DataFrame:
         """Read ``db.table`` (or ``db.table$system``) as a DataFrame.
 
@@ -553,6 +627,13 @@ class WarehouseCatalog:
             return self._system_table(db, table, suffix)
         tdir = self._table_dir(db, table)
         schema = self._latest_schema(tdir)
+
+        if tag is not None:
+            if version_as_of is not None or timestamp_as_of is not None:
+                raise ValueError("tag is mutually exclusive with version/timestamp pins")
+            version_as_of = self._tags(tdir).get(tag)
+            if version_as_of is None:
+                raise ValueError(f"no tag {tag!r} on {db}.{table}")
 
         # A12 session-property time travel: Trino's `scan_snapshot_id` /
         # `scan_timestamp_millis` session props are copied into dynamic table
@@ -696,6 +777,9 @@ class WarehouseCatalog:
             return self.spark.createDataFrame(
                 rows, "schema_id bigint, fields string, primary_key string, partition_keys string"
             )
+        if suffix == "tags":
+            rows = sorted(self._tags(tdir).items())
+            return self.spark.createDataFrame(rows, "tag string, snapshot_id bigint")
         if suffix == "files":
             snap = self._latest_snapshot(tdir)
             rows = [(f["path"], f["schema_id"]) for f in (snap.files if snap else [])]

@@ -108,3 +108,39 @@ def test_expire_snapshots(cat, spark):
 
     # keep_last > count is a no-op
     assert cat.expire_snapshots("default", "ex", keep_last=5)["expired_snapshots"] == 0
+
+
+def test_tags_and_rollback(cat, spark):
+    """Tags: durable named snapshots that survive expiration of untagged
+    versions; rollback drops later snapshots and their dead files."""
+    import pytest
+
+    cat.create_database("default", ignore_if_exists=True)
+    cat.create_table("default", "tg", [("a", "int")])
+    for i in range(1, 5):
+        cat.insert_into("default", "tg", spark.createDataFrame([(i,)], "a int"))
+
+    cat.create_tag("default", "tg", "v2-release", snapshot_id=2)
+    cat.create_tag("default", "tg", "latest-tag")  # defaults to newest (4)
+    tags = {r.tag: r.snapshot_id for r in cat.read_table("default.tg$tags").collect()}
+    assert tags == {"v2-release": 2, "latest-tag": 4}
+    assert cat.read_table("default.tg", tag="v2-release").count() == 2
+    with pytest.raises(ValueError):
+        cat.create_tag("default", "tg", "v2-release", snapshot_id=3)  # dup name
+    with pytest.raises(ValueError):
+        cat.read_table("default.tg", tag="nope")
+
+    # expiration keeps tagged snapshot 2 even though only last 1 is retained
+    stats = cat.expire_snapshots("default", "tg", keep_last=1)
+    assert stats["expired_snapshots"] == 2  # 1 and 3 (2 tagged, 4 kept)
+    assert cat.read_table("default.tg", tag="v2-release").count() == 2
+    assert cat.read_table("default.tg").count() == 4
+
+    # rollback to 2: snapshots 3/4 gone, stale tag dropped, next commit = 3
+    cat.rollback_to("default", "tg", 2)
+    assert [r.a for r in cat.read_table("default.tg").orderBy("a").collect()] == [1, 2]
+    assert {r.tag for r in cat.read_table("default.tg$tags").collect()} == {"v2-release"}
+    cat.insert_into("default", "tg", spark.createDataFrame([(9,)], "a int"))
+    assert cat.snapshots("default", "tg").collect()[-1].snapshot_id == 3
+    with pytest.raises(ValueError):
+        cat.rollback_to("default", "tg", 99)
