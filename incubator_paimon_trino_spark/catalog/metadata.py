@@ -140,14 +140,32 @@ def _parse_type(s: str) -> T.DataType:
     return T.StructType.fromDDL(f"c {s}")[0].dataType
 
 
-def write_json_atomic(path: str, payload: dict) -> None:
-    """Write-then-rename so readers never observe a torn manifest."""
+class CommitConflictError(RuntimeError):
+    """Another writer committed the same snapshot id first (optimistic
+    concurrency, Paimon-style: losers re-plan on the new latest snapshot)."""
+
+
+def write_json_atomic(path: str, payload: dict, exclusive: bool = False) -> None:
+    """Write-then-rename so readers never observe a torn manifest.
+
+    ``exclusive=True`` turns the publish into an atomic create (hard link):
+    if the path already exists, another writer won the race — raise
+    ``CommitConflictError`` instead of silently overwriting their commit.
+    """
     os.makedirs(os.path.dirname(path), exist_ok=True)
     fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".tmp")
     try:
         with os.fdopen(fd, "w") as fh:
             json.dump(payload, fh, indent=1, sort_keys=True)
-        os.replace(tmp, path)
+        if exclusive:
+            try:
+                os.link(tmp, path)
+            except FileExistsError:
+                raise CommitConflictError(
+                    f"snapshot already committed by another writer: {path}"
+                ) from None
+        else:
+            os.replace(tmp, path)
     finally:
         if os.path.exists(tmp):
             os.unlink(tmp)

@@ -315,7 +315,15 @@ class WarehouseCatalog:
             files=files,
             record_count=(0 if overwrite else (prev.record_count if prev else 0)) + n,
         )
-        write_json_atomic(os.path.join(tdir, "snapshot", f"snapshot-{version}.json"), snap.to_json())
+        # exclusive publish = the commit point: if a concurrent writer already
+        # produced this snapshot id, fail with CommitConflictError rather
+        # than clobbering their manifest (caller re-reads and retries, like
+        # Paimon's optimistic commit loop).
+        write_json_atomic(
+            os.path.join(tdir, "snapshot", f"snapshot-{version}.json"),
+            snap.to_json(),
+            exclusive=True,
+        )
         write_json_atomic(os.path.join(tdir, "snapshot", "LATEST"), {"snapshot_id": version})
         return version
 
@@ -566,7 +574,15 @@ class WarehouseCatalog:
             files=files,  # replaces the live set
             record_count=n,
         )
-        write_json_atomic(os.path.join(tdir, "snapshot", f"snapshot-{version}.json"), snap.to_json())
+        # exclusive publish = the commit point: if a concurrent writer already
+        # produced this snapshot id, fail with CommitConflictError rather
+        # than clobbering their manifest (caller re-reads and retries, like
+        # Paimon's optimistic commit loop).
+        write_json_atomic(
+            os.path.join(tdir, "snapshot", f"snapshot-{version}.json"),
+            snap.to_json(),
+            exclusive=True,
+        )
         write_json_atomic(os.path.join(tdir, "snapshot", "LATEST"), {"snapshot_id": version})
         return version
 

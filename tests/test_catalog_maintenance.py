@@ -144,3 +144,32 @@ def test_tags_and_rollback(cat, spark):
     assert cat.snapshots("default", "tg").collect()[-1].snapshot_id == 3
     with pytest.raises(ValueError):
         cat.rollback_to("default", "tg", 99)
+
+
+def test_commit_conflict_detection(cat, spark):
+    """Optimistic concurrency: publishing a snapshot id that a racing writer
+    already published raises CommitConflictError and leaves the winner's
+    manifest untouched (insert_into publishes with exclusive=True)."""
+    import json
+    import os
+
+    import pytest
+
+    from incubator_paimon_trino_spark.catalog.metadata import (
+        CommitConflictError,
+        write_json_atomic,
+    )
+
+    cat.create_database("default", ignore_if_exists=True)
+    cat.create_table("default", "cc", [("a", "int")])
+    cat.insert_into("default", "cc", spark.createDataFrame([(1,)], "a int"))
+    tdir = os.path.join(cat.warehouse, "default.db", "cc")
+    published = os.path.join(tdir, "snapshot", "snapshot-1.json")
+    winner = json.load(open(published))
+    # loser tries to publish the same snapshot id (both planned on snapshot 0)
+    with pytest.raises(CommitConflictError):
+        write_json_atomic(published, {"winner": "loser"}, exclusive=True)
+    assert json.load(open(published)) == winner  # winner's manifest intact
+    # next commit proceeds normally on the true latest
+    cat.insert_into("default", "cc", spark.createDataFrame([(2,)], "a int"))
+    assert cat.snapshots("default", "cc").count() == 2
