@@ -847,6 +847,44 @@ class WarehouseCatalog:
         re.IGNORECASE,
     )
 
+    _INSERT_RE = re.compile(
+        r"^\s*INSERT\s+(INTO|OVERWRITE)\s+(?P<db>[A-Za-z_]\w*)\.(?P<tbl>[A-Za-z_]\w*)\s+(?P<rest>.+)$",
+        re.IGNORECASE | re.DOTALL,
+    )
+    _DELETE_RE = re.compile(
+        r"^\s*DELETE\s+FROM\s+(?P<db>[A-Za-z_]\w*)\.(?P<tbl>[A-Za-z_]\w*)\s+WHERE\s+(?P<where>.+)$",
+        re.IGNORECASE | re.DOTALL,
+    )
+    _UPDATE_RE = re.compile(
+        r"^\s*UPDATE\s+(?P<db>[A-Za-z_]\w*)\.(?P<tbl>[A-Za-z_]\w*)\s+SET\s+(?P<sets>.+?)\s+WHERE\s+(?P<where>.+)$",
+        re.IGNORECASE | re.DOTALL,
+    )
+
+    def _sql_dml(self, query: str):
+        """INSERT INTO/OVERWRITE, DELETE FROM, UPDATE on lake tables —
+        write statements the read-only reference never had. Returns the
+        snapshot id of the commit, or None if ``query`` is not DML."""
+        m = self._INSERT_RE.match(query)
+        if m:
+            df = self.sql(m.group("rest"))
+            return self.insert_into(
+                m.group("db"), m.group("tbl"), df,
+                overwrite=m.group(1).upper() == "OVERWRITE",
+            )
+        m = self._DELETE_RE.match(query)
+        if m:
+            return self.delete_where(m.group("db"), m.group("tbl"), F.expr(m.group("where")))
+        m = self._UPDATE_RE.match(query)
+        if m:
+            assignments = {}
+            for part in _split_top_level(m.group("sets")):
+                col, _, expr = part.partition("=")
+                assignments[col.strip()] = F.expr(expr.strip())
+            return self.update_where(
+                m.group("db"), m.group("tbl"), F.expr(m.group("where")), assignments
+            )
+        return None
+
     def sql(self, query: str) -> DataFrame:
         """Run SQL over lake tables — the Trino entry-point surface (SURVEY
         §3.1/§3.2) on Spark SQL.
@@ -864,6 +902,10 @@ class WarehouseCatalog:
         references) are left untouched. Timestamps accept epoch-millis or a
         quoted ``'YYYY-MM-DD HH:MM:SS'`` literal (UTC).
         """
+        dml = self._sql_dml(query)
+        if dml is not None:
+            return self.spark.createDataFrame([(dml,)], "snapshot_id bigint")
+
         dbs = set(self.list_databases())
         out, last = [], 0
         for m in self._TABLE_REF.finditer(query):
@@ -902,3 +944,26 @@ def _physical_schema(schema: TableSchema, is_pk: bool):
     if is_pk:
         s = s.add(SEQ_COL, T.LongType()).add(KIND_COL, T.StringType())
     return s
+
+
+def _split_top_level(s: str) -> list[str]:
+    """Split on commas not nested in parentheses or quotes (UPDATE SET list)."""
+    parts, depth, quote, cur = [], 0, None, []
+    for ch in s:
+        if quote:
+            if ch == quote:
+                quote = None
+        elif ch in "'\"":
+            quote = ch
+        elif ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+            continue
+        cur.append(ch)
+    if cur:
+        parts.append("".join(cur))
+    return [p for p in (x.strip() for x in parts) if p]

@@ -339,3 +339,27 @@ def test_incremental_read_and_audit_log(cat, spark):
     cat.create_table("default", "ap", [("x", "int")])
     cat.insert_into("default", "ap", spark.createDataFrame([(1,), (2,)], "x int"))
     assert {r.rowkind for r in cat.read_table("default.ap$audit_log").collect()} == {"I"}
+
+
+def test_sql_dml(cat, spark):
+    """INSERT INTO / INSERT OVERWRITE / DELETE FROM / UPDATE as SQL strings —
+    a write surface the read-only reference delegates away entirely."""
+    _mk_t1(cat, spark)  # PK table, live keys {1, 5}
+    cat.sql("INSERT INTO default.t1 SELECT 7 AS a, CAST(70 AS BIGINT) AS b, '7' AS aCa, '7' AS d")
+    assert {r.a for r in cat.read_table("default.t1").collect()} == {1, 5, 7}
+    # INSERT ... SELECT from another lake table reference
+    cat.create_table("default", "t1copy", T1_COLS, primary_key=["a"])
+    cat.sql("INSERT INTO default.t1copy SELECT * FROM default.t1")
+    assert cat.read_table("default.t1copy").count() == 3
+    # UPDATE
+    cat.sql("UPDATE default.t1 SET b = b + 1000, d = 'upd' WHERE a = 5")
+    got = {r.a: (r.b, r.d) for r in cat.read_table("default.t1").collect()}
+    assert got[5] == (1006, "upd")
+    # DELETE
+    cat.sql("DELETE FROM default.t1 WHERE a = 1")
+    assert {r.a for r in cat.read_table("default.t1").collect()} == {5, 7}
+    # INSERT OVERWRITE on an append table
+    cat.create_table("default", "ap2", [("x", "int")])
+    cat.sql("INSERT INTO default.ap2 SELECT 1 AS x")
+    cat.sql("INSERT OVERWRITE default.ap2 SELECT 2 AS x")
+    assert [r.x for r in cat.read_table("default.ap2").collect()] == [2]
