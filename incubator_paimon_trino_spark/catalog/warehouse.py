@@ -860,6 +860,90 @@ class WarehouseCatalog:
         re.IGNORECASE | re.DOTALL,
     )
 
+    _DDL_RES = {
+        "create_schema": re.compile(r"^\s*CREATE\s+(SCHEMA|DATABASE)\s+(IF\s+NOT\s+EXISTS\s+)?(?P<db>[A-Za-z_]\w*)\s*$", re.I),
+        "drop_schema": re.compile(r"^\s*DROP\s+(SCHEMA|DATABASE)\s+(?P<db>[A-Za-z_]\w*)(?P<cascade>\s+CASCADE)?\s*$", re.I),
+        "create_table": re.compile(
+            r"^\s*CREATE\s+TABLE\s+(?P<db>[A-Za-z_]\w*)\.(?P<tbl>[A-Za-z_]\w*)\s*"
+            r"\((?P<cols>.+?)\)\s*(WITH\s*\((?P<props>.+)\))?\s*$", re.I | re.S),
+        "drop_table": re.compile(r"^\s*DROP\s+TABLE\s+(?P<db>[A-Za-z_]\w*)\.(?P<tbl>[A-Za-z_]\w*)\s*$", re.I),
+        "rename_table": re.compile(
+            r"^\s*ALTER\s+TABLE\s+(?P<db>[A-Za-z_]\w*)\.(?P<tbl>[A-Za-z_]\w*)\s+RENAME\s+TO\s+(?P<new>[A-Za-z_]\w*)\s*$", re.I),
+        "add_column": re.compile(
+            r"^\s*ALTER\s+TABLE\s+(?P<db>[A-Za-z_]\w*)\.(?P<tbl>[A-Za-z_]\w*)\s+ADD\s+COLUMN\s+(?P<col>[A-Za-z_]\w*)\s+(?P<type>.+?)\s*$", re.I),
+        "rename_column": re.compile(
+            r"^\s*ALTER\s+TABLE\s+(?P<db>[A-Za-z_]\w*)\.(?P<tbl>[A-Za-z_]\w*)\s+RENAME\s+COLUMN\s+(?P<col>[A-Za-z_]\w*)\s+TO\s+(?P<new>[A-Za-z_]\w*)\s*$", re.I),
+        "drop_column": re.compile(
+            r"^\s*ALTER\s+TABLE\s+(?P<db>[A-Za-z_]\w*)\.(?P<tbl>[A-Za-z_]\w*)\s+DROP\s+COLUMN\s+(?P<col>[A-Za-z_]\w*)\s*$", re.I),
+        "set_props": re.compile(
+            r"^\s*ALTER\s+TABLE\s+(?P<db>[A-Za-z_]\w*)\.(?P<tbl>[A-Za-z_]\w*)\s+SET\s+PROPERTIES\s+(?P<props>.+)$", re.I | re.S),
+        "show_schemas": re.compile(r"^\s*SHOW\s+(SCHEMAS|DATABASES)\s*$", re.I),
+        "show_tables": re.compile(r"^\s*SHOW\s+TABLES\s+(FROM|IN)\s+(?P<db>[A-Za-z_]\w*)\s*$", re.I),
+        "show_columns": re.compile(
+            r"^\s*(SHOW\s+COLUMNS\s+(FROM|IN)|DESCRIBE)\s+(?P<db>[A-Za-z_]\w*)\.(?P<tbl>[A-Za-z_]\w*)\s*$", re.I),
+    }
+
+    @staticmethod
+    def _parse_props(txt: str) -> dict:
+        out = {}
+        for part in _split_top_level(txt):
+            k, _, v = part.partition("=")
+            out[k.strip().lower()] = v.strip().strip("'\"")
+        return out
+
+    def _sql_ddl(self, query: str):
+        """DDL statement surface (SURVEY A14-A19): the reference exposes
+        exactly these through Trino SQL (``TestTrinoITCase.java:327-501``).
+        Returns a (possibly empty) result DataFrame, or None if not DDL."""
+        R = self._DDL_RES
+        ok = lambda: self.spark.createDataFrame([(True,)], "ok boolean")  # noqa: E731
+        if m := R["create_schema"].match(query):
+            self.create_database(m.group("db"), ignore_if_exists=bool(m.group(2)))
+            return ok()
+        if m := R["drop_schema"].match(query):
+            self.drop_database(m.group("db"), cascade=bool(m.group("cascade")))
+            return ok()
+        if m := R["create_table"].match(query):
+            cols, pk, parts = [], [], []
+            for c in _split_top_level(m.group("cols")):
+                name, _, type_ddl = c.strip().partition(" ")
+                cols.append((name, type_ddl.strip()))
+            options = self._parse_props(m.group("props") or "")
+            if "primary_key" in options:
+                pk = [x.strip() for x in options.pop("primary_key").split(",")]
+            if "partitioned_by" in options:
+                parts = [x.strip() for x in options.pop("partitioned_by").split(",")]
+            self.create_table(m.group("db"), m.group("tbl"), cols,
+                              primary_key=pk, partitioned_by=parts, options=options)
+            return ok()
+        if m := R["drop_table"].match(query):
+            self.drop_table(m.group("db"), m.group("tbl"))
+            return ok()
+        if m := R["rename_table"].match(query):
+            self.rename_table(m.group("db"), m.group("tbl"), m.group("new"))
+            return ok()
+        if m := R["add_column"].match(query):
+            self.add_column(m.group("db"), m.group("tbl"), m.group("col"), m.group("type"))
+            return ok()
+        if m := R["rename_column"].match(query):
+            self.rename_column(m.group("db"), m.group("tbl"), m.group("col"), m.group("new"))
+            return ok()
+        if m := R["drop_column"].match(query):
+            self.drop_column(m.group("db"), m.group("tbl"), m.group("col"))
+            return ok()
+        if m := R["set_props"].match(query):
+            self.set_options(m.group("db"), m.group("tbl"), self._parse_props(m.group("props")))
+            return ok()
+        if R["show_schemas"].match(query):
+            return self.spark.createDataFrame([(d,) for d in self.list_databases()], "schema string")
+        if m := R["show_tables"].match(query):
+            return self.spark.createDataFrame(
+                [(t,) for t in self.list_tables(m.group("db"))], "table string")
+        if m := R["show_columns"].match(query):
+            return self.spark.createDataFrame(
+                self.describe(m.group("db"), m.group("tbl")), "column string, type string")
+        return None
+
     def _sql_dml(self, query: str):
         """INSERT INTO/OVERWRITE, DELETE FROM, UPDATE on lake tables —
         write statements the read-only reference never had. Returns the
@@ -902,6 +986,9 @@ class WarehouseCatalog:
         references) are left untouched. Timestamps accept epoch-millis or a
         quoted ``'YYYY-MM-DD HH:MM:SS'`` literal (UTC).
         """
+        ddl = self._sql_ddl(query)
+        if ddl is not None:
+            return ddl
         dml = self._sql_dml(query)
         if dml is not None:
             return self.spark.createDataFrame([(dml,)], "snapshot_id bigint")

@@ -363,3 +363,36 @@ def test_sql_dml(cat, spark):
     cat.sql("INSERT INTO default.ap2 SELECT 1 AS x")
     cat.sql("INSERT OVERWRITE default.ap2 SELECT 2 AS x")
     assert [r.x for r in cat.read_table("default.ap2").collect()] == [2]
+
+
+def test_sql_ddl(cat, spark):
+    """Full DDL lifecycle as SQL strings, mirroring the ITCase DDL scenarios
+    (TestTrinoITCase.java:327-501): schema + table create with properties,
+    alter column add/rename/drop, set properties, shows, drops."""
+    cat.sql("CREATE SCHEMA sales")
+    assert "sales" in [r.schema for r in cat.sql("SHOW SCHEMAS").collect()]
+    cat.sql(
+        "CREATE TABLE sales.orders2 (k BIGINT, v STRING, pt STRING) "
+        "WITH (primary_key = 'k', file_format = 'ORC', bucket = '2', bucket_key = 'k')"
+    )
+    assert [r.table for r in cat.sql("SHOW TABLES FROM sales").collect()] == ["orders2"]
+    sch = cat.schema_of("sales", "orders2")
+    assert sch.primary_key == ["k"] and sch.options["file_format"] == "ORC"
+
+    cat.sql("INSERT INTO sales.orders2 SELECT CAST(1 AS BIGINT) AS k, 'a' AS v, 'p1' AS pt")
+    cat.sql("ALTER TABLE sales.orders2 ADD COLUMN note STRING")
+    cat.sql("ALTER TABLE sales.orders2 RENAME COLUMN v TO val")
+    cols = {r.column: r.type for r in cat.sql("SHOW COLUMNS FROM sales.orders2").collect()}
+    assert "note" in cols and "val" in cols and "v" not in cols
+    # old ORC file still readable through the evolved schema (field ids)
+    got = cat.sql("SELECT k, val, note FROM sales.orders2").collect()
+    assert [(r.k, r.val, r.note) for r in got] == [(1, "a", None)]
+
+    cat.sql("ALTER TABLE sales.orders2 DROP COLUMN note")
+    cat.sql("ALTER TABLE sales.orders2 SET PROPERTIES compaction = 'full'")
+    assert cat.schema_of("sales", "orders2").options["compaction"] == "full"
+    cat.sql("ALTER TABLE sales.orders2 RENAME TO orders3")
+    assert [r.table for r in cat.sql("SHOW TABLES FROM sales").collect()] == ["orders3"]
+    cat.sql("DROP TABLE sales.orders3")
+    cat.sql("DROP SCHEMA sales")
+    assert "sales" not in [r.schema for r in cat.sql("SHOW SCHEMAS").collect()]
