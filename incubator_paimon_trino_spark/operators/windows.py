@@ -235,3 +235,32 @@ def window_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "session_id")
         .agg(F.count("*").alias("n_events"), F.min("ts").alias("session_start"))
     )
+
+
+@register(
+    "window_nth_value_ignore_nulls",
+    oracle="""
+    SELECT o_orderkey,
+           nth_value(o_orderkey, 3) OVER w AS third_key,
+           first_value(CASE WHEN o_totalprice > 300000 THEN o_orderkey END IGNORE NULLS) OVER w AS first_big
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_nth_value_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nth_value + IGNORE NULLS first_value over a running frame — the
+    remaining Trino window-function forms. Same single hash-shuffle +
+    partition sort as every other window query."""
+    w = (
+        W.partitionBy("o_orderstatus")
+        .orderBy("o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    o = table(spark, sf_dir, "orders")
+    big = F.when(F.col("o_totalprice") > 300000, F.col("o_orderkey"))
+    return o.select(
+        "o_orderkey",
+        F.nth_value("o_orderkey", 3).over(w).alias("third_key"),
+        F.first(big, ignorenulls=True).over(w).alias("first_big"),
+    )
