@@ -396,3 +396,82 @@ def test_sql_ddl(cat, spark):
     cat.sql("DROP TABLE sales.orders3")
     cat.sql("DROP SCHEMA sales")
     assert "sales" not in [r.schema for r in cat.sql("SHOW SCHEMAS").collect()]
+
+
+def test_f4_complex_types(cat, spark):
+    """F4 t4: map/struct/array columns through a PK lake table; SELECT *
+    golden [[1, {1=2}, [2, male], [1, 2, 3]]] (TestTrinoITCase.java:258-261)."""
+    cat.create_database("default", ignore_if_exists=True)
+    cat.create_table(
+        "default", "t4",
+        [
+            ("i", "int"),
+            ("map", "map<string,string>"),
+            ("innerrow", "struct<innercol1:int,innercol2:string>"),
+            ("array", "array<int>"),
+        ],
+        primary_key=["i"],
+    )
+    df = spark.createDataFrame(
+        [(1, {"1": "2"}, (2, "male"), [1, 2, 3])],
+        "i int, map map<string,string>, innerrow struct<innercol1:int,innercol2:string>, array array<int>",
+    )
+    cat.insert_into("default", "t4", df)
+    r = cat.read_table("default.t4").collect()[0]
+    assert (r.i, dict(r.map), tuple(r.innerrow), list(r.array)) == (
+        1, {"1": "2"}, (2, "male"), [1, 2, 3],
+    )
+    # nested access through the SQL facade (engine-side nested ops)
+    got = cat.sql(
+        "SELECT i, map['1'] AS m1, innerrow.innercol2 AS sex, array[1] AS second "
+        "FROM default.t4"
+    ).collect()[0]
+    assert (got.i, got.m1, got.sex, got.second) == (1, "2", "male", 2)
+    # upsert by PK replaces the nested row wholesale
+    cat.insert_into(
+        "default", "t4",
+        spark.createDataFrame(
+            [(1, {"9": "9"}, (9, "female"), [9])],
+            "i int, map map<string,string>, innerrow struct<innercol1:int,innercol2:string>, array array<int>",
+        ),
+    )
+    r2 = cat.read_table("default.t4").collect()[0]
+    assert dict(r2.map) == {"9": "9"} and r2.innerrow.innercol2 == "female"
+
+
+def test_f5_timestamp_precision_ladder(cat, spark):
+    """F5 t99: timestamp(0/3/6) as NTZ + timestamptz as UTC-session timestamp;
+    goldens from TestTrinoITCase.java:504-514."""
+    import datetime as dt
+
+    cat.create_database("default", ignore_if_exists=True)
+    cat.create_table(
+        "default", "t99",
+        [
+            ("i", "int"),
+            ("createdtime", "timestamp_ntz"),
+            ("updatedtime", "timestamp_ntz"),
+            ("microtime", "timestamp_ntz"),
+            ("localzonedtime", "timestamp"),
+        ],
+        primary_key=["i"],
+    )
+    base = dt.datetime(2023, 9, 12, 7, 54, 48)
+    row = (
+        1,
+        base,
+        base + dt.timedelta(milliseconds=1),
+        base + dt.timedelta(microseconds=1001),
+        base + dt.timedelta(milliseconds=2),
+    )
+    df = spark.createDataFrame(
+        [row],
+        "i int, createdtime timestamp_ntz, updatedtime timestamp_ntz, "
+        "microtime timestamp_ntz, localzonedtime timestamp",
+    )
+    cat.insert_into("default", "t99", df)
+    r = cat.read_table("default.t99").collect()[0]
+    assert r.createdtime == base
+    assert r.updatedtime == base + dt.timedelta(milliseconds=1)
+    assert r.microtime == base + dt.timedelta(microseconds=1001)
+    assert r.localzonedtime == base + dt.timedelta(milliseconds=2)  # UTC session
