@@ -493,6 +493,48 @@ class WarehouseCatalog:
         write_json_atomic(os.path.join(tdir, "snapshot", "TAGS"), tags)
         write_json_atomic(os.path.join(tdir, "snapshot", "LATEST"), {"snapshot_id": snapshot_id})
 
+    def read_cdc(self, name: str, from_snapshot: int, to_snapshot: int) -> DataFrame:
+        """CDC view of ``(from_snapshot, to_snapshot]``: one row per changed
+        primary key with ``_change`` in {'+I', '-U', '+U', '-D'} — the
+        UPDATE_BEFORE/UPDATE_AFTER changelog Paimon's changelog-producer
+        modes emit, derived here by diffing the two merged states.
+
+        Plan: two merged reads + one full outer join co-partitioned on the
+        PK. At 100 TB the join input is two merged table states — for
+        incremental pipelines prefer ``read_incremental`` (raw delta rows)
+        when upsert pairing isn't needed; this method is the semantic
+        completion for consumers that must see before/after images.
+        """
+        db, _, table = name.partition(".")
+        schema = self.schema_of(db, table)
+        if not schema.primary_key:
+            raise ValueError("read_cdc requires a primary-key table")
+        pk = schema.primary_key
+        value_cols = [f.name for f in schema.fields if f.name not in pk]
+        old = self.read_table(name, version_as_of=from_snapshot) if from_snapshot else None
+        new = self.read_table(name, version_as_of=to_snapshot)
+        if old is None:
+            return new.withColumn("_change", F.lit("+I"))
+        o = old.select(*pk, F.struct(*value_cols).alias("_old"))
+        n = new.select(*pk, F.struct(*value_cols).alias("_new"))
+        j = o.join(n, pk, "full_outer")
+        inserts = j.filter(F.col("_old").isNull() & F.col("_new").isNotNull()).select(
+            *pk, *[F.col(f"_new.{c}").alias(c) for c in value_cols], F.lit("+I").alias("_change")
+        )
+        deletes = j.filter(F.col("_new").isNull() & F.col("_old").isNotNull()).select(
+            *pk, *[F.col(f"_old.{c}").alias(c) for c in value_cols], F.lit("-D").alias("_change")
+        )
+        changed = j.filter(
+            F.col("_old").isNotNull() & F.col("_new").isNotNull() & (F.col("_old") != F.col("_new"))
+        )
+        before = changed.select(
+            *pk, *[F.col(f"_old.{c}").alias(c) for c in value_cols], F.lit("-U").alias("_change")
+        )
+        after = changed.select(
+            *pk, *[F.col(f"_new.{c}").alias(c) for c in value_cols], F.lit("+U").alias("_change")
+        )
+        return inserts.unionByName(before).unionByName(after).unionByName(deletes)
+
     def expire_snapshots(self, db: str, table: str, keep_last: int = 1) -> dict:
         """Expire all but the newest ``keep_last`` snapshots and delete data
         files no surviving snapshot references — Paimon's snapshot

@@ -475,3 +475,28 @@ def test_f5_timestamp_precision_ladder(cat, spark):
     assert r.updatedtime == base + dt.timedelta(milliseconds=1)
     assert r.microtime == base + dt.timedelta(microseconds=1001)
     assert r.localzonedtime == base + dt.timedelta(milliseconds=2)  # UTC session
+
+
+def test_read_cdc(cat, spark):
+    """CDC diff between snapshots: +I for new keys, -U/+U pairs for changed
+    rows, -D for deletes; unchanged keys emit nothing."""
+    _mk_t1(cat, spark)  # v1: live {1:(2,..), 5:(6,..)}
+    from pyspark.sql import functions as F
+
+    cat.insert_into(  # v2: update 1, insert 7
+        "default", "t1",
+        spark.createDataFrame([(1, 99, "x", "x"), (7, 70, "7", "7")],
+                              "a int, b bigint, aCa string, d string"),
+    )
+    cat.delete_where("default", "t1", F.col("a") == 5)  # v3: delete 5
+
+    cdc = {(r.a, r._change): r.b for r in cat.read_cdc("default.t1", 1, 3).collect()}
+    assert cdc == {
+        (1, "-U"): 2, (1, "+U"): 99,   # update pair for key 1
+        (7, "+I"): 70,                  # insert
+        (5, "-D"): 6,                   # delete carries the old image
+    }
+    # from 0 = everything as inserts
+    assert {r._change for r in cat.read_cdc("default.t1", 0, 1).collect()} == {"+I"}
+    # no changes between identical snapshots
+    assert cat.read_cdc("default.t1", 3, 3).count() == 0
