@@ -525,7 +525,11 @@ class WarehouseCatalog:
             *pk, *[F.col(f"_old.{c}").alias(c) for c in value_cols], F.lit("-D").alias("_change")
         )
         changed = j.filter(
-            F.col("_old").isNotNull() & F.col("_new").isNotNull() & (F.col("_old") != F.col("_new"))
+            F.col("_old").isNotNull()
+            & F.col("_new").isNotNull()
+            # null-safe: plain != returns NULL when a struct field is null,
+            # silently dropping e.g. a null->3 update from the changelog
+            & ~F.col("_old").eqNullSafe(F.col("_new"))
         )
         before = changed.select(
             *pk, *[F.col(f"_old.{c}").alias(c) for c in value_cols], F.lit("-U").alias("_change")

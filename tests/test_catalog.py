@@ -500,3 +500,18 @@ def test_read_cdc(cat, spark):
     assert {r._change for r in cat.read_cdc("default.t1", 0, 1).collect()} == {"+I"}
     # no changes between identical snapshots
     assert cat.read_cdc("default.t1", 3, 3).count() == 0
+
+
+def test_read_cdc_null_field_update(cat, spark):
+    """A null->value (or value->null) field change must emit an update pair —
+    regression for null-unsafe struct comparison."""
+    cat.create_database("default", ignore_if_exists=True)
+    cat.create_table("default", "cdcn", [("k", "int"), ("v", "string")], primary_key=["k"])
+    mk = lambda rows: spark.createDataFrame(rows, "k int, v string")  # noqa: E731
+    cat.insert_into("default", "cdcn", mk([(1, None), (2, "x"), (3, "same")]))
+    cat.insert_into("default", "cdcn", mk([(1, "filled"), (2, None), (3, "same")]))
+    cdc = {(r.k, r._change): r.v for r in cat.read_cdc("default.cdcn", 1, 2).collect()}
+    assert cdc == {
+        (1, "-U"): None, (1, "+U"): "filled",
+        (2, "-U"): "x", (2, "+U"): None,
+    }  # key 3 unchanged -> absent
