@@ -49,6 +49,7 @@ from pyspark.sql import functions as F
 
 from incubator_paimon_trino_spark.catalog.metadata import (
     COMMIT_APPEND,
+    COMMIT_COMPACT,
     COMMIT_OVERWRITE,
     KIND_COL,
     SEQ_COL,
@@ -128,6 +129,10 @@ class WarehouseCatalog:
         primary_key = list(primary_key or [])
         partitioned_by = list(partitioned_by or [])
         names = [c[0] for c in columns]
+        lowered = [n.lower() for n in names]
+        dups = sorted({n for n in lowered if lowered.count(n) > 1})
+        if dups:
+            raise ValueError(f"duplicate column names {dups}")
         for k in primary_key + partitioned_by:
             if k not in names:
                 raise ValueError(f"key column {k!r} not in columns {names}")
@@ -205,6 +210,8 @@ class WarehouseCatalog:
         if f.name in s.primary_key or f.name in s.partition_keys:
             s.primary_key = [new_name if k == f.name else k for k in s.primary_key]
             s.partition_keys = [new_name if k == f.name else k for k in s.partition_keys]
+        if s.options.get("bucket_key") == f.name:
+            s.options["bucket_key"] = new_name
         f.name = new_name  # field id unchanged — old files remain readable
         s.schema_id += 1
         self._write_schema(tdir, s)
@@ -215,6 +222,8 @@ class WarehouseCatalog:
         f = s.field_by_name(name)
         if f.name in s.primary_key or f.name in s.partition_keys:
             raise ValueError(f"cannot drop key column {name!r}")
+        if s.options.get("bucket_key") == f.name:
+            raise ValueError(f"cannot drop bucket_key column {name!r}")
         s.fields = [x for x in s.fields if x.id != f.id]
         s.schema_id += 1
         self._write_schema(tdir, s)
@@ -297,12 +306,16 @@ class WarehouseCatalog:
             writer.parquet(commit_dir)
         else:
             raise ValueError(f"unsupported file_format {fmt!r} (have PARQUET, ORC)")
-        n = out.count()
 
         ext = "orc" if fmt == "ORC" else "parquet"
+        paths = glob.glob(os.path.join(commit_dir, "**", f"*.{ext}"), recursive=True)
+        # row count from the written file footers: no second execution of the
+        # input plan (which would double cost and, for non-deterministic
+        # sources, disagree with what was actually committed)
+        n = sum(_file_row_count(p, ext) for p in paths)
         new_files = [
             {"path": os.path.relpath(p, tdir), "schema_id": schema.schema_id, "format": ext}
-            for p in glob.glob(os.path.join(commit_dir, "**", f"*.{ext}"), recursive=True)
+            for p in paths
         ]
         files = new_files if (overwrite or prev is None) else prev.files + new_files
         snap = Snapshot(
@@ -509,6 +522,8 @@ class WarehouseCatalog:
         schema = self.schema_of(db, table)
         if not schema.primary_key:
             raise ValueError("read_cdc requires a primary-key table")
+        if from_snapshot > to_snapshot:
+            raise ValueError(f"from_snapshot {from_snapshot} > to_snapshot {to_snapshot}")
         pk = schema.primary_key
         value_cols = [f.name for f in schema.fields if f.name not in pk]
         old = self.read_table(name, version_as_of=from_snapshot) if from_snapshot else None
@@ -517,7 +532,9 @@ class WarehouseCatalog:
             return new.withColumn("_change", F.lit("+I"))
         o = old.select(*pk, F.struct(*value_cols).alias("_old"))
         n = new.select(*pk, F.struct(*value_cols).alias("_new"))
-        j = o.join(n, pk, "full_outer")
+        # materialize once: four classification branches below would other-
+        # wise re-run the two merged reads and the join per branch
+        j = o.join(n, pk, "full_outer").localCheckpoint()
         inserts = j.filter(F.col("_old").isNull() & F.col("_new").isNotNull()).select(
             *pk, *[F.col(f"_new.{c}").alias(c) for c in value_cols], F.lit("+I").alias("_change")
         )
@@ -603,19 +620,22 @@ class WarehouseCatalog:
         if schema.partition_keys:
             writer = writer.partitionBy(*schema.partition_keys)
         fmt = schema.options.get("file_format", "PARQUET").upper()
+        if fmt not in ("PARQUET", "ORC"):
+            raise ValueError(f"unsupported file_format {fmt!r} (have PARQUET, ORC)")
         ext = "orc" if fmt == "ORC" else "parquet"
         writer.format(ext).save(commit_dir)
-        n = out.count()
+        paths = glob.glob(os.path.join(commit_dir, "**", f"*.{ext}"), recursive=True)
+        n = sum(_file_row_count(p, ext) for p in paths)
         files = [
             {"path": os.path.relpath(p, tdir), "schema_id": schema.schema_id, "format": ext}
-            for p in glob.glob(os.path.join(commit_dir, "**", f"*.{ext}"), recursive=True)
+            for p in paths
         ]
         snap = Snapshot(
             snapshot_id=version,
             schema_id=schema.schema_id,
             commit_user=self.commit_user,
             commit_identifier=version,
-            commit_kind="COMPACT",
+            commit_kind=COMMIT_COMPACT,
             timestamp_ms=int(time.time() * 1000),
             files=files,  # replaces the live set
             record_count=n,
@@ -741,6 +761,10 @@ class WarehouseCatalog:
                 primary_key=schema.primary_key,
                 merge_engine=schema.options.get("merge_engine", "deduplicate"),
             )
+            # schema column order (merge_on_read returns PK-first) so reads
+            # before/after the first commit and across tables are positional-
+            # union safe
+            df = df.select(*[f.name for f in schema.fields])
         elif not with_system_columns:
             df = df.select(*[f.name for f in schema.fields])
         return df
@@ -1040,8 +1064,11 @@ class WarehouseCatalog:
             return self.spark.createDataFrame([(dml,)], "snapshot_id bigint")
 
         dbs = set(self.list_databases())
+        quoted = _quoted_spans(query)
         out, last = [], 0
         for m in self._TABLE_REF.finditer(query):
+            if any(a <= m.start() < b for a, b in quoted):
+                continue  # inside a string literal — not a table reference
             db, tbl, sys_sfx = m.group("db"), m.group("tbl"), m.group("sys")
             if db not in dbs or tbl not in self.list_tables(db):
                 continue
@@ -1100,3 +1127,34 @@ def _split_top_level(s: str) -> list[str]:
     if cur:
         parts.append("".join(cur))
     return [p for p in (x.strip() for x in parts) if p]
+
+
+def _quoted_spans(sql: str) -> list[tuple[int, int]]:
+    """[start, end) spans of single-quoted string literals ('' escapes)."""
+    spans, i, n = [], 0, len(sql)
+    while i < n:
+        if sql[i] == "'":
+            j = i + 1
+            while j < n:
+                if sql[j] == "'":
+                    if j + 1 < n and sql[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            spans.append((i, min(j + 1, n)))
+            i = j + 1
+        else:
+            i += 1
+    return spans
+
+
+def _file_row_count(path: str, ext: str) -> int:
+    """Row count from the file footer — no data read, no plan re-execution."""
+    if ext == "parquet":
+        import pyarrow.parquet as pq
+
+        return pq.ParquetFile(path).metadata.num_rows
+    import pyarrow.orc as orc
+
+    return orc.ORCFile(path).nrows

@@ -515,3 +515,36 @@ def test_read_cdc_null_field_update(cat, spark):
         (1, "-U"): None, (1, "+U"): "filled",
         (2, "-U"): "x", (2, "+U"): None,
     }  # key 3 unchanged -> absent
+
+
+def test_review_fixes(cat, spark):
+    """Regressions from code review: quoted-literal table refs, reversed CDC
+    range, stale bucket_key on rename, duplicate columns, empty-PK-table
+    column order, footer-based record counts."""
+    _mk_t1(cat, spark)
+    # 1. a db.table occurrence inside a string literal must NOT be rewritten
+    got = cat.sql("SELECT COUNT(*) AS n FROM default.t1 WHERE d = 'default.t1'").collect()
+    assert got[0].n == 0
+    # 2. reversed CDC range raises
+    with pytest.raises(ValueError):
+        cat.read_cdc("default.t1", 2, 1)
+    # 3. rename keeps bucket_key usable; drop of bucket_key rejected
+    cat.create_table(
+        "default", "bk", [("k", "int"), ("v", "string")],
+        options={"bucket": "2", "bucket_key": "k"},
+    )
+    cat.rename_column("default", "bk", "k", "id")
+    assert cat.schema_of("default", "bk").options["bucket_key"] == "id"
+    cat.insert_into("default", "bk", spark.createDataFrame([(1, "a")], "id int, v string"))
+    with pytest.raises(ValueError):
+        cat.drop_column("default", "bk", "id")
+    # 4. duplicate column names rejected at create
+    with pytest.raises(ValueError):
+        cat.create_table("default", "dup", [("a", "int"), ("A", "string")])
+    # 5. empty PK table reads with the same column order as after a commit
+    cat.create_table("default", "vk", [("v", "string"), ("k", "int")], primary_key=["k"])
+    empty_cols = cat.read_table("default.vk").columns
+    cat.insert_into("default", "vk", spark.createDataFrame([("a", 1)], "v string, k int"))
+    assert cat.read_table("default.vk").columns == empty_cols == ["v", "k"]
+    # 6. record_count from footers matches committed rows
+    assert cat.snapshots("default", "vk").collect()[-1].record_count == 1
