@@ -59,8 +59,21 @@ from incubator_paimon_trino_spark.catalog.metadata import (
     read_json,
     write_json_atomic,
 )
+from incubator_paimon_trino_spark.catalog.scan import (
+    collect_file_stats,
+    partition_values,
+    prune_files,
+)
 
-_SYSTEM_SUFFIXES = ("snapshots", "schemas", "files", "options", "audit_log", "tags")
+_SYSTEM_SUFFIXES = (
+    "snapshots",
+    "schemas",
+    "files",
+    "options",
+    "audit_log",
+    "tags",
+    "partitions",
+)
 
 
 class WarehouseCatalog:
@@ -309,14 +322,19 @@ class WarehouseCatalog:
 
         ext = "orc" if fmt == "ORC" else "parquet"
         paths = glob.glob(os.path.join(commit_dir, "**", f"*.{ext}"), recursive=True)
-        # row count from the written file footers: no second execution of the
-        # input plan (which would double cost and, for non-deterministic
-        # sources, disagree with what was actually committed)
-        n = sum(_file_row_count(p, ext) for p in paths)
+        # footer-only stats pass: row counts (no second execution of the input
+        # plan) + per-column min/max/null-count keyed by field id, the input
+        # to manifest-level file skipping at read time (catalog/scan.py)
         new_files = [
-            {"path": os.path.relpath(p, tdir), "schema_id": schema.schema_id, "format": ext}
+            {
+                "path": os.path.relpath(p, tdir),
+                "schema_id": schema.schema_id,
+                "format": ext,
+                **collect_file_stats(p, ext, schema),
+            }
             for p in paths
         ]
+        n = sum(e["record_count"] for e in new_files)
         files = new_files if (overwrite or prev is None) else prev.files + new_files
         snap = Snapshot(
             snapshot_id=version,
@@ -625,11 +643,16 @@ class WarehouseCatalog:
         ext = "orc" if fmt == "ORC" else "parquet"
         writer.format(ext).save(commit_dir)
         paths = glob.glob(os.path.join(commit_dir, "**", f"*.{ext}"), recursive=True)
-        n = sum(_file_row_count(p, ext) for p in paths)
         files = [
-            {"path": os.path.relpath(p, tdir), "schema_id": schema.schema_id, "format": ext}
+            {
+                "path": os.path.relpath(p, tdir),
+                "schema_id": schema.schema_id,
+                "format": ext,
+                **collect_file_stats(p, ext, schema),
+            }
             for p in paths
         ]
+        n = sum(e["record_count"] for e in files)
         snap = Snapshot(
             snapshot_id=version,
             schema_id=schema.schema_id,
@@ -686,36 +709,20 @@ class WarehouseCatalog:
         return read_json(p) if os.path.exists(p) else None
 
     # ---------------------------------------------------------------- reads
-    def read_table(
+    def _pin_snapshot(
         self,
-        name: str,
-        version_as_of: int | None = None,
-        timestamp_as_of: int | None = None,
-        with_system_columns: bool = False,
-        tag: str | None = None,
-    ) -> DataFrame:
-        """Read ``db.table`` (or ``db.table$system``) as a DataFrame.
-
-        - ``version_as_of=n``    — pin snapshot n (``FOR VERSION AS OF`` /
-          ``scan.snapshot-id`` — ``TrinoMetadata.java:102-108``)
-        - ``timestamp_as_of=ms`` — latest snapshot with commit ts ≤ ms
-          (``FOR TIMESTAMP AS OF`` / ``scan.timestamp-millis`` — ``:82-100``)
-        - PK tables are merged-on-read unless ``with_system_columns`` (which
-          exposes the raw changelog incl. ``_seq``/``_row_kind``).
-        """
-        db, _, rest = name.partition(".")
-        table, _, suffix = rest.partition("$")
-        if suffix:
-            return self._system_table(db, table, suffix)
-        tdir = self._table_dir(db, table)
-        schema = self._latest_schema(tdir)
-
+        tdir: str,
+        version_as_of: int | None,
+        timestamp_as_of: int | None,
+        tag: str | None,
+    ) -> Snapshot | None:
+        """Resolve the snapshot a read is pinned to (A11/A12 semantics)."""
         if tag is not None:
             if version_as_of is not None or timestamp_as_of is not None:
                 raise ValueError("tag is mutually exclusive with version/timestamp pins")
             version_as_of = self._tags(tdir).get(tag)
             if version_as_of is None:
-                raise ValueError(f"no tag {tag!r} on {db}.{table}")
+                raise ValueError(f"no tag {tag!r} on {tdir}")
 
         # A12 session-property time travel: Trino's `scan_snapshot_id` /
         # `scan_timestamp_millis` session props are copied into dynamic table
@@ -743,6 +750,65 @@ class WarehouseCatalog:
             snap = older[-1]
         else:
             snap = snaps[-1] if snaps else None
+        return snap
+
+    def scan_plan(
+        self,
+        name: str,
+        predicate: list | None = None,
+        version_as_of: int | None = None,
+        timestamp_as_of: int | None = None,
+        tag: str | None = None,
+    ) -> list[dict]:
+        """The ``newScan().plan()`` equivalent: manifest entries a read with
+        this predicate must touch, after min/max + partition-value skipping
+        (``catalog/scan.py``). Metadata-only — no data file is opened."""
+        db, _, table = name.partition(".")
+        tdir = self._table_dir(db, table)
+        schema = self._latest_schema(tdir)
+        snap = self._pin_snapshot(tdir, version_as_of, timestamp_as_of, tag)
+        if snap is None:
+            return []
+        files = snap.files
+        if predicate:
+            files = prune_files(files, predicate, schema, lambda sid: self._schema(tdir, sid))
+        return files
+
+    def read_table(
+        self,
+        name: str,
+        version_as_of: int | None = None,
+        timestamp_as_of: int | None = None,
+        with_system_columns: bool = False,
+        tag: str | None = None,
+        predicate: list | None = None,
+    ) -> DataFrame:
+        """Read ``db.table`` (or ``db.table$system``) as a DataFrame.
+
+        - ``version_as_of=n``    — pin snapshot n (``FOR VERSION AS OF`` /
+          ``scan.snapshot-id`` — ``TrinoMetadata.java:102-108``)
+        - ``timestamp_as_of=ms`` — latest snapshot with commit ts ≤ ms
+          (``FOR TIMESTAMP AS OF`` / ``scan.timestamp-millis`` — ``:82-100``)
+        - PK tables are merged-on-read unless ``with_system_columns`` (which
+          exposes the raw changelog incl. ``_seq``/``_row_kind``).
+        - ``predicate=[ColumnDomain...]`` — the pushed filter (A4/A5): files
+          the conjunction cannot match are skipped at the manifest
+          (``scan_plan``), and the full predicate is re-applied to the
+          merged rows, mirroring the reference's pushed-then-re-applied
+          ``executeFilter()`` contract.
+        """
+        db, _, rest = name.partition(".")
+        table, _, suffix = rest.partition("$")
+        if suffix:
+            return self._system_table(db, table, suffix)
+        tdir = self._table_dir(db, table)
+        schema = self._latest_schema(tdir)
+        snap = self._pin_snapshot(tdir, version_as_of, timestamp_as_of, tag)
+        if snap is not None and predicate:
+            pruned = prune_files(
+                snap.files, predicate, schema, lambda sid: self._schema(tdir, sid)
+            )
+            snap = dataclasses.replace(snap, files=pruned)
 
         if snap is None or not snap.files:
             empty = schema.spark_schema()
@@ -767,6 +833,10 @@ class WarehouseCatalog:
             df = df.select(*[f.name for f in schema.fields])
         elif not with_system_columns:
             df = df.select(*[f.name for f in schema.fields])
+        if predicate:
+            from incubator_paimon_trino_spark.functions.predicates import apply_tuple_domain
+
+            df = apply_tuple_domain(df, predicate)
         return df
 
     def _read_files(self, tdir: str, schema: TableSchema, snap: Snapshot) -> DataFrame:

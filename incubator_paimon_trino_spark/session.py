@@ -36,6 +36,10 @@ def get_spark(app_name: str = "incubator_paimon_trino_spark", *, shuffle_partiti
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # INT96 (legacy default) parquet timestamps carry no min/max column
+        # statistics; micros do — required for manifest-level file skipping
+        # on event-time predicates (catalog/scan.py)
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "90g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
