@@ -937,9 +937,63 @@ class WarehouseCatalog:
             rows = sorted(self._tags(tdir).items())
             return self.spark.createDataFrame(rows, "tag string, snapshot_id bigint")
         if suffix == "files":
+            # Paimon's `table$files`: one row per live data file with its
+            # partition, format and footer stats (record_count / size).
             snap = self._latest_snapshot(tdir)
-            rows = [(f["path"], f["schema_id"]) for f in (snap.files if snap else [])]
-            return self.spark.createDataFrame(rows, "path string, schema_id bigint")
+            schema = self._latest_schema(tdir)
+            rows = []
+            for f in snap.files if snap else []:
+                pv = partition_values(f["path"])
+                part = "/".join(
+                    f"{k}={'null' if pv.get(k) is None else pv[k]}"
+                    for k in schema.partition_keys
+                )
+                rows.append(
+                    (
+                        part,
+                        f["path"],
+                        f.get("format", "parquet"),
+                        f["schema_id"],
+                        f.get("record_count", 0),
+                        f.get("size_bytes", 0),
+                    )
+                )
+            return self.spark.createDataFrame(
+                rows,
+                "partition string, path string, file_format string, "
+                "schema_id bigint, record_count bigint, file_size_in_bytes bigint",
+            )
+        if suffix == "partitions":
+            # Paimon's `table$partitions`: per-partition rollup of the live
+            # files (record_count, file_count, bytes, last snapshot that
+            # touched the partition — recovered from the commit-dir prefix
+            # `data/c{N}/`, so no extra manifest state is needed).
+            snap = self._latest_snapshot(tdir)
+            schema = self._latest_schema(tdir)
+            snap_ts = {s.snapshot_id: s.timestamp_ms for s in self._snapshots(tdir)}
+            agg: dict[str, list] = {}
+            for f in snap.files if snap else []:
+                pv = partition_values(f["path"])
+                part = "/".join(
+                    f"{k}={'null' if pv.get(k) is None else pv[k]}"
+                    for k in schema.partition_keys
+                )
+                m = re.match(r"data/c(\d+)/", f["path"].replace("\\", "/"))
+                commit = int(m.group(1)) if m else 0
+                cur = agg.setdefault(part, [0, 0, 0, 0])
+                cur[0] += f.get("record_count", 0)
+                cur[1] += 1
+                cur[2] += f.get("size_bytes", 0)
+                cur[3] = max(cur[3], commit)
+            rows = [
+                (part, rc, fc, sz, snap_ts.get(last))
+                for part, (rc, fc, sz, last) in sorted(agg.items())
+            ]
+            return self.spark.createDataFrame(
+                rows,
+                "partition string, record_count bigint, file_count bigint, "
+                "file_size_in_bytes bigint, last_update_ms bigint",
+            )
         # options
         s = self._latest_schema(tdir)
         return self.spark.createDataFrame(

@@ -173,3 +173,39 @@ def test_commit_conflict_detection(cat, spark):
     # next commit proceeds normally on the true latest
     cat.insert_into("default", "cc", spark.createDataFrame([(2,)], "a int"))
     assert cat.snapshots("default", "cc").count() == 2
+
+def test_files_and_partitions_system_tables(cat, spark):
+    """`table$files` / `table$partitions` carry per-file and per-partition
+    stats (Paimon system tables; resolution mechanism A13 —
+    TrinoMetadataBase.java:138-156)."""
+    cat.create_table(
+        "m", "p",
+        [("pt", "string"), ("a", "int")],
+        partitioned_by=["pt"],
+    )
+    cat.insert_into(
+        "m", "p",
+        spark.createDataFrame([("p1", 1), ("p1", 2), ("p2", 3)], "pt string, a int").coalesce(1),
+    )
+    cat.insert_into(
+        "m", "p", spark.createDataFrame([("p2", 4)], "pt string, a int").coalesce(1)
+    )
+
+    files = {f.path: f for f in cat.read_table("m.p$files").collect()}
+    assert len(files) == 3  # one file per partition per commit
+    assert all(f.file_format == "parquet" for f in files.values())
+    assert all(f.file_size_in_bytes > 0 for f in files.values())
+    by_part = {}
+    for f in files.values():
+        by_part.setdefault(f.partition, 0)
+        by_part[f.partition] += f.record_count
+    assert by_part == {"pt=p1": 2, "pt=p2": 2}
+
+    parts = {p.partition: p for p in cat.read_table("m.p$partitions").collect()}
+    assert set(parts) == {"pt=p1", "pt=p2"}
+    assert parts["pt=p1"].record_count == 2 and parts["pt=p1"].file_count == 1
+    assert parts["pt=p2"].record_count == 2 and parts["pt=p2"].file_count == 2
+    # last_update tracks the newest commit touching the partition
+    snaps = {s.snapshot_id: s.timestamp_ms for s in cat.read_table("m.p$snapshots").collect()}
+    assert parts["pt=p1"].last_update_ms == snaps[1]
+    assert parts["pt=p2"].last_update_ms == snaps[2]
