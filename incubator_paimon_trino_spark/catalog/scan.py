@@ -94,14 +94,19 @@ def _key(v, ddl: str):
 
 
 # ------------------------------------------------------------ stats collect
-def collect_file_stats(path: str, fmt: str, schema: TableSchema) -> dict:
+def collect_file_stats(
+    path: str, fmt: str, schema: TableSchema, record_count: int | None = None
+) -> dict:
     """Footer-only stats for one written data file.
 
     Returns ``{"record_count", "size_bytes", "stats": {field_id: {"min",
     "max", "nulls"}}}``. ORC files get counts only (pyarrow exposes no ORC
-    column stats) — pruning then simply never drops them.
+    column stats) — pruning then simply never drops them. Avro has no local
+    footer reader at all: the caller passes ``record_count`` it computed.
     """
     size = os.path.getsize(path)
+    if fmt == "avro":
+        return {"record_count": record_count or 0, "size_bytes": size, "stats": {}}
     if fmt != "parquet":
         import pyarrow.orc as orc
 

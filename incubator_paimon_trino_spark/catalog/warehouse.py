@@ -259,6 +259,40 @@ class WarehouseCatalog:
         snaps = self._snapshots(tdir)
         return snaps[-1] if snaps else None
 
+    def _commit_files(
+        self, tdir: str, commit_dir: str, ext: str, schema: TableSchema
+    ) -> list[dict]:
+        """Manifest entries for the files one commit just wrote.
+
+        Footer-only stats pass: row counts (no second execution of the input
+        plan) + per-column min/max/null-count keyed by field id, the input
+        to manifest-level file skipping at read time (catalog/scan.py).
+        Avro has no pyarrow footer reader: one spark job counts rows per
+        file instead (gated path; pruning simply never drops avro files).
+        """
+        paths = glob.glob(os.path.join(commit_dir, "**", f"*.{ext}"), recursive=True)
+        avro_counts: dict[str, int] = {}
+        if ext == "avro" and paths:
+            avro_counts = {
+                os.path.realpath(r.f.removeprefix("file:")): r.asDict()["count"]
+                for r in self.spark.read.format("avro")
+                .load(commit_dir)
+                .groupBy(F.input_file_name().alias("f"))
+                .count()
+                .collect()
+            }
+        return [
+            {
+                "path": os.path.relpath(p, tdir),
+                "schema_id": schema.schema_id,
+                "format": ext,
+                **collect_file_stats(
+                    p, ext, schema, record_count=avro_counts.get(os.path.realpath(p))
+                ),
+            }
+            for p in paths
+        ]
+
     def insert_into(
         self,
         db: str,
@@ -317,23 +351,26 @@ class WarehouseCatalog:
             writer.orc(commit_dir)
         elif fmt == "PARQUET":
             writer.parquet(commit_dir)
+        elif fmt == "AVRO":
+            # Paimon's third file format (FileFormatType —
+            # TrinoTableOptionUtils.java:96,111-112). Spark's avro data source
+            # is an external module; gate on its presence so environments
+            # without the jar get a clear error instead of a classpath trace.
+            try:
+                writer.format("avro").save(commit_dir)
+            except Exception as ex:  # AnalysisException: Failed to find data source
+                if "Failed to find data source" in str(ex):
+                    raise NotImplementedError(
+                        "file_format='AVRO' needs the spark-avro module on the "
+                        "classpath (org.apache.spark:spark-avro); not present "
+                        "in this runtime — use PARQUET or ORC"
+                    ) from ex
+                raise
         else:
-            raise ValueError(f"unsupported file_format {fmt!r} (have PARQUET, ORC)")
+            raise ValueError(f"unsupported file_format {fmt!r} (have PARQUET, ORC, AVRO)")
 
-        ext = "orc" if fmt == "ORC" else "parquet"
-        paths = glob.glob(os.path.join(commit_dir, "**", f"*.{ext}"), recursive=True)
-        # footer-only stats pass: row counts (no second execution of the input
-        # plan) + per-column min/max/null-count keyed by field id, the input
-        # to manifest-level file skipping at read time (catalog/scan.py)
-        new_files = [
-            {
-                "path": os.path.relpath(p, tdir),
-                "schema_id": schema.schema_id,
-                "format": ext,
-                **collect_file_stats(p, ext, schema),
-            }
-            for p in paths
-        ]
+        ext = {"ORC": "orc", "AVRO": "avro", "PARQUET": "parquet"}[fmt]
+        new_files = self._commit_files(tdir, commit_dir, ext, schema)
         n = sum(e["record_count"] for e in new_files)
         files = new_files if (overwrite or prev is None) else prev.files + new_files
         snap = Snapshot(
@@ -638,20 +675,11 @@ class WarehouseCatalog:
         if schema.partition_keys:
             writer = writer.partitionBy(*schema.partition_keys)
         fmt = schema.options.get("file_format", "PARQUET").upper()
-        if fmt not in ("PARQUET", "ORC"):
-            raise ValueError(f"unsupported file_format {fmt!r} (have PARQUET, ORC)")
-        ext = "orc" if fmt == "ORC" else "parquet"
+        if fmt not in ("PARQUET", "ORC", "AVRO"):
+            raise ValueError(f"unsupported file_format {fmt!r} (have PARQUET, ORC, AVRO)")
+        ext = {"ORC": "orc", "AVRO": "avro", "PARQUET": "parquet"}[fmt]
         writer.format(ext).save(commit_dir)
-        paths = glob.glob(os.path.join(commit_dir, "**", f"*.{ext}"), recursive=True)
-        files = [
-            {
-                "path": os.path.relpath(p, tdir),
-                "schema_id": schema.schema_id,
-                "format": ext,
-                **collect_file_stats(p, ext, schema),
-            }
-            for p in paths
-        ]
+        files = self._commit_files(tdir, commit_dir, ext, schema)
         n = sum(e["record_count"] for e in files)
         snap = Snapshot(
             snapshot_id=version,

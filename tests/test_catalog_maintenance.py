@@ -43,9 +43,30 @@ def test_orc_file_format_roundtrip(cat, spark):
 
 
 def test_unsupported_format_rejected(cat, spark):
-    cat.create_table("m", "bad", [("a", "int")], options={"file_format": "AVRO"})
+    cat.create_table("m", "bad", [("a", "int")], options={"file_format": "CSV"})
     with pytest.raises(ValueError, match="file_format"):
         cat.insert_into("m", "bad", spark.createDataFrame([(1,)], "a int"))
+
+
+def test_avro_format_gated_on_module(cat, spark):
+    """file_format='AVRO' (FileFormatType — TrinoTableOptionUtils.java:96)
+    works iff the external spark-avro module is on the classpath; without it
+    the write fails with a clear, actionable error (not a classpath trace)."""
+    cat.create_table("m", "av", [("a", "int"), ("b", "string")], options={"file_format": "AVRO"})
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "a int, b string")
+    try:
+        spark.read.format("avro").schema("a int").load("/nonexistent-avro-probe")
+        has_avro = True
+    except Exception as ex:
+        has_avro = "Failed to find data source" not in str(ex)
+    if not has_avro:
+        with pytest.raises(NotImplementedError, match="spark-avro"):
+            cat.insert_into("m", "av", df)
+    else:  # pragma: no cover - container lacks the module
+        cat.insert_into("m", "av", df)
+        assert sorted(tuple(r) for r in cat.read_table("m.av").collect()) == [(1, "x"), (2, "y")]
+        files = cat.read_table("m.av$files").collect()
+        assert all(f.file_format == "avro" and f.record_count > 0 for f in files)
 
 
 def test_compact_pk_table(cat, spark):
