@@ -293,3 +293,139 @@ def ann_lsh_bucketed_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rnk",
         )
     )
+
+
+# -------------------------------------------------------------- IVF variant
+_K_CELLS = 16  # inverted-file cells (centroid count)
+_N_PROBE = 4  # cells scanned per query
+
+
+def _ivf_centroids(e: DataFrame) -> DataFrame:
+    """Deterministic coarse quantizer: the {_K_CELLS} corpus vectors right
+    after the query block serve as centroids (k-means init step 0 — data
+    vectors, no iterative training, so DuckDB can reproduce cell assignment
+    exactly). A trained quantizer would slot in here without changing the
+    query shape."""
+    return e.filter(
+        (F.col("vec_id") >= _N_QUERIES) & (F.col("vec_id") < _N_QUERIES + _K_CELLS)
+    ).select(
+        (F.col("vec_id") - _N_QUERIES).cast("int").alias("cell"),
+        F.col("emb").alias("c_emb"),
+        F.col("norm").alias("c_norm"),
+    )
+
+
+_ARGMAX_CELL = """
+aggregate(
+  transform(cents, c -> named_struct('cell', c.cell, 'cos',
+    aggregate(zip_with(emb, c.c_emb, (x, y) -> x * y),
+              cast(0.0 as double), (a, x) -> a + x) / (norm * c.c_norm))),
+  named_struct('cell', -1, 'cos', cast('-Infinity' as double)),
+  (acc, s) -> CASE WHEN s.cos > acc.cos THEN s ELSE acc END,
+  acc -> acc.cell)
+"""
+
+
+@register(
+    "ann_ivf_probe",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS norm
+      FROM embeddings
+    ),
+    cents AS (
+      SELECT CAST(vec_id - {_N_QUERIES} AS INT) AS cell, emb AS c_emb, norm AS c_norm
+      FROM e WHERE vec_id >= {_N_QUERIES} AND vec_id < {_N_QUERIES} + {_K_CELLS}
+    ),
+    assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT e.vec_id, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_dot_product(e.emb, c.c_emb) / (e.norm * c.c_norm) DESC, c.cell) AS r
+        FROM e, cents c) WHERE r = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, cell FROM (
+        SELECT e.vec_id, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_dot_product(e.emb, c.c_emb) / (e.norm * c.c_norm) DESC, c.cell) AS r
+        FROM e, cents c WHERE e.vec_id < {_N_QUERIES}) WHERE r <= {_N_PROBE}
+    ),
+    cands AS (
+      SELECT p.query_id, c.vec_id,
+             list_dot_product(c.emb, q.emb) / (c.norm * q.norm) AS cosine
+      FROM probes p
+      JOIN assign a USING (cell)
+      JOIN e c ON c.vec_id = a.vec_id
+      JOIN e q ON q.vec_id = p.query_id
+      WHERE c.vec_id <> p.query_id
+    )
+    SELECT query_id, vec_id AS neighbor_id, ROUND(cosine, 6) AS cosine_r, rnk
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, vec_id) AS rnk
+          FROM cands)
+    WHERE rnk <= {_TOP_K}
+    """,
+)
+def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse-quantize the corpus into {_K_CELLS} cells, then
+    each query scans only its {_N_PROBE} nearest cells (exact cosine + top-k
+    within candidates).
+
+    Scale shape — the three IVF stages map to Spark like this:
+    - **Assignment is a narrow map, zero corpus shuffle**: the 16 centroids
+      are collapsed into ONE array column (collect_list on a 16-row frame)
+      and broadcast; each corpus partition computes argmax-cosine locally
+      via a SQL fold. At 100 TB the corpus is touched once, in place.
+    - **The cell id becomes the partition key**: candidates come from an
+      equi-join on `cell`, so a corpus pre-partitioned (or bucketed) by cell
+      serves every query batch without re-shuffling — the inverted "file".
+    - **Per-query cost drops O(N) → O(N × nprobe / cells)**, the IVF
+      contract; recall vs the exact baseline is asserted in tests.
+    """
+    from pyspark.sql import Window as W
+
+    e = embeddings_normalized(spark, sf_dir)
+    cents = _ivf_centroids(e)
+    cent_row = cents.agg(
+        F.sort_array(F.collect_list(F.struct("cell", "c_emb", "c_norm"))).alias("cents")
+    )
+    assigned = (
+        e.crossJoin(F.broadcast(cent_row))
+        .withColumn("cell", F.expr(_ARGMAX_CELL))
+        .drop("cents")
+    )
+
+    q = e.filter(F.col("vec_id") < _N_QUERIES)
+    q_scored = q.crossJoin(F.broadcast(cents)).withColumn(
+        "cos", _dot(F.col("emb"), F.col("c_emb")) / (F.col("norm") * F.col("c_norm"))
+    )
+    wq = W.partitionBy("vec_id").orderBy(F.desc("cos"), "cell")
+    probes = (
+        q_scored.withColumn("r", F.row_number().over(wq))
+        .filter(F.col("r") <= _N_PROBE)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("emb").alias("q_emb"),
+            F.col("norm").alias("q_norm"),
+            "cell",
+        )
+    )
+
+    cands = (
+        assigned.join(probes, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cosine", _dot(F.col("emb"), F.col("q_emb")) / (F.col("norm") * F.col("q_norm")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
+    return (
+        cands.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round("cosine", 6).alias("cosine_r"),
+            "rnk",
+        )
+    )

@@ -102,3 +102,29 @@ def test_cluster_components_transitive_closure(spark):
     for d, c in comp.items():
         if d not in linked:
             assert c == d
+
+
+def test_ann_ivf_recall_vs_bruteforce(spark):
+    from incubator_paimon_trino_spark.operators.similarity import (
+        ann_cosine_topk,
+        ann_ivf_probe,
+    )
+
+    exact = {
+        (r["query_id"], r["neighbor_id"]) for r in ann_cosine_topk(spark, SF_ORACLE).collect()
+    }
+    approx_rows = ann_ivf_probe(spark, SF_ORACLE).collect()
+    approx = {(r["query_id"], r["neighbor_id"]) for r in approx_rows}
+    # random near-orthogonal embeddings make cells near-uniform: scanning
+    # 4/16 cells covers ~1/4 of the corpus, so recall floor is modest; real
+    # clustered embeddings concentrate neighbors in the probed cells
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.2, f"ivf recall {recall}"
+    # k results per query, ranks contiguous from 1
+    from collections import Counter
+
+    per_q = Counter(r["query_id"] for r in approx_rows)
+    assert all(n == 10 for n in per_q.values()) and len(per_q) == 5
+    for q in per_q:
+        ranks = sorted(r["rnk"] for r in approx_rows if r["query_id"] == q)
+        assert ranks == list(range(1, 11))
