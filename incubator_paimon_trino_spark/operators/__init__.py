@@ -16,6 +16,7 @@ def load_all() -> None:
         events,
         joins,
         lake,
+        match_recognize,
         multimodal,
         patterns,
         hof,

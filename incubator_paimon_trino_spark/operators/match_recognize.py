@@ -1,0 +1,324 @@
+"""General MATCH_RECOGNIZE: regex-over-rows with NFA backtracking.
+
+The reference's inherited Trino suite names row-pattern matching
+(``testAggregationInPatternMatching``, ``testJoinedPatternMatch`` —
+``common-test/TestTrinoDistributedQuery.java:91,486``); SURVEY §2.B marks it
+"no Spark equivalent". ``operators/patterns.py`` covers the fixed shapes with
+pure window plans; this module is the general engine those plans special-case:
+
+- **pattern**: a regex over symbol names — concatenation (space), ``|``
+  alternation, ``+ * ?`` greedy quantifiers, ``( )`` grouping. Example:
+  ``"V C+ (P | E)"``.
+- **define**: per-symbol boolean SQL over the current row's columns
+  (Trino's DEFINE clause). Conditions are evaluated ONCE, JVM-side inside
+  whole-stage codegen, into boolean flag columns — the Python matcher only
+  ever sees a bit-matrix, never row data.
+- **matching**: per partition, rows sorted by ``order_by``; leftmost match
+  wins, greedy quantifiers prefer longer (SQL-standard preference order);
+  ``after_match`` = ``skip_past_last`` (default) or ``skip_to_next_row``.
+
+Output is Trino's ALL ROWS PER MATCH shape: every matched row with
+``match_no`` (1-based per partition), ``classifier`` (the symbol that
+claimed the row) and ``match_row`` (1-based position inside the match).
+MEASURES then compose as ordinary ``groupBy(partition, match_no)``
+aggregations — idiomatic Spark instead of a measure sub-language.
+
+Scale shape: one hash shuffle on the partition key (the same shuffle any
+window over the key needs), then Arrow-batched per-group matching. State is
+O(partition rows); the NFA walk is linear except where nested quantifiers
+genuinely require backtracking.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterator
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------------------------ pattern AST
+@dataclass
+class _Sym:
+    name: str
+
+
+@dataclass
+class _Seq:
+    parts: list
+
+
+@dataclass
+class _Alt:
+    options: list
+
+
+@dataclass
+class _Rep:
+    node: object
+    min_count: int  # 0 for * / ?, 1 for +
+    max_count: int | None  # None = unbounded, 1 for ?
+
+
+def parse_pattern(pattern: str) -> object:
+    """Recursive-descent parser for the row-pattern grammar."""
+    tokens = pattern.replace("(", " ( ").replace(")", " ) ").replace("|", " | ")
+    for q in "+*?":
+        tokens = tokens.replace(q, f" {q} ")
+    toks = tokens.split()
+    pos = 0
+
+    def peek() -> str | None:
+        return toks[pos] if pos < len(toks) else None
+
+    def take() -> str:
+        nonlocal pos
+        if pos >= len(toks):
+            raise ValueError(f"unexpected end of pattern {pattern!r}")
+        t = toks[pos]
+        pos += 1
+        return t
+
+    def parse_alt():
+        opts = [parse_seq()]
+        while peek() == "|":
+            take()
+            opts.append(parse_seq())
+        return opts[0] if len(opts) == 1 else _Alt(opts)
+
+    def parse_seq():
+        parts = []
+        while peek() is not None and peek() not in (")", "|"):
+            parts.append(parse_quant())
+        if not parts:
+            raise ValueError(f"empty pattern segment in {pattern!r}")
+        return parts[0] if len(parts) == 1 else _Seq(parts)
+
+    def parse_quant():
+        node = parse_atom()
+        q = peek()
+        if q == "+":
+            take()
+            return _Rep(node, 1, None)
+        if q == "*":
+            take()
+            return _Rep(node, 0, None)
+        if q == "?":
+            take()
+            return _Rep(node, 0, 1)
+        return node
+
+    def parse_atom():
+        t = take()
+        if t == "(":
+            inner = parse_alt()
+            if take() != ")":
+                raise ValueError(f"unbalanced parens in {pattern!r}")
+            return inner
+        if not t.isidentifier():
+            raise ValueError(f"bad symbol {t!r} in pattern {pattern!r}")
+        return _Sym(t)
+
+    out = parse_alt()
+    if pos != len(toks):
+        raise ValueError(f"trailing tokens {toks[pos:]} in pattern {pattern!r}")
+    return out
+
+
+def pattern_symbols(node) -> list[str]:
+    """Symbols in first-appearance order."""
+    out: list[str] = []
+
+    def walk(n):
+        if isinstance(n, _Sym):
+            if n.name not in out:
+                out.append(n.name)
+        elif isinstance(n, _Seq):
+            for p in n.parts:
+                walk(p)
+        elif isinstance(n, _Alt):
+            for p in n.options:
+                walk(p)
+        elif isinstance(n, _Rep):
+            walk(n.node)
+
+    walk(node)
+    return out
+
+
+# ------------------------------------------------------------- NFA matcher
+def _match_from(node, flags: dict[str, "object"], i: int, n: int) -> Iterator[tuple[int, list[str]]]:
+    """Yield (end, classifiers) continuations of matching ``node`` at row i,
+    in SQL preference order (greedy: longer first). ``flags[s][j]`` is True
+    iff row j satisfies symbol s. Every symbol consumes exactly one row, so
+    loop progress is guaranteed by requiring body length > 0 per iteration."""
+    if isinstance(node, _Sym):
+        if i < n and flags[node.name][i]:
+            yield i + 1, [node.name]
+        return
+    if isinstance(node, _Seq):
+
+        def seq(parts, j) -> Iterator[tuple[int, list[str]]]:
+            if not parts:
+                yield j, []
+                return
+            for mid, cls1 in _match_from(parts[0], flags, j, n):
+                for end, cls2 in seq(parts[1:], mid):
+                    yield end, cls1 + cls2
+
+        yield from seq(node.parts, i)
+        return
+    if isinstance(node, _Alt):
+        for opt in node.options:
+            yield from _match_from(opt, flags, i, n)
+        return
+    # _Rep: greedy — try one more body iteration first, then stop (if allowed)
+    def rep(count, j) -> Iterator[tuple[int, list[str]]]:
+        if node.max_count is None or count < node.max_count:
+            for mid, cls1 in _match_from(node.node, flags, j, n):
+                if mid == j:
+                    continue  # zero-width body: stop looping
+                for end, cls2 in rep(count + 1, mid):
+                    yield end, cls1 + cls2
+        if count >= node.min_count:
+            yield j, []
+
+    yield from rep(0, i)
+
+
+def find_matches(
+    node, flags: dict[str, "object"], n: int, after_match: str
+) -> list[tuple[int, list[str]]]:
+    """Leftmost-greedy scan over one sorted partition.
+
+    Returns [(start_row, classifiers)] — one entry per match, classifiers
+    aligned to consecutive rows from start_row."""
+    out = []
+    i = 0
+    while i < n:
+        hit = next(_match_from(node, flags, i, n), None)
+        if hit is not None and hit[0] > i:  # non-empty match
+            end, classifiers = hit
+            out.append((i, classifiers))
+            i = end if after_match == "skip_past_last" else i + 1
+        else:
+            i += 1
+    return out
+
+
+# ------------------------------------------------------------ the operator
+def match_recognize(
+    df: DataFrame,
+    partition_by: list[str],
+    order_by: list[str],
+    pattern: str,
+    define: dict[str, Column | str],
+    after_match: str = "skip_past_last",
+) -> DataFrame:
+    """ALL-ROWS-PER-MATCH row-pattern matching (see module docstring).
+
+    ``define`` maps each pattern symbol to a boolean ``Column`` or SQL
+    string over the input columns. Returns the matched rows plus
+    ``match_no``, ``classifier``, ``match_row``.
+    """
+    if after_match not in ("skip_past_last", "skip_to_next_row"):
+        raise ValueError(f"unknown after_match {after_match!r}")
+    ast = parse_pattern(pattern)
+    symbols = pattern_symbols(ast)
+    missing = [s for s in symbols if s not in define]
+    if missing:
+        raise ValueError(f"pattern symbols {missing} missing from define {sorted(define)}")
+
+    flagged = df
+    for s in symbols:
+        cond = define[s]
+        col = F.expr(cond) if isinstance(cond, str) else cond
+        flagged = flagged.withColumn(f"_mr_{s}", F.coalesce(col.cast("boolean"), F.lit(False)))
+
+    in_cols = df.columns
+    schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields]
+        + ["match_no bigint", "classifier string", "match_row int"]
+    )
+
+    def run(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(order_by, kind="mergesort").reset_index(drop=True)
+        flags = {s: pdf[f"_mr_{s}"].to_numpy() for s in symbols}
+        n = len(pdf)
+        starts, m_no, m_cls, m_row = [], [], [], []
+        for k, (start, classifiers) in enumerate(find_matches(ast, flags, n, after_match), 1):
+            for off, c in enumerate(classifiers):
+                starts.append(start + off)
+                m_no.append(k)
+                m_cls.append(c)
+                m_row.append(off + 1)
+        out = pdf.iloc[starts][in_cols].copy() if starts else pdf.iloc[0:0][in_cols].copy()
+        out["match_no"] = pd.Series(m_no, index=out.index, dtype="int64")
+        out["classifier"] = pd.Series(m_cls, index=out.index, dtype="object")
+        out["match_row"] = pd.Series(m_row, index=out.index, dtype="int32")
+        return out
+
+    return flagged.groupBy(*partition_by).applyInPandas(run, schema=schema)
+
+
+# ------------------------------------------------- registered demonstration
+from pyspark.sql import SparkSession  # noqa: E402
+
+from incubator_paimon_trino_spark.operators.registry import register  # noqa: E402
+from incubator_paimon_trino_spark.sources import table  # noqa: E402
+
+
+@register(
+    "pattern_match_recognize_funnel",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, event_type, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    nc AS (
+      SELECT *, MAX(CASE WHEN event_type <> 'click' THEN rn END)
+                 OVER (PARTITION BY user_id ORDER BY rn
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_nc
+      FROM seq
+    )
+    SELECT p.user_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY p.user_id ORDER BY s.rn) AS BIGINT) AS match_no,
+           s.event_id AS start_event_id,
+           p.event_id AS end_event_id,
+           CAST(p.rn - s.rn - 1 AS BIGINT) AS n_clicks
+    FROM nc p JOIN seq s ON s.user_id = p.user_id AND s.rn = p.prev_nc
+    WHERE p.event_type = 'purchase' AND s.event_type = 'view' AND p.rn - s.rn >= 2
+    """,
+)
+def pattern_match_recognize_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PATTERN (V C+ P) through the general NFA engine: a view, one-or-more
+    contiguous clicks, then a purchase, per user in event-time order —
+    measures (start/end event, click count) as a plain groupBy over the
+    ALL-ROWS-PER-MATCH output.
+
+    The DuckDB oracle derives the same matches in closed form (for this
+    pattern the last non-click row before each purchase decides everything),
+    so the generic matcher's match set, numbering, boundaries and per-match
+    counts are all value-hash-checked.
+    """
+    ev = table(spark, sf_dir, "events").select("user_id", "event_id", "event_type", "ts")
+    mr = match_recognize(
+        ev,
+        partition_by=["user_id"],
+        order_by=["ts", "event_id"],
+        pattern="V C+ P",
+        define={
+            "V": "event_type = 'view'",
+            "C": "event_type = 'click'",
+            "P": "event_type = 'purchase'",
+        },
+    )
+    return mr.groupBy("user_id", "match_no").agg(
+        F.min_by("event_id", "match_row").alias("start_event_id"),
+        F.max_by("event_id", "match_row").alias("end_event_id"),
+        F.sum(F.when(F.col("classifier") == "C", 1).otherwise(0)).alias("n_clicks"),
+    )
