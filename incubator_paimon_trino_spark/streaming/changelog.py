@@ -29,22 +29,73 @@ from incubator_paimon_trino_spark.catalog.metadata import KIND_COL, SEQ_COL
 from incubator_paimon_trino_spark.catalog.warehouse import WarehouseCatalog, _physical_schema
 
 
-def read_changelog_stream(cat: WarehouseCatalog, name: str) -> DataFrame:
+def read_changelog_stream(
+    cat: WarehouseCatalog,
+    name: str,
+    startup_mode: str = "latest-full",
+    scan_snapshot_id: int | None = None,
+    scan_timestamp_ms: int | None = None,
+) -> DataFrame:
     """Streaming DataFrame over ``db.table``'s commit stream.
 
     PK tables yield changelog rows (``_seq``/``_row_kind`` included);
     append-only tables yield plain rows. New commits are picked up as their
     files land — at scale, with ``maxFilesPerTrigger`` to bound batch size.
+
+    ``startup_mode`` implements the reference's ``StartupMode`` DDL enum
+    (``TrinoTableOptionUtils.java:94-107`` — stored there, never executed;
+    executable here):
+
+    - ``latest-full`` (default) — consume every existing commit, then tail.
+    - ``latest``        — tail only: commits made after the stream starts.
+    - ``from-snapshot`` — commits with ``snapshot_id >= scan_snapshot_id``.
+    - ``from-timestamp``— commits whose snapshot committed at or after
+      ``scan_timestamp_ms`` (resolved through the manifests, like the batch
+      ``timestamp_as_of`` pin).
+
+    The cut is a predicate on the commit id parsed from each file's
+    ``data/c<v>/`` path — partition-pruning-style, evaluated per file path,
+    no data read from excluded commits' rows.
     """
     db, _, table = name.partition(".")
     tdir = cat._table_dir(db, table)
     schema = cat._latest_schema(tdir)
     phys = _physical_schema(schema, bool(schema.primary_key))
-    return (
+
+    from_version: int | None = None
+    if startup_mode == "latest-full":
+        if scan_snapshot_id is not None or scan_timestamp_ms is not None:
+            raise ValueError("latest-full takes no scan position")
+    elif startup_mode == "latest":
+        latest = cat._latest_snapshot(tdir)
+        from_version = (latest.snapshot_id if latest else 0) + 1
+    elif startup_mode == "from-snapshot":
+        if scan_snapshot_id is None:
+            raise ValueError("from-snapshot requires scan_snapshot_id")
+        from_version = scan_snapshot_id
+    elif startup_mode == "from-timestamp":
+        if scan_timestamp_ms is None:
+            raise ValueError("from-timestamp requires scan_timestamp_ms")
+        newer = [s for s in cat._snapshots(tdir) if s.timestamp_ms >= scan_timestamp_ms]
+        # no snapshot that late yet: start past the current tip and tail
+        from_version = newer[0].snapshot_id if newer else (
+            (cat._snapshots(tdir)[-1].snapshot_id + 1) if cat._snapshots(tdir) else 1
+        )
+    else:
+        raise ValueError(
+            f"unknown startup_mode {startup_mode!r} "
+            "(have latest-full, latest, from-snapshot, from-timestamp)"
+        )
+
+    stream = (
         cat.spark.readStream.schema(phys)
         .option("pathGlobFilter", "*.parquet")
         .parquet(os.path.join(tdir, "data", "c*"))
     )
+    if from_version is not None:
+        commit_of = F.regexp_extract(F.input_file_name(), r"/data/c(\d+)/", 1).cast("bigint")
+        stream = stream.filter(commit_of >= F.lit(from_version))
+    return stream
 
 
 def windowed_counts(stream: DataFrame, ts_col: str, key_col: str, window: str = "5 minutes",

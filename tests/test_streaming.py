@@ -97,3 +97,58 @@ def test_pk_changelog_stream_exposes_row_kinds(spark, tmp_path):
     out = run_to_completion(read_changelog_stream(cat, "s.pk"), "pkcl")
     kinds = {(r.k, r._row_kind) for r in out.collect()}
     assert kinds == {(1, "I"), (2, "I"), (1, "D")}
+
+
+def test_startup_mode_from_snapshot(spark, event_table):
+    """StartupMode.from-snapshot: commits before the pinned snapshot are
+    excluded by the commit-id path predicate."""
+    cat, name = event_table
+    out = run_to_completion(
+        read_changelog_stream(cat, name, startup_mode="from-snapshot", scan_snapshot_id=2),
+        "from_snap",
+    )
+    # commit 2 only (2 rows); commit 1's 3 rows cut
+    assert out.count() == 2
+    assert {r.user_id for r in out.collect()} == {1, 2}
+    assert out.filter("value IN (3.0, 7.0)").count() == 2
+
+
+def test_startup_mode_from_timestamp(spark, event_table):
+    cat, name = event_table
+    tdir = cat._table_dir("s", "ev")
+    snaps = cat._snapshots(tdir)
+    cut = snaps[1].timestamp_ms  # at commit 2's timestamp → commit 2 onward
+    out = run_to_completion(
+        read_changelog_stream(cat, name, startup_mode="from-timestamp", scan_timestamp_ms=cut),
+        "from_ts",
+    )
+    assert out.count() == 2
+
+
+def test_startup_mode_latest_tails_only_new_commits(spark, event_table):
+    """StartupMode.latest: nothing from history; a commit made after stream
+    definition is picked up."""
+    cat, name = event_table
+    stream = read_changelog_stream(cat, name, startup_mode="latest")
+    assert run_to_completion(stream, "latest1").count() == 0
+    df = spark.createDataFrame(
+        [(7, "2024-01-02 00:00:00", 4.0)], "user_id bigint, ts string, value double"
+    ).selectExpr("user_id", "CAST(ts AS TIMESTAMP) AS ts", "value")
+    cat.insert_into("s", "ev", df)
+    out = run_to_completion(read_changelog_stream(cat, name, startup_mode="latest"), "latest2")
+    # the second stream pinned latest at snapshot 3's creation... it was
+    # created AFTER commit 3 landed, so `latest` starts at 4: still empty
+    assert out.count() == 0
+    # but the first stream's pin (after commit 2) sees commit 3
+    out1 = run_to_completion(stream, "latest3")
+    assert out1.count() == 1 and out1.collect()[0].user_id == 7
+
+
+def test_startup_mode_validation(spark, event_table):
+    cat, name = event_table
+    with pytest.raises(ValueError, match="scan_snapshot_id"):
+        read_changelog_stream(cat, name, startup_mode="from-snapshot")
+    with pytest.raises(ValueError, match="scan position"):
+        read_changelog_stream(cat, name, scan_snapshot_id=1)
+    with pytest.raises(ValueError, match="unknown startup_mode"):
+        read_changelog_stream(cat, name, startup_mode="compacted-full")
