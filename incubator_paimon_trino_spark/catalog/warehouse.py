@@ -60,6 +60,7 @@ from incubator_paimon_trino_spark.catalog.metadata import (
     write_json_atomic,
 )
 from incubator_paimon_trino_spark.catalog.scan import (
+    _HIVE_NULL,
     collect_file_stats,
     partition_values,
     prune_files,
@@ -787,10 +788,19 @@ class WarehouseCatalog:
         version_as_of: int | None = None,
         timestamp_as_of: int | None = None,
         tag: str | None = None,
+        limit: int | None = None,
     ) -> list[dict]:
         """The ``newScan().plan()`` equivalent: manifest entries a read with
         this predicate must touch, after min/max + partition-value skipping
-        (``catalog/scan.py``). Metadata-only — no data file is opened."""
+        (``catalog/scan.py``). Metadata-only — no data file is opened.
+
+        ``limit`` mirrors ``readBuilder.withLimit`` via the reference's
+        applyLimit guard (``TrinoMetadataBase.java:418-445``): the file list
+        is truncated only when every predicate column is a partition key whose
+        value fully decides each surviving file (so kept files contain ONLY
+        matching rows) and the table is append-only (merge-on-read could
+        collapse rows, under-producing). Never "guaranteed" — callers must
+        still re-apply the row limit, as the Trino engine does."""
         db, _, table = name.partition(".")
         tdir = self._table_dir(db, table)
         schema = self._latest_schema(tdir)
@@ -800,6 +810,8 @@ class WarehouseCatalog:
         files = snap.files
         if predicate:
             files = prune_files(files, predicate, schema, lambda sid: self._schema(tdir, sid))
+        if limit is not None and _limit_pushable(schema, predicate, files):
+            files = _limit_file_prefix(files, limit)
         return files
 
     def read_table(
@@ -810,6 +822,7 @@ class WarehouseCatalog:
         with_system_columns: bool = False,
         tag: str | None = None,
         predicate: list | None = None,
+        limit: int | None = None,
     ) -> DataFrame:
         """Read ``db.table`` (or ``db.table$system``) as a DataFrame.
 
@@ -824,6 +837,11 @@ class WarehouseCatalog:
           (``scan_plan``), and the full predicate is re-applied to the
           merged rows, mirroring the reference's pushed-then-re-applied
           ``executeFilter()`` contract.
+        - ``limit=n`` — pushed to the manifest under the A8 guard
+          (``TrinoMetadataBase.java:418-445``: partition-only filters,
+          append-only table) so a LIMIT 10 on a million-file table opens a
+          handful of files; always re-applied as ``df.limit(n)`` because the
+          pushdown is never "guaranteed".
         """
         db, _, rest = name.partition(".")
         table, _, suffix = rest.partition("$")
@@ -837,6 +855,8 @@ class WarehouseCatalog:
                 snap.files, predicate, schema, lambda sid: self._schema(tdir, sid)
             )
             snap = dataclasses.replace(snap, files=pruned)
+        if snap is not None and limit is not None and _limit_pushable(schema, predicate, snap.files):
+            snap = dataclasses.replace(snap, files=_limit_file_prefix(snap.files, limit))
 
         if snap is None or not snap.files:
             empty = schema.spark_schema()
@@ -865,6 +885,8 @@ class WarehouseCatalog:
             from incubator_paimon_trino_spark.functions.predicates import apply_tuple_domain
 
             df = apply_tuple_domain(df, predicate)
+        if limit is not None:
+            df = df.limit(limit)  # engine re-limits — pushdown is a hint (A8)
         return df
 
     def _read_files(self, tdir: str, schema: TableSchema, snap: Snapshot) -> DataFrame:
@@ -885,18 +907,44 @@ class WarehouseCatalog:
         is_pk = bool(schema.primary_key)
         for (sid, fmt), paths in sorted(groups.items()):
             old = self._schema(tdir, sid)
+            part_names = set(old.partition_keys)
+            # Partition columns are reconstructed from the file PATH, not from
+            # Spark's directory inference: our layout is data/c<commit>/k=v/,
+            # and inference chokes on the non-partition c<commit> level when a
+            # plan mixes commits. Parsing input_file_name keeps the whole
+            # snapshot one scan node however many commits it spans — at scale
+            # the alternative (one read per commit, unioned) bloats the plan
+            # linearly with table history.
             # .format().load(list) — DataFrameReader.orc() has no varargs
             # (its 2nd positional is mergeSchema), unlike .parquet().
             df = (
-                self.spark.read.option("basePath", os.path.join(tdir, "data"))
-                .schema(_physical_schema(old, is_pk))
+                self.spark.read.schema(_physical_schema(old, is_pk, exclude=part_names))
                 .format(fmt)
                 .load(paths)
             )
+            part_exprs: dict[int, Column] = {}
+            for pname in old.partition_keys:
+                pf = old.field_by_name(pname)
+                raw = F.regexp_extract(
+                    F.input_file_name(), "/" + re.escape(pname) + "=([^/]*)/", 1
+                )
+                # Two escape layers: input_file_name returns a URI (its own
+                # %XX encoding) wrapping the hive-escaped dir name. Decode
+                # twice, each time shielding literal '+' (legal in both
+                # layers) from url_decode's plus-means-space.
+                shield = lambda c: F.regexp_replace(c, r"\+", "%2B")  # noqa: E731
+                decoded = F.url_decode(shield(F.url_decode(shield(raw))))
+                part_exprs[pf.id] = (
+                    F.when(raw == F.lit(_HIVE_NULL), F.lit(None))
+                    .otherwise(decoded)
+                    .cast(pf.type)
+                )
             cols = []
             for fid, cur in sorted(current.items()):
                 old_field = next((of for of in old.fields if of.id == fid), None)
-                if old_field is None:
+                if fid in part_exprs:
+                    cols.append(part_exprs[fid].alias(cur.name))
+                elif old_field is None:
                     cols.append(F.lit(None).cast(cur.type).alias(cur.name))
                 else:
                     cols.append(F.col(old_field.name).cast(cur.type).alias(cur.name))
@@ -1249,10 +1297,47 @@ class WarehouseCatalog:
         return self.spark.sql("".join(out) + query[last:])
 
 
-def _physical_schema(schema: TableSchema, is_pk: bool):
+def _limit_pushable(schema: TableSchema, predicate: list | None, files: list[dict]) -> bool:
+    """A8 guard (``TrinoMetadataBase.java:418-445``): a scan-level LIMIT is
+    sound only when partition values alone decide every surviving file —
+    i.e. every predicate column is a partition key present in each file's
+    path — and no merge-on-read can collapse rows afterwards."""
+    if schema.primary_key:
+        return False
+    cols = {d.column for d in (predicate or [])}
+    if not cols:
+        return True
+    if not cols <= set(schema.partition_keys):
+        return False
+    for e in files:
+        pv = partition_values(e["path"])
+        if not cols <= set(pv):
+            return False  # renamed/missing partition path column → not exact
+    return True
+
+
+def _limit_file_prefix(files: list[dict], limit: int) -> list[dict]:
+    """Shortest manifest prefix whose KNOWN record counts reach ``limit``
+    (unknown counts add rows but never count toward the stop test, so the
+    truncation can only keep extra files — never starve the limit)."""
+    out: list[dict] = []
+    acc = 0
+    for e in files:
+        out.append(e)
+        acc += e.get("record_count") or 0
+        if acc >= limit:
+            break
+    return out
+
+
+def _physical_schema(schema: TableSchema, is_pk: bool, exclude: set[str] | None = None):
+    """Schema of the bytes actually in a data file: table schema minus
+    hive-layout partition columns (they live in the path), plus the PK
+    changelog system columns."""
     from pyspark.sql import types as T
 
-    s = schema.spark_schema()
+    full = schema.spark_schema()
+    s = T.StructType([f for f in full.fields if f.name not in (exclude or set())])
     if is_pk:
         s = s.add(SEQ_COL, T.LongType()).add(KIND_COL, T.StringType())
     return s

@@ -101,25 +101,34 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming DataFrame over the events parquet (schema from a batch peek)."""
-    from pyspark.sql.types import LongType, StructField, StructType
+    import os
 
-    # events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects;
-    # mirror the batch loader: read nanos as raw INT64 (nanosAsLong, set by
-    # table()) and truncate to a micros timestamp. The file-stream source
-    # wants a directory, so stream the sf_dir with a glob for just this table.
-    batch = table(spark, sf_dir, "events").schema
+    from pyspark.sql.types import LongType, StructField, StructType, TimestampNTZType
+
+    # events.ts ships either as parquet TIMESTAMP(NANOS) (Spark's reader
+    # rejects it — read raw INT64 and truncate to micros) or TIMESTAMP(MICROS)
+    # (reads as TIMESTAMP_NTZ). Peek the physical parquet schema, then
+    # normalize to session-TZ TimestampType like the batch loader. The
+    # file-stream source wants a directory, so stream sf_dir with a glob.
+    table(spark, sf_dir, "events")  # pins nanosAsLong + UTC session tz
+    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    nanos = isinstance(raw["ts"].dataType, LongType)
     phys = StructType(
         [
-            StructField("ts", LongType(), f.nullable) if f.name == "ts" else f
-            for f in batch.fields
+            StructField("ts", LongType() if nanos else TimestampNTZType(), f.nullable)
+            if f.name == "ts"
+            else f
+            for f in raw.fields
         ]
     )
-    return (
+    stream = (
         spark.readStream.schema(phys)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
+    if nanos:
+        return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def _run_stream(df: DataFrame, name: str, mode: str) -> DataFrame:

@@ -177,6 +177,48 @@ def lake_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lake_limit_pushdown_partition_scoped",
+    oracle="""
+    SELECT CAST(LEAST(42, COUNT(*)) AS BIGINT) AS n_rows,
+           CAST(MIN(EXTRACT(YEAR FROM o_orderdate)) AS INTEGER) AS min_year,
+           CAST(MAX(EXTRACT(YEAR FROM o_orderdate)) AS INTEGER) AS max_year
+    FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1997
+    """,
+)
+def lake_limit_pushdown_partition_scoped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 partition-scoped LIMIT (``TestTrinoITCase.java:306-312``): with a
+    partition-only filter the limit is pushed to the manifest — the scan opens
+    only a file-prefix covering 42 rows — and is still re-applied row-wise
+    (never "guaranteed", ``TrinoMetadataBase.java:418-445``). min=max=1997
+    proves the partition predicate is enforced on the limited prefix; which
+    42 rows survive is nondeterministic, so the query aggregates."""
+    from incubator_paimon_trino_spark.functions.predicates import ColumnDomain
+
+    cat = _fresh_catalog(spark)
+    cat.create_database("lake")
+    cat.create_table(
+        "lake",
+        "orders_by_year",
+        [("o_orderkey", "bigint"), ("o_totalprice", "double"), ("order_year", "int")],
+        partitioned_by=["order_year"],
+    )
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", F.year("o_orderdate").alias("order_year")
+    )
+    cat.insert_into("lake", "orders_by_year", o)
+    limited = cat.read_table(
+        "lake.orders_by_year",
+        predicate=[ColumnDomain("order_year", op="=", value=1997)],
+        limit=42,
+    )
+    return limited.agg(
+        F.count("*").alias("n_rows"),
+        F.min("order_year").alias("min_year"),
+        F.max("order_year").alias("max_year"),
+    )
+
+
+@register(
     "lake_orc_scan",
     oracle="""
     SELECT o_orderstatus, COUNT(*) AS n, MAX(o_totalprice) AS max_price

@@ -38,16 +38,18 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Scans stay fully declarative so Catalyst pushes filters/projections into
     the parquet reader (`PushedFilters` / `ReadSchema` in the physical plan).
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects outright. We read nanos as raw INT64
-    (``nanosAsLong``, set here so it also holds under the driver's own
-    session) and truncate to a micros timestamp — matching how DuckDB's
-    TIMESTAMP_NS surfaces through Python (datetime has micros precision).
+    ``events.ts`` has shipped in two physical encodings depending on the
+    driver's generator version: parquet TIMESTAMP(NANOS) (which Spark's
+    vectorized reader rejects — read as raw INT64 via ``nanosAsLong`` and
+    truncate to micros) or plain TIMESTAMP(MICROS) (reads as TIMESTAMP_NTZ).
+    Normalize both to session-TZ TimestampType so every downstream query and
+    oracle sees one stable type.
     """
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     if name == "events":
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         # ts becomes TimestampType (session-tz rendered). Pin the session to
@@ -55,5 +57,9 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # likewise forces UTC packing (TrinoPageSourceBase.java:216-219).
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):  # nanos read as INT64
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # TIMESTAMP_NTZ (or already LTZ): wall-clock is UTC → identity cast.
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))

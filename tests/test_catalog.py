@@ -548,3 +548,31 @@ def test_review_fixes(cat, spark):
     assert cat.read_table("default.vk").columns == empty_cols == ["v", "k"]
     # 6. record_count from footers matches committed rows
     assert cat.snapshots("default", "vk").collect()[-1].record_count == 1
+
+
+def test_partitioned_multi_commit_read_and_special_values(cat, spark):
+    """Partition columns are rebuilt from the file path (no directory
+    inference): a plan mixing commit dirs must read cleanly, and %XX-escaped
+    / '+' / null partition values must round-trip exactly."""
+    cat.create_database("default", ignore_if_exists=True)
+    cat.create_table(
+        "default", "pmc", [("k", "int"), ("pt", "string"), ("v", "string")],
+        partitioned_by=["pt"],
+    )
+    vals = ["plain", "has space", "a=b", "50%off", "c+d", None]
+    for i, pv in enumerate(vals):
+        df = spark.createDataFrame([(i, pv, f"row{i}")], "k int, pt string, v string")
+        cat.insert_into("default", "pmc", df)
+    got = {r.k: r.pt for r in cat.read_table("default.pmc").collect()}
+    assert got == {i: pv for i, pv in enumerate(vals)}
+    # partitioned + primary key: path columns coexist with _seq/_row_kind
+    cat.create_table(
+        "default", "pmk", [("k", "int"), ("pt", "string"), ("v", "string")],
+        primary_key=["k"], partitioned_by=["pt"],
+    )
+    cat.insert_into("default", "pmk",
+                    spark.createDataFrame([(1, "x", "old")], "k int, pt string, v string"))
+    cat.insert_into("default", "pmk",
+                    spark.createDataFrame([(1, "x", "new")], "k int, pt string, v string"))
+    rows = cat.read_table("default.pmk").collect()
+    assert [(r.k, r.pt, r.v) for r in rows] == [(1, "x", "new")]
