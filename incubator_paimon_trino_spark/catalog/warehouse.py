@@ -150,6 +150,17 @@ class WarehouseCatalog:
         for k in primary_key + partitioned_by:
             if k not in names:
                 raise ValueError(f"key column {k!r} not in columns {names}")
+        from incubator_paimon_trino_spark.operators.merge_on_read import FIELD_AGGREGATES
+
+        for col, func in _field_aggregate_specs(dict(options or {})).items():
+            if col not in names:
+                raise ValueError(f"aggregate-function on unknown column {col!r}")
+            if col in primary_key:
+                raise ValueError(f"aggregate-function on primary-key column {col!r}")
+            if func not in FIELD_AGGREGATES:
+                raise ValueError(
+                    f"unknown aggregate-function {func!r} for {col!r}; have {FIELD_AGGREGATES}"
+                )
         fields = [Field(i, n, t) for i, (n, t) in enumerate(columns)]
         schema = TableSchema(
             schema_id=0,
@@ -874,6 +885,7 @@ class WarehouseCatalog:
                 df,
                 primary_key=schema.primary_key,
                 merge_engine=schema.options.get("merge_engine", "deduplicate"),
+                field_aggregates=_field_aggregate_specs(schema.options),
             )
             # schema column order (merge_on_read returns PK-first) so reads
             # before/after the first commit and across tables are positional-
@@ -1295,6 +1307,17 @@ class WarehouseCatalog:
             out.append(view)
             last = m.end()
         return self.spark.sql("".join(out) + query[last:])
+
+
+def _field_aggregate_specs(options: dict[str, str]) -> dict[str, str]:
+    """Parse Paimon's ``fields.<name>.aggregate-function`` option keys
+    (aggregation merge engine, CoreOptions surfaced via A16 DDL props)."""
+    pre, suf = "fields.", ".aggregate-function"
+    return {
+        k[len(pre) : -len(suf)]: v
+        for k, v in options.items()
+        if k.startswith(pre) and k.endswith(suf) and len(k) > len(pre) + len(suf)
+    }
 
 
 def _limit_pushable(schema: TableSchema, predicate: list | None, files: list[dict]) -> bool:

@@ -21,6 +21,7 @@ def load_all() -> None:
         patterns,
         hof,
         relational,
+        sampling,
         setops,
         similarity,
         text,

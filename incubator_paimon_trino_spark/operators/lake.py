@@ -177,6 +177,77 @@ def lake_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lake_aggregation_merge_engine",
+    oracle="""
+    WITH c1 AS (
+      SELECT o_custkey, COUNT(*) AS n, MAX(o_totalprice) AS maxp,
+             MIN(o_orderstatus) AS st
+      FROM orders WHERE o_orderkey <= 1000 GROUP BY o_custkey
+    ), c2 AS (
+      SELECT o_custkey, COUNT(*) AS n, MAX(o_totalprice) AS maxp,
+             MIN(o_orderstatus) AS st
+      FROM orders WHERE o_orderkey > 1000 GROUP BY o_custkey
+    )
+    SELECT COALESCE(c1.o_custkey, c2.o_custkey) AS o_custkey,
+           COALESCE(c1.n, 0) + COALESCE(c2.n, 0) AS n,
+           CASE WHEN c1.maxp IS NULL THEN c2.maxp
+                WHEN c2.maxp IS NULL THEN c1.maxp
+                ELSE GREATEST(c1.maxp, c2.maxp) END AS maxp,
+           CASE WHEN c1.st IS NULL THEN c2.st
+                WHEN c2.st IS NULL THEN c1.st
+                ELSE c1.st || ',' || c2.st END AS st,
+           COALESCE(c1.st, c2.st) AS fst
+    FROM c1 FULL OUTER JOIN c2 ON c1.o_custkey = c2.o_custkey
+    """,
+)
+def lake_aggregation_merge_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregation merge engine with per-field functions
+    (``fields.<name>.aggregate-function`` — Paimon CoreOptions exposed
+    through the reference's DDL property reflection,
+    ``TrinoTableOptionUtils.java:51-135``): two commits of per-custkey
+    scalars merge at read time via sum / max / listagg / first_value, one
+    hash aggregation per PK with map-side partials — no window, no driver
+    loop, so the merge scales with executor count."""
+    cat = _fresh_catalog(spark)
+    cat.create_database("lake")
+    cat.create_table(
+        "lake",
+        "agg_orders",
+        [
+            ("o_custkey", "bigint"),
+            ("n", "bigint"),
+            ("maxp", "double"),
+            ("st", "string"),
+            ("fst", "string"),
+        ],
+        primary_key=["o_custkey"],
+        options={
+            "merge_engine": "aggregation",
+            "fields.n.aggregate-function": "sum",
+            "fields.maxp.aggregate-function": "max",
+            "fields.st.aggregate-function": "listagg",
+            "fields.fst.aggregate-function": "first_value",
+        },
+    )
+    o = table(spark, sf_dir, "orders")
+    for lo, hi in ((None, 1000), (1000, None)):
+        part = o
+        if hi is not None:
+            part = part.filter(F.col("o_orderkey") <= hi)
+        if lo is not None:
+            part = part.filter(F.col("o_orderkey") > lo)
+        commit = part.groupBy("o_custkey").agg(
+            F.count("*").alias("n"),
+            F.max("o_totalprice").alias("maxp"),
+            F.min("o_orderstatus").alias("st"),
+        )
+        cat.insert_into(
+            "lake", "agg_orders", commit.withColumn("fst", F.col("st"))
+        )
+    return cat.read_table("lake.agg_orders")
+
+
+@register(
     "lake_limit_pushdown_partition_scoped",
     oracle="""
     SELECT CAST(LEAST(42, COUNT(*)) AS BIGINT) AS n_rows,

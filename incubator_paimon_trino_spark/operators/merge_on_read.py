@@ -29,14 +29,79 @@ from incubator_paimon_trino_spark.catalog.metadata import KIND_COL, SEQ_COL
 
 MERGE_ENGINES = ("deduplicate", "first-row", "partial-update", "aggregation")
 
+# Paimon per-field aggregate functions (``fields.<name>.aggregate-function``
+# table option — the CoreOptions family the reference exposes through DDL
+# properties, TrinoTableOptionUtils.java:51-135). Each maps to a single
+# JVM-side aggregate expression, so partial (map-side) aggregation applies.
+FIELD_AGGREGATES = (
+    "sum",
+    "product",
+    "max",
+    "min",
+    "last_value",
+    "last_non_null_value",
+    "first_value",
+    "first_non_null_value",
+    "listagg",
+    "bool_and",
+    "bool_or",
+    "count",
+)
 
-def merge_on_read(df: DataFrame, primary_key: list[str], merge_engine: str = "deduplicate") -> DataFrame:
+
+def _field_agg_expr(func: str, c: str) -> F.Column:
+    """One aggregate Column for value column ``c`` ordered by ``_ord``."""
+    ord_ = F.col("_ord")
+    nn_ord = F.when(F.col(c).isNotNull(), ord_)
+    if func == "sum":
+        return F.sum(c).alias(c)
+    if func == "product":
+        return F.product(c).alias(c)
+    if func == "max":
+        return F.max(c).alias(c)
+    if func == "min":
+        return F.min(c).alias(c)
+    if func == "last_value":
+        return F.max_by(F.col(c), ord_).alias(c)
+    if func == "last_non_null_value":
+        # max_by skips rows whose ordering key is null → latest non-null
+        return F.max_by(F.struct(ord_, F.col(c)), nn_ord)[c].alias(c)
+    if func == "first_value":
+        return F.min_by(F.col(c), ord_).alias(c)
+    if func == "first_non_null_value":
+        return F.min_by(F.struct(ord_, F.col(c)), nn_ord)[c].alias(c)
+    if func == "listagg":
+        # non-null values joined with ',' in changelog order; collect_list
+        # is order-nondeterministic, so sort the (ord, value) pairs first.
+        pairs = F.collect_list(F.when(F.col(c).isNotNull(), F.struct(ord_.alias("o"), F.col(c).alias("v"))))
+        ordered = F.transform(F.array_sort(pairs), lambda s: s["v"])
+        return F.array_join(ordered, ",").alias(c)
+    if func == "bool_and":
+        return F.bool_and(c).alias(c)
+    if func == "bool_or":
+        return F.bool_or(c).alias(c)
+    if func == "count":
+        return F.count(c).alias(c)
+    raise ValueError(f"unknown aggregate-function {func!r}; have {FIELD_AGGREGATES}")
+
+
+def merge_on_read(
+    df: DataFrame,
+    primary_key: list[str],
+    merge_engine: str = "deduplicate",
+    field_aggregates: dict[str, str] | None = None,
+) -> DataFrame:
     """Collapse a changelog DataFrame to its merged table view.
 
     ``df`` must carry ``_seq`` (bigint, commit order) and ``_row_kind``
     ('I'|'D'). Ties on ``_seq`` (same commit) resolve deletes last — matching
     the reference fixture where +I and -D of the same key in one commit
     leaves the key deleted (FIXTURES.md F1).
+
+    ``field_aggregates`` (aggregation engine only) maps value column →
+    function name per Paimon's ``fields.<name>.aggregate-function`` option;
+    unspecified columns keep the default (sum for numerics, last value
+    otherwise).
     """
     if merge_engine not in MERGE_ENGINES:
         raise ValueError(f"unknown merge_engine {merge_engine!r}; have {MERGE_ENGINES}")
@@ -74,12 +139,19 @@ def merge_on_read(df: DataFrame, primary_key: list[str], merge_engine: str = "de
         merged = df.groupBy(*primary_key).agg(last_kind.alias("_k"), *aggs)
         return merged.filter(F.col("_k") != "D").select(*primary_key, *value_cols)
 
-    # aggregation: sum numeric fields, last non-null for the rest
+    # aggregation: per-field function when configured, else sum numeric
+    # fields and last value for the rest
+    specs = dict(field_aggregates or {})
+    unknown = sorted(set(specs) - set(value_cols))
+    if unknown:
+        raise ValueError(f"aggregate-function configured for non-value columns {unknown}")
     num_types = (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.FloatType, T.DoubleType, T.DecimalType)
     by_name = {f.name: f.dataType for f in df.schema.fields}
     aggs = []
     for c in value_cols:
-        if isinstance(by_name[c], num_types):
+        if c in specs:
+            aggs.append(_field_agg_expr(specs[c], c))
+        elif isinstance(by_name[c], num_types):
             aggs.append(F.sum(c).alias(c))
         else:
             aggs.append(F.max_by(F.col(c), F.col("_ord")).alias(c))

@@ -1,0 +1,74 @@
+"""Deterministic sampling for training-data pipelines (beyond reference
+parity — north star in BASELINE.json).
+
+Random sampling (``df.sample``, ``TABLESAMPLE``) is nondeterministic across
+engines and re-runs; a 100 TB pipeline needs REPRODUCIBLE sampling so a
+rerun (or a different engine) selects the same rows. Both queries key the
+decision on an md5-derived bucket of the row's stable id — pure JVM-side
+expressions (whole-stage codegen, no shuffle beyond the final agg), and the
+exact same arithmetic is expressible in DuckDB for the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from incubator_paimon_trino_spark.operators.registry import register
+from incubator_paimon_trino_spark.sources import table
+
+
+def _bucket(col, mod: int):
+    """md5-derived uniform bucket in [0, mod): first 15 hex chars (60 bits)
+    of md5(id) as an integer — engine-portable (same trick as the md5 LSH
+    variants in similarity.py)."""
+    return (F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast("bigint") % mod)
+
+
+def _bucket_sql(expr: str, mod: int) -> str:
+    return (
+        f"CAST(CAST(('0x' || substring(md5(CAST({expr} AS VARCHAR)), 1, 15)) "
+        f"AS UBIGINT) % {mod} AS BIGINT)"
+    )
+
+
+@register(
+    "sample_deterministic_hash",
+    oracle=f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE {_bucket_sql('doc_id', 10)} = 0
+    """,
+)
+def sample_deterministic_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~10% Bernoulli sample, reproducible: keep rows whose md5-bucket(doc_id)
+    mod 10 is 0. Fully pushdown-friendly (the predicate is a scalar
+    expression over one column) and independent of partitioning, task order,
+    or engine."""
+    d = table(spark, sf_dir, "documents")
+    return d.filter(_bucket(F.col("doc_id"), 10) == 0).select("doc_id", "lang", "source")
+
+
+@register(
+    "sample_stratified_by_lang",
+    oracle=f"""
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS sampled
+    FROM documents
+    WHERE {_bucket_sql('doc_id', 100)} <
+          (CASE WHEN lang = 'en' THEN 50 ELSE 10 END)
+    GROUP BY lang
+    """,
+)
+def sample_stratified_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling with per-stratum rates (upsample English to 50%,
+    everything else 10%) — the standard data-mixing move when balancing a
+    training corpus. One scan, no shuffle until the audit count; the
+    stratum rate is a CASE expression, so adding strata is config, not
+    code."""
+    d = table(spark, sf_dir, "documents")
+    rate = F.when(F.col("lang") == "en", 50).otherwise(10)
+    return (
+        d.filter(_bucket(F.col("doc_id"), 100) < rate)
+        .groupBy("lang")
+        .agg(F.count("*").cast("bigint").alias("sampled"))
+    )

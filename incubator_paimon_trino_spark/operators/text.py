@@ -166,3 +166,52 @@ def text_rolling_hash_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", F.size(F.array_distinct(shingles)).cast("bigint").alias("n_distinct_shingles")
     )
+
+
+@register(
+    "text_pii_scrub",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(enriched, '[A-Za-z0-9._]+@[A-Za-z0-9.-]+')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(enriched, '[0-9]{6,}')) AS BIGINT) AS n_long_numbers,
+           md5(regexp_replace(regexp_replace(enriched, '[A-Za-z0-9._]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+                              '[0-9]{6,}', '<NUM>', 'g')) AS scrubbed_md5
+    FROM (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0
+                  THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                       || '@mail.example code ' || CAST(doc_id * 1234567 AS VARCHAR)
+                  ELSE text END AS enriched
+      FROM documents
+    )
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (emails, long digit runs → typed placeholder tokens) —
+    a standard pre-training redaction pass. The driver corpus is synthetic
+    and PII-free, so PII-shaped suffixes are injected deterministically for
+    every third doc first; the scrub itself is two chained JVM-side
+    ``regexp_replace`` calls (no UDF), verified via counts + an md5 of the
+    scrubbed text."""
+    d = table(spark, sf_dir, "documents")
+    enriched = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example code "),
+            (F.col("doc_id") * 1234567).cast("string"),
+        ),
+    ).otherwise(F.col("text"))
+    email_re = r"[A-Za-z0-9._]+@[A-Za-z0-9.-]+"
+    num_re = r"[0-9]{6,}"
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(enriched, email_re, "<EMAIL>"), num_re, "<NUM>"
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(enriched, F.lit(email_re), 0)).cast("bigint").alias("n_emails"),
+        F.size(F.regexp_extract_all(enriched, F.lit(num_re), 0)).cast("bigint").alias("n_long_numbers"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    )

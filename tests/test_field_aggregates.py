@@ -1,0 +1,119 @@
+"""Per-field aggregate functions for the aggregation merge engine —
+Paimon's ``fields.<name>.aggregate-function`` table option (CoreOptions
+surfaced through the reference's DDL property reflection,
+``TrinoTableOptionUtils.java:51-135``).
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from incubator_paimon_trino_spark.catalog import WarehouseCatalog
+from incubator_paimon_trino_spark.operators.merge_on_read import merge_on_read
+
+
+def _changelog(spark):
+    # key 1: three inserts across commits; key 2: one insert.
+    rows = [
+        # (k, v, s, flag, _seq, _row_kind)
+        (1, 10, "a", True, 1, "I"),
+        (1, None, "b", False, 2, "I"),
+        (1, 5, None, None, 3, "I"),
+        (2, 7, "z", False, 1, "I"),
+    ]
+    return spark.createDataFrame(
+        rows, "k int, v int, s string, flag boolean, _seq bigint, _row_kind string"
+    )
+
+
+def _merged(spark, specs):
+    out = merge_on_read(
+        _changelog(spark), ["k"], "aggregation", field_aggregates=specs
+    )
+    return {r.k: r for r in out.collect()}
+
+
+def test_sum_product_max_min_count(spark):
+    got = _merged(spark, {"v": "sum"})
+    assert got[1].v == 15 and got[2].v == 7
+    got = _merged(spark, {"v": "product"})
+    assert got[1].v == 50 and got[2].v == 7
+    got = _merged(spark, {"v": "max"})
+    assert got[1].v == 10
+    got = _merged(spark, {"v": "min"})
+    assert got[1].v == 5
+    got = _merged(spark, {"v": "count"})
+    assert got[1].v == 2  # nulls not counted
+    assert got[2].v == 1
+
+
+def test_first_last_value_variants(spark):
+    got = _merged(spark, {"v": "last_value", "s": "last_value"})
+    assert got[1].v == 5 and got[1].s is None
+    got = _merged(spark, {"v": "last_non_null_value", "s": "last_non_null_value"})
+    assert got[1].v == 5 and got[1].s == "b"
+    got = _merged(spark, {"v": "first_value", "s": "first_value"})
+    assert got[1].v == 10 and got[1].s == "a"
+    got = _merged(spark, {"v": "first_non_null_value"})
+    assert got[1].v == 10
+
+
+def test_listagg_and_bools(spark):
+    got = _merged(spark, {"s": "listagg"})
+    assert got[1].s == "a,b"  # changelog order, nulls skipped
+    assert got[2].s == "z"
+    got = _merged(spark, {"flag": "bool_or"})
+    assert got[1].flag is True
+    got = _merged(spark, {"flag": "bool_and"})
+    assert got[1].flag is False
+    assert got[2].flag is False
+
+
+def test_unknown_function_and_column_rejected(spark):
+    with pytest.raises(ValueError):
+        _merged(spark, {"v": "median"})
+    with pytest.raises(ValueError):
+        _merged(spark, {"nope": "sum"})
+
+
+def test_end_to_end_through_catalog_options(spark, tmp_path):
+    cat = WarehouseCatalog(str(tmp_path / "wh"), spark)
+    cat.create_database("d")
+    cat.create_table(
+        "d", "t", [("k", "int"), ("v", "int"), ("s", "string")],
+        primary_key=["k"],
+        options={
+            "merge_engine": "aggregation",
+            "fields.v.aggregate-function": "sum",
+            "fields.s.aggregate-function": "listagg",
+        },
+    )
+    cat.insert_into("d", "t", spark.createDataFrame([(1, 3, "x")], "k int, v int, s string"))
+    cat.insert_into("d", "t", spark.createDataFrame([(1, 4, "y")], "k int, v int, s string"))
+    rows = cat.read_table("d.t").collect()
+    assert [(r.k, r.v, r.s) for r in rows] == [(1, 7, "x,y")]
+
+
+def test_create_table_validates_specs(spark, tmp_path):
+    cat = WarehouseCatalog(str(tmp_path / "wh"), spark)
+    cat.create_database("d")
+    with pytest.raises(ValueError):  # unknown column
+        cat.create_table(
+            "d", "bad1", [("k", "int"), ("v", "int")], primary_key=["k"],
+            options={"fields.zz.aggregate-function": "sum"},
+        )
+    with pytest.raises(ValueError):  # PK column
+        cat.create_table(
+            "d", "bad2", [("k", "int"), ("v", "int")], primary_key=["k"],
+            options={"fields.k.aggregate-function": "sum"},
+        )
+    with pytest.raises(ValueError):  # unknown function
+        cat.create_table(
+            "d", "bad3", [("k", "int"), ("v", "int")], primary_key=["k"],
+            options={"fields.v.aggregate-function": "median"},
+        )

@@ -128,3 +128,40 @@ def test_ann_ivf_recall_vs_bruteforce(spark):
     for q in per_q:
         ranks = sorted(r["rnk"] for r in approx_rows if r["query_id"] == q)
         assert ranks == list(range(1, 11))
+
+
+def test_deterministic_sampling_reproducible(spark):
+    """Same rows on every run and ~correct rates per stratum."""
+    import incubator_paimon_trino_spark.operators as ops
+    from incubator_paimon_trino_spark.operators.registry import QUERIES
+
+    ops.load_all()
+
+    a = {r.doc_id for r in QUERIES["sample_deterministic_hash"](spark, SF_ORACLE).collect()}
+    b = {r.doc_id for r in QUERIES["sample_deterministic_hash"](spark, SF_ORACLE).collect()}
+    assert a == b and len(a) > 0
+    strat = {r.lang: r.sampled for r in QUERIES["sample_stratified_by_lang"](spark, SF_ORACLE).collect()}
+    total = {r.lang: r.n for r in
+             __import__("incubator_paimon_trino_spark.sources", fromlist=["table"])
+             .table(spark, SF_ORACLE, "documents").groupBy("lang").count()
+             .withColumnRenamed("count", "n").collect()}
+    # en upsampled at 50%, rest at 10% — loose binomial bounds
+    assert strat["en"] / total["en"] > 0.25
+    for lang, n in strat.items():
+        if lang != "en":
+            assert n / total[lang] < 0.35
+
+
+def test_pii_scrub_removes_all_pii(spark):
+    import incubator_paimon_trino_spark.operators as ops
+    from incubator_paimon_trino_spark.operators.registry import QUERIES
+
+    ops.load_all()
+
+    rows = QUERIES["text_pii_scrub"](spark, SF_ORACLE).collect()
+    injected = [r for r in rows if r.doc_id % 3 == 0]
+    # doc_id*1234567 is 0 for doc 0 — one digit, below the {6,} threshold
+    assert injected and all(r.n_emails >= 1 for r in injected)
+    assert all(r.n_long_numbers >= 1 for r in injected if r.doc_id > 0)
+    clean = [r for r in rows if r.doc_id % 3 != 0]
+    assert all(r.n_emails == 0 for r in clean)
