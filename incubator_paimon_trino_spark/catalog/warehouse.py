@@ -623,6 +623,71 @@ class WarehouseCatalog:
         )
         return inserts.unionByName(before).unionByName(after).unionByName(deletes)
 
+    def table_changelog(
+        self,
+        name: str,
+        from_snapshot: int = 0,
+        to_snapshot: int | None = None,
+        producer: str | None = None,
+    ) -> DataFrame:
+        """The table's changelog for ``(from_snapshot, to_snapshot]`` under a
+        ``changelog_producer`` mode (the reference surfaces this enum as a DDL
+        option — ``TrinoTableOptionUtils.java:94-107`` — without executing
+        it; executable here):
+
+        - ``input``           — the writer's own rows are the changelog:
+          raw (+I/-D) records per commit, no merge, no join.
+        - ``lookup`` / ``full-compaction`` — complete retraction-aware
+          changelog: per-commit diff of merged states, emitting
+          +I / -U / +U / -D (the UPDATE_BEFORE/AFTER stream).
+        - ``none`` (default)  — no before-images are available: same diff
+          but without the -U rows, matching Paimon's contract that a
+          ``none`` table cannot provide complete changelogs downstream.
+
+        Every row carries ``_snapshot`` (the commit that produced it) and
+        ``_change``. One ``read_cdc`` (two merged reads + a co-partitioned
+        full-outer join) per commit in the range — bound history with
+        ``expire_snapshots``; for a raw-speed tail without pairing use
+        ``read_incremental``/``read_changelog_stream``.
+        """
+        db, _, table = name.partition(".")
+        tdir = self._table_dir(db, table)
+        schema = self._latest_schema(tdir)
+        if producer is None:
+            producer = schema.options.get("changelog_producer", "none")
+        if producer not in ("input", "lookup", "full-compaction", "none"):
+            raise ValueError(f"unknown changelog_producer {producer!r}")
+        snaps = [s.snapshot_id for s in self._snapshots(tdir)]
+        hi = to_snapshot if to_snapshot is not None else (snaps[-1] if snaps else 0)
+        ids = [s for s in snaps if from_snapshot < s <= hi]
+
+        if producer == "input":
+            if not schema.primary_key:
+                raise ValueError("changelog_producer=input needs a primary-key table; "
+                                 "append-only tables stream raw rows via read_incremental")
+            raw = self.read_table(name, with_system_columns=True)
+            change = F.when(F.col(KIND_COL) == "D", "-D").otherwise("+I")
+            out = raw.filter((F.col(SEQ_COL) > from_snapshot) & (F.col(SEQ_COL) <= hi))
+            return out.select(
+                *[f.name for f in schema.fields],
+                F.col(SEQ_COL).alias("_snapshot"),
+                change.alias("_change"),
+            )
+
+        parts = [
+            self.read_cdc(name, s - 1, s).withColumn("_snapshot", F.lit(s).cast("bigint"))
+            for s in ids
+        ]
+        if not parts:
+            empty = schema.spark_schema().add("_change", "string").add("_snapshot", "long")
+            return self.spark.createDataFrame([], empty)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        if producer == "none":
+            out = out.filter(F.col("_change") != "-U")
+        return out
+
     def expire_snapshots(self, db: str, table: str, keep_last: int = 1) -> dict:
         """Expire all but the newest ``keep_last`` snapshots and delete data
         files no surviving snapshot references — Paimon's snapshot
@@ -937,20 +1002,7 @@ class WarehouseCatalog:
             part_exprs: dict[int, Column] = {}
             for pname in old.partition_keys:
                 pf = old.field_by_name(pname)
-                raw = F.regexp_extract(
-                    F.input_file_name(), "/" + re.escape(pname) + "=([^/]*)/", 1
-                )
-                # Two escape layers: input_file_name returns a URI (its own
-                # %XX encoding) wrapping the hive-escaped dir name. Decode
-                # twice, each time shielding literal '+' (legal in both
-                # layers) from url_decode's plus-means-space.
-                shield = lambda c: F.regexp_replace(c, r"\+", "%2B")  # noqa: E731
-                decoded = F.url_decode(shield(F.url_decode(shield(raw))))
-                part_exprs[pf.id] = (
-                    F.when(raw == F.lit(_HIVE_NULL), F.lit(None))
-                    .otherwise(decoded)
-                    .cast(pf.type)
-                )
+                part_exprs[pf.id] = partition_column_expr(pname, pf.type)
             cols = []
             for fid, cur in sorted(current.items()):
                 old_field = next((of for of in old.fields if of.id == fid), None)
@@ -1307,6 +1359,21 @@ class WarehouseCatalog:
             out.append(view)
             last = m.end()
         return self.spark.sql("".join(out) + query[last:])
+
+
+def partition_column_expr(pname: str, type_ddl: str) -> Column:
+    """Rebuild hive partition column ``pname`` from ``input_file_name()``.
+
+    Two escape layers: input_file_name returns a URI (its own %XX encoding)
+    wrapping the hive-escaped dir name. Decode twice, each time shielding
+    literal '+' (legal in both layers) from url_decode's plus-means-space.
+    Used by both the batch read path and the changelog stream reader, so
+    partitioned tables never depend on Spark's directory inference (which
+    breaks on the data/c<commit>/k=v layout)."""
+    raw = F.regexp_extract(F.input_file_name(), "/" + re.escape(pname) + "=([^/]*)/", 1)
+    shield = lambda c: F.regexp_replace(c, r"\+", "%2B")  # noqa: E731
+    decoded = F.url_decode(shield(F.url_decode(shield(raw))))
+    return F.when(raw == F.lit(_HIVE_NULL), F.lit(None)).otherwise(decoded).cast(type_ddl)
 
 
 def _field_aggregate_specs(options: dict[str, str]) -> dict[str, str]:

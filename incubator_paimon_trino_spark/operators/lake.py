@@ -177,6 +177,37 @@ def lake_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lake_changelog_producer_lookup",
+    oracle=f"""
+    WITH c1 AS ({_C1_SQL}), c2 AS ({_C2_SQL})
+    SELECT c2.o_custkey, c2.last_order, c2.n, '+I' AS _change
+    FROM c2 LEFT JOIN c1 ON c1.o_custkey = c2.o_custkey
+    WHERE c2.kind = 'I' AND c1.o_custkey IS NULL
+    UNION ALL
+    SELECT c1.o_custkey, c1.last_order, c1.n, '-U'
+    FROM c1 JOIN c2 ON c1.o_custkey = c2.o_custkey WHERE c2.kind = 'I'
+    UNION ALL
+    SELECT c2.o_custkey, c2.last_order, c2.n, '+U'
+    FROM c1 JOIN c2 ON c1.o_custkey = c2.o_custkey WHERE c2.kind = 'I'
+    UNION ALL
+    SELECT c1.o_custkey, c1.last_order, c1.n, '-D'
+    FROM c1 JOIN c2 ON c1.o_custkey = c2.o_custkey WHERE c2.kind = 'D'
+    """,
+)
+def lake_changelog_producer_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ChangelogProducer ``lookup``/``full-compaction`` semantics (enum the
+    reference stores as DDL options — ``TrinoTableOptionUtils.java:94-107``):
+    the complete retraction-aware changelog of commit 2 — inserts for new
+    keys, -U/+U before/after images for upserts, -D with the OLD values for
+    deletes of existing keys. The oracle reconstructs the same stream
+    relationally from the two commit derivations."""
+    cat, name = _pk_table(spark, sf_dir)
+    return cat.table_changelog(name, from_snapshot=1, producer="lookup").select(
+        "o_custkey", "last_order", "n", "_change"
+    )
+
+
+@register(
     "lake_aggregation_merge_engine",
     oracle="""
     WITH c1 AS (

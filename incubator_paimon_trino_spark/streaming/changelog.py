@@ -26,7 +26,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from incubator_paimon_trino_spark.catalog.metadata import KIND_COL, SEQ_COL
-from incubator_paimon_trino_spark.catalog.warehouse import WarehouseCatalog, _physical_schema
+from incubator_paimon_trino_spark.catalog.warehouse import (
+    WarehouseCatalog,
+    _physical_schema,
+    partition_column_expr,
+)
 
 
 def read_changelog_stream(
@@ -60,7 +64,13 @@ def read_changelog_stream(
     db, _, table = name.partition(".")
     tdir = cat._table_dir(db, table)
     schema = cat._latest_schema(tdir)
-    phys = _physical_schema(schema, bool(schema.primary_key))
+    # partition columns live in the path, not the files — exclude them from
+    # the read schema and rebuild them per row from input_file_name (same
+    # contract as the batch read path; streams read the LATEST schema, so a
+    # table whose partition column was renamed mid-history needs a batch
+    # backfill instead).
+    part_names = set(schema.partition_keys)
+    phys = _physical_schema(schema, bool(schema.primary_key), exclude=part_names)
 
     from_version: int | None = None
     if startup_mode == "latest-full":
@@ -90,8 +100,20 @@ def read_changelog_stream(
     stream = (
         cat.spark.readStream.schema(phys)
         .option("pathGlobFilter", "*.parquet")
-        .parquet(os.path.join(tdir, "data", "c*"))
+        # no hive partition discovery — partition columns are rebuilt from
+        # the path below, and discovery chokes on the data/c<commit>/k=v
+        # layout when commits mix partitions
+        .option("recursiveFileLookup", "true")
+        .parquet(os.path.join(tdir, "data"))
     )
+    for pname in schema.partition_keys:
+        pf = schema.field_by_name(pname)
+        stream = stream.withColumn(pname, partition_column_expr(pname, pf.type))
+    # declared column order (partition cols back in place, system cols last)
+    ordered = [f.name for f in schema.fields]
+    if schema.primary_key:
+        ordered += [SEQ_COL, KIND_COL]
+    stream = stream.select(*ordered)
     if from_version is not None:
         commit_of = F.regexp_extract(F.input_file_name(), r"/data/c(\d+)/", 1).cast("bigint")
         stream = stream.filter(commit_of >= F.lit(from_version))

@@ -576,3 +576,44 @@ def test_partitioned_multi_commit_read_and_special_values(cat, spark):
                     spark.createDataFrame([(1, "x", "new")], "k int, pt string, v string"))
     rows = cat.read_table("default.pmk").collect()
     assert [(r.k, r.pt, r.v) for r in rows] == [(1, "x", "new")]
+
+
+def test_changelog_producer_modes(cat, spark):
+    """table_changelog under input / lookup / none producers (the
+    ChangelogProducer enum the reference stores as a DDL option)."""
+    cat.create_database("default", ignore_if_exists=True)
+    cat.create_table("default", "clp", [("k", "int"), ("v", "string")], primary_key=["k"])
+    cat.insert_into("default", "clp",
+                    spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"))
+    rows2 = [(1, "a2", "I"), (3, "c", "I"), (2, "b", "D")]
+    cat.insert_into("default", "clp",
+                    spark.createDataFrame(rows2, "k int, v string, _row_kind string"))
+
+    # input: the writer's raw rows, tagged with their commit
+    raw = {(r.k, r.v, r._change, r._snapshot)
+           for r in cat.table_changelog("default.clp", producer="input").collect()}
+    assert raw == {(1, "a", "+I", 1), (2, "b", "+I", 1),
+                   (1, "a2", "+I", 2), (3, "c", "+I", 2), (2, "b", "-D", 2)}
+
+    # lookup: complete diff stream with before-images
+    look = {(r.k, r.v, r._change, r._snapshot)
+            for r in cat.table_changelog("default.clp", producer="lookup").collect()}
+    assert look == {(1, "a", "+I", 1), (2, "b", "+I", 1),
+                    (1, "a", "-U", 2), (1, "a2", "+U", 2),
+                    (3, "c", "+I", 2), (2, "b", "-D", 2)}
+
+    # none (default): same minus the -U before-images
+    none = {(r.k, r.v, r._change, r._snapshot)
+            for r in cat.table_changelog("default.clp").collect()}
+    assert none == {t for t in look if t[2] != "-U"}
+
+    # range bounds: only commit 2
+    tail = {r._snapshot for r in
+            cat.table_changelog("default.clp", from_snapshot=1, producer="lookup").collect()}
+    assert tail == {2}
+
+    with pytest.raises(ValueError):
+        cat.table_changelog("default.clp", producer="bogus")
+    cat.create_table("default", "clp_append", [("k", "int")])
+    with pytest.raises(ValueError):
+        cat.table_changelog("default.clp_append", producer="input")

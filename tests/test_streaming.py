@@ -152,3 +152,31 @@ def test_startup_mode_validation(spark, event_table):
         read_changelog_stream(cat, name, scan_snapshot_id=1)
     with pytest.raises(ValueError, match="unknown startup_mode"):
         read_changelog_stream(cat, name, startup_mode="compacted-full")
+
+
+def test_partitioned_table_stream_rebuilds_partition_columns(spark, tmp_path):
+    """Partition values come from the file path (no directory inference),
+    including across commits and for a PK table's system columns."""
+    cat = WarehouseCatalog(str(tmp_path / "wh2"), spark)
+    cat.create_database("s")
+    cat.create_table(
+        "s", "pev", [("k", "bigint"), ("pt", "string"), ("v", "double")],
+        partitioned_by=["pt"],
+    )
+    cat.insert_into("s", "pev", spark.createDataFrame(
+        [(1, "red", 1.0), (2, "blue", 2.0)], "k bigint, pt string, v double"))
+    cat.insert_into("s", "pev", spark.createDataFrame(
+        [(3, "red", 3.0)], "k bigint, pt string, v double"))
+    stream = read_changelog_stream(cat, "s.pev")
+    got = sorted(tuple(r) for r in run_to_completion(stream, "pev_all", "append").collect())
+    assert got == [(1, "red", 1.0), (2, "blue", 2.0), (3, "red", 3.0)]
+
+    cat.create_table(
+        "s", "pkev", [("k", "bigint"), ("pt", "string"), ("v", "double")],
+        primary_key=["k"], partitioned_by=["pt"],
+    )
+    cat.insert_into("s", "pkev", spark.createDataFrame(
+        [(1, "red", 1.0)], "k bigint, pt string, v double"))
+    stream = read_changelog_stream(cat, "s.pkev")
+    rows = run_to_completion(stream, "pkev_all", "append").collect()
+    assert [(r.k, r.pt, r.v, r._row_kind) for r in rows] == [(1, "red", 1.0, "I")]
