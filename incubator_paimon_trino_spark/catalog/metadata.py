@@ -105,21 +105,32 @@ class Snapshot:
     commit_identifier: int
     commit_kind: str
     timestamp_ms: int
-    #: live data files as of this snapshot: list of {path, schema_id}
+    #: live data files as of this snapshot: list of {path, schema_id}.
+    #: On disk a snapshot stores ``manifests`` (delta-manifest file names,
+    #: one per contributing commit) instead of this list — the loader
+    #: resolves them; ``files`` is the materialized in-memory view.
     files: list[dict] = field(default_factory=list)
     record_count: int = 0
+    manifests: list[str] = field(default_factory=list)
 
     def to_json(self) -> dict:
-        return {
+        out = {
             "snapshot_id": self.snapshot_id,
             "schema_id": self.schema_id,
             "commit_user": self.commit_user,
             "commit_identifier": self.commit_identifier,
             "commit_kind": self.commit_kind,
             "timestamp_ms": self.timestamp_ms,
-            "files": self.files,
             "record_count": self.record_count,
         }
+        # delta-manifest layout: the snapshot JSON stays O(#commits), not
+        # O(#files) — the Paimon/Iceberg metadata shape that survives long
+        # table histories. Inline files only for legacy/manifest-less snaps.
+        if self.manifests:
+            out["manifests"] = self.manifests
+        else:
+            out["files"] = self.files
+        return out
 
     @staticmethod
     def from_json(d: dict) -> "Snapshot":
@@ -132,6 +143,7 @@ class Snapshot:
             d["timestamp_ms"],
             d.get("files", []),
             d.get("record_count", 0),
+            d.get("manifests", []),
         )
 
 

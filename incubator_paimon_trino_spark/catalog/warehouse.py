@@ -263,9 +263,55 @@ class WarehouseCatalog:
     # -------------------------------------------------------------- commits
     def _snapshots(self, tdir: str) -> list[Snapshot]:
         out = []
+        manifest_cache: dict[str, list[dict]] = {}
+
+        def manifest_files(name: str) -> list[dict]:
+            if name not in manifest_cache:
+                manifest_cache[name] = read_json(os.path.join(tdir, "manifest", name))["files"]
+            return manifest_cache[name]
+
         for p in sorted(glob.glob(os.path.join(tdir, "snapshot", "snapshot-*.json"))):
-            out.append(Snapshot.from_json(read_json(p)))
+            s = Snapshot.from_json(read_json(p))
+            if s.manifests and not s.files:
+                # delta-manifest resolution; shared manifests parse once per
+                # call, so resolving a K-commit history costs K manifest
+                # reads, not K² (each commit adds ONE manifest, snapshots
+                # reference the accumulated list)
+                s.files = [f for m in s.manifests for f in manifest_files(m)]
+            out.append(s)
         return sorted(out, key=lambda s: s.snapshot_id)
+
+    def _publish_snapshot(
+        self, tdir: str, snap: Snapshot, new_files: list[dict], base_manifests: list[str]
+    ) -> None:
+        """Commit point: write ONE delta manifest with this commit's files,
+        then the snapshot JSON referencing ``base_manifests + [it]``.
+
+        The exclusive snapshot write is the atomic publish (loser of a
+        concurrent race gets CommitConflictError and retries); the manifest
+        name carries a per-attempt nonce so racing writers at the same
+        version never clobber each other's manifest before one wins."""
+        import uuid
+
+        os.makedirs(os.path.join(tdir, "manifest"), exist_ok=True)
+        mname = f"manifest-{snap.snapshot_id}-{uuid.uuid4().hex[:8]}.json"
+        write_json_atomic(os.path.join(tdir, "manifest", mname), {"files": new_files})
+        snap.manifests = [*base_manifests, mname]
+        write_json_atomic(
+            os.path.join(tdir, "snapshot", f"snapshot-{snap.snapshot_id}.json"),
+            snap.to_json(),
+            exclusive=True,
+        )
+        write_json_atomic(
+            os.path.join(tdir, "snapshot", "LATEST"), {"snapshot_id": snap.snapshot_id}
+        )
+
+    def _gc_manifests(self, tdir: str) -> None:
+        """Delete manifest files no remaining snapshot references."""
+        live = {m for s in self._snapshots(tdir) for m in s.manifests}
+        for p in glob.glob(os.path.join(tdir, "manifest", "manifest-*.json")):
+            if os.path.basename(p) not in live:
+                os.remove(p)
 
     def _latest_snapshot(self, tdir: str) -> Snapshot | None:
         snaps = self._snapshots(tdir)
@@ -384,7 +430,13 @@ class WarehouseCatalog:
         ext = {"ORC": "orc", "AVRO": "avro", "PARQUET": "parquet"}[fmt]
         new_files = self._commit_files(tdir, commit_dir, ext, schema)
         n = sum(e["record_count"] for e in new_files)
-        files = new_files if (overwrite or prev is None) else prev.files + new_files
+        fresh = overwrite or prev is None
+        files = new_files if fresh else prev.files + new_files
+        base_manifests = [] if fresh else list(prev.manifests)
+        if not fresh and prev.files and not prev.manifests:
+            # legacy snapshot with inline files: fold them into this commit's
+            # manifest so the delta chain is complete from here on
+            new_files = prev.files + new_files
         snap = Snapshot(
             snapshot_id=version,
             schema_id=schema.schema_id,
@@ -399,12 +451,7 @@ class WarehouseCatalog:
         # produced this snapshot id, fail with CommitConflictError rather
         # than clobbering their manifest (caller re-reads and retries, like
         # Paimon's optimistic commit loop).
-        write_json_atomic(
-            os.path.join(tdir, "snapshot", f"snapshot-{version}.json"),
-            snap.to_json(),
-            exclusive=True,
-        )
-        write_json_atomic(os.path.join(tdir, "snapshot", "LATEST"), {"snapshot_id": version})
+        self._publish_snapshot(tdir, snap, new_files, base_manifests)
         return version
 
     def delete_where(self, db: str, table: str, condition) -> int:
@@ -572,6 +619,7 @@ class WarehouseCatalog:
             del tags[t]
         write_json_atomic(os.path.join(tdir, "snapshot", "TAGS"), tags)
         write_json_atomic(os.path.join(tdir, "snapshot", "LATEST"), {"snapshot_id": snapshot_id})
+        self._gc_manifests(tdir)
 
     def read_cdc(self, name: str, from_snapshot: int, to_snapshot: int) -> DataFrame:
         """CDC view of ``(from_snapshot, to_snapshot]``: one row per changed
@@ -718,6 +766,7 @@ class WarehouseCatalog:
         for s in doomed:
             os.remove(os.path.join(tdir, "snapshot", f"snapshot-{s.snapshot_id}.json"))
         self._prune_empty_dirs(os.path.join(tdir, "data"))
+        self._gc_manifests(tdir)
         return {"expired_snapshots": len(doomed), "deleted_files": len(dead)}
 
     def compact(self, db: str, table: str) -> int:
@@ -768,16 +817,11 @@ class WarehouseCatalog:
             files=files,  # replaces the live set
             record_count=n,
         )
-        # exclusive publish = the commit point: if a concurrent writer already
-        # produced this snapshot id, fail with CommitConflictError rather
-        # than clobbering their manifest (caller re-reads and retries, like
-        # Paimon's optimistic commit loop).
-        write_json_atomic(
-            os.path.join(tdir, "snapshot", f"snapshot-{version}.json"),
-            snap.to_json(),
-            exclusive=True,
-        )
-        write_json_atomic(os.path.join(tdir, "snapshot", "LATEST"), {"snapshot_id": version})
+        # compaction rewrites the live set → one fresh manifest, no bases:
+        # this is also the METADATA compaction that keeps long histories'
+        # manifest chains short. Exclusive publish = the commit point
+        # (CommitConflictError on a concurrent racer, like insert_into).
+        self._publish_snapshot(tdir, snap, files, [])
         return version
 
     def analyze(self, db: str, table: str) -> dict:
