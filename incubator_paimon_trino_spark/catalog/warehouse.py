@@ -74,6 +74,7 @@ _SYSTEM_SUFFIXES = (
     "audit_log",
     "tags",
     "partitions",
+    "manifests",
 )
 
 
@@ -317,8 +318,31 @@ class WarehouseCatalog:
         snaps = self._snapshots(tdir)
         return snaps[-1] if snaps else None
 
+    def _finalize_commit(self, tdir: str, staging: str, version: int, ext: str) -> list[str]:
+        """Move one commit's staged output into the table's data layout:
+        ``data/<partition dirs>/c<version>-<filename>``.
+
+        Partition dirs stay LAST (standard hive layout) so Catalyst's
+        directory inference — and with it listing-level partition pruning —
+        works for any mix of commits in one scan; the commit id lives in the
+        FILE NAME, not a directory. The per-file rename is the commit's
+        driver-side finalization (the same move Spark's own file committer
+        performs); data bytes are written once, by executors, in parallel."""
+        final: list[str] = []
+        for p in glob.glob(os.path.join(staging, "**", f"*.{ext}"), recursive=True):
+            rel_dir = os.path.relpath(os.path.dirname(p), staging)
+            dest_dir = os.path.join(tdir, "data") if rel_dir == "." else os.path.join(
+                tdir, "data", rel_dir
+            )
+            os.makedirs(dest_dir, exist_ok=True)
+            dest = os.path.join(dest_dir, f"c{version}-{os.path.basename(p)}")
+            os.replace(p, dest)
+            final.append(dest)
+        shutil.rmtree(staging)
+        return final
+
     def _commit_files(
-        self, tdir: str, commit_dir: str, ext: str, schema: TableSchema
+        self, tdir: str, paths: list[str], ext: str, schema: TableSchema
     ) -> list[dict]:
         """Manifest entries for the files one commit just wrote.
 
@@ -328,13 +352,12 @@ class WarehouseCatalog:
         Avro has no pyarrow footer reader: one spark job counts rows per
         file instead (gated path; pruning simply never drops avro files).
         """
-        paths = glob.glob(os.path.join(commit_dir, "**", f"*.{ext}"), recursive=True)
         avro_counts: dict[str, int] = {}
         if ext == "avro" and paths:
             avro_counts = {
                 os.path.realpath(r.f.removeprefix("file:")): r.asDict()["count"]
                 for r in self.spark.read.format("avro")
-                .load(commit_dir)
+                .load(paths)
                 .groupBy(F.input_file_name().alias("f"))
                 .count()
                 .collect()
@@ -348,7 +371,7 @@ class WarehouseCatalog:
                     p, ext, schema, record_count=avro_counts.get(os.path.realpath(p))
                 ),
             }
-            for p in paths
+            for p in sorted(paths)
         ]
 
     def insert_into(
@@ -400,22 +423,22 @@ class WarehouseCatalog:
         if n_buckets > 0 and bucket_key:
             out = out.repartition(n_buckets, F.col(bucket_key))
 
-        commit_dir = os.path.join(tdir, "data", f"c{version}")
+        staging = os.path.join(tdir, f".staging-c{version}")
         writer = out.write.mode("errorifexists")
         if schema.partition_keys:
             writer = writer.partitionBy(*schema.partition_keys)
         fmt = schema.options.get("file_format", "PARQUET").upper()
         if fmt == "ORC":
-            writer.orc(commit_dir)
+            writer.orc(staging)
         elif fmt == "PARQUET":
-            writer.parquet(commit_dir)
+            writer.parquet(staging)
         elif fmt == "AVRO":
             # Paimon's third file format (FileFormatType —
             # TrinoTableOptionUtils.java:96,111-112). Spark's avro data source
             # is an external module; gate on its presence so environments
             # without the jar get a clear error instead of a classpath trace.
             try:
-                writer.format("avro").save(commit_dir)
+                writer.format("avro").save(staging)
             except Exception as ex:  # AnalysisException: Failed to find data source
                 if "Failed to find data source" in str(ex):
                     raise NotImplementedError(
@@ -428,7 +451,8 @@ class WarehouseCatalog:
             raise ValueError(f"unsupported file_format {fmt!r} (have PARQUET, ORC, AVRO)")
 
         ext = {"ORC": "orc", "AVRO": "avro", "PARQUET": "parquet"}[fmt]
-        new_files = self._commit_files(tdir, commit_dir, ext, schema)
+        final_paths = self._finalize_commit(tdir, staging, version, ext)
+        new_files = self._commit_files(tdir, final_paths, ext, schema)
         n = sum(e["record_count"] for e in new_files)
         fresh = overwrite or prev is None
         files = new_files if fresh else prev.files + new_files
@@ -796,7 +820,7 @@ class WarehouseCatalog:
         )
         if n_buckets > 0 and bucket_key:
             out = out.repartition(n_buckets, F.col(bucket_key))
-        commit_dir = os.path.join(tdir, "data", f"c{version}")
+        staging = os.path.join(tdir, f".staging-c{version}")
         writer = out.write.mode("errorifexists")
         if schema.partition_keys:
             writer = writer.partitionBy(*schema.partition_keys)
@@ -804,8 +828,9 @@ class WarehouseCatalog:
         if fmt not in ("PARQUET", "ORC", "AVRO"):
             raise ValueError(f"unsupported file_format {fmt!r} (have PARQUET, ORC, AVRO)")
         ext = {"ORC": "orc", "AVRO": "avro", "PARQUET": "parquet"}[fmt]
-        writer.format(ext).save(commit_dir)
-        files = self._commit_files(tdir, commit_dir, ext, schema)
+        writer.format(ext).save(staging)
+        final_paths = self._finalize_commit(tdir, staging, version, ext)
+        files = self._commit_files(tdir, final_paths, ext, schema)
         n = sum(e["record_count"] for e in files)
         snap = Snapshot(
             snapshot_id=version,
@@ -1028,31 +1053,24 @@ class WarehouseCatalog:
         is_pk = bool(schema.primary_key)
         for (sid, fmt), paths in sorted(groups.items()):
             old = self._schema(tdir, sid)
-            part_names = set(old.partition_keys)
-            # Partition columns are reconstructed from the file PATH, not from
-            # Spark's directory inference: our layout is data/c<commit>/k=v/,
-            # and inference chokes on the non-partition c<commit> level when a
-            # plan mixes commits. Parsing input_file_name keeps the whole
-            # snapshot one scan node however many commits it spans — at scale
-            # the alternative (one read per commit, unioned) bloats the plan
-            # linearly with table history.
+            # Partition columns come from Catalyst's directory inference: the
+            # data/<k=v>/c<commit>-<file> layout keeps k=v dirs LAST for every
+            # commit, so a plan mixing commits is still one consistent scan
+            # node AND partition predicates prune at the file listing
+            # (PartitionFilters) — the reference's "enforced" partition
+            # domain behavior (TrinoMetadataBase.java:363-376) for free.
             # .format().load(list) — DataFrameReader.orc() has no varargs
             # (its 2nd positional is mergeSchema), unlike .parquet().
             df = (
-                self.spark.read.schema(_physical_schema(old, is_pk, exclude=part_names))
+                self.spark.read.option("basePath", os.path.join(tdir, "data"))
+                .schema(_physical_schema(old, is_pk))
                 .format(fmt)
                 .load(paths)
             )
-            part_exprs: dict[int, Column] = {}
-            for pname in old.partition_keys:
-                pf = old.field_by_name(pname)
-                part_exprs[pf.id] = partition_column_expr(pname, pf.type)
             cols = []
             for fid, cur in sorted(current.items()):
                 old_field = next((of for of in old.fields if of.id == fid), None)
-                if fid in part_exprs:
-                    cols.append(part_exprs[fid].alias(cur.name))
-                elif old_field is None:
+                if old_field is None:
                     cols.append(F.lit(None).cast(cur.type).alias(cur.name))
                 else:
                     cols.append(F.col(old_field.name).cast(cur.type).alias(cur.name))
@@ -1151,7 +1169,7 @@ class WarehouseCatalog:
             # Paimon's `table$partitions`: per-partition rollup of the live
             # files (record_count, file_count, bytes, last snapshot that
             # touched the partition — recovered from the commit-dir prefix
-            # `data/c{N}/`, so no extra manifest state is needed).
+            # `c{N}-` file-name prefix, so no extra manifest state is needed).
             snap = self._latest_snapshot(tdir)
             schema = self._latest_schema(tdir)
             snap_ts = {s.snapshot_id: s.timestamp_ms for s in self._snapshots(tdir)}
@@ -1162,7 +1180,7 @@ class WarehouseCatalog:
                     f"{k}={'null' if pv.get(k) is None else pv[k]}"
                     for k in schema.partition_keys
                 )
-                m = re.match(r"data/c(\d+)/", f["path"].replace("\\", "/"))
+                m = re.search(r"/c(\d+)-[^/]*$", "/" + f["path"].replace("\\", "/"))
                 commit = int(m.group(1)) if m else 0
                 cur = agg.setdefault(part, [0, 0, 0, 0])
                 cur[0] += f.get("record_count", 0)
@@ -1177,6 +1195,26 @@ class WarehouseCatalog:
                 rows,
                 "partition string, record_count bigint, file_count bigint, "
                 "file_size_in_bytes bigint, last_update_ms bigint",
+            )
+        if suffix == "manifests":
+            # Paimon's `table$manifests`: the delta-manifest chain of the
+            # current snapshot — one row per manifest with what it added.
+            snap = self._latest_snapshot(tdir)
+            rows = []
+            for m in snap.manifests if snap else []:
+                entries = read_json(os.path.join(tdir, "manifest", m))["files"]
+                rows.append(
+                    (
+                        m,
+                        len(entries),
+                        sum(e.get("record_count", 0) for e in entries),
+                        sum(e.get("size_bytes", 0) for e in entries),
+                    )
+                )
+            return self.spark.createDataFrame(
+                rows,
+                "manifest_name string, num_added_files bigint, "
+                "added_record_count bigint, added_size_bytes bigint",
             )
         # options
         s = self._latest_schema(tdir)
@@ -1413,7 +1451,7 @@ def partition_column_expr(pname: str, type_ddl: str) -> Column:
     literal '+' (legal in both layers) from url_decode's plus-means-space.
     Used by both the batch read path and the changelog stream reader, so
     partitioned tables never depend on Spark's directory inference (which
-    breaks on the data/c<commit>/k=v layout)."""
+    cannot see manifest-selected file subsets)."""
     raw = F.regexp_extract(F.input_file_name(), "/" + re.escape(pname) + "=([^/]*)/", 1)
     shield = lambda c: F.regexp_replace(c, r"\+", "%2B")  # noqa: E731
     decoded = F.url_decode(shield(F.url_decode(shield(raw))))

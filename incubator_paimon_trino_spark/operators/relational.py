@@ -261,6 +261,31 @@ def cast_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "cast_try_invalid",
+    oracle="""
+    SELECT c_custkey,
+           TRY_CAST(c_name AS BIGINT) AS name_as_num,
+           TRY_CAST(c_mktsegment AS INTEGER) AS seg_as_num,
+           TRY_CAST(c_acctbal AS DECIMAL(3, 0)) AS bal_narrow
+    FROM customer
+    """,
+)
+def cast_try_invalid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRY_CAST (Trino's error-free cast): invalid conversions yield NULL
+    instead of failing the query — names and segments never parse as
+    numbers, and balances overflow DECIMAL(3,0) whenever the rounded value
+    leaves [-999, 999] (both engines round half away from zero, then
+    NULL on overflow)."""
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.col("c_name").try_cast("bigint").alias("name_as_num"),
+        F.col("c_mktsegment").try_cast("int").alias("seg_as_num"),
+        F.col("c_acctbal").try_cast("decimal(3,0)").alias("bal_narrow"),
+    )
+
+
 # --- scalar functions ------------------------------------------------------
 
 

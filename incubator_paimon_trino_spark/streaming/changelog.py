@@ -5,7 +5,7 @@ The reference only *stores* streaming table options (``StartupMode``,
 94-107``) and never reads streams (negative finding, SURVEY §2.A). We
 implement actual streaming reads on top of the same table layout:
 
-- Every commit adds immutable parquet files under ``data/c<v>/`` — exactly
+- Every commit adds immutable ``data/<k=v dirs>/c<v>-*`` files — exactly
   the contract Spark's file-stream source needs: new files appear atomically,
   old files never change. ``read_changelog_stream`` is therefore just
   ``spark.readStream.parquet`` with the table's physical schema; PK tables
@@ -58,7 +58,7 @@ def read_changelog_stream(
       ``timestamp_as_of`` pin).
 
     The cut is a predicate on the commit id parsed from each file's
-    ``data/c<v>/`` path — partition-pruning-style, evaluated per file path,
+    ``c<v>-`` file-name prefix — partition-pruning-style, per file path,
     no data read from excluded commits' rows.
     """
     db, _, table = name.partition(".")
@@ -101,8 +101,8 @@ def read_changelog_stream(
         cat.spark.readStream.schema(phys)
         .option("pathGlobFilter", "*.parquet")
         # no hive partition discovery — partition columns are rebuilt from
-        # the path below, and discovery chokes on the data/c<commit>/k=v
-        # layout when commits mix partitions
+        # the path below; recursive lookup keeps the source from treating
+        # partition dirs as data-defining (we re-derive them ourselves)
         .option("recursiveFileLookup", "true")
         .parquet(os.path.join(tdir, "data"))
     )
@@ -115,7 +115,7 @@ def read_changelog_stream(
         ordered += [SEQ_COL, KIND_COL]
     stream = stream.select(*ordered)
     if from_version is not None:
-        commit_of = F.regexp_extract(F.input_file_name(), r"/data/c(\d+)/", 1).cast("bigint")
+        commit_of = F.regexp_extract(F.input_file_name(), r"/c(\d+)-[^/]*$", 1).cast("bigint")
         stream = stream.filter(commit_of >= F.lit(from_version))
     return stream
 

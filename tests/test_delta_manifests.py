@@ -110,3 +110,14 @@ def test_legacy_inline_files_snapshot_still_reads(cat, spark, tmp_path):
     assert cat.read_table("d.t", version_as_of=1).count() == 3
     d2 = _snap_json(cat, "d", "t", 2)
     assert "files" not in d2 and len(d2["manifests"]) == 1
+
+
+def test_manifests_system_table(cat, spark):
+    _mk(cat, spark, commits=3)
+    rows = cat.read_table("d.t$manifests").collect()
+    assert len(rows) == 3
+    assert all(r.num_added_files >= 1 and r.added_record_count == 3 for r in rows)
+    assert all(r.added_size_bytes > 0 for r in rows)
+    cat.compact("d", "t")
+    rows2 = cat.read_table("d.t$manifests").collect()
+    assert len(rows2) == 1 and rows2[0].added_record_count == 9
