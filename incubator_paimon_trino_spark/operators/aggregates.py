@@ -478,3 +478,44 @@ def agg_approx_count_distinct_bounded(spark: SparkSession, sf_dir: str) -> DataF
             F.abs(F.col("approx") - F.col("exact")) / F.col("exact") < 0.03
         ).alias("within_bounds")
     )
+
+
+@register(
+    "agg_most_frequent",
+    oracle="""
+    SELECT o_orderstatus, top_priority, n FROM (
+      SELECT o_orderstatus, o_orderpriority AS top_priority,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_orderstatus
+               ORDER BY COUNT(*) DESC, o_orderpriority
+             ) AS rn
+      FROM orders GROUP BY o_orderstatus, o_orderpriority
+    ) WHERE rn = 1
+    """,
+)
+def agg_most_frequent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mode / most-frequent value per group (Trino ``approx_most_frequent``
+    family, computed exactly): built-in ``mode()`` is tie-nondeterministic in
+    both engines, so the plan is the deterministic decomposition — count per
+    (group, value), then top-1 by (count DESC, value ASC). Two shuffles
+    total; the second operates on the already-aggregated (group, value)
+    pairs, which are tiny relative to the input at any scale."""
+    from pyspark.sql.window import Window
+
+    o = table(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("n"), F.asc("o_orderpriority")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("top_priority"),
+            "n",
+        )
+    )

@@ -147,3 +147,56 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("frame_idx").alias("first_frame"),
         F.max("frame_idx").alias("last_frame"),
     )
+
+
+@register(
+    "multimodal_audio_rms_window",
+    oracle="""
+    WITH params AS (
+      SELECT doc_id, octet_length(encode(text)) % 1000 + 100 AS n
+      FROM documents WHERE doc_id % 3 = 1
+    ), samples AS (
+      SELECT doc_id, i // 256 AS w,
+             ((doc_id * 31 + i * 17) % 201) - 100 AS s
+      FROM params, UNNEST(range(0, n)) AS t(i)
+    )
+    SELECT doc_id AS asset_id, CAST(w AS INTEGER) AS window_idx,
+           SQRT(SUM(s * s) * 1.0 / COUNT(*)) AS rms
+    FROM samples GROUP BY doc_id, w
+    """,
+)
+def multimodal_audio_rms_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio frame analysis through the real Spark plumbing: audio assets →
+    ``mapInPandas`` decode → 256-sample windows → per-window RMS.
+
+    The decode is the deterministic STUB (`DECODE_IS_STUBBED`): sample i of
+    asset a is ``((a*31 + i*17) % 201) - 100``, sample count derives from the
+    payload byte length — so the whole pipeline (binary column in Arrow
+    batches, per-asset sample expansion, windowed energy) is exactly what a
+    libsndfile build would run, yet the result is closed-form and the oracle
+    checks every window's value. No shuffle: windows of one asset live in
+    its input partition; output is ~n/256 rows per asset.
+    """
+    import numpy as np
+
+    audio = media_assets(spark, sf_dir).filter(F.col("media_type") == "audio").select(
+        "asset_id", F.octet_length("payload").alias("n_bytes")
+    )
+
+    def rms_windows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_id, out_w, out_rms = [], [], []
+            for asset_id, n_bytes in zip(pdf["asset_id"], pdf["n_bytes"]):
+                n = int(n_bytes) % 1000 + 100
+                i = np.arange(n, dtype=np.int64)
+                s = (int(asset_id) * 31 + i * 17) % 201 - 100  # STUB decode
+                for w in range(0, (n + 255) // 256):
+                    chunk = s[w * 256 : (w + 1) * 256].astype(np.float64)
+                    out_id.append(int(asset_id))
+                    out_w.append(w)
+                    out_rms.append(float(np.sqrt(np.dot(chunk, chunk) / len(chunk))))
+            yield pd.DataFrame({"asset_id": out_id, "window_idx": out_w, "rms": out_rms})
+
+    return audio.mapInPandas(
+        rms_windows, schema="asset_id bigint, window_idx int, rms double"
+    )
