@@ -53,6 +53,7 @@ from incubator_paimon_trino_spark.catalog.metadata import (
     COMMIT_OVERWRITE,
     KIND_COL,
     SEQ_COL,
+    CommitConflictError,
     Field,
     Snapshot,
     TableSchema,
@@ -474,9 +475,39 @@ class WarehouseCatalog:
         # exclusive publish = the commit point: if a concurrent writer already
         # produced this snapshot id, fail with CommitConflictError rather
         # than clobbering their manifest (caller re-reads and retries, like
-        # Paimon's optimistic commit loop).
-        self._publish_snapshot(tdir, snap, new_files, base_manifests)
+        # Paimon's optimistic commit loop). The loser's data files must not
+        # linger in data/ — they're unreferenced by any manifest, but the
+        # streaming reader globs the directory and would see them.
+        try:
+            self._publish_snapshot(tdir, snap, new_files, base_manifests)
+        except CommitConflictError:
+            for p in final_paths:
+                if os.path.exists(p):
+                    os.remove(p)
+            self._prune_empty_dirs(os.path.join(tdir, "data"))
+            raise
         return version
+
+    def insert_with_retries(
+        self,
+        db: str,
+        table: str,
+        df: DataFrame,
+        max_retries: int = 3,
+        **kwargs,
+    ) -> int:
+        """Paimon's optimistic commit loop: re-run the write on a snapshot-id
+        race. Each attempt re-reads the latest snapshot, so the retry commits
+        on top of the concurrent winner (data is re-written — file names
+        embed the commit id, so a stale attempt's files can't be adopted)."""
+        attempt = 0
+        while True:
+            try:
+                return self.insert_into(db, table, df, **kwargs)
+            except CommitConflictError:
+                attempt += 1
+                if attempt > max_retries:
+                    raise
 
     def delete_where(self, db: str, table: str, condition) -> int:
         """DELETE: write -D changelog rows for matching keys (PK tables only).
@@ -845,8 +876,16 @@ class WarehouseCatalog:
         # compaction rewrites the live set → one fresh manifest, no bases:
         # this is also the METADATA compaction that keeps long histories'
         # manifest chains short. Exclusive publish = the commit point
-        # (CommitConflictError on a concurrent racer, like insert_into).
-        self._publish_snapshot(tdir, snap, files, [])
+        # (CommitConflictError on a concurrent racer, like insert_into);
+        # a losing compactor's rewritten files must not linger in data/.
+        try:
+            self._publish_snapshot(tdir, snap, files, [])
+        except CommitConflictError:
+            for p in final_paths:
+                if os.path.exists(p):
+                    os.remove(p)
+            self._prune_empty_dirs(os.path.join(tdir, "data"))
+            raise
         return version
 
     def analyze(self, db: str, table: str) -> dict:

@@ -177,6 +177,48 @@ def lake_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lake_incremental_read",
+    oracle=f"""
+    SELECT o_custkey, last_order, n, kind AS _row_kind
+    FROM ({_C2_SQL})
+    """,
+)
+def lake_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paimon ``incremental-between`` scan: only commit 2's raw rows (with
+    their row kinds), computed as a pure manifest file-set difference — no
+    data read to plan, and the scan touches only the delta files (at 100 TB
+    an incremental consumer reads GBs, not the table)."""
+    cat, name = _pk_table(spark, sf_dir)
+    return cat.read_incremental(name, 1, 2).select(
+        "o_custkey", "last_order", "n", "_row_kind"
+    )
+
+
+@register(
+    "streaming_changelog_startup_from_snapshot",
+    oracle=f"""
+    SELECT o_custkey, last_order, n, kind AS _row_kind
+    FROM ({_C2_SQL})
+    """,
+)
+def streaming_changelog_startup_from_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StartupMode.from-snapshot as a REAL stream: a file-stream over the
+    lake table's commit layout, cut at snapshot 2 by the commit id parsed
+    from each file name (no excluded commit's data is read), drained with
+    availableNow into a batch result. The reference stores this enum as DDL
+    metadata only (``TrinoTableOptionUtils.java:94-107``)."""
+    from incubator_paimon_trino_spark.streaming.changelog import (
+        read_changelog_stream,
+        run_to_completion,
+    )
+
+    cat, name = _pk_table(spark, sf_dir)
+    stream = read_changelog_stream(cat, name, "from-snapshot", scan_snapshot_id=2)
+    out = run_to_completion(stream, "lake_from_snapshot", "append")
+    return out.select("o_custkey", "last_order", "n", "_row_kind")
+
+
+@register(
     "lake_changelog_producer_lookup",
     oracle=f"""
     WITH c1 AS ({_C1_SQL}), c2 AS ({_C2_SQL})

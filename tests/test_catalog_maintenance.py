@@ -230,3 +230,56 @@ def test_files_and_partitions_system_tables(cat, spark):
     snaps = {s.snapshot_id: s.timestamp_ms for s in cat.read_table("m.p$snapshots").collect()}
     assert parts["pt=p1"].last_update_ms == snaps[1]
     assert parts["pt=p2"].last_update_ms == snaps[2]
+
+
+def test_conflict_cleans_orphan_files_and_retry_succeeds(cat, spark):
+    """A losing commit must not leak its finalized data files into data/
+    (the streaming reader globs the directory), and insert_with_retries
+    re-commits on top of the winner."""
+    import glob
+    import json
+    import os
+
+    import pytest
+
+    from incubator_paimon_trino_spark.catalog.metadata import CommitConflictError
+
+    cat.create_database("default", ignore_if_exists=True)
+    cat.create_table("default", "ccr", [("a", "int")])
+    cat.insert_into("default", "ccr", spark.createDataFrame([(1,)], "a int"))
+    tdir = os.path.join(cat.warehouse, "default.db", "ccr")
+    s1 = json.load(open(os.path.join(tdir, "snapshot", "snapshot-1.json")))
+
+    # simulate the race: a concurrent winner publishes THIS version after the
+    # loser picked it (post-finalize, pre-publish)
+    orig_finalize = cat._finalize_commit
+    racing = {"on": True}
+
+    def finalize_then_lose(tdir_, staging, version, ext):
+        paths = orig_finalize(tdir_, staging, version, ext)
+        target = os.path.join(tdir, "snapshot", f"snapshot-{version}.json")
+        if racing["on"] and not os.path.exists(target):
+            winner = dict(s1, snapshot_id=version)
+            with open(target, "w") as f:
+                json.dump(winner, f)
+        return paths
+
+    cat._finalize_commit = finalize_then_lose
+
+    before = set(glob.glob(os.path.join(tdir, "data", "**", "*.parquet"), recursive=True))
+    with pytest.raises(CommitConflictError):
+        cat.insert_into("default", "ccr", spark.createDataFrame([(2,)], "a int"))
+    after = set(glob.glob(os.path.join(tdir, "data", "**", "*.parquet"), recursive=True))
+    assert after == before  # loser's files were cleaned up
+
+    # permanent racer: retries exhaust and re-raise
+    with pytest.raises(CommitConflictError):
+        cat.insert_with_retries(
+            "default", "ccr", spark.createDataFrame([(9,)], "a int"), max_retries=2
+        )
+
+    # racer stops: the retry loop commits on top of the last winner
+    racing["on"] = False
+    v = cat.insert_with_retries("default", "ccr", spark.createDataFrame([(3,)], "a int"))
+    assert v == cat.snapshots("default", "ccr").collect()[-1].snapshot_id
+    assert 3 in {r.a for r in cat.read_table("default.ccr").collect()}

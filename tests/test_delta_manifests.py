@@ -121,3 +121,27 @@ def test_manifests_system_table(cat, spark):
     cat.compact("d", "t")
     rows2 = cat.read_table("d.t$manifests").collect()
     assert len(rows2) == 1 and rows2[0].added_record_count == 9
+
+
+def test_partition_pruning_survives_multi_commit_reads(cat, spark):
+    """The regression this layout exists to prevent: partition predicates
+    must prune at the FILE LISTING (PartitionFilters) even when the scan
+    spans several commits' files."""
+    from pyspark.sql import functions as F
+
+    cat.create_database("d", ignore_if_exists=True)
+    cat.create_table(
+        "d", "pp", [("k", "int"), ("pt", "string")], partitioned_by=["pt"]
+    )
+    for c in range(3):  # every commit touches BOTH partitions
+        cat.insert_into(
+            "d", "pp",
+            spark.createDataFrame([(c, "a"), (c, "b")], "k int, pt string"),
+        )
+    q = cat.read_table("d.pp").filter(F.col("pt") == "b")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    import re as _re
+
+    m = _re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "pt" in m.group(1), plan
+    assert sorted(r.k for r in q.collect()) == [0, 1, 2]
