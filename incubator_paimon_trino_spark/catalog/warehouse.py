@@ -163,6 +163,9 @@ class WarehouseCatalog:
                 raise ValueError(
                     f"unknown aggregate-function {func!r} for {col!r}; have {FIELD_AGGREGATES}"
                 )
+        seq_field = dict(options or {}).get("sequence_field")
+        if seq_field and seq_field not in names:
+            raise ValueError(f"sequence_field {seq_field!r} not in columns {names}")
         fields = [Field(i, n, t) for i, (n, t) in enumerate(columns)]
         schema = TableSchema(
             schema_id=0,
@@ -408,7 +411,18 @@ class WarehouseCatalog:
         if schema.primary_key:
             if KIND_COL not in out.columns:
                 out = out.withColumn(KIND_COL, F.lit(row_kind or "I"))
-            out = out.withColumn(SEQ_COL, F.lit(version).cast("bigint"))
+            # sequence_field (Paimon CoreOption, surfaced through the
+            # reference's DDL property reflection): merge order comes from a
+            # USER column — out-of-order ingestion (e.g. CDC with event
+            # timestamps) merges by business time, not arrival time. Default
+            # stays commit-id sequencing.
+            seq_field = schema.options.get("sequence_field")
+            if seq_field:
+                if seq_field not in expected:
+                    raise ValueError(f"sequence_field {seq_field!r} not a table column")
+                out = out.withColumn(SEQ_COL, F.col(seq_field).cast("bigint"))
+            else:
+                out = out.withColumn(SEQ_COL, F.lit(version).cast("bigint"))
         elif KIND_COL in out.columns or row_kind not in (None, "I"):
             raise ValueError("row kinds require a primary-key table")
 
@@ -486,6 +500,20 @@ class WarehouseCatalog:
                     os.remove(p)
             self._prune_empty_dirs(os.path.join(tdir, "data"))
             raise
+
+        # Post-commit maintenance driven by CoreOptions the reference
+        # surfaces as DDL properties (TrinoTableOptionUtils.java:51-135) —
+        # executable here, not just stored:
+        # full-compaction.delta-commits: rewrite the live set every N commits
+        # (bounds file count and manifest-chain length without manual ops).
+        delta_commits = int(schema.options.get("full_compaction_delta_commits", "0") or 0)
+        if delta_commits > 0 and version % delta_commits == 0:
+            version = self.compact(db, table)
+        # snapshot.num-retained.max: cap history length at commit time
+        # (Paimon's automatic expiration), keeping tagged snapshots.
+        retained = int(schema.options.get("snapshot_num_retained_max", "0") or 0)
+        if retained > 0:
+            self.expire_snapshots(db, table, keep_last=retained)
         return version
 
     def insert_with_retries(
@@ -851,6 +879,13 @@ class WarehouseCatalog:
         )
         if n_buckets > 0 and bucket_key:
             out = out.repartition(n_buckets, F.col(bucket_key))
+        else:
+            # size the rewrite by data volume, not input file count — the
+            # whole point of compaction is collapsing many small files, so
+            # target ~128 MB outputs (Paimon's target-file-size default).
+            target = 128 * 1024 * 1024
+            total = sum(f.get("size_bytes", 0) for f in prev.files)
+            out = out.repartition(max(1, -(-total // target)))
         staging = os.path.join(tdir, f".staging-c{version}")
         writer = out.write.mode("errorifexists")
         if schema.partition_keys:

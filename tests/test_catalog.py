@@ -617,3 +617,32 @@ def test_changelog_producer_modes(cat, spark):
     cat.create_table("default", "clp_append", [("k", "int")])
     with pytest.raises(ValueError):
         cat.table_changelog("default.clp_append", producer="input")
+
+
+def test_sequence_field_merge_order(cat, spark):
+    """sequence_field (Paimon CoreOption): merge-on-read orders by a USER
+    column, so late-arriving rows with older business time lose to the
+    already-stored newer version — commit order no longer decides."""
+    cat.create_database("default", ignore_if_exists=True)
+    cat.create_table(
+        "default", "sq", [("k", "int"), ("v", "string"), ("event_seq", "bigint")],
+        primary_key=["k"], options={"sequence_field": "event_seq"},
+    )
+    cat.insert_into("default", "sq",
+                    spark.createDataFrame([(1, "newer", 100)], "k int, v string, event_seq bigint"))
+    # second COMMIT carries an OLDER sequence value → must NOT win
+    cat.insert_into("default", "sq",
+                    spark.createDataFrame([(1, "stale", 50)], "k int, v string, event_seq bigint"))
+    # and a genuinely newer one wins
+    cat.insert_into("default", "sq",
+                    spark.createDataFrame([(1, "newest", 200)], "k int, v string, event_seq bigint"))
+    rows = cat.read_table("default.sq").collect()
+    assert [(r.k, r.v, r.event_seq) for r in rows] == [(1, "newest", 200)]
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        cat.create_table(
+            "default", "sq_bad", [("k", "int"), ("v", "string")],
+            primary_key=["k"], options={"sequence_field": "nope"},
+        )

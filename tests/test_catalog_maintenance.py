@@ -283,3 +283,31 @@ def test_conflict_cleans_orphan_files_and_retry_succeeds(cat, spark):
     v = cat.insert_with_retries("default", "ccr", spark.createDataFrame([(3,)], "a int"))
     assert v == cat.snapshots("default", "ccr").collect()[-1].snapshot_id
     assert 3 in {r.a for r in cat.read_table("default.ccr").collect()}
+
+
+def test_auto_compaction_and_retention_options(cat, spark):
+    """full-compaction.delta-commits and snapshot.num-retained.max are
+    EXECUTED at commit time (the reference only stores them as DDL props)."""
+    cat.create_database("default", ignore_if_exists=True)
+    cat.create_table(
+        "default", "auto", [("k", "int")],
+        options={"full_compaction_delta_commits": "3"},
+    )
+    for i in range(3):
+        cat.insert_into("default", "auto", spark.createDataFrame([(i,)], "k int"))
+    snaps = cat.snapshots("default", "auto").collect()
+    # commit 3 triggered an automatic compaction snapshot (version 4)
+    assert [s.commit_kind for s in snaps] == ["APPEND", "APPEND", "APPEND", "COMPACT"]
+    assert cat.read_table("default.auto").count() == 3
+    files = cat.scan_plan("default.auto")
+    assert len(files) == 1  # live set rewritten into one file
+
+    cat.create_table(
+        "default", "ret", [("k", "int")],
+        options={"snapshot_num_retained_max": "2"},
+    )
+    for i in range(5):
+        cat.insert_into("default", "ret", spark.createDataFrame([(i,)], "k int"))
+    kept = [s.snapshot_id for s in cat.snapshots("default", "ret").collect()]
+    assert kept == [4, 5]  # history capped at 2 automatically
+    assert cat.read_table("default.ret").count() == 5
