@@ -437,6 +437,24 @@ class WarehouseCatalog:
         )
         if n_buckets > 0 and bucket_key:
             out = out.repartition(n_buckets, F.col(bucket_key))
+        elif schema.options.get("clustering_columns"):
+            # clustering.columns (Paimon append-table clustering): range-
+            # partition + sort the commit on the clustering key so each file
+            # covers a NARROW key range — manifest min/max skipping then
+            # prunes point/range predicates to a handful of files instead of
+            # every file overlapping the whole domain. The range exchange is
+            # per-commit and sampling-based (Spark's RangePartitioner), so
+            # cost stays proportional to the commit, not the table.
+            cluster_cols = [
+                c.strip()
+                for c in schema.options["clustering_columns"].split(",")
+                if c.strip()
+            ]
+            for c in cluster_cols:
+                if c not in expected:
+                    raise ValueError(f"clustering column {c!r} not a table column")
+            out = out.repartitionByRange(*[F.col(c) for c in cluster_cols])
+            out = out.sortWithinPartitions(*cluster_cols)
 
         staging = os.path.join(tdir, f".staging-c{version}")
         writer = out.write.mode("errorifexists")

@@ -703,3 +703,48 @@ def limit_offset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .offset(40)
         .limit(20)
     )
+
+
+@register(
+    "scalar_string_bit_functions3",
+    oracle="""
+    SELECT c_custkey,
+           CAST(levenshtein(c_name, c_mktsegment) AS INTEGER) AS lev,
+           CAST(bit_count(CAST(c_custkey AS BIGINT)) AS INTEGER) AS popcount,
+           lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS padded_key,
+           rpad(c_mktsegment, 12, '.') AS padded_seg,
+           reverse(c_mktsegment) AS seg_rev,
+           CAST(ascii(c_mktsegment) AS INTEGER) AS seg_ascii,
+           chr(CAST(65 + c_custkey % 26 AS INTEGER)) AS key_letter,
+           lower(hex(CAST(c_custkey AS BIGINT))) AS key_hex,
+           left(c_name, 6) AS name_l,
+           right(c_name, 4) AS name_r,
+           repeat('*', CAST(c_custkey % 4 AS INTEGER)) AS stars,
+           CAST(greatest(c_custkey % 7, c_custkey % 5, 2) AS BIGINT) AS g,
+           CAST(least(c_custkey % 7, c_custkey % 5, 2) AS BIGINT) AS l,
+           CAST(sign(c_acctbal) AS INTEGER) AS bal_sign
+    FROM customer
+    """,
+)
+def scalar_string_bit_functions3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third Trino scalar batch: edit distance, popcount, pads, reverse,
+    ascii/chr, hex (case-normalized — Spark upper, DuckDB lower), left/right,
+    repeat, greatest/least, sign. All JVM built-ins in one codegen stage."""
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.levenshtein("c_name", "c_mktsegment").cast("int").alias("lev"),
+        F.bit_count(F.col("c_custkey").cast("bigint")).cast("int").alias("popcount"),
+        F.lpad(F.col("c_custkey").cast("string"), 12, "0").alias("padded_key"),
+        F.rpad("c_mktsegment", 12, ".").alias("padded_seg"),
+        F.reverse("c_mktsegment").alias("seg_rev"),
+        F.ascii("c_mktsegment").cast("int").alias("seg_ascii"),
+        F.chr((F.lit(65) + F.col("c_custkey") % 26).cast("int")).alias("key_letter"),
+        F.lower(F.hex(F.col("c_custkey").cast("bigint"))).alias("key_hex"),
+        F.substring("c_name", 1, 6).alias("name_l"),
+        F.col("c_name").substr(F.length("c_name") - 3, F.lit(4)).alias("name_r"),
+        F.repeat(F.lit("*"), (F.col("c_custkey") % 4).cast("int")).alias("stars"),
+        F.greatest(F.col("c_custkey") % 7, F.col("c_custkey") % 5, F.lit(2)).cast("bigint").alias("g"),
+        F.least(F.col("c_custkey") % 7, F.col("c_custkey") % 5, F.lit(2)).cast("bigint").alias("l"),
+        F.signum("c_acctbal").cast("int").alias("bal_sign"),
+    )

@@ -122,3 +122,57 @@ def test_aggregation_matches_model(spark, commits):
         tags[k] = tag  # value at the latest insert, null included
     want = {k: (sums[k], tags[k]) for k in sums}
     assert got == want
+
+
+@given(commits=changelogs())
+@HYP
+def test_field_aggregates_match_model(spark, commits):
+    """Per-field aggregate functions vs an independent model: v→min,
+    tag→listagg (non-null, changelog order)."""
+    df = _df(spark, commits)
+    got = {
+        r.k: (r.v, r.tag)
+        for r in merge_on_read(
+            df, ["k"], "aggregation",
+            field_aggregates={"v": "min", "tag": "listagg"},
+        ).collect()
+    }
+    mins, lists = {}, {}
+    for k, kind, v, tag, seq in _flat(commits):
+        if kind == "D":
+            continue
+        mins.setdefault(k, None)
+        lists.setdefault(k, [])
+        if v is not None:
+            mins[k] = v if mins[k] is None else min(mins[k], v)
+        if tag is not None:
+            lists[k].append(tag)
+    want = {k: (mins[k], ",".join(lists[k])) for k in mins}
+    assert got == want
+
+
+@given(commits=changelogs())
+@HYP
+def test_sequence_field_equivalence(spark, commits):
+    """Merging with _seq REASSIGNED from a value column must equal the model
+    ordered by that column — i.e. the sequence_field contract: business
+    order, not commit order. Ties on the sequence value keep deletes-last
+    then writer order; we avoid ties by making the sequence unique per key."""
+    from pyspark.sql import functions as F
+
+    # a collision-free sequence that is NOT monotone with commit order
+    # across keys (ties would make max_by writer-defined, like Paimon)
+    df = _df(spark, commits).withColumn(
+        "_seq", (F.lit(9) - F.col("_seq")) * F.lit(31) + F.col("k")
+    )
+    got = {r.k: (r.v, r.tag) for r in merge_on_read(df, ["k"]).collect()}
+    best = {}
+    for k, kind, v, tag, seq in _flat(commits):
+        new_seq = (9 - seq) * 31 + k
+        # model: max (new_seq, delete-last) wins — mirrors merge's
+        # (_seq, D-after-I) order key; new_seq is unique per (k, commit)
+        key = (new_seq, 1 if kind == "D" else 0)
+        if k not in best or key > best[k][0]:
+            best[k] = (key, kind, v, tag)
+    want = {k: (v, tag) for k, (key, kind, v, tag) in best.items() if kind != "D"}
+    assert got == want

@@ -154,3 +154,36 @@ def test_timestamp_stats_prune(cat, spark):
     dom = [ColumnDomain("at", op=">=", value=mk(12))]
     assert len(cat.scan_plan("d.ts", predicate=dom)) == 1
     assert cat.read_table("d.ts", predicate=dom).count() == 2
+
+
+def test_clustering_columns_tighten_minmax_pruning(cat, spark):
+    """clustering.columns: a range-partitioned+sorted commit gives each file
+    a narrow key range, so a point predicate prunes to ~1 file; the same
+    data unclustered leaves every file overlapping the domain."""
+    import random
+
+    rows = [(k, f"v{k}") for k in random.Random(7).sample(range(10_000), 2_000)]
+    df = spark.createDataFrame(rows, "k int, v string").repartition(8)
+
+    cat.create_database("d", ignore_if_exists=True)
+    cat.create_table("d", "clustered", [("k", "int"), ("v", "string")],
+                     options={"clustering_columns": "k"})
+    cat.create_table("d", "plain", [("k", "int"), ("v", "string")])
+    cat.insert_into("d", "clustered", df)
+    cat.insert_into("d", "plain", df)
+
+    pred = [ColumnDomain("k", op="=", value=rows[0][0])]
+    n_clustered = len(cat.scan_plan("d.clustered", predicate=pred))
+    n_plain_all = len(cat.scan_plan("d.plain"))
+    n_plain = len(cat.scan_plan("d.plain", predicate=pred))
+    assert n_clustered == 1
+    # unclustered: every file spans ~the whole domain → no pruning wins
+    assert n_plain == n_plain_all > 1
+    # correctness unchanged
+    got = cat.read_table("d.clustered", predicate=pred).collect()
+    assert [(r.k, r.v) for r in got] == [rows[0]]
+
+    with pytest.raises(ValueError):
+        cat.create_table("d", "bad_cluster", [("k", "int")],
+                         options={"clustering_columns": "zz"})
+        cat.insert_into("d", "bad_cluster", spark.createDataFrame([(1,)], "k int"))
