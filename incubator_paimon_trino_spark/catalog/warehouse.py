@@ -453,7 +453,17 @@ class WarehouseCatalog:
             for c in cluster_cols:
                 if c not in expected:
                     raise ValueError(f"clustering column {c!r} not a table column")
-            out = out.repartitionByRange(*[F.col(c) for c in cluster_cols])
+            # clustering_partitions pins the range-bucket count (file count
+            # per commit); default lets Spark/AQE size buckets by volume —
+            # right at scale, but a tiny commit then collapses to one file
+            # and min/max pruning has nothing to skip.
+            n_ranges = int(schema.options.get("clustering_partitions", "0") or 0)
+            range_cols = [F.col(c) for c in cluster_cols]
+            out = (
+                out.repartitionByRange(n_ranges, *range_cols)
+                if n_ranges > 0
+                else out.repartitionByRange(*range_cols)
+            )
             out = out.sortWithinPartitions(*cluster_cols)
 
         staging = os.path.join(tdir, f".staging-c{version}")

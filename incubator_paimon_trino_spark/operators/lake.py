@@ -177,6 +177,37 @@ def lake_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lake_clustered_scan",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders WHERE o_orderkey BETWEEN 5000 AND 5200
+    """,
+)
+def lake_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """clustering.columns end-to-end: orders written range-clustered on
+    o_orderkey, read back with a narrow key-range predicate — the manifest
+    min/max skip prunes to the file(s) whose range overlaps [5000, 5200]
+    (each covers ~1/8 of the domain) and the values round-trip exactly."""
+    from incubator_paimon_trino_spark.functions.predicates import ColumnDomain, Range
+
+    cat = _fresh_catalog(spark)
+    cat.create_database("lake")
+    cat.create_table(
+        "lake",
+        "orders_clustered",
+        [("o_orderkey", "bigint"), ("o_totalprice", "double")],
+        options={"clustering_columns": "o_orderkey", "clustering_partitions": "8"},
+    )
+    src = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice").repartition(8)
+    cat.insert_into("lake", "orders_clustered", src)
+    pred = [ColumnDomain("o_orderkey", ranges=[Range(5000, 5200, True, True)])]
+    n_all = len(cat.scan_plan("lake.orders_clustered"))
+    n_hit = len(cat.scan_plan("lake.orders_clustered", predicate=pred))
+    assert n_hit < n_all, (n_hit, n_all)  # clustering must actually prune
+    return cat.read_table("lake.orders_clustered", predicate=pred)
+
+
+@register(
     "lake_incremental_read",
     oracle=f"""
     SELECT o_custkey, last_order, n, kind AS _row_kind

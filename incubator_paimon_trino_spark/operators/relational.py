@@ -748,3 +748,37 @@ def scalar_string_bit_functions3(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(F.col("c_custkey") % 7, F.col("c_custkey") % 5, F.lit(2)).cast("bigint").alias("l"),
         F.signum("c_acctbal").cast("int").alias("bal_sign"),
     )
+
+
+@register(
+    "nested_unnest_multi",
+    oracle="""
+    SELECT o_orderkey, CAST(i AS INTEGER) AS ordinality,
+           words[i] AS w, nums[i] AS x
+    FROM (
+      SELECT o_orderkey,
+             string_split(o_orderpriority, '-') AS words,
+             [o_orderkey, o_orderkey * 2, o_orderkey % 5] AS nums
+      FROM orders
+    ), UNNEST(range(1, GREATEST(len(words), len(nums)) + 1)) AS t(i)
+    """,
+)
+def nested_unnest_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNNEST of two parallel arrays (Trino ``UNNEST(a, b) WITH
+    ORDINALITY``): ``arrays_zip`` + ``posexplode`` — the shorter array
+    null-pads, matching SQL's parallel-unnest contract."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.split("o_orderpriority", "-").alias("words"),
+        F.array(
+            F.col("o_orderkey"), F.col("o_orderkey") * 2, F.col("o_orderkey") % 5
+        ).alias("nums"),
+    )
+    return o.select(
+        "o_orderkey", F.posexplode(F.arrays_zip("words", "nums")).alias("i", "z")
+    ).select(
+        "o_orderkey",
+        (F.col("i") + 1).cast("int").alias("ordinality"),
+        F.col("z.words").alias("w"),
+        F.col("z.nums").alias("x"),
+    )

@@ -167,11 +167,12 @@ def test_clustering_columns_tighten_minmax_pruning(cat, spark):
 
     cat.create_database("d", ignore_if_exists=True)
     cat.create_table("d", "clustered", [("k", "int"), ("v", "string")],
-                     options={"clustering_columns": "k"})
+                     options={"clustering_columns": "k", "clustering_partitions": "8"})
     cat.create_table("d", "plain", [("k", "int"), ("v", "string")])
     cat.insert_into("d", "clustered", df)
     cat.insert_into("d", "plain", df)
 
+    assert len(cat.scan_plan("d.clustered")) == 8  # pinned range buckets
     pred = [ColumnDomain("k", op="=", value=rows[0][0])]
     n_clustered = len(cat.scan_plan("d.clustered", predicate=pred))
     n_plain_all = len(cat.scan_plan("d.plain"))
