@@ -177,6 +177,49 @@ def lake_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lake_sequence_field_merge",
+    oracle=f"""
+    WITH c1 AS ({_C1_SQL}),
+         c2 AS (SELECT o_custkey, MAX(o_orderkey) AS last_order, COUNT(*) AS n
+                FROM orders WHERE o_orderkey > 1000 GROUP BY o_custkey)
+    SELECT COALESCE(c2.o_custkey, c1.o_custkey) AS o_custkey,
+           COALESCE(c2.last_order, c1.last_order) AS last_order,
+           COALESCE(c2.n, c1.n) AS n
+    FROM c1 FULL OUTER JOIN c2 ON c1.o_custkey = c2.o_custkey
+    """,
+)
+def lake_sequence_field_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sequence_field contract through the driver gate: the HIGH-sequence
+    commit (orderkeys > 1000) is written FIRST and the low-sequence commit
+    second — with ``sequence_field=last_order`` the merged state must still
+    be decided by business order (c2 wins wherever both exist), proving
+    commit order no longer matters."""
+    cat = _fresh_catalog(spark)
+    cat.create_database("lake")
+    cat.create_table(
+        "lake",
+        "seq_orders",
+        [("o_custkey", "bigint"), ("last_order", "bigint"), ("n", "bigint")],
+        primary_key=["o_custkey"],
+        options={"sequence_field": "last_order"},
+    )
+    o = table(spark, sf_dir, "orders")
+    c2 = (
+        o.filter(F.col("o_orderkey") > 1000)
+        .groupBy("o_custkey")
+        .agg(F.max("o_orderkey").alias("last_order"), F.count("*").alias("n"))
+    )
+    c1 = (
+        o.filter(F.col("o_orderkey") <= 1000)
+        .groupBy("o_custkey")
+        .agg(F.max("o_orderkey").alias("last_order"), F.count("*").alias("n"))
+    )
+    cat.insert_into("lake", "seq_orders", c2)  # newer data arrives FIRST
+    cat.insert_into("lake", "seq_orders", c1)  # stale data arrives second
+    return cat.read_table("lake.seq_orders")
+
+
+@register(
     "lake_clustered_scan",
     oracle="""
     SELECT o_orderkey, o_totalprice
