@@ -496,6 +496,8 @@ class WarehouseCatalog:
         ext = {"ORC": "orc", "AVRO": "avro", "PARQUET": "parquet"}[fmt]
         final_paths = self._finalize_commit(tdir, staging, version, ext)
         new_files = self._commit_files(tdir, final_paths, ext, schema)
+        if n_buckets > 0 and bucket_key:
+            _record_buckets(new_files, schema, bucket_key, n_buckets)
         n = sum(e["record_count"] for e in new_files)
         fresh = overwrite or prev is None
         files = new_files if fresh else prev.files + new_files
@@ -925,6 +927,8 @@ class WarehouseCatalog:
         writer.format(ext).save(staging)
         final_paths = self._finalize_commit(tdir, staging, version, ext)
         files = self._commit_files(tdir, final_paths, ext, schema)
+        if n_buckets > 0 and bucket_key:
+            _record_buckets(files, schema, bucket_key, n_buckets)
         n = sum(e["record_count"] for e in files)
         snap = Snapshot(
             snapshot_id=version,
@@ -1028,6 +1032,48 @@ class WarehouseCatalog:
             snap = snaps[-1] if snaps else None
         return snap
 
+    def _bucket_prune(self, schema: TableSchema, predicate: list | None, files: list[dict]) -> list[dict]:
+        """Hash-bucket file skipping for point lookups (Paimon's bucket
+        pruning): an equality/IN predicate on the bucket key touches only
+        ``pmod(murmur3(v), n)`` — at 100 TB a PK point query opens 1/n of
+        the files BEFORE min/max stats even run. Files without recorded
+        bucket info (pre-bucketing commits, layout drift) are kept."""
+        pinned = _bucket_prune_values(predicate, schema)
+        if pinned is None or not any("bucket" in e for e in files):
+            return files
+        fid, values = pinned
+        if schema.primary_key:
+            # on a PK table only PK columns are version-stable — a value
+            # column can change across versions of one key, scattering them
+            # over buckets, so pruning on it would drop history pre-merge
+            pk_ids = {schema.field_by_name(k).id for k in schema.primary_key}
+            if fid not in pk_ids:
+                return files
+        layouts = {
+            e["bucket_n"] for e in files if "bucket" in e and e.get("bucket_fid") == fid
+        }
+        if not layouts:
+            return files
+        ddl = next(f.type for f in schema.fields if f.id == fid)
+        # one tiny driver-side job evaluates Spark's own hash → no chance of
+        # a Python reimplementation drifting from the JVM partitioner
+        exprs = [
+            F.pmod(F.hash(F.lit(v).cast(ddl)), F.lit(n)).alias(f"b_{n}_{i}")
+            for n in sorted(layouts)
+            for i, v in enumerate(values)
+        ]
+        row = self.spark.range(1).select(*exprs).collect()[0].asDict()
+        allowed = {
+            (n, row[f"b_{n}_{i}"]) for n in sorted(layouts) for i in range(len(values))
+        }
+        return [
+            e
+            for e in files
+            if "bucket" not in e
+            or e.get("bucket_fid") != fid
+            or (e["bucket_n"], e["bucket"]) in allowed
+        ]
+
     def scan_plan(
         self,
         name: str,
@@ -1057,6 +1103,7 @@ class WarehouseCatalog:
         files = snap.files
         if predicate:
             files = prune_files(files, predicate, schema, lambda sid: self._schema(tdir, sid))
+            files = self._bucket_prune(schema, predicate, files)
         if limit is not None and _limit_pushable(schema, predicate, files):
             files = _limit_file_prefix(files, limit)
         return files
@@ -1101,6 +1148,7 @@ class WarehouseCatalog:
             pruned = prune_files(
                 snap.files, predicate, schema, lambda sid: self._schema(tdir, sid)
             )
+            pruned = self._bucket_prune(schema, predicate, pruned)
             snap = dataclasses.replace(snap, files=pruned)
         if snap is not None and limit is not None and _limit_pushable(schema, predicate, snap.files):
             snap = dataclasses.replace(snap, files=_limit_file_prefix(snap.files, limit))
@@ -1379,6 +1427,8 @@ class WarehouseCatalog:
     )
 
     _DDL_RES = {
+        "call_proc": re.compile(
+            r"^\s*CALL\s+sys\.(?P<proc>[A-Za-z_]\w*)\s*\((?P<args>[^)]*)\)\s*$", re.I),
         "create_schema": re.compile(r"^\s*CREATE\s+(SCHEMA|DATABASE)\s+(IF\s+NOT\s+EXISTS\s+)?(?P<db>[A-Za-z_]\w*)\s*$", re.I),
         "drop_schema": re.compile(r"^\s*DROP\s+(SCHEMA|DATABASE)\s+(?P<db>[A-Za-z_]\w*)(?P<cascade>\s+CASCADE)?\s*$", re.I),
         "create_table": re.compile(
@@ -1460,7 +1510,54 @@ class WarehouseCatalog:
         if m := R["show_columns"].match(query):
             return self.spark.createDataFrame(
                 self.describe(m.group("db"), m.group("tbl")), "column string, type string")
+        if m := R["call_proc"].match(query):
+            return self._call_procedure(m.group("proc").lower(), m.group("args") or "")
         return None
+
+    def _call_procedure(self, proc: str, raw_args: str) -> DataFrame:
+        """``CALL sys.<proc>(...)`` — the maintenance-procedure surface
+        Paimon exposes to Spark (sys.compact, sys.expire_snapshots,
+        sys.rollback, sys.create_tag, sys.delete_tag); the reference's
+        Trino build predates procedures, so this is executable parity with
+        the lake feature set its DDL options describe."""
+        args = [a.strip().strip("'\"") for a in _split_top_level(raw_args) if a.strip()]
+
+        def split_name(name: str) -> tuple[str, str]:
+            db, _, tbl = name.partition(".")
+            if not tbl:
+                raise ValueError(f"procedure table argument must be db.table, got {name!r}")
+            return db, tbl
+
+        ok = lambda **kw: self.spark.createDataFrame(  # noqa: E731
+            [tuple(kw.values())], ", ".join(f"{k} string" for k in kw)
+        )
+        if proc == "compact":
+            db, tbl = split_name(args[0])
+            v = self.compact(db, tbl)
+            return ok(result=f"compacted to snapshot {v}")
+        if proc == "expire_snapshots":
+            db, tbl = split_name(args[0])
+            keep = int(args[1]) if len(args) > 1 else 1
+            stats = self.expire_snapshots(db, tbl, keep_last=keep)
+            return ok(result=f"expired {stats['expired_snapshots']} snapshots, "
+                             f"deleted {stats['deleted_files']} files")
+        if proc == "rollback":
+            db, tbl = split_name(args[0])
+            self.rollback_to(db, tbl, int(args[1]))
+            return ok(result=f"rolled back to snapshot {args[1]}")
+        if proc == "create_tag":
+            db, tbl = split_name(args[0])
+            snap = int(args[2]) if len(args) > 2 else None
+            self.create_tag(db, tbl, args[1], snapshot_id=snap)
+            return ok(result=f"tag {args[1]} created")
+        if proc == "delete_tag":
+            db, tbl = split_name(args[0])
+            self.delete_tag(db, tbl, args[1])
+            return ok(result=f"tag {args[1]} deleted")
+        raise ValueError(
+            f"unknown procedure sys.{proc} (have compact, expire_snapshots, "
+            "rollback, create_tag, delete_tag)"
+        )
 
     def _sql_dml(self, query: str):
         """INSERT INTO/OVERWRITE, DELETE FROM, UPDATE on lake tables —
@@ -1558,6 +1655,41 @@ def partition_column_expr(pname: str, type_ddl: str) -> Column:
     shield = lambda c: F.regexp_replace(c, r"\+", "%2B")  # noqa: E731
     decoded = F.url_decode(shield(F.url_decode(shield(raw))))
     return F.when(raw == F.lit(_HIVE_NULL), F.lit(None)).otherwise(decoded).cast(type_ddl)
+
+
+def _record_buckets(files: list[dict], schema: TableSchema, bucket_key: str, n: int) -> None:
+    """Stamp each manifest entry with the hash bucket its file holds.
+
+    ``repartition(n, col)`` gives the write stage exactly n tasks; the task
+    index survives in the ``part-NNNNN`` file-name component (one write
+    stage, hive partitioning doesn't renumber), so bucket id = part index.
+    Recording (bucket, n, key-field-id) per FILE makes pruning robust to
+    later bucket-count/key changes — each file is judged against the layout
+    it was written under."""
+    fid = schema.field_by_name(bucket_key).id
+    for e in files:
+        m = re.search(r"-part-(\d+)-", os.path.basename(e["path"]))
+        if m and int(m.group(1)) < n:
+            e["bucket"] = int(m.group(1))
+            e["bucket_n"] = n
+            e["bucket_fid"] = fid
+
+
+def _bucket_prune_values(predicate: list | None, schema: TableSchema) -> tuple[int, list] | None:
+    """Equality/IN values on a column usable for bucket pruning, as
+    (field_id, values) — None when the predicate doesn't pin the column."""
+    for d in predicate or []:
+        if d.null_allowed or d.is_null is True or d.ranges:
+            continue
+        try:
+            fid = schema.field_by_name(d.column).id
+        except KeyError:
+            continue
+        if d.op == "=" and d.in_values is None:
+            return fid, [d.value]
+        if d.in_values is not None and d.op is None:
+            return fid, list(d.in_values)
+    return None
 
 
 def _field_aggregate_specs(options: dict[str, str]) -> dict[str, str]:

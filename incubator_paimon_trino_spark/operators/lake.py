@@ -177,6 +177,42 @@ def lake_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lake_bucket_point_lookup",
+    oracle="""
+    SELECT o_custkey, MAX(o_orderkey) AS last_order, COUNT(*) AS n
+    FROM orders WHERE o_custkey = 577 GROUP BY o_custkey
+    """,
+)
+def lake_bucket_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket pruning end-to-end: a PK point lookup on a bucketed table
+    plans only the file(s) of ``pmod(murmur3(key), n)`` — asserted in-query
+    — then merges and filters to the exact row. At 100 TB this is the
+    difference between opening 1/n of the files and opening all of them
+    before min/max stats even run."""
+    from incubator_paimon_trino_spark.functions.predicates import ColumnDomain
+
+    cat = _fresh_catalog(spark)
+    cat.create_database("lake")
+    cat.create_table(
+        "lake",
+        "cust_bucketed",
+        [("o_custkey", "bigint"), ("last_order", "bigint"), ("n", "bigint")],
+        primary_key=["o_custkey"],
+        options={"bucket": "8"},
+    )
+    o = table(spark, sf_dir, "orders")
+    agg = o.groupBy("o_custkey").agg(
+        F.max("o_orderkey").alias("last_order"), F.count("*").alias("n")
+    )
+    cat.insert_into("lake", "cust_bucketed", agg)
+    pred = [ColumnDomain("o_custkey", op="=", value=577)]
+    n_all = len(cat.scan_plan("lake.cust_bucketed"))
+    n_hit = len(cat.scan_plan("lake.cust_bucketed", predicate=pred))
+    assert n_hit == 1 and n_all == 8, (n_hit, n_all)
+    return cat.read_table("lake.cust_bucketed", predicate=pred)
+
+
+@register(
     "lake_sequence_field_merge",
     oracle=f"""
     WITH c1 AS ({_C1_SQL}),

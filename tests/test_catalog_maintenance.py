@@ -311,3 +311,36 @@ def test_auto_compaction_and_retention_options(cat, spark):
     kept = [s.snapshot_id for s in cat.snapshots("default", "ret").collect()]
     assert kept == [4, 5]  # history capped at 2 automatically
     assert cat.read_table("default.ret").count() == 5
+
+
+def test_call_procedures_sql_surface(cat, spark):
+    """CALL sys.* — Paimon's Spark maintenance procedures through the SQL
+    facade: compact, expire_snapshots, rollback, create/delete_tag."""
+    import pytest
+
+    cat.create_database("default", ignore_if_exists=True)
+    cat.create_table("default", "proc", [("k", "int")])
+    for i in range(3):
+        cat.insert_into("default", "proc", spark.createDataFrame([(i,)], "k int"))
+
+    cat.sql("CALL sys.create_tag('default.proc', 'v1', 1)").collect()
+    assert cat.read_table("default.proc", tag="v1").count() == 1
+
+    out = cat.sql("CALL sys.compact('default.proc')").collect()
+    assert "snapshot 4" in out[0].result
+    assert len(cat.scan_plan("default.proc")) == 1
+
+    out = cat.sql("CALL sys.expire_snapshots('default.proc', 1)").collect()
+    assert "expired" in out[0].result
+    kept = [s.snapshot_id for s in cat.snapshots("default", "proc").collect()]
+    assert kept == [1, 4]  # tag keeps snapshot 1 alive
+
+    cat.sql("CALL sys.delete_tag('default.proc', 'v1')").collect()
+    with pytest.raises(ValueError):
+        cat.read_table("default.proc", tag="v1")
+
+    cat.sql("CALL sys.rollback('default.proc', 4)").collect()
+    assert cat.read_table("default.proc").count() == 3
+
+    with pytest.raises(ValueError):
+        cat.sql("CALL sys.nope('default.proc')")
