@@ -1559,6 +1559,48 @@ class WarehouseCatalog:
             "rollback, create_tag, delete_tag)"
         )
 
+    _MERGE_RE = re.compile(
+        r"^\s*MERGE\s+INTO\s+(?P<db>[A-Za-z_]\w*)\.(?P<tbl>[A-Za-z_]\w*)"
+        r"\s+USING\s+(?P<src>\(.*\)|[A-Za-z_]\w*\.[A-Za-z_]\w*)\s*(?:AS\s+\w+\s*)?"
+        r"\s+ON\s+(?P<on>.+?)\s+(?P<clauses>WHEN\s+.+?)\s*$",
+        re.IGNORECASE | re.DOTALL,
+    )
+
+    def _sql_merge(self, m) -> int:
+        """``MERGE INTO t USING s ON <pk equality> WHEN MATCHED THEN
+        UPDATE SET * | DELETE / WHEN NOT MATCHED THEN INSERT *`` — the
+        whole-row merge form (Paimon's Spark MERGE surface); column-level
+        SET lists are not parsed (use ``merge_into``/``update_where``)."""
+        src = m.group("src").strip()
+        if src.startswith("("):
+            source = self.sql(src[1:-1])
+        else:
+            source = self.read_table(src)
+        keys = []
+        for conj in re.split(r"\s+AND\s+", m.group("on").strip(), flags=re.IGNORECASE):
+            eq = re.fullmatch(
+                r"\s*(?:[A-Za-z_]\w*\.)?([A-Za-z_]\w*)\s*=\s*(?:[A-Za-z_]\w*\.)?([A-Za-z_]\w*)\s*",
+                conj,
+            )
+            if not eq or eq.group(1).lower() != eq.group(2).lower():
+                raise ValueError(f"MERGE ON must be PK equality conjuncts, got {conj!r}")
+            keys.append(eq.group(1))
+        clauses = m.group("clauses")
+        when_matched = None
+        if re.search(r"WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*", clauses, re.IGNORECASE):
+            when_matched = "update"
+        elif re.search(r"WHEN\s+MATCHED\s+THEN\s+DELETE", clauses, re.IGNORECASE):
+            when_matched = "delete"
+        when_not_matched = (
+            "insert"
+            if re.search(r"WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT", clauses, re.IGNORECASE)
+            else None
+        )
+        return self.merge_into(
+            m.group("db"), m.group("tbl"), source, keys,
+            when_matched=when_matched, when_not_matched=when_not_matched,
+        )
+
     def _sql_dml(self, query: str):
         """INSERT INTO/OVERWRITE, DELETE FROM, UPDATE on lake tables —
         write statements the read-only reference never had. Returns the
@@ -1570,6 +1612,9 @@ class WarehouseCatalog:
                 m.group("db"), m.group("tbl"), df,
                 overwrite=m.group(1).upper() == "OVERWRITE",
             )
+        m = self._MERGE_RE.match(query)
+        if m:
+            return self._sql_merge(m)
         m = self._DELETE_RE.match(query)
         if m:
             return self.delete_where(m.group("db"), m.group("tbl"), F.expr(m.group("where")))

@@ -646,3 +646,36 @@ def test_sequence_field_merge_order(cat, spark):
             "default", "sq_bad", [("k", "int"), ("v", "string")],
             primary_key=["k"], options={"sequence_field": "nope"},
         )
+
+
+def test_merge_into_sql(cat, spark):
+    """MERGE INTO through the SQL facade (whole-row form): upsert + insert
+    in one atomic commit; a second MERGE with DELETE removes matches."""
+    cat.create_database("default", ignore_if_exists=True)
+    cat.create_table("default", "mt", [("k", "int"), ("v", "string")], primary_key=["k"])
+    cat.insert_into("default", "mt",
+                    spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"))
+    cat.create_table("default", "src", [("k", "int"), ("v", "string")])
+    cat.insert_into("default", "src",
+                    spark.createDataFrame([(2, "B"), (3, "c")], "k int, v string"))
+
+    cat.sql("""
+      MERGE INTO default.mt USING default.src AS s ON mt.k = s.k
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *
+    """)
+    got = {r.k: r.v for r in cat.read_table("default.mt").collect()}
+    assert got == {1: "a", 2: "B", 3: "c"}
+
+    cat.sql("""
+      MERGE INTO default.mt USING (SELECT 3 AS k, 'x' AS v) ON k = k
+      WHEN MATCHED THEN DELETE
+    """)
+    got = {r.k: r.v for r in cat.read_table("default.mt").collect()}
+    assert got == {1: "a", 2: "B"}
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        cat.sql("MERGE INTO default.mt USING default.src ON mt.k < s.k "
+                "WHEN MATCHED THEN UPDATE SET *")
