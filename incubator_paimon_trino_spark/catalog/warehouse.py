@@ -154,7 +154,15 @@ class WarehouseCatalog:
                 raise ValueError(f"key column {k!r} not in columns {names}")
         from incubator_paimon_trino_spark.operators.merge_on_read import FIELD_AGGREGATES
 
-        for col, func in _field_aggregate_specs(dict(options or {})).items():
+        specs = _field_aggregate_specs(dict(options or {}))
+        if specs and (options or {}).get("merge_engine") != "aggregation":
+            raise ValueError(
+                "fields.<name>.aggregate-function requires merge_engine='aggregation' "
+                "(otherwise the configured aggregates would be silently ignored)"
+            )
+        if specs and not primary_key:
+            raise ValueError("fields.<name>.aggregate-function requires a primary-key table")
+        for col, func in specs.items():
             if col not in names:
                 raise ValueError(f"aggregate-function on unknown column {col!r}")
             if col in primary_key:
@@ -300,22 +308,38 @@ class WarehouseCatalog:
 
         os.makedirs(os.path.join(tdir, "manifest"), exist_ok=True)
         mname = f"manifest-{snap.snapshot_id}-{uuid.uuid4().hex[:8]}.json"
-        write_json_atomic(os.path.join(tdir, "manifest", mname), {"files": new_files})
+        mpath = os.path.join(tdir, "manifest", mname)
+        write_json_atomic(mpath, {"files": new_files})
         snap.manifests = [*base_manifests, mname]
-        write_json_atomic(
-            os.path.join(tdir, "snapshot", f"snapshot-{snap.snapshot_id}.json"),
-            snap.to_json(),
-            exclusive=True,
-        )
+        try:
+            write_json_atomic(
+                os.path.join(tdir, "snapshot", f"snapshot-{snap.snapshot_id}.json"),
+                snap.to_json(),
+                exclusive=True,
+            )
+        except CommitConflictError:
+            if os.path.exists(mpath):  # don't leak the loser's manifest
+                os.remove(mpath)
+            raise
         write_json_atomic(
             os.path.join(tdir, "snapshot", "LATEST"), {"snapshot_id": snap.snapshot_id}
         )
 
     def _gc_manifests(self, tdir: str) -> None:
-        """Delete manifest files no remaining snapshot references."""
-        live = {m for s in self._snapshots(tdir) for m in s.manifests}
+        """Delete manifest files no remaining snapshot references.
+
+        Only manifests at versions <= the newest surviving snapshot are
+        eligible: a concurrent committer writes its manifest (at latest+1)
+        BEFORE publishing its snapshot, and GC'ing that window would corrupt
+        the winning commit."""
+        snaps = self._snapshots(tdir)
+        live = {m for s in snaps for m in s.manifests}
+        horizon = snaps[-1].snapshot_id if snaps else 0
         for p in glob.glob(os.path.join(tdir, "manifest", "manifest-*.json")):
-            if os.path.basename(p) not in live:
+            name = os.path.basename(p)
+            m = re.match(r"manifest-(\d+)-", name)
+            in_flight = m is None or int(m.group(1)) > horizon
+            if name not in live and not in_flight:
                 os.remove(p)
 
     def _latest_snapshot(self, tdir: str) -> Snapshot | None:
@@ -466,7 +490,12 @@ class WarehouseCatalog:
             )
             out = out.sortWithinPartitions(*cluster_cols)
 
-        staging = os.path.join(tdir, f".staging-c{version}")
+        import uuid as _uuid
+
+        # per-attempt nonce: concurrent writers racing on the same version
+        # must not collide on the staging path (errorifexists), and a
+        # crashed writer's leftover staging dir must not block the version
+        staging = os.path.join(tdir, f".staging-c{version}-{_uuid.uuid4().hex[:8]}")
         writer = out.write.mode("errorifexists")
         if schema.partition_keys:
             writer = writer.partitionBy(*schema.partition_keys)
@@ -536,9 +565,16 @@ class WarehouseCatalog:
         # executable here, not just stored:
         # full-compaction.delta-commits: rewrite the live set every N commits
         # (bounds file count and manifest-chain length without manual ops).
+        # Maintenance is BEST-EFFORT: the insert above already committed, so
+        # a maintenance-time conflict (concurrent writer won the next
+        # version) must not surface as a failure of a succeeded commit —
+        # the next commit simply triggers it again.
         delta_commits = int(schema.options.get("full_compaction_delta_commits", "0") or 0)
         if delta_commits > 0 and version % delta_commits == 0:
-            version = self.compact(db, table)
+            try:
+                version = self.compact(db, table)
+            except CommitConflictError:
+                pass
         # snapshot.num-retained.max: cap history length at commit time
         # (Paimon's automatic expiration), keeping tagged snapshots.
         retained = int(schema.options.get("snapshot_num_retained_max", "0") or 0)
@@ -671,7 +707,7 @@ class WarehouseCatalog:
         for dirpath, dirnames, filenames in os.walk(root, topdown=False):
             if dirpath == root:
                 continue
-            data = [f for f in filenames if f.endswith((".parquet", ".orc"))]
+            data = [f for f in filenames if f.endswith((".parquet", ".orc", ".avro"))]
             leftover_dirs = [d for d in dirnames if os.path.exists(os.path.join(dirpath, d))]
             if not data and not leftover_dirs:
                 for f in filenames:
@@ -826,6 +862,14 @@ class WarehouseCatalog:
             if not schema.primary_key:
                 raise ValueError("changelog_producer=input needs a primary-key table; "
                                  "append-only tables stream raw rows via read_incremental")
+            if schema.options.get("sequence_field"):
+                # _seq carries business time, not the commit id — raw rows
+                # can't be attributed to snapshots; diff-based producers can.
+                raise ValueError(
+                    "changelog_producer=input is incompatible with "
+                    "sequence_field (rows carry business sequence, not "
+                    "commit ids) — use producer='lookup' or 'none'"
+                )
             raw = self.read_table(name, with_system_columns=True)
             change = F.when(F.col(KIND_COL) == "D", "-D").otherwise("+I")
             out = raw.filter((F.col(SEQ_COL) > from_snapshot) & (F.col(SEQ_COL) <= hi))
@@ -835,10 +879,19 @@ class WarehouseCatalog:
                 change.alias("_change"),
             )
 
-        parts = [
-            self.read_cdc(name, s - 1, s).withColumn("_snapshot", F.lit(s).cast("bigint"))
-            for s in ids
-        ]
+        snap_ids = set(snaps)
+        parts = []
+        for s_id in ids:
+            if s_id - 1 == 0 or s_id - 1 in snap_ids:
+                diff = self.read_cdc(name, s_id - 1, s_id)
+            else:
+                # predecessor expired: the earliest surviving snapshot
+                # bootstraps as a full +I image (same shape read_cdc(0, s)
+                # would produce) instead of crashing on the missing version
+                diff = self.read_table(name, version_as_of=s_id).withColumn(
+                    "_change", F.lit("+I")
+                )
+            parts.append(diff.withColumn("_snapshot", F.lit(s_id).cast("bigint")))
         if not parts:
             empty = schema.spark_schema().add("_change", "string").add("_snapshot", "long")
             return self.spark.createDataFrame([], empty)
@@ -916,7 +969,12 @@ class WarehouseCatalog:
             target = 128 * 1024 * 1024
             total = sum(f.get("size_bytes", 0) for f in prev.files)
             out = out.repartition(max(1, -(-total // target)))
-        staging = os.path.join(tdir, f".staging-c{version}")
+        import uuid as _uuid
+
+        # per-attempt nonce: concurrent writers racing on the same version
+        # must not collide on the staging path (errorifexists), and a
+        # crashed writer's leftover staging dir must not block the version
+        staging = os.path.join(tdir, f".staging-c{version}-{_uuid.uuid4().hex[:8]}")
         writer = out.write.mode("errorifexists")
         if schema.partition_keys:
             writer = writer.partitionBy(*schema.partition_keys)
@@ -1561,7 +1619,7 @@ class WarehouseCatalog:
 
     _MERGE_RE = re.compile(
         r"^\s*MERGE\s+INTO\s+(?P<db>[A-Za-z_]\w*)\.(?P<tbl>[A-Za-z_]\w*)"
-        r"\s+USING\s+(?P<src>\(.*\)|[A-Za-z_]\w*\.[A-Za-z_]\w*)\s*(?:AS\s+\w+\s*)?"
+        r"\s+USING\s+(?P<src>\(.*\)|[A-Za-z_]\w*\.[A-Za-z_]\w*)\s*(?:(?:AS\s+)?(?!ON\b)[A-Za-z_]\w*\s*)?"
         r"\s+ON\s+(?P<on>.+?)\s+(?P<clauses>WHEN\s+.+?)\s*$",
         re.IGNORECASE | re.DOTALL,
     )
@@ -1750,20 +1808,38 @@ def _field_aggregate_specs(options: dict[str, str]) -> dict[str, str]:
 
 def _limit_pushable(schema: TableSchema, predicate: list | None, files: list[dict]) -> bool:
     """A8 guard (``TrinoMetadataBase.java:418-445``): a scan-level LIMIT is
-    sound only when partition values alone decide every surviving file —
-    i.e. every predicate column is a partition key present in each file's
-    path — and no merge-on-read can collapse rows afterwards."""
+    sound only when partition values alone EXACTLY decide every surviving
+    file — every predicate column is a partition key present in each file's
+    path whose value (and the domain's literals) normalize cleanly, so the
+    kept files contain ONLY matching rows — and no merge-on-read can
+    collapse rows afterwards. Any conservative keep (unparseable value,
+    truncated >=64-char string, renamed path column) disables the pushdown:
+    counting a maybe-matching file toward the stop test could starve the
+    limit."""
+    from incubator_paimon_trino_spark.catalog.scan import _norm
+
     if schema.primary_key:
         return False
-    cols = {d.column for d in (predicate or [])}
+    domains = list(predicate or [])
+    cols = {d.column for d in domains}
     if not cols:
         return True
     if not cols <= set(schema.partition_keys):
         return False
+    ddls = {c: schema.field_by_name(c).type for c in cols}
+    for d in domains:
+        lits = ([d.value] if d.op is not None else []) + list(d.in_values or []) + [
+            b for r in d.ranges for b in (r.low, r.high) if b is not None
+        ]
+        if any(lit is not None and _norm(lit, ddls[d.column]) is None for lit in lits):
+            return False
     for e in files:
         pv = partition_values(e["path"])
         if not cols <= set(pv):
             return False  # renamed/missing partition path column → not exact
+        for c in cols:
+            if pv[c] is not None and _norm(pv[c], ddls[c]) is None:
+                return False  # value the pruner could not decide exactly
     return True
 
 

@@ -667,8 +667,9 @@ def test_merge_into_sql(cat, spark):
     got = {r.k: r.v for r in cat.read_table("default.mt").collect()}
     assert got == {1: "a", 2: "B", 3: "c"}
 
+    # bare (AS-less) source alias must parse too — review fix
     cat.sql("""
-      MERGE INTO default.mt USING (SELECT 3 AS k, 'x' AS v) ON k = k
+      MERGE INTO default.mt USING (SELECT 3 AS k, 'x' AS v) s ON mt.k = s.k
       WHEN MATCHED THEN DELETE
     """)
     got = {r.k: r.v for r in cat.read_table("default.mt").collect()}

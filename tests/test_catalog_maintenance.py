@@ -344,3 +344,67 @@ def test_call_procedures_sql_surface(cat, spark):
 
     with pytest.raises(ValueError):
         cat.sql("CALL sys.nope('default.proc')")
+
+
+def test_review_fixes_changelog_and_options(cat, spark):
+    """Regressions from code review: changelog after expiration bootstraps
+    instead of crashing; input producer rejects sequence_field; aggregate
+    specs demand the aggregation engine; conflict losers leak no manifest."""
+    import glob
+    import os
+
+    import pytest
+
+    cat.create_database("default", ignore_if_exists=True)
+
+    # 1. table_changelog over a partially-expired history
+    cat.create_table("default", "exp", [("k", "int"), ("v", "string")], primary_key=["k"])
+    for i in range(3):
+        cat.insert_into("default", "exp",
+                        spark.createDataFrame([(i, f"v{i}")], "k int, v string"))
+    cat.expire_snapshots("default", "exp", keep_last=2)
+    rows = cat.table_changelog("default.exp", producer="lookup").collect()
+    # snapshot 2 bootstraps as full +I (its predecessor is gone), 3 diffs
+    assert {(r.k, r._change, r._snapshot) for r in rows} == {
+        (0, "+I", 2), (1, "+I", 2), (2, "+I", 3)}
+
+    # 2. input producer is incompatible with sequence_field
+    cat.create_table("default", "seqcl", [("k", "int"), ("s", "bigint")],
+                     primary_key=["k"], options={"sequence_field": "s"})
+    cat.insert_into("default", "seqcl", spark.createDataFrame([(1, 5)], "k int, s bigint"))
+    with pytest.raises(ValueError):
+        cat.table_changelog("default.seqcl", producer="input")
+    assert cat.table_changelog("default.seqcl", producer="lookup").count() == 1
+
+    # 3. aggregate specs without the aggregation engine are rejected
+    with pytest.raises(ValueError):
+        cat.create_table("default", "agg_bad", [("k", "int"), ("v", "int")],
+                         primary_key=["k"],
+                         options={"fields.v.aggregate-function": "sum"})
+    with pytest.raises(ValueError):  # ...and without a primary key
+        cat.create_table("default", "agg_bad2", [("k", "int"), ("v", "int")],
+                         options={"merge_engine": "aggregation",
+                                  "fields.v.aggregate-function": "sum"})
+
+    # 4. a losing commit leaves no orphan manifest behind
+    cat.create_table("default", "nomleak", [("k", "int")])
+    cat.insert_into("default", "nomleak", spark.createDataFrame([(1,)], "k int"))
+    tdir = os.path.join(cat.warehouse, "default.db", "nomleak")
+    import json
+
+    s1 = json.load(open(os.path.join(tdir, "snapshot", "snapshot-1.json")))
+    orig_finalize = cat._finalize_commit
+
+    def finalize_then_lose(tdir_, staging, version, ext):
+        paths = orig_finalize(tdir_, staging, version, ext)
+        with open(os.path.join(tdir, "snapshot", f"snapshot-{version}.json"), "w") as f:
+            json.dump(dict(s1, snapshot_id=version), f)
+        return paths
+
+    n_manifests = len(glob.glob(os.path.join(tdir, "manifest", "*.json")))
+    cat._finalize_commit = finalize_then_lose
+    from incubator_paimon_trino_spark.catalog.metadata import CommitConflictError
+
+    with pytest.raises(CommitConflictError):
+        cat.insert_into("default", "nomleak", spark.createDataFrame([(2,)], "k int"))
+    assert len(glob.glob(os.path.join(tdir, "manifest", "*.json"))) == n_manifests

@@ -85,8 +85,23 @@ def test_rollback_gcs_dropped_manifests(cat, spark):
     _mk(cat, spark)
     mdir = os.path.join(_tdir(cat, "d", "t"), "manifest")
     cat.rollback_to("d", "t", 2)
-    assert len(glob.glob(os.path.join(mdir, "*.json"))) == 2
+    # manifests ABOVE the surviving horizon get an in-flight grace period (a
+    # concurrent writer stages its manifest before publishing); they are
+    # GC'd once the table advances past them again
+    assert len(glob.glob(os.path.join(mdir, "*.json"))) == 4
     assert cat.read_table("d.t").count() == 6
+    for c in range(3):
+        cat.insert_into(
+            "d", "t",
+            spark.createDataFrame([(900 + c, "z")], "k int, v string"),
+        )
+    cat.expire_snapshots("d", "t", keep_last=1)
+    left = glob.glob(os.path.join(mdir, "*.json"))
+    # horizon is now 5 → the two stale rollback leftovers are gone; what
+    # remains is exactly snapshot 5's manifest chain
+    names = {os.path.basename(p) for p in left}
+    assert names == set(cat._snapshots(_tdir(cat, "d", "t"))[-1].manifests)
+    assert cat.read_table("d.t").count() == 9
 
 
 def test_legacy_inline_files_snapshot_still_reads(cat, spark, tmp_path):

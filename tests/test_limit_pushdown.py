@@ -105,9 +105,16 @@ def test_limit_larger_than_table(cat, spark):
 
 
 def test_pushable_guard_unit():
+    class _F:
+        type = "string"
+
     class S:  # minimal stand-in for TableSchema
         primary_key = []
         partition_keys = ["pt"]
+
+        @staticmethod
+        def field_by_name(name):
+            return _F()
 
     files = [{"path": "pt=a/x.parquet", "record_count": 1}]
     assert _limit_pushable(S, None, files)
@@ -121,3 +128,27 @@ def test_pushable_guard_unit():
         primary_key = ["k"]
 
     assert not _limit_pushable(P, None, files)
+
+
+def test_undecidable_partition_value_blocks_pushdown(cat, spark):
+    """Review fix: a partition value the pruner cannot normalize exactly
+    (>=64-char string truncated in stats handling) must disable limit
+    pushdown — counting maybe-matching files could starve the limit."""
+    from incubator_paimon_trino_spark.catalog.warehouse import _limit_pushable
+
+    long_val = "x" * 70
+    cat.create_database("d", ignore_if_exists=True)
+    cat.create_table("d", "lp", [("k", "int"), ("pt", "string")], partitioned_by=["pt"])
+    for pv in (long_val, "short"):
+        cat.insert_into("d", "lp",
+                        spark.createDataFrame([(1, pv), (2, pv)], "k int, pt string"))
+    schema = cat.schema_of("d", "lp")
+    files = cat.scan_plan("d.lp")
+    ok_pred = [ColumnDomain("pt", op="=", value="short")]
+    bad_pred = [ColumnDomain("pt", op="=", value=long_val)]
+    # file set contains an undecidable (70-char) partition value → not exact
+    assert not _limit_pushable(schema, ok_pred, files)
+    assert not _limit_pushable(schema, bad_pred, files)
+    # correctness regardless: re-applied filter + row limit
+    got = cat.read_table("d.lp", predicate=bad_pred, limit=1).collect()
+    assert len(got) == 1 and got[0].pt == long_val
