@@ -1485,6 +1485,10 @@ class WarehouseCatalog:
     )
 
     _DDL_RES = {
+        "show_create": re.compile(
+            r"^\s*SHOW\s+CREATE\s+TABLE\s+(?P<db>[A-Za-z_]\w*)\.(?P<tbl>[A-Za-z_]\w*)\s*$", re.I),
+        "describe": re.compile(
+            r"^\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?(?P<db>[A-Za-z_]\w*)\.(?P<tbl>[A-Za-z_]\w*)\s*$", re.I),
         "call_proc": re.compile(
             r"^\s*CALL\s+sys\.(?P<proc>[A-Za-z_]\w*)\s*\((?P<args>[^)]*)\)\s*$", re.I),
         "create_schema": re.compile(r"^\s*CREATE\s+(SCHEMA|DATABASE)\s+(IF\s+NOT\s+EXISTS\s+)?(?P<db>[A-Za-z_]\w*)\s*$", re.I),
@@ -1568,9 +1572,35 @@ class WarehouseCatalog:
         if m := R["show_columns"].match(query):
             return self.spark.createDataFrame(
                 self.describe(m.group("db"), m.group("tbl")), "column string, type string")
+        if m := R["show_create"].match(query):
+            return self.spark.createDataFrame(
+                [(self.show_create_table(m.group("db"), m.group("tbl")),)],
+                "create_table string",
+            )
+        if m := R["describe"].match(query):
+            return self.spark.createDataFrame(
+                self.describe(m.group("db"), m.group("tbl")), "column string, type string")
         if m := R["call_proc"].match(query):
             return self._call_procedure(m.group("proc").lower(), m.group("args") or "")
         return None
+
+    def show_create_table(self, db: str, table: str) -> str:
+        """Reconstruct the CREATE TABLE statement (SHOW CREATE TABLE —
+        ``TestTrinoITCase.java:315-331``) from the current schema: columns,
+        primary_key / partitioned_by, and every stored option, in the same
+        WITH-property syntax ``sql()`` accepts back (round-trippable)."""
+        schema = self.schema_of(db, table)
+        cols = ",\n  ".join(f"{f.name} {f.type}" for f in schema.fields)
+        props = dict(schema.options)
+        if schema.primary_key:
+            props["primary_key"] = ",".join(schema.primary_key)
+        if schema.partition_keys:
+            props["partitioned_by"] = ",".join(schema.partition_keys)
+        with_clause = ""
+        if props:
+            body = ",\n  ".join(f"{k} = '{v}'" for k, v in sorted(props.items()))
+            with_clause = f"\nWITH (\n  {body}\n)"
+        return f"CREATE TABLE {db}.{table} (\n  {cols}\n){with_clause}"
 
     def _call_procedure(self, proc: str, raw_args: str) -> DataFrame:
         """``CALL sys.<proc>(...)`` — the maintenance-procedure surface
