@@ -38,6 +38,7 @@ from __future__ import annotations
 
 import dataclasses
 import datetime as _dt
+import uuid
 import glob
 import os
 import re
@@ -152,28 +153,7 @@ class WarehouseCatalog:
         for k in primary_key + partitioned_by:
             if k not in names:
                 raise ValueError(f"key column {k!r} not in columns {names}")
-        from incubator_paimon_trino_spark.operators.merge_on_read import FIELD_AGGREGATES
-
-        specs = _field_aggregate_specs(dict(options or {}))
-        if specs and (options or {}).get("merge_engine") != "aggregation":
-            raise ValueError(
-                "fields.<name>.aggregate-function requires merge_engine='aggregation' "
-                "(otherwise the configured aggregates would be silently ignored)"
-            )
-        if specs and not primary_key:
-            raise ValueError("fields.<name>.aggregate-function requires a primary-key table")
-        for col, func in specs.items():
-            if col not in names:
-                raise ValueError(f"aggregate-function on unknown column {col!r}")
-            if col in primary_key:
-                raise ValueError(f"aggregate-function on primary-key column {col!r}")
-            if func not in FIELD_AGGREGATES:
-                raise ValueError(
-                    f"unknown aggregate-function {func!r} for {col!r}; have {FIELD_AGGREGATES}"
-                )
-        seq_field = dict(options or {}).get("sequence_field")
-        if seq_field and seq_field not in names:
-            raise ValueError(f"sequence_field {seq_field!r} not in columns {names}")
+        _validate_table_options(names, primary_key, dict(options or {}))
         fields = [Field(i, n, t) for i, (n, t) in enumerate(columns)]
         schema = TableSchema(
             schema_id=0,
@@ -270,6 +250,9 @@ class WarehouseCatalog:
         tdir = self._table_dir(db, table)
         s = self._latest_schema(tdir)
         s.options.update(options)
+        _validate_table_options(
+            [f.name for f in s.fields], s.primary_key, s.options
+        )
         s.schema_id += 1
         self._write_schema(tdir, s)
 
@@ -345,6 +328,22 @@ class WarehouseCatalog:
     def _latest_snapshot(self, tdir: str) -> Snapshot | None:
         snaps = self._snapshots(tdir)
         return snaps[-1] if snaps else None
+
+    @staticmethod
+    def _staging_dir(tdir: str, version: int, stale_after_s: int = 24 * 3600) -> str:
+        """Fresh per-attempt staging path. The nonce keeps concurrent
+        writers racing on one version from colliding on errorifexists, and
+        a crashed writer's leftovers never block the version — instead they
+        are garbage-collected here once older than ``stale_after_s`` (no
+        live writer holds a staging dir for a day)."""
+        now = time.time()
+        for old in glob.glob(os.path.join(tdir, ".staging-*")):
+            try:
+                if now - os.path.getmtime(old) > stale_after_s:
+                    shutil.rmtree(old, ignore_errors=True)
+            except OSError:
+                pass
+        return os.path.join(tdir, f".staging-c{version}-{uuid.uuid4().hex[:8]}")
 
     def _finalize_commit(self, tdir: str, staging: str, version: int, ext: str) -> list[str]:
         """Move one commit's staged output into the table's data layout:
@@ -490,12 +489,7 @@ class WarehouseCatalog:
             )
             out = out.sortWithinPartitions(*cluster_cols)
 
-        import uuid as _uuid
-
-        # per-attempt nonce: concurrent writers racing on the same version
-        # must not collide on the staging path (errorifexists), and a
-        # crashed writer's leftover staging dir must not block the version
-        staging = os.path.join(tdir, f".staging-c{version}-{_uuid.uuid4().hex[:8]}")
+        staging = self._staging_dir(tdir, version)
         writer = out.write.mode("errorifexists")
         if schema.partition_keys:
             writer = writer.partitionBy(*schema.partition_keys)
@@ -882,15 +876,13 @@ class WarehouseCatalog:
         snap_ids = set(snaps)
         parts = []
         for s_id in ids:
-            if s_id - 1 == 0 or s_id - 1 in snap_ids:
-                diff = self.read_cdc(name, s_id - 1, s_id)
-            else:
-                # predecessor expired: the earliest surviving snapshot
-                # bootstraps as a full +I image (same shape read_cdc(0, s)
-                # would produce) instead of crashing on the missing version
-                diff = self.read_table(name, version_as_of=s_id).withColumn(
-                    "_change", F.lit("+I")
-                )
+            # diff against the NEAREST surviving predecessor: with expired
+            # history (incl. mid-history gaps where only a tagged snapshot
+            # survives) this collapses the missing commits into one correct
+            # diff — a full +I bootstrap would drop -D rows and re-emit
+            # unchanged rows; prev=0 degrades to the full initial image.
+            prev = max((x for x in snap_ids if x < s_id), default=0)
+            diff = self.read_cdc(name, prev, s_id)
             parts.append(diff.withColumn("_snapshot", F.lit(s_id).cast("bigint")))
         if not parts:
             empty = schema.spark_schema().add("_change", "string").add("_snapshot", "long")
@@ -969,12 +961,7 @@ class WarehouseCatalog:
             target = 128 * 1024 * 1024
             total = sum(f.get("size_bytes", 0) for f in prev.files)
             out = out.repartition(max(1, -(-total // target)))
-        import uuid as _uuid
-
-        # per-attempt nonce: concurrent writers racing on the same version
-        # must not collide on the staging path (errorifexists), and a
-        # crashed writer's leftover staging dir must not block the version
-        staging = os.path.join(tdir, f".staging-c{version}-{_uuid.uuid4().hex[:8]}")
+        staging = self._staging_dir(tdir, version)
         writer = out.write.mode("errorifexists")
         if schema.partition_keys:
             writer = writer.partitionBy(*schema.partition_keys)
@@ -1487,8 +1474,6 @@ class WarehouseCatalog:
     _DDL_RES = {
         "show_create": re.compile(
             r"^\s*SHOW\s+CREATE\s+TABLE\s+(?P<db>[A-Za-z_]\w*)\.(?P<tbl>[A-Za-z_]\w*)\s*$", re.I),
-        "describe": re.compile(
-            r"^\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?(?P<db>[A-Za-z_]\w*)\.(?P<tbl>[A-Za-z_]\w*)\s*$", re.I),
         "call_proc": re.compile(
             r"^\s*CALL\s+sys\.(?P<proc>[A-Za-z_]\w*)\s*\((?P<args>[^)]*)\)\s*$", re.I),
         "create_schema": re.compile(r"^\s*CREATE\s+(SCHEMA|DATABASE)\s+(IF\s+NOT\s+EXISTS\s+)?(?P<db>[A-Za-z_]\w*)\s*$", re.I),
@@ -1510,7 +1495,8 @@ class WarehouseCatalog:
         "show_schemas": re.compile(r"^\s*SHOW\s+(SCHEMAS|DATABASES)\s*$", re.I),
         "show_tables": re.compile(r"^\s*SHOW\s+TABLES\s+(FROM|IN)\s+(?P<db>[A-Za-z_]\w*)\s*$", re.I),
         "show_columns": re.compile(
-            r"^\s*(SHOW\s+COLUMNS\s+(FROM|IN)|DESCRIBE)\s+(?P<db>[A-Za-z_]\w*)\.(?P<tbl>[A-Za-z_]\w*)\s*$", re.I),
+            r"^\s*(SHOW\s+COLUMNS\s+(FROM|IN)|DESC(?:RIBE)?(?:\s+TABLE)?)"
+            r"\s+(?P<db>[A-Za-z_]\w*)\.(?P<tbl>[A-Za-z_]\w*)\s*$", re.I),
     }
 
     @staticmethod
@@ -1518,7 +1504,12 @@ class WarehouseCatalog:
         out = {}
         for part in _split_top_level(txt):
             k, _, v = part.partition("=")
-            out[k.strip().lower()] = v.strip().strip("'\"")
+            v = v.strip()
+            if len(v) >= 2 and v[0] == v[-1] and v[0] in "'\"":
+                # quoted value: drop delimiters, unescape doubled quotes
+                # (SHOW CREATE TABLE emits '' for a literal ')
+                v = v[1:-1].replace(v[0] * 2, v[0])
+            out[k.strip().lower()] = v
         return out
 
     def _sql_ddl(self, query: str):
@@ -1577,9 +1568,6 @@ class WarehouseCatalog:
                 [(self.show_create_table(m.group("db"), m.group("tbl")),)],
                 "create_table string",
             )
-        if m := R["describe"].match(query):
-            return self.spark.createDataFrame(
-                self.describe(m.group("db"), m.group("tbl")), "column string, type string")
         if m := R["call_proc"].match(query):
             return self._call_procedure(m.group("proc").lower(), m.group("args") or "")
         return None
@@ -1598,7 +1586,10 @@ class WarehouseCatalog:
             props["partitioned_by"] = ",".join(schema.partition_keys)
         with_clause = ""
         if props:
-            body = ",\n  ".join(f"{k} = '{v}'" for k, v in sorted(props.items()))
+            body = ",\n  ".join(
+                "{} = '{}'".format(k, str(v).replace("'", "''"))
+                for k, v in sorted(props.items())
+            )
             with_clause = f"\nWITH (\n  {body}\n)"
         return f"CREATE TABLE {db}.{table} (\n  {cols}\n){with_clause}"
 
@@ -1825,6 +1816,34 @@ def _bucket_prune_values(predicate: list | None, schema: TableSchema) -> tuple[i
     return None
 
 
+def _validate_table_options(names: list[str], primary_key: list[str], options: dict[str, str]) -> None:
+    """Option-coherence checks shared by CREATE TABLE and SET PROPERTIES —
+    validating only at create would let ALTER re-introduce the silently-
+    ignored states these errors exist to prevent."""
+    from incubator_paimon_trino_spark.operators.merge_on_read import FIELD_AGGREGATES
+
+    specs = _field_aggregate_specs(options)
+    if specs and options.get("merge_engine") != "aggregation":
+        raise ValueError(
+            "fields.<name>.aggregate-function requires merge_engine='aggregation' "
+            "(otherwise the configured aggregates would be silently ignored)"
+        )
+    if specs and not primary_key:
+        raise ValueError("fields.<name>.aggregate-function requires a primary-key table")
+    for col, func in specs.items():
+        if col not in names:
+            raise ValueError(f"aggregate-function on unknown column {col!r}")
+        if col in primary_key:
+            raise ValueError(f"aggregate-function on primary-key column {col!r}")
+        if func not in FIELD_AGGREGATES:
+            raise ValueError(
+                f"unknown aggregate-function {func!r} for {col!r}; have {FIELD_AGGREGATES}"
+            )
+    seq_field = options.get("sequence_field")
+    if seq_field and seq_field not in names:
+        raise ValueError(f"sequence_field {seq_field!r} not in columns {names}")
+
+
 def _field_aggregate_specs(options: dict[str, str]) -> dict[str, str]:
     """Parse Paimon's ``fields.<name>.aggregate-function`` option keys
     (aggregation merge engine, CoreOptions surfaced via A16 DDL props)."""
@@ -1857,18 +1876,24 @@ def _limit_pushable(schema: TableSchema, predicate: list | None, files: list[dic
     if not cols <= set(schema.partition_keys):
         return False
     ddls = {c: schema.field_by_name(c).type for c in cols}
+    def decided(v, ddl) -> bool:
+        try:
+            return _norm(v, ddl) is not None
+        except (TypeError, ValueError):
+            return False  # _norm raises on type mismatches (scan.py contract)
+
     for d in domains:
         lits = ([d.value] if d.op is not None else []) + list(d.in_values or []) + [
             b for r in d.ranges for b in (r.low, r.high) if b is not None
         ]
-        if any(lit is not None and _norm(lit, ddls[d.column]) is None for lit in lits):
+        if any(lit is not None and not decided(lit, ddls[d.column]) for lit in lits):
             return False
     for e in files:
         pv = partition_values(e["path"])
         if not cols <= set(pv):
             return False  # renamed/missing partition path column → not exact
         for c in cols:
-            if pv[c] is not None and _norm(pv[c], ddls[c]) is None:
+            if pv[c] is not None and not decided(pv[c], ddls[c]):
                 return False  # value the pruner could not decide exactly
     return True
 

@@ -408,3 +408,66 @@ def test_review_fixes_changelog_and_options(cat, spark):
     with pytest.raises(CommitConflictError):
         cat.insert_into("default", "nomleak", spark.createDataFrame([(2,)], "k int"))
     assert len(glob.glob(os.path.join(tdir, "manifest", "*.json"))) == n_manifests
+
+
+def test_review_fixes_round2(cat, spark):
+    """Second review pass: mid-history gaps diff against the nearest
+    surviving predecessor; SET PROPERTIES validates option coherence;
+    SHOW CREATE TABLE round-trips quoted values; unparseable limit-pushdown
+    literals disable pushdown instead of crashing."""
+    import pytest
+
+    cat.create_database("default", ignore_if_exists=True)
+
+    # 1. mid-history gap: tag snapshot 1, expire 2-3, changelog must diff
+    # 1→4 (emitting the delete), not re-emit a full +I image
+    cat.create_table("default", "gap", [("k", "int"), ("v", "string")], primary_key=["k"])
+    cat.insert_into("default", "gap",
+                    spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"))
+    cat.create_tag("default", "gap", "t1", snapshot_id=1)
+    cat.insert_into("default", "gap", spark.createDataFrame([(3, "c")], "k int, v string"))
+    cat.insert_into("default", "gap",
+                    spark.createDataFrame([(2, "b", "D")], "k int, v string, _row_kind string"))
+    cat.insert_into("default", "gap", spark.createDataFrame([(4, "d")], "k int, v string"))
+    cat.expire_snapshots("default", "gap", keep_last=1)  # keeps tagged 1 + 4
+    kept = [s.snapshot_id for s in cat.snapshots("default", "gap").collect()]
+    assert kept == [1, 4]
+    rows = cat.table_changelog("default.gap", producer="lookup").collect()
+    got = {(r.k, r._change, r._snapshot) for r in rows}
+    assert got == {(1, "+I", 1), (2, "+I", 1),          # initial image
+                   (3, "+I", 4), (4, "+I", 4), (2, "-D", 4)}  # collapsed 1→4 diff
+
+    # 2. ALTER SET PROPERTIES enforces the same option coherence as CREATE
+    cat.create_table("default", "alt", [("k", "int"), ("v", "int")], primary_key=["k"])
+    with pytest.raises(ValueError):
+        cat.set_options("default", "alt", {"fields.v.aggregate-function": "sum"})
+    cat.set_options("default", "alt",
+                    {"merge_engine": "aggregation", "fields.v.aggregate-function": "sum"})
+
+    # 3. SHOW CREATE TABLE round-trips values containing quotes and commas
+    cat.create_table("default", "q", [("k", "int")], options={"comment": "a'b,c"})
+    ddl = cat.show_create_table("default", "q")
+    import tempfile
+
+    from incubator_paimon_trino_spark.catalog import WarehouseCatalog
+
+    cat2 = WarehouseCatalog(tempfile.mkdtemp(prefix="q_"), spark)
+    cat2.create_database("default")
+    cat2.sql(ddl)
+    assert cat2.schema_of("default", "q").options["comment"] == "a'b,c"
+
+    # 4. unparseable literal on an int partition column: the pushdown GUARD
+    # must answer False instead of raising (the residual Spark filter still
+    # fails under ANSI for the type-mismatched literal — engine semantics)
+    from incubator_paimon_trino_spark.catalog.warehouse import _limit_pushable
+    from incubator_paimon_trino_spark.functions.predicates import ColumnDomain
+
+    cat.create_table("default", "ip", [("k", "int"), ("y", "int")], partitioned_by=["y"])
+    cat.insert_into("default", "ip",
+                    spark.createDataFrame([(1, 2020), (2, 2021)], "k int, y int"))
+    pred = [ColumnDomain("y", op="=", value="abc")]
+    schema = cat.schema_of("default", "ip")
+    assert _limit_pushable(schema, pred, cat.scan_plan("default.ip")) is False
+    # a well-typed literal still pushes down and reads correctly
+    good = [ColumnDomain("y", op="=", value=2021)]
+    assert cat.read_table("default.ip", predicate=good, limit=5).count() == 1
