@@ -611,3 +611,54 @@ def dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 3)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+@register(
+    "dedup_containment",
+    oracle="""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS s
+      FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+           UNNEST(range(1, GREATEST(len(words) - 1, 1))) AS t(i)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_small, b.doc_id AS doc_big, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_small, doc_big,
+           n_common * 1.0 / ss.n AS containment
+    FROM inter
+    JOIN sizes ss ON ss.doc_id = doc_small
+    JOIN sizes sb ON sb.doc_id = doc_big
+    WHERE n_common * 1.0 / ss.n >= 0.75 AND ss.n <= sb.n
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dups: |A∩B| / |A| ≥ 0.75 with |A| ≤ |B| —
+    catches a document EMBEDDED in a longer one, which symmetric Jaccard
+    misses (the union term dilutes the score). Same inverted-index plan as
+    the Jaccard variant: join key = shingle, so the O(n²) pair space never
+    materializes; exact integer counts keep the score hash-stable. At
+    100 TB, drop ultra-frequent stop-shingles before the join to cap
+    bucket skew (same plan shape)."""
+    sh = exploded_shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_small"), "s")
+    b = sh.select(F.col("doc_id").alias("doc_big"), "s")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("doc_small") != F.col("doc_big"))
+        .groupBy("doc_small", "doc_big")
+        .agg(F.count("*").alias("n_common"))
+    )
+    ss = sizes.select(F.col("doc_id").alias("doc_small"), F.col("n").alias("ns"))
+    sb = sizes.select(F.col("doc_id").alias("doc_big"), F.col("n").alias("nb"))
+    return (
+        inter.join(F.broadcast(ss), "doc_small")
+        .join(F.broadcast(sb), "doc_big")
+        .withColumn("containment", F.col("n_common") * 1.0 / F.col("ns"))
+        .filter((F.col("containment") >= 0.75) & (F.col("ns") <= F.col("nb")))
+        .select("doc_small", "doc_big", "containment")
+    )

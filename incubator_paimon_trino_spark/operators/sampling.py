@@ -72,3 +72,34 @@ def sample_stratified_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(F.count("*").cast("bigint").alias("sampled"))
     )
+
+
+@register(
+    "sample_reservoir_per_group",
+    oracle=f"""
+    SELECT lang, doc_id, source FROM (
+      SELECT lang, doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY {_bucket_sql('doc_id', 1000000007)}, doc_id
+             ) AS rn
+      FROM documents
+    ) WHERE rn <= 5
+    """,
+)
+def sample_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-stratum sample (reservoir-sampling semantics,
+    reproducible): keep the 5 docs with the smallest md5-derived hash per
+    language. Equivalent in distribution to a uniform without-replacement
+    sample, but stable across reruns, partitionings, and engines — the
+    property an audit trail needs. One shuffle (the per-stratum top-k);
+    Spark turns the rn<=k filter into a partial top-k before the exchange."""
+    from pyspark.sql.window import Window
+
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(_bucket(F.col("doc_id"), 1000000007), "doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("lang", "doc_id", "source")
+    )
