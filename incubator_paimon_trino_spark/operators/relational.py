@@ -782,3 +782,66 @@ def nested_unnest_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("z.words").alias("w"),
         F.col("z.nums").alias("x"),
     )
+
+
+@register(
+    "scalar_bitwise_ops",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderkey & 255 AS BIGINT) AS band,
+           CAST(o_orderkey | 4096 AS BIGINT) AS bor,
+           CAST(xor(o_orderkey, 1365) AS BIGINT) AS bxor,
+           CAST((o_orderkey % 16) << 3 AS BIGINT) AS shl,
+           CAST(o_orderkey >> 4 AS BIGINT) AS shr,
+           CAST(~o_orderkey AS BIGINT) AS bnot
+    FROM orders
+    """,
+)
+def scalar_bitwise_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise operator surface (Trino's bitwise_and/or/xor,
+    shift_left/right, bitwise_not): Spark's &, |, ^, shiftleft/right and
+    ~ via expr — all in one codegen stage, exact integers."""
+    o = table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).cast("bigint").alias("band"),
+        k.bitwiseOR(F.lit(4096)).cast("bigint").alias("bor"),
+        k.bitwiseXOR(F.lit(1365)).cast("bigint").alias("bxor"),
+        F.shiftleft((k % 16).cast("int"), 3).cast("bigint").alias("shl"),
+        F.shiftright(k.cast("int"), 4).cast("bigint").alias("shr"),
+        F.expr("~o_orderkey").cast("bigint").alias("bnot"),
+    )
+
+
+@register(
+    "nested_array_set_ops",
+    oracle="""
+    SELECT o_orderkey,
+           list_sort(list_distinct(list_filter(a, x -> list_contains(b, x)))) AS a_intersect_b,
+           list_sort(list_distinct(list_filter(a, x -> NOT list_contains(b, x)))) AS a_except_b,
+           list_sort(list_distinct(a || b)) AS a_union_b,
+           list_contains(a, CAST(o_orderkey % 7 AS BIGINT)) AS has_mod7
+    FROM (
+      SELECT o_orderkey,
+             [o_orderkey % 5, o_orderkey % 7, o_orderkey % 5] AS a,
+             [o_orderkey % 7, o_orderkey % 3] AS b
+      FROM orders
+    )
+    """,
+)
+def nested_array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set algebra (Trino array_intersect/array_except/array_union/
+    contains): outputs sorted+deduped so both engines agree on one
+    canonical form regardless of their native element ordering."""
+    o = table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    a = F.array(k % 5, k % 7, k % 5)
+    b = F.array(k % 7, k % 3)
+    return o.select(
+        "o_orderkey",
+        F.array_sort(F.array_intersect(a, b)).alias("a_intersect_b"),
+        F.array_sort(F.array_except(a, b)).alias("a_except_b"),
+        F.array_sort(F.array_union(a, b)).alias("a_union_b"),
+        F.array_contains(a, k % 7).alias("has_mod7"),
+    )
