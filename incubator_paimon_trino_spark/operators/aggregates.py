@@ -519,3 +519,36 @@ def agg_most_frequent(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+@register(
+    "agg_max_by_min_by",
+    oracle="""
+    SELECT o_custkey,
+           arg_max(o_orderpriority, o_orderkey) AS latest_priority,
+           arg_min(o_orderstatus, o_orderkey) AS first_status,
+           arg_max(o_orderkey,
+                   lpad(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 14, '0')
+                   || lpad(CAST(o_orderkey AS VARCHAR), 14, '0')) AS priciest_order
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def agg_max_by_min_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trino ``max_by``/``min_by`` (DuckDB ``arg_max``/``arg_min``): the
+    value of one column at another column's extreme. Ordering columns are
+    unique per group (orderkey) or made unique with a fixed-width
+    (price-cents || orderkey) string composite — lexicographic order equals
+    numeric order, so ties on price break on orderkey identically in both
+    engines at any scale factor."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.max_by("o_orderpriority", "o_orderkey").alias("latest_priority"),
+        F.min_by("o_orderstatus", "o_orderkey").alias("first_status"),
+        F.max_by(
+            "o_orderkey",
+            F.concat(
+                F.lpad(F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string"), 14, "0"),
+                F.lpad(F.col("o_orderkey").cast("string"), 14, "0"),
+            ),
+        ).alias("priciest_order"),
+    )

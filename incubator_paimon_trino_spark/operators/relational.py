@@ -845,3 +845,34 @@ def nested_array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_sort(F.array_union(a, b)).alias("a_union_b"),
         F.array_contains(a, k % 7).alias("has_mod7"),
     )
+
+
+@register(
+    "scalar_date_trunc_interval",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           CAST(date_trunc('week', o_orderdate) AS DATE) AS week_start,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end,
+           CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3m,
+           CAST(o_orderdate - INTERVAL 45 DAY AS DATE) AS minus45d,
+           CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since_95
+    FROM orders
+    """,
+)
+def scalar_date_trunc_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date_trunc (month/week), last_day, +/- INTERVAL arithmetic and day
+    difference — the calendar surface every partition-by-period pipeline
+    leans on. Both engines truncate weeks to Monday and add months with
+    end-of-month clamping."""
+    o = table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("month", d).cast("date").alias("month_start"),
+        F.date_trunc("week", d).cast("date").alias("week_start"),
+        F.last_day(d.cast("date")).alias("month_end"),
+        F.add_months(d.cast("date"), 3).alias("plus3m"),
+        F.date_sub(d.cast("date"), 45).alias("minus45d"),
+        F.datediff(d.cast("date"), F.lit("1995-01-01").cast("date")).cast("int").alias("days_since_95"),
+    )
