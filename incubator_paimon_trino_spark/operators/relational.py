@@ -876,3 +876,55 @@ def scalar_date_trunc_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_sub(d.cast("date"), 45).alias("minus45d"),
         F.datediff(d.cast("date"), F.lit("1995-01-01").cast("date")).cast("int").alias("days_since_95"),
     )
+
+
+@register(
+    "subquery_lateral_topn",
+    oracle="""
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c, LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 1
+    ) t
+    """,
+)
+def subquery_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (Trino/SQL:1999 LATERAL): each
+    customer's single priciest order. Catalyst decorrelates the
+    per-row LIMIT 1 into a window/aggregate under the hood — no per-row
+    re-execution, so the plan scales like the window top-1 formulation."""
+    for t in ("customer", "orders"):
+        table(spark, sf_dir, t).createOrReplaceTempView(f"_lat_{t}")
+    return spark.sql("""
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM _lat_customer c, LATERAL (
+          SELECT o_orderkey, o_totalprice FROM _lat_orders
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 1
+        ) t
+    """)
+
+
+@register(
+    "agg_listagg_ordered",
+    oracle="""
+    SELECT o_custkey,
+           string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderdate, o_orderkey) AS order_trail,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders WHERE o_custkey <= 50 GROUP BY o_custkey
+    """,
+)
+def agg_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISTAGG ... WITHIN GROUP (ORDER BY ...) — ordered string aggregation
+    (Trino listagg, DuckDB string_agg ORDER BY). collect_list is
+    order-nondeterministic, so the plan collects (sort-key, value) structs,
+    array_sorts them, then joins — same trick as the merge engine's
+    listagg, fully JVM-side."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 50)
+    pairs = F.collect_list(F.struct("o_orderdate", "o_orderkey"))
+    ordered = F.transform(F.array_sort(pairs), lambda s: s["o_orderkey"].cast("string"))
+    return o.groupBy("o_custkey").agg(
+        F.array_join(ordered, ",").alias("order_trail"),
+        F.count("*").cast("bigint").alias("n"),
+    )
