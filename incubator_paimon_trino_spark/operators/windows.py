@@ -264,3 +264,39 @@ def window_nth_value_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame
         F.nth_value("o_orderkey", 3).over(w).alias("third_key"),
         F.first(big, ignorenulls=True).over(w).alias("first_big"),
     )
+
+
+@register(
+    "window_time_range_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(COUNT(*) OVER w AS BIGINT) AS events_last_hour,
+           CAST(SUM(CAST(value AS DECIMAL(9,2))) OVER w AS DOUBLE) AS value_last_hour
+    FROM events
+    WINDOW w AS (
+      PARTITION BY user_id ORDER BY epoch(ts)
+      RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+    )
+    """,
+)
+def window_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE frame: each event's trailing-hour count and value
+    sum per user — the rolling-window shape rate limiting and feature
+    engineering both need. Ordering by epoch seconds makes the frame a
+    numeric rangeBetween(-3600, 0), identical in both engines; peers with
+    equal timestamps aggregate together (RANGE, not ROWS, semantics).
+    Decimal-summed then cast for hash-stable floats."""
+    from pyspark.sql.window import Window
+
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).cast("bigint").alias("events_last_hour"),
+        F.sum(F.col("value").cast("decimal(9,2)")).over(w).cast("double").alias("value_last_hour"),
+    )
