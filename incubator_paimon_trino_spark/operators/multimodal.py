@@ -36,7 +36,10 @@ def media_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     height int, sample_rate int, n_frames int>.
     """
     d = table(spark, sf_dir, "documents")
-    fake_dim = lambda col, m, base: (F.crc32(col) % m + base).cast("int")  # noqa: E731
+    # md5-derived dims (not crc32) so oracles can recompute them portably
+    fake_dim = lambda col, m, base: (  # noqa: E731
+        F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint") % m + base
+    ).cast("int")
     return d.select(
         F.col("doc_id").alias("asset_id"),
         F.element_at(F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
@@ -199,4 +202,46 @@ def multimodal_audio_rms_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return audio.mapInPandas(
         rms_windows, schema="asset_id bigint, window_idx int, rms double"
+    )
+
+
+@register(
+    "multimodal_image_resize_plan",
+    oracle="""
+    SELECT asset_id, width, height,
+           CAST(CASE WHEN width >= height
+                     THEN 224
+                     ELSE CAST(floor(width * 224.0 / height) AS INTEGER) END AS INTEGER) AS out_w,
+           CAST(CASE WHEN height > width
+                     THEN 224
+                     ELSE CAST(floor(height * 224.0 / width) AS INTEGER) END AS INTEGER) AS out_h,
+           CAST(width * height AS BIGINT) AS in_pixels
+    FROM (
+      SELECT doc_id AS asset_id,
+             CAST(CAST(CAST(('0x' || substring(md5(text), 1, 15)) AS UBIGINT) % 1024 AS INTEGER) + 256 AS INTEGER) AS width,
+             CAST(CAST(CAST(('0x' || substring(md5(text || 'h'), 1, 15)) AS UBIGINT) % 768 AS INTEGER) + 256 AS INTEGER) AS height
+      FROM documents WHERE doc_id % 3 = 0
+    )
+    """,
+)
+def multimodal_image_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image preprocessing plan: aspect-preserving resize of every image
+    asset to a 224-px max dimension — the sizing pass a vision-model ingest
+    runs before decode. Pure integer/floor arithmetic over the typed
+    metadata struct (no UDF, no decode), so the whole plan is one codegen
+    stage and the oracle checks every output dimension. hash() here is
+    DuckDB's own; the Spark side reuses media_assets' crc32-derived dims —
+    both sides recompute the SAME dims from text, proving the metadata
+    struct round-trips."""
+    a = media_assets(spark, sf_dir).filter(F.col("media_type") == "image")
+    w, h = F.col("meta.width"), F.col("meta.height")
+    out_w = F.when(w >= h, F.lit(224)).otherwise(F.floor(w * 224.0 / h).cast("int"))
+    out_h = F.when(h > w, F.lit(224)).otherwise(F.floor(h * 224.0 / w).cast("int"))
+    return a.select(
+        "asset_id",
+        w.alias("width"),
+        h.alias("height"),
+        out_w.cast("int").alias("out_w"),
+        out_h.cast("int").alias("out_h"),
+        (w.cast("bigint") * h).alias("in_pixels"),
     )
