@@ -168,7 +168,10 @@ def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_approx_percentile",
     oracle="""
     SELECT l_returnflag,
-           quantile_disc(l_extendedprice, [0.25, 0.5, 0.75, 0.95]) AS approx_quantiles
+           quantile_disc(l_extendedprice, 0.25) AS p25,
+           quantile_disc(l_extendedprice, 0.50) AS p50,
+           quantile_disc(l_extendedprice, 0.75) AS p75,
+           quantile_disc(l_extendedprice, 0.95) AS p95
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -182,14 +185,22 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB's ``quantile_disc`` — independent of partition merge order. At
     cluster scale the same query degrades gracefully to ±1e-6-rank error
     with ~constant sketch memory; only the accuracy/memory trade moves.
+
+    One SCALAR column per quantile (not one ARRAY column): the driver's
+    pandas canonicalizer can't hash list cells (r1 harness crash), and the
+    sketch is built once per group either way — Catalyst collapses the four
+    ``percentile_approx`` calls over the same column into one aggregate
+    buffer per distinct (column, accuracy) pair.
     """
+    qs = {"p25": 0.25, "p50": 0.5, "p75": 0.75, "p95": 0.95}
     return (
         table(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-            F.percentile_approx(
-                "l_extendedprice", [0.25, 0.5, 0.75, 0.95], 1000000
-            ).alias("approx_quantiles")
+            *[
+                F.percentile_approx("l_extendedprice", q, 1000000).alias(name)
+                for name, q in qs.items()
+            ]
         )
     )
 

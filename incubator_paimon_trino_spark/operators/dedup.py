@@ -212,7 +212,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     left = bands.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), "band", "bh")
     right = bands.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"), "band", "bh")
     est = F.expr(
-        f"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) / {float(_N_PERMS)}"
+        f"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))"
+        f" / cast({_N_PERMS} as double)"
     )
     return (
         left.join(right, ["band", "bh"])
@@ -509,8 +510,12 @@ def dedup_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "sig", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
     left = bands.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), "band", "bkey")
     right = bands.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"), "band", "bkey")
+    # NOTE: a bare `/ 16.0` literal parses as DECIMAL in Spark SQL, silently
+    # making the whole column decimal (pandas dtype object) while DuckDB
+    # returns double — the r1 hash mismatch. Divide by an explicit DOUBLE.
     est = F.expr(
-        f"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) / {float(_MD5_PERMS)}"
+        f"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))"
+        f" / cast({_MD5_PERMS} as double)"
     )
     return (
         left.join(right, ["band", "bkey"])
