@@ -153,7 +153,9 @@ class WarehouseCatalog:
         for k in primary_key + partitioned_by:
             if k not in names:
                 raise ValueError(f"key column {k!r} not in columns {names}")
-        _validate_table_options(names, primary_key, dict(options or {}))
+        _validate_table_options(
+            names, primary_key, dict(options or {}), types=dict(columns)
+        )
         fields = [Field(i, n, t) for i, (n, t) in enumerate(columns)]
         schema = TableSchema(
             schema_id=0,
@@ -251,7 +253,10 @@ class WarehouseCatalog:
         s = self._latest_schema(tdir)
         s.options.update(options)
         _validate_table_options(
-            [f.name for f in s.fields], s.primary_key, s.options
+            [f.name for f in s.fields],
+            s.primary_key,
+            s.options,
+            types={f.name: f.type for f in s.fields},
         )
         s.schema_id += 1
         self._write_schema(tdir, s)
@@ -439,13 +444,20 @@ class WarehouseCatalog:
             # USER column — out-of-order ingestion (e.g. CDC with event
             # timestamps) merges by business time, not arrival time. Default
             # stays commit-id sequencing.
-            seq_field = schema.options.get("sequence_field")
-            if seq_field:
-                if seq_field not in expected:
-                    raise ValueError(f"sequence_field {seq_field!r} not a table column")
-                out = out.withColumn(SEQ_COL, F.col(seq_field).cast("bigint"))
-            else:
-                out = out.withColumn(SEQ_COL, F.lit(version).cast("bigint"))
+            out = out.withColumn(SEQ_COL, _sequence_expr(schema, version))
+            # count field-aggregates store PARTIAL counts (0/1 per raw row):
+            # merge sums partials, so compaction's materialized totals stay
+            # additive under later merges instead of collapsing back to 1.
+            if schema.options.get("merge_engine") == "aggregation":
+                for c, func in _field_aggregate_specs(schema.options).items():
+                    if func == "count":
+                        ftype = schema.field_by_name(c).type
+                        out = out.withColumn(
+                            c,
+                            F.when(F.col(c).isNotNull(), F.lit(1))
+                            .otherwise(F.lit(0))
+                            .cast(ftype),
+                        )
         elif KIND_COL in out.columns or row_kind not in (None, "I"):
             raise ValueError("row kinds require a primary-key table")
 
@@ -565,8 +577,12 @@ class WarehouseCatalog:
         # the next commit simply triggers it again.
         delta_commits = int(schema.options.get("full_compaction_delta_commits", "0") or 0)
         if delta_commits > 0 and version % delta_commits == 0:
+            # side effect only: the return value stays the id of the commit
+            # that wrote ``df`` (callers tag it / read_incremental around it);
+            # surfacing the compaction snapshot here would hand them a
+            # full-rewrite COMPACT delta instead of their insert.
             try:
-                version = self.compact(db, table)
+                self.compact(db, table)
             except CommitConflictError:
                 pass
         # snapshot.num-retained.max: cap history length at commit time
@@ -945,8 +961,12 @@ class WarehouseCatalog:
 
         out = merged
         if schema.primary_key:
+            # sequence_field tables keep BUSINESS sequence numbers through
+            # compaction — stamping the commit id here would let a later
+            # business-older insert (large user sequence) overwrite the
+            # compacted state, inverting the sequence_field contract.
             out = out.withColumn(KIND_COL, F.lit("I")).withColumn(
-                SEQ_COL, F.lit(version).cast("bigint")
+                SEQ_COL, _sequence_expr(schema, version)
             )
         n_buckets = int(schema.options.get("bucket", "0") or 0)
         bucket_key = schema.options.get("bucket_key") or (
@@ -1375,7 +1395,10 @@ class WarehouseCatalog:
                     f"{k}={'null' if pv.get(k) is None else pv[k]}"
                     for k in schema.partition_keys
                 )
-                m = re.search(r"/c(\d+)-[^/]*$", "/" + f["path"].replace("\\", "/"))
+                p = "/" + f["path"].replace("\\", "/")
+                # new layout names files `c{N}-*`; fall back to the legacy
+                # `data/c{N}/...` commit-directory layout (still readable)
+                m = re.search(r"/c(\d+)-[^/]*$", p) or re.search(r"/c(\d+)/", p)
                 commit = int(m.group(1)) if m else 0
                 cur = agg.setdefault(part, [0, 0, 0, 0])
                 cur[0] += f.get("record_count", 0)
@@ -1816,7 +1839,31 @@ def _bucket_prune_values(predicate: list | None, schema: TableSchema) -> tuple[i
     return None
 
 
-def _validate_table_options(names: list[str], primary_key: list[str], options: dict[str, str]) -> None:
+#: column types a sequence_field may have — merge order needs a total order
+#: that survives the bigint/micros encoding in ``_sequence_expr``.
+_SEQ_FIELD_TYPE_PREFIXES = ("tinyint", "smallint", "int", "bigint", "long", "timestamp")
+
+
+def _sequence_expr(schema: TableSchema, version: int):
+    """The ``_seq`` value for a commit: the configured sequence_field column
+    (business-time merge order) or the snapshot id (Paimon's default
+    commit-level sequencing). Timestamps encode as epoch micros so sub-second
+    ordering survives; type validity is enforced at CREATE/ALTER time."""
+    seq_field = schema.options.get("sequence_field")
+    if not seq_field:
+        return F.lit(version).cast("bigint")
+    t = schema.field_by_name(seq_field).type.strip().lower()
+    if t.startswith("timestamp"):
+        return F.unix_micros(F.col(seq_field).cast("timestamp_ltz"))
+    return F.col(seq_field).cast("bigint")
+
+
+def _validate_table_options(
+    names: list[str],
+    primary_key: list[str],
+    options: dict[str, str],
+    types: dict[str, str] | None = None,
+) -> None:
     """Option-coherence checks shared by CREATE TABLE and SET PROPERTIES —
     validating only at create would let ALTER re-introduce the silently-
     ignored states these errors exist to prevent."""
@@ -1842,6 +1889,14 @@ def _validate_table_options(names: list[str], primary_key: list[str], options: d
     seq_field = options.get("sequence_field")
     if seq_field and seq_field not in names:
         raise ValueError(f"sequence_field {seq_field!r} not in columns {names}")
+    if seq_field and types is not None:
+        t = types.get(seq_field, "").strip().lower()
+        if not t.startswith(_SEQ_FIELD_TYPE_PREFIXES):
+            raise ValueError(
+                f"sequence_field {seq_field!r} has type {t!r}; an integral or "
+                "timestamp column is required (non-numeric values would cast "
+                "to NULL and make merge order undefined)"
+            )
 
 
 def _field_aggregate_specs(options: dict[str, str]) -> dict[str, str]:

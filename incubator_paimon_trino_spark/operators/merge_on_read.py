@@ -81,7 +81,12 @@ def _field_agg_expr(func: str, c: str) -> F.Column:
     if func == "bool_or":
         return F.bool_or(c).alias(c)
     if func == "count":
-        return F.count(c).alias(c)
+        # SUM of partial counts, not COUNT of rows: the write path stores
+        # each raw row's contribution as 0/1 (see warehouse.insert_into) and
+        # compaction materializes the accumulated total, so the stored
+        # representation stays re-mergeable — COUNT over rows would make a
+        # compacted row contribute 1 instead of its accumulated count.
+        return F.sum(c).alias(c)
     raise ValueError(f"unknown aggregate-function {func!r}; have {FIELD_AGGREGATES}")
 
 
@@ -106,8 +111,14 @@ def merge_on_read(
     if merge_engine not in MERGE_ENGINES:
         raise ValueError(f"unknown merge_engine {merge_engine!r}; have {MERGE_ENGINES}")
     value_cols = [c for c in df.columns if c not in (*primary_key, SEQ_COL, KIND_COL)]
-    # order key: sequence, then D after I within the same sequence
-    order = (F.col(SEQ_COL) * 2 + F.when(F.col(KIND_COL) == "D", 1).otherwise(0)).alias("_ord")
+    # order key: sequence, then D after I within the same sequence. A (seq,
+    # kind) STRUCT compares lexicographically — unlike the previous
+    # ``_seq * 2 + kind`` arithmetic it cannot overflow when sequence_field
+    # carries epoch-micro/nano-sized values (>= 2^62).
+    order = F.struct(
+        F.col(SEQ_COL).alias("s"),
+        F.when(F.col(KIND_COL) == "D", F.lit(1)).otherwise(F.lit(0)).alias("k"),
+    ).alias("_ord")
     df = df.withColumn("_ord", order)
 
     if merge_engine == "deduplicate":

@@ -115,8 +115,17 @@ def read_changelog_stream(
         ordered += [SEQ_COL, KIND_COL]
     stream = stream.select(*ordered)
     if from_version is not None:
-        commit_of = F.regexp_extract(F.input_file_name(), r"/c(\d+)-[^/]*$", 1).cast("bigint")
-        stream = stream.filter(commit_of >= F.lit(from_version))
+        # commit id from the file path: new layout names files `c{N}-*`;
+        # legacy commits live under `data/c{N}/...` directories (still
+        # readable by the batch path). regexp_extract returns '' on no
+        # match, so coalesce via nullif; a path matching neither pattern
+        # stays NULL and is INCLUDED — dropping unattributable files would
+        # silently lose in-range data, the opposite failure mode.
+        fname = F.input_file_name()
+        new_c = F.nullif(F.regexp_extract(fname, r"/c(\d+)-[^/]*$", 1), F.lit(""))
+        old_c = F.nullif(F.regexp_extract(fname, r"/c(\d+)/", 1), F.lit(""))
+        commit_of = F.coalesce(new_c, old_c).cast("bigint")
+        stream = stream.filter(commit_of.isNull() | (commit_of >= F.lit(from_version)))
     return stream
 
 

@@ -639,6 +639,14 @@ def test_sequence_field_merge_order(cat, spark):
     rows = cat.read_table("default.sq").collect()
     assert [(r.k, r.v, r.event_seq) for r in rows] == [(1, "newest", 200)]
 
+    # compaction must PRESERVE business sequence: stamping the commit id
+    # would let the next business-older insert overwrite the compacted state
+    cat.compact("default", "sq")
+    cat.insert_into("default", "sq",
+                    spark.createDataFrame([(1, "stale2", 60)], "k int, v string, event_seq bigint"))
+    rows = cat.read_table("default.sq").collect()
+    assert [(r.k, r.v, r.event_seq) for r in rows] == [(1, "newest", 200)]
+
     import pytest
 
     with pytest.raises(ValueError):
@@ -646,6 +654,27 @@ def test_sequence_field_merge_order(cat, spark):
             "default", "sq_bad", [("k", "int"), ("v", "string")],
             primary_key=["k"], options={"sequence_field": "nope"},
         )
+    # non-orderable sequence_field types are rejected at CREATE time (a
+    # string column would cast to NULL _seq, making merge order undefined)
+    with pytest.raises(ValueError):
+        cat.create_table(
+            "default", "sq_bad2", [("k", "int"), ("v", "string")],
+            primary_key=["k"], options={"sequence_field": "v"},
+        )
+    # timestamp sequence_field: encodes as epoch micros (sub-second order)
+    cat.create_table(
+        "default", "sqts", [("k", "int"), ("v", "string"), ("evt", "timestamp")],
+        primary_key=["k"], options={"sequence_field": "evt"},
+    )
+    import datetime as _dt
+
+    t0 = _dt.datetime(2026, 1, 1, 0, 0, 0, 500000)
+    t1 = _dt.datetime(2026, 1, 1, 0, 0, 0, 900000)  # same second, later micros
+    cat.insert_into("default", "sqts",
+                    spark.createDataFrame([(1, "late", t1)], "k int, v string, evt timestamp"))
+    cat.insert_into("default", "sqts",
+                    spark.createDataFrame([(1, "early", t0)], "k int, v string, evt timestamp"))
+    assert [r.v for r in cat.read_table("default.sqts").collect()] == ["late"]
 
 
 def test_merge_into_sql(cat, spark):

@@ -47,7 +47,20 @@ def test_sum_product_max_min_count(spark):
     assert got[1].v == 10
     got = _merged(spark, {"v": "min"})
     assert got[1].v == 5
-    got = _merged(spark, {"v": "count"})
+    # count consumes PARTIAL counts: the write path stores each raw row's
+    # contribution as 0/1 (warehouse.insert_into) and merge SUMS them, so a
+    # compacted total stays additive instead of collapsing back to 1.
+    partials = spark.createDataFrame(
+        [
+            (1, 1, None, None, 1, "I"),
+            (1, 0, None, None, 2, "I"),  # null input → 0 contribution
+            (1, 1, None, None, 3, "I"),
+            (2, 1, None, None, 1, "I"),
+        ],
+        "k int, v int, s string, flag boolean, _seq bigint, _row_kind string",
+    )
+    out = merge_on_read(partials, ["k"], "aggregation", field_aggregates={"v": "count"})
+    got = {r.k: r for r in out.collect()}
     assert got[1].v == 2  # nulls not counted
     assert got[2].v == 1
 
@@ -97,6 +110,24 @@ def test_end_to_end_through_catalog_options(spark, tmp_path):
     cat.insert_into("d", "t", spark.createDataFrame([(1, 4, "y")], "k int, v int, s string"))
     rows = cat.read_table("d.t").collect()
     assert [(r.k, r.v, r.s) for r in rows] == [(1, 7, "x,y")]
+
+
+def test_count_survives_compaction(spark, tmp_path):
+    """Compaction materializes the accumulated count; later merges must ADD
+    to it (sum-of-partials), not reset the compacted row's weight to 1."""
+    cat = WarehouseCatalog(str(tmp_path / "wh"), spark)
+    cat.create_database("d")
+    cat.create_table(
+        "d", "t", [("k", "int"), ("v", "bigint")],
+        primary_key=["k"],
+        options={"merge_engine": "aggregation", "fields.v.aggregate-function": "count"},
+    )
+    cat.insert_into("d", "t", spark.createDataFrame([(1, 99), (1, 98)], "k int, v bigint"))
+    cat.insert_into("d", "t", spark.createDataFrame([(1, None)], "k int, v bigint"))
+    cat.compact("d", "t")
+    cat.insert_into("d", "t", spark.createDataFrame([(1, 5), (1, 6)], "k int, v bigint"))
+    rows = cat.read_table("d.t").collect()
+    assert [(r.k, r.v) for r in rows] == [(1, 4)]  # 2 pre-compaction + 2 after
 
 
 def test_create_table_validates_specs(spark, tmp_path):
