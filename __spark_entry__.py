@@ -32,9 +32,52 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["q1_pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
+# Queries the round-1 driver pass already verified (green hash or declared
+# rows-only). The driver checks a PREFIX of the registry each round, so these
+# go LAST and the 124 never-checked queries come first, round-robin across
+# operator families — any prefix the driver takes then maximizes §2-family
+# coverage. The two r1 red rows (dedup_minhash_lsh_md5, agg_approx_percentile)
+# are excluded here: both were fixed and need fresh verdicts.
+_R1_VERIFIED = {
+    "agg_sum_global", "agg_min_max_count", "agg_group_multi_key_orderby",
+    "agg_having", "agg_count_distinct_multi", "agg_approx_count_distinct",
+    "agg_percentile_exact", "agg_stddev_variance", "agg_rollup", "agg_cube",
+    "agg_grouping_sets", "agg_pivot", "agg_conditional_sum",
+    "agg_collect_sorted", "agg_corr_covar_closed_form",
+    "agg_histogram_width_bucket", "agg_bool_bitwise", "agg_grouping_id",
+    "agg_approx_count_distinct_bounded", "agg_most_frequent",
+    "agg_max_by_min_by", "dedup_exact", "dedup_ngram_jaccard",
+    "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_cosine",
+    "dedup_cluster_components", "dedup_simhash_md5", "dedup_containment",
+    "events_tumbling_window", "events_sliding_window",
+    "streaming_tumbling_counts", "streaming_session_windows",
+    "streaming_stateful_running_counts", "events_cohort_retention",
+    "join_inner_equi", "join_left_outer", "join_right_outer",
+    "join_full_outer", "join_left_semi", "join_left_anti", "join_cross",
+    "join_theta_inequality", "join_range_banded", "join_asof",
+    "join_skew_salted", "lake_time_travel_v1", "lake_merge_on_read",
+}
+
+
+def _ordered_names() -> list[str]:
+    """Never-checked queries first, interleaved round-robin by family."""
+    from itertools import zip_longest
+
+    fams: dict[str, list[str]] = {}
+    for n in QUERIES:
+        if n in _R1_VERIFIED:
+            continue
+        fams.setdefault(n.split("_")[0], []).append(n)
+    order = []
+    for row in zip_longest(*fams.values()):
+        order.extend(n for n in row if n is not None)
+    order.extend(n for n in QUERIES if n in _R1_VERIFIED)
+    return order
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return dict(QUERIES)
+    return {n: QUERIES[n] for n in _ordered_names()}
 
 
 def oracle_sql() -> dict[str, str]:

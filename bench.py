@@ -20,15 +20,20 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO))
 
-# Headline set: scan/filter/agg (q1, q6), joins (q3, q5, q10), plus wide
-# coverage ops added in later milestones (windows, dedup, similarity) when
-# present in the registry.
+# Headline set: scan/filter/agg (q1, q6), joins (q3, q5, q10), the heaviest
+# fact-fact join shapes (q9 5-way star with part×supplier, q18 groupBy-HAVING
+# over lineitem then fact join, q21 double-correlated EXISTS/NOT EXISTS) so
+# regressions on multi-shuffle plans show round-over-round, plus wide
+# coverage ops (windows, dedup, similarity).
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
+    "q9_product_type_profit",
     "q10_returned_items",
+    "q18_large_volume_customers",
+    "q21_suppliers_kept_waiting",
     "window_topn_per_group",
     "dedup_minhash_lsh",
     "ann_cosine_topk",

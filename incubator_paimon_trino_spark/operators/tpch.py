@@ -8,10 +8,13 @@ provides above the connector (agg, join, sort — SURVEY §2.B).
 Scale notes (100 TB design):
 - Filters/projections are declarative → Catalyst pushes them into the parquet
   scan (verify: ``PushedFilters`` in the physical plan).
-- Dimension joins (region/nation/customer/supplier) are broadcast — no shuffle
-  of the fact table. ``F.broadcast`` makes it explicit rather than relying on
-  the size estimate, since at 100 TB the fact side must never be shuffled for
-  a dim join.
+- Broadcast hints are FIXED-SIZE-ONLY: region (5 rows) and nation (25 rows)
+  get an explicit ``F.broadcast``; customer/supplier/part grow linearly with
+  scale factor, so forcing them would OOM executors at 100 TB — those joins
+  are left to the optimizer, whose file-size statistics and AQE runtime
+  re-planning pick broadcast-hash at small SF and shuffle (or skew-split)
+  joins once the dim outgrows the broadcast threshold.
+  ``tests/test_plan_quality.py`` asserts the small-SF plans still broadcast.
 - Aggregations are partial (map-side) + final by Spark's default hash
   aggregate; group-by keys are low-cardinality so no skew concern.
 """
@@ -96,10 +99,12 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3: broadcast dim join + fact-fact join + top-K (TakeOrderedAndProject).
+    """TPC-H Q3: dim join + fact-fact join + top-K (TakeOrderedAndProject).
 
-    ``customer`` is broadcast (small dim); orders↔lineitem co-shuffle on the
-    order key. Deterministic top-10 via full tie-break in the sort key.
+    ``customer`` is SF-scaled, so no forced broadcast — the optimizer
+    broadcasts it while it fits and falls back to a shuffle join beyond;
+    orders↔lineitem co-shuffle on the order key. Deterministic top-10 via
+    full tie-break in the sort key.
     """
     cust = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = table(spark, sf_dir, "orders").filter(
@@ -110,7 +115,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(dec2("l_extendedprice") * (_one() - dec2("l_discount"))).cast("double").alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
@@ -138,7 +143,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5: 6-table join. All dims broadcast; only orders↔lineitem shuffles."""
+    """TPC-H Q5: 6-table join. nation/region broadcast by hint (fixed-size);
+    customer/supplier by optimizer size estimate while they fit — only
+    orders↔lineitem must shuffle."""
     cust = table(spark, sf_dir, "customer")
     orders = table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
@@ -150,9 +157,9 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     reg = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
-            F.broadcast(supp),
+            supp,
             (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
         )
         .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
@@ -297,7 +304,8 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q14: broadcast part join + conditional revenue (exact decimals)."""
+    """TPC-H Q14: part join (optimizer-broadcast while it fits) + conditional
+    revenue (exact decimals)."""
     li = table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-09-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-10-01 00:00:00").cast("timestamp"))
@@ -306,7 +314,7 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = dec2("l_extendedprice") * (_one() - dec2("l_discount"))
     zero = F.lit(0).cast("decimal(9,2)")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .agg(
             F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero))
             .cast("double")
@@ -349,7 +357,7 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = table(spark, sf_dir, "customer")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(F.sum(dec2("l_quantity")).cast("double").alias("total_qty"))
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
@@ -372,7 +380,7 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     join — the optimizer-stress disjunction shape."""
     li = table(spark, sf_dir, "lineitem")
     p = table(spark, sf_dir, "part")
-    j = li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+    j = li.join(p, p.p_partkey == li.l_partkey)
     band = (
         ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 11))
         | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25) & F.col("l_quantity").between(10, 20))
@@ -412,7 +420,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     nat = table(spark, sf_dir, "nation")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(F.sum(dec2("l_extendedprice") * (_one() - dec2("l_discount"))).cast("double").alias("revenue"))

@@ -24,9 +24,11 @@ the suite) on the available columns:
   the receipt>commit lateness predicate)
 - Q22 sales opportunity   → substring bucketing + anti-join + scalar AVG
 
-Scale notes (100 TB design): every dim join (nation/region/supplier/part at
-TPC-H dim cardinalities) is broadcast so the lineitem/orders fact tables are
-never shuffled for them; fact↔fact joins co-shuffle on the join key only.
+Scale notes (100 TB design): only FIXED-size dims (nation 25 rows, region 5)
+carry an explicit broadcast hint. supplier/part/customer scale with SF, so
+their joins are left to the optimizer: file-size statistics and AQE broadcast
+them while they fit and switch to shuffle joins beyond — a forced hint would
+OOM executors at 100 TB. Fact↔fact joins co-shuffle on the join key only.
 Correlated subqueries are left to Catalyst's decorrelation
 (RewriteCorrelatedScalarSubquery / RewritePredicateSubquery) which plans them
 as broadcast or shuffled aggregate joins — the same plan a hand decorrelation
@@ -131,8 +133,8 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .filter(pair)
@@ -175,7 +177,8 @@ _Q8_SQL = """
 
 @register("q8_market_share", oracle=_Q8_SQL)
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q8: 8-way star join + share-of-total; all dims broadcast.
+    """TPC-H Q8: 8-way star join + share-of-total; nation/region broadcast by
+    hint, the SF-scaled dims by optimizer size estimate while they fit.
 
     The division is double/double of two exact decimal sums — bit-identical
     in both engines.
@@ -197,10 +200,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     vol = dec2("l_extendedprice") * (_one() - dec2("l_discount"))
     zero = F.lit(0).cast("decimal(9,2)")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
         .join(F.broadcast(region), F.col("n1_region") == F.col("r_regionkey"))
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
@@ -252,9 +255,9 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_retailprice"
     ) * dec2("l_quantity")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .select(
             F.col("n_name").alias("nation"),
@@ -345,8 +348,9 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16: COUNT(DISTINCT) + NOT IN anti-join.
 
     ``s_acctbal < 0`` replaces the 'customer complaints' comment filter.
-    ``l_suppkey`` is non-null so NOT IN is a plain left-anti join (broadcast —
-    the excluded-supplier list is tiny).
+    ``l_suppkey`` is non-null so NOT IN is a plain left-anti join; the
+    excluded-supplier list is a filtered fraction of supplier, so the
+    optimizer broadcasts it while it fits.
     """
     part = table(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#1")
@@ -356,8 +360,8 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     bad_supp = table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0)
     return (
-        li.join(F.broadcast(bad_supp), li.l_suppkey == bad_supp.s_suppkey, "left_anti")
-        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        li.join(bad_supp, li.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .join(part, F.col("l_partkey") == part.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
