@@ -60,7 +60,7 @@ def shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", _shingles().alias("shingles"))
 
 
-def exploded_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def shingles_from(docs: DataFrame) -> DataFrame:
     """(doc_id, s) — one row per DISTINCT word-3-gram, fully codegen.
 
     posexplode + window ``lead`` instead of array higher-order functions:
@@ -70,9 +70,7 @@ def exploded_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window as W
 
-    d = table(spark, sf_dir, "documents").select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
-    )
+    d = docs.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w"))
     win = W.partitionBy("doc_id").orderBy("pos")
     sh = d.select(
         "doc_id",
@@ -80,6 +78,35 @@ def exploded_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("w", 2).over(win).alias("_w2"),
     )
     return sh.filter(F.col("_w2").isNotNull()).select("doc_id", "s").dropDuplicates()
+
+
+def exploded_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shingles_from(table(spark, sf_dir, "documents"))
+
+
+#: max number of documents a shingle may appear in before it is treated as a
+#: stop-shingle. A shingle shared by d documents contributes O(d²) candidate
+#: pairs to an inverted-index self-join, so boilerplate n-grams (license
+#: headers, navigation chrome) dominate both the shuffle and the skew at
+#: corpus scale while carrying no near-dup signal.
+STOP_SHINGLE_MAX_DF = 100
+
+
+def drop_stop_shingles(sh: DataFrame, max_doc_freq: int = STOP_SHINGLE_MAX_DF) -> DataFrame:
+    """Remove shingles whose document frequency exceeds ``max_doc_freq``.
+
+    One extra groupBy + left-semi join, both keyed on the shingle — the same
+    shuffle key as the inverted-index self-join that follows, so AQE can
+    co-plan them. This is the skew cap the 100 TB design requires: the
+    hottest join bucket is bounded by ``max_doc_freq`` rows.
+    """
+    keep = (
+        sh.groupBy("s")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= max_doc_freq)
+        .select("s")
+    )
+    return sh.join(keep, "s", "left_semi")
 
 
 @register(
@@ -111,38 +138,19 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_ngram_jaccard",
-    oracle="""
-    WITH sh AS (
-      SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS s
-      FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
-           UNNEST(range(1, GREATEST(len(words) - 1, 1))) AS t(i)
-    ),
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-    inter AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    )
-    SELECT doc_a, doc_b,
-           n_common * 1.0 / (sa.n + sb.n - n_common) AS jaccard
-    FROM inter
-    JOIN sizes sa ON sa.doc_id = doc_a
-    JOIN sizes sb ON sb.doc_id = doc_b
-    WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= 0.6
-    """,
-)
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ngram_jaccard_pairs(
+    docs: DataFrame, threshold: float = 0.6, max_doc_freq: int = STOP_SHINGLE_MAX_DF
+) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via inverted-index join.
 
-    Join key is the shingle, so only docs sharing a shingle ever meet —
-    the O(n²) pair space is never built. Jaccard from integer counts
-    (|A∩B| / (|A|+|B|-|A∩B|)) — exact arithmetic, hash-stable.
-    At 100 TB the one refinement needed is dropping ultra-frequent shingles
-    (stop-shingles) before the join to cap bucket skew — same plan shape.
-    """
-    sh = exploded_shingles(spark, sf_dir)
+    Join key is the shingle, so only docs sharing a shingle ever meet — the
+    O(n²) pair space is never built. Stop-shingles (document frequency >
+    ``max_doc_freq``) are dropped FIRST, bounding the hottest join bucket;
+    sizes are computed on the filtered set so the score stays a true Jaccard
+    over informative shingles. Integer counts keep it hash-stable. Doc-size
+    joins carry one row per doc — left to the optimizer (broadcast while
+    small, shuffle at corpus scale)."""
+    sh = drop_stop_shingles(shingles_from(docs), max_doc_freq)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "s")
     b = sh.select(F.col("doc_id").alias("doc_b"), "s")
@@ -156,12 +164,42 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     jac = F.col("n_common") * 1.0 / (F.col("na") + F.col("nb") - F.col("n_common"))
     return (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= 0.6)
+        .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS s
+      FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+           UNNEST(range(1, GREATEST(len(words) - 1, 1))) AS t(i)
+    ),
+    keep AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 100),
+    shf AS (SELECT sh.doc_id, sh.s FROM sh JOIN keep USING (s)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           n_common * 1.0 / (sa.n + sb.n - n_common) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= 0.6
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See ``ngram_jaccard_pairs``; the stop-shingle cap (df ≤ 100) is part
+    of the algorithm spec and mirrored in the oracle SQL."""
+    return ngram_jaccard_pairs(table(spark, sf_dir, "documents"))
 
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -626,10 +664,12 @@ def dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
            UNNEST(range(1, GREATEST(len(words) - 1, 1))) AS t(i)
     ),
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    keep AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 100),
+    shf AS (SELECT sh.doc_id, sh.s FROM sh JOIN keep USING (s)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS doc_small, b.doc_id AS doc_big, COUNT(*) AS n_common
-      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+      FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id <> b.doc_id
       GROUP BY 1, 2
     )
     SELECT doc_small, doc_big,
@@ -645,10 +685,10 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     catches a document EMBEDDED in a longer one, which symmetric Jaccard
     misses (the union term dilutes the score). Same inverted-index plan as
     the Jaccard variant: join key = shingle, so the O(n²) pair space never
-    materializes; exact integer counts keep the score hash-stable. At
-    100 TB, drop ultra-frequent stop-shingles before the join to cap
-    bucket skew (same plan shape)."""
-    sh = exploded_shingles(spark, sf_dir)
+    materializes; exact integer counts keep the score hash-stable. The
+    stop-shingle cap (df ≤ 100, ``drop_stop_shingles``) bounds the hottest
+    join bucket and is mirrored in the oracle SQL."""
+    sh = drop_stop_shingles(exploded_shingles(spark, sf_dir))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_small"), "s")
     b = sh.select(F.col("doc_id").alias("doc_big"), "s")
@@ -661,8 +701,8 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ss = sizes.select(F.col("doc_id").alias("doc_small"), F.col("n").alias("ns"))
     sb = sizes.select(F.col("doc_id").alias("doc_big"), F.col("n").alias("nb"))
     return (
-        inter.join(F.broadcast(ss), "doc_small")
-        .join(F.broadcast(sb), "doc_big")
+        inter.join(ss, "doc_small")
+        .join(sb, "doc_big")
         .withColumn("containment", F.col("n_common") * 1.0 / F.col("ns"))
         .filter((F.col("containment") >= 0.75) & (F.col("ns") <= F.col("nb")))
         .select("doc_small", "doc_big", "containment")

@@ -165,3 +165,37 @@ def test_pii_scrub_removes_all_pii(spark):
     assert all(r.n_long_numbers >= 1 for r in injected if r.doc_id > 0)
     clean = [r for r in rows if r.doc_id % 3 != 0]
     assert all(r.n_emails == 0 for r in clean)
+
+
+def test_stop_shingle_cap_bounds_skew(spark):
+    """Pathological repeated-text corpus: shingles from shared boilerplate
+    exceed the document-frequency cap and are dropped BEFORE the
+    inverted-index self-join, so (a) the hottest join bucket is bounded and
+    (b) documents related only through boilerplate produce no pairs, while a
+    genuine near-dup pair (unique shared content) is still found."""
+    from incubator_paimon_trino_spark.operators.dedup import (
+        drop_stop_shingles,
+        ngram_jaccard_pairs,
+        shingles_from,
+    )
+
+    boiler = "all rights reserved by the example corporation of example city"
+    rows = [(i, f"{boiler} unique tail number {i} alpha beta") for i in range(10)]
+    # one genuine near-dup pair sharing unique (non-boilerplate) content
+    dup = "completely original sentence about spark partition skew mitigation"
+    rows += [(100, dup + " first"), (101, dup + " second")]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+
+    sh = shingles_from(docs)
+    capped = drop_stop_shingles(sh, max_doc_freq=5)
+    # every boilerplate-only shingle (df=10 > 5) is gone; per-shingle doc
+    # frequency in the join input is bounded by the cap
+    max_df = capped.groupBy("s").count().agg({"count": "max"}).collect()[0][0]
+    assert max_df <= 5
+
+    pairs = ngram_jaccard_pairs(docs, threshold=0.6, max_doc_freq=5)
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    assert (100, 101) in got
+    # boilerplate-only relatives don't survive: their informative shingles
+    # (unique tails) are disjoint
+    assert all(a >= 100 for a, _ in got)
