@@ -1858,6 +1858,34 @@ def _sequence_expr(schema: TableSchema, version: int):
     return F.col(seq_field).cast("bigint")
 
 
+#: The reference surfaces every Paimon CoreOption as a DDL property with
+#: `.`/`-` mangled to `_` (``TrinoTableOptionUtils.convertOptionKey``,
+#: ``common/TrinoTableOptionUtils.java:130-135``); unknown-but-valid keys
+#: pass through as stored metadata. The seven enum-typed options
+#: (``TrinoTableOptionUtils.java:94-128``) are validated against their value
+#: sets at DDL time, exactly as the reference's typed properties reject a bad
+#: value in CREATE TABLE rather than at first read/write.
+_ENUM_OPTIONS: dict[str, tuple[str, ...]] = {
+    # CoreOptions.FileFormatType
+    "file_format": ("orc", "parquet", "avro"),
+    # CoreOptions.MergeEngine
+    "merge_engine": ("deduplicate", "partial-update", "aggregation", "first-row"),
+    # CoreOptions.ChangelogProducer
+    "changelog_producer": ("none", "input", "full-compaction", "lookup"),
+    # CoreOptions.StartupMode
+    "scan_mode": (
+        "default", "latest-full", "full", "latest", "compacted-full",
+        "from-timestamp", "from-snapshot", "from-snapshot-full", "incremental",
+    ),
+    # CoreOptions.LogConsistency
+    "log_consistency": ("transactional", "eventual"),
+    # CoreOptions.LogChangelogMode
+    "log_changelog_mode": ("auto", "all", "upsert"),
+    # CoreOptions.StreamingReadMode
+    "streaming_read_mode": ("log", "file"),
+}
+
+
 def _validate_table_options(
     names: list[str],
     primary_key: list[str],
@@ -1866,8 +1894,15 @@ def _validate_table_options(
 ) -> None:
     """Option-coherence checks shared by CREATE TABLE and SET PROPERTIES —
     validating only at create would let ALTER re-introduce the silently-
-    ignored states these errors exist to prevent."""
+    ignored states these errors exist to prevent. Unknown option KEYS pass
+    through (the reference reflects the full CoreOptions surface; storing an
+    option our engine does not consume is valid metadata, not an error)."""
     from incubator_paimon_trino_spark.operators.merge_on_read import FIELD_AGGREGATES
+
+    for key, allowed in _ENUM_OPTIONS.items():
+        val = options.get(key)
+        if val is not None and val.strip().lower() not in allowed:
+            raise ValueError(f"invalid {key} {val!r}; allowed values: {allowed}")
 
     specs = _field_aggregate_specs(options)
     if specs and options.get("merge_engine") != "aggregation":

@@ -737,3 +737,56 @@ def test_show_create_table_roundtrip(cat, spark):
 
     desc = {r.column: r.type for r in cat.sql("DESCRIBE default.sct").collect()}
     assert desc == {"k": "bigint", "pt": "string", "v": "double"}
+
+
+def test_full_core_options_surface(cat, spark):
+    """The reference reflects EVERY Paimon CoreOption into a mangled DDL
+    property (TrinoTableOptionUtils.java:38-80): unknown-but-valid keys are
+    stored as metadata, while the seven enum-typed options
+    (TrinoTableOptionUtils.java:94-128) reject bad values at DDL time."""
+    import pytest
+
+    cat.create_database("default", ignore_if_exists=True)
+    opts = {
+        "snapshot_time_retained": "1 h",
+        "write_buffer_size": "256 mb",
+        "target_file_size": "128 mb",
+        "num_sorted_run_compaction_trigger": "5",
+        "scan_mode": "latest-full",
+        "consumer_id": "myconsumer",
+        "write_only": "true",
+        "compaction_min_file_num": "5",
+        "dynamic_partition_overwrite": "true",
+        "snapshot_expire_execution_mode": "sync",
+        "merge_engine": "partial-update",
+        "changelog_producer": "lookup",
+    }
+    cat.create_table(
+        "default", "copt", [("k", "int"), ("v", "string")],
+        primary_key=["k"], options=opts,
+    )
+    stored = cat.schema_of("default", "copt").options
+    assert all(stored[k] == v for k, v in opts.items())
+    # pass-through keys survive the SQL facade too
+    cat.sql(
+        "CREATE TABLE default.copt2 (k int) WITH "
+        "(snapshot_time_retained = '2 h', log_consistency = 'eventual')"
+    )
+    assert cat.schema_of("default", "copt2").options["snapshot_time_retained"] == "2 h"
+
+    # enum-typed options reject bad values at DDL time, not first read/write
+    for key, bad in [
+        ("file_format", "feather"),
+        ("merge_engine", "fancy"),
+        ("changelog_producer", "bogus"),
+        ("scan_mode", "sometimes"),
+        ("log_consistency", "maybe"),
+        ("log_changelog_mode", "most"),
+        ("streaming_read_mode", "psychic"),
+    ]:
+        with pytest.raises(ValueError):
+            cat.create_table("default", f"bad_{key}", [("k", "int"), ("v", "int")],
+                             primary_key=["k"], options={key: bad})
+    # ...and ALTER cannot sneak one in either
+    with pytest.raises(ValueError):
+        cat.set_options("default", "copt", {"scan_mode": "sideways"})
