@@ -148,7 +148,16 @@ class Snapshot:
 
 
 def _parse_type(s: str) -> T.DataType:
-    """Spark type from its DDL/simpleString form."""
+    """Spark type from its DDL/simpleString form.
+
+    CHAR(n)/VARCHAR(n) stay valid DECLARED types (the reference keeps them
+    distinct, ``TrinoTypeUtils.java:77-90``) but Spark 4 refuses them inside
+    a schema — their storage form is STRING (CHAR canonically rtrimmed by
+    the write path; length is metadata)."""
+    import re as _re
+
+    if _re.fullmatch(r"\s*(?i:CHAR|VARCHAR)\s*(\(\s*\d+\s*\))?\s*", s):
+        return T.StringType()
     return T.StructType.fromDDL(f"c {s}")[0].dataType
 
 

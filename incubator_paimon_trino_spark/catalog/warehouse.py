@@ -67,6 +67,7 @@ from incubator_paimon_trino_spark.catalog.scan import (
     partition_values,
     prune_files,
 )
+from incubator_paimon_trino_spark.functions.types import char_length
 
 _SYSTEM_SUFFIXES = (
     "snapshots",
@@ -435,6 +436,14 @@ class WarehouseCatalog:
         if extra or missing:
             raise ValueError(f"schema mismatch: extra={extra} missing={missing} expected={expected}")
         out = df.select(*expected, *([KIND_COL] if KIND_COL in have else []))
+        # CHAR(n) columns store the rtrimmed canonical form: CHAR comparison
+        # treats trailing blanks as insignificant (the reference keeps CHAR a
+        # distinct Trino type, TrinoTypeUtils.java:77-81), so canonical
+        # storage makes plain equality, min/max file stats, and groupBy keys
+        # all behave CHAR-correctly with zero read-time cost.
+        for f_ in schema.fields:
+            if char_length(f_.type) is not None:
+                out = out.withColumn(f_.name, F.rtrim(F.col(f_.name)))
 
         if schema.primary_key:
             if KIND_COL not in out.columns:
@@ -1209,6 +1218,16 @@ class WarehouseCatalog:
         tdir = self._table_dir(db, table)
         schema = self._latest_schema(tdir)
         snap = self._pin_snapshot(tdir, version_as_of, timestamp_as_of, tag)
+        if predicate:
+            # CHAR(n) predicate literals are pad-insensitive (stored form is
+            # rtrimmed — see insert_into)
+            char_cols = {f.name for f in schema.fields if char_length(f.type) is not None}
+            if char_cols:
+                from incubator_paimon_trino_spark.functions.predicates import (
+                    normalize_char_domains,
+                )
+
+                predicate = normalize_char_domains(predicate, char_cols)
         if snap is not None and predicate:
             pruned = prune_files(
                 snap.files, predicate, schema, lambda sid: self._schema(tdir, sid)

@@ -123,6 +123,40 @@ def tuple_domain_to_column(
     return out
 
 
+def normalize_char_domains(
+    domains: list[ColumnDomain], char_columns: set[str]
+) -> list[ColumnDomain]:
+    """CHAR comparison ignores trailing blanks (Trino CharType semantics;
+    the reference maps Paimon CHAR(n) to a true Trino CHAR type,
+    ``TrinoTypeUtils.java:77-81``). The lake write path stores CHAR columns
+    rtrimmed (canonical form), so making literals pad-insensitive only needs
+    an rtrim on the domain VALUES — stats pruning and the re-applied filter
+    then agree with CHAR equality without any per-row expression wrapping.
+    """
+    import dataclasses
+
+    def rt(v):
+        return v.rstrip(" ") if isinstance(v, str) else v
+
+    out = []
+    for d in domains:
+        if d.column not in char_columns:
+            out.append(d)
+            continue
+        out.append(
+            dataclasses.replace(
+                d,
+                value=rt(d.value),
+                in_values=None if d.in_values is None else [rt(v) for v in d.in_values],
+                ranges=[
+                    dataclasses.replace(r, low=rt(r.low), high=rt(r.high))
+                    for r in d.ranges
+                ],
+            )
+        )
+    return out
+
+
 def apply_tuple_domain(df: DataFrame, domains: list[ColumnDomain], strict_scalar: bool = False) -> DataFrame:
     """applyFilter equivalent: attach the domain conjunction; Catalyst pushes
     scalar comparisons to parquet and prunes partitions — the behaviors the

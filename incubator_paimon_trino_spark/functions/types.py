@@ -85,6 +85,20 @@ def paimon_to_spark(type_str: str) -> T.DataType:
     raise ValueError(f"unsupported Paimon type: {type_str!r}")
 
 
+def char_length(type_str: str) -> int | None:
+    """CHAR(n) declared length, or None for non-CHAR types.
+
+    The reference keeps CHAR as a distinct Trino type
+    (``TrinoTypeUtils.java:77-81``); Spark stores it as STRING, so the
+    catalog layer uses this to apply CHAR comparison semantics (trailing
+    blanks insignificant) at write and predicate time.
+    """
+    m = re.fullmatch(r"CHAR(?:\s*\(\s*(\d+)\s*\))?", type_str.strip().upper())
+    if not m:
+        return None
+    return int(m.group(1)) if m.group(1) else 1
+
+
 def spark_to_paimon(dt: T.DataType) -> str:
     """Spark DataType → Paimon type display string (TrinoTypeUtils :201-274)."""
     if isinstance(dt, T.BooleanType):

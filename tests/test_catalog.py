@@ -790,3 +790,45 @@ def test_full_core_options_surface(cat, spark):
     # ...and ALTER cannot sneak one in either
     with pytest.raises(ValueError):
         cat.set_options("default", "copt", {"scan_mode": "sideways"})
+
+
+def test_char_column_semantics(cat, spark):
+    """CHAR(n) golden mirroring TestTrinoITCase.java:252 (t1.d is CHAR(1)):
+    trailing blanks are insignificant — padded inserts compare equal to
+    unpadded literals through both the pruning predicate path and the
+    re-applied filter, and groupBy keys collapse padded/unpadded variants."""
+    from incubator_paimon_trino_spark.functions.predicates import ColumnDomain
+
+    cat.create_database("default", ignore_if_exists=True)
+    cat.create_table(
+        "default", "tchar",
+        [("a", "int"), ("b", "bigint"), ("aCa", "string"), ("d", "char(1)"),
+         ("tag", "char(3)")],
+        primary_key=["a"],
+    )
+    rows = [(1, 2, "1", "1", "ab "), (3, 4, "2", "2 ", "ab"), (5, 6, "3", "3", "xyz")]
+    cat.insert_into(
+        "default", "tchar",
+        spark.createDataFrame(rows, "a int, b bigint, aCa string, d string, tag string"),
+    )
+    # padded stored value ('2 ') equals unpadded literal through the
+    # ColumnDomain predicate path (pruning + re-applied filter)
+    got = cat.read_table(
+        "default.tchar", predicate=[ColumnDomain(column="d", op="=", value="2")]
+    ).collect()
+    assert [(r.a, r.d) for r in got] == [(3, "2")]
+    # padded LITERAL equals stored value
+    got = cat.read_table(
+        "default.tchar", predicate=[ColumnDomain(column="tag", op="=", value="ab  ")]
+    ).collect()
+    assert sorted(r.a for r in got) == [1, 3]
+    # IN list values normalize too
+    got = cat.read_table(
+        "default.tchar", predicate=[ColumnDomain(column="d", in_values=["1 ", "3  "])]
+    ).collect()
+    assert sorted(r.a for r in got) == [1, 5]
+    # canonical storage makes groupBy CHAR-correct: 'ab ' and 'ab' is ONE key
+    from pyspark.sql import functions as F
+
+    keys = cat.read_table("default.tchar").groupBy("tag").agg(F.count("*").alias("n"))
+    assert {(r.tag, r.n) for r in keys.collect()} == {("ab", 2), ("xyz", 1)}
