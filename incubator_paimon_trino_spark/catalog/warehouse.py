@@ -1750,6 +1750,55 @@ class WarehouseCatalog:
             )
         return None
 
+    #: information_schema relations (Trino builds these from the connector's
+    #: listSchemaNames/listTables/streamTableColumns —
+    #: ``common/TrinoMetadataBase.java:271-287``).
+    _INFO_SCHEMA_RELATIONS = ("schemata", "tables", "columns")
+
+    def information_schema(self, relation: str) -> DataFrame:
+        """Queryable ``information_schema`` relation as a DataFrame.
+
+        Metadata-only: rows come from the catalog's schema JSONs — no data
+        file is opened, so this stays O(#tables) at any data scale (the same
+        property the reference gets by answering from ``TrinoMetadataBase``
+        handles rather than scans).
+        """
+        rel = relation.lower()
+        if rel == "schemata":
+            rows = [(db,) for db in sorted(self.list_databases())]
+            return self.spark.createDataFrame(rows, "schema_name string")
+        if rel == "tables":
+            rows = [
+                (db, t, "BASE TABLE")
+                for db in sorted(self.list_databases())
+                for t in sorted(self.list_tables(db))
+            ]
+            return self.spark.createDataFrame(
+                rows, "table_schema string, table_name string, table_type string"
+            )
+        if rel == "columns":
+            rows = []
+            for db in sorted(self.list_databases()):
+                for t in sorted(self.list_tables(db)):
+                    s = self.schema_of(db, t)
+                    for i, f in enumerate(s.fields, 1):
+                        rows.append(
+                            (db, t, f.name, i, f.type, "YES" if f.nullable else "NO")
+                        )
+            return self.spark.createDataFrame(
+                rows,
+                "table_schema string, table_name string, column_name string, "
+                "ordinal_position int, data_type string, is_nullable string",
+            )
+        raise ValueError(
+            f"unknown information_schema relation {relation!r}; "
+            f"have {self._INFO_SCHEMA_RELATIONS}"
+        )
+
+    _INFO_SCHEMA_REF = re.compile(
+        r"\binformation_schema\.(schemata|tables|columns)\b", re.IGNORECASE
+    )
+
     def sql(self, query: str) -> DataFrame:
         """Run SQL over lake tables — the Trino entry-point surface (SURVEY
         §3.1/§3.2) on Spark SQL.
@@ -1773,6 +1822,25 @@ class WarehouseCatalog:
         dml = self._sql_dml(query)
         if dml is not None:
             return self.spark.createDataFrame([(dml,)], "snapshot_id bigint")
+
+        # information_schema.<rel> references resolve to metadata views
+        quoted0 = _quoted_spans(query)
+        if any(
+            not any(a <= m.start() < b for a, b in quoted0)
+            for m in self._INFO_SCHEMA_REF.finditer(query)
+        ):
+            for rel in self._INFO_SCHEMA_RELATIONS:
+                self.information_schema(rel).createOrReplaceTempView(
+                    f"information_schema__{rel}"
+                )
+            pieces, last0 = [], 0
+            for m in self._INFO_SCHEMA_REF.finditer(query):
+                if any(a <= m.start() < b for a, b in quoted0):
+                    continue
+                pieces.append(query[last0 : m.start()])
+                pieces.append(f"information_schema__{m.group(1).lower()}")
+                last0 = m.end()
+            query = "".join(pieces) + query[last0:]
 
         dbs = set(self.list_databases())
         quoted = _quoted_spans(query)

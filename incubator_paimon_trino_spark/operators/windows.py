@@ -155,7 +155,9 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def window_ntile_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global (unpartitioned) window — single-partition sort; fine for dims,
-    an anti-pattern for fact tables at scale (documented deliberately)."""
+    an anti-pattern for fact tables at scale (documented deliberately).
+    The scale path producing IDENTICAL results with no one-task sort is
+    ``window_global_rank_scalable``."""
     c = table(spark, sf_dir, "customer")
     w = W.orderBy("c_acctbal", "c_custkey")
     return c.select(
@@ -164,6 +166,69 @@ def window_ntile_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(w).alias("quartile"),
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
+    )
+
+
+@register(
+    "window_global_rank_scalable",
+    oracle="""
+    SELECT c_custkey, c_acctbal,
+           NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile,
+           CAST(PERCENT_RANK() OVER (ORDER BY c_acctbal, c_custkey) AS DOUBLE) AS pct_rank,
+           CAST(CUME_DIST() OVER (ORDER BY c_acctbal, c_custkey) AS DOUBLE) AS cume
+    FROM customer
+    """,
+)
+def window_global_rank_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global NTILE/PERCENT_RANK/CUME_DIST with NO single-partition sort —
+    the scale path for ``window_ntile_percent`` (whose empty PARTITION BY
+    Spark executes in one task; fine for dims, fatal on a fact table).
+
+    Identical results, scale-safe plan:
+      1. one aggregation pass sketches B-1 approximate quantile boundaries
+         of the order column (constant-size GK sketch) plus the total count;
+      2. each row buckets by 'boundaries strictly below my value' — a pure
+         function of the value, so equal values can never split across
+         buckets and the global order equals (bucket, value, key);
+      3. per-bucket counts (≤ B rows, METADATA scale) become cumulative
+         offsets with a window over those B rows, broadcast back;
+      4. the global row number is bucket offset + an ordinary per-bucket
+         window row_number; ntile/percent_rank/cume_dist are then arithmetic
+         on (rn, n).
+    Shuffles: one hash agg for counts + one per-bucket sort — every stage
+    parallel across buckets. Skewed values cost at most one oversized
+    bucket, not a one-task table sort.
+    """
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    B = 64
+    fracs = [i / B for i in range(1, B)]
+    glob = c.agg(
+        F.percentile_approx("c_acctbal", fracs, 100000).alias("bounds"),
+        F.count("*").alias("n_total"),
+    )
+    d = c.join(F.broadcast(glob))  # 1-row broadcast: bounds + total, no collect
+    d = d.withColumn("bucket", F.expr("size(filter(bounds, b -> b < c_acctbal))"))
+    counts = d.groupBy("bucket").agg(F.count("*").alias("bn"))
+    woff = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
+    offsets = counts.withColumn("off", F.coalesce(F.sum("bn").over(woff), F.lit(0)))
+    d = d.join(F.broadcast(offsets.select("bucket", "off")), "bucket")
+    wl = W.partitionBy("bucket").orderBy("c_acctbal", "c_custkey")
+    d = d.withColumn("rn", F.col("off") + F.row_number().over(wl))
+    n, rn = F.col("n_total"), F.col("rn")
+    qq, rr = F.floor(n / 4), n % 4
+    size1 = qq + 1
+    quartile = (
+        F.when(qq == 0, rn)  # n < 4: one row per tile
+        .when(rn <= rr * size1, F.floor((rn - 1) / size1) + 1)
+        .otherwise(rr + F.floor((rn - 1 - rr * size1) / qq) + 1)
+    )
+    pct = F.when(n > 1, (rn - 1).cast("double") / (n - 1)).otherwise(F.lit(0.0))
+    return d.select(
+        "c_custkey",
+        "c_acctbal",
+        quartile.cast("int").alias("quartile"),
+        pct.alias("pct_rank"),
+        (rn.cast("double") / n).alias("cume"),
     )
 
 

@@ -832,3 +832,42 @@ def test_char_column_semantics(cat, spark):
 
     keys = cat.read_table("default.tchar").groupBy("tag").agg(F.count("*").alias("n"))
     assert {(r.tag, r.n) for r in keys.collect()} == {("ab", 2), ("xyz", 1)}
+
+
+def test_information_schema_relations(cat, spark):
+    """information_schema.{schemata,tables,columns} queryable through both
+    the API and the SQL facade (Trino feeds these from the connector's
+    metadata listing, TrinoMetadataBase.java:271-287). Metadata-only — no
+    data file reads."""
+    cat.create_database("isdb")
+    cat.create_table("isdb", "ta", [("k", "int"), ("v", "string")], primary_key=["k"])
+    cat.create_table("isdb", "tb", [("x", "double")])
+
+    assert "isdb" in {r.schema_name for r in cat.information_schema("schemata").collect()}
+    tbls = {
+        (r.table_schema, r.table_name)
+        for r in cat.information_schema("tables").collect()
+    }
+    assert {("isdb", "ta"), ("isdb", "tb")} <= tbls
+
+    got = cat.sql(
+        "SELECT table_name, column_name, ordinal_position, data_type "
+        "FROM information_schema.columns WHERE table_schema = 'isdb' "
+        "ORDER BY table_name, ordinal_position"
+    ).collect()
+    assert [tuple(r) for r in got] == [
+        ("ta", "k", 1, "int"),
+        ("ta", "v", 2, "string"),
+        ("tb", "x", 1, "double"),
+    ]
+    # joinable against itself / usable as a normal relation
+    n = cat.sql(
+        "SELECT COUNT(*) AS n FROM information_schema.tables t "
+        "JOIN information_schema.columns c ON t.table_name = c.table_name "
+        "WHERE t.table_schema = 'isdb'"
+    ).collect()[0].n
+    assert n == 3
+    import pytest
+
+    with pytest.raises(ValueError):
+        cat.information_schema("bogus")
