@@ -5,7 +5,9 @@ distribution; the connector only feeds splits — `testExplainJoinDistribution`,
 `testUnionWithJoin`, `testCorrelatedJoin` in the inherited suite). Spark
 equivalents with scale strategy per shape:
 
-- dim joins → ``F.broadcast`` (hash join, zero fact shuffle)
+- dim joins → broadcast hash join, zero fact shuffle; the hint is reserved
+  for FIXED-size dims — SF-scaled tables are left to the optimizer's size
+  estimate/AQE, which broadcasts while they fit and shuffles beyond
 - fact-fact equi joins → sort-merge/shuffled-hash on the key (AQE picks)
 - semi/anti → ``left_semi`` / ``left_anti`` (no payload duplication)
 - non-equi/range → broadcast nested loop ONLY when one side is tiny;
@@ -30,7 +32,8 @@ from incubator_paimon_trino_spark.sources import table
 )
 def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
     o, c = table(spark, sf_dir, "orders"), table(spark, sf_dir, "customer")
-    return o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+    # customer is SF-scaled: no forced broadcast — optimizer/AQE decide
+    return o.join(c, o.o_custkey == c.c_custkey).select(
         "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
     )
 

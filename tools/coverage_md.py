@@ -55,7 +55,7 @@ SURVEY_2B = [
     ("Joins: inner/outer/semi/anti/cross/theta", "join_inner_equi, join_left_outer, join_right_outer, join_full_outer, join_left_semi, join_left_anti, join_cross, join_theta_inequality, join_skew_salted"),
     ("Joins: as-of / range / banded", "join_asof, join_range_banded"),
     ("Subqueries: correlated/uncorrelated/quantified", "subquery_correlated_exists, subquery_correlated_scalar, subquery_uncorrelated_scalar, subquery_not_in, subquery_all_quantified"),
-    ("Window: ranking / frames / top-N / sessionize", "window_row_number_rank, window_topn_per_group, window_lag_lead, window_running_sum_frame, window_range_frame, window_ntile_percent, window_first_last_value, window_sessionization"),
+    ("Window: ranking / frames / top-N / sessionize", "window_row_number_rank, window_topn_per_group, window_lag_lead, window_running_sum_frame, window_range_frame, window_ntile_percent, window_global_rank_scalable (scale path), window_first_last_value, window_sessionization, window_nth_value_ignore_nulls, window_time_range_frame"),
     ("Sort / Top-K", "sort_multi_key, limit_topk_deterministic"),
     ("Set ops", "setop_union_all, setop_union_distinct, setop_intersect, setop_intersect_all, setop_except, setop_except_all, setop_chained_union_order_limit"),
     ("Grouping sets / CUBE / ROLLUP / GROUPING_ID", "agg_grouping_sets, agg_cube, agg_rollup, agg_grouping_id"),
@@ -64,7 +64,7 @@ SURVEY_2B = [
     ("Scalar functions (string/date/math/regexp/json/conditional)", "scalar_string_functions, scalar_string_date_functions2, scalar_date_functions, scalar_math_functions, scalar_regexp_functions, scalar_json_functions, scalar_variant_json, scalar_conditional"),
     ("Nested: row/map/array access, UNNEST [WITH ORDINALITY]", "nested_struct_access, nested_map_access, nested_array_ops, nested_explode_unnest, nested_posexplode_ordinality"),
     ("Array higher-order functions", "hof_transform_filter, hof_reduce_aggregate, hof_zip_with_weighted"),
-    ("SHOW / DDL / information_schema", "WarehouseCatalog APIs + cat.sql() (tests/test_catalog.py); lake_snapshots_system_table"),
+    ("SHOW / DDL / information_schema", "WarehouseCatalog APIs + cat.sql() + information_schema.{schemata,tables,columns} (tests/test_catalog.py); lake_snapshots_system_table"),
     ("EXPLAIN", "plans/ helpers + tests/test_plan_quality.py"),
     ("Time travel / system tables / merge-on-read (connector A9-A13)", "lake_time_travel_v1, lake_snapshots_system_table, lake_merge_on_read, lake_schema_evolution, lake_partition_pruned_scan, lake_orc_scan"),
     ("Streaming (beyond reference)", "streaming_tumbling_counts, streaming_session_windows, streaming_stateful_running_counts, events_tumbling_window, events_sliding_window, events_cohort_retention"),
