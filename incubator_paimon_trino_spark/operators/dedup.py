@@ -381,10 +381,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
            UNNEST(range(1, GREATEST(len(words) - 1, 1))) AS t(i)
     ),
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    keep AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 100),
+    shf AS (SELECT sh.doc_id, sh.s FROM sh JOIN keep USING (s)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     ),
     pairs AS (
@@ -451,6 +453,55 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         if new_sum == prev_sum:
             return comp
         prev_sum = new_sum
+
+
+@register(
+    "dedup_keep_list",
+    oracle="""
+    WITH RECURSIVE sh AS (
+      SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS s
+      FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+           UNNEST(range(1, GREATEST(len(words) - 1, 1))) AS t(i)
+    ),
+    keep AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 100),
+    shf AS (SELECT sh.doc_id, sh.s FROM sh JOIN keep USING (s)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= 0.6
+    ),
+    edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+              UNION ALL SELECT doc_b, doc_a FROM pairs),
+    walk(id, comp) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.v, w.comp FROM walk w JOIN edges e ON e.u = w.id
+    )
+    SELECT id AS doc_id, MIN(comp) AS component,
+           CASE WHEN id = MIN(comp) THEN 1 ELSE 0 END AS is_kept
+    FROM walk GROUP BY id
+    """,
+)
+def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup decision: near-dup graph → connected components →
+    ONE surviving representative per duplicate cluster (the min doc_id,
+    which IS the component label, so survival is a comparison — no second
+    pass). This is the artifact a training-data pipeline actually consumes:
+    every doc labeled keep/drop, auditable by cluster. Scale shape is the
+    components loop (one co-partitioned join + groupBy per round); the
+    keep decision adds zero shuffles."""
+    comp = dedup_cluster_components(spark, sf_dir)
+    return comp.withColumn(
+        "is_kept",
+        F.when(F.col("doc_id") == F.col("component"), F.lit(1)).otherwise(F.lit(0)),
+    )
 
 
 _MD5_PERMS = 16

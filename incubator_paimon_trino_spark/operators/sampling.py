@@ -103,3 +103,28 @@ def sample_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("lang", "doc_id", "source")
     )
+
+
+@register(
+    "sample_train_val_test",
+    oracle=f"""
+    SELECT doc_id, lang,
+           CASE WHEN {_bucket_sql('doc_id', 100)} < 80 THEN 'train'
+                WHEN {_bucket_sql('doc_id', 100)} < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def sample_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment: the split is a pure
+    function of md5-bucket(doc_id), so it is reproducible across runs,
+    engines, partitionings, and INCREMENTAL ingests — a re-run after
+    appending data never moves an existing document between splits (the
+    property random splits lack). Zero shuffles: one scalar expression per
+    row, pushdown-friendly."""
+    d = table(spark, sf_dir, "documents")
+    b = _bucket(F.col("doc_id"), 100)
+    split = (
+        F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+    )
+    return d.select("doc_id", "lang", split.alias("split"))

@@ -215,3 +215,74 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all(enriched, F.lit(num_re), 0)).cast("bigint").alias("n_long_numbers"),
         F.md5(scrubbed).alias("scrubbed_md5"),
     )
+
+
+@register(
+    "text_contamination_check",
+    oracle="""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS s
+      FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+           UNNEST(range(1, GREATEST(len(words) - 1, 1))) AS t(i)
+    ),
+    bench AS (
+      SELECT DISTINCT s FROM sh
+      WHERE CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                 AS UBIGINT) % 20 AS BIGINT) = 0
+    ),
+    train AS (
+      SELECT * FROM sh
+      WHERE CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                 AS UBIGINT) % 20 AS BIGINT) <> 0
+    ),
+    scored AS (
+      SELECT t.doc_id,
+             COUNT(*) AS n_shingles,
+             SUM(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+      FROM train t LEFT JOIN bench b ON t.s = b.s
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, n_shingles, n_hit,
+           n_hit * 1.0 / n_shingles AS contamination
+    FROM scored
+    WHERE n_hit * 1.0 / n_shingles >= 0.2
+    """,
+)
+def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents whose 3-gram
+    shingles overlap an evaluation set above 20% — the standard guard
+    against test-set leakage into a training corpus. The eval set here is
+    simulated as the md5-bucket(doc_id) % 20 == 0 slice (deterministic, so
+    the oracle sees the same split).
+
+    Scale shape: the benchmark side collapses to its DISTINCT shingle set —
+    normally tiny next to the corpus — and the check is one inverted-index
+    left join keyed on the shingle (only shared shingles meet), then a
+    per-doc count. No pair space, no UDFs; at 100 TB the benchmark shingle
+    set broadcasts and the corpus never shuffles at all.
+    """
+    from incubator_paimon_trino_spark.operators.dedup import exploded_shingles
+
+    sh = exploded_shingles(spark, sf_dir)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint") % 20
+    )
+    sh = sh.withColumn("_b", bucket)
+    bench = sh.filter(F.col("_b") == 0).select("s").distinct()
+    train = sh.filter(F.col("_b") != 0).select("doc_id", "s")
+    hit = bench.withColumn("_hit", F.lit(1))
+    scored = (
+        train.join(hit, "s", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_hit"),
+        )
+    )
+    contamination = F.col("n_hit") * 1.0 / F.col("n_shingles")
+    return (
+        scored.withColumn("contamination", contamination)
+        .filter(F.col("contamination") >= 0.2)
+        .select("doc_id", "n_shingles", "n_hit", "contamination")
+    )
