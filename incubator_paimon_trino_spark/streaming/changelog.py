@@ -210,3 +210,47 @@ def run_to_completion(stream_df: DataFrame, query_name: str, output_mode: str = 
     )
     q.awaitTermination()
     return stream_df.sparkSession.sql(f"SELECT * FROM {query_name}")
+
+
+def write_stream_to_table(
+    stream_df: DataFrame,
+    catalog,
+    db: str,
+    table: str,
+    checkpoint_dir: str,
+    query_name: str = "lake_sink",
+    available_now: bool = True,
+):
+    """Streaming sink into a lake table: each micro-batch commits through the
+    catalog's transactional write path (``foreachBatch`` →
+    ``insert_with_retries``), so a stream lands as ordinary snapshots — PK
+    tables upsert by merge engine, append tables append — and every commit
+    is immediately time-travelable / tailable by downstream readers. The
+    reference is read-only; this completes the loop (stream in → lake →
+    stream out).
+
+    Delivery is at-least-once across restarts (the checkpoint tracks source
+    progress; a batch replayed after a crash commits again). On a PK table
+    with the deduplicate/partial-update engines a replay converges to the
+    same merged state (upserts are idempotent per key), which is the
+    standard lake-sink exactly-once-by-idempotence argument; append tables
+    can see duplicates on crash-replay, as with any at-least-once append
+    sink. Scale: executors write each batch's files in parallel; only the
+    manifest commit is driver-side, identical to the batch path.
+    """
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        catalog.insert_with_retries(db, table, batch_df)
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_sink)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()

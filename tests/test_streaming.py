@@ -180,3 +180,43 @@ def test_partitioned_table_stream_rebuilds_partition_columns(spark, tmp_path):
     stream = read_changelog_stream(cat, "s.pkev")
     rows = run_to_completion(stream, "pkev_all", "append").collect()
     assert [(r.k, r.pt, r.v, r._row_kind) for r in rows] == [(1, "red", 1.0, "I")]
+
+
+def test_stream_sink_into_lake_table(spark, event_table, tmp_path):
+    """Stream-in → lake → stream-out loop: a changelog stream from one table
+    lands in another through the transactional commit path; a PK sink table
+    upserts (merge engine applies), commits are time-travelable, and a
+    second incremental run picks up only new data via the checkpoint."""
+    from pyspark.sql import functions as F
+
+    from incubator_paimon_trino_spark.streaming.changelog import write_stream_to_table
+
+    cat, name = event_table
+    cat.create_table(
+        "s", "sink",
+        [("user_id", "bigint"), ("ts", "timestamp"), ("value", "double")],
+        primary_key=["user_id"],
+    )
+    ckpt = str(tmp_path / "ckpt")
+    src = read_changelog_stream(cat, name)
+    write_stream_to_table(src, cat, "s", "sink", ckpt, query_name="sink1")
+    # PK table: latest row per user wins (merge-on-read over the commits)
+    got = {r.user_id: r.value for r in cat.read_table("s.sink").collect()}
+    assert set(got) == {1, 2}
+    # snapshots exist and are time-travelable
+    assert cat.read_table("s.sink$snapshots").count() >= 1
+
+    # new source commit → only the delta flows on the next availableNow run
+    cat.insert_into(
+        "s", "ev",
+        spark.createDataFrame([(3, "2024-01-02 00:00:00", 9.0)],
+                              "user_id bigint, ts string, value double")
+        .selectExpr("user_id", "CAST(ts AS TIMESTAMP) AS ts", "value"),
+    )
+    before = cat.read_table("s.sink$snapshots").count()
+    src2 = read_changelog_stream(cat, name)
+    write_stream_to_table(src2, cat, "s", "sink", ckpt, query_name="sink2")
+    after_rows = {r.user_id for r in cat.read_table("s.sink").collect()}
+    assert after_rows == {1, 2, 3}
+    # checkpoint prevented re-ingesting the old commits as new snapshots
+    assert cat.read_table("s.sink$snapshots").count() == before + 1
