@@ -43,9 +43,11 @@ def test_orc_file_format_roundtrip(cat, spark):
 
 
 def test_unsupported_format_rejected(cat, spark):
-    cat.create_table("m", "bad", [("a", "int")], options={"file_format": "CSV"})
+    """Enum-typed options are validated at DDL time, as the reference does via
+    FileFormatType (TrinoTableOptionUtils.java:94-96) — a bad file_format
+    never reaches the table metadata, rather than failing on first insert."""
     with pytest.raises(ValueError, match="file_format"):
-        cat.insert_into("m", "bad", spark.createDataFrame([(1,)], "a int"))
+        cat.create_table("m", "bad", [("a", "int")], options={"file_format": "CSV"})
 
 
 def test_avro_format_gated_on_module(cat, spark):
