@@ -12,6 +12,7 @@ def load_all() -> None:
     """Import every operator module so its queries register."""
     from incubator_paimon_trino_spark.operators import (  # noqa: F401
         aggregates,
+        clustering,
         dedup,
         events,
         joins,

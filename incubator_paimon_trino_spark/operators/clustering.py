@@ -1,0 +1,174 @@
+"""Embedding clustering: deterministic Lloyd's k-means over the corpus.
+
+Training-data-pipeline role: k-means centroids are the coarse quantizer an
+IVF index needs (``similarity.ann_ivf_probe`` currently seeds its cells from
+fixed corpus vectors); this module trains real centroids with the same
+broadcast-assignment shape, so the two compose into train → index → probe.
+
+Determinism contract (what makes the DuckDB oracle hash-exact):
+every arithmetic step is EXACT and order-independent, so shuffle order can
+never flip an assignment:
+
+- Embeddings are quantized to integer micro-units
+  (``round(x * 1e6)`` as BIGINT). Components are ~|x| <= 0.5, so
+  micro-values <= ~5e5.
+- Distances are integer: sum of squared component diffs
+  <= 64 dims x (1e6)^2 ~ 6.4e13 — exact in BIGINT *and* in DOUBLE
+  (< 2^53), so either engine's summation order yields the identical value.
+- Centroid updates are ``floor(sum / count)`` where sum/count are exact
+  integers: the double division of ints < 2^53 is correctly rounded, and
+  floor() can only be wrong if the true quotient is an integer — in which
+  case the division is exact. Centroids therefore stay integer vectors.
+
+Scale shape (100 TB corpus, 1000 executors):
+- **Assignment is a narrow map**: the k x d centroid block (a few KB) is
+  collapsed into a 1-row DataFrame and broadcast; each corpus partition
+  computes argmin locally via a sequential SQL fold inside whole-stage
+  codegen. The corpus is never shuffled, and nothing is collected to the
+  driver.
+- **The update shuffle is O(partitions x k x d), independent of N**:
+  posexplode emits (cell, pos, val) rows but hash aggregation is partial
+  (map-side combine), so each task ships at most k x d partial sums.
+- Iteration count is a constant (ITERS); the lineage stays a static DAG —
+  no driver-side loop over collected data.
+
+Reference parity: the reference connector has no clustering operator (its
+scope ends at scan/DDL — SURVEY.md §2.A); this is part of the
+training-data-pipeline surface the engine adds on top.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from incubator_paimon_trino_spark.operators.registry import register
+from incubator_paimon_trino_spark.sources import table
+
+_K = 8  # clusters; init = corpus vectors vec_id 0.._K-1 (deterministic seed)
+_ITERS = 2  # Lloyd update rounds before the final assignment
+_SCALE = 1_000_000  # micro-unit quantization
+
+# argmin over the broadcast centroid array: per-row sequential fold, ties
+# break to the smallest cell id (array_sort on (d, cell) structs).
+_BEST = """
+array_sort(transform(cents, s -> named_struct(
+  'd', aggregate(zip_with(q, s.c, (a, b) -> (a - b) * (a - b)),
+                 CAST(0 AS BIGINT), (acc, x) -> acc + x),
+  'cell', s.cell)))[0]
+"""
+
+
+def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {_SCALE}) AS BIGINT))"
+        ).alias("q"),
+    )
+
+
+def _assign(e: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, q, cell, d): nearest centroid per vector — broadcast + map."""
+    cent_row = cents.agg(F.sort_array(F.collect_list(F.struct("cell", "c"))).alias("cents"))
+    return (
+        e.crossJoin(F.broadcast(cent_row))
+        .withColumn("best", F.expr(_BEST))
+        .select("vec_id", "q", F.col("best.cell").alias("cell"), F.col("best.d").alias("d"))
+    )
+
+
+def _update(assigned: DataFrame) -> DataFrame:
+    """(cell, c): per-cluster integer mean, floor(sum/count) per component."""
+    pe = assigned.select("cell", F.posexplode("q").alias("pos", "val"))
+    comp = pe.groupBy("cell", "pos").agg(
+        F.sum("val").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    m = comp.withColumn("m", F.floor(F.col("s").cast("double") / F.col("n")).cast("bigint"))
+    return m.groupBy("cell").agg(
+        F.expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)").alias("c")
+    )
+
+
+@register(
+    "embedding_kmeans_assign",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(round(x * {_SCALE}) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    px AS (
+      SELECT vec_id, unnest(q) AS val,
+             unnest(generate_series(1, len(q))) AS pos
+      FROM e
+    ),
+    c0 AS (SELECT CAST(vec_id AS INT) AS cell, q AS c FROM e WHERE vec_id < {_K}),
+    a0 AS (
+      SELECT vec_id, cell, d FROM (
+        SELECT vec_id, cell, d,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS r
+        FROM (SELECT e.vec_id, c.cell,
+                     CAST(list_sum(list_transform(list_zip(e.q, c.c),
+                          p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d
+              FROM e, c0 c))
+      WHERE r = 1
+    ),
+    u1 AS (
+      SELECT a.cell, p.pos,
+             CAST(FLOOR(CAST(SUM(p.val) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
+      FROM a0 a JOIN px p USING (vec_id) GROUP BY a.cell, p.pos
+    ),
+    c1 AS (SELECT cell, list(m ORDER BY pos) AS c FROM u1 GROUP BY cell),
+    a1 AS (
+      SELECT vec_id, cell, d FROM (
+        SELECT vec_id, cell, d,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS r
+        FROM (SELECT e.vec_id, c.cell,
+                     CAST(list_sum(list_transform(list_zip(e.q, c.c),
+                          p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d
+              FROM e, c1 c))
+      WHERE r = 1
+    ),
+    u2 AS (
+      SELECT a.cell, p.pos,
+             CAST(FLOOR(CAST(SUM(p.val) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
+      FROM a1 a JOIN px p USING (vec_id) GROUP BY a.cell, p.pos
+    ),
+    c2 AS (SELECT cell, list(m ORDER BY pos) AS c FROM u2 GROUP BY cell),
+    af AS (
+      SELECT vec_id, cell, d FROM (
+        SELECT vec_id, cell, d,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS r
+        FROM (SELECT e.vec_id, c.cell,
+                     CAST(list_sum(list_transform(list_zip(e.q, c.c),
+                          p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d
+              FROM e, c2 c))
+      WHERE r = 1
+    )
+    SELECT vec_id, cell AS cluster,
+           ROUND(sqrt(CAST(d AS DOUBLE)) / {_SCALE}, 6) AS dist_r
+    FROM af
+    """,
+)
+def embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means (k={_K}, {_ITERS} Lloyd rounds) over ``embeddings``: every
+    vector's final cluster and distance. Deterministic by construction —
+    integer-exact arithmetic end to end (module docstring)."""
+    e = _quantized(spark, sf_dir)
+    cents = e.filter(F.col("vec_id") < _K).select(
+        F.col("vec_id").cast("int").alias("cell"), F.col("q").alias("c")
+    )
+    for _ in range(_ITERS):
+        # localCheckpoint truncates the k-row centroid lineage so the plan
+        # doesn't double per Lloyd round (k x d ints — trivially small; the
+        # corpus itself is never checkpointed or collected).
+        cents = _update(_assign(e, cents)).localCheckpoint(eager=False)
+    final = _assign(e, cents)
+    return final.select(
+        "vec_id",
+        F.col("cell").alias("cluster"),
+        F.round(F.sqrt(F.col("d").cast("double")) / _SCALE, 6).alias("dist_r"),
+    )

@@ -758,3 +758,67 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("containment") >= 0.75) & (F.col("ns") <= F.col("nb")))
         .select("doc_small", "doc_big", "containment")
     )
+
+
+_CHUNK = 4  # words per block: small synthetic vocab → real cross-doc repeats
+
+
+@register(
+    "dedup_chunk_repetition",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    ci AS (
+      SELECT doc_id, w,
+             unnest(generate_series(0, CAST(floor((len(w) - 1) / {_CHUNK}) AS INT))) AS i
+      FROM d WHERE len(w) > 0
+    ),
+    ch AS (
+      SELECT doc_id,
+             md5(array_to_string(list_slice(w, i * {_CHUNK} + 1, i * {_CHUNK} + {_CHUNK}), ' ')) AS h
+      FROM ci
+    ),
+    per AS (SELECT doc_id, COUNT(*) AS total_chunks FROM ch GROUP BY doc_id),
+    b AS (SELECT h FROM ch GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+    dup AS (SELECT doc_id, COUNT(*) AS dup_chunks FROM ch JOIN b USING (h) GROUP BY doc_id)
+    SELECT p.doc_id, p.total_chunks, u.dup_chunks,
+           ROUND(CAST(u.dup_chunks AS DOUBLE) / p.total_chunks, 4) AS dup_ratio
+    FROM per p JOIN dup u USING (doc_id)
+    """,
+)
+def dedup_chunk_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-document repeated-block detection (CCNet-style boilerplate
+    removal): split each document into consecutive {_CHUNK}-word blocks,
+    hash each block, and flag blocks whose hash occurs in >= 2 distinct
+    documents; report per-document repetition counts/ratio.
+
+    Scale shape: only 32-hex block hashes enter the shuffle, never document
+    text. Two hash aggregations (per-hash distinct-doc count, per-doc chunk
+    counts) plus one equi-join on the hash — all map-side-combinable. At
+    100 TB the hot-hash skew risk mirrors the shingle case; the same
+    stop-shingle-style document-frequency cap applies if a block (e.g. a
+    license header) appears in millions of docs — the groupBy(h) output is
+    already the DF table to cap on.
+
+    Reference parity: no equivalent in the reference (pipeline surface).
+    """
+    d = table(spark, sf_dir, "documents").select("doc_id", F.split("text", " ").alias("w"))
+    ch = (
+        d.filter(F.size("w") > 0)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, CAST(floor((size(w) - 1) / {_CHUNK}) AS INT)),"
+                    f" i -> md5(array_join(slice(w, i * {_CHUNK} + 1, {_CHUNK}), ' ')))"
+                )
+            ).alias("h"),
+        )
+    )
+    per = ch.groupBy("doc_id").agg(F.count("*").alias("total_chunks"))
+    boiler = ch.groupBy("h").agg(F.countDistinct("doc_id").alias("nd")).filter(F.col("nd") >= 2)
+    dup = ch.join(boiler.select("h"), "h").groupBy("doc_id").agg(F.count("*").alias("dup_chunks"))
+    return (
+        per.join(dup, "doc_id")
+        .withColumn("dup_ratio", F.round(F.col("dup_chunks") / F.col("total_chunks"), 4))
+        .select("doc_id", "total_chunks", "dup_chunks", "dup_ratio")
+    )

@@ -501,3 +501,21 @@ def lake_orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(F.count("*").alias("n"), F.max("o_totalprice").alias("max_price"))
     )
+
+
+@register(
+    "lake_tag_time_travel",
+    oracle=f"SELECT * FROM ({_C1_SQL})",
+)
+def lake_tag_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tag-pinned read: ``CALL sys.create_tag`` names snapshot 1, a later
+    commit moves HEAD, and ``read_table(tag=...)`` must still resolve the
+    tagged state (Paimon tags; the reference exposes them via the table
+    option surface — `common/TrinoTableOptionUtils.java` scan options — and
+    `$tags` metadata). Equivalent state to ``FOR VERSION AS OF 1`` here, but
+    exercises the tag-resolution path end to end: create_tag -> TAGS file ->
+    pin -> snapshot read."""
+    cat, name = _pk_table(spark, sf_dir)
+    db, tbl = name.split(".")
+    cat.create_tag(db, tbl, "release-1", snapshot_id=1)
+    return cat.read_table(name, tag="release-1")

@@ -286,3 +286,58 @@ def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("contamination") >= 0.2)
         .select("doc_id", "n_shingles", "n_hit", "contamination")
     )
+
+
+@register(
+    "text_quality_funnel",
+    oracle="""
+    WITH f AS (
+      SELECT n_chars >= 100 AS g2,
+             lang = 'en' AS g3,
+             len(string_split(text, ' ')) BETWEEN 20 AND 400 AS g4,
+             len(list_distinct(string_split(text, ' '))) * 10
+               >= len(string_split(text, ' ')) * 3 AS g5
+      FROM documents
+    )
+    SELECT CAST(1 AS INT) AS stage, 'total' AS gate, COUNT(*) AS surviving FROM f
+    UNION ALL SELECT 2, 'min_chars', COUNT(*) FILTER (WHERE g2) FROM f
+    UNION ALL SELECT 3, 'lang_en', COUNT(*) FILTER (WHERE g2 AND g3) FROM f
+    UNION ALL SELECT 4, 'token_range', COUNT(*) FILTER (WHERE g2 AND g3 AND g4) FROM f
+    UNION ALL SELECT 5, 'type_token_ratio', COUNT(*) FILTER (WHERE g2 AND g3 AND g4 AND g5) FROM f
+    """,
+)
+def text_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-cleaning funnel: cumulative survivor counts through the four
+    standard quality gates (min length -> language -> token-count range ->
+    type-token-ratio), the per-stage accounting every training-data
+    pipeline reports before materializing a cut.
+
+    One corpus pass: all gates are computed as boolean columns and folded
+    into conditional counts in a single hash-agg (map-side partial), then
+    unpivoted driver-side via ``stack`` over the 1-row aggregate — no
+    repeated scans, no shuffle of document text. The TTR gate compares
+    ``distinct_tokens * 10 >= tokens * 3`` in integers (no float ratio), so
+    the funnel is exact in both engines.
+    """
+    w = F.split("text", " ")
+    flags = table(spark, sf_dir, "documents").select(
+        (F.col("n_chars") >= 100).alias("g2"),
+        (F.col("lang") == "en").alias("g3"),
+        F.size(w).between(20, 400).alias("g4"),
+        (F.size(F.array_distinct(w)) * 10 >= F.size(w) * 3).alias("g5"),
+    )
+    c = lambda cond: F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")  # noqa: E731
+    aggd = flags.agg(
+        F.count(F.lit(1)).alias("c1"),
+        c(F.col("g2")).alias("c2"),
+        c(F.col("g2") & F.col("g3")).alias("c3"),
+        c(F.col("g2") & F.col("g3") & F.col("g4")).alias("c4"),
+        c(F.col("g2") & F.col("g3") & F.col("g4") & F.col("g5")).alias("c5"),
+    )
+    return aggd.select(
+        F.expr(
+            "stack(5, 1, 'total', c1, 2, 'min_chars', c2, 3, 'lang_en', c3,"
+            " 4, 'token_range', c4, 5, 'type_token_ratio', c5)"
+            " AS (stage, gate, surviving)"
+        )
+    )

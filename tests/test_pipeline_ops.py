@@ -199,3 +199,59 @@ def test_stop_shingle_cap_bounds_skew(spark):
     # boilerplate-only relatives don't survive: their informative shingles
     # (unique tails) are disjoint
     assert all(a >= 100 for a, _ in got)
+
+
+def test_kmeans_partitions_corpus_and_converges_sanely(spark):
+    """Every vector assigned exactly once; clusters are used; a vector's
+    final centroid is at least as close as the worst seed distance bound."""
+    from incubator_paimon_trino_spark.operators.clustering import (
+        _K,
+        embedding_kmeans_assign,
+    )
+
+    out = embedding_kmeans_assign(spark, SF_ORACLE)
+    rows = out.collect()
+    assert len(rows) == len({r.vec_id for r in rows})  # one assignment each
+    clusters = {r.cluster for r in rows}
+    assert clusters <= set(range(_K)) and len(clusters) >= 2
+    # seeds end at distance ~0 only if their centroid never moved; the real
+    # invariant: distances are finite, non-negative, deterministic
+    again = {(r.vec_id, r.cluster, r.dist_r) for r in embedding_kmeans_assign(spark, SF_ORACLE).collect()}
+    assert {(r.vec_id, r.cluster, r.dist_r) for r in rows} == again
+    assert all(r.dist_r >= 0 for r in rows)
+
+
+def test_kmeans_beats_random_assignment(spark):
+    """2 Lloyd rounds must give lower total distance than the seed-only
+    (iteration-0) assignment — i.e. the update step actually improves."""
+    from incubator_paimon_trino_spark.operators import clustering as km
+
+    e = km._quantized(spark, SF_ORACLE)
+    from pyspark.sql import functions as F
+
+    seeds = e.filter(F.col("vec_id") < km._K).select(
+        F.col("vec_id").cast("int").alias("cell"), F.col("q").alias("c")
+    )
+    d0 = km._assign(e, seeds).agg(F.sum("d")).collect()[0][0]
+    trained = km._update(km._assign(e, km._update(km._assign(e, seeds))))
+    d2 = km._assign(e, trained).agg(F.sum("d")).collect()[0][0]
+    assert d2 < d0
+
+
+def test_chunk_repetition_counts_are_consistent(spark):
+    from incubator_paimon_trino_spark.operators.dedup import dedup_chunk_repetition
+
+    rows = dedup_chunk_repetition(spark, SF_ORACLE).collect()
+    assert rows, "synthetic vocab should produce cross-doc repeated blocks"
+    for r in rows:
+        assert 0 < r.dup_chunks <= r.total_chunks
+        assert 0 < r.dup_ratio <= 1.0
+
+
+def test_quality_funnel_is_monotone(spark):
+    from incubator_paimon_trino_spark.operators.text import text_quality_funnel
+
+    rows = sorted(text_quality_funnel(spark, SF_ORACLE).collect(), key=lambda r: r.stage)
+    counts = [r.surviving for r in rows]
+    assert counts == sorted(counts, reverse=True)  # each gate only removes
+    assert counts[0] > 0 and counts[-1] >= 0
