@@ -154,8 +154,8 @@ def _update(assigned: DataFrame) -> DataFrame:
     """,
 )
 def embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k-means (k={_K}, {_ITERS} Lloyd rounds) over ``embeddings``: every
-    vector's final cluster and distance. Deterministic by construction —
+    """k-means over ``embeddings`` (k=8, 2 Lloyd rounds): every vector's
+    final cluster and distance. Deterministic by construction —
     integer-exact arithmetic end to end (module docstring)."""
     e = _quantized(spark, sf_dir)
     cents = e.filter(F.col("vec_id") < _K).select(
