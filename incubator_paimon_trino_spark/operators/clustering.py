@@ -91,10 +91,10 @@ def _update(assigned: DataFrame) -> DataFrame:
     )
 
 
-@register(
-    "embedding_kmeans_assign",
-    oracle=f"""
-    WITH e AS (
+# Shared oracle CTE chain: quantize -> seed -> 2 Lloyd rounds -> final
+# assignment ``af(vec_id, cell, d)``. Reused by the blocked-dedup oracle.
+_KMEANS_CTES = f"""
+e AS (
       SELECT vec_id,
              list_transform(CAST(embedding AS DOUBLE[]),
                             x -> CAST(round(x * {_SCALE}) AS BIGINT)) AS q
@@ -148,6 +148,13 @@ def _update(assigned: DataFrame) -> DataFrame:
               FROM e, c2 c))
       WHERE r = 1
     )
+"""
+
+
+@register(
+    "embedding_kmeans_assign",
+    oracle=f"""
+    WITH {_KMEANS_CTES}
     SELECT vec_id, cell AS cluster,
            ROUND(sqrt(CAST(d AS DOUBLE)) / {_SCALE}, 6) AS dist_r
     FROM af
@@ -171,4 +178,68 @@ def embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.col("cell").alias("cluster"),
         F.round(F.sqrt(F.col("d").cast("double")) / _SCALE, 6).alias("dist_r"),
+    )
+
+
+@register(
+    "dedup_embedding_cosine_blocked",
+    oracle=f"""
+    WITH {{_KMEANS_CTES}}
+    , emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    , pairs AS (
+      SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+             list_dot_product(ea.v, eb.v)
+             / (sqrt(list_dot_product(ea.v, ea.v))
+                * sqrt(list_dot_product(eb.v, eb.v))) AS cosine
+      FROM af x JOIN af y ON x.cell = y.cell AND x.vec_id < y.vec_id
+      JOIN emb ea ON ea.vec_id = x.vec_id
+      JOIN emb eb ON eb.vec_id = y.vec_id
+    )
+    SELECT vec_a, vec_b, ROUND(cosine, 6) AS cosine_r
+    FROM pairs WHERE cosine >= 0.4
+    """.replace("{_KMEANS_CTES}", _KMEANS_CTES),
+)
+def dedup_embedding_cosine_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs (cosine >= 0.4) with k-means cells as the
+    blocking key — the SCALE PATH for ``dedup_embedding_cosine``, whose
+    oracle-twin is a deliberate O(n^2) crossJoin. Here candidate pairs come
+    from an equi-join on the trained cluster id: per-pair work drops from
+    O(n^2) to sum over cells of |cell|^2, and a corpus bucketed by cell
+    joins co-located. Recall vs the exact pair set is asserted in tests
+    (near-dup pairs are close, so they land in the same cell; boundary
+    pairs are the known loss, as with any single-probe IVF).
+
+    The oracle replays the SAME blocked algorithm (shared k-means CTEs +
+    within-cell self-join), so this is hash-exact, not rows-only.
+    """
+    from incubator_paimon_trino_spark.operators.similarity import (
+        embeddings_normalized,
+    )
+
+    e = _quantized(spark, sf_dir)
+    cents = e.filter(F.col("vec_id") < _K).select(
+        F.col("vec_id").cast("int").alias("cell"), F.col("q").alias("c")
+    )
+    for _ in range(_ITERS):
+        cents = _update(_assign(e, cents)).localCheckpoint(eager=False)
+    cells = _assign(e, cents).select("vec_id", "cell")
+
+    en = embeddings_normalized(spark, sf_dir).join(cells, "vec_id")
+    a = en.select(
+        F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea"),
+        F.col("norm").alias("na"), "cell",
+    )
+    b = en.select(
+        F.col("vec_id").alias("vec_b"), F.col("emb").alias("eb"),
+        F.col("norm").alias("nb"), "cell",
+    )
+    dot = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return (
+        a.join(b, "cell")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", dot / (F.col("na") * F.col("nb")))
+        .filter(F.col("cosine") >= 0.4)
+        .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine_r"))
     )

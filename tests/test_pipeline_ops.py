@@ -255,3 +255,23 @@ def test_quality_funnel_is_monotone(spark):
     counts = [r.surviving for r in rows]
     assert counts == sorted(counts, reverse=True)  # each gate only removes
     assert counts[0] > 0 and counts[-1] >= 0
+
+
+def test_blocked_embedding_dedup_subset_and_recall(spark):
+    """Blocked pairs must be a subset of the exact O(n^2) pair set with
+    non-trivial recall. The driver embeddings are near-orthogonal random
+    vectors (max pairwise cosine ~0.51) — the worst case for any blocking
+    scheme, so the floor is modest; clustered real embeddings recall far
+    more. The single most-similar pair must always co-cluster."""
+    from incubator_paimon_trino_spark.operators.clustering import (
+        dedup_embedding_cosine_blocked,
+    )
+    from incubator_paimon_trino_spark.operators.dedup import dedup_embedding_cosine
+
+    exact = {(r.vec_a, r.vec_b): r.cosine_r for r in dedup_embedding_cosine(spark, SF_ORACLE).collect()}
+    blocked = {(r.vec_a, r.vec_b) for r in dedup_embedding_cosine_blocked(spark, SF_ORACLE).collect()}
+    assert exact and blocked
+    assert blocked <= set(exact)
+    assert len(blocked) / len(exact) >= 0.3
+    top_pair = max(exact, key=exact.get)
+    assert top_pair in blocked
