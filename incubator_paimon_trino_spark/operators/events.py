@@ -300,3 +300,32 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return act.groupBy("cohort_week", "week_offset").agg(F.count("*").alias("n_users"))
+
+
+@register(
+    "streaming_dedup_keys",
+    oracle="""
+    SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS hr
+    FROM events
+    """,
+)
+def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: first occurrence per (user, event_type, hour)
+    through ``dropDuplicates`` on a watermarked stream — the standard
+    at-ingest dedup stage of a streaming pipeline.
+
+    State stays bounded: the dedup key includes the event-time *window*
+    column (not a derived non-time column), so the watermark evicts per-key
+    state once an hour bucket falls behind it — without that, streaming
+    dropDuplicates state grows forever. Only key columns are projected, so
+    which physical duplicate arrived first is irrelevant and the result is
+    deterministic and oracle-checkable (== batch SELECT DISTINCT).
+    """
+    stream = _events_stream(spark, sf_dir)
+    dd = (
+        stream.withWatermark("ts", "1 hour")
+        .withColumn("w", F.window("ts", "1 hour"))
+        .dropDuplicates(["user_id", "event_type", "w"])
+        .select("user_id", "event_type", F.col("w.start").alias("hr"))
+    )
+    return _run_stream(dd, "streaming_dedup_keys_sink", "append")

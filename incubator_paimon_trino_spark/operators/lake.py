@@ -519,3 +519,24 @@ def lake_tag_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     db, tbl = name.split(".")
     cat.create_tag(db, tbl, "release-1", snapshot_id=1)
     return cat.read_table(name, tag="release-1")
+
+
+@register(
+    "lake_audit_log",
+    oracle=f"""
+    WITH c1 AS ({_C1_SQL}), c2 AS ({_C2_SQL})
+    SELECT 'I' AS rowkind, o_custkey, last_order, n FROM c1
+    UNION ALL
+    SELECT kind AS rowkind, o_custkey, last_order, n FROM c2
+    """,
+)
+def lake_audit_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``t$audit_log`` (A13 family): the changelog-inspection view — EVERY
+    committed row version with its row kind exposed as ``rowkind`` (commit 1
+    inserts as +I, commit 2 upserts/deletes with their own kinds), unmerged
+    — unlike ``SELECT *``, which collapses by key and drops deletes. The
+    reference resolves any ``table$suffix`` through the Paimon catalog
+    (`common/TrinoMetadataBase.java:138-156`); audit_log is Paimon's
+    canonical CDC-inspection surface."""
+    cat, name = _pk_table(spark, sf_dir)
+    return cat.read_table(name + "$audit_log")
