@@ -86,6 +86,12 @@ class WarehouseCatalog:
         self.warehouse = os.path.abspath(warehouse)
         self.spark = spark
         self.commit_user = commit_user
+        try:
+            # TIME columns need Spark 4.1's flag; runtime-settable, so turn
+            # it on for catalogs attached to externally-built sessions too.
+            spark.conf.set("spark.sql.timeType.enabled", "true")
+        except Exception:
+            pass  # older Spark: TIME DDL will fail loudly in types.py use
         os.makedirs(self.warehouse, exist_ok=True)
 
     # ------------------------------------------------------------------ paths

@@ -9,8 +9,12 @@ Documented semantic gaps (SURVEY §1.3 / §7 hard spots):
 - CHAR(n)/VARCHAR(n) map to unbounded ``StringType`` — length is metadata
   only (Spark has no CHAR padding; comparisons should rtrim where CHAR
   semantics matter).
-- TIME(p) maps to ``LongType`` millis-of-day (Spark <4 has no TimeType; the
-  reference uses TIME(3) — ``TrinoTypeUtils.java:148-151``).
+- TIME(p) maps to Spark 4's native ``TimeType(p)`` (precision clamped to
+  Spark's 0-6; the reference maps to Trino TIME(3) —
+  ``TrinoTypeUtils.java:148-151``). Requires
+  ``spark.sql.timeType.enabled=true`` (set by ``get_spark`` and by
+  ``WarehouseCatalog``); sessions without the flag fail loudly at DDL time
+  rather than silently degrading.
 - TIMESTAMP(p) precision ladder {0,3,6} collapses to micros
   (``TimestampNTZType``); TIMESTAMP WITH LOCAL TIME ZONE maps to
   ``TimestampType`` with the session pinned to UTC, matching the reference's
@@ -59,9 +63,13 @@ def paimon_to_spark(type_str: str) -> T.DataType:
     m = re.fullmatch(r"(?:CHAR|VARCHAR)\s*\(\s*(\d+)\s*\)", up)
     if m:
         return T.StringType()  # length bound is metadata-only in Spark
-    m = re.fullmatch(r"TIME(?:\s*\(\s*\d+\s*\))?", up)
+    m = re.fullmatch(r"TIME(?:\s*\(\s*(\d+)\s*\))?", up)
     if m:
-        return T.LongType()  # millis of day (no TimeType pre-Spark-4 TIME)
+        # Paimon TIME(0..9) -> Spark TimeType(0..6); sub-micro truncates,
+        # mirroring the reference's collapse of all TIME precisions to
+        # Trino TIME(3) millis (TrinoTypeUtils.java:148-151).
+        p = int(m.group(1)) if m.group(1) else 0
+        return T.TimeType(min(p, 6))
     if re.fullmatch(r"TIMESTAMP\s*(\(\s*\d\s*\))?\s*(WITH\s+LOCAL\s+TIME\s+ZONE)?", up):
         with_ltz = "WITH LOCAL TIME ZONE" in up
         return T.TimestampType() if with_ltz else T.TimestampNTZType()
@@ -123,6 +131,8 @@ def spark_to_paimon(dt: T.DataType) -> str:
         return "BYTES"
     if isinstance(dt, T.DateType):
         return "DATE"
+    if isinstance(dt, T.TimeType):
+        return f"TIME({dt.precision})"
     if isinstance(dt, T.TimestampNTZType):
         return "TIMESTAMP(6)"
     if isinstance(dt, T.TimestampType):

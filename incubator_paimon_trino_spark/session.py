@@ -36,6 +36,8 @@ def get_spark(app_name: str = "incubator_paimon_trino_spark", *, shuffle_partiti
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Spark 4.1 native TIME type (functions/types.py maps Paimon TIME(p))
+        .config("spark.sql.timeType.enabled", "true")
         # INT96 (legacy default) parquet timestamps carry no min/max column
         # statistics; micros do — required for manifest-level file skipping
         # on event-time predicates (catalog/scan.py)

@@ -871,3 +871,22 @@ def test_information_schema_relations(cat, spark):
 
     with pytest.raises(ValueError):
         cat.information_schema("bogus")
+
+
+def test_time_type_end_to_end(cat, spark):
+    """TIME(p) as a first-class column (reference TrinoTypeUtils.java:148-151
+    maps Paimon TIME to Trino TIME(3)): DDL -> parquet write -> read -> value
+    fidelity, using Spark 4.1's native TimeType."""
+    import datetime
+
+    cat.create_database("m")
+    cat.create_table("m", "tt", [("id", "int"), ("t", "TIME(3)")])
+    df = spark.createDataFrame(
+        [(1, datetime.time(1, 2, 3, 500000)), (2, datetime.time(23, 59, 59))],
+        "id int, t time(6)",
+    )
+    cat.insert_into("m", "tt", df)
+    got = {r.id: r.t for r in cat.read_table("m.tt").collect()}
+    assert got == {1: datetime.time(1, 2, 3, 500000), 2: datetime.time(23, 59, 59)}
+    desc = {c[0]: c[1] for c in cat.describe("m", "tt")}
+    assert desc["t"].upper().startswith("TIME")

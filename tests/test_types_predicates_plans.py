@@ -46,7 +46,7 @@ CASES = [
     ("STRING", T.StringType()),
     ("BYTES", T.BinaryType()),
     ("DATE", T.DateType()),
-    ("TIME(3)", T.LongType()),
+    ("TIME(3)", T.TimeType(3)),
     ("TIMESTAMP(3)", T.TimestampNTZType()),
     ("TIMESTAMP(6)", T.TimestampNTZType()),
     ("TIMESTAMP(3) WITH LOCAL TIME ZONE", T.TimestampType()),
