@@ -140,3 +140,36 @@ def test_dynamic_partition_pruning_on_lake_table(spark, tmp_path):
     joined = fact.join(dim, "o_orderstatus").groupBy("o_orderstatus").count()
     plan = physical_plan(joined)
     assert "dynamicpruning" in plan.lower()
+
+
+def test_kmeans_assignment_broadcasts_centroids_no_cartesian(spark):
+    """Centroids must reach the corpus via a broadcast (BroadcastNestedLoop
+    over the 1-row centroid frame is the expected shape for crossJoin of a
+    broadcast singleton); there must be no CartesianProduct anywhere, and
+    the corpus must not shuffle for assignment — only the (cell, pos)
+    update aggregations shuffle."""
+    df = _q("embedding_kmeans_assign")(spark, SF_SMOKE)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "Broadcast" in plan
+
+
+def test_blocked_embedding_dedup_joins_on_cell(spark):
+    """The scale-path dedup must pair candidates via an equi-join on the
+    cluster id — never a cartesian of the corpus."""
+    df = _q("dedup_embedding_cosine_blocked")(spark, SF_SMOKE)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "cell" in plan
+
+
+def test_chunk_repetition_shuffles_hashes_not_text(spark):
+    """Only the 32-hex block hash (and ids/counts) may cross the wire: the
+    exchanges must not carry the raw text column."""
+    df = _q("dedup_chunk_repetition")(spark, SF_SMOKE)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    import re
+
+    for ex in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in ex
