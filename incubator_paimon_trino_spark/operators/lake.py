@@ -540,3 +540,45 @@ def lake_audit_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonical CDC-inspection surface."""
     cat, name = _pk_table(spark, sf_dir)
     return cat.read_table(name + "$audit_log")
+
+
+@register(
+    "lake_expire_snapshots",
+    oracle=f"""
+    WITH c1 AS ({_C1_SQL}), c2 AS ({_C2_SQL})
+    SELECT COALESCE(c2.o_custkey, c1.o_custkey) AS o_custkey,
+           COALESCE(c2.last_order, c1.last_order) AS last_order,
+           COALESCE(c2.n, c1.n) AS n
+    FROM c1 FULL OUTER JOIN c2 ON c1.o_custkey = c2.o_custkey
+    WHERE c2.kind IS NULL OR c2.kind <> 'D'
+    """,
+)
+def lake_expire_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``CALL sys.expire_snapshots`` end to end (Paimon's automatic snapshot
+    expiration, `snapshot.num-retained.*` family): after expiring down to
+    the latest snapshot, history reads are gone but SELECT * must still
+    return the exact merged state — expiration may only delete files no
+    live snapshot references."""
+    cat, name = _pk_table(spark, sf_dir)
+    db, tbl = name.split(".")
+    cat.expire_snapshots(db, tbl, keep_last=1)
+    try:
+        cat.read_table(name, version_as_of=1)
+        raise AssertionError("snapshot 1 should be expired")
+    except ValueError:
+        pass
+    return cat.read_table(name)
+
+
+@register(
+    "lake_rollback_to_snapshot",
+    oracle=f"SELECT * FROM ({_C1_SQL})",
+)
+def lake_rollback_to_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``CALL sys.rollback`` (Paimon rollback_to): move HEAD back to
+    snapshot 1 and read — must equal the commit-1 state, and later commits'
+    data must no longer be visible on the main read path."""
+    cat, name = _pk_table(spark, sf_dir)
+    db, tbl = name.split(".")
+    cat.rollback_to(db, tbl, 1)
+    return cat.read_table(name)
