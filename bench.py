@@ -37,6 +37,8 @@ HEADLINE = [
     "window_topn_per_group",
     "dedup_minhash_lsh",
     "ann_cosine_topk",
+    "embedding_kmeans_assign",
+    "dedup_chunk_repetition",
 ]
 
 
@@ -55,7 +57,9 @@ def main() -> None:
         df = qs[name](spark, sf_dir)
         # count() for large-output ops so the bench measures compute, not
         # result transfer to the Python driver.
-        return df.count() if name.startswith(("dedup", "ann")) else len(df.collect())
+        if name.startswith(("dedup", "ann", "embedding")):
+            return df.count()
+        return len(df.collect())
 
     timings: dict[str, float] = {}
     for name in names:

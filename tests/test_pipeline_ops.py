@@ -275,3 +275,26 @@ def test_blocked_embedding_dedup_subset_and_recall(spark):
     assert len(blocked) / len(exact) >= 0.3
     top_pair = max(exact, key=exact.get)
     assert top_pair in blocked
+
+
+def test_kmeans_invariant_under_repartitioning(spark):
+    """The scale claim made concrete: because every k-means step is
+    integer-exact and order-independent, re-laying-out the corpus (as a
+    different cluster size would) cannot change a single assignment."""
+    from pyspark.sql import functions as F
+
+    from incubator_paimon_trino_spark.operators import clustering as km
+
+    e = km._quantized(spark, SF_ORACLE)
+    seeds = e.filter(F.col("vec_id") < km._K).select(
+        F.col("vec_id").cast("int").alias("cell"), F.col("q").alias("c")
+    )
+
+    def run(parts):
+        ep = e.repartition(parts)
+        cents = seeds
+        for _ in range(km._ITERS):
+            cents = km._update(km._assign(ep, cents))
+        return {(r.vec_id, r.cell, r.d) for r in km._assign(ep, cents).collect()}
+
+    assert run(3) == run(17)
