@@ -329,3 +329,33 @@ def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_type", F.col("w.start").alias("hr"))
     )
     return _run_stream(dd, "streaming_dedup_keys_sink", "append")
+
+
+@register(
+    "streaming_enrich_static_join",
+    oracle=f"""
+    SELECT c.c_mktsegment AS segment, e.event_type,
+           COUNT(*) AS n, {_SUM_VALUE_SQL}
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY c.c_mktsegment, e.event_type
+    """,
+)
+def streaming_enrich_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the streaming events feed joins a static
+    dimension (customer) per micro-batch, then aggregates per segment — the
+    standard ingest-enrich-rollup topology. Spark plans the static side as a
+    broadcast into each micro-batch (dim re-read per trigger, so dimension
+    updates are picked up between batches — exactly the semantics wanted for
+    slowly-changing dims). Decimal-cast SUM keeps the float deterministic,
+    making the complete-mode result oracle-checkable against the batch join.
+    """
+    stream = _events_stream(spark, sf_dir)
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    agg = (
+        stream.join(cust, stream.user_id == cust.c_custkey)
+        .groupBy("segment", "event_type")
+        .agg(F.count("*").alias("n"), _sum_value())
+    )
+    return _run_stream(agg, "streaming_enrich_static_sink", "complete")

@@ -341,3 +341,61 @@ def text_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS (stage, gate, surviving)"
         )
     )
+
+
+@register(
+    "text_rare_word_ratio",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    total AS (SELECT COUNT(*) AS n_docs FROM documents),
+    df AS (SELECT w, COUNT(DISTINCT doc_id) AS docfreq FROM tok GROUP BY w),
+    scored AS (
+      SELECT t.doc_id,
+             COUNT(*) AS n_tokens,
+             COUNT(*) FILTER (WHERE df.docfreq * 4 < total.n_docs) AS n_rare
+      FROM tok t JOIN df ON df.w = t.w CROSS JOIN total
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, n_tokens, n_rare,
+           ROUND(CAST(n_rare AS DOUBLE) / n_tokens, 4) AS rare_ratio
+    FROM scored
+    WHERE n_rare > 0
+    """,
+)
+def text_rare_word_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model-free perplexity proxy (KenLM-style quality gate
+    without the model): corpus document frequency per token, then per-doc
+    rare-token counts, rare meaning docfreq below a quarter of the corpus —
+    the gibberish/OCR-noise signal of a cleaning pipeline, kept
+    integer-exact (counts and an end-rounded ratio, no float aggregation).
+
+    Two-phase at scale: token->docfreq is a map-side-combinable aggregate
+    over (token, doc) pairs; the scoring join is an equi-join on the token.
+    Hot tokens (stopwords) are exactly the NON-rare ones, so at 100 TB the
+    docfreq table splits: broadcast the head (by frequency), shuffle-join
+    only the long tail. The corpus size reaches the filter as a 1-row
+    broadcast, not a collected scalar.
+    """
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    total = docs.agg(F.count("*").alias("n_docs"))
+    df = tok.groupBy("w").agg(F.countDistinct("doc_id").alias("docfreq"))
+    scored = (
+        tok.join(df, "w")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("docfreq") * 4 < F.col("n_docs"), 1).otherwise(0)
+            ).alias("n_rare"),
+        )
+    )
+    return scored.filter(F.col("n_rare") > 0).select(
+        "doc_id",
+        "n_tokens",
+        "n_rare",
+        F.round(F.col("n_rare") / F.col("n_tokens"), 4).alias("rare_ratio"),
+    )

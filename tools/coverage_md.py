@@ -67,12 +67,12 @@ SURVEY_2B = [
     ("SHOW / DDL / information_schema", "WarehouseCatalog APIs + cat.sql() + information_schema.{schemata,tables,columns} (tests/test_catalog.py); lake_snapshots_system_table"),
     ("EXPLAIN", "plans/ helpers + tests/test_plan_quality.py"),
     ("Time travel / system tables / merge-on-read (connector A9-A13)", "lake_time_travel_v1, lake_snapshots_system_table, lake_merge_on_read, lake_schema_evolution, lake_partition_pruned_scan, lake_orc_scan, lake_tag_time_travel"),
-    ("Streaming (beyond reference)", "streaming_tumbling_counts, streaming_session_windows, streaming_stateful_running_counts, events_tumbling_window, events_sliding_window, events_cohort_retention"),
+    ("Streaming (beyond reference)", "streaming_tumbling_counts, streaming_session_windows, streaming_stateful_running_counts, streaming_dedup_keys, streaming_enrich_static_join, events_tumbling_window, events_sliding_window, events_cohort_retention"),
     ("UDF/UDAF/UDTF", "udf_pandas_scalar, udaf_pandas_grouped, udf_grouped_map_normalize, udtf_expand_priorities"),
     ("MATCH_RECOGNIZE-shaped patterns", "pattern_funnel_view_click_purchase, pattern_error_within_5min_of_purchase, pattern_longest_click_streak"),
     ("Dedup (pipeline)", "dedup_exact, dedup_ngram_jaccard, dedup_minhash_lsh, dedup_minhash_lsh_md5, dedup_simhash, dedup_simhash_md5, dedup_embedding_cosine, dedup_cluster_components, dedup_containment, dedup_chunk_repetition, dedup_keep_list"),
     ("Similarity search (pipeline)", "ann_cosine_topk, ann_lsh_bucketed, ann_lsh_bucketed_md5, ann_ivf_probe, embedding_norm_stats, embedding_kmeans_assign"),
-    ("Text analysis (pipeline)", "text_langid, text_quality_score, text_token_count, text_fingerprint, text_rolling_hash_shingles, text_pii_scrub, text_contamination_check, text_quality_funnel"),
+    ("Text analysis (pipeline)", "text_langid, text_quality_score, text_token_count, text_fingerprint, text_rolling_hash_shingles, text_pii_scrub, text_contamination_check, text_quality_funnel, text_rare_word_ratio"),
     ("Multimodal (pipeline)", "multimodal_binary_metadata, multimodal_feature_extract, multimodal_frame_sample"),
     ("TPC-H suite", "q1..q22 (22 queries)"),
 ]
