@@ -1787,9 +1787,12 @@ class WarehouseCatalog:
             for db in sorted(self.list_databases()):
                 for t in sorted(self.list_tables(db)):
                     s = self.schema_of(db, t)
+                    pk = set(s.primary_key or ())
                     for i, f in enumerate(s.fields, 1):
+                        # PK columns are NOT NULL by definition in Paimon
+                        nullable = f.nullable and f.name not in pk
                         rows.append(
-                            (db, t, f.name, i, f.type, "YES" if f.nullable else "NO")
+                            (db, t, f.name, i, f.type, "YES" if nullable else "NO")
                         )
             return self.spark.createDataFrame(
                 rows,

@@ -582,3 +582,24 @@ def lake_rollback_to_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     db, tbl = name.split(".")
     cat.rollback_to(db, tbl, 1)
     return cat.read_table(name)
+
+
+@register(
+    "lake_information_schema_columns",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('lake', 'cust_orders', 'o_custkey',  1, 'bigint', 'NO'),
+      ('lake', 'cust_orders', 'last_order', 2, 'bigint', 'YES'),
+      ('lake', 'cust_orders', 'n',          3, 'bigint', 'YES')
+    ) AS t(table_schema, table_name, column_name, ordinal_position,
+           data_type, is_nullable)
+    """,
+)
+def lake_information_schema_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``information_schema.columns`` through the driver gate: Trino builds
+    these relations from connector metadata (`common/TrinoMetadataBase.java:
+    271-287` listTableColumns feeds them); ours answers from the catalog's
+    schema JSONs — metadata-only, O(#tables) at any data scale. PK columns
+    surface as NOT NULL."""
+    cat, _ = _pk_table(spark, sf_dir)
+    return cat.information_schema("columns")
