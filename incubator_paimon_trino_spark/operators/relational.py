@@ -928,3 +928,72 @@ def agg_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(ordered, ",").alias("order_trail"),
         F.count("*").cast("bigint").alias("n"),
     )
+
+
+@register(
+    "scalar_url_functions",
+    oracle=r"""
+    WITH u AS (
+      SELECT doc_id,
+             'https://' || source || '.example.com/corpus/doc-' || doc_id
+               || '?lang=' || lang || '&rev=2' AS url
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_extract(url, '^([a-z]+)://', 1) AS scheme,
+           regexp_extract(url, '://([^/?#]+)', 1) AS host,
+           regexp_extract(url, '://[^/?#]+([^?#]*)', 1) AS path,
+           regexp_extract(url, '\?([^#]*)', 1) AS query,
+           regexp_extract(url, '[?&]lang=([^&#]*)', 1) AS lang_param
+    FROM u
+    """,
+)
+def scalar_url_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trino's URL scalar family (`url_extract_protocol/host/path/query` and
+    `url_extract_parameter` — engine-provided in the reference deployment)
+    re-expressed as regexp extraction over a synthesized URL column; the
+    crawl-metadata parsing step of a web-corpus pipeline. Pure built-in
+    regexps inside whole-stage codegen — no UDF."""
+    d = table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/corpus/doc-"),
+        F.col("doc_id").cast("string"), F.lit("?lang="), F.col("lang"),
+        F.lit("&rev=2"),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        F.regexp_extract("url", r"^([a-z]+)://", 1).alias("scheme"),
+        F.regexp_extract("url", r"://([^/?#]+)", 1).alias("host"),
+        F.regexp_extract("url", r"://[^/?#]+([^?#]*)", 1).alias("path"),
+        F.regexp_extract("url", r"\?([^#]*)", 1).alias("query"),
+        F.regexp_extract("url", r"[?&]lang=([^&#]*)", 1).alias("lang_param"),
+    )
+
+
+@register(
+    "scalar_hash_functions",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS h_md5,
+           sha256(text) AS h_sha256,
+           md5(lower(source) || ':' || CAST(doc_id AS VARCHAR)) AS h_composite
+    FROM documents
+    """,
+)
+def scalar_hash_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trino's cryptographic-hash scalar family (md5/sha256 — engine-provided
+    in the reference deployment), the content-addressing primitive every
+    dedup/fingerprint stage builds on. Spark's md5/sha2 over strings match
+    DuckDB byte-for-byte (UTF-8 input, lowercase hex out). sha1/crc32 are
+    Spark-side extras with no DuckDB twin, exercised in the dedup tests
+    instead."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("h_md5"),
+        F.sha2(F.col("text"), 256).alias("h_sha256"),
+        F.md5(F.concat(F.lower("source"), F.lit(":"), F.col("doc_id").cast("string"))).alias(
+            "h_composite"
+        ),
+    )
