@@ -958,13 +958,20 @@ class WarehouseCatalog:
         self._gc_manifests(tdir)
         return {"expired_snapshots": len(doomed), "deleted_files": len(dead)}
 
-    def compact(self, db: str, table: str) -> int:
+    def compact(self, db: str, table: str, order_by: list[str] | None = None) -> int:
         """Rewrite the table's live data into one fresh commit (COMPACT kind).
 
         The LSM analogue of Paimon's compaction: many small per-commit files
         (and, for PK tables, accumulated changelog rows) collapse into the
         merged state written once. Reads before/after are equivalent; history
         stays time-travelable because old snapshots keep their file lists.
+
+        ``order_by`` is Paimon's sort compaction (``CALL sys.compact(...,
+        order_strategy => 'order', order_by => cols)``): the rewrite is
+        range-partitioned + sorted on the given columns so every output file
+        covers a narrow key range and manifest min/max skipping prunes
+        range predicates to a handful of files. On bucketed tables the
+        bucket layout is preserved and sorting happens within buckets.
         """
         tdir = self._table_dir(db, table)
         schema = self._latest_schema(tdir)
@@ -983,19 +990,33 @@ class WarehouseCatalog:
             out = out.withColumn(KIND_COL, F.lit("I")).withColumn(
                 SEQ_COL, _sequence_expr(schema, version)
             )
+        if order_by:
+            known = {f.name for f in schema.fields}
+            bad = [c for c in order_by if c not in known]
+            if bad:
+                raise ValueError(f"order_by columns not in table: {bad}")
         n_buckets = int(schema.options.get("bucket", "0") or 0)
         bucket_key = schema.options.get("bucket_key") or (
             schema.primary_key[0] if schema.primary_key else None
         )
+        # size the rewrite by data volume, not input file count — the whole
+        # point of compaction is collapsing many small files, so target
+        # ~128 MB outputs (Paimon's target-file-size default).
+        target = 128 * 1024 * 1024
+        total = sum(f.get("size_bytes", 0) for f in prev.files)
+        n_parts = max(1, -(-total // target))
         if n_buckets > 0 and bucket_key:
             out = out.repartition(n_buckets, F.col(bucket_key))
+            if order_by:
+                out = out.sortWithinPartitions(*order_by)
+        elif order_by:
+            # honor the table's clustering_partitions pin if set (same knob
+            # as write clustering); else size range buckets by volume
+            pinned = int(schema.options.get("clustering_partitions", "0") or 0)
+            out = out.repartitionByRange(pinned or n_parts, *[F.col(c) for c in order_by])
+            out = out.sortWithinPartitions(*order_by)
         else:
-            # size the rewrite by data volume, not input file count — the
-            # whole point of compaction is collapsing many small files, so
-            # target ~128 MB outputs (Paimon's target-file-size default).
-            target = 128 * 1024 * 1024
-            total = sum(f.get("size_bytes", 0) for f in prev.files)
-            out = out.repartition(max(1, -(-total // target)))
+            out = out.repartition(n_parts)
         staging = self._staging_dir(tdir, version)
         writer = out.write.mode("errorifexists")
         if schema.partition_keys:
@@ -1660,7 +1681,8 @@ class WarehouseCatalog:
         )
         if proc == "compact":
             db, tbl = split_name(args[0])
-            v = self.compact(db, tbl)
+            order_by = [a for a in args[1:] if a] or None
+            v = self.compact(db, tbl, order_by=order_by)
             return ok(result=f"compacted to snapshot {v}")
         if proc == "expire_snapshots":
             db, tbl = split_name(args[0])

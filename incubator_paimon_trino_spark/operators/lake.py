@@ -180,7 +180,7 @@ def lake_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     "lake_bucket_point_lookup",
     oracle="""
     SELECT o_custkey, MAX(o_orderkey) AS last_order, COUNT(*) AS n
-    FROM orders WHERE o_custkey = 577 GROUP BY o_custkey
+    FROM orders WHERE o_custkey = 42 GROUP BY o_custkey
     """,
 )
 def lake_bucket_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -205,7 +205,8 @@ def lake_bucket_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("o_orderkey").alias("last_order"), F.count("*").alias("n")
     )
     cat.insert_into("lake", "cust_bucketed", agg)
-    pred = [ColumnDomain("o_custkey", op="=", value=577)]
+    # custkey 42 exists at every driver SF (sf0.001 has only 0..149)
+    pred = [ColumnDomain("o_custkey", op="=", value=42)]
     n_all = len(cat.scan_plan("lake.cust_bucketed"))
     n_hit = len(cat.scan_plan("lake.cust_bucketed", predicate=pred))
     assert n_hit == 1 and n_all == 8, (n_hit, n_all)

@@ -473,3 +473,41 @@ def test_review_fixes_round2(cat, spark):
     # a well-typed literal still pushes down and reads correctly
     good = [ColumnDomain("y", op="=", value=2021)]
     assert cat.read_table("default.ip", predicate=good, limit=5).count() == 1
+
+
+def test_sort_compaction_narrows_file_ranges(cat, spark):
+    """Paimon sort compaction (CALL sys.compact(..., order_strategy='order')):
+    after interleaved commits leave every file spanning the whole key domain,
+    compact(order_by=['k']) rewrites into range-disjoint files, so manifest
+    min/max skipping can prune range predicates; data and history survive."""
+    cat.create_table(
+        "m", "sc", [("k", "int"), ("v", "string")],
+        options={"clustering_partitions": "3"},
+    )
+    import random
+
+    rng = random.Random(7)
+    ks = list(range(90))
+    rng.shuffle(ks)
+    mk = lambda part: spark.createDataFrame([(k, f"v{k}") for k in part], "k int, v string")  # noqa: E731
+    for i in range(3):  # each commit covers the full k domain
+        cat.insert_into("m", "sc", mk(ks[i * 30 : (i + 1) * 30]))
+    before = sorted(tuple(r) for r in cat.read_table("m.sc").collect())
+
+    res = cat.sql("CALL sys.compact('m.sc', 'k')")
+    assert "compacted" in str(res.collect()[0])
+
+    after = sorted(tuple(r) for r in cat.read_table("m.sc").collect())
+    assert after == before and len(after) == 90
+    snaps = cat.read_table("m.sc$snapshots").collect()
+    assert snaps[-1].commit_kind == "COMPACT"
+
+    snap = cat._latest_snapshot(cat._table_dir("m", "sc"))
+    k_id = next(f.id for f in cat.schema_of("m", "sc").fields if f.name == "k")
+    ranges = sorted(
+        (int(f["stats"][str(k_id)]["min"]), int(f["stats"][str(k_id)]["max"]))
+        for f in snap.files
+    )
+    assert len(ranges) == 3
+    for (lo1, hi1), (lo2, _) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, f"file ranges overlap after sort compaction: {ranges}"
