@@ -604,3 +604,51 @@ def lake_information_schema_columns(spark: SparkSession, sf_dir: str) -> DataFra
     surface as NOT NULL."""
     cat, _ = _pk_table(spark, sf_dir)
     return cat.information_schema("columns")
+
+
+@register(
+    "lake_sort_compacted_range_scan",
+    oracle="""
+    SELECT o_custkey, MAX(o_orderkey) AS last_order, COUNT(*) AS n
+    FROM orders
+    GROUP BY o_custkey
+    HAVING o_custkey BETWEEN 40 AND 60
+    """,
+)
+def lake_sort_compacted_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort compaction through the oracle gate (Paimon ``CALL sys.compact(...,
+    order_strategy => 'order')``): three interleaved commits each span the
+    whole key domain, so a range predicate must touch every file; after
+    ``CALL sys.compact('t', 'o_custkey')`` the rewrite is range-partitioned +
+    sorted, per-file min/max become disjoint, and the same predicate plans a
+    strict subset of the files — asserted in-query via the metadata-only
+    scan plan. Result correctness is the oracle's job."""
+    from incubator_paimon_trino_spark.functions.predicates import ColumnDomain, Range
+
+    cat = _fresh_catalog(spark)
+    cat.create_database("lake")
+    cat.create_table(
+        "lake",
+        "cust_sorted",
+        [("o_custkey", "bigint"), ("last_order", "bigint"), ("n", "bigint")],
+        options={"clustering_partitions": "4"},
+    )
+    agg = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.max("o_orderkey").alias("last_order"), F.count("*").alias("n"))
+    )
+    # three interleaved commits: every file covers the full custkey domain
+    for r in range(3):
+        cat.insert_into("lake", "cust_sorted", agg.filter(F.col("o_custkey") % 3 == r))
+    pred = [ColumnDomain("o_custkey", ranges=[Range(low=40, high=60)])]
+    # before: every commit file spans the whole domain -> nothing prunes
+    n_all_before = len(cat.scan_plan("lake.cust_sorted"))
+    n_before = len(cat.scan_plan("lake.cust_sorted", predicate=pred))
+    assert n_before == n_all_before, (n_before, n_all_before)
+    cat.sql("CALL sys.compact('lake.cust_sorted', 'o_custkey')")
+    # after: range-disjoint files -> the same predicate plans a strict subset
+    n_files = len(cat.scan_plan("lake.cust_sorted"))
+    n_after = len(cat.scan_plan("lake.cust_sorted", predicate=pred))
+    assert n_after < n_files, (n_files, n_after)
+    return cat.read_table("lake.cust_sorted", predicate=pred)

@@ -61,12 +61,12 @@ SURVEY_2B = [
     ("Grouping sets / CUBE / ROLLUP / GROUPING_ID", "agg_grouping_sets, agg_cube, agg_rollup, agg_grouping_id"),
     ("DISTINCT", "distinct_values"),
     ("CAST / coercion", "cast_roundtrip"),
-    ("Scalar functions (string/date/math/regexp/json/conditional)", "scalar_string_functions, scalar_string_date_functions2, scalar_date_functions, scalar_math_functions, scalar_regexp_functions, scalar_json_functions, scalar_variant_json, scalar_conditional"),
+    ("Scalar functions (string/date/math/regexp/json/conditional)", "scalar_string_functions, scalar_string_date_functions2, scalar_date_functions, scalar_math_functions, scalar_regexp_functions, scalar_json_functions, scalar_variant_json, scalar_conditional, scalar_url_functions, scalar_hash_functions"),
     ("Nested: row/map/array access, UNNEST [WITH ORDINALITY]", "nested_struct_access, nested_map_access, nested_array_ops, nested_explode_unnest, nested_posexplode_ordinality"),
     ("Array higher-order functions", "hof_transform_filter, hof_reduce_aggregate, hof_zip_with_weighted"),
     ("SHOW / DDL / information_schema", "WarehouseCatalog APIs + cat.sql() + information_schema.{schemata,tables,columns} (tests/test_catalog.py); lake_snapshots_system_table"),
     ("EXPLAIN", "plans/ helpers + tests/test_plan_quality.py"),
-    ("Time travel / system tables / merge-on-read (connector A9-A13)", "lake_time_travel_v1, lake_snapshots_system_table, lake_merge_on_read, lake_schema_evolution, lake_partition_pruned_scan, lake_orc_scan, lake_tag_time_travel"),
+    ("Time travel / system tables / merge-on-read (connector A9-A13)", "lake_time_travel_v1, lake_snapshots_system_table, lake_merge_on_read, lake_schema_evolution, lake_partition_pruned_scan, lake_orc_scan, lake_tag_time_travel, lake_audit_log, lake_expire_snapshots, lake_rollback_to_snapshot, lake_sort_compacted_range_scan, lake_information_schema_columns"),
     ("Streaming (beyond reference)", "streaming_tumbling_counts, streaming_session_windows, streaming_stateful_running_counts, streaming_dedup_keys, streaming_enrich_static_join, events_tumbling_window, events_sliding_window, events_cohort_retention"),
     ("UDF/UDAF/UDTF", "udf_pandas_scalar, udaf_pandas_grouped, udf_grouped_map_normalize, udtf_expand_priorities"),
     ("MATCH_RECOGNIZE-shaped patterns", "pattern_funnel_view_click_purchase, pattern_error_within_5min_of_purchase, pattern_longest_click_streak"),
