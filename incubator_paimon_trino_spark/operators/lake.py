@@ -652,3 +652,87 @@ def lake_sort_compacted_range_scan(spark: SparkSession, sf_dir: str) -> DataFram
     n_after = len(cat.scan_plan("lake.cust_sorted", predicate=pred))
     assert n_after < n_files, (n_files, n_after)
     return cat.read_table("lake.cust_sorted", predicate=pred)
+
+
+@register(
+    "lake_partial_update_merge",
+    oracle="""
+    WITH c1 AS (
+      SELECT o_custkey, MAX(o_orderkey) AS last_order, CAST(NULL AS BIGINT) AS n_late
+      FROM orders WHERE o_orderkey <= 1000 GROUP BY o_custkey
+    ), c2 AS (
+      SELECT o_custkey, CAST(NULL AS BIGINT) AS last_order, COUNT(*) AS n_late
+      FROM orders WHERE o_orderkey > 1000 AND o_custkey % 2 = 0 GROUP BY o_custkey
+    )
+    SELECT COALESCE(c1.o_custkey, c2.o_custkey) AS o_custkey,
+           COALESCE(c2.last_order, c1.last_order) AS last_order,
+           COALESCE(c2.n_late, c1.n_late) AS n_late
+    FROM c1 FULL OUTER JOIN c2 ON c1.o_custkey = c2.o_custkey
+    """,
+)
+def lake_partial_update_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """partial-update merge engine through the oracle gate (MergeEngine enum
+    the reference types at `common/TrinoTableOptionUtils.java:94-107`):
+    commit 2 carries NULL for ``last_order``, so the merged row must keep
+    commit 1's value — per-field last-non-null, not last-row-wins."""
+    cat = _fresh_catalog(spark)
+    cat.create_database("lake")
+    cat.create_table(
+        "lake",
+        "cust_partial",
+        [("o_custkey", "bigint"), ("last_order", "bigint"), ("n_late", "bigint")],
+        primary_key=["o_custkey"],
+        options={"merge_engine": "partial-update"},
+    )
+    o = table(spark, sf_dir, "orders")
+    c1 = (
+        o.filter(F.col("o_orderkey") <= 1000)
+        .groupBy("o_custkey")
+        .agg(F.max("o_orderkey").alias("last_order"))
+        .withColumn("n_late", F.lit(None).cast("bigint"))
+    )
+    c2 = (
+        o.filter((F.col("o_orderkey") > 1000) & (F.col("o_custkey") % 2 == 0))
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_late"))
+        .select("o_custkey", F.lit(None).cast("bigint").alias("last_order"), "n_late")
+    )
+    cat.insert_into("lake", "cust_partial", c1)
+    cat.insert_into("lake", "cust_partial", c2)
+    return cat.read_table("lake.cust_partial")
+
+
+@register(
+    "lake_first_row_merge",
+    oracle=f"""
+    WITH c1 AS ({_C1_SQL}),
+         c2 AS (SELECT o_custkey, MAX(o_orderkey) AS last_order, COUNT(*) AS n
+                FROM orders WHERE o_orderkey > 1000 GROUP BY o_custkey)
+    SELECT COALESCE(c1.o_custkey, c2.o_custkey) AS o_custkey,
+           COALESCE(c1.last_order, c2.last_order) AS last_order,
+           COALESCE(c1.n, c2.n) AS n
+    FROM c1 FULL OUTER JOIN c2 ON c1.o_custkey = c2.o_custkey
+    """,
+)
+def lake_first_row_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first-row merge engine through the oracle gate: the EARLIEST insert
+    per key wins — commit 2 only contributes keys commit 1 never saw
+    (Paimon's first-row, the cheap changelog-producing upsert)."""
+    cat = _fresh_catalog(spark)
+    cat.create_database("lake")
+    cat.create_table(
+        "lake",
+        "cust_first",
+        [("o_custkey", "bigint"), ("last_order", "bigint"), ("n", "bigint")],
+        primary_key=["o_custkey"],
+        options={"merge_engine": "first-row"},
+    )
+    o = table(spark, sf_dir, "orders")
+    mk = lambda cond: (  # noqa: E731
+        o.filter(cond)
+        .groupBy("o_custkey")
+        .agg(F.max("o_orderkey").alias("last_order"), F.count("*").alias("n"))
+    )
+    cat.insert_into("lake", "cust_first", mk(F.col("o_orderkey") <= 1000))
+    cat.insert_into("lake", "cust_first", mk(F.col("o_orderkey") > 1000))
+    return cat.read_table("lake.cust_first")

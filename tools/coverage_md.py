@@ -66,7 +66,7 @@ SURVEY_2B = [
     ("Array higher-order functions", "hof_transform_filter, hof_reduce_aggregate, hof_zip_with_weighted"),
     ("SHOW / DDL / information_schema", "WarehouseCatalog APIs + cat.sql() + information_schema.{schemata,tables,columns} (tests/test_catalog.py); lake_snapshots_system_table"),
     ("EXPLAIN", "plans/ helpers + tests/test_plan_quality.py"),
-    ("Time travel / system tables / merge-on-read (connector A9-A13)", "lake_time_travel_v1, lake_snapshots_system_table, lake_merge_on_read, lake_schema_evolution, lake_partition_pruned_scan, lake_orc_scan, lake_tag_time_travel, lake_audit_log, lake_expire_snapshots, lake_rollback_to_snapshot, lake_sort_compacted_range_scan, lake_information_schema_columns"),
+    ("Time travel / system tables / merge-on-read (connector A9-A13)", "lake_time_travel_v1, lake_snapshots_system_table, lake_merge_on_read, lake_schema_evolution, lake_partition_pruned_scan, lake_orc_scan, lake_tag_time_travel, lake_audit_log, lake_expire_snapshots, lake_rollback_to_snapshot, lake_sort_compacted_range_scan, lake_information_schema_columns, lake_partial_update_merge, lake_first_row_merge"),
     ("Streaming (beyond reference)", "streaming_tumbling_counts, streaming_session_windows, streaming_stateful_running_counts, streaming_dedup_keys, streaming_enrich_static_join, events_tumbling_window, events_sliding_window, events_cohort_retention"),
     ("UDF/UDAF/UDTF", "udf_pandas_scalar, udaf_pandas_grouped, udf_grouped_map_normalize, udtf_expand_priorities"),
     ("MATCH_RECOGNIZE-shaped patterns", "pattern_funnel_view_click_purchase, pattern_error_within_5min_of_purchase, pattern_longest_click_streak"),
