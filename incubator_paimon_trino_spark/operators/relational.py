@@ -997,3 +997,62 @@ def scalar_hash_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "h_composite"
         ),
     )
+
+
+@register(
+    "sort_nulls_ordering",
+    oracle="""
+    SELECT o_orderkey, NULLIF(o_orderstatus, 'O') AS st
+    FROM orders
+    ORDER BY st NULLS FIRST, o_orderkey
+    LIMIT 50
+    """,
+)
+def sort_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit NULLS FIRST/LAST ordering (Trino sort surface; Spark default
+    is nulls-first ASC but the intent must survive translation — spelled
+    with ``asc_nulls_first`` so the plan is explicit). Unique tiebreak makes
+    the LIMIT deterministic."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", F.expr("NULLIF(o_orderstatus, 'O')").alias("st"))
+        .orderBy(F.col("st").asc_nulls_first(), F.col("o_orderkey"))
+        .limit(50)
+    )
+
+
+@register(
+    "limit_fetch_with_ties",
+    oracle="""
+    SELECT o_orderkey, o_orderdate FROM (
+      SELECT o_orderkey, o_orderdate,
+             RANK() OVER (ORDER BY o_orderdate DESC) AS rnk
+      FROM orders)
+    WHERE rnk <= 5
+    """,
+)
+def limit_fetch_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ORDER BY ... FETCH FIRST 5 ROWS WITH TIES`` (Trino/ANSI): every row
+    tying with the cut is kept. Neither Spark nor DuckDB has native WITH
+    TIES, and its relational meaning IS ``RANK() <= n``.
+
+    Scale shape: a global rank over the FACT table would be a
+    single-partition sort (the anti-pattern). Instead the rank runs over the
+    per-date aggregate — the order-by key's distinct domain, dimension-sized
+    — computing each date's preceding cumulative row count; dates whose
+    preceding count < n are the WITH-TIES winners, broadcast back as a
+    semi-join filter. The fact table is scanned once and never sorted.
+    """
+    from pyspark.sql import Window as W
+
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    dates = o.groupBy("o_orderdate").agg(F.count("*").alias("cnt"))
+    w = W.orderBy(F.desc("o_orderdate")).rowsBetween(W.unboundedPreceding, -1)
+    keep = (
+        dates.withColumn("before", F.coalesce(F.sum("cnt").over(w), F.lit(0)))
+        .filter(F.col("before") < 5)
+        .select("o_orderdate")
+    )
+    return o.join(F.broadcast(keep), "o_orderdate", "left_semi").select(
+        "o_orderkey", "o_orderdate"
+    )
