@@ -1522,7 +1522,7 @@ class WarehouseCatalog:
     # ------------------------------------------------------------------ SQL
     _TABLE_REF = re.compile(
         r"\b(?P<db>[A-Za-z_]\w*)\.(?P<tbl>[A-Za-z_]\w*)(?:\$(?P<sys>\w+))?"
-        r"(?:\s+FOR\s+(?:VERSION\s+AS\s+OF\s+(?P<ver>\d+)"
+        r"(?:\s+FOR\s+(?:VERSION\s+AS\s+OF\s+(?P<ver>\d+|'[^']*')"
         r"|TIMESTAMP\s+AS\s+OF\s+(?P<ts>\d+|'[^']*')))?",
         re.IGNORECASE,
     )
@@ -1882,7 +1882,14 @@ class WarehouseCatalog:
             db, tbl, sys_sfx = m.group("db"), m.group("tbl"), m.group("sys")
             if db not in dbs or tbl not in self.list_tables(db):
                 continue
-            ver = int(m.group("ver")) if m.group("ver") else None
+            ver_raw = m.group("ver")
+            ver = tag = None
+            if ver_raw is not None:
+                if ver_raw.startswith("'"):
+                    # Paimon accepts tag names in VERSION AS OF travel
+                    tag = ver_raw.strip("'")
+                else:
+                    ver = int(ver_raw)
             ts_raw = m.group("ts")
             ts = None
             if ts_raw is not None:
@@ -1898,9 +1905,13 @@ class WarehouseCatalog:
                 name += f"${sys_sfx}"
             if ver is not None:
                 view += f"__v{ver}"
+            if tag is not None:
+                view += "__tag_" + re.sub(r"\W", "_", tag)
             if ts is not None:
                 view += f"__t{ts}"
-            self.read_table(name, version_as_of=ver, timestamp_as_of=ts).createOrReplaceTempView(view)
+            self.read_table(
+                name, version_as_of=ver, timestamp_as_of=ts, tag=tag
+            ).createOrReplaceTempView(view)
             out.append(query[last : m.start()])
             out.append(view)
             last = m.end()

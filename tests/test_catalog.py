@@ -890,3 +890,15 @@ def test_time_type_end_to_end(cat, spark):
     assert got == {1: datetime.time(1, 2, 3, 500000), 2: datetime.time(23, 59, 59)}
     desc = {c[0]: c[1] for c in cat.describe("m", "tt")}
     assert desc["t"].upper().startswith("TIME")
+
+
+def test_sql_version_as_of_tag(cat, spark):
+    """Paimon accepts tag names in travel SQL: FOR VERSION AS OF 'tag'."""
+    cat.create_database("default", ignore_if_exists=True)
+    cat.create_table("default", "tt2", [("a", "int")])
+    cat.insert_into("default", "tt2", spark.createDataFrame([(1,)], "a int"))
+    cat.insert_into("default", "tt2", spark.createDataFrame([(2,)], "a int"))
+    cat.create_tag("default", "tt2", "first", snapshot_id=1)
+    got = cat.sql("SELECT COUNT(*) AS n FROM default.tt2 FOR VERSION AS OF 'first'")
+    assert got.collect()[0].n == 1
+    assert cat.sql("SELECT COUNT(*) AS n FROM default.tt2").collect()[0].n == 2
