@@ -32,12 +32,37 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["q1_pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
-# Queries the round-1 driver pass already verified (green hash or declared
-# rows-only). The driver checks a PREFIX of the registry each round, so these
-# go LAST and the 124 never-checked queries come first, round-robin across
-# operator families — any prefix the driver takes then maximizes §2-family
-# coverage. The two r1 red rows (dedup_minhash_lsh_md5, agg_approx_percentile)
-# are excluded here: both were fixed and need fresh verdicts.
+def _driver_verified() -> tuple[set[str], set[str]]:
+    """(verified, red): queries any prior driver pass already verified
+    (green hash or declared rows-only), and queries with a red verdict
+    (hash/row mismatch or harness error). The driver checks a PREFIX of the
+    registry each round, so verified ones go LAST, red ones go FIRST (the
+    fix needs re-proving), and never-checked queries fill the middle
+    round-robin across operator families — any prefix the driver takes then
+    maximizes §2-family coverage. Reads every CORRECTNESS_r*.json so the
+    ordering keeps itself current round over round."""
+    import glob
+    import json
+
+    done: set[str] = set(_R1_VERIFIED)
+    red: set[str] = set()
+    for path in glob.glob(str(Path(_REPO) / "CORRECTNESS_r*.json")):
+        try:
+            rows = json.loads(Path(path).read_text())
+        except (OSError, ValueError):
+            continue
+        for name, r in rows.items():
+            if r.get("hash_match") or r.get("err") == "no_oracle":
+                done.add(name)
+            else:
+                red.add(name)
+    # a red verdict in ANY round outranks a green one in another: the fix
+    # needs re-proving, so red rows lead the priority order
+    return done - red, red
+
+
+# Fallback seed for the r1 verdicts (r1's json predates this logic's need,
+# but keep the explicit set in case the file is pruned).
 _R1_VERIFIED = {
     "agg_sum_global", "agg_min_max_count", "agg_group_multi_key_orderby",
     "agg_having", "agg_count_distinct_multi", "agg_approx_count_distinct",
@@ -63,15 +88,16 @@ def _ordered_names() -> list[str]:
     """Never-checked queries first, interleaved round-robin by family."""
     from itertools import zip_longest
 
+    verified, red = _driver_verified()
+    order = [n for n in QUERIES if n in red]  # fixed red rows re-prove first
     fams: dict[str, list[str]] = {}
     for n in QUERIES:
-        if n in _R1_VERIFIED:
+        if n in verified or n in red:
             continue
         fams.setdefault(n.split("_")[0], []).append(n)
-    order = []
     for row in zip_longest(*fams.values()):
         order.extend(n for n in row if n is not None)
-    order.extend(n for n in QUERIES if n in _R1_VERIFIED)
+    order.extend(n for n in QUERIES if n in verified)
     return order
 
 

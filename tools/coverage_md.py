@@ -46,7 +46,7 @@ SURVEY_2B = [
     ("Projection", "projection_pushdown"),
     ("Filter: comparisons / ranges", "filter_equality, filter_range_bounds, filter_between"),
     ("Filter: IN / IS [NOT] NULL / OR-of-ranges / LIKE", "filter_in_list, filter_null_checks, filter_not_null, filter_or_of_ranges, filter_like, filter_rlike"),
-    ("LIMIT (+ OFFSET)", "limit_rowcount, limit_topk_deterministic, limit_offset_pagination"),
+    ("LIMIT (+ OFFSET)", "limit_rowcount, limit_topk_deterministic, limit_offset_pagination, limit_fetch_with_ties"),
     ("Aggregation: SUM global", "agg_sum_global"),
     ("GROUP BY multi-key + ORDER BY", "agg_group_multi_key_orderby, agg_having, agg_conditional_sum"),
     ("count/min/max/avg/count-distinct", "agg_min_max_count, agg_count_distinct_multi, agg_collect_sorted, agg_pivot"),
@@ -56,7 +56,7 @@ SURVEY_2B = [
     ("Joins: as-of / range / banded", "join_asof, join_range_banded"),
     ("Subqueries: correlated/uncorrelated/quantified", "subquery_correlated_exists, subquery_correlated_scalar, subquery_uncorrelated_scalar, subquery_not_in, subquery_all_quantified"),
     ("Window: ranking / frames / top-N / sessionize", "window_row_number_rank, window_topn_per_group, window_lag_lead, window_running_sum_frame, window_range_frame, window_ntile_percent, window_global_rank_scalable (scale path), window_first_last_value, window_sessionization, window_nth_value_ignore_nulls, window_time_range_frame"),
-    ("Sort / Top-K", "sort_multi_key, limit_topk_deterministic"),
+    ("Sort / Top-K", "sort_multi_key, sort_nulls_ordering, limit_topk_deterministic"),
     ("Set ops", "setop_union_all, setop_union_distinct, setop_intersect, setop_intersect_all, setop_except, setop_except_all, setop_chained_union_order_limit"),
     ("Grouping sets / CUBE / ROLLUP / GROUPING_ID", "agg_grouping_sets, agg_cube, agg_rollup, agg_grouping_id"),
     ("DISTINCT", "distinct_values"),
