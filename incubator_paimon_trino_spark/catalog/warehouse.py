@@ -160,8 +160,9 @@ class WarehouseCatalog:
         for k in primary_key + partitioned_by:
             if k not in names:
                 raise ValueError(f"key column {k!r} not in columns {names}")
+        options = _canonical_options(options)
         _validate_table_options(
-            names, primary_key, dict(options or {}), types=dict(columns)
+            names, primary_key, options, types=dict(columns)
         )
         fields = [Field(i, n, t) for i, (n, t) in enumerate(columns)]
         schema = TableSchema(
@@ -169,7 +170,7 @@ class WarehouseCatalog:
             fields=fields,
             primary_key=primary_key,
             partition_keys=partitioned_by,
-            options=dict(options or {}),
+            options=options,
             highest_field_id=len(fields) - 1,
         )
         self._write_schema(tdir, schema)
@@ -258,7 +259,7 @@ class WarehouseCatalog:
     def set_options(self, db: str, table: str, options: dict[str, str]) -> None:
         tdir = self._table_dir(db, table)
         s = self._latest_schema(tdir)
-        s.options.update(options)
+        s.options.update(_canonical_options(options))
         _validate_table_options(
             [f.name for f in s.fields],
             s.primary_key,
@@ -2013,6 +2014,27 @@ _ENUM_OPTIONS: dict[str, tuple[str, ...]] = {
     # CoreOptions.StreamingReadMode
     "streaming_read_mode": ("log", "file"),
 }
+
+
+def _canonical_options(options: dict[str, str] | None) -> dict[str, str]:
+    """Mangle option keys to the reference's DDL spelling: `.` and `-` → `_`
+    (``TrinoTableOptionUtils.convertOptionKey``,
+    ``common/TrinoTableOptionUtils.java:130-135``), so Paimon-native dotted
+    keys (``snapshot.num-retained.max``) and mangled ones
+    (``snapshot_num_retained_max``) address the SAME stored option — without
+    this a dotted spelling would be stored but silently ignored by every
+    consumer, and enum validation could be bypassed. Structured
+    ``fields.<name>.aggregate-function`` keys keep their dotted namespace
+    (the column name may itself contain the characters being mangled)."""
+    out: dict[str, str] = {}
+    for k, v in (options or {}).items():
+        kk = k.strip()
+        if not (kk.startswith("fields.") and kk.endswith(".aggregate-function")):
+            kk = kk.lower().replace(".", "_").replace("-", "_")
+        if kk in out and out[kk] != v:
+            raise ValueError(f"conflicting spellings for option {kk!r}")
+        out[kk] = v
+    return out
 
 
 def _validate_table_options(

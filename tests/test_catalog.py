@@ -902,3 +902,28 @@ def test_sql_version_as_of_tag(cat, spark):
     got = cat.sql("SELECT COUNT(*) AS n FROM default.tt2 FOR VERSION AS OF 'first'")
     assert got.collect()[0].n == 1
     assert cat.sql("SELECT COUNT(*) AS n FROM default.tt2").collect()[0].n == 2
+
+
+def test_option_key_mangling(cat, spark):
+    """Paimon-native dotted/dashed option keys and the reference's mangled
+    underscore spellings address the same stored option
+    (TrinoTableOptionUtils.convertOptionKey, :130-135) — a dotted
+    `file.format` must actually be consumed (files written in that format),
+    and enum validation must apply to every spelling."""
+    cat.create_database("mm")
+    cat.create_table(
+        "mm", "t",
+        [("a", "int")],
+        options={"file.format": "ORC", "changelog-producer": "input"},
+    )
+    opts = {r.key: r.value for r in cat.read_table("mm.t$options").collect()}
+    assert opts["file_format"] == "ORC" and opts["changelog_producer"] == "input"
+    cat.insert_into("mm", "t", spark.createDataFrame([(1,)], "a int"))
+    assert all(f.path.endswith(".orc") for f in cat.read_table("mm.t$files").collect())
+    with pytest.raises(ValueError, match="changelog_producer"):
+        cat.create_table("mm", "bad", [("a", "int")], options={"changelog-producer": "nope"})
+    with pytest.raises(ValueError, match="conflicting"):
+        cat.create_table(
+            "mm", "bad2", [("a", "int")],
+            options={"file.format": "ORC", "file_format": "PARQUET"},
+        )
