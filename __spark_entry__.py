@@ -43,22 +43,26 @@ def _driver_verified() -> tuple[set[str], set[str]]:
     ordering keeps itself current round over round."""
     import glob
     import json
+    import re
 
-    done: set[str] = set(_R1_VERIFIED)
-    red: set[str] = set()
+    latest: dict[str, tuple[int, bool]] = {}  # name -> (round, green)
     for path in glob.glob(str(Path(_REPO) / "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             rows = json.loads(Path(path).read_text())
         except (OSError, ValueError):
             continue
         for name, r in rows.items():
-            if r.get("hash_match") or r.get("err") == "no_oracle":
-                done.add(name)
-            else:
-                red.add(name)
-    # a red verdict in ANY round outranks a green one in another: the fix
-    # needs re-proving, so red rows lead the priority order
-    return done - red, red
+            green = bool(r.get("hash_match")) or r.get("err") == "no_oracle"
+            if name not in latest or rnd > latest[name][0]:
+                latest[name] = (rnd, green)
+    # the LATEST round's verdict wins: a red that a later round re-proved
+    # green must not keep displacing never-checked queries from the prefix
+    done = {n for n, (_, g) in latest.items() if g}
+    red = {n for n, (_, g) in latest.items() if not g}
+    done |= _R1_VERIFIED - red
+    return done, red
 
 
 # Fallback seed for the r1 verdicts (r1's json predates this logic's need,

@@ -1861,7 +1861,14 @@ class WarehouseCatalog:
             not any(a <= m.start() < b for a, b in quoted0)
             for m in self._INFO_SCHEMA_REF.finditer(query)
         ):
-            for rel in self._INFO_SCHEMA_RELATIONS:
+            referenced = {
+                m.group(1).lower()
+                for m in self._INFO_SCHEMA_REF.finditer(query)
+                if not any(a <= m.start() < b for a, b in quoted0)
+            }
+            for rel in referenced:
+                # build only what the query names — the columns view reads
+                # every table's schema JSON, too costly to create eagerly
                 self.information_schema(rel).createOrReplaceTempView(
                     f"information_schema__{rel}"
                 )
@@ -1971,7 +1978,7 @@ def _bucket_prune_values(predicate: list | None, schema: TableSchema) -> tuple[i
 
 #: column types a sequence_field may have — merge order needs a total order
 #: that survives the bigint/micros encoding in ``_sequence_expr``.
-_SEQ_FIELD_TYPE_PREFIXES = ("tinyint", "smallint", "int", "bigint", "long", "timestamp")
+_SEQ_FIELD_TYPE_RE = re.compile(r"^(tinyint|smallint|int(eger)?|bigint|long|timestamp(_ntz)?)\b")
 
 
 def _sequence_expr(schema: TableSchema, version: int):
@@ -2031,6 +2038,11 @@ def _canonical_options(options: dict[str, str] | None) -> dict[str, str]:
         kk = k.strip()
         if not (kk.startswith("fields.") and kk.endswith(".aggregate-function")):
             kk = kk.lower().replace(".", "_").replace("-", "_")
+        if kk in _ENUM_OPTIONS:
+            # normalize enum VALUES too: consumers compare exactly, so a
+            # validated-but-unnormalized 'First-Row' would pass CREATE and
+            # then crash (or silently diverge) at first read/write
+            v = v.strip().lower()
         if kk in out and out[kk] != v:
             raise ValueError(f"conflicting spellings for option {kk!r}")
         out[kk] = v
@@ -2077,7 +2089,7 @@ def _validate_table_options(
         raise ValueError(f"sequence_field {seq_field!r} not in columns {names}")
     if seq_field and types is not None:
         t = types.get(seq_field, "").strip().lower()
-        if not t.startswith(_SEQ_FIELD_TYPE_PREFIXES):
+        if not _SEQ_FIELD_TYPE_RE.match(t):
             raise ValueError(
                 f"sequence_field {seq_field!r} has type {t!r}; an integral or "
                 "timestamp column is required (non-numeric values would cast "
@@ -2087,13 +2099,22 @@ def _validate_table_options(
 
 def _field_aggregate_specs(options: dict[str, str]) -> dict[str, str]:
     """Parse Paimon's ``fields.<name>.aggregate-function`` option keys
-    (aggregation merge engine, CoreOptions surfaced via A16 DDL props)."""
-    pre, suf = "fields.", ".aggregate-function"
-    return {
-        k[len(pre) : -len(suf)]: v
-        for k, v in options.items()
-        if k.startswith(pre) and k.endswith(suf) and len(k) > len(pre) + len(suf)
-    }
+    (aggregation merge engine, CoreOptions surfaced via A16 DDL props).
+    The reference's mangled DDL spelling ``fields_<name>_aggregate_function``
+    (TrinoTableOptionUtils.convertOptionKey) is accepted too — fixed
+    prefix/suffix make the column name unambiguous even with underscores;
+    conflicting spellings for one column raise."""
+    out: dict[str, str] = {}
+    for pre, suf in (("fields.", ".aggregate-function"), ("fields_", "_aggregate_function")):
+        for k, v in options.items():
+            if k.startswith(pre) and k.endswith(suf) and len(k) > len(pre) + len(suf):
+                col = k[len(pre) : -len(suf)]
+                if col in out and out[col] != v:
+                    raise ValueError(
+                        f"conflicting aggregate-function spellings for column {col!r}"
+                    )
+                out[col] = v
+    return out
 
 
 def _limit_pushable(schema: TableSchema, predicate: list | None, files: list[dict]) -> bool:

@@ -79,6 +79,23 @@ def _assign(e: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
+def _trained_cells(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(quantized corpus, final per-vector assignment) after the standard
+    seed + _ITERS Lloyd rounds — the single source of the training loop for
+    both the assignment operator and the blocked dedup (their shared oracle
+    CTE chain assumes identical iteration semantics)."""
+    e = _quantized(spark, sf_dir)
+    cents = e.filter(F.col("vec_id") < _K).select(
+        F.col("vec_id").cast("int").alias("cell"), F.col("q").alias("c")
+    )
+    for _ in range(_ITERS):
+        # localCheckpoint truncates the k-row centroid lineage so the plan
+        # doesn't double per Lloyd round (k x d ints — trivially small; the
+        # corpus itself is never checkpointed or collected).
+        cents = _update(_assign(e, cents)).localCheckpoint(eager=False)
+    return e, _assign(e, cents)
+
+
 def _update(assigned: DataFrame) -> DataFrame:
     """(cell, c): per-cluster integer mean, floor(sum/count) per component."""
     pe = assigned.select("cell", F.posexplode("q").alias("pos", "val"))
@@ -164,16 +181,7 @@ def embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-means over ``embeddings`` (k=8, 2 Lloyd rounds): every vector's
     final cluster and distance. Deterministic by construction —
     integer-exact arithmetic end to end (module docstring)."""
-    e = _quantized(spark, sf_dir)
-    cents = e.filter(F.col("vec_id") < _K).select(
-        F.col("vec_id").cast("int").alias("cell"), F.col("q").alias("c")
-    )
-    for _ in range(_ITERS):
-        # localCheckpoint truncates the k-row centroid lineage so the plan
-        # doesn't double per Lloyd round (k x d ints — trivially small; the
-        # corpus itself is never checkpointed or collected).
-        cents = _update(_assign(e, cents)).localCheckpoint(eager=False)
-    final = _assign(e, cents)
+    _, final = _trained_cells(spark, sf_dir)
     return final.select(
         "vec_id",
         F.col("cell").alias("cluster"),
@@ -216,13 +224,8 @@ def dedup_embedding_cosine_blocked(spark: SparkSession, sf_dir: str) -> DataFram
         embeddings_normalized,
     )
 
-    e = _quantized(spark, sf_dir)
-    cents = e.filter(F.col("vec_id") < _K).select(
-        F.col("vec_id").cast("int").alias("cell"), F.col("q").alias("c")
-    )
-    for _ in range(_ITERS):
-        cents = _update(_assign(e, cents)).localCheckpoint(eager=False)
-    cells = _assign(e, cents).select("vec_id", "cell")
+    _, final = _trained_cells(spark, sf_dir)
+    cells = final.select("vec_id", "cell")
 
     en = embeddings_normalized(spark, sf_dir).join(cells, "vec_id")
     a = en.select(

@@ -123,7 +123,10 @@ def read_changelog_stream(
         # silently lose in-range data, the opposite failure mode.
         fname = F.input_file_name()
         new_c = F.nullif(F.regexp_extract(fname, r"/c(\d+)-[^/]*$", 1), F.lit(""))
-        old_c = F.nullif(F.regexp_extract(fname, r"/c(\d+)/", 1), F.lit(""))
+        # greedy ^.* pins the LAST data/c<N>/ segment — a bare /c(\d+)/
+        # search would match a warehouse root like /srv/c1/wh first and
+        # mis-attribute (then silently drop) in-range legacy commits
+        old_c = F.nullif(F.regexp_extract(fname, r"^.*/data/c(\d+)/", 1), F.lit(""))
         commit_of = F.coalesce(new_c, old_c).cast("bigint")
         stream = stream.filter(commit_of.isNull() | (commit_of >= F.lit(from_version)))
     return stream

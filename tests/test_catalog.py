@@ -917,7 +917,8 @@ def test_option_key_mangling(cat, spark):
         options={"file.format": "ORC", "changelog-producer": "input"},
     )
     opts = {r.key: r.value for r in cat.read_table("mm.t$options").collect()}
-    assert opts["file_format"] == "ORC" and opts["changelog_producer"] == "input"
+    # enum values are normalized at ingestion (consumers compare exactly)
+    assert opts["file_format"] == "orc" and opts["changelog_producer"] == "input"
     cat.insert_into("mm", "t", spark.createDataFrame([(1,)], "a int"))
     assert all(f.path.endswith(".orc") for f in cat.read_table("mm.t$files").collect())
     with pytest.raises(ValueError, match="changelog_producer"):
@@ -926,4 +927,17 @@ def test_option_key_mangling(cat, spark):
         cat.create_table(
             "mm", "bad2", [("a", "int")],
             options={"file.format": "ORC", "file_format": "PARQUET"},
+        )
+
+
+def test_sequence_field_interval_type_rejected(cat, spark):
+    """'interval day' must not satisfy the integral/timestamp requirement
+    via a 'int' prefix match — it would cast to NULL at merge time."""
+    cat.create_database("sq", ignore_if_exists=True)
+    with pytest.raises(ValueError, match="sequence_field"):
+        cat.create_table(
+            "sq", "t",
+            [("k", "int"), ("v", "string"), ("lag", "interval day")],
+            primary_key=["k"],
+            options={"sequence_field": "lag"},
         )

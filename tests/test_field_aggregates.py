@@ -148,3 +148,23 @@ def test_create_table_validates_specs(spark, tmp_path):
             "d", "bad3", [("k", "int"), ("v", "int")], primary_key=["k"],
             options={"fields.v.aggregate-function": "median"},
         )
+
+
+def test_mangled_field_aggregate_spelling(spark, tmp_path):
+    """The reference's mangled DDL spelling fields_<col>_aggregate_function
+    (TrinoTableOptionUtils.convertOptionKey) must configure the aggregate,
+    not be silently stored-and-ignored (which would make reads merge with
+    the default function — silently wrong data)."""
+    cat = WarehouseCatalog(str(tmp_path / "wh"), spark)
+    cat.create_database("m")
+    cat.create_table(
+        "m", "fm",
+        [("k", "int"), ("v", "bigint")],
+        primary_key=["k"],
+        options={"merge_engine": "aggregation", "fields_v_aggregate_function": "max"},
+    )
+    mk = lambda rows: spark.createDataFrame(rows, "k int, v bigint")  # noqa: E731
+    cat.insert_into("m", "fm", mk([(1, 10)]))
+    cat.insert_into("m", "fm", mk([(1, 3)]))
+    got = {r.k: r.v for r in cat.read_table("m.fm").collect()}
+    assert got == {1: 10}, f"max aggregate ignored: {got}"
