@@ -88,15 +88,40 @@ _R1_VERIFIED = {
 }
 
 
+# Never-checked queries that carry a disproportionate share of the §2 proof
+# burden (r2 verdict items 2/4/6/7): the lake_* family proves A9/A16/A18/A8,
+# the scale twins prove the documented anti-pattern rows have working
+# replacements, and cast/udf/pattern complete their families. These jump the
+# family round-robin so they all land inside the driver's ~50-query prefix.
+_PRIORITY_PREFIXES = ("cast_", "lake_", "pattern_")
+_PRIORITY_NAMES = {
+    "window_global_rank_scalable",
+    "ann_lsh_bucketed_md5",
+    "ann_ivf_probe",
+    "dedup_keep_list",
+    "udf_grouped_map_normalize",
+}
+
+
 def _ordered_names() -> list[str]:
-    """Never-checked queries first, interleaved round-robin by family."""
+    """Red (fixed, re-prove) first, then priority never-checked, then the
+    remaining never-checked interleaved round-robin by family, verified last."""
     from itertools import zip_longest
 
     verified, red = _driver_verified()
     order = [n for n in QUERIES if n in red]  # fixed red rows re-prove first
+    pri = [
+        n
+        for n in QUERIES
+        if n not in verified
+        and n not in red
+        and (n.startswith(_PRIORITY_PREFIXES) or n in _PRIORITY_NAMES)
+    ]
+    order.extend(pri)
+    taken = set(order) | verified
     fams: dict[str, list[str]] = {}
     for n in QUERIES:
-        if n in verified or n in red:
+        if n in taken:
             continue
         fams.setdefault(n.split("_")[0], []).append(n)
     for row in zip_longest(*fams.values()):

@@ -44,6 +44,7 @@ import os
 import re
 import shutil
 import time
+import warnings
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -90,8 +91,30 @@ class WarehouseCatalog:
             # TIME columns need Spark 4.1's flag; runtime-settable, so turn
             # it on for catalogs attached to externally-built sessions too.
             spark.conf.set("spark.sql.timeType.enabled", "true")
-        except Exception:
-            pass  # older Spark: TIME DDL will fail loudly in types.py use
+        except Exception as e:
+            # Only the two expected shapes are silently tolerable: the conf
+            # doesn't exist (older Spark — TIME DDL fails loudly later in
+            # types.py) or the session forbids modifying it. Anything else
+            # would make TIME support silently depend on which session built
+            # the catalog, so warn instead of swallowing.
+            name = type(e).__name__
+            msg = str(e)
+            if not (
+                "CANNOT_MODIFY_CONFIG" in msg
+                or "SQLConf" in msg
+                or "not recognized" in msg.lower()
+                or name in ("AnalysisException", "IllegalArgumentException")
+            ):
+                warnings.warn(
+                    f"could not enable spark.sql.timeType.enabled ({name}: {msg}); "
+                    "TIME columns will be unavailable in this session"
+                )
+        else:
+            if spark.conf.get("spark.sql.timeType.enabled", "false") != "true":
+                warnings.warn(
+                    "spark.sql.timeType.enabled did not take effect; "
+                    "TIME columns will be unavailable in this session"
+                )
         os.makedirs(self.warehouse, exist_ok=True)
 
     # ------------------------------------------------------------------ paths
@@ -1669,9 +1692,52 @@ class WarehouseCatalog:
         sys.rollback, sys.create_tag, sys.delete_tag); the reference's
         Trino build predates procedures, so this is executable parity with
         the lake feature set its DDL options describe."""
-        args = [a.strip().strip("'\"") for a in _split_top_level(raw_args) if a.strip()]
+        # Paimon procedures accept both positional and named (``key => value``)
+        # arguments; partition the raw tokens into the two forms first.
+        pos: list[str] = []
+        named: dict[str, str] = {}
+        for tok in _split_top_level(raw_args):
+            tok = tok.strip()
+            if not tok:
+                continue
+            m = re.fullmatch(r"([A-Za-z_]\w*)\s*=>\s*(.+)", tok, re.DOTALL)
+            if m:
+                named[m.group(1).lower()] = m.group(2).strip().strip("'\"")
+            else:
+                pos.append(tok.strip("'\""))
 
-        def split_name(name: str) -> tuple[str, str]:
+        _ALLOWED_NAMED = {
+            "compact": {"table", "order_strategy", "order_by", "partitions"},
+            "expire_snapshots": {"table", "retain_last"},
+            "rollback": {"table", "version", "snapshot"},
+            "create_tag": {"table", "tag", "snapshot"},
+            "delete_tag": {"table", "tag"},
+        }
+        if proc in _ALLOWED_NAMED:
+            unknown = set(named) - _ALLOWED_NAMED[proc]
+            if unknown:
+                raise ValueError(
+                    f"sys.{proc}: unknown named argument(s) {sorted(unknown)}; "
+                    f"accepted: {sorted(_ALLOWED_NAMED[proc])}"
+                )
+
+        _cursor = [0]
+
+        def take(name: str, _idx: int, default: str | None = None) -> str | None:
+            """Named wins; else the next unconsumed positional; else default.
+            Cursor-based so a mixed call (``table => 'db.t', 'v1'``) binds
+            remaining positionals to the remaining parameters in order."""
+            if name in named:
+                return named[name]
+            if _cursor[0] < len(pos):
+                v = pos[_cursor[0]]
+                _cursor[0] += 1
+                return v
+            return default
+
+        def split_name(name: str | None) -> tuple[str, str]:
+            if not name:
+                raise ValueError(f"sys.{proc}: missing table argument")
             db, _, tbl = name.partition(".")
             if not tbl:
                 raise ValueError(f"procedure table argument must be db.table, got {name!r}")
@@ -1681,29 +1747,54 @@ class WarehouseCatalog:
             [tuple(kw.values())], ", ".join(f"{k} string" for k in kw)
         )
         if proc == "compact":
-            db, tbl = split_name(args[0])
-            order_by = [a for a in args[1:] if a] or None
+            db, tbl = split_name(take("table", 0))
+            strategy = named.get("order_strategy", "order").lower()
+            if strategy not in ("order", "none"):
+                raise ValueError(
+                    f"sys.compact: order_strategy {strategy!r} not supported "
+                    "(have 'order' [lexicographic sort-compaction], 'none')"
+                )
+            if "partitions" in named:
+                raise ValueError(
+                    "sys.compact: partition-scoped compaction is not supported; "
+                    "omit `partitions` to compact the whole table"
+                )
+            if "order_by" in named:
+                order_by = [c.strip() for c in named["order_by"].split(",") if c.strip()]
+            else:
+                order_by = [a for a in pos[_cursor[0]:] if a] or None
+            if strategy == "none" and order_by:
+                raise ValueError("sys.compact: order_by given but order_strategy => 'none'")
             v = self.compact(db, tbl, order_by=order_by)
             return ok(result=f"compacted to snapshot {v}")
         if proc == "expire_snapshots":
-            db, tbl = split_name(args[0])
-            keep = int(args[1]) if len(args) > 1 else 1
+            db, tbl = split_name(take("table", 0))
+            keep = int(take("retain_last", 1, "1"))
             stats = self.expire_snapshots(db, tbl, keep_last=keep)
             return ok(result=f"expired {stats['expired_snapshots']} snapshots, "
                              f"deleted {stats['deleted_files']} files")
         if proc == "rollback":
-            db, tbl = split_name(args[0])
-            self.rollback_to(db, tbl, int(args[1]))
-            return ok(result=f"rolled back to snapshot {args[1]}")
+            db, tbl = split_name(take("table", 0))
+            snap = named.get("version") or named.get("snapshot") or take("version", 1)
+            if snap is None:
+                raise ValueError("sys.rollback: missing snapshot/version argument")
+            self.rollback_to(db, tbl, int(snap))
+            return ok(result=f"rolled back to snapshot {snap}")
         if proc == "create_tag":
-            db, tbl = split_name(args[0])
-            snap = int(args[2]) if len(args) > 2 else None
-            self.create_tag(db, tbl, args[1], snapshot_id=snap)
-            return ok(result=f"tag {args[1]} created")
+            db, tbl = split_name(take("table", 0))
+            tag = take("tag", 1)
+            if tag is None:
+                raise ValueError("sys.create_tag: missing tag argument")
+            snap_s = take("snapshot", 2)
+            self.create_tag(db, tbl, tag, snapshot_id=int(snap_s) if snap_s else None)
+            return ok(result=f"tag {tag} created")
         if proc == "delete_tag":
-            db, tbl = split_name(args[0])
-            self.delete_tag(db, tbl, args[1])
-            return ok(result=f"tag {args[1]} deleted")
+            db, tbl = split_name(take("table", 0))
+            tag = take("tag", 1)
+            if tag is None:
+                raise ValueError("sys.delete_tag: missing tag argument")
+            self.delete_tag(db, tbl, tag)
+            return ok(result=f"tag {tag} deleted")
         raise ValueError(
             f"unknown procedure sys.{proc} (have compact, expire_snapshots, "
             "rollback, create_tag, delete_tag)"
@@ -2036,7 +2127,15 @@ def _canonical_options(options: dict[str, str] | None) -> dict[str, str]:
     out: dict[str, str] = {}
     for k, v in (options or {}).items():
         kk = k.strip()
-        if not (kk.startswith("fields.") and kk.endswith(".aggregate-function")):
+        if kk.startswith("fields.") and kk.endswith(".aggregate-function"):
+            pass  # dotted structured key: kept verbatim (column case preserved)
+        elif kk.startswith("fields_") and kk.endswith("_aggregate_function"):
+            # mangled structured key: separators are already underscores; do
+            # NOT lower() — the middle is a column name, and folding its case
+            # would resolve `fields_MyCol_aggregate_function` to a
+            # nonexistent column while the dotted spelling preserves case
+            pass
+        else:
             kk = kk.lower().replace(".", "_").replace("-", "_")
         if kk in _ENUM_OPTIONS:
             # normalize enum VALUES too: consumers compare exactly, so a

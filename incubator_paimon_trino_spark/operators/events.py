@@ -320,6 +320,18 @@ def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropDuplicates state grows forever. Only key columns are projected, so
     which physical duplicate arrived first is irrelevant and the result is
     deterministic and oracle-checkable (== batch SELECT DISTINCT).
+
+    ORACLE EQUIVALENCE ASSUMES SINGLE-BATCH INPUT: the sf* events table is
+    one parquet file, so the file source yields exactly one micro-batch and
+    the watermark never advances mid-run — no row can be late. With
+    multi-file input or ``maxFilesPerTrigger`` (which production SHOULD set;
+    see module scale notes), rows more than 1 hour behind the max seen ts
+    would be dropped by the watermark while the batch oracle still counts
+    them. That is the *intended* streaming semantics, not a bug — but it
+    means this oracle row is only valid for single-batch fixtures. Do not
+    add maxFilesPerTrigger to ``_events_stream`` without splitting this
+    query into an unwatermarked oracle-checked twin + a watermarked scale
+    path.
     """
     stream = _events_stream(spark, sf_dir)
     dd = (

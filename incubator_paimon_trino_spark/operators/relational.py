@@ -239,7 +239,7 @@ def sort_multi_key(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(o_orderkey AS VARCHAR) AS key_str,
            CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS key_back,
            CAST(o_orderkey AS INTEGER) AS key_int,
-           CAST(o_totalprice AS DECIMAL(12,2)) AS price_dec,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) AS price_dec,
            CAST(o_orderdate AS DATE) AS order_date
     FROM orders
     """,
@@ -248,7 +248,11 @@ def cast_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CAST surface (engine-side in reference; ``testCast`` in the Trino suite).
 
     double→DECIMAL(12,2) is exact here (values are 2-decimal); timestamp→DATE
-    truncates identically in both engines.
+    truncates identically in both engines. The DECIMAL column is rendered as
+    VARCHAR on BOTH sides: Spark's pandas bridge keeps ``decimal.Decimal``
+    objects while DuckDB's returns float64, so a raw DECIMAL output column
+    hash-mismatches even when every value is identical (r2 red verdict).
+    The string form ('205941.60') also pins scale-2 rendering in both engines.
     """
     o = table(spark, sf_dir, "orders")
     return o.select(
@@ -256,7 +260,7 @@ def cast_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").cast("string").alias("key_str"),
         F.col("o_orderkey").cast("string").cast("bigint").alias("key_back"),
         F.col("o_orderkey").cast("int").alias("key_int"),
-        F.col("o_totalprice").cast("decimal(12,2)").alias("price_dec"),
+        F.col("o_totalprice").cast("decimal(12,2)").cast("string").alias("price_dec"),
         F.col("o_orderdate").cast("date").alias("order_date"),
     )
 
@@ -267,7 +271,7 @@ def cast_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_custkey,
            TRY_CAST(c_name AS BIGINT) AS name_as_num,
            TRY_CAST(c_mktsegment AS INTEGER) AS seg_as_num,
-           TRY_CAST(c_acctbal AS DECIMAL(3, 0)) AS bal_narrow
+           CAST(TRY_CAST(c_acctbal AS DECIMAL(3, 0)) AS VARCHAR) AS bal_narrow
     FROM customer
     """,
 )
@@ -276,13 +280,15 @@ def cast_try_invalid(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of failing the query — names and segments never parse as
     numbers, and balances overflow DECIMAL(3,0) whenever the rounded value
     leaves [-999, 999] (both engines round half away from zero, then
-    NULL on overflow)."""
+    NULL on overflow). The DECIMAL result is rendered as VARCHAR on both
+    sides to avoid the Decimal-object-vs-float64 pandas hash mismatch
+    (same hazard as ``cast_roundtrip``, r2)."""
     c = table(spark, sf_dir, "customer")
     return c.select(
         "c_custkey",
         F.col("c_name").try_cast("bigint").alias("name_as_num"),
         F.col("c_mktsegment").try_cast("int").alias("seg_as_num"),
-        F.col("c_acctbal").try_cast("decimal(3,0)").alias("bal_narrow"),
+        F.col("c_acctbal").try_cast("decimal(3,0)").cast("string").alias("bal_narrow"),
     )
 
 

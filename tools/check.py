@@ -35,8 +35,13 @@ def _norm(v):
             return "f:nan"
         return f"f:{v!r}"
     if isinstance(v, Decimal):
-        f = float(v)
-        return f"f:{f!r}"
+        # Deliberately NOT folded into float: the driver's pandas bridge keeps
+        # Spark decimals as Decimal objects but renders DuckDB decimals as
+        # float64, so any raw DECIMAL output column hash-mismatches there even
+        # when values agree (r2 `cast_roundtrip` red). Tagging Decimal
+        # distinctly makes the local check fail loudly on BOTH sides, forcing
+        # every registered query to render decimals as DOUBLE or VARCHAR.
+        return f"D:{v}"
     if isinstance(v, int):
         return f"i:{v}"
     if isinstance(v, dt.datetime):
