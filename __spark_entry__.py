@@ -102,6 +102,16 @@ _PRIORITY_NAMES = {
     "udf_grouped_map_normalize",
 }
 
+# Queries added in round 3+: they queue BEHIND the pre-existing never-checked
+# backlog (r2 verdict item 3 — new additions must not displace the older
+# unverified queries from the driver's prefix until that backlog drains).
+_DEFER_NEW = {
+    "pack_concat_offsets",
+    "pack_sequence_stats",
+    "train_shuffle_shard",
+    "dedup_incremental_new_batch",
+}
+
 
 def _ordered_names() -> list[str]:
     """Red (fixed, re-prove) first, then priority never-checked, then the
@@ -121,11 +131,12 @@ def _ordered_names() -> list[str]:
     taken = set(order) | verified
     fams: dict[str, list[str]] = {}
     for n in QUERIES:
-        if n in taken:
+        if n in taken or n in _DEFER_NEW:
             continue
         fams.setdefault(n.split("_")[0], []).append(n)
     for row in zip_longest(*fams.values()):
         order.extend(n for n in row if n is not None)
+    order.extend(n for n in QUERIES if n in _DEFER_NEW and n not in verified and n not in red)
     order.extend(n for n in QUERIES if n in verified)
     return order
 

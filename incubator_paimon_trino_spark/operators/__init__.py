@@ -19,6 +19,7 @@ def load_all() -> None:
         lake,
         match_recognize,
         multimodal,
+        packing,
         patterns,
         hof,
         relational,

@@ -504,6 +504,66 @@ def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_incremental_new_batch",
+    oracle=r"""
+    WITH fp AS (
+      SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint
+      FROM documents
+    ),
+    new_batch AS (SELECT * FROM fp WHERE doc_id % 10 = 0),
+    corpus_fp AS (SELECT DISTINCT fingerprint FROM fp WHERE doc_id % 10 <> 0)
+    SELECT n.doc_id, n.fingerprint,
+           CASE WHEN c.fingerprint IS NOT NULL THEN 'dup_of_corpus'
+                WHEN n.doc_id <> MIN(n.doc_id) OVER (PARTITION BY n.fingerprint)
+                  THEN 'dup_within_batch'
+                ELSE 'novel' END AS status
+    FROM new_batch n
+    LEFT JOIN corpus_fp c ON c.fingerprint = n.fingerprint
+    """,
+)
+def dedup_incremental_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup — the daily-ingest shape: dedup ONLY the new batch
+    (modeled as doc_id % 10 = 0) against the already-ingested corpus, never
+    re-deduping the corpus against itself. Each new doc is labeled
+    ``dup_of_corpus`` (fingerprint already ingested), ``dup_within_batch``
+    (first occurrence in this batch wins), or ``novel``.
+
+    Scale shape: the corpus side is reduced to DISTINCT fingerprints (32
+    bytes/doc — in production this is the fingerprint index maintained as a
+    lake PK table, not a rescan), then one equi-join keyed on fingerprint:
+    only the (small) new batch and the fingerprint index shuffle, and the
+    within-batch window shares the same fingerprint key, so AQE co-plans
+    the two exchanges. O(batch + index), independent of corpus text size.
+    """
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    fp = d.select(
+        "doc_id",
+        F.md5(F.lower(F.regexp_replace("text", r"\s+", " "))).alias("fingerprint"),
+    )
+    new_batch = fp.filter(F.col("doc_id") % 10 == 0)
+    corpus_fp = (
+        fp.filter(F.col("doc_id") % 10 != 0)
+        .select(F.col("fingerprint").alias("c_fingerprint"))
+        .distinct()
+    )
+    w = W.partitionBy("fingerprint")
+    return (
+        new_batch.join(
+            corpus_fp, new_batch.fingerprint == corpus_fp.c_fingerprint, "left"
+        )
+        .withColumn(
+            "status",
+            F.when(F.col("c_fingerprint").isNotNull(), "dup_of_corpus")
+            .when(F.col("doc_id") != F.min("doc_id").over(w), "dup_within_batch")
+            .otherwise("novel"),
+        )
+        .select("doc_id", "fingerprint", "status")
+    )
+
+
 _MD5_PERMS = 16
 _MD5_BANDS = 4
 _MD5_RPB = _MD5_PERMS // _MD5_BANDS

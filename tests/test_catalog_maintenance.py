@@ -348,6 +348,71 @@ def test_call_procedures_sql_surface(cat, spark):
         cat.sql("CALL sys.nope('default.proc')")
 
 
+def test_call_procedures_named_arguments(cat, spark):
+    """Paimon's documented named-argument procedure form (key => value):
+    accepted for every procedure, mixed with positionals, with unknown named
+    args rejected by name instead of being misread as positional values."""
+    import pytest
+
+    cat.create_database("named", ignore_if_exists=True)
+    cat.create_table("named", "p", [("k", "int"), ("v", "string")])
+    for i in range(3):
+        cat.insert_into(
+            "named", "p", spark.createDataFrame([(i, f"x{i}")], "k int, v string")
+        )
+
+    # named table + order_strategy + order_by (the form that misparsed before:
+    # 'order_strategy => order' was treated as a sort column name)
+    out = cat.sql(
+        "CALL sys.compact(table => 'named.p', order_strategy => 'order', order_by => 'k')"
+    ).collect()
+    assert "compacted" in out[0].result
+    assert len(cat.scan_plan("named.p")) == 1
+
+    # unknown named argument: rejected with the argument's name in the error
+    with pytest.raises(ValueError, match="bogus"):
+        cat.sql("CALL sys.compact(table => 'named.p', bogus => '1')")
+    # partition-scoped compaction: unsupported, rejected clearly (not a column)
+    with pytest.raises(ValueError, match="partition"):
+        cat.sql("CALL sys.compact(table => 'named.p', partitions => 'k=1')")
+    # unsupported strategy named explicitly
+    with pytest.raises(ValueError, match="zorder"):
+        cat.sql("CALL sys.compact(table => 'named.p', order_strategy => 'zorder')")
+
+    # mixed named/positional: remaining positionals bind in parameter order
+    cat.sql("CALL sys.create_tag(table => 'named.p', 'v1', 1)").collect()
+    assert cat.read_table("named.p", tag="v1").count() == 1
+    cat.sql("CALL sys.delete_tag(table => 'named.p', tag => 'v1')").collect()
+
+    out = cat.sql(
+        "CALL sys.expire_snapshots(table => 'named.p', retain_last => 1)"
+    ).collect()
+    assert "expired" in out[0].result
+
+    cat.sql("CALL sys.rollback(table => 'named.p', version => 4)").collect()
+    assert cat.read_table("named.p").count() == 3
+
+
+def test_field_aggregate_option_preserves_column_case(cat, spark):
+    """The mangled option spelling ``fields_<col>_aggregate_function`` must
+    keep the column name's case (the dotted spelling already does): lowering
+    it resolved mixed-case columns to nonexistent names at DDL time."""
+    cat.create_database("mc", ignore_if_exists=True)
+    cat.create_table(
+        "mc",
+        "t",
+        [("k", "int"), ("MyCol", "bigint")],
+        primary_key=["k"],
+        options={
+            "merge-engine": "aggregation",
+            "fields_MyCol_aggregate_function": "sum",
+        },
+    )
+    cat.insert_into("mc", "t", spark.createDataFrame([(1, 10), (1, 32)], "k int, MyCol bigint"))
+    row = cat.read_table("mc.t").collect()[0]
+    assert row.MyCol == 42  # the aggregate actually bound to the column
+
+
 def test_review_fixes_changelog_and_options(cat, spark):
     """Regressions from code review: changelog after expiration bootstraps
     instead of crashing; input producer rejects sequence_field; aggregate

@@ -1,0 +1,91 @@
+"""Property-based validation of the packing arithmetic and the option/
+procedure parsing — pure-Python models, no Spark session needed.
+
+The packing queries compute sequence assignments with integer prefix-sum
+arithmetic; these properties pin the invariants the window expressions must
+satisfy for ANY document-length distribution (the Spark/oracle pair is then
+checked value-exactly by tools/check.py on the fixture corpus).
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+from hypothesis import given
+from hypothesis import strategies as st
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from incubator_paimon_trino_spark.catalog.warehouse import _canonical_options
+
+BUDGET = 512
+
+
+def _assignments(token_counts: list[int]) -> list[tuple[int, int, int, int]]:
+    """Python model of pack_concat_offsets: (start, first_seq, last_seq, n_seqs)."""
+    out, start = [], 0
+    for n in token_counts:
+        first = start // BUDGET
+        last = (start + n - 1) // BUDGET
+        out.append((start, first, last, last - first + 1))
+        start += n
+    return out
+
+
+@given(st.lists(st.integers(min_value=1, max_value=3 * BUDGET), min_size=1, max_size=60))
+def test_pack_offsets_tile_and_span(tokens):
+    """Intervals tile the stream; every budget-sized sequence that intersects
+    a doc's interval is counted, and sequence indexes never go backwards."""
+    asg = _assignments(tokens)
+    total = sum(tokens)
+    # tiling: starts are the exclusive prefix sums
+    run = 0
+    for n, (start, first, last, n_seqs) in zip(tokens, asg):
+        assert start == run
+        run += n
+        # span: the doc touches exactly the sequences covering [start, start+n)
+        assert first == start // BUDGET
+        assert last == (start + n - 1) // BUDGET
+        assert n_seqs >= 1
+        # a doc of n tokens can touch at most ceil(n/BUDGET)+1 sequences
+        assert n_seqs <= (n + BUDGET - 1) // BUDGET + 1
+    # monotone: first_seq is nondecreasing in stream order
+    firsts = [a[1] for a in asg]
+    assert firsts == sorted(firsts)
+    # total sequences = ceil(total/BUDGET) — last doc's last_seq + 1
+    assert asg[-1][2] + 1 == (total + BUDGET - 1) // BUDGET
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["snapshot.num-retained.max", "snapshot_num_retained_max",
+                             "merge-engine", "merge_engine", "bucket", "Bucket-Key"]),
+            st.sampled_from(["2", "4", "deduplicate", "k"]),
+        ),
+        max_size=6,
+    )
+)
+def test_canonical_options_idempotent_and_casefolds_keys(pairs):
+    """Canonicalization is idempotent, and dotted/dashed/underscore spellings
+    of the same plain option land on one key (or raise on conflicting values —
+    never silently keep both spellings)."""
+    try:
+        once = _canonical_options(dict(pairs))
+    except ValueError:
+        return  # conflicting spellings: the accepted outcome for clashes
+    twice = _canonical_options(once)
+    assert twice == once
+    for k in once:
+        if not k.startswith("fields"):
+            assert k == k.lower() and "." not in k and "-" not in k
+
+
+@given(st.text(alphabet=st.characters(whitelist_categories=("Lu", "Ll", "Nd")), min_size=1, max_size=12))
+def test_canonical_options_preserves_field_aggregate_case(col):
+    """Both structured spellings keep the column name's exact case."""
+    dotted = _canonical_options({f"fields.{col}.aggregate-function": "sum"})
+    assert f"fields.{col}.aggregate-function" in dotted
+    mangled = _canonical_options({f"fields_{col}_aggregate_function": "sum"})
+    assert f"fields_{col}_aggregate_function" in mangled

@@ -298,3 +298,56 @@ def test_kmeans_invariant_under_repartitioning(spark):
         return {(r.vec_id, r.cell, r.d) for r in km._assign(ep, cents).collect()}
 
     assert run(3) == run(17)
+
+
+def test_packing_offsets_contiguous_and_straddle_consistent(spark):
+    """Concat-offset packing invariants: per language the offset intervals
+    tile the token stream exactly (no gaps/overlaps in doc_id order), and
+    n_seqs equals the number of budget-sized sequences the interval touches."""
+    from incubator_paimon_trino_spark.operators.packing import (
+        SEQ_BUDGET,
+        pack_concat_offsets,
+        pack_sequence_stats,
+    )
+
+    rows = pack_concat_offsets(spark, SF_ORACLE).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    assert by_lang
+    for lang, docs in by_lang.items():
+        docs.sort(key=lambda r: r.doc_id)
+        expected_start = 0
+        for r in docs:
+            assert r.start_off == expected_start, (lang, r.doc_id)
+            end = r.start_off + r.n_tokens
+            assert r.first_seq == r.start_off // SEQ_BUDGET
+            assert r.last_seq == (end - 1) // SEQ_BUDGET
+            assert r.n_seqs == r.last_seq - r.first_seq + 1 >= 1
+            expected_start = end
+
+    # stats agree with the per-doc view
+    stats = {r.lang: r for r in pack_sequence_stats(spark, SF_ORACLE).collect()}
+    for lang, docs in by_lang.items():
+        total = sum(r.n_tokens for r in docs)
+        s = stats[lang]
+        assert s.total_tokens == total
+        assert s.n_seqs == (total + SEQ_BUDGET - 1) // SEQ_BUDGET
+        assert s.tail_waste == s.n_seqs * SEQ_BUDGET - total
+
+
+def test_shuffle_shard_deterministic_and_dense(spark):
+    """Shard layout invariants: every doc gets exactly one (shard, pos);
+    positions are dense 1..n per shard; a re-run (and a repartitioned input)
+    produces the identical layout."""
+    from incubator_paimon_trino_spark.operators.packing import N_SHARDS, train_shuffle_shard
+
+    a = {r.doc_id: (r.shard, r.pos) for r in train_shuffle_shard(spark, SF_ORACLE).collect()}
+    b = {r.doc_id: (r.shard, r.pos) for r in train_shuffle_shard(spark, SF_ORACLE).collect()}
+    assert a == b and a
+    shards = {}
+    for shard, pos in a.values():
+        assert 0 <= shard < N_SHARDS
+        shards.setdefault(shard, []).append(pos)
+    for shard, poss in shards.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1))

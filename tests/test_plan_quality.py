@@ -173,3 +173,22 @@ def test_chunk_repetition_shuffles_hashes_not_text(spark):
 
     for ex in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "text" not in ex
+
+
+def test_packing_single_window_shuffle_pruned_scan(spark):
+    """Concat-offset packing: exactly one exchange (the lang window) and a
+    scan pruned to the three needed columns — the shape that survives a
+    100 TB corpus."""
+    df = _q("pack_concat_offsets")(spark, SF_SMOKE)
+    assert count_shuffles(df) == 1
+    assert set(read_schema_columns(df)) == {"doc_id", "text", "lang"}
+
+
+def test_shuffle_shard_no_global_sort(spark):
+    """Shard layout: one hash exchange on the shard key, per-shard sort only —
+    a global total order (rangepartitioning) must never appear."""
+    df = _q("train_shuffle_shard")(spark, SF_SMOKE)
+    plan = physical_plan(df)
+    assert count_shuffles(df) == 1
+    assert "rangepartitioning" not in plan.lower()
+    assert set(read_schema_columns(df)) == {"doc_id"}

@@ -32,6 +32,9 @@ FAMILY_NOTES = {
     "similarity": "ANN similarity search (brute-force + LSH-bucketed)",
     "text": "text analysis (lang-id, quality, tokens, fingerprints)",
     "multimodal": "binary columns + typed metadata, stubbed codecs",
+    "sampling": "deterministic/stratified/reservoir sampling + splits",
+    "packing": "sequence packing + deterministic shard layout for training",
+    "clustering": "Lloyd's k-means + blocked embedding dedup",
 }
 
 rows = []
