@@ -119,6 +119,10 @@ def _ordered_names() -> list[str]:
     from itertools import zip_longest
 
     verified, red = _driver_verified()
+    # a typo'd or renamed entry in the hand-kept sets would silently void the
+    # ordering policy it encodes — make drift loud instead
+    for n in _PRIORITY_NAMES | _DEFER_NEW:
+        assert n in QUERIES, f"ordering policy names unknown query {n!r}"
     order = [n for n in QUERIES if n in red]  # fixed red rows re-prove first
     pri = [
         n

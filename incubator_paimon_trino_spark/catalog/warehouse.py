@@ -92,21 +92,21 @@ class WarehouseCatalog:
             # it on for catalogs attached to externally-built sessions too.
             spark.conf.set("spark.sql.timeType.enabled", "true")
         except Exception as e:
-            # Only the two expected shapes are silently tolerable: the conf
-            # doesn't exist (older Spark — TIME DDL fails loudly later in
-            # types.py) or the session forbids modifying it. Anything else
-            # would make TIME support silently depend on which session built
-            # the catalog, so warn instead of swallowing.
-            name = type(e).__name__
+            # The one silently tolerable shape is a session that forbids
+            # modifying the conf (static/immutable config — the known Spark
+            # error codes below). Anything else would make TIME support
+            # silently depend on which session built the catalog, so warn.
+            # (An unknown key doesn't raise: runtime conf accepts arbitrary
+            # keys, and TIME DDL then fails loudly later in types.py.)
             msg = str(e)
             if not (
                 "CANNOT_MODIFY_CONFIG" in msg
-                or "SQLConf" in msg
-                or "not recognized" in msg.lower()
-                or name in ("AnalysisException", "IllegalArgumentException")
+                or "Cannot modify the value" in msg
+                or "is a static config" in msg
             ):
                 warnings.warn(
-                    f"could not enable spark.sql.timeType.enabled ({name}: {msg}); "
+                    f"could not enable spark.sql.timeType.enabled "
+                    f"({type(e).__name__}: {msg}); "
                     "TIME columns will be unavailable in this session"
                 )
         else:
@@ -1723,10 +1723,11 @@ class WarehouseCatalog:
 
         _cursor = [0]
 
-        def take(name: str, _idx: int, default: str | None = None) -> str | None:
-            """Named wins; else the next unconsumed positional; else default.
-            Cursor-based so a mixed call (``table => 'db.t', 'v1'``) binds
-            remaining positionals to the remaining parameters in order."""
+        def take(name: str, default: str | None = None) -> str | None:
+            """Named wins; else the NEXT unconsumed positional; else default.
+            Binding is cursor-order — each call consumes one positional — so
+            a mixed call (``table => 'db.t', 'v1'``) binds remaining
+            positionals to the remaining parameters in call order."""
             if name in named:
                 return named[name]
             if _cursor[0] < len(pos):
@@ -1734,6 +1735,16 @@ class WarehouseCatalog:
                 _cursor[0] += 1
                 return v
             return default
+
+        def no_leftovers() -> None:
+            """Excess positional arguments must fail, not vanish: a silently
+            dropped sort column or trailing token means the procedure did
+            something other than what the caller wrote."""
+            if _cursor[0] < len(pos):
+                raise ValueError(
+                    f"sys.{proc}: unexpected extra positional argument(s) "
+                    f"{pos[_cursor[0]:]}"
+                )
 
         def split_name(name: str | None) -> tuple[str, str]:
             if not name:
@@ -1747,7 +1758,7 @@ class WarehouseCatalog:
             [tuple(kw.values())], ", ".join(f"{k} string" for k in kw)
         )
         if proc == "compact":
-            db, tbl = split_name(take("table", 0))
+            db, tbl = split_name(take("table"))
             strategy = named.get("order_strategy", "order").lower()
             if strategy not in ("order", "none"):
                 raise ValueError(
@@ -1761,38 +1772,45 @@ class WarehouseCatalog:
                 )
             if "order_by" in named:
                 order_by = [c.strip() for c in named["order_by"].split(",") if c.strip()]
+                no_leftovers()  # positional sort columns alongside a named
+                # order_by would be silently shadowed — reject instead
             else:
                 order_by = [a for a in pos[_cursor[0]:] if a] or None
+                _cursor[0] = len(pos)
             if strategy == "none" and order_by:
                 raise ValueError("sys.compact: order_by given but order_strategy => 'none'")
             v = self.compact(db, tbl, order_by=order_by)
             return ok(result=f"compacted to snapshot {v}")
         if proc == "expire_snapshots":
-            db, tbl = split_name(take("table", 0))
-            keep = int(take("retain_last", 1, "1"))
+            db, tbl = split_name(take("table"))
+            keep = int(take("retain_last", "1"))
+            no_leftovers()
             stats = self.expire_snapshots(db, tbl, keep_last=keep)
             return ok(result=f"expired {stats['expired_snapshots']} snapshots, "
                              f"deleted {stats['deleted_files']} files")
         if proc == "rollback":
-            db, tbl = split_name(take("table", 0))
-            snap = named.get("version") or named.get("snapshot") or take("version", 1)
+            db, tbl = split_name(take("table"))
+            snap = named.get("version") or named.get("snapshot") or take("version")
             if snap is None:
                 raise ValueError("sys.rollback: missing snapshot/version argument")
+            no_leftovers()
             self.rollback_to(db, tbl, int(snap))
             return ok(result=f"rolled back to snapshot {snap}")
         if proc == "create_tag":
-            db, tbl = split_name(take("table", 0))
-            tag = take("tag", 1)
+            db, tbl = split_name(take("table"))
+            tag = take("tag")
             if tag is None:
                 raise ValueError("sys.create_tag: missing tag argument")
-            snap_s = take("snapshot", 2)
+            snap_s = take("snapshot")
+            no_leftovers()
             self.create_tag(db, tbl, tag, snapshot_id=int(snap_s) if snap_s else None)
             return ok(result=f"tag {tag} created")
         if proc == "delete_tag":
-            db, tbl = split_name(take("table", 0))
-            tag = take("tag", 1)
+            db, tbl = split_name(take("table"))
+            tag = take("tag")
             if tag is None:
                 raise ValueError("sys.delete_tag: missing tag argument")
+            no_leftovers()
             self.delete_tag(db, tbl, tag)
             return ok(result=f"tag {tag} deleted")
         raise ValueError(
@@ -2129,12 +2147,15 @@ def _canonical_options(options: dict[str, str] | None) -> dict[str, str]:
         kk = k.strip()
         if kk.startswith("fields.") and kk.endswith(".aggregate-function"):
             pass  # dotted structured key: kept verbatim (column case preserved)
-        elif kk.startswith("fields_") and kk.endswith("_aggregate_function"):
-            # mangled structured key: separators are already underscores; do
-            # NOT lower() — the middle is a column name, and folding its case
-            # would resolve `fields_MyCol_aggregate_function` to a
-            # nonexistent column while the dotted spelling preserves case
-            pass
+        elif m := re.fullmatch(r"fields[._](.+)[._]aggregate[-_]function", kk):
+            # any other separator mix (pure-mangled or hybrid like
+            # ``fields.MyCol.aggregate_function``): normalize separators to
+            # the mangled spelling but do NOT lower() — the middle is a
+            # column name, and folding its case would resolve
+            # ``fields_MyCol_aggregate_function`` to a nonexistent column
+            # while the dotted spelling preserves case
+            mid = m.group(1).replace(".", "_").replace("-", "_")
+            kk = f"fields_{mid}_aggregate_function"
         else:
             kk = kk.lower().replace(".", "_").replace("-", "_")
         if kk in _ENUM_OPTIONS:

@@ -378,6 +378,13 @@ def test_call_procedures_named_arguments(cat, spark):
     # unsupported strategy named explicitly
     with pytest.raises(ValueError, match="zorder"):
         cat.sql("CALL sys.compact(table => 'named.p', order_strategy => 'zorder')")
+    # positional sort column alongside a named order_by: would be silently
+    # shadowed — must be rejected, not dropped
+    with pytest.raises(ValueError, match="positional"):
+        cat.sql("CALL sys.compact('named.p', 'v', order_by => 'k')")
+    # trailing positional garbage on any procedure: rejected, not ignored
+    with pytest.raises(ValueError, match="positional"):
+        cat.sql("CALL sys.create_tag('named.p', 'vX', 1, 'garbage')")
 
     # mixed named/positional: remaining positionals bind in parameter order
     cat.sql("CALL sys.create_tag(table => 'named.p', 'v1', 1)").collect()

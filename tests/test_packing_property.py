@@ -84,8 +84,16 @@ def test_canonical_options_idempotent_and_casefolds_keys(pairs):
 
 @given(st.text(alphabet=st.characters(whitelist_categories=("Lu", "Ll", "Nd")), min_size=1, max_size=12))
 def test_canonical_options_preserves_field_aggregate_case(col):
-    """Both structured spellings keep the column name's exact case."""
+    """Every separator spelling of the structured key keeps the column name's
+    exact case; hybrid spellings normalize onto the mangled key."""
     dotted = _canonical_options({f"fields.{col}.aggregate-function": "sum"})
     assert f"fields.{col}.aggregate-function" in dotted
     mangled = _canonical_options({f"fields_{col}_aggregate_function": "sum"})
     assert f"fields_{col}_aggregate_function" in mangled
+    for hybrid in (
+        f"fields.{col}.aggregate_function",
+        f"fields_{col}_aggregate-function",
+        f"fields_{col}.aggregate-function",
+    ):
+        out = _canonical_options({hybrid: "sum"})
+        assert f"fields_{col}_aggregate_function" in out, hybrid

@@ -35,12 +35,8 @@ def _norm(v):
             return "f:nan"
         return f"f:{v!r}"
     if isinstance(v, Decimal):
-        # Deliberately NOT folded into float: the driver's pandas bridge keeps
-        # Spark decimals as Decimal objects but renders DuckDB decimals as
-        # float64, so any raw DECIMAL output column hash-mismatches there even
-        # when values agree (r2 `cast_roundtrip` red). Tagging Decimal
-        # distinctly makes the local check fail loudly on BOTH sides, forcing
-        # every registered query to render decimals as DOUBLE or VARCHAR.
+        # Distinct tag (see _decimal_columns): raw DECIMAL outputs are
+        # driver-incompatible even when both engines agree locally.
         return f"D:{v}"
     if isinstance(v, int):
         return f"i:{v}"
@@ -57,6 +53,23 @@ def _norm(v):
     if isinstance(v, (bytes, bytearray)):
         return "x:" + bytes(v).hex()
     return f"s:{v}"
+
+
+def _decimal_columns(colnames, rows) -> list[str]:
+    """Columns carrying raw Decimal values. These must HARD-FAIL locally even
+    though both collect() and fetchall() return equal Decimal objects here:
+    the driver's pandas bridge keeps Spark decimals as Decimal objects but
+    renders DuckDB decimals as float64, so a raw DECIMAL output column
+    hash-mismatches there even when every value agrees (r2 ``cast_roundtrip``
+    red). Queries must render decimals as DOUBLE or VARCHAR."""
+    bad: set[str] = set()
+    for r in rows:
+        for i, v in enumerate(r):
+            if isinstance(v, Decimal):
+                bad.add(colnames[i])
+        if len(bad) == len(colnames):
+            break
+    return sorted(bad)
 
 
 def digest(colnames, rows):
@@ -108,6 +121,14 @@ def main():
             n_fail += 1
             continue
         problems = []
+        dec_cols = _decimal_columns(scols, [tuple(r) for r in srows]) + _decimal_columns(
+            ocols, orows
+        )
+        if dec_cols:
+            problems.append(
+                f"raw DECIMAL output column(s) {sorted(set(dec_cols))} — "
+                "driver-incompatible (pandas Decimal vs float64); cast to DOUBLE or VARCHAR"
+            )
         if len(srows) != len(orows):
             problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
         if sorted(scols) != sorted(ocols):
