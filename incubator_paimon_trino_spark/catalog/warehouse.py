@@ -982,6 +982,73 @@ class WarehouseCatalog:
         self._gc_manifests(tdir)
         return {"expired_snapshots": len(doomed), "deleted_files": len(dead)}
 
+    def remove_orphan_files(
+        self, db: str, table: str, older_than_ms: int | None = None, dry_run: bool = False
+    ) -> dict:
+        """Delete data files no snapshot references (Paimon's
+        ``CALL sys.remove_orphan_files``): the leftovers of a writer that
+        crashed between finalizing its files into ``data/`` and publishing
+        its snapshot, plus stale ``.staging-*`` attempt directories. Regular
+        commits never need this — conflict losers clean up after themselves —
+        but crash debris would otherwise sit in the directory forever (only
+        the snapshot manifest, not the listing, defines the table; the
+        streaming changelog path globs by commit id, so debris at an already-
+        published id would also be misread there).
+
+        Two safety guards, both required:
+        - files whose ``c<N>-`` commit id exceeds the latest PUBLISHED
+          snapshot are in-flight (a live writer finalizes at latest+1 before
+          publishing) and are never touched, same horizon rule as
+          ``_gc_manifests``;
+        - files modified at/after ``older_than_ms`` (epoch millis; default
+          now − 24 h, Paimon's default) are kept, so a same-id race with a
+          slow publisher can't be swept mid-commit.
+
+        Metadata-only planning: the referenced set comes from every
+        snapshot's manifests (tagged snapshots persist as snapshot files, so
+        tags are covered); data files are deleted, never read.
+        """
+        tdir = self._table_dir(db, table)
+        cutoff = (
+            older_than_ms if older_than_ms is not None else (time.time() - 24 * 3600) * 1000
+        )
+        snaps = self._snapshots(tdir)
+        horizon = snaps[-1].snapshot_id if snaps else 0
+        referenced = {f["path"] for s in snaps for f in s.files}
+        deleted = kept_in_flight = 0
+        for p in glob.glob(os.path.join(tdir, "data", "**", "*.*"), recursive=True):
+            if not os.path.isfile(p):
+                continue
+            rel = os.path.relpath(p, tdir)
+            if rel.replace(os.sep, "/") in referenced:
+                continue
+            m = re.match(r"c(\d+)-", os.path.basename(p))
+            if m is None or int(m.group(1)) > horizon:
+                kept_in_flight += 1
+                continue
+            if os.path.getmtime(p) * 1000 >= cutoff:
+                kept_in_flight += 1
+                continue
+            deleted += 1
+            if not dry_run:
+                os.remove(p)
+        staging_removed = 0
+        for d in glob.glob(os.path.join(tdir, ".staging-*")):
+            try:
+                if os.path.getmtime(d) * 1000 < cutoff:
+                    staging_removed += 1
+                    if not dry_run:
+                        shutil.rmtree(d, ignore_errors=True)
+            except OSError:
+                pass
+        if not dry_run:
+            self._prune_empty_dirs(os.path.join(tdir, "data"))
+        return {
+            "deleted_files": deleted,
+            "deleted_staging_dirs": staging_removed,
+            "skipped_in_flight": kept_in_flight,
+        }
+
     def compact(self, db: str, table: str, order_by: list[str] | None = None) -> int:
         """Rewrite the table's live data into one fresh commit (COMPACT kind).
 
@@ -1712,6 +1779,7 @@ class WarehouseCatalog:
             "rollback": {"table", "version", "snapshot"},
             "create_tag": {"table", "tag", "snapshot"},
             "delete_tag": {"table", "tag"},
+            "remove_orphan_files": {"table", "older_than", "dry_run"},
         }
         if proc in _ALLOWED_NAMED:
             unknown = set(named) - _ALLOWED_NAMED[proc]
@@ -1813,9 +1881,22 @@ class WarehouseCatalog:
             no_leftovers()
             self.delete_tag(db, tbl, tag)
             return ok(result=f"tag {tag} deleted")
+        if proc == "remove_orphan_files":
+            db, tbl = split_name(take("table"))
+            older = take("older_than")
+            no_leftovers()
+            dry = named.get("dry_run", "false").strip().lower() in ("true", "1", "yes")
+            stats = self.remove_orphan_files(
+                db, tbl, older_than_ms=int(older) if older else None, dry_run=dry
+            )
+            return ok(
+                result=f"removed {stats['deleted_files']} orphan files, "
+                f"{stats['deleted_staging_dirs']} staging dirs "
+                f"(skipped {stats['skipped_in_flight']} in-flight)"
+            )
         raise ValueError(
             f"unknown procedure sys.{proc} (have compact, expire_snapshots, "
-            "rollback, create_tag, delete_tag)"
+            "rollback, create_tag, delete_tag, remove_orphan_files)"
         )
 
     _MERGE_RE = re.compile(

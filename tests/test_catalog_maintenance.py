@@ -400,6 +400,60 @@ def test_call_procedures_named_arguments(cat, spark):
     assert cat.read_table("named.p").count() == 3
 
 
+def test_remove_orphan_files(cat, spark):
+    """sys.remove_orphan_files: crash debris (finalized data files no
+    snapshot references, stale staging dirs) is deleted; referenced files
+    and in-flight files above the snapshot horizon survive; the table still
+    reads the same rows afterwards."""
+    import os
+    import shutil
+    import time as _time
+
+    cat.create_database("orphan", ignore_if_exists=True)
+    cat.create_table("orphan", "t", [("k", "int")])
+    for i in range(2):
+        cat.insert_into("orphan", "t", spark.createDataFrame([(i,)], "k int"))
+    tdir = cat._table_dir("orphan", "t")
+    live = cat.scan_plan("orphan.t")
+    assert len(live) >= 2
+
+    # crash debris: a finalized file at an already-published commit id that
+    # no manifest references (writer died between finalize and publish)
+    src = os.path.join(tdir, next(f for f in live if f["record_count"] >= 1)["path"])
+    orphan = os.path.join(os.path.dirname(src), "c1-deadbeef-orphan.parquet")
+    shutil.copyfile(src, orphan)
+    # in-flight: commit id above the horizon (latest snapshot is 2)
+    inflight = os.path.join(os.path.dirname(src), "c3-cafebabe-inflight.parquet")
+    shutil.copyfile(src, inflight)
+    # stale staging dir from a crashed attempt
+    staging = os.path.join(tdir, ".staging-c9-deadbeef")
+    os.makedirs(staging)
+
+    future = int((_time.time() + 60) * 1000)  # everything is "old enough"
+    # dry run reports but deletes nothing
+    out = cat.sql(
+        f"CALL sys.remove_orphan_files(table => 'orphan.t', older_than => {future}, "
+        "dry_run => 'true')"
+    ).collect()
+    assert "removed 1 orphan files" in out[0].result
+    assert os.path.exists(orphan) and os.path.exists(staging)
+
+    out = cat.sql(
+        f"CALL sys.remove_orphan_files(table => 'orphan.t', older_than => {future})"
+    ).collect()
+    assert "removed 1 orphan files, 1 staging dirs" in out[0].result
+    assert not os.path.exists(orphan)
+    assert not os.path.exists(staging)
+    assert os.path.exists(inflight)  # above horizon: never touched
+    assert os.path.exists(src)  # referenced: never touched
+    assert cat.read_table("orphan.t").count() == 2
+
+    # default cutoff (now - 24h): fresh debris is NOT deleted
+    shutil.copyfile(src, orphan)
+    cat.sql("CALL sys.remove_orphan_files(table => 'orphan.t')").collect()
+    assert os.path.exists(orphan)
+
+
 def test_field_aggregate_option_preserves_column_case(cat, spark):
     """The mangled option spelling ``fields_<col>_aggregate_function`` must
     keep the column name's case (the dotted spelling already does): lowering
