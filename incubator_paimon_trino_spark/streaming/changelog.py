@@ -39,12 +39,17 @@ def read_changelog_stream(
     startup_mode: str = "latest-full",
     scan_snapshot_id: int | None = None,
     scan_timestamp_ms: int | None = None,
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Streaming DataFrame over ``db.table``'s commit stream.
 
     PK tables yield changelog rows (``_seq``/``_row_kind`` included);
     append-only tables yield plain rows. New commits are picked up as their
-    files land — at scale, with ``maxFilesPerTrigger`` to bound batch size.
+    files land — at scale, set ``max_files_per_trigger`` to bound batch size
+    (this is also what makes watermark semantics observable: with one giant
+    availableNow batch nothing is ever late; per-commit batches advance the
+    watermark between commits and drop genuinely late rows, see
+    ``tests/test_streaming.py::test_watermark_drops_late_rows``).
 
     ``startup_mode`` implements the reference's ``StartupMode`` DDL enum
     (``TrinoTableOptionUtils.java:94-107`` — stored there, never executed;
@@ -97,15 +102,17 @@ def read_changelog_stream(
             "(have latest-full, latest, from-snapshot, from-timestamp)"
         )
 
-    stream = (
+    reader = (
         cat.spark.readStream.schema(phys)
         .option("pathGlobFilter", "*.parquet")
         # no hive partition discovery — partition columns are rebuilt from
         # the path below; recursive lookup keeps the source from treating
         # partition dirs as data-defining (we re-derive them ourselves)
         .option("recursiveFileLookup", "true")
-        .parquet(os.path.join(tdir, "data"))
     )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(os.path.join(tdir, "data"))
     for pname in schema.partition_keys:
         pf = schema.field_by_name(pname)
         stream = stream.withColumn(pname, partition_column_expr(pname, pf.type))

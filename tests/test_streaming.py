@@ -65,6 +65,74 @@ def test_windowed_counts_with_watermark(spark, event_table):
     assert by[("00:00", 2)] == (1, 5.0)
 
 
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """The actual late-data contract (SURVEY §2.B streaming row): once a
+    window's state has been evicted by the watermark, a later-arriving row
+    for that window is DROPPED from the aggregation (visible as
+    numRowsDroppedByWatermark) — the already-emitted window never changes.
+
+    Timeline (one micro-batch per commit via max_files_per_trigger; the
+    watermark takes effect one batch after the data that advances it):
+    commit 1 seeds window 00:00 and pushes the 10-min watermark to 01:50;
+    commit 2 (on-time row) runs under that watermark and EVICTS the 00:00
+    state at batch end; commit 3's 00:00:40 straggler then hits evicted
+    state and is dropped. Update-mode nuance, pinned deliberately: a late
+    row arriving while its window state is still live (i.e. in commit 2)
+    would still aggregate — Spark only guarantees dropping after eviction,
+    which is why production pipelines size the watermark to the real
+    out-of-orderness bound."""
+    import time as _time
+
+    cat = WarehouseCatalog(str(tmp_path / "whl"), spark)
+    cat.create_database("s")
+    cat.create_table(
+        "s", "late", [("user_id", "bigint"), ("ts", "timestamp"), ("value", "double")]
+    )
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "user_id bigint, ts string, value double"
+    ).selectExpr("user_id", "CAST(ts AS TIMESTAMP) AS ts", "value").coalesce(1)
+    cat.insert_into("s", "late", mk([(1, "2024-01-01 00:00:30", 1.0),
+                                     (1, "2024-01-01 02:00:00", 2.0)]))
+    _time.sleep(1.1)  # distinct mtimes: the file source orders batches by them
+    cat.insert_into("s", "late", mk([(1, "2024-01-01 02:01:00", 8.0)]))
+    _time.sleep(1.1)
+    cat.insert_into("s", "late", mk([(1, "2024-01-01 00:00:40", 4.0)]))  # late
+
+    stream = read_changelog_stream(cat, "s.late", max_files_per_trigger=1)
+    agg = windowed_counts(stream, "ts", "user_id", window="1 minute")
+    q = (
+        agg.writeStream.format("memory").queryName("late_drop")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    dropped = sum(
+        op.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for op in p["stateOperators"]
+    )
+    assert dropped == 1  # the straggler, and only the straggler
+
+    out = spark.sql("SELECT * FROM late_drop").collect()
+    # update-mode sink appends every per-batch update; counts only grow, so
+    # the max per window is its final state
+    final: dict = {}
+    for r in out:
+        k = (r.window_start.strftime("%H:%M"), r.user_id)
+        final[k] = max(final.get(k, (0, 0.0)), (r.n, r.total_value))
+    # window 00:00 still has ONE row and never saw the late value 4.0
+    assert final[("00:00", 1)] == (1, 1.0)
+    assert final[("02:00", 1)] == (1, 2.0)
+    assert final[("02:01", 1)] == (1, 8.0)
+
+    # control: the same data in ONE availableNow batch counts the straggler
+    # (nothing is late when the watermark never advances mid-stream)
+    agg2 = windowed_counts(read_changelog_stream(cat, "s.late"), "ts", "user_id",
+                           window="1 minute")
+    out2 = run_to_completion(agg2, "late_one_batch").collect()
+    by2 = {(r.window_start.strftime("%H:%M"), r.user_id): (r.n, r.total_value) for r in out2}
+    assert by2[("00:00", 1)] == (2, 5.0)
+
+
 def test_session_windows(spark, event_table):
     cat, name = event_table
     agg = sessionized_counts(read_changelog_stream(cat, name), "ts", "user_id", gap="30 minutes")
