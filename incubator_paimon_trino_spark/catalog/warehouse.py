@@ -1652,8 +1652,16 @@ class WarehouseCatalog:
             r"^\s*ALTER\s+TABLE\s+(?P<db>[A-Za-z_]\w*)\.(?P<tbl>[A-Za-z_]\w*)\s+DROP\s+COLUMN\s+(?P<col>[A-Za-z_]\w*)\s*$", re.I),
         "set_props": re.compile(
             r"^\s*ALTER\s+TABLE\s+(?P<db>[A-Za-z_]\w*)\.(?P<tbl>[A-Za-z_]\w*)\s+SET\s+PROPERTIES\s+(?P<props>.+)$", re.I | re.S),
-        "show_schemas": re.compile(r"^\s*SHOW\s+(SCHEMAS|DATABASES)\s*$", re.I),
-        "show_tables": re.compile(r"^\s*SHOW\s+TABLES\s+(FROM|IN)\s+(?P<db>[A-Za-z_]\w*)\s*$", re.I),
+        "show_schemas": re.compile(
+            r"^\s*SHOW\s+(SCHEMAS|DATABASES)"
+            r"(?:\s+LIKE\s+'(?P<like>[^']*)'(?:\s+ESCAPE\s+'(?P<esc>.)')?)?\s*$",
+            re.I,
+        ),
+        "show_tables": re.compile(
+            r"^\s*SHOW\s+TABLES\s+(FROM|IN)\s+(?P<db>[A-Za-z_]\w*)"
+            r"(?:\s+LIKE\s+'(?P<like>[^']*)'(?:\s+ESCAPE\s+'(?P<esc>.)')?)?\s*$",
+            re.I,
+        ),
         "show_columns": re.compile(
             r"^\s*(SHOW\s+COLUMNS\s+(FROM|IN)|DESC(?:RIBE)?(?:\s+TABLE)?)"
             r"\s+(?P<db>[A-Za-z_]\w*)\.(?P<tbl>[A-Za-z_]\w*)\s*$", re.I),
@@ -1715,11 +1723,23 @@ class WarehouseCatalog:
         if m := R["set_props"].match(query):
             self.set_options(m.group("db"), m.group("tbl"), self._parse_props(m.group("props")))
             return ok()
-        if R["show_schemas"].match(query):
-            return self.spark.createDataFrame([(d,) for d in self.list_databases()], "schema string")
+        if m := R["show_schemas"].match(query):
+            dbs = self.list_databases()
+            if m.group("like") is not None:
+                rx = _sql_like_to_regex(m.group("like"), m.group("esc"))
+                dbs = [d for d in dbs if rx.fullmatch(d)]
+            return self.spark.createDataFrame([(d,) for d in dbs], "schema string")
         if m := R["show_tables"].match(query):
+            tables = self.list_tables(m.group("db"))
+            if m.group("like") is not None:
+                # SQL LIKE over table names, with ESCAPE (the Trino surface:
+                # ``testShowTablesLikeWithEscape``,
+                # common-test/TestTrinoDistributedQuery.java:841): % and _
+                # are wildcards unless preceded by the escape character.
+                rx = _sql_like_to_regex(m.group("like"), m.group("esc"))
+                tables = [t for t in tables if rx.fullmatch(t)]
             return self.spark.createDataFrame(
-                [(t,) for t in self.list_tables(m.group("db"))], "table string")
+                [(t,) for t in tables], "table string")
         if m := R["show_columns"].match(query):
             return self.spark.createDataFrame(
                 self.describe(m.group("db"), m.group("tbl")), "column string, type string")
@@ -2211,6 +2231,31 @@ _ENUM_OPTIONS: dict[str, tuple[str, ...]] = {
     # CoreOptions.StreamingReadMode
     "streaming_read_mode": ("log", "file"),
 }
+
+
+def _sql_like_to_regex(pattern: str, escape: str | None) -> re.Pattern:
+    """Compile a SQL LIKE pattern (``%``/``_`` wildcards, optional ESCAPE
+    character) to an anchored regex. An escaped wildcard is a literal; an
+    escaped escape character is a literal escape character; a trailing
+    escape with nothing to escape is an error (SQL semantics)."""
+    out: list[str] = []
+    i = 0
+    while i < len(pattern):
+        ch = pattern[i]
+        if escape and ch == escape:
+            if i + 1 >= len(pattern):
+                raise ValueError(f"LIKE pattern ends with escape character: {pattern!r}")
+            out.append(re.escape(pattern[i + 1]))
+            i += 2
+            continue
+        if ch == "%":
+            out.append(".*")
+        elif ch == "_":
+            out.append(".")
+        else:
+            out.append(re.escape(ch))
+        i += 1
+    return re.compile("".join(out))
 
 
 def _canonical_options(options: dict[str, str] | None) -> dict[str, str]:

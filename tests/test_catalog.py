@@ -399,6 +399,34 @@ def test_sql_ddl(cat, spark):
     assert "sales" not in [r.schema for r in cat.sql("SHOW SCHEMAS").collect()]
 
 
+def test_show_tables_like_with_escape(cat, spark):
+    """SHOW TABLES ... LIKE with % / _ wildcards and ESCAPE — the Trino
+    surface (testShowTablesLikeWithEscape,
+    common-test/TestTrinoDistributedQuery.java:841). The escaped underscore
+    must match a LITERAL underscore, not any character."""
+    import pytest
+
+    cat.sql("CREATE SCHEMA liketest")
+    for t in ("ab_c", "abxc", "abc", "other"):
+        cat.sql(f"CREATE TABLE liketest.{t} (k INT)")
+
+    def names(q):
+        return sorted(r.table for r in cat.sql(q).collect())
+
+    assert names("SHOW TABLES FROM liketest LIKE 'ab%'") == ["ab_c", "abc", "abxc"]
+    # unescaped _ is a single-char wildcard
+    assert names("SHOW TABLES FROM liketest LIKE 'ab_c'") == ["ab_c", "abxc"]
+    # escaped _ is a literal underscore
+    assert names("SHOW TABLES FROM liketest LIKE 'ab\\_c' ESCAPE '\\'") == ["ab_c"]
+    assert names("SHOW TABLES FROM liketest LIKE '%'") == ["ab_c", "abc", "abxc", "other"]
+    assert names("SHOW TABLES FROM liketest LIKE 'zzz%'") == []
+    with pytest.raises(ValueError, match="escape"):
+        cat.sql("SHOW TABLES FROM liketest LIKE 'abc\\' ESCAPE '\\'")
+    # schemas get the same pattern surface
+    assert [r.schema for r in cat.sql("SHOW SCHEMAS LIKE 'like%'").collect()] == ["liketest"]
+    assert cat.sql("SHOW SCHEMAS LIKE 'nope%'").count() == 0
+
+
 def test_f4_complex_types(cat, spark):
     """F4 t4: map/struct/array columns through a PK lake table; SELECT *
     golden [[1, {1=2}, [2, male], [1, 2, 3]]] (TestTrinoITCase.java:258-261)."""
