@@ -68,7 +68,11 @@ from incubator_paimon_trino_spark.catalog.scan import (
     partition_values,
     prune_files,
 )
-from incubator_paimon_trino_spark.functions.types import char_length
+from incubator_paimon_trino_spark.functions.types import (
+    char_length,
+    paimon_to_spark,
+    spark_to_paimon,
+)
 
 _SYSTEM_SUFFIXES = (
     "snapshots",
@@ -1619,7 +1623,9 @@ class WarehouseCatalog:
     )
 
     _INSERT_RE = re.compile(
-        r"^\s*INSERT\s+(INTO|OVERWRITE)\s+(?P<db>[A-Za-z_]\w*)\.(?P<tbl>[A-Za-z_]\w*)\s+(?P<rest>.+)$",
+        r"^\s*INSERT\s+(INTO|OVERWRITE)\s+(?P<db>[A-Za-z_]\w*)\.(?P<tbl>[A-Za-z_]\w*)"
+        r"(?:\s*\((?P<cols>\s*[A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*\s*)\))?"
+        r"\s+(?P<rest>.+)$",
         re.IGNORECASE | re.DOTALL,
     )
     _DELETE_RE = re.compile(
@@ -1641,6 +1647,9 @@ class WarehouseCatalog:
         "create_table": re.compile(
             r"^\s*CREATE\s+TABLE\s+(?P<db>[A-Za-z_]\w*)\.(?P<tbl>[A-Za-z_]\w*)\s*"
             r"\((?P<cols>.+?)\)\s*(WITH\s*\((?P<props>.+)\))?\s*$", re.I | re.S),
+        "ctas": re.compile(
+            r"^\s*CREATE\s+TABLE\s+(?P<db>[A-Za-z_]\w*)\.(?P<tbl>[A-Za-z_]\w*)\s*"
+            r"(?:WITH\s*\((?P<props>.+?)\)\s*)?AS\s+(?P<select>.+)$", re.I | re.S),
         "drop_table": re.compile(r"^\s*DROP\s+TABLE\s+(?P<db>[A-Za-z_]\w*)\.(?P<tbl>[A-Za-z_]\w*)\s*$", re.I),
         "rename_table": re.compile(
             r"^\s*ALTER\s+TABLE\s+(?P<db>[A-Za-z_]\w*)\.(?P<tbl>[A-Za-z_]\w*)\s+RENAME\s+TO\s+(?P<new>[A-Za-z_]\w*)\s*$", re.I),
@@ -1704,6 +1713,22 @@ class WarehouseCatalog:
                 parts = [x.strip() for x in options.pop("partitioned_by").split(",")]
             self.create_table(m.group("db"), m.group("tbl"), cols,
                               primary_key=pk, partitioned_by=parts, options=options)
+            return ok()
+        if m := R["ctas"].match(query):
+            # CTAS — beyond the read-only reference (its engine-level
+            # testCreateTableAsSelect is skipped), but the natural write-side
+            # completion of the DDL surface: column types come from the
+            # SELECT's Spark schema via the A20 type mapping.
+            df = self.sql(m.group("select"))
+            options = self._parse_props(m.group("props") or "")
+            pk = [x.strip() for x in options.pop("primary_key").split(",")] \
+                if "primary_key" in options else []
+            parts = [x.strip() for x in options.pop("partitioned_by").split(",")] \
+                if "partitioned_by" in options else []
+            cols = [(f.name, spark_to_paimon(f.dataType)) for f in df.schema.fields]
+            self.create_table(m.group("db"), m.group("tbl"), cols,
+                              primary_key=pk, partitioned_by=parts, options=options)
+            self.insert_into(m.group("db"), m.group("tbl"), df)
             return ok()
         if m := R["drop_table"].match(query):
             self.drop_table(m.group("db"), m.group("tbl"))
@@ -1968,9 +1993,44 @@ class WarehouseCatalog:
         m = self._INSERT_RE.match(query)
         if m:
             df = self.sql(m.group("rest"))
+            db, tbl = m.group("db"), m.group("tbl")
+            schema = self._latest_schema(self._table_dir(db, tbl))
+            expected = [(f.name, f.type) for f in schema.fields]
+            names = [n for n, _ in expected]
+            listed = [c.strip() for c in (m.group("cols") or "").split(",") if c.strip()]
+            if listed:
+                # explicit column list: bind the SELECT/VALUES positionally to
+                # the listed columns, fill the rest with typed NULLs
+                unknown = [c for c in listed if c not in names]
+                if unknown:
+                    raise ValueError(f"INSERT column(s) {unknown} not in {names}")
+                if len(listed) != len(df.columns):
+                    raise ValueError(
+                        f"INSERT lists {len(listed)} column(s) but the query "
+                        f"produces {len(df.columns)}"
+                    )
+                df = df.toDF(*listed)
+                for n, tp in expected:
+                    if n not in listed:
+                        df = df.withColumn(n, F.lit(None).cast(paimon_to_spark(tp)))
+            elif set(df.columns) - {KIND_COL} != set(names):
+                # no column list and names don't line up (e.g. a VALUES tuple
+                # with synthetic col1/col2 names): SQL INSERT is positional
+                if len(df.columns) != len(names):
+                    raise ValueError(
+                        f"INSERT arity mismatch: table has {len(names)} "
+                        f"column(s), query produces {len(df.columns)}"
+                    )
+                df = df.toDF(*names)
+            # coerce to the declared types (SQL assignment casts; a VALUES
+            # integer literal lands in a BIGINT column, etc.); an explicit
+            # _row_kind changelog column rides along untouched
+            df = df.select(
+                *[F.col(n).cast(paimon_to_spark(t)).alias(n) for n, t in expected],
+                *([KIND_COL] if KIND_COL in df.columns else []),
+            )
             return self.insert_into(
-                m.group("db"), m.group("tbl"), df,
-                overwrite=m.group(1).upper() == "OVERWRITE",
+                db, tbl, df, overwrite=m.group(1).upper() == "OVERWRITE"
             )
         m = self._MERGE_RE.match(query)
         if m:

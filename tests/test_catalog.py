@@ -399,6 +399,53 @@ def test_sql_ddl(cat, spark):
     assert "sales" not in [r.schema for r in cat.sql("SHOW SCHEMAS").collect()]
 
 
+def test_insert_values_and_column_list(cat, spark):
+    """SQL INSERT is positional: a VALUES tuple (synthetic col names) binds
+    to the table's declared column order with assignment casts; an explicit
+    column list binds positionally to the listed columns and NULL-fills the
+    rest; name-matched SELECTs keep their name-based binding."""
+    import pytest
+
+    cat.sql("CREATE SCHEMA ins")
+    cat.sql("CREATE TABLE ins.t (k BIGINT, v STRING, n DOUBLE)")
+    cat.sql("INSERT INTO ins.t VALUES (1, 'a', 1.5)")  # int literal → BIGINT
+    cat.sql("INSERT INTO ins.t (v, k) VALUES ('b', 2)")  # n NULL-filled
+    cat.sql("INSERT INTO ins.t SELECT 9.0 AS n, CAST(3 AS BIGINT) AS k, 'c' AS v")
+    got = {r.k: (r.v, r.n) for r in cat.sql("SELECT * FROM ins.t").collect()}
+    assert got == {1: ("a", 1.5), 2: ("b", None), 3: ("c", 9.0)}
+
+    with pytest.raises(ValueError, match="arity"):
+        cat.sql("INSERT INTO ins.t VALUES (1, 'x')")
+    with pytest.raises(ValueError, match="nope"):
+        cat.sql("INSERT INTO ins.t (nope) VALUES (1)")
+
+
+def test_create_table_as_select(cat, spark):
+    """CTAS: schema derived from the SELECT via the A20 type mapping; WITH
+    properties (primary_key included) apply to the created table."""
+    cat.sql("CREATE SCHEMA ctas")
+    cat.sql("CREATE TABLE ctas.src (k BIGINT, v STRING)")
+    cat.sql("INSERT INTO ctas.src VALUES (1, 'a'), (2, 'b'), (2, 'b2')")
+
+    cat.sql(
+        "CREATE TABLE ctas.dst WITH (primary_key = 'k') AS "
+        "SELECT k, UPPER(v) AS vu FROM ctas.src"
+    )
+    sch = cat.schema_of("ctas", "dst")
+    assert sch.primary_key == ["k"]
+    assert [(f.name, f.type.upper()) for f in sch.fields] == [
+        ("k", "BIGINT"), ("vu", "STRING")
+    ]
+    # PK merge applied: one survivor per key (which duplicate of key 2 wins
+    # within a single commit is writer-defined, like Paimon)
+    got = {r.k: r.vu for r in cat.sql("SELECT * FROM ctas.dst").collect()}
+    assert got[1] == "A" and got[2] in ("B", "B2") and len(got) == 2
+
+    # plain CTAS without properties
+    cat.sql("CREATE TABLE ctas.flat AS SELECT COUNT(*) AS n FROM ctas.src")
+    assert cat.sql("SELECT * FROM ctas.flat").collect()[0].n == 3
+
+
 def test_show_tables_like_with_escape(cat, spark):
     """SHOW TABLES ... LIKE with % / _ wildcards and ESCAPE — the Trino
     surface (testShowTablesLikeWithEscape,
