@@ -1629,8 +1629,13 @@ class WarehouseCatalog:
         re.IGNORECASE | re.DOTALL,
     )
     _DELETE_RE = re.compile(
-        r"^\s*DELETE\s+FROM\s+(?P<db>[A-Za-z_]\w*)\.(?P<tbl>[A-Za-z_]\w*)\s+WHERE\s+(?P<where>.+)$",
+        r"^\s*DELETE\s+FROM\s+(?P<db>[A-Za-z_]\w*)\.(?P<tbl>[A-Za-z_]\w*)"
+        r"(?:\s+WHERE\s+(?P<where>.+))?\s*$",
         re.IGNORECASE | re.DOTALL,
+    )
+    _TRUNCATE_RE = re.compile(
+        r"^\s*TRUNCATE\s+TABLE\s+(?P<db>[A-Za-z_]\w*)\.(?P<tbl>[A-Za-z_]\w*)\s*$",
+        re.IGNORECASE,
     )
     _UPDATE_RE = re.compile(
         r"^\s*UPDATE\s+(?P<db>[A-Za-z_]\w*)\.(?P<tbl>[A-Za-z_]\w*)\s+SET\s+(?P<sets>.+?)\s+WHERE\s+(?P<where>.+)$",
@@ -2037,7 +2042,24 @@ class WarehouseCatalog:
             return self._sql_merge(m)
         m = self._DELETE_RE.match(query)
         if m:
-            return self.delete_where(m.group("db"), m.group("tbl"), F.expr(m.group("where")))
+            cond = F.expr(m.group("where")) if m.group("where") else F.lit(True)
+            return self.delete_where(m.group("db"), m.group("tbl"), cond)
+        m = self._TRUNCATE_RE.match(query)
+        if m:
+            # TRUNCATE = an overwrite commit with zero rows: works on both
+            # PK and append-only tables (DELETE is PK-only), and history
+            # stays time-travelable — the pre-truncate snapshots keep their
+            # file lists until expiration.
+            from pyspark.sql import types as _T
+
+            schema = self._latest_schema(self._table_dir(m.group("db"), m.group("tbl")))
+            empty = self.spark.createDataFrame(
+                [],
+                _T.StructType(
+                    [_T.StructField(f.name, paimon_to_spark(f.type)) for f in schema.fields]
+                ),
+            )
+            return self.insert_into(m.group("db"), m.group("tbl"), empty, overwrite=True)
         m = self._UPDATE_RE.match(query)
         if m:
             assignments = {}

@@ -420,6 +420,26 @@ def test_insert_values_and_column_list(cat, spark):
         cat.sql("INSERT INTO ins.t (nope) VALUES (1)")
 
 
+def test_truncate_and_full_table_delete(cat, spark):
+    """TRUNCATE TABLE empties both table kinds via an overwrite commit
+    (history stays time-travelable); DELETE without WHERE clears a PK table
+    through -D changelog rows."""
+    cat.sql("CREATE SCHEMA trunc")
+    cat.sql("CREATE TABLE trunc.app (k BIGINT, v STRING)")
+    cat.sql("INSERT INTO trunc.app VALUES (1, 'a'), (2, 'b')")
+    cat.sql("TRUNCATE TABLE trunc.app")
+    assert cat.sql("SELECT * FROM trunc.app").count() == 0
+    # pre-truncate snapshot still time-travelable
+    assert cat.sql("SELECT * FROM trunc.app FOR VERSION AS OF 1").count() == 2
+
+    cat.sql("CREATE TABLE trunc.pk (k BIGINT, v STRING) WITH (primary_key = 'k')")
+    cat.sql("INSERT INTO trunc.pk VALUES (1, 'a'), (2, 'b')")
+    cat.sql("DELETE FROM trunc.pk")
+    assert cat.sql("SELECT * FROM trunc.pk").count() == 0
+    cat.sql("TRUNCATE TABLE trunc.pk")
+    assert cat.sql("SELECT * FROM trunc.pk").count() == 0
+
+
 def test_create_table_as_select(cat, spark):
     """CTAS: schema derived from the SELECT via the A20 type mapping; WITH
     properties (primary_key included) apply to the created table."""
