@@ -1018,7 +1018,10 @@ class WarehouseCatalog:
         )
         snaps = self._snapshots(tdir)
         horizon = snaps[-1].snapshot_id if snaps else 0
-        referenced = {f["path"] for s in snaps for f in s.files}
+        # manifests store relpath-native separators; normalize to "/" so the
+        # membership test below matches on Windows too (else every referenced
+        # file misses the set and becomes deletable — GC data loss)
+        referenced = {f["path"].replace("\\", "/") for s in snaps for f in s.files}
         deleted = kept_in_flight = 0
         for p in glob.glob(os.path.join(tdir, "data", "**", "*.*"), recursive=True):
             if not os.path.isfile(p):
@@ -1038,6 +1041,14 @@ class WarehouseCatalog:
                 os.remove(p)
         staging_removed = 0
         for d in glob.glob(os.path.join(tdir, ".staging-*")):
+            # same in-flight horizon rule as the data-file path: a staging dir
+            # whose commit id is beyond the latest published snapshot belongs
+            # to a live writer — mtime alone must not make it deletable (the
+            # caller may pass older_than at/after "now")
+            sm = re.match(r"\.staging-c(\d+)-", os.path.basename(d))
+            if sm is None or int(sm.group(1)) > horizon:
+                kept_in_flight += 1
+                continue
             try:
                 if os.path.getmtime(d) * 1000 < cutoff:
                     staging_removed += 1
@@ -1733,7 +1744,16 @@ class WarehouseCatalog:
             cols = [(f.name, spark_to_paimon(f.dataType)) for f in df.schema.fields]
             self.create_table(m.group("db"), m.group("tbl"), cols,
                               primary_key=pk, partitioned_by=parts, options=options)
-            self.insert_into(m.group("db"), m.group("tbl"), df)
+            try:
+                self.insert_into(m.group("db"), m.group("tbl"), df)
+            except BaseException:
+                # atomic CTAS: a failed load must not leave a created-but-
+                # empty table behind
+                try:
+                    self.drop_table(m.group("db"), m.group("tbl"))
+                except Exception:
+                    pass
+                raise
             return ok()
         if m := R["drop_table"].match(query):
             self.drop_table(m.group("db"), m.group("tbl"))
@@ -1897,6 +1917,13 @@ class WarehouseCatalog:
                 _cursor[0] = len(pos)
             if strategy == "none" and order_by:
                 raise ValueError("sys.compact: order_by given but order_strategy => 'none'")
+            if "order_strategy" in named and strategy == "order" and not order_by:
+                # the caller explicitly asked for sort-compaction; silently
+                # compacting unsorted would not be what they requested
+                raise ValueError(
+                    "sys.compact: order_strategy => 'order' requires order_by "
+                    "(sort columns); omit order_strategy for plain compaction"
+                )
             v = self.compact(db, tbl, order_by=order_by)
             return ok(result=f"compacted to snapshot {v}")
         if proc == "expire_snapshots":
@@ -2003,30 +2030,38 @@ class WarehouseCatalog:
             expected = [(f.name, f.type) for f in schema.fields]
             names = [n for n, _ in expected]
             listed = [c.strip() for c in (m.group("cols") or "").split(",") if c.strip()]
+            # the arity/rebind logic below sees only data columns: a rider
+            # _row_kind changelog column from the source query is not part of
+            # the positional binding and must not trip the arity check
+            data_cols = [c for c in df.columns if c != KIND_COL]
+            if KIND_COL in df.columns:
+                # move the rider last so the positional toDF rebinds below
+                # map data columns 1:1 regardless of where it appeared
+                df = df.select(*data_cols, KIND_COL)
             if listed:
                 # explicit column list: bind the SELECT/VALUES positionally to
                 # the listed columns, fill the rest with typed NULLs
                 unknown = [c for c in listed if c not in names]
                 if unknown:
                     raise ValueError(f"INSERT column(s) {unknown} not in {names}")
-                if len(listed) != len(df.columns):
+                if len(listed) != len(data_cols):
                     raise ValueError(
                         f"INSERT lists {len(listed)} column(s) but the query "
-                        f"produces {len(df.columns)}"
+                        f"produces {len(data_cols)}"
                     )
-                df = df.toDF(*listed)
+                df = df.toDF(*listed, *([KIND_COL] if KIND_COL in df.columns else []))
                 for n, tp in expected:
                     if n not in listed:
                         df = df.withColumn(n, F.lit(None).cast(paimon_to_spark(tp)))
-            elif set(df.columns) - {KIND_COL} != set(names):
+            elif set(data_cols) != set(names):
                 # no column list and names don't line up (e.g. a VALUES tuple
                 # with synthetic col1/col2 names): SQL INSERT is positional
-                if len(df.columns) != len(names):
+                if len(data_cols) != len(names):
                     raise ValueError(
                         f"INSERT arity mismatch: table has {len(names)} "
-                        f"column(s), query produces {len(df.columns)}"
+                        f"column(s), query produces {len(data_cols)}"
                     )
-                df = df.toDF(*names)
+                df = df.toDF(*names, *([KIND_COL] if KIND_COL in df.columns else []))
             # coerce to the declared types (SQL assignment casts; a VALUES
             # integer literal lands in a BIGINT column, etc.); an explicit
             # _row_kind changelog column rides along untouched

@@ -824,9 +824,9 @@ def scalar_bitwise_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     "nested_array_set_ops",
     oracle="""
     SELECT o_orderkey,
-           list_sort(list_distinct(list_filter(a, x -> list_contains(b, x)))) AS a_intersect_b,
-           list_sort(list_distinct(list_filter(a, x -> NOT list_contains(b, x)))) AS a_except_b,
-           list_sort(list_distinct(a || b)) AS a_union_b,
+           COALESCE(array_to_string(list_sort(list_distinct(list_filter(a, x -> list_contains(b, x)))), ','), '') AS a_intersect_b,
+           COALESCE(array_to_string(list_sort(list_distinct(list_filter(a, x -> NOT list_contains(b, x)))), ','), '') AS a_except_b,
+           COALESCE(array_to_string(list_sort(list_distinct(a || b)), ','), '') AS a_union_b,
            list_contains(a, CAST(o_orderkey % 7 AS BIGINT)) AS has_mod7
     FROM (
       SELECT o_orderkey,
@@ -839,16 +839,21 @@ def scalar_bitwise_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 def nested_array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array set algebra (Trino array_intersect/array_except/array_union/
     contains): outputs sorted+deduped so both engines agree on one
-    canonical form regardless of their native element ordering."""
+    canonical form regardless of their native element ordering, then
+    ``array_join``-ed to a string on BOTH sides — the driver's pandas
+    canonicalizer cannot hash list-typed cells (r3
+    ``multimodal_feature_extract`` red), so array-valued results must leave
+    the query rendered flat."""
     o = table(spark, sf_dir, "orders")
     k = F.col("o_orderkey")
     a = F.array(k % 5, k % 7, k % 5)
     b = F.array(k % 7, k % 3)
+    as_str = lambda arr: F.array_join(arr.cast("array<string>"), ",")  # noqa: E731
     return o.select(
         "o_orderkey",
-        F.array_sort(F.array_intersect(a, b)).alias("a_intersect_b"),
-        F.array_sort(F.array_except(a, b)).alias("a_except_b"),
-        F.array_sort(F.array_union(a, b)).alias("a_union_b"),
+        as_str(F.array_sort(F.array_intersect(a, b))).alias("a_intersect_b"),
+        as_str(F.array_sort(F.array_except(a, b))).alias("a_except_b"),
+        as_str(F.array_sort(F.array_union(a, b))).alias("a_union_b"),
         F.array_contains(a, k % 7).alias("has_mod7"),
     )
 

@@ -425,9 +425,14 @@ def test_remove_orphan_files(cat, spark):
     # in-flight: commit id above the horizon (latest snapshot is 2)
     inflight = os.path.join(os.path.dirname(src), "c3-cafebabe-inflight.parquet")
     shutil.copyfile(src, inflight)
-    # stale staging dir from a crashed attempt
-    staging = os.path.join(tdir, ".staging-c9-deadbeef")
+    # stale staging dir from a crashed attempt at an already-published id
+    staging = os.path.join(tdir, ".staging-c1-deadbeef")
     os.makedirs(staging)
+    # a staging dir ABOVE the horizon belongs to a live writer (writers
+    # finalize at latest+1 before publishing): mtime alone must never make
+    # it deletable, same in-flight rule as data files
+    staging_live = os.path.join(tdir, ".staging-c9-cafebabe")
+    os.makedirs(staging_live)
 
     future = int((_time.time() + 60) * 1000)  # everything is "old enough"
     # dry run reports but deletes nothing
@@ -445,6 +450,8 @@ def test_remove_orphan_files(cat, spark):
     assert not os.path.exists(orphan)
     assert not os.path.exists(staging)
     assert os.path.exists(inflight)  # above horizon: never touched
+    assert os.path.exists(staging_live)  # staging above horizon: never touched
+    os.rmdir(staging_live)
     assert os.path.exists(src)  # referenced: never touched
     assert cat.read_table("orphan.t").count() == 2
 
@@ -637,3 +644,45 @@ def test_sort_compaction_narrows_file_ranges(cat, spark):
     assert len(ranges) == 3
     for (lo1, hi1), (lo2, _) in zip(ranges, ranges[1:]):
         assert hi1 < lo2, f"file ranges overlap after sort compaction: {ranges}"
+
+
+def test_review_fixes_round3(cat, spark, monkeypatch):
+    """Third review pass (ADVICE r3): manifest paths normalized for the
+    orphan-file GC membership test; sort-compaction demanded without sort
+    columns is rejected; CTAS failure leaves no empty table behind; a
+    rider _row_kind column doesn't trip positional-INSERT arity."""
+    import pytest
+
+    # 1. sys.compact: explicit order_strategy => 'order' with no order_by
+    # must raise, not silently compact unsorted
+    cat.create_table("m", "r3c", [("k", "int")])
+    cat.insert_into("m", "r3c", spark.createDataFrame([(1,)], "k int"))
+    with pytest.raises(ValueError, match="order_by"):
+        cat.sql("CALL sys.compact(table => 'm.r3c', order_strategy => 'order')")
+    # plain compaction without the explicit strategy still works
+    assert "compacted" in str(cat.sql("CALL sys.compact(table => 'm.r3c')").collect()[0])
+
+    # 2. atomic CTAS: if the load fails, the created table must not survive
+    def boom(*a, **kw):
+        raise RuntimeError("simulated write failure")
+
+    monkeypatch.setattr(cat, "insert_into", boom)
+    with pytest.raises(RuntimeError, match="simulated"):
+        cat.sql("CREATE TABLE m.ctas_fail AS SELECT 1 AS x")
+    monkeypatch.undo()
+    assert "ctas_fail" not in cat.list_tables("m")
+
+    # 3. positional INSERT with a rider _row_kind column: arity compares
+    # data columns only, and the rider still rides (PK table: a 'D' row
+    # deletes its key)
+    cat.create_table("m", "r3t", [("k", "bigint"), ("v", "string")], primary_key=["k"])
+    cat.insert_into(
+        "m", "r3t", spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, v string")
+    )
+    spark.createDataFrame(
+        [("D", 2, "b"), ("I", 3, "c")],  # rider first — position-independent
+        "_row_kind string, a bigint, b string",
+    ).createOrReplaceTempView("r3_changes")
+    cat.sql("INSERT INTO m.r3t SELECT a, b, _row_kind FROM r3_changes")
+    got = sorted(tuple(r) for r in cat.read_table("m.r3t").collect())
+    assert got == [(1, "a"), (3, "c")]

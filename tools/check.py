@@ -72,6 +72,31 @@ def _decimal_columns(colnames, rows) -> list[str]:
     return sorted(bad)
 
 
+def _container_columns(colnames, rows) -> list[str]:
+    """Columns carrying list/tuple/dict/Row values. The driver's pandas-based
+    canonicalizer sorts output columns before hashing, and pandas
+    ``sort_values``/``factorize`` on an object column of Python lists throws
+    ``TypeError: unhashable type: 'list'`` — so ANY array/map/struct-typed
+    output column crashes the driver harness before it even counts rows,
+    including on rows-only (no-oracle) queries (r3 ``multimodal_feature_
+    extract`` red). Queries must flatten containers: scalar columns per
+    element, ``array_join``, ``to_json``, or CAST AS VARCHAR — on BOTH
+    sides."""
+    try:
+        from pyspark.sql import Row  # noqa: PLC0415
+        container_types: tuple = (list, tuple, dict, Row)
+    except ImportError:  # pragma: no cover
+        container_types = (list, tuple, dict)
+    bad: set[str] = set()
+    for r in rows:
+        for i, v in enumerate(r):
+            if isinstance(v, container_types):
+                bad.add(colnames[i])
+        if len(bad) == len(colnames):
+            break
+    return sorted(bad)
+
+
 def digest(colnames, rows):
     order = sorted(range(len(colnames)), key=lambda i: colnames[i])
     lines = sorted("|".join(_norm(r[i]) for i in order) for r in rows)
@@ -109,6 +134,18 @@ def main():
             n_fail += 1
             continue
         if name not in oracles:
+            # rows-only queries still flow through the driver's pandas
+            # canonicalizer — decimal/container outputs crash it there too
+            bad = _decimal_columns(scols, [tuple(r) for r in srows]) + _container_columns(
+                scols, [tuple(r) for r in srows]
+            )
+            if bad:
+                print(
+                    f"FAIL  {name}: rows-only query has driver-incompatible "
+                    f"DECIMAL/array/map/struct output column(s) {sorted(set(bad))}"
+                )
+                n_fail += 1
+                continue
             print(f"NOORC {name}: rows={len(srows)} ({time.time()-t0:.1f}s)")
             n_noracle += 1
             continue
@@ -128,6 +165,15 @@ def main():
             problems.append(
                 f"raw DECIMAL output column(s) {sorted(set(dec_cols))} — "
                 "driver-incompatible (pandas Decimal vs float64); cast to DOUBLE or VARCHAR"
+            )
+        cont_cols = _container_columns(scols, [tuple(r) for r in srows]) + _container_columns(
+            ocols, orows
+        )
+        if cont_cols:
+            problems.append(
+                f"array/map/struct output column(s) {sorted(set(cont_cols))} — "
+                "driver canonicalizer crashes on unhashable cells; flatten to "
+                "scalar columns, array_join, or CAST AS VARCHAR on both sides"
             )
         if len(srows) != len(orows):
             problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
