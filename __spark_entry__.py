@@ -110,6 +110,9 @@ _DEFER_NEW = {
     "pack_sequence_stats",
     "train_shuffle_shard",
     "dedup_incremental_new_batch",
+    "lake_dml_roundtrip",  # new r4 — write-facade DML under the hash gate
+    "mix_domain_weights",  # new r4 — domain-mix resampling
+    "text_unigram_logprob",  # new r4 — unigram LM quality scoring
 }
 
 
@@ -129,6 +132,7 @@ def _ordered_names() -> list[str]:
         for n in QUERIES
         if n not in verified
         and n not in red
+        and n not in _DEFER_NEW  # deferred additions never jump via a prefix
         and (n.startswith(_PRIORITY_PREFIXES) or n in _PRIORITY_NAMES)
     ]
     order.extend(pri)

@@ -42,13 +42,17 @@ class Field:
     name: str
     type: str  # Spark simpleString, e.g. 'bigint', 'array<double>'
     nullable: bool = True
+    comment: str | None = None  # surfaced via information_schema.columns
 
     def to_json(self) -> dict:
-        return {"id": self.id, "name": self.name, "type": self.type, "nullable": self.nullable}
+        out = {"id": self.id, "name": self.name, "type": self.type, "nullable": self.nullable}
+        if self.comment is not None:
+            out["comment"] = self.comment
+        return out
 
     @staticmethod
     def from_json(d: dict) -> "Field":
-        return Field(d["id"], d["name"], d["type"], d.get("nullable", True))
+        return Field(d["id"], d["name"], d["type"], d.get("nullable", True), d.get("comment"))
 
 
 @dataclass

@@ -168,9 +168,13 @@ class WarehouseCatalog:
     ) -> None:
         """CREATE TABLE with PK / partition keys / Paimon-style options.
 
-        ``columns`` is [(name, spark_type_ddl)]. Option keys use the
-        reference's underscore mangling (``file_format``, ``bucket_key``,
-        ``changelog_producer`` — ``TrinoTableOptionUtils.java:130-135``).
+        ``columns`` is [(name, spark_type_ddl)] or
+        [(name, spark_type_ddl, comment)] — the optional per-column comment
+        surfaces through ``information_schema.columns`` (Trino's columns
+        metadata carries comment/default — ``TrinoMetadataBase.java:271-287``).
+        Option keys use the reference's underscore mangling (``file_format``,
+        ``bucket_key``, ``changelog_producer`` —
+        ``TrinoTableOptionUtils.java:130-135``).
         """
         tdir = self._table_dir(db, table)
         if not os.path.exists(self._db_dir(db)):
@@ -189,9 +193,12 @@ class WarehouseCatalog:
                 raise ValueError(f"key column {k!r} not in columns {names}")
         options = _canonical_options(options)
         _validate_table_options(
-            names, primary_key, options, types=dict(columns)
+            names, primary_key, options, types={c[0]: c[1] for c in columns}
         )
-        fields = [Field(i, n, t) for i, (n, t) in enumerate(columns)]
+        fields = [
+            Field(i, c[0], c[1], comment=(c[2] if len(c) > 2 else None))
+            for i, c in enumerate(columns)
+        ]
         schema = TableSchema(
             schema_id=0,
             fields=fields,
@@ -1721,7 +1728,13 @@ class WarehouseCatalog:
             cols, pk, parts = [], [], []
             for c in _split_top_level(m.group("cols")):
                 name, _, type_ddl = c.strip().partition(" ")
-                cols.append((name, type_ddl.strip()))
+                type_ddl = type_ddl.strip()
+                # optional trailing per-column COMMENT 'text' (Trino DDL)
+                cm = re.match(r"(?is)^(.*?)\s+COMMENT\s+'((?:[^']|'')*)'\s*$", type_ddl)
+                if cm:
+                    cols.append((name, cm.group(1).strip(), cm.group(2).replace("''", "'")))
+                else:
+                    cols.append((name, type_ddl))
             options = self._parse_props(m.group("props") or "")
             if "primary_key" in options:
                 pk = [x.strip() for x in options.pop("primary_key").split(",")]
@@ -2142,12 +2155,18 @@ class WarehouseCatalog:
                         # PK columns are NOT NULL by definition in Paimon
                         nullable = f.nullable and f.name not in pk
                         rows.append(
-                            (db, t, f.name, i, f.type, "YES" if nullable else "NO")
+                            # column_default is always NULL — Paimon has no
+                            # column defaults; Trino's connector columns view
+                            # carries the slot anyway
+                            # (common/TrinoMetadataBase.java:271-287)
+                            (db, t, f.name, i, None, f.type,
+                             "YES" if nullable else "NO", f.comment)
                         )
             return self.spark.createDataFrame(
                 rows,
                 "table_schema string, table_name string, column_name string, "
-                "ordinal_position int, data_type string, is_nullable string",
+                "ordinal_position int, column_default string, data_type string, "
+                "is_nullable string, comment string",
             )
         raise ValueError(
             f"unknown information_schema relation {relation!r}; "

@@ -58,7 +58,8 @@ def _pk_table(spark: SparkSession, sf_dir: str) -> tuple[WarehouseCatalog, str]:
     cat.create_table(
         "lake",
         "cust_orders",
-        [("o_custkey", "bigint"), ("last_order", "bigint"), ("n", "bigint")],
+        # 3-tuple = per-column comment, surfaced via information_schema.columns
+        [("o_custkey", "bigint"), ("last_order", "bigint", "latest order key"), ("n", "bigint")],
         primary_key=["o_custkey"],
     )
     c1, c2 = _orders_commits(spark, sf_dir)
@@ -589,11 +590,11 @@ def lake_rollback_to_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "lake_information_schema_columns",
     oracle="""
     SELECT * FROM (VALUES
-      ('lake', 'cust_orders', 'o_custkey',  1, 'bigint', 'NO'),
-      ('lake', 'cust_orders', 'last_order', 2, 'bigint', 'YES'),
-      ('lake', 'cust_orders', 'n',          3, 'bigint', 'YES')
+      ('lake', 'cust_orders', 'o_custkey',  1, CAST(NULL AS VARCHAR), 'bigint', 'NO',  CAST(NULL AS VARCHAR)),
+      ('lake', 'cust_orders', 'last_order', 2, CAST(NULL AS VARCHAR), 'bigint', 'YES', 'latest order key'),
+      ('lake', 'cust_orders', 'n',          3, CAST(NULL AS VARCHAR), 'bigint', 'YES', CAST(NULL AS VARCHAR))
     ) AS t(table_schema, table_name, column_name, ordinal_position,
-           data_type, is_nullable)
+           column_default, data_type, is_nullable, comment)
     """,
 )
 def lake_information_schema_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -601,7 +602,8 @@ def lake_information_schema_columns(spark: SparkSession, sf_dir: str) -> DataFra
     these relations from connector metadata (`common/TrinoMetadataBase.java:
     271-287` listTableColumns feeds them); ours answers from the catalog's
     schema JSONs — metadata-only, O(#tables) at any data scale. PK columns
-    surface as NOT NULL."""
+    surface as NOT NULL; the view carries Trino's column_default slot
+    (always NULL — Paimon has no defaults) and per-column comments."""
     cat, _ = _pk_table(spark, sf_dir)
     return cat.information_schema("columns")
 
@@ -736,3 +738,58 @@ def lake_first_row_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat.insert_into("lake", "cust_first", mk(F.col("o_orderkey") <= 1000))
     cat.insert_into("lake", "cust_first", mk(F.col("o_orderkey") > 1000))
     return cat.read_table("lake.cust_first")
+
+
+@register(
+    "lake_dml_roundtrip",
+    oracle="""
+    WITH ctas AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(o_totalprice AS DOUBLE) AS price,
+             o_orderstatus AS status
+      FROM orders WHERE o_orderkey <= 4000
+    ), inserted AS (
+      SELECT * FROM ctas
+      UNION ALL
+      SELECT CAST(v.k AS BIGINT), CAST(v.c AS BIGINT), CAST(v.p AS DOUBLE), v.s
+      FROM (VALUES (9999991, 1, 111.5, 'N'), (9999992, 2, 222.25, 'N')) v(k, c, p, s)
+    ), updated AS (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_custkey % 10 = 3 THEN price * 2 ELSE price END AS price,
+             CASE WHEN o_custkey % 10 = 3 THEN 'U' ELSE status END AS status
+      FROM inserted
+    )
+    SELECT o_orderkey, o_custkey, price, status FROM updated
+    WHERE NOT (status = 'F' AND o_orderkey % 5 = 0)
+    """,
+)
+def lake_dml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full write-facade surface under the hash gate: CTAS from a source
+    table, positional INSERT VALUES, UPDATE with expression assignments,
+    DELETE with a predicate, then read the final state back through
+    merge-on-read. The oracle replays the same edits as pure SELECT algebra
+    (CASE for the UPDATE, anti-filter for the DELETE, UNION ALL for the
+    INSERT), so every committed value is checked — this is write surface
+    BEYOND the read-only reference (SURVEY §2.A: "No INSERT/UPDATE/DELETE/
+    CTAS", common-test/TestTrinoDistributedQuery.java:69-77).
+
+    Four commits → four snapshots; the read is the normal MOR scan path, so
+    the check also proves UPDATE/DELETE changelog rows merge correctly."""
+    cat = _fresh_catalog(spark)
+    cat.create_database("lake")
+    table(spark, sf_dir, "orders").createOrReplaceTempView("ipt_dml_orders_src")
+    cat.sql(
+        """CREATE TABLE lake.dml WITH (primary_key = 'o_orderkey') AS
+           SELECT o_orderkey, o_custkey,
+                  CAST(o_totalprice AS DOUBLE) AS price,
+                  o_orderstatus AS status
+           FROM ipt_dml_orders_src WHERE o_orderkey <= 4000"""
+    )
+    cat.sql(
+        "INSERT INTO lake.dml VALUES (9999991, 1, 111.5, 'N'), (9999992, 2, 222.25, 'N')"
+    )
+    cat.sql(
+        "UPDATE lake.dml SET price = price * 2, status = 'U' WHERE o_custkey % 10 = 3"
+    )
+    cat.sql("DELETE FROM lake.dml WHERE status = 'F' AND o_orderkey % 5 = 0")
+    return cat.read_table("lake.dml")

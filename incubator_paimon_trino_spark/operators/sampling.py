@@ -128,3 +128,62 @@ def sample_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
     )
     return d.select("doc_id", "lang", split.alias("split"))
+
+
+@register(
+    "mix_domain_weights",
+    oracle=f"""
+    WITH by_lang AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang),
+         tot AS (SELECT SUM(cnt) AS total FROM by_lang),
+         rates AS (
+           SELECT lang,
+                  LEAST(CAST(1 AS DOUBLE),
+                        (CASE lang WHEN 'en' THEN CAST(0.5 AS DOUBLE)
+                                   WHEN 'de' THEN CAST(0.2 AS DOUBLE)
+                                   WHEN 'fr' THEN CAST(0.15 AS DOUBLE)
+                                   WHEN 'es' THEN CAST(0.1 AS DOUBLE)
+                                   ELSE CAST(0.05 AS DOUBLE) END)
+                        * CAST(total AS DOUBLE) * CAST(0.5 AS DOUBLE)
+                        / CAST(cnt AS DOUBLE)) AS rate
+           FROM by_lang, tot
+         )
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d JOIN rates r ON d.lang = r.lang
+    WHERE {_bucket_sql('d.doc_id', 1000000)} < r.rate * CAST(1000000 AS DOUBLE)
+    """,
+)
+def mix_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mix resampling: downsample each language stratum toward a
+    target mixture (en .5 / de .2 / fr .15 / es .1 / zh .05) at half the
+    corpus budget — THE knob a pretraining pipeline turns to rebalance
+    domains. Per-stratum acceptance rate = min(1, weight x budget / count),
+    computed IN the plan (tiny agg -> broadcast back; no driver collect),
+    and each row's accept decision is a deterministic md5 fraction — rerun-
+    and engine-stable, unlike ``TABLESAMPLE``. At 100 TB: the rates table is
+    K rows (one per domain), the corpus never shuffles — one scan, one
+    broadcast-join, a scalar filter."""
+    d = table(spark, sf_dir, "documents")
+    by_lang = d.groupBy("lang").agg(F.count("*").alias("cnt"))
+    tot = by_lang.agg(F.sum("cnt").alias("total"))
+    w = (
+        F.when(F.col("lang") == "en", F.lit(0.5))
+        .when(F.col("lang") == "de", F.lit(0.2))
+        .when(F.col("lang") == "fr", F.lit(0.15))
+        .when(F.col("lang") == "es", F.lit(0.1))
+        .otherwise(F.lit(0.05))
+    )
+    rates = (
+        by_lang.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            F.least(
+                F.lit(1.0),
+                w * F.col("total").cast("double") * F.lit(0.5) / F.col("cnt").cast("double"),
+            ).alias("rate"),
+        )
+    )
+    return (
+        d.join(F.broadcast(rates), "lang")
+        .filter(_bucket(F.col("doc_id"), 1000000) < F.col("rate") * F.lit(1000000.0))
+        .select("doc_id", "lang", "source")
+    )

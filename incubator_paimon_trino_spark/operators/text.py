@@ -399,3 +399,57 @@ def text_rare_word_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rare",
         F.round(F.col("n_rare") / F.col("n_tokens"), 4).alias("rare_ratio"),
     )
+
+
+@register(
+    "text_unigram_logprob",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, tok
+      FROM (SELECT doc_id, UNNEST(string_split_regex(lower(text), '[^a-z]+')) AS tok
+            FROM documents)
+      WHERE tok <> ''
+    ), freq AS (
+      SELECT tok, COUNT(*) AS tf FROM toks GROUP BY tok
+    ), tot AS (
+      SELECT SUM(tf) AS n FROM freq
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CAST(round(log10(CAST(f.tf AS DOUBLE) / CAST(tot.n AS DOUBLE)), 6)
+                         AS DECIMAL(18,6))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS avg_logprob
+    FROM toks t JOIN freq f ON t.tok = f.tok, tot
+    GROUP BY t.doc_id
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model scoring — the cheap perplexity proxy data
+    pipelines use to rank document quality: corpus unigram frequencies in a
+    first pass, then each doc's mean log10 token probability.
+
+    Two-pass shape that scales: pass 1 aggregates token counts (map-side
+    partial combine, vocabulary-sized result); pass 2 joins the BROADCAST
+    frequency table back to the exploded tokens — the corpus itself shuffles
+    once on doc_id for the per-doc mean. Per-token log-probs are rounded to
+    6 dp and summed as DECIMAL so the mean is order-independent and
+    bit-identical in both engines (registry.py rule 2)."""
+    d = table(spark, sf_dir, "documents")
+    toks = (
+        d.select("doc_id", F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    freq = toks.groupBy("tok").agg(F.count("*").alias("tf"))
+    tot = freq.agg(F.sum("tf").alias("n"))
+    logp = F.round(
+        F.log10(F.col("tf").cast("double") / F.col("n").cast("double")), 6
+    ).cast("decimal(18,6)")
+    return (
+        toks.join(F.broadcast(freq), "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            (F.sum(logp).cast("double") / F.count("*").cast("double")).alias("avg_logprob"),
+        )
+    )

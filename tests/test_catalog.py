@@ -937,7 +937,7 @@ def test_information_schema_relations(cat, spark):
     data file reads."""
     cat.create_database("isdb")
     cat.create_table("isdb", "ta", [("k", "int"), ("v", "string")], primary_key=["k"])
-    cat.create_table("isdb", "tb", [("x", "double")])
+    cat.sql("CREATE TABLE isdb.tb (x double COMMENT 'it''s a measure')")
 
     assert "isdb" in {r.schema_name for r in cat.information_schema("schemata").collect()}
     tbls = {
@@ -956,6 +956,15 @@ def test_information_schema_relations(cat, spark):
         ("ta", "v", 2, "string"),
         ("tb", "x", 1, "double"),
     ]
+    # Trino-shaped extras: column_default slot (always NULL — Paimon has no
+    # defaults) and per-column COMMENT parsed from DDL ('' unescapes)
+    cols = {
+        r.column_name: (r.column_default, r.comment)
+        for r in cat.information_schema("columns").collect()
+        if r.table_schema == "isdb"
+    }
+    assert cols["x"] == (None, "it's a measure")
+    assert cols["k"] == (None, None)
     # joinable against itself / usable as a normal relation
     n = cat.sql(
         "SELECT COUNT(*) AS n FROM information_schema.tables t "

@@ -76,7 +76,9 @@ def test_feature_extract_deterministic(spark):
     a = multimodal_feature_extract(spark, SF_ORACLE).orderBy("asset_id").limit(5).collect()
     b = multimodal_feature_extract(spark, SF_ORACLE).orderBy("asset_id").limit(5).collect()
     assert a == b
-    assert all(len(r["features"]) == 8 for r in a)
+    # features render as scalar f0..f7 columns (driver canonicalizer cannot
+    # hash list cells), all populated
+    assert all(all(r[f"f{j}"] is not None for j in range(8)) for r in a)
 
 
 def test_cluster_components_transitive_closure(spark):

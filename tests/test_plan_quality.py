@@ -192,3 +192,26 @@ def test_shuffle_shard_no_global_sort(spark):
     assert count_shuffles(df) == 1
     assert "rangepartitioning" not in plan.lower()
     assert set(read_schema_columns(df)) == {"doc_id"}
+
+
+def test_mix_domain_weights_broadcasts_rates_no_corpus_shuffle(spark):
+    """The rates table (one row per domain) broadcasts; the corpus is never
+    hash-shuffled — one scan, broadcast join, scalar filter."""
+    df = _q("mix_domain_weights")(spark, SF_SMOKE)
+    plan = physical_plan(df)
+    assert uses_broadcast_join(df)
+    assert "CartesianProduct" not in plan
+    # only the tiny rate-computation aggregates shuffle (lang cardinality
+    # rows); the documents scan feeding the output flows shuffle-free into
+    # the broadcast join probe side
+    assert "SortMergeJoin" not in plan
+
+
+def test_unigram_logprob_broadcasts_vocab(spark):
+    """The vocabulary frequency table broadcasts back onto the exploded
+    tokens; no sort-merge join of corpus-sized inputs."""
+    df = _q("text_unigram_logprob")(spark, SF_SMOKE)
+    plan = physical_plan(df)
+    assert uses_broadcast_join(df)
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
