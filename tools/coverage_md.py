@@ -53,30 +53,33 @@ SURVEY_2B = [
     ("Aggregation: SUM global", "agg_sum_global"),
     ("GROUP BY multi-key + ORDER BY", "agg_group_multi_key_orderby, agg_having, agg_conditional_sum"),
     ("count/min/max/avg/count-distinct", "agg_min_max_count, agg_count_distinct_multi, agg_collect_sorted, agg_pivot"),
-    ("Approximate aggs (HLL / percentile sketches)", "agg_approx_count_distinct, agg_approx_percentile; exact twins agg_percentile_exact, agg_count_distinct_multi"),
-    ("Statistical aggs", "agg_stddev_variance, agg_corr_covar_closed_form, agg_histogram_width_bucket, agg_bool_bitwise"),
+    ("Approximate aggs (HLL / percentile sketches)", "agg_approx_count_distinct, agg_approx_percentile, agg_approx_count_distinct_bounded; exact twins agg_percentile_exact, agg_count_distinct_multi"),
+    ("Statistical aggs", "agg_stddev_variance, agg_corr_covar_closed_form, agg_histogram_width_bucket, agg_bool_bitwise, agg_most_frequent, agg_max_by_min_by, agg_listagg_ordered"),
     ("Joins: inner/outer/semi/anti/cross/theta", "join_inner_equi, join_left_outer, join_right_outer, join_full_outer, join_left_semi, join_left_anti, join_cross, join_theta_inequality, join_skew_salted"),
     ("Joins: as-of / range / banded", "join_asof, join_range_banded"),
-    ("Subqueries: correlated/uncorrelated/quantified", "subquery_correlated_exists, subquery_correlated_scalar, subquery_uncorrelated_scalar, subquery_not_in, subquery_all_quantified"),
+    ("Subqueries: correlated/uncorrelated/quantified/LATERAL", "subquery_correlated_exists, subquery_correlated_scalar, subquery_uncorrelated_scalar, subquery_not_in, subquery_all_quantified, subquery_lateral_topn"),
     ("Window: ranking / frames / top-N / sessionize", "window_row_number_rank, window_topn_per_group, window_lag_lead, window_running_sum_frame, window_range_frame, window_ntile_percent, window_global_rank_scalable (scale path), window_first_last_value, window_sessionization, window_nth_value_ignore_nulls, window_time_range_frame"),
     ("Sort / Top-K", "sort_multi_key, sort_nulls_ordering, limit_topk_deterministic"),
     ("Set ops", "setop_union_all, setop_union_distinct, setop_intersect, setop_intersect_all, setop_except, setop_except_all, setop_chained_union_order_limit"),
     ("Grouping sets / CUBE / ROLLUP / GROUPING_ID", "agg_grouping_sets, agg_cube, agg_rollup, agg_grouping_id"),
     ("DISTINCT", "distinct_values"),
-    ("CAST / coercion", "cast_roundtrip"),
-    ("Scalar functions (string/date/math/regexp/json/conditional)", "scalar_string_functions, scalar_string_date_functions2, scalar_date_functions, scalar_math_functions, scalar_regexp_functions, scalar_json_functions, scalar_variant_json, scalar_conditional, scalar_url_functions, scalar_hash_functions"),
-    ("Nested: row/map/array access, UNNEST [WITH ORDINALITY]", "nested_struct_access, nested_map_access, nested_array_ops, nested_explode_unnest, nested_posexplode_ordinality"),
+    ("CAST / coercion", "cast_roundtrip, cast_try_invalid"),
+    ("Scalar functions (string/date/math/regexp/json/url/hash/bitwise/conditional)", "scalar_string_functions, scalar_string_date_functions2, scalar_string_bit_functions3, scalar_date_functions, scalar_date_trunc_interval, scalar_math_functions, scalar_regexp_functions, scalar_json_functions, scalar_variant_json, scalar_conditional, scalar_url_functions, scalar_hash_functions, scalar_bitwise_ops"),
+    ("Nested: row/map/array access, UNNEST [WITH ORDINALITY]", "nested_struct_access, nested_map_access, nested_array_ops, nested_array_set_ops, nested_explode_unnest, nested_unnest_multi, nested_posexplode_ordinality"),
     ("Array higher-order functions", "hof_transform_filter, hof_reduce_aggregate, hof_zip_with_weighted"),
     ("SHOW / DDL / information_schema", "WarehouseCatalog APIs + cat.sql() + information_schema.{schemata,tables,columns} (tests/test_catalog.py); lake_snapshots_system_table"),
     ("EXPLAIN", "plans/ helpers + tests/test_plan_quality.py"),
-    ("Time travel / system tables / merge-on-read (connector A9-A13)", "lake_time_travel_v1, lake_snapshots_system_table, lake_merge_on_read, lake_schema_evolution, lake_partition_pruned_scan, lake_orc_scan, lake_tag_time_travel, lake_audit_log, lake_expire_snapshots, lake_rollback_to_snapshot, lake_sort_compacted_range_scan, lake_information_schema_columns, lake_partial_update_merge, lake_first_row_merge"),
-    ("Streaming (beyond reference)", "streaming_tumbling_counts, streaming_session_windows, streaming_stateful_running_counts, streaming_dedup_keys, streaming_enrich_static_join, events_tumbling_window, events_sliding_window, events_cohort_retention"),
+    ("Time travel / system tables / merge-on-read (connector A9-A13)", "lake_time_travel_v1, lake_snapshots_system_table, lake_merge_on_read, lake_schema_evolution, lake_partition_pruned_scan, lake_bucket_point_lookup, lake_clustered_scan, lake_incremental_read, lake_changelog_producer_lookup, lake_limit_pushdown_partition_scoped, lake_orc_scan, lake_tag_time_travel, lake_audit_log, lake_expire_snapshots, lake_rollback_to_snapshot, lake_sort_compacted_range_scan, lake_information_schema_columns, lake_sequence_field_merge, lake_partial_update_merge, lake_first_row_merge, lake_aggregation_merge_engine"),
+    ("Streaming (beyond reference)", "streaming_tumbling_counts, streaming_session_windows, streaming_stateful_running_counts, streaming_dedup_keys, streaming_enrich_static_join, streaming_changelog_startup_from_snapshot, events_tumbling_window, events_sliding_window, events_cohort_retention"),
     ("UDF/UDAF/UDTF", "udf_pandas_scalar, udaf_pandas_grouped, udf_grouped_map_normalize, udtf_expand_priorities"),
-    ("MATCH_RECOGNIZE-shaped patterns", "pattern_funnel_view_click_purchase, pattern_error_within_5min_of_purchase, pattern_longest_click_streak"),
-    ("Dedup (pipeline)", "dedup_exact, dedup_ngram_jaccard, dedup_minhash_lsh, dedup_minhash_lsh_md5, dedup_simhash, dedup_simhash_md5, dedup_embedding_cosine, dedup_cluster_components, dedup_containment, dedup_chunk_repetition, dedup_keep_list"),
+    ("MATCH_RECOGNIZE-shaped patterns", "pattern_match_recognize_funnel, pattern_funnel_view_click_purchase, pattern_error_within_5min_of_purchase, pattern_longest_click_streak"),
+    ("Dedup (pipeline)", "dedup_exact, dedup_ngram_jaccard, dedup_minhash_lsh, dedup_minhash_lsh_md5, dedup_simhash, dedup_simhash_md5, dedup_embedding_cosine, dedup_embedding_cosine_blocked (scale path), dedup_cluster_components, dedup_containment, dedup_chunk_repetition, dedup_keep_list, dedup_incremental_new_batch"),
     ("Similarity search (pipeline)", "ann_cosine_topk, ann_lsh_bucketed, ann_lsh_bucketed_md5, ann_ivf_probe, embedding_norm_stats, embedding_kmeans_assign"),
-    ("Text analysis (pipeline)", "text_langid, text_quality_score, text_token_count, text_fingerprint, text_rolling_hash_shingles, text_pii_scrub, text_contamination_check, text_quality_funnel, text_rare_word_ratio"),
-    ("Multimodal (pipeline)", "multimodal_binary_metadata, multimodal_feature_extract, multimodal_frame_sample"),
+    ("Text analysis (pipeline)", "text_langid, text_quality_score, text_token_count, text_fingerprint, text_rolling_hash_shingles, text_pii_scrub, text_contamination_check, text_quality_funnel, text_rare_word_ratio, text_unigram_logprob"),
+    ("Multimodal (pipeline)", "multimodal_binary_metadata, multimodal_feature_extract, multimodal_frame_sample, multimodal_audio_rms_window, multimodal_image_resize_plan"),
+    ("Sampling / domain mixing (pipeline)", "sample_deterministic_hash, sample_stratified_by_lang, sample_reservoir_per_group, sample_train_val_test, mix_domain_weights"),
+    ("Sequence packing / shard layout (pipeline)", "pack_concat_offsets, pack_sequence_stats, train_shuffle_shard"),
+    ("SQL write facade (beyond reference)", "lake_dml_roundtrip (CTAS + INSERT + UPDATE + DELETE under the hash gate)"),
     ("TPC-H suite", "q1..q22 (22 queries)"),
 ]
 
