@@ -1821,7 +1821,11 @@ class WarehouseCatalog:
         primary_key / partitioned_by, and every stored option, in the same
         WITH-property syntax ``sql()`` accepts back (round-trippable)."""
         schema = self.schema_of(db, table)
-        cols = ",\n  ".join(f"{f.name} {f.type}" for f in schema.fields)
+        cols = ",\n  ".join(
+            f"{f.name} {f.type}"
+            + (" COMMENT '{}'".format(f.comment.replace("'", "''")) if f.comment else "")
+            for f in schema.fields
+        )
         props = dict(schema.options)
         if schema.primary_key:
             props["primary_key"] = ",".join(schema.primary_key)

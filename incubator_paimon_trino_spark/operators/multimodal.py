@@ -111,14 +111,19 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
-            feats = pdf["payload"].map(_stub_decode_features)
+            # one decode pass, then a single vectorized transpose of the
+            # n x 8 feature matrix into columns (no per-element lambdas)
+            mat = np.array([_stub_decode_features(p) for p in pdf["payload"]], dtype="float64")
+            mat = mat.reshape(len(pdf), 8)  # keeps shape on empty batches
             out = {
                 "asset_id": pdf["asset_id"],
                 "media_type": pdf["media_type"],
             }
             for j in range(8):
-                out[f"f{j}"] = feats.map(lambda v, j=j: v[j]).astype("float64")
+                out[f"f{j}"] = mat[:, j]
             out["payload_bytes"] = pdf["payload"].map(len).astype("int64")
             yield pd.DataFrame(out)
 

@@ -160,8 +160,12 @@ def mix_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed IN the plan (tiny agg -> broadcast back; no driver collect),
     and each row's accept decision is a deterministic md5 fraction — rerun-
     and engine-stable, unlike ``TABLESAMPLE``. At 100 TB: the rates table is
-    K rows (one per domain), the corpus never shuffles — one scan, one
-    broadcast-join, a scalar filter."""
+    K rows (one per domain) and the corpus never shuffles — two column-
+    pruned scans (the counting pass reads ONLY the domain column; the probe
+    pass reads the output columns), one broadcast-join, a scalar filter.
+    The count pass is inherent: acceptance rates need the full per-domain
+    counts before any row can be decided, and a window over the domain key
+    would shuffle the whole corpus instead."""
     d = table(spark, sf_dir, "documents")
     by_lang = d.groupBy("lang").agg(F.count("*").alias("cnt"))
     tot = by_lang.agg(F.sum("cnt").alias("total"))

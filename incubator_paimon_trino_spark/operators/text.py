@@ -416,9 +416,9 @@ def text_rare_word_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT t.doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_tokens,
-           CAST(SUM(CAST(round(log10(CAST(f.tf AS DOUBLE) / CAST(tot.n AS DOUBLE)), 6)
-                         AS DECIMAL(18,6))) AS DOUBLE)
-             / CAST(COUNT(*) AS DOUBLE) AS avg_logprob
+           CAST(SUM(CAST(floor(log10(CAST(f.tf AS DOUBLE) / CAST(tot.n AS DOUBLE))
+                               * CAST(1000000 AS DOUBLE)) AS BIGINT)) AS DOUBLE)
+             / CAST(1000000 AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_logprob
     FROM toks t JOIN freq f ON t.tok = f.tok, tot
     GROUP BY t.doc_id
     """,
@@ -431,9 +431,12 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     Two-pass shape that scales: pass 1 aggregates token counts (map-side
     partial combine, vocabulary-sized result); pass 2 joins the BROADCAST
     frequency table back to the exploded tokens — the corpus itself shuffles
-    once on doc_id for the per-doc mean. Per-token log-probs are rounded to
-    6 dp and summed as DECIMAL so the mean is order-independent and
-    bit-identical in both engines (registry.py rule 2)."""
+    once on doc_id for the per-doc mean. Per-token log-probs are FLOOR-
+    quantized to integer micro-units and summed as BIGINT so the mean is
+    order-independent and bit-identical in both engines: ``floor(x * 1e6)``
+    is pure IEEE arithmetic (identical everywhere), unlike ``round(x, 6)``
+    whose HALF_UP tie-breaking differs between Spark's BigDecimal path and
+    DuckDB's multiply-and-round on boundary values (registry.py rule 2)."""
     d = table(spark, sf_dir, "documents")
     toks = (
         d.select("doc_id", F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("tok"))
@@ -441,15 +444,19 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     freq = toks.groupBy("tok").agg(F.count("*").alias("tf"))
     tot = freq.agg(F.sum("tf").alias("n"))
-    logp = F.round(
-        F.log10(F.col("tf").cast("double") / F.col("n").cast("double")), 6
-    ).cast("decimal(18,6)")
+    logp_micro = F.floor(
+        F.log10(F.col("tf").cast("double") / F.col("n").cast("double")) * F.lit(1000000.0)
+    ).cast("bigint")
     return (
         toks.join(F.broadcast(freq), "tok")
         .crossJoin(F.broadcast(tot))
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("bigint").alias("n_tokens"),
-            (F.sum(logp).cast("double") / F.count("*").cast("double")).alias("avg_logprob"),
+            (
+                F.sum(logp_micro).cast("double")
+                / F.lit(1000000.0)
+                / F.count("*").cast("double")
+            ).alias("avg_logprob"),
         )
     )

@@ -813,12 +813,13 @@ def test_show_create_table_roundtrip(cat, spark):
     cat.create_database("default", ignore_if_exists=True)
     cat.create_table(
         "default", "sct",
-        [("k", "bigint"), ("pt", "string"), ("v", "double")],
+        [("k", "bigint"), ("pt", "string"), ("v", "double", "it's the 'value'")],
         primary_key=["k", "pt"], partitioned_by=["pt"],
         options={"bucket": "4", "file_format": "PARQUET"},
     )
     ddl = cat.sql("SHOW CREATE TABLE default.sct").collect()[0].create_table
     assert "default.sct" in ddl and "primary_key = 'k,pt'" in ddl
+    assert "COMMENT 'it''s the ''value'''" in ddl  # comments survive, quoted
     # round-trip: run the emitted DDL against a fresh catalog
     import tempfile
 
@@ -830,6 +831,9 @@ def test_show_create_table_roundtrip(cat, spark):
     assert cat2.schema_of("default", "sct").primary_key == ["k", "pt"]
     assert cat2.schema_of("default", "sct").partition_keys == ["pt"]
     assert cat2.schema_of("default", "sct").options["bucket"] == "4"
+    # the per-column comment round-trips through the emitted DDL
+    f = {x.name: x.comment for x in cat2.schema_of("default", "sct").fields}
+    assert f["v"] == "it's the 'value'" and f["k"] is None
 
     desc = {r.column: r.type for r in cat.sql("DESCRIBE default.sct").collect()}
     assert desc == {"k": "bigint", "pt": "string", "v": "double"}

@@ -55,6 +55,18 @@ def _norm(v):
     return f"s:{v}"
 
 
+def _typed_columns(colnames, rows, types: tuple) -> list[str]:
+    """Columns whose values hit ``types`` — the driver-incompatible kinds."""
+    bad: set[str] = set()
+    for r in rows:
+        for i, v in enumerate(r):
+            if isinstance(v, types):
+                bad.add(colnames[i])
+        if len(bad) == len(colnames):
+            break
+    return sorted(bad)
+
+
 def _decimal_columns(colnames, rows) -> list[str]:
     """Columns carrying raw Decimal values. These must HARD-FAIL locally even
     though both collect() and fetchall() return equal Decimal objects here:
@@ -62,14 +74,7 @@ def _decimal_columns(colnames, rows) -> list[str]:
     renders DuckDB decimals as float64, so a raw DECIMAL output column
     hash-mismatches there even when every value agrees (r2 ``cast_roundtrip``
     red). Queries must render decimals as DOUBLE or VARCHAR."""
-    bad: set[str] = set()
-    for r in rows:
-        for i, v in enumerate(r):
-            if isinstance(v, Decimal):
-                bad.add(colnames[i])
-        if len(bad) == len(colnames):
-            break
-    return sorted(bad)
+    return _typed_columns(colnames, rows, (Decimal,))
 
 
 def _container_columns(colnames, rows) -> list[str]:
@@ -87,14 +92,7 @@ def _container_columns(colnames, rows) -> list[str]:
         container_types: tuple = (list, tuple, dict, Row)
     except ImportError:  # pragma: no cover
         container_types = (list, tuple, dict)
-    bad: set[str] = set()
-    for r in rows:
-        for i, v in enumerate(r):
-            if isinstance(v, container_types):
-                bad.add(colnames[i])
-        if len(bad) == len(colnames):
-            break
-    return sorted(bad)
+    return _typed_columns(colnames, rows, container_types)
 
 
 def digest(colnames, rows):
