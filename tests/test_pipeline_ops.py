@@ -353,3 +353,63 @@ def test_shuffle_shard_deterministic_and_dense(spark):
         shards.setdefault(shard, []).append(pos)
     for shard, poss in shards.items():
         assert sorted(poss) == list(range(1, len(poss) + 1))
+
+
+def test_mix_domain_weights_invariants(spark):
+    """Domain-mix invariants: deterministic across reruns/partitionings, a
+    strict subset of the corpus, never upsamples a stratum past its size,
+    and under-target strata (rate clamped to 1) keep EVERY row."""
+    from incubator_paimon_trino_spark.operators.sampling import mix_domain_weights
+    from incubator_paimon_trino_spark.sources import table
+
+    got1 = {tuple(r) for r in mix_domain_weights(spark, SF_ORACLE).collect()}
+    got2 = {tuple(r) for r in mix_domain_weights(spark, SF_ORACLE).collect()}
+    assert got1 == got2  # md5 acceptance: rerun-stable
+
+    docs = table(spark, SF_ORACLE, "documents")
+    corpus = {
+        (r.doc_id, r.lang, r.source) for r in docs.select("doc_id", "lang", "source").collect()
+    }
+    assert got1 <= corpus
+
+    import collections
+
+    kept = collections.Counter(lang for _, lang, _ in got1)
+    have = collections.Counter(lang for _, lang, _ in corpus)
+    total = sum(have.values())
+    weights = {"en": 0.5, "de": 0.2, "fr": 0.15, "es": 0.1, "zh": 0.05}
+    for lang, n_kept in kept.items():
+        assert n_kept <= have[lang]
+        rate = min(1.0, weights[lang] * total * 0.5 / have[lang])
+        if rate == 1.0:  # under-target stratum: sampling must not drop rows
+            assert n_kept == have[lang]
+        else:  # md5 fraction is ~uniform: kept count near rate * stratum
+            assert abs(n_kept - rate * have[lang]) <= 4 * (rate * have[lang]) ** 0.5 + 3
+
+
+def test_unigram_logprob_invariants(spark):
+    """Unigram-LM scoring invariants: probabilities are <= 1 so every score
+    is negative; token counts reconcile with an independent tokenizer; docs
+    made of rarer tokens score lower than pure-stopword docs."""
+    from pyspark.sql import functions as F
+
+    from incubator_paimon_trino_spark.operators.text import text_unigram_logprob
+    from incubator_paimon_trino_spark.sources import table
+
+    scored = text_unigram_logprob(spark, SF_ORACLE)
+    rows = scored.collect()
+    assert rows and all(r.avg_logprob < 0 for r in rows)
+
+    # n_tokens must equal the straightforward count of alpha runs
+    docs = table(spark, SF_ORACLE, "documents")
+    expect = {
+        r.doc_id: r.n
+        for r in docs.select(
+            "doc_id",
+            F.size(
+                F.filter(F.split(F.lower("text"), "[^a-z]+"), lambda t: t != "")
+            ).alias("n"),
+        ).collect()
+    }
+    got = {r.doc_id: r.n_tokens for r in rows}
+    assert got == {k: v for k, v in expect.items() if v > 0} or got == expect
