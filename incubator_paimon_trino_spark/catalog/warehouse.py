@@ -253,13 +253,18 @@ class WarehouseCatalog:
         return [(f.name, f.type) for f in s.fields]
 
     # ---------------------------------------------------- schema evolution
-    def add_column(self, db: str, table: str, name: str, type_ddl: str) -> None:
+    def add_column(
+        self, db: str, table: str, name: str, type_ddl: str, comment: str | None = None
+    ) -> None:
         tdir = self._table_dir(db, table)
         s = self._latest_schema(tdir)
         if any(f.name.lower() == name.lower() for f in s.fields):
             raise ValueError(f"column {name!r} already exists")
+        # fail at DDL time on an unparseable type — a bad string written into
+        # the schema JSON would otherwise brick every subsequent read
+        paimon_to_spark(type_ddl)
         s.highest_field_id += 1
-        s.fields.append(Field(s.highest_field_id, name, type_ddl))
+        s.fields.append(Field(s.highest_field_id, name, type_ddl, comment=comment))
         s.schema_id += 1
         self._write_schema(tdir, s)
 
@@ -1047,20 +1052,26 @@ class WarehouseCatalog:
             if not dry_run:
                 os.remove(p)
         staging_removed = 0
+        day_ago = (time.time() - 24 * 3600) * 1000
         for d in glob.glob(os.path.join(tdir, ".staging-*")):
-            # same in-flight horizon rule as the data-file path: a staging dir
-            # whose commit id is beyond the latest published snapshot belongs
-            # to a live writer — mtime alone must not make it deletable (the
-            # caller may pass older_than at/after "now")
+            # In-flight rule for staging dirs: above the snapshot horizon the
+            # dir may belong to a LIVE writer (writers finalize at latest+1
+            # before publishing), so a caller-supplied aggressive older_than
+            # must not sweep it — but a writer that crashed during a table's
+            # FIRST commit also sits above the horizon forever, so instead of
+            # immortality those dirs get a hard 24 h mtime floor (no live
+            # writer holds a staging dir for a day — _staging_dir contract).
+            # At/below the horizon the caller's cutoff applies as-is.
             sm = re.match(r"\.staging-c(\d+)-", os.path.basename(d))
-            if sm is None or int(sm.group(1)) > horizon:
-                kept_in_flight += 1
-                continue
+            above = sm is None or int(sm.group(1)) > horizon
+            eff_cutoff = min(cutoff, day_ago) if above else cutoff
             try:
-                if os.path.getmtime(d) * 1000 < cutoff:
+                if os.path.getmtime(d) * 1000 < eff_cutoff:
                     staging_removed += 1
                     if not dry_run:
                         shutil.rmtree(d, ignore_errors=True)
+                else:
+                    kept_in_flight += 1
             except OSError:
                 pass
         if not dry_run:
@@ -1728,13 +1739,8 @@ class WarehouseCatalog:
             cols, pk, parts = [], [], []
             for c in _split_top_level(m.group("cols")):
                 name, _, type_ddl = c.strip().partition(" ")
-                type_ddl = type_ddl.strip()
-                # optional trailing per-column COMMENT 'text' (Trino DDL)
-                cm = re.match(r"(?is)^(.*?)\s+COMMENT\s+'((?:[^']|'')*)'\s*$", type_ddl)
-                if cm:
-                    cols.append((name, cm.group(1).strip(), cm.group(2).replace("''", "'")))
-                else:
-                    cols.append((name, type_ddl))
+                type_ddl, comment = _split_col_comment(type_ddl.strip())
+                cols.append((name, type_ddl) if comment is None else (name, type_ddl, comment))
             options = self._parse_props(m.group("props") or "")
             if "primary_key" in options:
                 pk = [x.strip() for x in options.pop("primary_key").split(",")]
@@ -1761,9 +1767,13 @@ class WarehouseCatalog:
                 self.insert_into(m.group("db"), m.group("tbl"), df)
             except BaseException:
                 # atomic CTAS: a failed load must not leave a created-but-
-                # empty table behind
+                # empty table behind — but only drop if NO commit was ever
+                # published (a concurrent writer may have raced us onto the
+                # fresh table and succeeded; dropping then would destroy its
+                # committed snapshot, not our debris)
                 try:
-                    self.drop_table(m.group("db"), m.group("tbl"))
+                    if not self._snapshots(self._table_dir(m.group("db"), m.group("tbl"))):
+                        self.drop_table(m.group("db"), m.group("tbl"))
                 except Exception:
                     pass
                 raise
@@ -1775,7 +1785,12 @@ class WarehouseCatalog:
             self.rename_table(m.group("db"), m.group("tbl"), m.group("new"))
             return ok()
         if m := R["add_column"].match(query):
-            self.add_column(m.group("db"), m.group("tbl"), m.group("col"), m.group("type"))
+            # same COMMENT handling as CREATE TABLE columns — the comment
+            # must never be stored as part of the type string (an embedded
+            # COMMENT breaks char/varchar parsing on the next read)
+            type_ddl, comment = _split_col_comment(m.group("type"))
+            self.add_column(m.group("db"), m.group("tbl"), m.group("col"),
+                            type_ddl, comment=comment)
             return ok()
         if m := R["rename_column"].match(query):
             self.rename_column(m.group("db"), m.group("tbl"), m.group("col"), m.group("new"))
@@ -1823,7 +1838,9 @@ class WarehouseCatalog:
         schema = self.schema_of(db, table)
         cols = ",\n  ".join(
             f"{f.name} {f.type}"
-            + (" COMMENT '{}'".format(f.comment.replace("'", "''")) if f.comment else "")
+            # `is not None`: an explicit empty-string comment must round-trip
+            + (" COMMENT '{}'".format(f.comment.replace("'", "''"))
+               if f.comment is not None else "")
             for f in schema.fields
         )
         props = dict(schema.options)
@@ -2161,16 +2178,18 @@ class WarehouseCatalog:
                         rows.append(
                             # column_default is always NULL — Paimon has no
                             # column defaults; Trino's connector columns view
-                            # carries the slot anyway
+                            # carries the slot anyway, in the SQL-standard
+                            # order ordinal_position, column_default,
+                            # is_nullable, data_type
                             # (common/TrinoMetadataBase.java:271-287)
-                            (db, t, f.name, i, None, f.type,
-                             "YES" if nullable else "NO", f.comment)
+                            (db, t, f.name, i, None,
+                             "YES" if nullable else "NO", f.type, f.comment)
                         )
             return self.spark.createDataFrame(
                 rows,
                 "table_schema string, table_name string, column_name string, "
-                "ordinal_position int, column_default string, data_type string, "
-                "is_nullable string, comment string",
+                "ordinal_position int, column_default string, "
+                "is_nullable string, data_type string, comment string",
             )
         raise ValueError(
             f"unknown information_schema relation {relation!r}; "
@@ -2571,6 +2590,17 @@ def _physical_schema(schema: TableSchema, is_pk: bool, exclude: set[str] | None 
     if is_pk:
         s = s.add(SEQ_COL, T.LongType()).add(KIND_COL, T.StringType())
     return s
+
+
+def _split_col_comment(type_ddl: str) -> tuple[str, str | None]:
+    """Split an optional trailing ``COMMENT 'text'`` (Trino column DDL) off a
+    type string; ``''`` doubles as an escaped quote. Used by CREATE TABLE and
+    ALTER TABLE ADD COLUMN so the comment is stored as field metadata, never
+    as part of the type."""
+    cm = re.match(r"(?is)^(.*?)\s+COMMENT\s+'((?:[^']|'')*)'\s*$", type_ddl)
+    if cm:
+        return cm.group(1).strip(), cm.group(2).replace("''", "'")
+    return type_ddl, None
 
 
 def _split_top_level(s: str) -> list[str]:

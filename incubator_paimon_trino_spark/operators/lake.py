@@ -590,11 +590,11 @@ def lake_rollback_to_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "lake_information_schema_columns",
     oracle="""
     SELECT * FROM (VALUES
-      ('lake', 'cust_orders', 'o_custkey',  1, CAST(NULL AS VARCHAR), 'bigint', 'NO',  CAST(NULL AS VARCHAR)),
-      ('lake', 'cust_orders', 'last_order', 2, CAST(NULL AS VARCHAR), 'bigint', 'YES', 'latest order key'),
-      ('lake', 'cust_orders', 'n',          3, CAST(NULL AS VARCHAR), 'bigint', 'YES', CAST(NULL AS VARCHAR))
+      ('lake', 'cust_orders', 'o_custkey',  1, CAST(NULL AS VARCHAR), 'NO',  'bigint', CAST(NULL AS VARCHAR)),
+      ('lake', 'cust_orders', 'last_order', 2, CAST(NULL AS VARCHAR), 'YES', 'bigint', 'latest order key'),
+      ('lake', 'cust_orders', 'n',          3, CAST(NULL AS VARCHAR), 'YES', 'bigint', CAST(NULL AS VARCHAR))
     ) AS t(table_schema, table_name, column_name, ordinal_position,
-           column_default, data_type, is_nullable, comment)
+           column_default, is_nullable, data_type, comment)
     """,
 )
 def lake_information_schema_columns(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -686,3 +686,54 @@ def test_review_fixes_round3(cat, spark, monkeypatch):
     cat.sql("INSERT INTO m.r3t SELECT a, b, _row_kind FROM r3_changes")
     got = sorted(tuple(r) for r in cat.read_table("m.r3t").collect())
     assert got == [(1, "a"), (3, "c")]
+
+
+def test_review_fixes_round4(cat, spark, monkeypatch):
+    """Fourth review pass: ADD COLUMN parses COMMENT instead of storing it in
+    the type (and rejects unparseable types at DDL time); CTAS failure never
+    drops a table a concurrent writer committed to; above-horizon staging
+    debris collects after the 24 h floor but never via an aggressive
+    older_than alone."""
+    import os
+    import time as _time
+
+    import pytest
+
+    # 1. ADD COLUMN ... COMMENT: comment is field metadata, not type text
+    cat.create_table("m", "r4a", [("k", "int")])
+    cat.sql("ALTER TABLE m.r4a ADD COLUMN v varchar(5) COMMENT 'a ''note'''")
+    f = {x.name: x for x in cat.schema_of("m", "r4a").fields}
+    assert f["v"].type == "varchar(5)" and f["v"].comment == "a 'note'"
+    cat.insert_into("m", "r4a", spark.createDataFrame([(1, "x")], "k int, v string"))
+    assert cat.read_table("m.r4a").count() == 1  # table still readable
+    with pytest.raises(Exception):  # bad type caught at DDL time, not first read
+        cat.add_column("m", "r4a", "bad", "no_such_type")
+    assert "bad" not in {x.name for x in cat.schema_of("m", "r4a").fields}
+
+    # 2. CTAS failure with a concurrent successful commit: table survives
+    real_insert = cat.insert_into
+
+    def race_then_fail(db, tbl, df, **kw):
+        real_insert(db, tbl, spark.createDataFrame([(7,)], "x int"))  # "other writer"
+        raise RuntimeError("loser of the race")
+
+    monkeypatch.setattr(cat, "insert_into", race_then_fail)
+    with pytest.raises(RuntimeError, match="loser"):
+        cat.sql("CREATE TABLE m.r4ctas AS SELECT 1 AS x")
+    monkeypatch.undo()
+    assert "r4ctas" in cat.list_tables("m")  # the other writer's commit survives
+    assert [r.x for r in cat.read_table("m.r4ctas").collect()] == [7]
+
+    # 3. staging above the horizon: immune to aggressive older_than, but
+    # collected once older than the 24 h floor (abandoned first commit)
+    cat.create_table("m", "r4s", [("k", "int")])
+    tdir = cat._table_dir("m", "r4s")
+    stale = os.path.join(tdir, ".staging-c1-deadbeef")
+    os.makedirs(stale)
+    future = int((_time.time() + 60) * 1000)
+    cat.sql(f"CALL sys.remove_orphan_files(table => 'm.r4s', older_than => {future})")
+    assert os.path.exists(stale)  # above horizon (no snapshots) + younger than 24 h
+    two_days_ago = _time.time() - 48 * 3600
+    os.utime(stale, (two_days_ago, two_days_ago))
+    cat.sql(f"CALL sys.remove_orphan_files(table => 'm.r4s', older_than => {future})")
+    assert not os.path.exists(stale)  # past the floor: abandoned debris collects
