@@ -188,6 +188,13 @@ class WarehouseCatalog:
         dups = sorted({n for n in lowered if lowered.count(n) > 1})
         if dups:
             raise ValueError(f"duplicate column names {dups}")
+        from incubator_paimon_trino_spark.operators.merge_on_read import RESERVED_INTERNAL
+
+        reserved = sorted(set(lowered) & {r.lower() for r in RESERVED_INTERNAL})
+        if reserved:
+            # the system/merge scaffolding columns would silently shadow a
+            # user column of the same name at read time
+            raise ValueError(f"column name(s) {reserved} are reserved (system columns)")
         for k in primary_key + partitioned_by:
             if k not in names:
                 raise ValueError(f"key column {k!r} not in columns {names}")

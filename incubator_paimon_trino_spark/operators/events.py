@@ -100,19 +100,24 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming DataFrame over the events parquet (schema from a batch peek)."""
+    """Streaming DataFrame over the events parquet (schema from a batch peek).
+
+    The ts-encoding contract (NANOS-as-INT64 vs MICROS) lives in ONE place —
+    ``sources.registry.events_ts_is_nanos`` / ``normalize_events_ts`` —
+    shared with the batch loader, so a new driver encoding is handled once.
+    The file-stream source wants a directory, so stream sf_dir with a glob.
+    """
     import os
 
     from pyspark.sql.types import LongType, StructField, StructType, TimestampNTZType
 
-    # events.ts ships either as parquet TIMESTAMP(NANOS) (Spark's reader
-    # rejects it — read raw INT64 and truncate to micros) or TIMESTAMP(MICROS)
-    # (reads as TIMESTAMP_NTZ). Peek the physical parquet schema, then
-    # normalize to session-TZ TimestampType like the batch loader. The
-    # file-stream source wants a directory, so stream sf_dir with a glob.
-    table(spark, sf_dir, "events")  # pins nanosAsLong + UTC session tz
+    from incubator_paimon_trino_spark.sources.registry import (
+        events_ts_is_nanos,
+        normalize_events_ts,
+    )
+
+    nanos = events_ts_is_nanos(spark, sf_dir)  # also pins nanosAsLong + UTC
     raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
-    nanos = isinstance(raw["ts"].dataType, LongType)
     phys = StructType(
         [
             StructField("ts", LongType() if nanos else TimestampNTZType(), f.nullable)
@@ -126,21 +131,13 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if nanos:
-        return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return normalize_events_ts(stream, nanos)
 
 
 def _run_stream(df: DataFrame, name: str, mode: str) -> DataFrame:
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return df.sparkSession.table(name)
+    from incubator_paimon_trino_spark.streaming.changelog import run_to_completion
+
+    return run_to_completion(df, name, output_mode=mode)
 
 
 @register(
@@ -178,15 +175,20 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "streaming_session_windows",
     oracle="""
     WITH flagged AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN lag(ts) OVER w IS NULL
                     OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
                   THEN 1 ELSE 0 END AS is_new
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sess AS (
+      -- the running sum must use the SAME total order as the island
+      -- detection (ts, event_id): with ts-only ordering a duplicate
+      -- timestamp at a session boundary could land its tie partner in the
+      -- previous session nondeterministically
       SELECT user_id, ts,
-             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
       FROM flagged)
     SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
     FROM sess

@@ -29,6 +29,22 @@ from incubator_paimon_trino_spark.catalog.metadata import KIND_COL, SEQ_COL
 
 MERGE_ENGINES = ("deduplicate", "first-row", "partial-update", "aggregation")
 
+#: Names the merge scaffolding uses internally; user columns must not collide
+#: (``_seq``/``_row_kind`` are the system columns themselves).
+RESERVED_INTERNAL = (SEQ_COL, KIND_COL, "_ord", "_k", "_row")
+
+#: Aggregation-engine retraction classes (Paimon's contract: sum-like
+#: aggregates subtract a ``-D`` row's contribution; last/first-value accept
+#: retraction by ignoring it; everything else throws "aggregate function does
+#: not support retraction" at read time — never a silent no-op).
+RETRACTABLE_AGGREGATES = ("sum", "count")
+IGNORE_RETRACT_AGGREGATES = (
+    "last_value",
+    "last_non_null_value",
+    "first_value",
+    "first_non_null_value",
+)
+
 # Paimon per-field aggregate functions (``fields.<name>.aggregate-function``
 # table option — the CoreOptions family the reference exposes through DDL
 # properties, TrinoTableOptionUtils.java:51-135). Each maps to a single
@@ -49,44 +65,49 @@ FIELD_AGGREGATES = (
 )
 
 
-def _field_agg_expr(func: str, c: str) -> F.Column:
-    """One aggregate Column for value column ``c`` ordered by ``_ord``."""
-    ord_ = F.col("_ord")
-    nn_ord = F.when(F.col(c).isNotNull(), ord_)
+def _field_agg_expr(func: str, c: str, insert_mask: F.Column | None = None) -> F.Column:
+    """One aggregate Column for value column ``c`` ordered by ``_ord``.
+
+    ``insert_mask`` (ignore-retract aggregates): a boolean Column; rows where
+    it is false (deletes) contribute neither a value nor an ordering key —
+    max_by/min_by skip null ordering keys, sum-likes skip null values."""
+    val = F.col(c) if insert_mask is None else F.when(insert_mask, F.col(c))
+    ord_ = F.col("_ord") if insert_mask is None else F.when(insert_mask, F.col("_ord"))
+    nn_ord = F.when(val.isNotNull(), ord_)
     if func == "sum":
-        return F.sum(c).alias(c)
+        return F.sum(val).alias(c)
     if func == "product":
-        return F.product(c).alias(c)
+        return F.product(val).alias(c)
     if func == "max":
-        return F.max(c).alias(c)
+        return F.max(val).alias(c)
     if func == "min":
-        return F.min(c).alias(c)
+        return F.min(val).alias(c)
     if func == "last_value":
-        return F.max_by(F.col(c), ord_).alias(c)
+        return F.max_by(val, ord_).alias(c)
     if func == "last_non_null_value":
         # max_by skips rows whose ordering key is null → latest non-null
-        return F.max_by(F.struct(ord_, F.col(c)), nn_ord)[c].alias(c)
+        return F.max_by(F.struct(ord_.alias("o"), val.alias("v")), nn_ord)["v"].alias(c)
     if func == "first_value":
-        return F.min_by(F.col(c), ord_).alias(c)
+        return F.min_by(val, ord_).alias(c)
     if func == "first_non_null_value":
-        return F.min_by(F.struct(ord_, F.col(c)), nn_ord)[c].alias(c)
+        return F.min_by(F.struct(ord_.alias("o"), val.alias("v")), nn_ord)["v"].alias(c)
     if func == "listagg":
         # non-null values joined with ',' in changelog order; collect_list
         # is order-nondeterministic, so sort the (ord, value) pairs first.
-        pairs = F.collect_list(F.when(F.col(c).isNotNull(), F.struct(ord_.alias("o"), F.col(c).alias("v"))))
+        pairs = F.collect_list(F.when(val.isNotNull(), F.struct(ord_.alias("o"), val.alias("v"))))
         ordered = F.transform(F.array_sort(pairs), lambda s: s["v"])
         return F.array_join(ordered, ",").alias(c)
     if func == "bool_and":
-        return F.bool_and(c).alias(c)
+        return F.bool_and(val).alias(c)
     if func == "bool_or":
-        return F.bool_or(c).alias(c)
+        return F.bool_or(val).alias(c)
     if func == "count":
         # SUM of partial counts, not COUNT of rows: the write path stores
         # each raw row's contribution as 0/1 (see warehouse.insert_into) and
         # compaction materializes the accumulated total, so the stored
         # representation stays re-mergeable — COUNT over rows would make a
         # compacted row contribute 1 instead of its accumulated count.
-        return F.sum(c).alias(c)
+        return F.sum(val).alias(c)
     raise ValueError(f"unknown aggregate-function {func!r}; have {FIELD_AGGREGATES}")
 
 
@@ -110,6 +131,12 @@ def merge_on_read(
     """
     if merge_engine not in MERGE_ENGINES:
         raise ValueError(f"unknown merge_engine {merge_engine!r}; have {MERGE_ENGINES}")
+    clash = sorted(set(df.columns) & set(RESERVED_INTERNAL) - {SEQ_COL, KIND_COL})
+    if clash:
+        # a user column named _ord/_k/_row would be silently overwritten by
+        # the merge scaffolding below — reject loudly (create_table enforces
+        # the same reservation at DDL time)
+        raise ValueError(f"column name(s) {clash} are reserved by merge-on-read")
     value_cols = [c for c in df.columns if c not in (*primary_key, SEQ_COL, KIND_COL)]
     # order key: sequence, then D after I within the same sequence. A (seq,
     # kind) STRUCT compares lexicographically — unlike the previous
@@ -132,6 +159,8 @@ def merge_on_read(
 
     if merge_engine == "first-row":
         inserts = df.filter(F.col(KIND_COL) != "D")
+        if not value_cols:  # all-key table: struct() of zero fields is invalid
+            return inserts.select(*primary_key).distinct()
         picked = inserts.groupBy(*primary_key).agg(
             F.min_by(F.struct(*value_cols), F.col("_ord")).alias("_row")
         )
@@ -151,20 +180,50 @@ def merge_on_read(
         return merged.filter(F.col("_k") != "D").select(*primary_key, *value_cols)
 
     # aggregation: per-field function when configured, else sum numeric
-    # fields and last value for the rest
+    # fields and last_value for the rest. Delete handling follows Paimon's
+    # retraction contract per function class:
+    #   - sum/count RETRACT: a -D row subtracts its stored contribution;
+    #   - last/first-value classes ACCEPT retraction by ignoring the delete;
+    #   - every other function RAISES at read time ("aggregate function does
+    #     not support retraction") — never a silent no-op.
+    # Keys whose rows are all deletes drop from the result.
     specs = dict(field_aggregates or {})
     unknown = sorted(set(specs) - set(value_cols))
     if unknown:
         raise ValueError(f"aggregate-function configured for non-value columns {unknown}")
     num_types = (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.FloatType, T.DoubleType, T.DecimalType)
     by_name = {f.name: f.dataType for f in df.schema.fields}
-    aggs = []
+    is_delete = F.col(KIND_COL) == "D"
+    aggs, strict_cols = [], []
     for c in value_cols:
-        if c in specs:
-            aggs.append(_field_agg_expr(specs[c], c))
-        elif isinstance(by_name[c], num_types):
-            aggs.append(F.sum(c).alias(c))
+        func = specs.get(c)
+        if func is None:
+            func = "sum" if isinstance(by_name[c], num_types) else "last_value"
+        if func in RETRACTABLE_AGGREGATES:
+            # sum/count both store additive contributions — retract by sign
+            aggs.append(F.sum(F.when(is_delete, -F.col(c)).otherwise(F.col(c))).alias(c))
+        elif func in IGNORE_RETRACT_AGGREGATES:
+            aggs.append(_field_agg_expr(func, c, insert_mask=~is_delete))
         else:
-            aggs.append(F.max_by(F.col(c), F.col("_ord")).alias(c))
-    inserts = df.filter(F.col(KIND_COL) != "D")
-    return inserts.groupBy(*primary_key).agg(*aggs)
+            # groups containing a delete raise below, so computing these
+            # aggregates over the full frame (deletes included) only affects
+            # groups that never survive to output
+            aggs.append(_field_agg_expr(func, c))
+            strict_cols.append((c, func))
+    merged = df.groupBy(*primary_key).agg(
+        *aggs,
+        F.max(F.when(is_delete, 1).otherwise(0)).alias("_has_d"),
+        F.max(F.when(~is_delete, 1).otherwise(0)).alias("_has_i"),
+    )
+    strict = dict(strict_cols)
+    out_cols = [
+        F.when(
+            (F.col("_has_d") == 1) & F.lit(c in strict),
+            F.raise_error(F.lit(
+                f"aggregate-function {strict.get(c)!r} for column {c!r} "
+                "does not support retraction (delete rows present)"
+            )).cast(by_name[c]),
+        ).otherwise(F.col(c)).alias(c)
+        for c in value_cols
+    ]
+    return merged.filter(F.col("_has_i") == 1).select(*primary_key, *out_cols)

@@ -48,18 +48,35 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     if name == "events":
-        from pyspark.sql import functions as F
-        from pyspark.sql import types as T
-
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # ts becomes TimestampType (session-tz rendered). Pin the session to
-        # UTC so values are identical under ANY host session — the reference
-        # likewise forces UTC packing (TrinoPageSourceBase.java:216-219).
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        ts_type = df.schema["ts"].dataType
-        if isinstance(ts_type, T.LongType):  # nanos read as INT64
-            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        # TIMESTAMP_NTZ (or already LTZ): wall-clock is UTC → identity cast.
-        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return normalize_events_ts(df, events_ts_is_nanos(spark, sf_dir))
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def events_ts_is_nanos(spark: SparkSession, sf_dir: str) -> bool:
+    """True when ``events.ts`` ships as parquet TIMESTAMP(NANOS).
+
+    Also pins the confs the events encodings require: ``nanosAsLong`` (the
+    vectorized reader rejects NANOS otherwise) and a UTC session timezone so
+    values are identical under ANY host session — the reference likewise
+    forces UTC packing (TrinoPageSourceBase.java:216-219). Single source of
+    the encoding contract for BOTH the batch loader and the streaming source
+    (operators/events.py) — a third driver encoding gets added here once.
+    """
+    from pyspark.sql import types as T
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    return isinstance(raw["ts"].dataType, T.LongType)
+
+
+def normalize_events_ts(df: DataFrame, nanos: bool) -> DataFrame:
+    """Normalize ``ts`` to session-TZ TimestampType from either encoding:
+    raw INT64 nanos → truncate to micros; TIMESTAMP_NTZ/LTZ → identity cast
+    (wall-clock is UTC under the pinned session timezone)."""
+    from pyspark.sql import functions as F
+
+    if nanos:
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))

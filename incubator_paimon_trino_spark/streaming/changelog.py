@@ -65,6 +65,17 @@ def read_changelog_stream(
     The cut is a predicate on the commit id parsed from each file's
     ``c<v>-`` file-name prefix — partition-pruning-style, per file path,
     no data read from excluded commits' rows.
+
+    KNOWN LIMIT (delivery semantics under write races): data files land in
+    ``data/`` BEFORE the atomic snapshot publish (batch readers require
+    files to exist when the manifest appears), so a trigger firing inside a
+    commit race's window can list a conflict LOSER's files — those rows are
+    re-committed by the winner's retry at the next id, so the stream sees
+    them twice (at-least-once), or a micro-batch can fail-and-retry if the
+    loser deletes a listed file first. Paimon's own streaming read is
+    manifest-driven and avoids this; a manifest-driven source here would
+    need a custom Source implementation. Single-writer tables (the common
+    streaming topology) never hit the window.
     """
     db, _, table = name.partition(".")
     tdir = cat._table_dir(db, table)
@@ -75,6 +86,7 @@ def read_changelog_stream(
     # table whose partition column was renamed mid-history needs a batch
     # backfill instead).
     part_names = set(schema.partition_keys)
+    _reject_renamed_columns(cat, tdir, schema)
     phys = _physical_schema(schema, bool(schema.primary_key), exclude=part_names)
 
     from_version: int | None = None
@@ -91,10 +103,11 @@ def read_changelog_stream(
     elif startup_mode == "from-timestamp":
         if scan_timestamp_ms is None:
             raise ValueError("from-timestamp requires scan_timestamp_ms")
-        newer = [s for s in cat._snapshots(tdir) if s.timestamp_ms >= scan_timestamp_ms]
+        snaps = cat._snapshots(tdir)  # one metadata resolve, reused below
+        newer = [s for s in snaps if s.timestamp_ms >= scan_timestamp_ms]
         # no snapshot that late yet: start past the current tip and tail
         from_version = newer[0].snapshot_id if newer else (
-            (cat._snapshots(tdir)[-1].snapshot_id + 1) if cat._snapshots(tdir) else 1
+            (snaps[-1].snapshot_id + 1) if snaps else 1
         )
     else:
         raise ValueError(
@@ -137,6 +150,33 @@ def read_changelog_stream(
         commit_of = F.coalesce(new_c, old_c).cast("bigint")
         stream = stream.filter(commit_of.isNull() | (commit_of >= F.lit(from_version)))
     return stream
+
+
+def _reject_renamed_columns(cat: WarehouseCatalog, tdir: str, schema) -> None:
+    """Fail LOUDLY when any column was ever renamed: the file-stream source
+    matches parquet columns by NAME against the latest schema, so files
+    written before a rename would silently stream NULLs for the renamed
+    column (the batch path maps by field id and reads them correctly). A
+    clear error directing to the batch path beats silently-wrong data."""
+    import glob as _glob
+    import json
+
+    for path in _glob.glob(os.path.join(tdir, "schema", "schema-*.json")):
+        try:
+            with open(path) as fh:
+                old = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        old_names = {f["id"]: f["name"] for f in old.get("fields", [])}
+        for f in schema.fields:
+            if f.id in old_names and old_names[f.id] != f.name:
+                raise ValueError(
+                    f"column {old_names[f.id]!r} was renamed to {f.name!r} "
+                    "during this table's history; the streaming source maps "
+                    "parquet columns by name and would read NULLs from "
+                    "pre-rename files — use the batch read path "
+                    "(read_table / table_changelog) for this table"
+                )
 
 
 def windowed_counts(stream: DataFrame, ts_col: str, key_col: str, window: str = "5 minutes",
@@ -252,6 +292,12 @@ def write_stream_to_table(
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        # a PK changelog SOURCE carries _seq (its own commit order); the sink
+        # table assigns fresh sequence numbers per committed batch, so the
+        # rider _seq must not reach insert_into (it would be rejected as an
+        # unknown column). _row_kind DOES flow through — deletes upsert away.
+        if SEQ_COL in batch_df.columns:
+            batch_df = batch_df.drop(SEQ_COL)
         catalog.insert_with_retries(db, table, batch_df)
 
     writer = (

@@ -108,19 +108,22 @@ def test_partial_update_matches_model(spark, commits):
 @given(commits=changelogs())
 @HYP
 def test_aggregation_matches_model(spark, commits):
+    """Default functions with Paimon retraction semantics: numeric v → sum
+    (a -D row SUBTRACTS its stored contribution), string tag → last_value
+    (accepts retraction by ignoring the delete). Keys with only deletes
+    drop."""
     df = _df(spark, commits)
     got = {r.k: (r.v, r.tag) for r in merge_on_read(df, ["k"], "aggregation").collect()}
-    sums, tags = {}, {}
+    sums, tags, has_insert = {}, {}, set()
     for k, kind, v, tag, seq in _flat(commits):
-        if kind == "D":
-            continue
-        if k not in sums:
-            sums[k] = None
-            tags[k] = None
-        if v is not None:
-            sums[k] = (sums[k] or 0) + v
-        tags[k] = tag  # value at the latest insert, null included
-    want = {k: (sums[k], tags[k]) for k in sums}
+        sums.setdefault(k, None)
+        tags.setdefault(k, None)
+        if v is not None:  # sum retracts: delete subtracts
+            sums[k] = (sums[k] or 0) + (-v if kind == "D" else v)
+        if kind != "D":
+            tags[k] = tag  # last_value ignores deletes, null included
+            has_insert.add(k)
+    want = {k: (sums[k], tags[k]) for k in sums if k in has_insert}
     assert got == want
 
 
@@ -128,7 +131,14 @@ def test_aggregation_matches_model(spark, commits):
 @HYP
 def test_field_aggregates_match_model(spark, commits):
     """Per-field aggregate functions vs an independent model: v→min,
-    tag→listagg (non-null, changelog order)."""
+    tag→listagg (non-null, changelog order). min/listagg do not support
+    retraction, so the property runs on the insert-only projection of the
+    changelog (a delete reaching them raises — pinned separately in
+    ``test_aggregation_retraction_semantics``)."""
+    commits = [[r for r in commit if r[1] != "D"] for commit in commits]
+    commits = [c for c in commits if c]
+    if not commits:
+        return
     df = _df(spark, commits)
     got = {
         r.k: (r.v, r.tag)
@@ -139,8 +149,6 @@ def test_field_aggregates_match_model(spark, commits):
     }
     mins, lists = {}, {}
     for k, kind, v, tag, seq in _flat(commits):
-        if kind == "D":
-            continue
         mins.setdefault(k, None)
         lists.setdefault(k, [])
         if v is not None:
@@ -149,6 +157,42 @@ def test_field_aggregates_match_model(spark, commits):
             lists[k].append(tag)
     want = {k: (mins[k], ",".join(lists[k])) for k in mins}
     assert got == want
+
+
+def test_aggregation_retraction_semantics(spark):
+    """Paimon's retraction contract, pinned deterministically: sum subtracts
+    a delete's contribution; last_value ignores the delete; min RAISES
+    ("does not support retraction"); an all-delete key drops; and an
+    all-key-column PK table reads without crashing."""
+    import pytest
+
+    commits = [
+        [(1, "I", 10, "a"), (2, "I", 5, "x"), (3, "I", 1, "z")],
+        [(1, "I", 7, "b"), (2, "D", 2, "y"), (3, "D", 1, "z")],
+        [(3, "D", 1, "z")],
+    ]
+    df = _df(spark, commits)
+    got = {r.k: (r.v, r.tag) for r in merge_on_read(df, ["k"], "aggregation").collect()}
+    # k=1: 10+7 / last tag b; k=2: 5-2 retracted, tag keeps x (delete ignored)
+    # k=3: inserted once then double-deleted -> sum went negative but the key
+    # still has an insert, so it stays with the retracted sum
+    assert got == {1: (17, "b"), 2: (3, "x"), 3: (-1, "z")}
+
+    only_deletes = [[(9, "I", 1, "a")], [(9, "D", 1, "a")], [(8, "D", 4, "q")]]
+    got2 = {r.k for r in merge_on_read(_df(spark, only_deletes), ["k"], "aggregation").collect()}
+    assert got2 == {9}  # key 8 never had an insert -> drops
+
+    with pytest.raises(Exception, match="does not support retraction"):
+        merge_on_read(
+            df, ["k"], "aggregation", field_aggregates={"v": "min"}
+        ).collect()
+
+    # all-key-column table: no value columns to aggregate
+    keys_only = _df(spark, commits).select("k", "_seq", "_row_kind")
+    got3 = {r.k for r in merge_on_read(keys_only, ["k"], "aggregation").collect()}
+    assert got3 == {1, 2, 3}
+    got4 = {r.k for r in merge_on_read(keys_only, ["k"], "first-row").collect()}
+    assert got4 == {1, 2, 3}
 
 
 @given(commits=changelogs())

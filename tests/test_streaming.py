@@ -288,3 +288,45 @@ def test_stream_sink_into_lake_table(spark, event_table, tmp_path):
     assert after_rows == {1, 2, 3}
     # checkpoint prevented re-ingesting the old commits as new snapshots
     assert cat.read_table("s.sink$snapshots").count() == before + 1
+
+
+def test_pk_changelog_stream_sinks_into_pk_table(spark, tmp_path):
+    """The full loop the module docstring promises: PK changelog source
+    (with _seq/_row_kind riders) -> write_stream_to_table -> PK sink. The
+    source's _seq is dropped at the sink (the sink assigns its own commit
+    order) while _row_kind flows through, so deletes upsert away."""
+    from pyspark.sql import functions as F
+
+    from incubator_paimon_trino_spark.streaming.changelog import write_stream_to_table
+
+    cat = WarehouseCatalog(str(tmp_path / "wh"), spark)
+    cat.create_database("s")
+    cat.create_table("s", "src", [("k", "bigint"), ("v", "string")], primary_key=["k"])
+    cat.insert_into("s", "src", spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, v string"))
+    cat.delete_where("s", "src", F.col("k") == 2)
+    cat.create_table("s", "dst", [("k", "bigint"), ("v", "string")], primary_key=["k"])
+
+    src = read_changelog_stream(cat, "s.src")
+    assert "_seq" in src.columns and "_row_kind" in src.columns
+    write_stream_to_table(src, cat, "s", "dst", str(tmp_path / "ckpt"))
+    got = sorted(tuple(r) for r in cat.read_table("s.dst").collect())
+    assert got == [(1, "a")]  # the -D row for k=2 merged its key away
+
+
+def test_stream_rejects_renamed_column_history(spark, tmp_path):
+    """A table whose column was renamed mid-history must refuse to stream:
+    the file-stream source maps parquet columns by NAME, so pre-rename files
+    would silently yield NULLs (the batch path maps by field id and stays
+    correct — asserted here as the advertised alternative)."""
+    cat = WarehouseCatalog(str(tmp_path / "wh"), spark)
+    cat.create_database("s")
+    cat.create_table("s", "rn", [("k", "bigint"), ("old_name", "string")])
+    cat.insert_into("s", "rn", spark.createDataFrame([(1, "x")], "k bigint, old_name string"))
+    cat.rename_column("s", "rn", "old_name", "new_name")
+    cat.insert_into("s", "rn", spark.createDataFrame([(2, "y")], "k bigint, new_name string"))
+
+    with pytest.raises(ValueError, match="renamed"):
+        read_changelog_stream(cat, "s.rn")
+    # batch path reads both generations correctly via field-id mapping
+    got = sorted(tuple(r) for r in cat.read_table("s.rn").collect())
+    assert got == [(1, "x"), (2, "y")]
