@@ -192,7 +192,7 @@ def embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_embedding_cosine_blocked",
     oracle=f"""
-    WITH {{_KMEANS_CTES}}
+    WITH {_KMEANS_CTES}
     , emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
     , pairs AS (
       SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
@@ -205,7 +205,7 @@ def embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT vec_a, vec_b, ROUND(cosine, 6) AS cosine_r
     FROM pairs WHERE cosine >= 0.4
-    """.replace("{_KMEANS_CTES}", _KMEANS_CTES),
+    """,
 )
 def dedup_embedding_cosine_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs (cosine >= 0.4) with k-means cells as the
@@ -221,6 +221,7 @@ def dedup_embedding_cosine_blocked(spark: SparkSession, sf_dir: str) -> DataFram
     within-cell self-join), so this is hash-exact, not rows-only.
     """
     from incubator_paimon_trino_spark.operators.similarity import (
+        _dot,
         embeddings_normalized,
     )
 
@@ -236,9 +237,9 @@ def dedup_embedding_cosine_blocked(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("vec_id").alias("vec_b"), F.col("emb").alias("eb"),
         F.col("norm").alias("nb"), "cell",
     )
-    dot = F.aggregate(
-        F.zip_with("ea", "eb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
+    # the shared sequential fold: its accumulation order is the load-bearing
+    # property for bit-identical list_dot_product comparison
+    dot = _dot(F.col("ea"), F.col("eb"))
     return (
         a.join(b, "cell")
         .filter(F.col("vec_a") < F.col("vec_b"))

@@ -30,34 +30,15 @@ from pyspark.sql import functions as F
 from incubator_paimon_trino_spark.operators.registry import register
 from incubator_paimon_trino_spark.sources import table
 
-# MinHash parameters: 32 permutations, 8 bands × 4 rows ⇒ catches J≥0.5 pairs
-# with ~97% probability ((1-(1-J^4)^8)).
+# MinHash parameters: 32 permutations, 8 bands × 4 rows. Band-collision
+# probability is 1-(1-J^4)^8: ~0.40 at J=0.5, ~0.80 at J=0.65, ~0.97 at
+# J≈0.77 — the curve's knee sits above the 0.5 estimate-threshold on
+# purpose, so high-similarity pairs are near-certain catches while
+# borderline ones are best-effort (the exact-Jaccard twin is the oracle
+# for completeness).
 _N_PERMS = 32
 _N_BANDS = 8
 _ROWS_PER_BAND = _N_PERMS // _N_BANDS
-
-
-
-def _shingles(words_col: str = "words") -> F.Column:
-    """Distinct word 3-grams from a split-words array, built JVM-side."""
-    return F.array_distinct(
-        F.expr(
-            f"transform(sequence(0, greatest(size({words_col}) - 3, -1)),"
-            f" i -> concat_ws(' ', {words_col}[i], {words_col}[i+1], {words_col}[i+2]))"
-        )
-    )
-
-
-def shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # documents arrives as one small parquet file → one partition; without a
-    # repartition every downstream shingle/hash runs single-threaded. Hash-
-    # distribute by doc_id first (tiny shuffle, then full parallelism).
-    d = (
-        table(spark, sf_dir, "documents")
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
-        .withColumn("words", F.split("text", " "))
-    )
-    return d.select("doc_id", _shingles().alias("shingles"))
 
 
 def shingles_from(docs: DataFrame) -> DataFrame:
@@ -356,11 +337,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings").withColumn(
         "emb", F.transform("embedding", lambda x: x.cast("double"))
     )
+    from incubator_paimon_trino_spark.operators.similarity import _dot as dot
+
     a = e.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea"))
     b = e.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("eb"))
-    dot = lambda u, v: F.aggregate(  # noqa: E731
-        F.zip_with(u, v, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
     cosine = dot(F.col("ea"), F.col("eb")) / (
         F.sqrt(dot(F.col("ea"), F.col("ea"))) * F.sqrt(dot(F.col("eb"), F.col("eb")))
     )

@@ -19,10 +19,13 @@ from incubator_paimon_trino_spark.sources import table
 
 
 def _bucket(col, mod: int):
-    """md5-derived uniform bucket in [0, mod): first 15 hex chars (60 bits)
-    of md5(id) as an integer — engine-portable (same trick as the md5 LSH
-    variants in similarity.py)."""
-    return (F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast("bigint") % mod)
+    """md5-derived uniform bucket in [0, mod) — delegates to the ONE shared
+    md5-prefix-to-60-bit-integer construction (``dedup._md5_int``) so the
+    engine-portability-critical idiom has a single Spark-side definition
+    (the DuckDB twin is ``_bucket_sql`` below)."""
+    from incubator_paimon_trino_spark.operators.dedup import _md5_int
+
+    return _md5_int(col.cast("string")) % mod
 
 
 def _bucket_sql(expr: str, mod: int) -> str:

@@ -5,11 +5,12 @@ Two tiers:
 - ``ann_cosine_topk``   — brute-force exact top-k: broadcast the (small) query
                           set against the full embedding table; one pass, no
                           shuffle of the corpus. The correctness baseline.
-- ``ann_lsh_bucketed``  — random-hyperplane LSH: each vector signs H
+- ``ann_lsh_bucketed``  — random-hyperplane LSH: each vector signs H=6
                           deterministic hyperplanes → H-bit bucket; queries
-                          probe only their bucket (+ multiprobe neighbors at 1
-                          bit flipped). Corpus-side cost per query drops from
-                          O(N) to O(N / 2^H × probes).
+                          probe their own bucket plus every 1-bit and 2-bit
+                          flip (1 + 6 + 15 = 22 buckets). Corpus-side cost
+                          per query drops from O(N) to O(N × probes / 2^H)
+                          — ~22/64 ≈ 1/3 of the corpus at this setting.
 
 Cosine math is a sequential double fold over the array (``zip_with`` +
 ``aggregate``) — element order fixed, so results are reproducible and
@@ -121,13 +122,14 @@ def _lsh_bucket(emb_col: str) -> Column:
 
 @register("ann_lsh_bucketed")  # rows-only: hyperplanes derive from xxhash64
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN: probe only the query's bucket and 1-bit-flip
-    neighbors (multiprobe), then exact cosine + top-k within candidates.
+    """LSH-bucketed ANN: probe the query's bucket plus every 1-bit and 2-bit
+    flip (multiprobe, 22 buckets), then exact cosine + top-k in candidates.
 
-    Scale shape: corpus bucketing is a narrow map (8 signed projections per
-    vector); the candidate join is an equi-join on bucket id — the corpus is
-    hash-partitioned by bucket once and reused across query batches.
-    Recall vs the exact baseline is measured in tests (not 100% by design).
+    Scale shape: corpus bucketing is a narrow map (``_N_PLANES`` = 6 signed
+    projections per vector); the candidate join is an equi-join on bucket id
+    — the corpus is hash-partitioned by bucket once and reused across query
+    batches. Recall vs the exact baseline is measured in tests (not 100% by
+    design).
     """
     from pyspark.sql import Window as W
 
