@@ -154,15 +154,37 @@ class Snapshot:
 def _parse_type(s: str) -> T.DataType:
     """Spark type from its DDL/simpleString form.
 
-    CHAR(n)/VARCHAR(n) stay valid DECLARED types (the reference keeps them
-    distinct, ``TrinoTypeUtils.java:77-90``) but Spark 4 refuses them inside
-    a schema — their storage form is STRING (CHAR canonically rtrimmed by
-    the write path; length is metadata)."""
+    CHAR(n)/VARCHAR(n) stay valid DECLARED types at the TOP level (the
+    reference keeps them distinct, ``TrinoTypeUtils.java:77-90``) but Spark 4
+    refuses them inside a schema — their storage form is STRING (CHAR
+    canonically rtrimmed by the write path; length is metadata). NESTED
+    char/varchar (``array<char(5)>``) parses fine in fromDDL yet fails every
+    later read with UNSUPPORTED_CHAR_OR_VARCHAR_AS_STRING — reject it HERE
+    so create_table/add_column fail at DDL time, not on an unreadable table.
+    """
     import re as _re
 
     if _re.fullmatch(r"\s*(?i:CHAR|VARCHAR)\s*(\(\s*\d+\s*\))?\s*", s):
         return T.StringType()
-    return T.StructType.fromDDL(f"c {s}")[0].dataType
+    dt = T.StructType.fromDDL(f"c {s}")[0].dataType
+    if _contains_char(dt):
+        raise ValueError(
+            f"type {s!r} contains a nested CHAR/VARCHAR — Spark cannot read "
+            "char types inside a schema; use string for nested text fields"
+        )
+    return dt
+
+
+def _contains_char(dt: T.DataType) -> bool:
+    if isinstance(dt, (T.CharType, T.VarcharType)):
+        return True
+    if isinstance(dt, T.ArrayType):
+        return _contains_char(dt.elementType)
+    if isinstance(dt, T.MapType):
+        return _contains_char(dt.keyType) or _contains_char(dt.valueType)
+    if isinstance(dt, T.StructType):
+        return any(_contains_char(f.dataType) for f in dt.fields)
+    return False
 
 
 class CommitConflictError(RuntimeError):

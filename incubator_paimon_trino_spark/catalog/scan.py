@@ -62,20 +62,37 @@ def _norm(v, ddl: str):
         return None
     d = ddl.lower()
     if d in ("tinyint", "smallint", "int", "integer", "bigint", "long", "short", "byte"):
-        return int(v)
+        # a FRACTIONAL literal against an integer column must keep its
+        # fractional part (int(10.5) == 10 would flip `x < 10.5` into
+        # `x < 10` and wrongly prune a file whose stats are [10, 10])
+        iv = int(v)
+        return iv if iv == float(v) else float(v)
     if d in ("float", "double", "real"):
         return float(v)
     if d.startswith("decimal"):
+        Decimal(str(v))  # malformed literal → ValueError/InvalidOperation → keep
         return str(v)  # exact; compared via Decimal
     if d == "date":
-        return v.isoformat() if hasattr(v, "isoformat") else str(v)
-    if d.startswith("timestamp"):
         if isinstance(v, _dt.datetime):
-            if v.tzinfo is not None:
-                v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
-            # fixed-width micros → lexicographic order == time order
-            return v.isoformat(sep=" ", timespec="microseconds")
-        return str(v)
+            return v.date().isoformat()
+        if hasattr(v, "isoformat"):
+            return v.isoformat()
+        # string literal: canonicalize — a datetime-shaped literal on a date
+        # column compares as its date part (as Spark's cast would)
+        try:
+            return _dt.date.fromisoformat(str(v)).isoformat()
+        except ValueError:
+            return _dt.datetime.fromisoformat(str(v)).date().isoformat()
+    if d.startswith("timestamp"):
+        if not isinstance(v, _dt.datetime):
+            # string literal: parse, so '2024-01-01 00:00:00' compares equal
+            # to the canonical '...00:00:00.000000' stat instead of
+            # lexicographically below it (which wrongly pruned the file)
+            v = _dt.datetime.fromisoformat(str(v))
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        # fixed-width micros → lexicographic order == time order
+        return v.isoformat(sep=" ", timespec="microseconds")
     if d == "string" or d.startswith("varchar") or d.startswith("char"):
         s = v.decode("utf-8", "replace") if isinstance(v, (bytes, bytearray)) else str(v)
         return None if len(s) >= _MAX_STR_STAT else s
@@ -134,7 +151,7 @@ def collect_file_stats(
             if st.has_min_max:
                 try:
                     lo, hi = _norm(st.min, f.type), _norm(st.max, f.type)
-                except (TypeError, ValueError):
+                except (TypeError, ValueError, ArithmeticError):
                     lo = hi = None
                 if lo is None or hi is None:  # values exist but stat unusable
                     broken.add(f.id)
@@ -189,7 +206,7 @@ def _value_parts_possible(d: ColumnDomain, lo, hi, ddl: str) -> bool:
     def norm_lit(x):
         try:
             return _key(_norm(x, ddl), ddl)
-        except (TypeError, ValueError):
+        except (TypeError, ValueError, ArithmeticError):
             return None
 
     ok = True
@@ -292,7 +309,7 @@ def prune_files(
                 else:
                     try:
                         lo = hi = _norm(raw, ddl)
-                    except (TypeError, ValueError):
+                    except (TypeError, ValueError, ArithmeticError):
                         lo = hi = None
                     nulls = 0
                 if raw is not None and lo is None:

@@ -59,6 +59,7 @@ from incubator_paimon_trino_spark.catalog.metadata import (
     Field,
     Snapshot,
     TableSchema,
+    _parse_type as _meta_parse_type,
     read_json,
     write_json_atomic,
 )
@@ -195,6 +196,14 @@ class WarehouseCatalog:
             # the system/merge scaffolding columns would silently shadow a
             # user column of the same name at read time
             raise ValueError(f"column name(s) {reserved} are reserved (system columns)")
+        for c in columns:
+            # validate with the READ-path parser so an unparseable type (e.g.
+            # array<char(5)> — Spark 4 refuses nested char in a schema) fails
+            # HERE, not on every later read of an unreadable table
+            try:
+                _meta_parse_type(c[1])
+            except Exception as ex:
+                raise ValueError(f"column {c[0]!r}: unsupported type {c[1]!r}: {ex}") from ex
         for k in primary_key + partitioned_by:
             if k not in names:
                 raise ValueError(f"key column {k!r} not in columns {names}")
@@ -267,9 +276,13 @@ class WarehouseCatalog:
         s = self._latest_schema(tdir)
         if any(f.name.lower() == name.lower() for f in s.fields):
             raise ValueError(f"column {name!r} already exists")
-        # fail at DDL time on an unparseable type — a bad string written into
-        # the schema JSON would otherwise brick every subsequent read
-        paimon_to_spark(type_ddl)
+        # fail at DDL time on a type the READ-path parser rejects — a bad
+        # string written into the schema JSON would otherwise brick every
+        # subsequent read
+        try:
+            _meta_parse_type(type_ddl)
+        except Exception as ex:
+            raise ValueError(f"column {name!r}: unsupported type {type_ddl!r}: {ex}") from ex
         s.highest_field_id += 1
         s.fields.append(Field(s.highest_field_id, name, type_ddl, comment=comment))
         s.schema_id += 1
@@ -1334,6 +1347,15 @@ class WarehouseCatalog:
             return []
         files = snap.files
         if predicate:
+            # same CHAR(n) pad-insensitive normalization as read_table — a
+            # padded literal must not prune files holding the rtrimmed form
+            char_cols = {f.name for f in schema.fields if char_length(f.type) is not None}
+            if char_cols:
+                from incubator_paimon_trino_spark.functions.predicates import (
+                    normalize_char_domains,
+                )
+
+                predicate = normalize_char_domains(predicate, char_cols)
             files = prune_files(files, predicate, schema, lambda sid: self._schema(tdir, sid))
             files = self._bucket_prune(schema, predicate, files)
         if limit is not None and _limit_pushable(schema, predicate, files):

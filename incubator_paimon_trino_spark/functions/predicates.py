@@ -117,6 +117,8 @@ def tuple_domain_to_column(
                 raise NotImplementedError(
                     f"domain on structural column {d.column!r} rejected (reference A6 semantics)"
                 )
+    if not domains:
+        return F.lit(True)  # TupleDomain.all — an empty conjunction filters nothing
     out = domains[0].to_column()
     for d in domains[1:]:
         out = out & d.to_column()

@@ -70,9 +70,12 @@ def paimon_to_spark(type_str: str) -> T.DataType:
         # Trino TIME(3) millis (TrinoTypeUtils.java:148-151).
         p = int(m.group(1)) if m.group(1) else 0
         return T.TimeType(min(p, 6))
-    if re.fullmatch(r"TIMESTAMP\s*(\(\s*\d\s*\))?\s*(WITH\s+LOCAL\s+TIME\s+ZONE)?", up):
-        with_ltz = "WITH LOCAL TIME ZONE" in up
-        return T.TimestampType() if with_ltz else T.TimestampNTZType()
+    m = re.fullmatch(r"TIMESTAMP\s*(\(\s*\d\s*\))?\s*(?P<ltz>WITH\s+LOCAL\s+TIME\s+ZONE)?", up)
+    if m:
+        # detect LTZ from the REGEX GROUP, not a single-space substring test:
+        # 'WITH  LOCAL TIME ZONE' (any whitespace) must not silently fall
+        # back to wall-clock NTZ semantics
+        return T.TimestampType() if m.group("ltz") else T.TimestampNTZType()
     m = re.fullmatch(r"ARRAY\s*<(.*)>", s, re.IGNORECASE | re.DOTALL)
     if m:
         return T.ArrayType(paimon_to_spark(m.group(1)))

@@ -188,3 +188,91 @@ def test_clustering_columns_tighten_minmax_pruning(cat, spark):
         cat.create_table("d", "bad_cluster", [("k", "int")],
                          options={"clustering_columns": "zz"})
         cat.insert_into("d", "bad_cluster", spark.createDataFrame([(1,)], "k int"))
+
+
+def test_review_fixes_round4_pruning(cat, spark):
+    """Round-4 review: literal normalization must never prune a matching
+    file — fractional literals on int columns keep their fraction, short
+    timestamp literals canonicalize before the lexicographic compare, and a
+    malformed decimal literal keeps the file instead of crashing."""
+    from incubator_paimon_trino_spark.catalog.scan import _value_parts_possible
+
+    # x < 10.5 over a file with stats [10, 10]: the rows of 10 match
+    assert _value_parts_possible(ColumnDomain("k", op="<", value=10.5), 10, 10, "int")
+    assert _value_parts_possible(
+        ColumnDomain("k", ranges=[Range(high=10.5, high_inclusive=False)]), 10, 10, "int"
+    )
+    # '2024-01-01 00:00:00' (no micros) vs canonical fixed-width stats
+    assert _value_parts_possible(
+        ColumnDomain("ts", op="=", value="2024-01-01 00:00:00"),
+        "2024-01-01 00:00:00.000000", "2024-01-01 00:00:00.000000", "timestamp",
+    )
+    # datetime-shaped literal on a date column compares as its date part
+    assert _value_parts_possible(
+        ColumnDomain("d", op="=", value="2024-01-01T00:00:00"),
+        "2024-01-01", "2024-01-01", "date",
+    )
+    # malformed decimal literal: unknown -> keep, never a crash
+    assert _value_parts_possible(
+        ColumnDomain("m", op="=", value="abc"), "1.00", "2.00", "decimal(10,2)"
+    )
+
+    # end to end: the fractional literal plans the file AND returns its rows
+    _mk_append(cat, spark)
+    files = cat.scan_plan("d.t", predicate=[ColumnDomain("k", op="<", value=0.5)])
+    assert len(files) >= 1
+    got = cat.read_table("d.t", predicate=[ColumnDomain("k", op="<", value=0.5)]).collect()
+    assert [r.k for r in got] == [0]
+
+
+def test_review_fixes_round4_char_and_types(cat, spark):
+    """scan_plan applies the same CHAR pad-insensitive normalization as
+    read_table; nested char types are rejected at DDL time (they would brick
+    every later read); empty tuple-domains are TupleDomain.all."""
+    from pyspark.sql import functions as F
+
+    from incubator_paimon_trino_spark.functions.predicates import tuple_domain_to_column
+    from incubator_paimon_trino_spark.functions.types import paimon_to_spark
+
+    cat.create_database("d", ignore_if_exists=True)
+    cat.create_table("d", "ch", [("tag", "char(3)"), ("v", "int")])
+    cat.insert_into(
+        "d", "ch", spark.createDataFrame([("ab", 1)], "tag string, v int").coalesce(1)
+    )
+    # padded literal: stored form is rtrimmed 'ab' — the file must survive
+    files = cat.scan_plan("d.ch", predicate=[ColumnDomain("tag", op="=", value="ab ")])
+    assert len(files) == 1
+
+    with pytest.raises(ValueError, match="unsupported type"):
+        cat.create_table("d", "bad", [("c", "array<char(5)>")])
+
+    # empty domain list = no filter, not IndexError
+    df = spark.range(3)
+    assert df.filter(tuple_domain_to_column([])).count() == 3
+
+    # LTZ detection is whitespace-robust (regex group, not substring)
+    from pyspark.sql import types as T
+
+    assert isinstance(paimon_to_spark("TIMESTAMP(6) WITH  LOCAL TIME ZONE"), T.TimestampType)
+
+
+def test_review_fixes_round4_plan_parsing(spark, tmp_path):
+    """pushed_filters keeps bracketed In(...) filters whole; ReadSchema
+    reports only top-level columns for nested structs."""
+    from pyspark.sql import functions as F
+
+    from incubator_paimon_trino_spark.plans import pushed_filters, read_schema_columns
+
+    p = str(tmp_path / "pp")
+    spark.range(10).selectExpr(
+        "id AS a", "named_struct('x', id, 'y', id + 1) AS s"
+    ).write.parquet(p)
+    df = spark.read.parquet(p).filter((F.col("a") > 5) & F.col("a").isin(1, 2, 7)).select("s")
+    pf = pushed_filters(df)
+    assert any(f.startswith("In(a, [") and f.endswith("])") for f in pf), pf
+    assert all(f.count("(") == f.count(")") for f in pf), pf
+    cols = read_schema_columns(df)
+    assert "s" in cols and "y" not in cols and "x" not in cols
+
+    # the metadata-length conf override is restored to UNSET afterwards
+    assert spark.conf.get("spark.sql.maxMetadataStringLength", None) in (None, "100")
