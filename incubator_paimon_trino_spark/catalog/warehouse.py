@@ -453,8 +453,13 @@ class WarehouseCatalog:
         """
         avro_counts: dict[str, int] = {}
         if ext == "avro" and paths:
+            import urllib.parse as _up
+
+            # input_file_name() returns a percent-encoded URI — unquote it
+            # or any path needing encoding (spaces, hive-escaped partition
+            # values) misses the realpath lookup and records count 0
             avro_counts = {
-                os.path.realpath(r.f.removeprefix("file:")): r.asDict()["count"]
+                os.path.realpath(_up.unquote(r.f.removeprefix("file:"))): r.asDict()["count"]
                 for r in self.spark.read.format("avro")
                 .load(paths)
                 .groupBy(F.input_file_name().alias("f"))
@@ -527,10 +532,16 @@ class WarehouseCatalog:
                 for c, func in _field_aggregate_specs(schema.options).items():
                     if func == "count":
                         ftype = schema.field_by_name(c).type
+                        # only RAW +I rows re-partial to 0/1: a -D retraction
+                        # row carries the accumulated total it must subtract
+                        # wholesale (delete_where writes the merged row back
+                        # as -D) — re-partialing it would retract only 1
                         out = out.withColumn(
                             c,
-                            F.when(F.col(c).isNotNull(), F.lit(1))
-                            .otherwise(F.lit(0))
+                            F.when(F.col(KIND_COL) == "D", F.col(c))
+                            .otherwise(
+                                F.when(F.col(c).isNotNull(), F.lit(1)).otherwise(F.lit(0))
+                            )
                             .cast(ftype),
                         )
         elif KIND_COL in out.columns or row_kind not in (None, "I"):
@@ -662,9 +673,16 @@ class WarehouseCatalog:
                 pass
         # snapshot.num-retained.max: cap history length at commit time
         # (Paimon's automatic expiration), keeping tagged snapshots.
+        # Best-effort like compaction above: two concurrent committers can
+        # race on overlapping doomed sets, and a maintenance OSError must
+        # not surface as a failure of the ALREADY-SUCCEEDED insert (the
+        # caller's retry loop would double-write the data).
         retained = int(schema.options.get("snapshot_num_retained_max", "0") or 0)
         if retained > 0:
-            self.expire_snapshots(db, table, keep_last=retained)
+            try:
+                self.expire_snapshots(db, table, keep_last=retained)
+            except OSError:
+                pass
         return version
 
     def insert_with_retries(
@@ -698,6 +716,15 @@ class WarehouseCatalog:
         schema = self.schema_of(db, table)
         if not schema.primary_key:
             raise ValueError("delete_where requires a primary-key table")
+        if schema.options.get("merge_engine") == "first-row":
+            # first-row keeps the EARLIEST insert and ignores every later
+            # row including retractions (merge_on_read filters -D out before
+            # picking) — a "successful" DELETE would be a silent no-op, so
+            # reject it, matching Paimon's first-row retraction rejection
+            raise ValueError(
+                "DELETE is not supported on first-row merge-engine tables "
+                "(first-row ignores retractions; the key would remain visible)"
+            )
         doomed = self.read_table(f"{db}.{table}").filter(condition)
         return self.insert_into(db, table, doomed, row_kind="D")
 
@@ -716,6 +743,22 @@ class WarehouseCatalog:
         bad = set(assignments) & set(schema.primary_key)
         if bad:
             raise ValueError(f"cannot update primary-key columns {sorted(bad)}")
+        seq_field = schema.options.get("sequence_field")
+        if seq_field and seq_field not in assignments:
+            # with a sequence_field, merge order is the BUSINESS column: a
+            # rewritten row carrying the same sequence value ties with the
+            # row it replaces and max_by picks arbitrarily — the update
+            # could silently not apply. Make the caller advance it.
+            raise ValueError(
+                f"UPDATE on a sequence_field table must assign a new value to "
+                f"{seq_field!r} (merge order is the sequence column; an equal "
+                "value ties with the old row nondeterministically)"
+            )
+        if schema.options.get("merge_engine") == "first-row":
+            raise ValueError(
+                "UPDATE is not supported on first-row merge-engine tables "
+                "(the earliest insert wins; the rewritten row would be ignored)"
+            )
         updated = self.read_table(f"{db}.{table}").filter(condition)
         for col, expr in assignments.items():
             if col not in [f.name for f in schema.fields]:
@@ -853,6 +896,18 @@ class WarehouseCatalog:
             del tags[t]
         write_json_atomic(os.path.join(tdir, "snapshot", "TAGS"), tags)
         write_json_atomic(os.path.join(tdir, "snapshot", "LATEST"), {"snapshot_id": snapshot_id})
+        # the rolled-back snapshots' manifests sit ABOVE the restored horizon,
+        # where _gc_manifests must presume in-flight writers — but THESE ids
+        # were just deleted by us, so reap them explicitly or every rollback
+        # permanently accretes dead manifest JSONs referencing deleted files
+        live_manifests = {m for s in kept for m in s.manifests}
+        for s_ in doomed:
+            for mname in s_.manifests:
+                if mname not in live_manifests:
+                    try:
+                        os.remove(os.path.join(tdir, "manifest", mname))
+                    except FileNotFoundError:
+                        pass
         self._gc_manifests(tdir)
 
     def read_cdc(self, name: str, from_snapshot: int, to_snapshot: int) -> DataFrame:
@@ -879,8 +934,22 @@ class WarehouseCatalog:
         new = self.read_table(name, version_as_of=to_snapshot)
         if old is None:
             return new.withColumn("_change", F.lit("+I"))
-        o = old.select(*pk, F.struct(*value_cols).alias("_old"))
-        n = new.select(*pk, F.struct(*value_cols).alias("_new"))
+        from pyspark.sql import types as _T
+
+        # comparison twin of each value column: Spark's eqNullSafe rejects
+        # MAP types (no defined ordering), so maps compare via their sorted
+        # entry arrays — canonical regardless of internal map order. (Maps
+        # nested INSIDE structs/arrays would still be rejected by Spark;
+        # top-level map value columns are the supported surface.)
+        by_type = {f.name: f.dataType for f in new.schema.fields}
+        cmp_col = lambda c: (  # noqa: E731
+            F.sort_array(F.map_entries(F.col(c))).alias(c)
+            if isinstance(by_type[c], _T.MapType)
+            else F.col(c).alias(c)
+        )
+        cmp_struct = F.struct(*[cmp_col(c) for c in value_cols])
+        o = old.select(*pk, F.struct(*value_cols).alias("_old"), cmp_struct.alias("_oldc"))
+        n = new.select(*pk, F.struct(*value_cols).alias("_new"), cmp_struct.alias("_newc"))
         # materialize once: four classification branches below would other-
         # wise re-run the two merged reads and the join per branch
         j = o.join(n, pk, "full_outer").localCheckpoint()
@@ -895,7 +964,7 @@ class WarehouseCatalog:
             & F.col("_new").isNotNull()
             # null-safe: plain != returns NULL when a struct field is null,
             # silently dropping e.g. a null->3 update from the changelog
-            & ~F.col("_old").eqNullSafe(F.col("_new"))
+            & ~F.col("_oldc").eqNullSafe(F.col("_newc"))
         )
         before = changed.select(
             *pk, *[F.col(f"_old.{c}").alias(c) for c in value_cols], F.lit("-U").alias("_change")
@@ -940,8 +1009,19 @@ class WarehouseCatalog:
         if producer not in ("input", "lookup", "full-compaction", "none"):
             raise ValueError(f"unknown changelog_producer {producer!r}")
         snaps = [s.snapshot_id for s in self._snapshots(tdir)]
+        snap_ids = set(snaps)
         hi = to_snapshot if to_snapshot is not None else (snaps[-1] if snaps else 0)
         ids = [s for s in snaps if from_snapshot < s <= hi]
+        if from_snapshot > 0 and from_snapshot not in snap_ids:
+            # an EXPIRED start position must fail loudly (Paimon errors too):
+            # the nearest-survivor collapse below is only sound for gaps
+            # strictly inside the range — widening the FIRST diff would
+            # re-deliver changes the caller already consumed
+            raise ValueError(
+                f"from_snapshot {from_snapshot} has been expired (surviving: "
+                f"{sorted(snap_ids)}); resume from a surviving snapshot or "
+                "re-bootstrap with from_snapshot=0"
+            )
 
         if producer == "input":
             if not schema.primary_key:
@@ -955,16 +1035,42 @@ class WarehouseCatalog:
                     "sequence_field (rows carry business sequence, not "
                     "commit ids) — use producer='lookup' or 'none'"
                 )
-            raw = self.read_table(name, with_system_columns=True)
+            # per-commit FILE-SET diffs, not a _seq filter over the latest
+            # live set: compaction re-stamps every live row with its own id
+            # (a _seq filter would re-emit the whole table for the compact
+            # commit and return EMPTY for pre-compaction ranges whose raw
+            # rows left the live set). Snapshot JSONs keep full per-version
+            # file lists, so the diff works at any point in history; COMPACT
+            # commits emit nothing (Paimon's input producer contract —
+            # rewrites are not writer input).
+            all_snaps = self._snapshots(tdir)
+            by_id = {s.snapshot_id: s for s in all_snaps}
+            prev_id = max((x for x in snap_ids if x <= from_snapshot), default=0)
+            prev_paths = {f["path"] for f in by_id[prev_id].files} if prev_id else set()
             change = F.when(F.col(KIND_COL) == "D", "-D").otherwise("+I")
-            out = raw.filter((F.col(SEQ_COL) > from_snapshot) & (F.col(SEQ_COL) <= hi))
-            return out.select(
-                *[f.name for f in schema.fields],
-                F.col(SEQ_COL).alias("_snapshot"),
-                change.alias("_change"),
-            )
+            parts = []
+            for s_id in ids:
+                s = by_id[s_id]
+                added = [f for f in s.files if f["path"] not in prev_paths]
+                prev_paths = {f["path"] for f in s.files}
+                if s.commit_kind == COMMIT_COMPACT or not added:
+                    continue
+                raw = self._read_files(tdir, schema, dataclasses.replace(s, files=added))
+                parts.append(
+                    raw.select(
+                        *[f.name for f in schema.fields],
+                        F.lit(s_id).cast("bigint").alias("_snapshot"),
+                        change.alias("_change"),
+                    )
+                )
+            if not parts:
+                empty = schema.spark_schema().add("_snapshot", "bigint").add("_change", "string")
+                return self.spark.createDataFrame([], empty)
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            return out
 
-        snap_ids = set(snaps)
         parts = []
         for s_id in ids:
             # diff against the NEAREST surviving predecessor: with expired
@@ -1008,12 +1114,19 @@ class WarehouseCatalog:
             return {"expired_snapshots": 0, "deleted_files": 0}
         live = {f["path"] for s in kept for f in s.files}
         dead = {f["path"] for s in doomed for f in s.files} - live
+        # a concurrent expirer may be deleting an overlapping doomed set:
+        # a file already gone is SUCCESS for this pass, not an error
         for rel in sorted(dead):
             p = os.path.join(tdir, rel)
-            if os.path.exists(p):
+            try:
                 os.remove(p)
+            except FileNotFoundError:
+                pass
         for s in doomed:
-            os.remove(os.path.join(tdir, "snapshot", f"snapshot-{s.snapshot_id}.json"))
+            try:
+                os.remove(os.path.join(tdir, "snapshot", f"snapshot-{s.snapshot_id}.json"))
+            except FileNotFoundError:
+                pass
         self._prune_empty_dirs(os.path.join(tdir, "data"))
         self._gc_manifests(tdir)
         return {"expired_snapshots": len(doomed), "deleted_files": len(dead)}
@@ -1429,11 +1542,24 @@ class WarehouseCatalog:
         if schema.primary_key and not with_system_columns:
             from incubator_paimon_trino_spark.operators.merge_on_read import merge_on_read
 
+            aggs = _field_aggregate_specs(schema.options)
+            seq_field = schema.options.get("sequence_field")
+            if (
+                schema.options.get("merge_engine") == "aggregation"
+                and seq_field
+                and seq_field not in aggs
+                and seq_field not in schema.primary_key
+            ):
+                # the sequence column orders merges — it must NEVER default
+                # to the numeric 'sum' (two inserts ts=100,101 would merge
+                # to ts=201, and compaction would re-stamp rows with that
+                # garbage sequence, silently outranking later real inserts)
+                aggs[seq_field] = "last_value"
             df = merge_on_read(
                 df,
                 primary_key=schema.primary_key,
                 merge_engine=schema.options.get("merge_engine", "deduplicate"),
-                field_aggregates=_field_aggregate_specs(schema.options),
+                field_aggregates=aggs,
             )
             # schema column order (merge_on_read returns PK-first) so reads
             # before/after the first commit and across tables are positional-
@@ -2521,6 +2647,13 @@ def _validate_table_options(
     seq_field = options.get("sequence_field")
     if seq_field and seq_field not in names:
         raise ValueError(f"sequence_field {seq_field!r} not in columns {names}")
+    if seq_field and specs.get(seq_field) not in (None, "last_value", "first_value"):
+        raise ValueError(
+            f"sequence_field {seq_field!r} cannot carry aggregate-function "
+            f"{specs[seq_field]!r}: the sequence column orders merges and a "
+            "value-combining aggregate (sum/product/...) would produce a "
+            "garbage sequence that outranks later real inserts"
+        )
     if seq_field and types is not None:
         t = types.get(seq_field, "").strip().lower()
         if not _SEQ_FIELD_TYPE_RE.match(t):

@@ -737,3 +737,119 @@ def test_review_fixes_round4(cat, spark, monkeypatch):
     os.utime(stale, (two_days_ago, two_days_ago))
     cat.sql(f"CALL sys.remove_orphan_files(table => 'm.r4s', older_than => {future})")
     assert not os.path.exists(stale)  # past the floor: abandoned debris collects
+
+
+def test_review_fixes_round4b_write_path(cat, spark, monkeypatch):
+    """Round-4 write-path review: merge semantics and maintenance races."""
+    from pyspark.sql import functions as F
+
+    # 1. count field-aggregate retraction: a -D row retracts its FULL
+    # accumulated count (the 0/1 re-partialing applies to raw +I rows only)
+    cat.create_table(
+        "m", "wc", [("k", "bigint"), ("cnt", "bigint"), ("amt", "bigint")],
+        primary_key=["k"],
+        options={"merge_engine": "aggregation", "fields.cnt.aggregate-function": "count"},
+    )
+    rows = spark.createDataFrame([(1, 7, 10), (1, 7, 20), (1, 7, 30)], "k bigint, cnt bigint, amt bigint")
+    cat.insert_into("m", "wc", rows)
+    assert [(r.cnt, r.amt) for r in cat.read_table("m.wc").collect()] == [(3, 60)]
+    cat.delete_where("m", "wc", F.col("k") == 1)
+    got = cat.read_table("m.wc").collect()
+    # sum retracted to 0 AND count retracted to 0 (not 3-1=2)
+    assert [(r.cnt, r.amt) for r in got] == [(0, 0)]
+
+    # 2. first-row tables reject DELETE and UPDATE (silent no-ops before)
+    cat.create_table(
+        "m", "fr", [("k", "bigint"), ("v", "string")],
+        primary_key=["k"], options={"merge_engine": "first-row"},
+    )
+    cat.insert_into("m", "fr", spark.createDataFrame([(1, "a")], "k bigint, v string"))
+    with pytest.raises(ValueError, match="first-row"):
+        cat.delete_where("m", "fr", F.col("k") == 1)
+    with pytest.raises(ValueError, match="first-row"):
+        cat.update_where("m", "fr", F.col("k") == 1, {"v": "b"})
+
+    # 3. UPDATE on a sequence_field table must advance the sequence
+    cat.create_table(
+        "m", "sq", [("k", "bigint"), ("ts", "bigint"), ("v", "string")],
+        primary_key=["k"], options={"sequence_field": "ts"},
+    )
+    cat.insert_into("m", "sq", spark.createDataFrame([(1, 100, "a")], "k bigint, ts bigint, v string"))
+    with pytest.raises(ValueError, match="sequence_field"):
+        cat.update_where("m", "sq", F.col("k") == 1, {"v": "b"})
+    cat.update_where("m", "sq", F.col("k") == 1, {"v": "b", "ts": F.col("ts") + 1})
+    assert [(r.ts, r.v) for r in cat.read_table("m.sq").collect()] == [(101, "b")]
+
+    # 4. sequence_field on an aggregation table must not be summed, and a
+    # value-combining aggregate on it is rejected at DDL time
+    with pytest.raises(ValueError, match="sequence"):
+        cat.create_table(
+            "m", "sqagg_bad", [("k", "bigint"), ("ts", "bigint"), ("n", "bigint")],
+            primary_key=["k"],
+            options={"merge_engine": "aggregation", "sequence_field": "ts",
+                     "fields.ts.aggregate-function": "sum"},
+        )
+    cat.create_table(
+        "m", "sqagg", [("k", "bigint"), ("ts", "bigint"), ("n", "bigint")],
+        primary_key=["k"],
+        options={"merge_engine": "aggregation", "sequence_field": "ts"},
+    )
+    cat.insert_into("m", "sqagg", spark.createDataFrame([(1, 100, 1)], "k bigint, ts bigint, n bigint"))
+    cat.insert_into("m", "sqagg", spark.createDataFrame([(1, 101, 2)], "k bigint, ts bigint, n bigint"))
+    got = cat.read_table("m.sqagg").collect()
+    assert [(r.ts, r.n) for r in got] == [(101, 3)]  # ts = last, NOT 201
+
+    # 5. a maintenance failure after a successful commit stays best-effort
+    cat.create_table(
+        "m", "bm", [("k", "bigint")], options={"snapshot_num_retained_max": "2"}
+    )
+    real = cat.expire_snapshots
+
+    def boom(*a, **kw):
+        raise OSError("simulated concurrent-expire race")
+
+    monkeypatch.setattr(cat, "expire_snapshots", boom)
+    v = cat.insert_into("m", "bm", spark.createDataFrame([(1,)], "k bigint"))
+    monkeypatch.setattr(cat, "expire_snapshots", real)
+    assert v == 1 and cat.read_table("m.bm").count() == 1
+
+
+def test_review_fixes_round4b_changelog(cat, spark):
+    """Input-producer changelog is per-commit file diffs (compaction emits
+    nothing; pre-compaction ranges stay readable); expired start positions
+    raise; CDC works on map-typed value columns."""
+    from pyspark.sql import functions as F
+
+    cat.create_table("m", "cl", [("k", "bigint"), ("v", "string")], primary_key=["k"])
+    mk = lambda rows: spark.createDataFrame(rows, "k bigint, v string")  # noqa: E731
+    cat.insert_into("m", "cl", mk([(1, "a")]))       # snapshot 1
+    cat.insert_into("m", "cl", mk([(2, "b")]))       # snapshot 2
+    cat.compact("m", "cl")                           # snapshot 3 (COMPACT)
+    cat.insert_into("m", "cl", mk([(3, "c")]))       # snapshot 4
+
+    # full range: only writer input appears — the compact commit emits
+    # NOTHING (no whole-table +I re-emission)
+    out = cat.table_changelog("m.cl", producer="input").collect()
+    assert sorted((r.k, r._snapshot, r._change) for r in out) == [
+        (1, 1, "+I"), (2, 2, "+I"), (3, 4, "+I"),
+    ]
+    # pre-compaction range: raw rows come from the historical file lists,
+    # not the (rewritten) live set
+    pre = cat.table_changelog("m.cl", from_snapshot=1, to_snapshot=2, producer="input").collect()
+    assert [(r.k, r._snapshot) for r in pre] == [(2, 2)]
+
+    # expired start position fails loudly instead of re-delivering
+    cat.expire_snapshots("m", "cl", keep_last=2)  # keeps 3,4
+    with pytest.raises(ValueError, match="expired"):
+        cat.table_changelog("m.cl", from_snapshot=2, producer="lookup")
+
+    # CDC on a map-typed value column (eqNullSafe rejects maps — compared
+    # via sorted entries)
+    cat.create_table(
+        "m", "mp", [("k", "bigint"), ("tags", "map<string,int>")], primary_key=["k"]
+    )
+    mkm = lambda rows: spark.createDataFrame(rows, "k bigint, tags map<string,int>")  # noqa: E731
+    cat.insert_into("m", "mp", mkm([(1, {"a": 1}), (2, {"b": 2})]))
+    cat.insert_into("m", "mp", mkm([(1, {"a": 9})]))
+    cdc = {(r.k, r._change) for r in cat.read_cdc("m.mp", 1, 2).collect()}
+    assert cdc == {(1, "-U"), (1, "+U")}

@@ -85,10 +85,11 @@ def test_rollback_gcs_dropped_manifests(cat, spark):
     _mk(cat, spark)
     mdir = os.path.join(_tdir(cat, "d", "t"), "manifest")
     cat.rollback_to("d", "t", 2)
-    # manifests ABOVE the surviving horizon get an in-flight grace period (a
-    # concurrent writer stages its manifest before publishing); they are
-    # GC'd once the table advances past them again
-    assert len(glob.glob(os.path.join(mdir, "*.json"))) == 4
+    # the rolled-back snapshots' OWN manifests are reaped immediately —
+    # rollback just deleted those snapshots, so the above-horizon in-flight
+    # grace (for concurrent writers staging before publish) does not apply
+    # to them; only the survivors' chains remain
+    assert len(glob.glob(os.path.join(mdir, "*.json"))) == 2
     assert cat.read_table("d.t").count() == 6
     for c in range(3):
         cat.insert_into(
