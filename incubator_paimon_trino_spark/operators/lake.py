@@ -23,6 +23,26 @@ def _fresh_catalog(spark: SparkSession) -> WarehouseCatalog:
     return WarehouseCatalog(tempfile.mkdtemp(prefix="ipt_lake_"), spark)
 
 
+def _orders_by_year(spark: SparkSession, sf_dir: str) -> "WarehouseCatalog":
+    """Shared year-partitioned fixture for the A4/A8 partition queries —
+    single-sourced so both exercise the SAME table layout."""
+    cat = _fresh_catalog(spark)
+    cat.create_database("lake")
+    cat.create_table(
+        "lake",
+        "orders_by_year",
+        [("o_orderkey", "bigint"), ("o_totalprice", "double"), ("order_year", "int")],
+        partitioned_by=["order_year"],
+    )
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", F.year("o_orderdate").alias("order_year")
+    )
+    cat.insert_into("lake", "orders_by_year", o)
+    return cat
+
+
+
+
 def _orders_commits(spark: SparkSession, sf_dir: str):
     """Deterministic 2-commit derivation from ``orders``: one row per custkey
     per commit (MOR ties within a commit would otherwise be ambiguous)."""
@@ -162,18 +182,7 @@ def lake_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition — Catalyst prunes at the file listing (PartitionFilters), the
     exact behavior the reference implements by marking partition-key domains
     enforced (``TrinoMetadataBase.java:363-376``)."""
-    cat = _fresh_catalog(spark)
-    cat.create_database("lake")
-    cat.create_table(
-        "lake",
-        "orders_by_year",
-        [("o_orderkey", "bigint"), ("o_totalprice", "double"), ("order_year", "int")],
-        partitioned_by=["order_year"],
-    )
-    o = table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_totalprice", F.year("o_orderdate").alias("order_year")
-    )
-    cat.insert_into("lake", "orders_by_year", o)
+    cat = _orders_by_year(spark, sf_dir)
     return cat.read_table("lake.orders_by_year").filter(F.col("order_year") == 1997)
 
 
@@ -450,18 +459,7 @@ def lake_limit_pushdown_partition_scoped(spark: SparkSession, sf_dir: str) -> Da
     42 rows survive is nondeterministic, so the query aggregates."""
     from incubator_paimon_trino_spark.functions.predicates import ColumnDomain
 
-    cat = _fresh_catalog(spark)
-    cat.create_database("lake")
-    cat.create_table(
-        "lake",
-        "orders_by_year",
-        [("o_orderkey", "bigint"), ("o_totalprice", "double"), ("order_year", "int")],
-        partitioned_by=["order_year"],
-    )
-    o = table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_totalprice", F.year("o_orderdate").alias("order_year")
-    )
-    cat.insert_into("lake", "orders_by_year", o)
+    cat = _orders_by_year(spark, sf_dir)
     limited = cat.read_table(
         "lake.orders_by_year",
         predicate=[ColumnDomain("order_year", op="=", value=1997)],

@@ -17,8 +17,10 @@ from incubator_paimon_trino_spark.operators.registry import register
 from incubator_paimon_trino_spark.sources import table
 
 # Tiny high-frequency English stopword list for the heuristic scorer/lang-id.
+# The regex is DERIVED from the tuple so the two can never drift (three
+# oracles embed the regex text — editing the list regenerates it).
 _STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "on", "for", "with")
-_STOP_RE = r"\b(the|a|and|of|to|in|is|on|for|with)\b"
+_STOP_RE = r"\b(" + "|".join(_STOPWORDS) + r")\b"
 
 
 @register(
@@ -156,15 +158,19 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_rolling_hash_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word 3-gram shingling (the MinHash front-end) with distinct counts.
 
-    Shingles are produced JVM-side: ``sequence`` + ``transform`` over the
-    split array — no explode needed until aggregation."""
-    d = table(spark, sf_dir, "documents").withColumn("words", F.split("text", " "))
-    shingles = F.expr(
-        "transform(sequence(0, greatest(size(words) - 3, -1)),"
-        " i -> concat_ws(' ', words[i], words[i+1], words[i+2]))"
-    )
-    return d.select(
-        "doc_id", F.size(F.array_distinct(shingles)).cast("bigint").alias("n_distinct_shingles")
+    Uses the ONE sanctioned shingle producer (``dedup.shingles_from``,
+    posexplode + window ``lead``): the old ``sequence(0, size-3)`` array
+    idiom underflows to ``[0, -1]`` for documents shorter than three words
+    (Spark's ``sequence`` counts DOWN when stop < start) and throws under
+    ANSI mode — the same landmine commit-removed from dedup.py. Short docs
+    simply produce no row, exactly matching the oracle's empty UNNEST."""
+    from incubator_paimon_trino_spark.operators.dedup import shingles_from
+
+    d = table(spark, sf_dir, "documents")
+    return (
+        shingles_from(d)
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_distinct_shingles"))
     )
 
 

@@ -27,7 +27,7 @@ from incubator_paimon_trino_spark.sources import table
     oracle="""
     SELECT l_orderkey, l_linenumber,
            CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_cents,
-           CAST(CAST(l_quantity AS BIGINT) * CAST(ROUND(l_discount * 100) AS BIGINT) AS BIGINT) AS qty_disc_units
+           CAST(CAST(ROUND(l_quantity) AS BIGINT) * CAST(ROUND(l_discount * 100) AS BIGINT) AS BIGINT) AS qty_disc_units
     FROM lineitem
     """,
 )
@@ -40,7 +40,10 @@ def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @F.pandas_udf("bigint")
     def qty_disc(qty: pd.Series, disc: pd.Series) -> pd.Series:
-        return qty.astype("int64") * (disc * 100).round().astype("int64")
+        # round(), not astype (truncation): DuckDB's CAST(double AS BIGINT)
+        # ROUNDS, so both sides must round explicitly or a fractional
+        # quantity (2.7) silently hash-mismatches (2 vs 3)
+        return qty.round().astype("int64") * (disc * 100).round().astype("int64")
 
     li = table(spark, sf_dir, "lineitem")
     return li.select(

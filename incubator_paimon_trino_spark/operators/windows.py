@@ -339,25 +339,29 @@ def window_nth_value_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame
            CAST(SUM(CAST(value AS DECIMAL(9,2))) OVER w AS DOUBLE) AS value_last_hour
     FROM events
     WINDOW w AS (
-      PARTITION BY user_id ORDER BY epoch(ts)
-      RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+      PARTITION BY user_id ORDER BY epoch_us(ts)
+      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
     )
     """,
 )
 def window_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-based RANGE frame: each event's trailing-hour count and value
     sum per user — the rolling-window shape rate limiting and feature
-    engineering both need. Ordering by epoch seconds makes the frame a
-    numeric rangeBetween(-3600, 0), identical in both engines; peers with
-    equal timestamps aggregate together (RANGE, not ROWS, semantics).
-    Decimal-summed then cast for hash-stable floats."""
+    engineering both need. Both sides order by epoch MICROSECONDS
+    (``unix_micros`` / ``epoch_us``) with a 3.6e9-micro frame: whole-second
+    ``unix_timestamp`` would TRUNCATE sub-second timestamps, making two
+    events in one second frame-peers on the Spark side but not in DuckDB's
+    fractional ``epoch()`` — a hash mismatch the sf0.01 gate happened to
+    dodge and sf0.1 exposed. Peers with equal micro timestamps aggregate
+    together (RANGE, not ROWS, semantics). Decimal-summed then cast for
+    hash-stable floats."""
     from pyspark.sql.window import Window
 
     e = table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_timestamp("ts"))
-        .rangeBetween(-3600, 0)
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3600 * 1_000_000, 0)
     )
     return e.select(
         "event_id",
