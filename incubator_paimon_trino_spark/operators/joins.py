@@ -110,12 +110,18 @@ def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_left_anti",
     oracle="""
     SELECT c_custkey, c_name FROM customer
-    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    WHERE c_custkey NOT IN
+          (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
     """,
 )
 def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LEFT ANTI = NOT IN (null-free key side)."""
-    c, o = table(spark, sf_dir, "customer"), table(spark, sf_dir, "orders")
+    """LEFT ANTI = NOT IN (null-free key side). The anti side is customers
+    with no URGENT order — a NON-EMPTY result at every SF: the previous
+    customers-without-any-orders form returned zero rows at the driver's
+    grading SF, so a broken anti-join translation would still have graded
+    green against the trivially-empty oracle."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
 
 
@@ -192,7 +198,9 @@ def join_range_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ),
         )
-        .dropDuplicates(["purchase_id", "bucket"])
+        # no dedup needed: the two exploded buckets are exactly one hour
+        # apart and can never collide — a dropDuplicates here would add a
+        # full extra hash exchange over 2x the purchase stream for nothing
     )
     return (
         purchases.join(clicks, ["user_id", "bucket"])

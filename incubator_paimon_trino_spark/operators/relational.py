@@ -158,12 +158,18 @@ def filter_or_of_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "filter_like",
-    oracle="SELECT p_partkey, p_name FROM part WHERE p_name LIKE '%gold%'",
+    oracle="SELECT p_partkey, p_name FROM part WHERE p_name LIKE '%ring%' AND p_name LIKE 's_all%'",
 )
 def filter_like(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LIKE — engine-side in the reference (Trino), built-in Column op here."""
-    return table(spark, sf_dir, "part").filter(F.col("p_name").like("%gold%")).select(
-        "p_partkey", "p_name"
+    """LIKE — engine-side in the reference (Trino), built-in Column op here.
+    Patterns chosen to MATCH driver rows ('%ring%' ~248 parts; 's_all%'
+    exercises the single-char wildcard): the previous '%gold%' matched
+    nothing at any SF, so the conformance check compared two empty sets and
+    would have graded any broken LIKE translation green."""
+    return (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%ring%") & F.col("p_name").like("s_all%"))
+        .select("p_partkey", "p_name")
     )
 
 
@@ -271,18 +277,23 @@ def cast_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_custkey,
            TRY_CAST(c_name AS BIGINT) AS name_as_num,
            TRY_CAST(c_mktsegment AS INTEGER) AS seg_as_num,
-           CAST(TRY_CAST(c_acctbal AS DECIMAL(3, 0)) AS VARCHAR) AS bal_narrow
+           CASE WHEN ROUND(c_acctbal) > 999 OR ROUND(c_acctbal) < -999 THEN NULL
+                ELSE CAST(TRY_CAST(c_acctbal AS DECIMAL(3, 0)) AS VARCHAR) END AS bal_narrow
     FROM customer
     """,
 )
 def cast_try_invalid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRY_CAST (Trino's error-free cast): invalid conversions yield NULL
     instead of failing the query — names and segments never parse as
-    numbers, and balances overflow DECIMAL(3,0) whenever the rounded value
-    leaves [-999, 999] (both engines round half away from zero, then
-    NULL on overflow). The DECIMAL result is rendered as VARCHAR on both
-    sides to avoid the Decimal-object-vs-float64 pandas hash mismatch
-    (same hazard as ``cast_roundtrip``, r2)."""
+    numbers, and balances overflow DECIMAL(3,0) whenever the ROUNDED value
+    leaves [-999, 999]. Spark and Trino both round FIRST and then
+    range-check (so 999.78 → 1000 → overflow → NULL); DuckDB's TRY_CAST
+    range-checks the raw double BEFORE rounding and would return 1000, so
+    the oracle spells the round-then-check rule out with a CASE — without
+    it any |balance| in (999.5, 1000) hash-mismatches (caught by the sf0.1
+    sweep; sf0.01 dodged it by data luck). The DECIMAL result is rendered
+    as VARCHAR on both sides to avoid the Decimal-object-vs-float64 pandas
+    hash mismatch (same hazard as ``cast_roundtrip``, r2)."""
     c = table(spark, sf_dir, "customer")
     return c.select(
         "c_custkey",
@@ -318,7 +329,9 @@ def scalar_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lower("c_mktsegment").alias("seg_lower"),
         F.length("c_name").alias("name_len"),
         F.substring("c_name", 1, 8).alias("name_prefix"),
-        F.concat_ws("/", "c_name", "c_mktsegment").alias("name_seg"),
+        # F.concat (NULL-propagating like SQL ||), NOT concat_ws (skips
+        # NULLs) — exact null-semantics parity with the oracle
+        F.concat(F.col("c_name"), F.lit("/"), F.col("c_mktsegment")).alias("name_seg"),
         F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cst")).alias("name_repl"),
         F.trim(F.lpad("c_mktsegment", 12, " ")).alias("seg_trim"),
         F.col("c_name").contains("00").alias("has_00"),
@@ -815,7 +828,9 @@ def scalar_bitwise_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         k.bitwiseOR(F.lit(4096)).cast("bigint").alias("bor"),
         k.bitwiseXOR(F.lit(1365)).cast("bigint").alias("bxor"),
         F.shiftleft((k % 16).cast("int"), 3).cast("bigint").alias("shl"),
-        F.shiftright(k.cast("int"), 4).cast("bigint").alias("shr"),
+        # shift the BIGINT directly (the oracle shifts o_orderkey as-is):
+        # an int cast would overflow under ANSI once orderkeys pass 2^31
+        F.shiftright(k, 4).cast("bigint").alias("shr"),
         F.expr("~o_orderkey").cast("bigint").alias("bnot"),
     )
 
@@ -905,12 +920,15 @@ def subquery_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer's single priciest order. Catalyst decorrelates the
     per-row LIMIT 1 into a window/aggregate under the hood — no per-row
     re-execution, so the plan scales like the window top-1 formulation."""
-    for t in ("customer", "orders"):
-        table(spark, sf_dir, t).createOrReplaceTempView(f"_lat_{t}")
+    from incubator_paimon_trino_spark.operators.registry import views
+
+    views(spark, sf_dir, "customer", "orders")
+    # same text as the oracle (the views() pattern every SQL-surface
+    # sibling uses) — no renamed view copy to keep in sync by hand
     return spark.sql("""
         SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
-        FROM _lat_customer c, LATERAL (
-          SELECT o_orderkey, o_totalprice FROM _lat_orders
+        FROM customer c, LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders
           WHERE o_custkey = c.c_custkey
           ORDER BY o_totalprice DESC, o_orderkey LIMIT 1
         ) t
