@@ -105,14 +105,21 @@ _PRIORITY_NAMES = {
 # Queries added in round 3+: they queue BEHIND the pre-existing never-checked
 # backlog (r2 verdict item 3 — new additions must not displace the older
 # unverified queries from the driver's prefix until that backlog drains).
-_DEFER_NEW = {
-    "pack_concat_offsets",
-    "pack_sequence_stats",
-    "train_shuffle_shard",
-    "dedup_incremental_new_batch",
-    "lake_dml_roundtrip",  # new r4 — write-facade DML under the hash gate
-    "mix_domain_weights",  # new r4 — domain-mix resampling
-    "text_unigram_logprob",  # new r4 — unigram LM quality scoring
+# r5: the backlog is drained to 8 (all judge-verified locally) — the queue is
+# empty and new surface may land at the front again (r4 verdict item 6).
+_DEFER_NEW: set[str] = set()
+
+# Verified-green queries whose SEMANTICS changed in r4 review fixes (result
+# set or oracle rewritten) — their standing green verdicts predate the change.
+# Re-proof them right after the never-checked block so the driver's ~50-slot
+# prefix re-establishes an honest verdict (memory: r5 TODO; r4 verdict item 7).
+_REPROOF = {
+    "join_left_anti",  # now anti-joins urgent orders — result set changed
+    "cast_try_invalid",  # oracle rewritten (overflow-rounding, 12520e4)
+    "scalar_string_functions",  # concat semantics fix
+    "join_range_banded",  # dedup/exchange removed r4
+    "udf_pandas_scalar",  # rounding fix
+    "lake_information_schema_columns",  # column order fix
 }
 
 
@@ -124,7 +131,7 @@ def _ordered_names() -> list[str]:
     verified, red = _driver_verified()
     # a typo'd or renamed entry in the hand-kept sets would silently void the
     # ordering policy it encodes — make drift loud instead
-    for n in _PRIORITY_NAMES | _DEFER_NEW:
+    for n in _PRIORITY_NAMES | _DEFER_NEW | _REPROOF:
         assert n in QUERIES, f"ordering policy names unknown query {n!r}"
     order = [n for n in QUERIES if n in red]  # fixed red rows re-prove first
     pri = [
@@ -145,7 +152,8 @@ def _ordered_names() -> list[str]:
     for row in zip_longest(*fams.values()):
         order.extend(n for n in row if n is not None)
     order.extend(n for n in QUERIES if n in _DEFER_NEW and n not in verified and n not in red)
-    order.extend(n for n in QUERIES if n in verified)
+    order.extend(n for n in QUERIES if n in _REPROOF and n in verified)
+    order.extend(n for n in QUERIES if n in verified and n not in _REPROOF)
     return order
 
 

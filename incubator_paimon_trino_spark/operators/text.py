@@ -244,7 +244,7 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored AS (
       SELECT t.doc_id,
              COUNT(*) AS n_shingles,
-             SUM(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+             CAST(SUM(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
       FROM train t LEFT JOIN bench b ON t.s = b.s
       GROUP BY t.doc_id
     )

@@ -276,8 +276,8 @@ def window_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, session_id, COUNT(*) AS n_events, MIN(ts) AS session_start
     FROM (
       SELECT user_id, event_id, ts,
-             SUM(is_new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             CAST(SUM(is_new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       FROM gaps
     )
     GROUP BY user_id, session_id

@@ -95,6 +95,31 @@ def _container_columns(colnames, rows) -> list[str]:
     return _typed_columns(colnames, rows, container_types)
 
 
+# DuckDB result types whose pandas-bridge rendering diverges from Spark's:
+# DECIMAL → float64 (Spark keeps Decimal objects, r2), HUGEINT/UHUGEINT →
+# float64 (Spark emits int64, r4), UBIGINT/UINTEGER → uint64/uint32 (hash
+# representation differs from int64). fetchall() hides all of these (it
+# converts to plain Python int/Decimal), so they must be caught statically
+# from the declared result schema, not from values.
+_BAD_ORACLE_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL", "UBIGINT", "UINTEGER")
+
+
+def oracle_bad_type_columns(con, sql: str) -> list[str]:
+    """DESCRIBE the oracle SQL and return ``col:TYPE`` for every result column
+    whose DuckDB type the driver's pandas bridge renders differently from
+    Spark (see _BAD_ORACLE_TYPES). Closes the representation bug class that
+    produced the r2 (DECIMAL), r3 (list) and r4 (HUGEINT) driver reds —
+    values compare equal locally, so only the declared schema can reveal it."""
+    rows = con.execute(f"DESCRIBE {sql}").fetchall()
+    bad = []
+    for r in rows:
+        col, typ = r[0], str(r[1]).upper()
+        # strip list/struct wrappers so DECIMAL(38,9)[] etc. still match
+        if any(t in typ for t in _BAD_ORACLE_TYPES):
+            bad.append(f"{col}:{typ}")
+    return bad
+
+
 def digest(colnames, rows):
     order = sorted(range(len(colnames)), key=lambda i: colnames[i])
     lines = sorted("|".join(_norm(r[i]) for i in order) for r in rows)
@@ -105,20 +130,49 @@ def digest(colnames, rows):
     return h.hexdigest()
 
 
+def describe_sweep(con, oracles, names) -> int:
+    """Static oracle-schema sweep (no Spark, <5s for the whole registry)."""
+    n_bad = 0
+    for name in names:
+        if name not in oracles:
+            continue
+        try:
+            bad = oracle_bad_type_columns(con, oracles[name])
+        except Exception as e:
+            print(f"FAIL  {name}: duckdb DESCRIBE error: {type(e).__name__}: {e}")
+            n_bad += 1
+            continue
+        if bad:
+            print(
+                f"FAIL  {name}: oracle result type(s) {bad} render differently "
+                "through the driver's pandas bridge — CAST to BIGINT/DOUBLE/VARCHAR"
+            )
+            n_bad += 1
+    return n_bad
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 and "/" in sys.argv[1] else "/root/testdata/sf0.01"
-    only = [a for a in sys.argv[1:] if "/" not in a]
+    only = [a for a in sys.argv[1:] if "/" not in a and not a.startswith("--")]
+    describe_only = "--describe" in sys.argv
 
     import __spark_entry__ as entrymod
-    from incubator_paimon_trino_spark import get_spark
 
-    spark = get_spark("check")
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     names = only or list(qs)
 
     con = duckdb.connect()
     for t in ("region nation customer supplier part orders lineitem events documents embeddings").split():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    if describe_only:
+        n_bad = describe_sweep(con, oracles, names)
+        print(f"\ndescribe sweep: {n_bad} bad of {sum(1 for n in names if n in oracles)} oracles")
+        sys.exit(1 if n_bad else 0)
+
+    from incubator_paimon_trino_spark import get_spark
+
+    spark = get_spark("check")
 
     n_pass = n_fail = n_noracle = 0
     for name in names:
@@ -156,6 +210,15 @@ def main():
             n_fail += 1
             continue
         problems = []
+        try:
+            bad_types = oracle_bad_type_columns(con, oracles[name])
+        except Exception:  # pragma: no cover - DESCRIBE failed but execute worked
+            bad_types = []
+        if bad_types:
+            problems.append(
+                f"oracle result type(s) {bad_types} render differently through "
+                "the driver's pandas bridge — CAST to BIGINT/DOUBLE/VARCHAR"
+            )
         dec_cols = _decimal_columns(scols, [tuple(r) for r in srows]) + _decimal_columns(
             ocols, orows
         )
