@@ -64,9 +64,21 @@ def _norm(v, ddl: str):
     if d in ("tinyint", "smallint", "int", "integer", "bigint", "long", "short", "byte"):
         # a FRACTIONAL literal against an integer column must keep its
         # fractional part (int(10.5) == 10 would flip `x < 10.5` into
-        # `x < 10` and wrongly prune a file whose stats are [10, 10])
-        iv = int(v)
-        return iv if iv == float(v) else float(v)
+        # `x < 10` and wrongly prune a file whose stats are [10, 10]) —
+        # but integral inputs must stay EXACT ints: round-tripping through
+        # float collapses bigints beyond 2^53 (9007199254740993 → ...92.0)
+        # and silently prunes files on strict comparisons. Python compares
+        # int-vs-float exactly, so mixed normalized forms stay correct.
+        if isinstance(v, float):
+            return int(v) if v.is_integer() else v
+        if isinstance(v, int):
+            return v
+        s = str(v)
+        try:
+            return int(s)
+        except ValueError:
+            f = float(s)  # fractional or scientific-notation literal
+            return int(f) if f.is_integer() else f
     if d in ("float", "double", "real"):
         return float(v)
     if d.startswith("decimal"):

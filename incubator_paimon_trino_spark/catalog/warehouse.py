@@ -1010,9 +1010,15 @@ class WarehouseCatalog:
             raise ValueError(f"unknown changelog_producer {producer!r}")
         snaps = [s.snapshot_id for s in self._snapshots(tdir)]
         snap_ids = set(snaps)
-        hi = to_snapshot if to_snapshot is not None else (snaps[-1] if snaps else 0)
+        tip = snaps[-1] if snaps else 0
+        hi = to_snapshot if to_snapshot is not None else tip
         ids = [s for s in snaps if from_snapshot < s <= hi]
-        if from_snapshot > 0 and from_snapshot not in snap_ids:
+        if from_snapshot > 0 and from_snapshot >= tip and from_snapshot not in snap_ids:
+            # a position AT or AHEAD of the tip is not expired — the caller
+            # simply has nothing new (e.g. a consumer that saved tip+1, or
+            # polls after a full-history rewrite): empty range, not an error
+            ids = []
+        elif from_snapshot > 0 and from_snapshot not in snap_ids:
             # an EXPIRED start position must fail loudly (Paimon errors too):
             # the nearest-survivor collapse below is only sound for gaps
             # strictly inside the range — widening the FIRST diff would
@@ -1049,11 +1055,19 @@ class WarehouseCatalog:
             prev_paths = {f["path"] for f in by_id[prev_id].files} if prev_id else set()
             change = F.when(F.col(KIND_COL) == "D", "-D").otherwise("+I")
             parts = []
+            # a from_snapshot=0 re-bootstrap whose earliest SURVIVING snapshot
+            # is a COMPACT commit (expire keeps last N, so this happens) must
+            # emit that commit's file set as the +I baseline — skipping it
+            # like an in-range compaction would silently drop every row the
+            # compaction first surfaces from the changelog
+            bootstrap = prev_id == 0
             for s_id in ids:
                 s = by_id[s_id]
                 added = [f for f in s.files if f["path"] not in prev_paths]
                 prev_paths = {f["path"] for f in s.files}
-                if s.commit_kind == COMMIT_COMPACT or not added:
+                emit_compact_baseline = bootstrap and s.commit_kind == COMMIT_COMPACT
+                bootstrap = False
+                if (s.commit_kind == COMMIT_COMPACT and not emit_compact_baseline) or not added:
                     continue
                 raw = self._read_files(tdir, schema, dataclasses.replace(s, files=added))
                 parts.append(
@@ -1064,7 +1078,8 @@ class WarehouseCatalog:
                     )
                 )
             if not parts:
-                empty = schema.spark_schema().add("_snapshot", "bigint").add("_change", "string")
+                # "long", not "bigint": StructType.add parses JSON type names
+                empty = schema.spark_schema().add("_snapshot", "long").add("_change", "string")
                 return self.spark.createDataFrame([], empty)
             out = parts[0]
             for p in parts[1:]:
@@ -2647,6 +2662,16 @@ def _validate_table_options(
     seq_field = options.get("sequence_field")
     if seq_field and seq_field not in names:
         raise ValueError(f"sequence_field {seq_field!r} not in columns {names}")
+    if seq_field and seq_field in primary_key:
+        # a sequence column inside the key can never advance for a given key:
+        # every rewrite ties with the row it replaces (merge order undefined),
+        # and UPDATE becomes impossible (it must advance the sequence but may
+        # not assign PK columns — two contradictory errors with no escape)
+        raise ValueError(
+            f"sequence_field {seq_field!r} must not be a primary-key column "
+            "(key equality pins the sequence, so merge order between row "
+            "versions would be undefined and UPDATE impossible)"
+        )
     if seq_field and specs.get(seq_field) not in (None, "last_value", "first_value"):
         raise ValueError(
             f"sequence_field {seq_field!r} cannot carry aggregate-function "

@@ -158,13 +158,34 @@ def merge_on_read(
         )
 
     if merge_engine == "first-row":
-        inserts = df.filter(F.col(KIND_COL) != "D")
+        # Paimon THROWS on retraction for first-row (the earliest insert wins,
+        # so a delete can never be honored). delete_where/update_where already
+        # raise at write time; a -D arriving through the unblocked paths
+        # (write_stream_to_table's changelog sink, insert_into(row_kind='D'))
+        # must fail loudly at read time too — never a silent no-op.
+        pk0 = primary_key[0]
+        has_d = F.max(F.when(F.col(KIND_COL) == "D", 1).otherwise(0)).alias("_has_d")
+        err = F.raise_error(
+            F.lit(
+                "merge-engine 'first-row' does not support retraction "
+                "(delete rows present in the changelog)"
+            )
+        ).cast(df.schema[pk0].dataType)
+        pk_guarded = F.when(F.col("_has_d") == 1, err).otherwise(F.col(pk0)).alias(pk0)
         if not value_cols:  # all-key table: struct() of zero fields is invalid
-            return inserts.select(*primary_key).distinct()
-        picked = inserts.groupBy(*primary_key).agg(
-            F.min_by(F.struct(*value_cols), F.col("_ord")).alias("_row")
+            picked = df.groupBy(*primary_key).agg(has_d)
+            return picked.select(pk_guarded, *primary_key[1:])
+        picked = df.groupBy(*primary_key).agg(
+            F.min_by(F.struct(*value_cols), F.when(~(F.col(KIND_COL) == "D"), F.col("_ord"))).alias(
+                "_row"
+            ),
+            has_d,
         )
-        return picked.select(*primary_key, *[F.col(f"_row.{c}").alias(c) for c in value_cols])
+        return picked.select(
+            pk_guarded,
+            *primary_key[1:],
+            *[F.col(f"_row.{c}").alias(c) for c in value_cols],
+        )
 
     if merge_engine == "partial-update":
         # last non-null per field, in sequence order; deletes reset the row

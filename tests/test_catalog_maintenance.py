@@ -843,6 +843,11 @@ def test_review_fixes_round4b_changelog(cat, spark):
     with pytest.raises(ValueError, match="expired"):
         cat.table_changelog("m.cl", from_snapshot=2, producer="lookup")
 
+    # a position AT or AHEAD of the tip is NOT expired: empty changelog,
+    # not an error (consumer saved tip+1, or polls after a history rewrite)
+    assert cat.table_changelog("m.cl", from_snapshot=5, producer="lookup").count() == 0
+    assert cat.table_changelog("m.cl", from_snapshot=99, producer="input").count() == 0
+
     # CDC on a map-typed value column (eqNullSafe rejects maps — compared
     # via sorted entries)
     cat.create_table(
@@ -853,3 +858,34 @@ def test_review_fixes_round4b_changelog(cat, spark):
     cat.insert_into("m", "mp", mkm([(1, {"a": 9})]))
     cdc = {(r.k, r._change) for r in cat.read_cdc("m.mp", 1, 2).collect()}
     assert cdc == {(1, "-U"), (1, "+U")}
+
+
+def test_review_fixes_round5_changelog_and_ddl(cat, spark):
+    """Round-5 review: (a) a from_snapshot=0 input-producer re-bootstrap whose
+    earliest SURVIVING snapshot is a COMPACT commit emits that commit's file
+    set as the +I baseline instead of silently dropping those rows; (b) a
+    sequence_field that is also a primary-key column is rejected at DDL time
+    (UPDATE would otherwise hit two contradictory errors with no escape)."""
+    mk = lambda rows: spark.createDataFrame(rows, "k bigint, v string")  # noqa: E731
+
+    cat.create_table("m", "cb", [("k", "bigint"), ("v", "string")], primary_key=["k"])
+    cat.insert_into("m", "cb", mk([(1, "a")]))  # snapshot 1
+    cat.insert_into("m", "cb", mk([(2, "b")]))  # snapshot 2
+    cat.compact("m", "cb")                      # snapshot 3 (COMPACT)
+    cat.insert_into("m", "cb", mk([(3, "c")]))  # snapshot 4
+    cat.expire_snapshots("m", "cb", keep_last=2)  # earliest survivor = COMPACT 3
+
+    out = cat.table_changelog("m.cb", producer="input").collect()
+    assert sorted((r.k, r._snapshot, r._change) for r in out) == [
+        (1, 3, "+I"), (2, 3, "+I"), (3, 4, "+I"),
+    ]
+    # an IN-RANGE compaction (non-bootstrap) still emits nothing
+    cat.compact("m", "cb")                      # snapshot 5 (COMPACT)
+    tail = cat.table_changelog("m.cb", from_snapshot=3, producer="input").collect()
+    assert sorted((r.k, r._snapshot, r._change) for r in tail) == [(3, 4, "+I")]
+
+    with pytest.raises(ValueError, match="primary-key"):
+        cat.create_table(
+            "m", "badseq", [("k", "bigint"), ("s", "bigint"), ("v", "string")],
+            primary_key=["k", "s"], options={"sequence_field": "s"},
+        )

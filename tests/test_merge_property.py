@@ -17,6 +17,7 @@ from __future__ import annotations
 import sys
 from pathlib import Path
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -76,11 +77,19 @@ def test_deduplicate_matches_model(spark, commits):
 @given(commits=changelogs())
 @HYP
 def test_first_row_matches_model(spark, commits):
+    """Delete-free changelogs match the earliest-insert model; any -D row
+    raises at read time (Paimon throws on retraction for first-row — a
+    silent drop would break the never-a-silent-no-op contract)."""
     df = _df(spark, commits)
+    has_delete = any(kind == "D" for _, kind, _, _, _ in _flat(commits))
+    if has_delete:
+        with pytest.raises(Exception, match="first-row.*retraction"):
+            merge_on_read(df, ["k"], "first-row").collect()
+        return
     got = {r.k: (r.v, r.tag) for r in merge_on_read(df, ["k"], "first-row").collect()}
     want = {}
     for k, kind, v, tag, seq in _flat(commits):
-        if kind != "D" and k not in want:
+        if k not in want:
             want[k] = (v, tag)
     assert got == want
 
@@ -191,8 +200,14 @@ def test_aggregation_retraction_semantics(spark):
     keys_only = _df(spark, commits).select("k", "_seq", "_row_kind")
     got3 = {r.k for r in merge_on_read(keys_only, ["k"], "aggregation").collect()}
     assert got3 == {1, 2, 3}
-    got4 = {r.k for r in merge_on_read(keys_only, ["k"], "first-row").collect()}
-    assert got4 == {1, 2, 3}
+    # first-row refuses retraction even on an all-key table (Paimon throws)
+    with pytest.raises(Exception, match="first-row.*retraction"):
+        merge_on_read(keys_only, ["k"], "first-row").collect()
+    clean_keys = _df(spark, [[(1, "I", 1, "a"), (2, "I", 2, "b")]]).select(
+        "k", "_seq", "_row_kind"
+    )
+    got4 = {r.k for r in merge_on_read(clean_keys, ["k"], "first-row").collect()}
+    assert got4 == {1, 2}
 
 
 @given(commits=changelogs())

@@ -225,6 +225,30 @@ def test_review_fixes_round4_pruning(cat, spark):
     assert [r.k for r in got] == [0]
 
 
+def test_review_fixes_round5_bigint_exact(cat, spark):
+    """Round-5 review: integral stats/literals must stay EXACT ints — the
+    r4 float round-trip collapsed bigints beyond 2^53 (9007199254740993 →
+    ...92.0) and silently pruned files on strict comparisons."""
+    from incubator_paimon_trino_spark.catalog.scan import _norm, _value_parts_possible
+
+    big = 2**53  # 9007199254740992; big+1 rounds to big as a float
+    assert _norm(big, "bigint") == big and isinstance(_norm(big, "bigint"), int)
+    assert _norm(big + 1, "bigint") == big + 1
+    assert _norm(str(big + 1), "bigint") == big + 1
+    # fractional literals still keep their fraction (the r4 guarantee)
+    assert _norm(10.5, "bigint") == 10.5
+    assert _norm("10.5", "int") == 10.5
+    assert _norm("1e2", "int") == 100 and isinstance(_norm("1e2", "int"), int)
+    # file with stats [2^53, 2^53] must survive predicate x < 2^53+1
+    assert _value_parts_possible(
+        ColumnDomain("k", op="<", value=big + 1), big, big, "bigint"
+    )
+    # and x = 2^53+1 must NOT match a [2^53, 2^53] file (exact compare)
+    assert not _value_parts_possible(
+        ColumnDomain("k", op="=", value=big + 1), big, big, "bigint"
+    )
+
+
 def test_review_fixes_round4_char_and_types(cat, spark):
     """scan_plan applies the same CHAR pad-insensitive normalization as
     read_table; nested char types are rejected at DDL time (they would brick
