@@ -84,6 +84,8 @@ _SYSTEM_SUFFIXES = (
     "tags",
     "partitions",
     "manifests",
+    "consumers",
+    "statistics",
 )
 
 
@@ -910,6 +912,83 @@ class WarehouseCatalog:
                         pass
         self._gc_manifests(tdir)
 
+    # ------------------------------------------------------------- consumers
+    _CONSUMER_ID_RE = re.compile(r"^[A-Za-z0-9][A-Za-z0-9_.\-]{0,99}$")
+
+    def _consumers(self, tdir: str) -> dict[str, dict]:
+        """consumer_id → {"next_snapshot": int, "updated_ms": int} from the
+        per-consumer JSON files under ``<table>/consumer/`` (Paimon's
+        consumer files: one small file per consumer id, written atomically —
+        two consumers never contend on a shared file)."""
+        cdir = os.path.join(tdir, "consumer")
+        out: dict[str, dict] = {}
+        if not os.path.isdir(cdir):
+            return out
+        for fn in sorted(os.listdir(cdir)):
+            if not fn.endswith(".json"):
+                continue
+            data = read_json(os.path.join(cdir, fn))
+            if data and "next_snapshot" in data:
+                out[fn[:-5]] = data
+        return out
+
+    def consumer_progress(self, db: str, table: str, consumer_id: str) -> int | None:
+        """The consumer's NEXT snapshot to consume, or None if unregistered."""
+        entry = self._consumers(self._table_dir(db, table)).get(consumer_id)
+        return int(entry["next_snapshot"]) if entry else None
+
+    def advance_consumer(self, db: str, table: str, consumer_id: str, next_snapshot: int) -> None:
+        """Record that ``consumer_id`` has consumed everything BELOW
+        ``next_snapshot`` (Paimon's consumer-id progress: the stored value is
+        the next snapshot the consumer will read, and snapshot expiration
+        keeps every snapshot at or above the smallest registered position —
+        see ``expire_snapshots``).
+
+        Advancement is explicit — call it at your checkpoint/commit points
+        (Paimon advances on streaming checkpoint completion). Moving a
+        consumer BACKWARD requires ``reset_consumer`` (an accidental stale
+        advance must not silently rewind retention protection).
+        """
+        if not self._CONSUMER_ID_RE.match(consumer_id or ""):
+            raise ValueError(f"invalid consumer_id {consumer_id!r}")
+        if next_snapshot < 1:
+            raise ValueError("next_snapshot must be >= 1")
+        tdir = self._table_dir(db, table)
+        cur = self._consumers(tdir).get(consumer_id)
+        if cur and next_snapshot < int(cur["next_snapshot"]):
+            raise ValueError(
+                f"consumer {consumer_id!r} is at {cur['next_snapshot']}; "
+                f"advance to {next_snapshot} would move it backward — use "
+                "reset_consumer to rewind deliberately"
+            )
+        write_json_atomic(
+            os.path.join(tdir, "consumer", f"{consumer_id}.json"),
+            {"next_snapshot": int(next_snapshot), "updated_ms": int(time.time() * 1000)},
+        )
+
+    def reset_consumer(
+        self, db: str, table: str, consumer_id: str, next_snapshot: int | None = None
+    ) -> None:
+        """``CALL sys.reset_consumer``: pin the consumer to ``next_snapshot``
+        (any direction), or DELETE the consumer when ``next_snapshot`` is
+        omitted — Paimon's procedure of the same name."""
+        if not self._CONSUMER_ID_RE.match(consumer_id or ""):
+            raise ValueError(f"invalid consumer_id {consumer_id!r}")
+        tdir = self._table_dir(db, table)
+        path = os.path.join(tdir, "consumer", f"{consumer_id}.json")
+        if next_snapshot is None:
+            try:
+                os.remove(path)
+            except FileNotFoundError:
+                raise ValueError(f"no consumer {consumer_id!r}") from None
+            return
+        if next_snapshot < 1:
+            raise ValueError("next_snapshot must be >= 1")
+        write_json_atomic(
+            path,
+            {"next_snapshot": int(next_snapshot), "updated_ms": int(time.time() * 1000)},
+        )
+
     def read_cdc(self, name: str, from_snapshot: int, to_snapshot: int) -> DataFrame:
         """CDC view of ``(from_snapshot, to_snapshot]``: one row per changed
         primary key with ``_change`` in {'+I', '-U', '+U', '-D'} — the
@@ -980,6 +1059,7 @@ class WarehouseCatalog:
         from_snapshot: int = 0,
         to_snapshot: int | None = None,
         producer: str | None = None,
+        consumer_id: str | None = None,
     ) -> DataFrame:
         """The table's changelog for ``(from_snapshot, to_snapshot]`` under a
         ``changelog_producer`` mode (the reference surfaces this enum as a DDL
@@ -1008,6 +1088,17 @@ class WarehouseCatalog:
             producer = schema.options.get("changelog_producer", "none")
         if producer not in ("input", "lookup", "full-compaction", "none"):
             raise ValueError(f"unknown changelog_producer {producer!r}")
+        if consumer_id is not None:
+            # resume from the consumer's recorded NEXT snapshot (Paimon's
+            # consumer-id option): next=k means everything below k is consumed
+            # → range starts after k-1. An explicit from_snapshot wins (a
+            # manual replay); advancement stays explicit via advance_consumer
+            # at the caller's commit points — a plan-time auto-advance would
+            # mark rows consumed before the lazy DataFrame ever executes.
+            if from_snapshot == 0:
+                nxt = self.consumer_progress(db, table, consumer_id)
+                if nxt is not None:
+                    from_snapshot = nxt - 1
         snaps = [s.snapshot_id for s in self._snapshots(tdir)]
         snap_ids = set(snaps)
         tip = snaps[-1] if snaps else 0
@@ -1123,7 +1214,21 @@ class WarehouseCatalog:
         tdir = self._table_dir(db, table)
         snaps = self._snapshots(tdir)
         tagged = set(self._tags(tdir).values())
-        doomed = [s for s in snaps[:-keep_last] if s.snapshot_id not in tagged]
+        # registered consumers pin retention (Paimon's consumer mechanism):
+        # every snapshot at or above the smallest recorded next-position
+        # survives, and so does its immediate predecessor — the changelog
+        # diff for snapshot k needs k-1 as its baseline. Stale consumers
+        # are released with reset_consumer (Paimon: consumer expiration).
+        consumers = self._consumers(tdir)
+        min_next = min(
+            (int(c["next_snapshot"]) for c in consumers.values()), default=None
+        )
+        doomed = [
+            s
+            for s in snaps[:-keep_last]
+            if s.snapshot_id not in tagged
+            and (min_next is None or s.snapshot_id < min_next - 1)
+        ]
         kept = [s for s in snaps if s not in doomed]
         if not doomed:
             return {"expired_snapshots": 0, "deleted_files": 0}
@@ -1335,7 +1440,7 @@ class WarehouseCatalog:
         ``TrinoMetadataBase.java:132-136``); a documented free improvement.
         """
         df = self.read_table(f"{db}.{table}")
-        aggs = []
+        aggs = [F.count(F.lit(1)).alias("__rows")]  # one pass, not count()+agg
         for f in df.schema.fields:
             c = f.name
             aggs += [
@@ -1345,7 +1450,17 @@ class WarehouseCatalog:
                 F.approx_count_distinct(c).alias(f"{c}__ndv"),
             ]
         row = df.agg(*aggs).collect()[0].asDict()
-        stats = {"row_count": df.count(), "columns": {}}
+        tdir = self._table_dir(db, table)
+        snap = self._latest_snapshot(tdir)
+        stats = {
+            "row_count": int(row["__rows"] or 0),
+            # which version the stats describe (staleness is observable), and
+            # the live byte size from commit metadata — the CBO input sql()
+            # uses for its broadcast decision (see _broadcast_by_stats)
+            "snapshot_id": snap.snapshot_id if snap else 0,
+            "total_size_bytes": sum(f.get("size_bytes", 0) for f in (snap.files if snap else [])),
+            "columns": {},
+        }
         for f in df.schema.fields:
             stats["columns"][f.name] = {
                 "min": row[f"{f.name}__min"],
@@ -1353,13 +1468,44 @@ class WarehouseCatalog:
                 "null_count": int(row[f"{f.name}__nulls"] or 0),
                 "ndv": int(row[f"{f.name}__ndv"] or 0),
             }
-        tdir = self._table_dir(db, table)
         write_json_atomic(os.path.join(tdir, "stats.json"), stats)
         return stats
 
     def stats_of(self, db: str, table: str) -> dict | None:
         p = os.path.join(self._table_dir(db, table), "stats.json")
         return read_json(p) if os.path.exists(p) else None
+
+    def _broadcast_by_stats(self, db: str, table: str, df: DataFrame) -> DataFrame:
+        """Statistics → plan decision (the CBO input the reference never
+        provides — ``getTableProperties`` returns empty,
+        ``TrinoMetadataBase.java:132-136``): a table whose ANALYZE-recorded
+        byte size fits under ``spark.sql.autoBroadcastJoinThreshold`` gets a
+        broadcast hint, so joins against it plan as BroadcastHashJoin at
+        COMPILE time. Spark's own size estimate cannot see through the
+        merge-on-read plan (a groupBy's output defaults to a huge estimate),
+        so for PK tables AQE would otherwise only discover the broadcast at
+        runtime, after a wasted shuffle-write of the big side.
+
+        Staleness guard: stats describe ``stats.snapshot_id``; if the table
+        has grown since (live commit-metadata size now over 4x the recorded
+        size), the hint is withheld rather than broadcasting a formerly-small
+        table that is no longer small.
+        """
+        st = self.stats_of(db, table)
+        if not st:
+            return df
+        thr = _parse_byte_conf(
+            self.spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        )
+        size = int(st.get("total_size_bytes", 0) or 0)
+        if thr <= 0 or size <= 0 or size > thr:
+            return df
+        snap = self._latest_snapshot(self._table_dir(db, table))
+        if snap is not None and snap.snapshot_id != st.get("snapshot_id"):
+            live = sum(f.get("size_bytes", 0) for f in snap.files)
+            if live > 4 * size or live > thr:
+                return df
+        return df.hint("broadcast")
 
     # ---------------------------------------------------------------- reads
     def _pin_snapshot(
@@ -1693,6 +1839,43 @@ class WarehouseCatalog:
         if suffix == "tags":
             rows = sorted(self._tags(tdir).items())
             return self.spark.createDataFrame(rows, "tag string, snapshot_id bigint")
+        if suffix == "consumers":
+            # Paimon's `table$consumers`: one row per registered consumer id
+            # with the next snapshot it will consume (these positions pin
+            # snapshot retention — see expire_snapshots).
+            rows = [
+                (cid, int(c["next_snapshot"]), int(c.get("updated_ms", 0)))
+                for cid, c in sorted(self._consumers(tdir).items())
+            ]
+            return self.spark.createDataFrame(
+                rows, "consumer_id string, next_snapshot_id bigint, updated_ms bigint"
+            )
+        if suffix == "statistics":
+            # Paimon's `table$statistics`: the latest ANALYZE result —
+            # snapshot-level rollup plus one row per column (colstat). NULL
+            # snapshot_id means the table was never analyzed.
+            st = self.stats_of(db, table)
+            srows = []
+            if st:
+                for col, cs in sorted(st.get("columns", {}).items()):
+                    srows.append(
+                        (
+                            int(st.get("snapshot_id", 0)) or None,
+                            int(st.get("row_count", 0)),
+                            int(st.get("total_size_bytes", 0)),
+                            col,
+                            cs.get("min"),
+                            cs.get("max"),
+                            int(cs.get("null_count", 0)),
+                            int(cs.get("ndv", 0)),
+                        )
+                    )
+            return self.spark.createDataFrame(
+                srows,
+                "snapshot_id bigint, row_count bigint, total_size_bytes bigint, "
+                "column_name string, min string, max string, "
+                "null_count bigint, ndv bigint",
+            )
         if suffix == "files":
             # Paimon's `table$files`: one row per live data file with its
             # partition, format and footer stats (record_count / size).
@@ -1878,6 +2061,9 @@ class WarehouseCatalog:
         "show_columns": re.compile(
             r"^\s*(SHOW\s+COLUMNS\s+(FROM|IN)|DESC(?:RIBE)?(?:\s+TABLE)?)"
             r"\s+(?P<db>[A-Za-z_]\w*)\.(?P<tbl>[A-Za-z_]\w*)\s*$", re.I),
+        "analyze": re.compile(
+            r"^\s*ANALYZE\s+(?:TABLE\s+)?(?P<db>[A-Za-z_]\w*)\.(?P<tbl>[A-Za-z_]\w*)"
+            r"(?:\s+COMPUTE\s+STATISTICS)?\s*$", re.I),
     }
 
     @staticmethod
@@ -1998,6 +2184,12 @@ class WarehouseCatalog:
             )
         if m := R["call_proc"].match(query):
             return self._call_procedure(m.group("proc").lower(), m.group("args") or "")
+        if m := R["analyze"].match(query):
+            st = self.analyze(m.group("db"), m.group("tbl"))
+            return self.spark.createDataFrame(
+                [(int(st["row_count"]), int(st["snapshot_id"]), len(st["columns"]))],
+                "row_count bigint, snapshot_id bigint, columns_analyzed int",
+            )
         return None
 
     def show_create_table(self, db: str, table: str) -> str:
@@ -2054,6 +2246,8 @@ class WarehouseCatalog:
             "create_tag": {"table", "tag", "snapshot"},
             "delete_tag": {"table", "tag"},
             "remove_orphan_files": {"table", "older_than", "dry_run"},
+            "reset_consumer": {"table", "consumer_id", "next_snapshot_id"},
+            "analyze": {"table"},
         }
         if proc in _ALLOWED_NAMED:
             unknown = set(named) - _ALLOWED_NAMED[proc]
@@ -2175,9 +2369,32 @@ class WarehouseCatalog:
                 f"{stats['deleted_staging_dirs']} staging dirs "
                 f"(skipped {stats['skipped_in_flight']} in-flight)"
             )
+        if proc == "reset_consumer":
+            # Paimon's sys.reset_consumer: pin to next_snapshot_id, or DELETE
+            # the consumer (releasing its retention pin) when omitted
+            db, tbl = split_name(take("table"))
+            cid = take("consumer_id")
+            if cid is None:
+                raise ValueError("sys.reset_consumer: missing consumer_id argument")
+            nxt = take("next_snapshot_id")
+            no_leftovers()
+            self.reset_consumer(db, tbl, cid, next_snapshot=int(nxt) if nxt else None)
+            return ok(
+                result=f"consumer {cid} "
+                + (f"reset to next snapshot {nxt}" if nxt else "deleted")
+            )
+        if proc == "analyze":
+            db, tbl = split_name(take("table"))
+            no_leftovers()
+            st = self.analyze(db, tbl)
+            return ok(
+                result=f"analyzed {st['row_count']} rows at snapshot "
+                f"{st['snapshot_id']} ({len(st['columns'])} columns)"
+            )
         raise ValueError(
             f"unknown procedure sys.{proc} (have compact, expire_snapshots, "
-            "rollback, create_tag, delete_tag, remove_orphan_files)"
+            "rollback, create_tag, delete_tag, remove_orphan_files, "
+            "reset_consumer, analyze)"
         )
 
     _MERGE_RE = re.compile(
@@ -2456,9 +2673,12 @@ class WarehouseCatalog:
                 view += "__tag_" + re.sub(r"\W", "_", tag)
             if ts is not None:
                 view += f"__t{ts}"
-            self.read_table(
-                name, version_as_of=ver, timestamp_as_of=ts, tag=tag
-            ).createOrReplaceTempView(view)
+            df = self.read_table(name, version_as_of=ver, timestamp_as_of=ts, tag=tag)
+            if sys_sfx is None and ver is None and tag is None and ts is None:
+                # plain current-version reads get the ANALYZE-stats broadcast
+                # decision (time-travel/system reads describe other versions)
+                df = self._broadcast_by_stats(db, tbl, df)
+            df.createOrReplaceTempView(view)
             out.append(query[last : m.start()])
             out.append(view)
             last = m.end()
@@ -2585,6 +2805,21 @@ def _sql_like_to_regex(pattern: str, escape: str | None) -> re.Pattern:
             out.append(re.escape(ch))
         i += 1
     return re.compile("".join(out))
+
+
+def _parse_byte_conf(v) -> int:
+    """Spark size-conf values: plain bytes, or ``10485760b`` / ``10MB`` /
+    ``1g``-style suffixed strings; -1 disables."""
+    s = str(v).strip().lower()
+    m = re.match(r"^(-?\d+)\s*(b|k|kb|m|mb|g|gb|t|tb)?$", s)
+    if not m:
+        return -1
+    n = int(m.group(1))
+    mult = {
+        None: 1, "b": 1, "k": 1024, "kb": 1024, "m": 1024**2, "mb": 1024**2,
+        "g": 1024**3, "gb": 1024**3, "t": 1024**4, "tb": 1024**4,
+    }[m.group(2)]
+    return n * mult
 
 
 def _canonical_options(options: dict[str, str] | None) -> dict[str, str]:

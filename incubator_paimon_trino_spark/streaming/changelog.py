@@ -40,6 +40,7 @@ def read_changelog_stream(
     scan_snapshot_id: int | None = None,
     scan_timestamp_ms: int | None = None,
     max_files_per_trigger: int | None = None,
+    consumer_id: str | None = None,
 ) -> DataFrame:
     """Streaming DataFrame over ``db.table``'s commit stream.
 
@@ -90,7 +91,23 @@ def read_changelog_stream(
     phys = _physical_schema(schema, bool(schema.primary_key), exclude=part_names)
 
     from_version: int | None = None
-    if startup_mode == "latest-full":
+    if consumer_id is not None:
+        # Paimon's consumer-id option: a registered position overrides the
+        # startup mode — the stream resumes from the consumer's recorded
+        # NEXT snapshot. Advancement stays explicit (advance_consumer at the
+        # application's checkpoint points — Paimon advances on checkpoint
+        # completion); registered positions also pin snapshot retention.
+        if startup_mode != "latest-full" or scan_snapshot_id is not None or scan_timestamp_ms is not None:
+            raise ValueError(
+                "consumer_id is mutually exclusive with an explicit startup "
+                "position (the consumer's recorded progress IS the position)"
+            )
+        nxt = cat.consumer_progress(db, table, consumer_id)
+        if nxt is not None:
+            from_version = nxt
+    if from_version is not None:
+        pass  # position came from the consumer file
+    elif startup_mode == "latest-full":
         if scan_snapshot_id is not None or scan_timestamp_ms is not None:
             raise ValueError("latest-full takes no scan position")
     elif startup_mode == "latest":
