@@ -791,3 +791,99 @@ def lake_dml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cat.sql("DELETE FROM lake.dml WHERE status = 'F' AND o_orderkey % 5 = 0")
     return cat.read_table("lake.dml")
+
+
+@register(
+    "lake_consumer_resume",
+    oracle="""
+    WITH c2 AS (
+      SELECT o_orderkey, o_custkey FROM orders
+      WHERE o_orderkey > 1000 AND o_orderkey <= 2000
+    ), c3 AS (
+      SELECT o_orderkey, o_custkey FROM orders
+      WHERE o_orderkey > 2000 AND o_orderkey <= 3000
+    )
+    SELECT o_orderkey, o_custkey, CAST(2 AS BIGINT) AS snap, '+I' AS change FROM c2
+    UNION ALL
+    SELECT o_orderkey, o_custkey, CAST(3 AS BIGINT) AS snap, '+I' AS change FROM c3
+    """,
+)
+def lake_consumer_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consumer-tracked changelog resume under the hash gate: three disjoint
+    commits, a consumer that has already consumed snapshot 1 (next=2), then
+    ``table_changelog(consumer_id=...)`` must emit exactly the rows of
+    snapshots 2 and 3 with their commit attribution. The reference only
+    STORES consumer/streaming options (``TrinoTableOptionUtils.java:94-107``)
+    — this is the executable form.
+
+    Scale shape: resume is metadata-only (one consumer JSON read picks the
+    snapshot range; the scan then touches only the delta files of snapshots
+    2-3 — at 100 TB a resuming consumer reads its backlog, not the table).
+    """
+    cat = _fresh_catalog(spark)
+    cat.create_database("lake")
+    cat.create_table(
+        "lake",
+        "consumed",
+        [("o_orderkey", "bigint"), ("o_custkey", "bigint")],
+        primary_key=["o_orderkey"],
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    for lo, hi in ((0, 1000), (1000, 2000), (2000, 3000)):
+        cat.insert_into(
+            "lake", "consumed",
+            o.filter((F.col("o_orderkey") > lo) & (F.col("o_orderkey") <= hi)),
+        )
+    cat.advance_consumer("lake", "consumed", "etl_job", 2)  # snapshot 1 consumed
+    out = cat.table_changelog("lake.consumed", consumer_id="etl_job", producer="input")
+    return out.select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("_snapshot").alias("snap"),
+        F.col("_change").alias("change"),
+    )
+
+
+@register(
+    "lake_stats_broadcast_join",
+    oracle="""
+    SELECT n.n_name, COUNT(*) AS n_cust,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(9,2))) AS DOUBLE) AS total_bal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def lake_stats_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-backed CBO under the hash gate: the nation dim lives as a lake
+    PK table, is ANALYZEd, and the join planned through ``cat.sql`` gets the
+    statistics-driven broadcast hint (compile-time BroadcastHashJoin — Spark
+    cannot size-estimate a merge-on-read plan, so without stats AQE only
+    fixes this at runtime after a wasted shuffle). The hash gate proves the
+    hint changes the PLAN, never the values; the plan itself is pinned in
+    ``tests/test_consumers_stats.py::test_stats_drive_broadcast_decision``.
+
+    Scale shape: dim broadcasts (25 rows), the customer side never shuffles
+    before the partial aggregation — one exchange on n_name for the final
+    agg. The reference provides no statistics at all
+    (``TrinoMetadataBase.java:132-136``).
+    """
+    cat = _fresh_catalog(spark)
+    cat.create_database("lake")
+    cat.create_table(
+        "lake",
+        "nation_dim",
+        [("n_nationkey", "bigint"), ("n_name", "string")],
+        primary_key=["n_nationkey"],
+    )
+    cat.insert_into(
+        "lake", "nation_dim", table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    )
+    cat.analyze("lake", "nation_dim")
+    table(spark, sf_dir, "customer").createOrReplaceTempView("ipt_stats_customer_src")
+    return cat.sql(
+        """SELECT n.n_name, COUNT(*) AS n_cust,
+                  CAST(SUM(CAST(c.c_acctbal AS DECIMAL(9,2))) AS DOUBLE) AS total_bal
+           FROM ipt_stats_customer_src c
+           JOIN lake.nation_dim n ON c.c_nationkey = n.n_nationkey
+           GROUP BY n.n_name"""
+    )
