@@ -914,28 +914,60 @@ class WarehouseCatalog:
 
     # ------------------------------------------------------------- consumers
     _CONSUMER_ID_RE = re.compile(r"^[A-Za-z0-9][A-Za-z0-9_.\-]{0,99}$")
+    _CONSUMER_POS_RE = re.compile(r"^pos-(\d+)\.json$")
+
+    def _consumer_positions(self, cdir: str) -> list[int]:
+        """Position markers in one consumer's directory. A file vanishing
+        mid-listing (concurrent prune/reset) is a consistent earlier state,
+        not an error — listdir is the only read, and names carry the data."""
+        try:
+            names = os.listdir(cdir)
+        except FileNotFoundError:
+            return []
+        out = []
+        for fn in names:
+            m = self._CONSUMER_POS_RE.match(fn)
+            if m:
+                out.append(int(m.group(1)))
+        return sorted(out)
 
     def _consumers(self, tdir: str) -> dict[str, dict]:
-        """consumer_id → {"next_snapshot": int, "updated_ms": int} from the
-        per-consumer JSON files under ``<table>/consumer/`` (Paimon's
-        consumer files: one small file per consumer id, written atomically —
-        two consumers never contend on a shared file)."""
-        cdir = os.path.join(tdir, "consumer")
+        """consumer_id → {"next_snapshot": int, "updated_ms": int}.
+
+        Layout: ``<table>/consumer/<id>/pos-<n>.json`` — each advance CREATES
+        a new position marker (exclusive link) and prunes lower ones; the
+        consumer's position is the MAX marker. Creation-not-overwrite makes
+        concurrent advances race-safe by construction: positions are
+        monotone (max wins), a slower writer can never rewind a faster one,
+        and no read-modify-write of shared state exists to tear. Metadata
+        rides inside the marker file; a marker deleted between listdir and
+        read (concurrent prune) still yields its position from the NAME.
+        """
+        croot = os.path.join(tdir, "consumer")
         out: dict[str, dict] = {}
-        if not os.path.isdir(cdir):
+        try:
+            ids = sorted(os.listdir(croot))
+        except FileNotFoundError:
             return out
-        for fn in sorted(os.listdir(cdir)):
-            if not fn.endswith(".json"):
+        for cid in ids:
+            cdir = os.path.join(croot, cid)
+            positions = self._consumer_positions(cdir)
+            if not positions:
                 continue
-            data = read_json(os.path.join(cdir, fn))
-            if data and "next_snapshot" in data:
-                out[fn[:-5]] = data
+            top = positions[-1]
+            meta = read_json(os.path.join(cdir, f"pos-{top}.json")) or {}
+            out[cid] = {
+                "next_snapshot": top,
+                "updated_ms": int(meta.get("updated_ms", 0)),
+            }
         return out
 
     def consumer_progress(self, db: str, table: str, consumer_id: str) -> int | None:
-        """The consumer's NEXT snapshot to consume, or None if unregistered."""
-        entry = self._consumers(self._table_dir(db, table)).get(consumer_id)
-        return int(entry["next_snapshot"]) if entry else None
+        """The consumer's NEXT snapshot to consume, or None if unregistered.
+        Direct single-directory listing — O(this consumer), not O(all)."""
+        cdir = os.path.join(self._table_dir(db, table), "consumer", consumer_id)
+        positions = self._consumer_positions(cdir)
+        return positions[-1] if positions else None
 
     def advance_consumer(self, db: str, table: str, consumer_id: str, next_snapshot: int) -> None:
         """Record that ``consumer_id`` has consumed everything BELOW
@@ -947,47 +979,76 @@ class WarehouseCatalog:
         Advancement is explicit — call it at your checkpoint/commit points
         (Paimon advances on streaming checkpoint completion). Moving a
         consumer BACKWARD requires ``reset_consumer`` (an accidental stale
-        advance must not silently rewind retention protection).
+        advance must not silently rewind retention protection); concurrent
+        advances settle on the highest position (monotone max-wins markers),
+        never on whichever writer happened to land last.
         """
         if not self._CONSUMER_ID_RE.match(consumer_id or ""):
             raise ValueError(f"invalid consumer_id {consumer_id!r}")
         if next_snapshot < 1:
             raise ValueError("next_snapshot must be >= 1")
         tdir = self._table_dir(db, table)
-        cur = self._consumers(tdir).get(consumer_id)
-        if cur and next_snapshot < int(cur["next_snapshot"]):
+        cdir = os.path.join(tdir, "consumer", consumer_id)
+        positions = self._consumer_positions(cdir)
+        cur = positions[-1] if positions else None
+        if cur is not None and next_snapshot < cur:
             raise ValueError(
-                f"consumer {consumer_id!r} is at {cur['next_snapshot']}; "
-                f"advance to {next_snapshot} would move it backward — use "
+                f"consumer {consumer_id!r} is at {cur}; advance to "
+                f"{next_snapshot} would move it backward — use "
                 "reset_consumer to rewind deliberately"
             )
-        write_json_atomic(
-            os.path.join(tdir, "consumer", f"{consumer_id}.json"),
-            {"next_snapshot": int(next_snapshot), "updated_ms": int(time.time() * 1000)},
-        )
+        try:
+            write_json_atomic(
+                os.path.join(cdir, f"pos-{int(next_snapshot)}.json"),
+                {"updated_ms": int(time.time() * 1000)},
+                exclusive=True,
+            )
+        except CommitConflictError:
+            pass  # another worker recorded the same position — idempotent
+        # best-effort prune of superseded markers (a marker that vanishes
+        # under a concurrent pruner is success, and max-wins is unaffected)
+        for p in positions:
+            if p < next_snapshot:
+                try:
+                    os.remove(os.path.join(cdir, f"pos-{p}.json"))
+                except FileNotFoundError:
+                    pass
 
     def reset_consumer(
         self, db: str, table: str, consumer_id: str, next_snapshot: int | None = None
     ) -> None:
         """``CALL sys.reset_consumer``: pin the consumer to ``next_snapshot``
         (any direction), or DELETE the consumer when ``next_snapshot`` is
-        omitted — Paimon's procedure of the same name."""
+        omitted — Paimon's procedure of the same name. Resetting while the
+        consumer's job is live is an operational error (Paimon requires
+        stopping the job first); a concurrent advance can out-race the reset.
+        """
         if not self._CONSUMER_ID_RE.match(consumer_id or ""):
             raise ValueError(f"invalid consumer_id {consumer_id!r}")
         tdir = self._table_dir(db, table)
-        path = os.path.join(tdir, "consumer", f"{consumer_id}.json")
+        cdir = os.path.join(tdir, "consumer", consumer_id)
+        positions = self._consumer_positions(cdir)
+        if next_snapshot is None:
+            if not positions:
+                raise ValueError(f"no consumer {consumer_id!r}")
+        elif next_snapshot < 1:
+            raise ValueError("next_snapshot must be >= 1")
+        else:
+            write_json_atomic(
+                os.path.join(cdir, f"pos-{int(next_snapshot)}.json"),
+                {"updated_ms": int(time.time() * 1000)},
+            )
+        for p in positions:
+            if next_snapshot is None or p != next_snapshot:
+                try:
+                    os.remove(os.path.join(cdir, f"pos-{p}.json"))
+                except FileNotFoundError:
+                    pass
         if next_snapshot is None:
             try:
-                os.remove(path)
-            except FileNotFoundError:
-                raise ValueError(f"no consumer {consumer_id!r}") from None
-            return
-        if next_snapshot < 1:
-            raise ValueError("next_snapshot must be >= 1")
-        write_json_atomic(
-            path,
-            {"next_snapshot": int(next_snapshot), "updated_ms": int(time.time() * 1000)},
-        )
+                os.rmdir(cdir)
+            except OSError:
+                pass  # non-empty (racing advance) or already gone
 
     def read_cdc(self, name: str, from_snapshot: int, to_snapshot: int) -> DataFrame:
         """CDC view of ``(from_snapshot, to_snapshot]``: one row per changed
@@ -1439,14 +1500,24 @@ class WarehouseCatalog:
         engine (``getTableProperties`` returns empty,
         ``TrinoMetadataBase.java:132-136``); a documented free improvement.
         """
+        from pyspark.sql import types as _T  # noqa: PLC0415
+
         df = self.read_table(f"{db}.{table}")
         aggs = [F.count(F.lit(1)).alias("__rows")]  # one pass, not count()+agg
+        scalar_cols = []
         for f in df.schema.fields:
             c = f.name
+            aggs.append(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"))
+            if isinstance(f.dataType, (_T.MapType, _T.ArrayType, _T.StructType)):
+                # maps are unorderable (min/max/NDV throw DATATYPE_MISMATCH)
+                # and array/struct extremes are meaningless as stats — a
+                # complex column records null_count only, like Paimon's
+                # colstats, instead of making the whole table unanalyzable
+                continue
+            scalar_cols.append(c)
             aggs += [
                 F.min(c).cast("string").alias(f"{c}__min"),
                 F.max(c).cast("string").alias(f"{c}__max"),
-                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
                 F.approx_count_distinct(c).alias(f"{c}__ndv"),
             ]
         row = df.agg(*aggs).collect()[0].asDict()
@@ -1462,11 +1533,12 @@ class WarehouseCatalog:
             "columns": {},
         }
         for f in df.schema.fields:
+            scalar = f.name in scalar_cols
             stats["columns"][f.name] = {
-                "min": row[f"{f.name}__min"],
-                "max": row[f"{f.name}__max"],
+                "min": row[f"{f.name}__min"] if scalar else None,
+                "max": row[f"{f.name}__max"] if scalar else None,
                 "null_count": int(row[f"{f.name}__nulls"] or 0),
-                "ndv": int(row[f"{f.name}__ndv"] or 0),
+                "ndv": int(row[f"{f.name}__ndv"] or 0) if scalar else 0,
             }
         write_json_atomic(os.path.join(tdir, "stats.json"), stats)
         return stats

@@ -111,6 +111,18 @@ def _field_agg_expr(func: str, c: str, insert_mask: F.Column | None = None) -> F
     raise ValueError(f"unknown aggregate-function {func!r}; have {FIELD_AGGREGATES}")
 
 
+def _retraction_guard(message: str):
+    """A filter predicate that raises ``message`` for groups with ``_has_d``
+    set and passes everything else. Used instead of wrapping output columns
+    because Catalyst prunes unreferenced projections — a guard living in a
+    projection vanishes under ``SELECT other_col`` or ``COUNT(*)``, silently
+    reviving the no-op this guard exists to prevent; a filter's predicate is
+    always evaluated."""
+    return F.when(
+        F.col("_has_d") == 1, F.raise_error(F.lit(message)).cast("boolean")
+    ).otherwise(F.lit(True))
+
+
 def merge_on_read(
     df: DataFrame,
     primary_key: list[str],
@@ -162,28 +174,26 @@ def merge_on_read(
         # so a delete can never be honored). delete_where/update_where already
         # raise at write time; a -D arriving through the unblocked paths
         # (write_stream_to_table's changelog sink, insert_into(row_kind='D'))
-        # must fail loudly at read time too — never a silent no-op.
-        pk0 = primary_key[0]
+        # must fail loudly at read time too — never a silent no-op. The guard
+        # is a FILTER, not a projection wrapper: a wrapped output column would
+        # be eliminated by column pruning (SELECT other_col / COUNT(*) would
+        # silently succeed), while a filter's predicate always evaluates.
         has_d = F.max(F.when(F.col(KIND_COL) == "D", 1).otherwise(0)).alias("_has_d")
-        err = F.raise_error(
-            F.lit(
-                "merge-engine 'first-row' does not support retraction "
-                "(delete rows present in the changelog)"
-            )
-        ).cast(df.schema[pk0].dataType)
-        pk_guarded = F.when(F.col("_has_d") == 1, err).otherwise(F.col(pk0)).alias(pk0)
+        guard = _retraction_guard(
+            "merge-engine 'first-row' does not support retraction "
+            "(delete rows present in the changelog)"
+        )
         if not value_cols:  # all-key table: struct() of zero fields is invalid
             picked = df.groupBy(*primary_key).agg(has_d)
-            return picked.select(pk_guarded, *primary_key[1:])
+            return picked.filter(guard).select(*primary_key)
         picked = df.groupBy(*primary_key).agg(
             F.min_by(F.struct(*value_cols), F.when(~(F.col(KIND_COL) == "D"), F.col("_ord"))).alias(
                 "_row"
             ),
             has_d,
         )
-        return picked.select(
-            pk_guarded,
-            *primary_key[1:],
+        return picked.filter(guard).select(
+            *primary_key,
             *[F.col(f"_row.{c}").alias(c) for c in value_cols],
         )
 
@@ -236,15 +246,23 @@ def merge_on_read(
         F.max(F.when(is_delete, 1).otherwise(0)).alias("_has_d"),
         F.max(F.when(~is_delete, 1).otherwise(0)).alias("_has_i"),
     )
-    strict = dict(strict_cols)
-    out_cols = [
-        F.when(
-            (F.col("_has_d") == 1) & F.lit(c in strict),
-            F.raise_error(F.lit(
-                f"aggregate-function {strict.get(c)!r} for column {c!r} "
-                "does not support retraction (delete rows present)"
-            )).cast(by_name[c]),
-        ).otherwise(F.col(c)).alias(c)
-        for c in value_cols
-    ]
-    return merged.filter(F.col("_has_i") == 1).select(*primary_key, *out_cols)
+    if strict_cols:
+        # the raise must be a FILTER predicate, not a projection wrapper: a
+        # wrapped column disappears under column pruning (SELECT pk /
+        # COUNT(*) would silently succeed) — Paimon throws during the merge
+        # itself, regardless of which columns the query reads. ONE when-
+        # predicate (raise on any delete, else keep _has_i groups) so
+        # Catalyst cannot reorder the raise against the all-deletes drop.
+        strict_desc = ", ".join(f"{func!r} for column {c!r}" for c, func in strict_cols)
+        pred = F.when(
+            F.col("_has_d") == 1,
+            F.raise_error(
+                F.lit(
+                    f"aggregate-function {strict_desc} does not support "
+                    "retraction (delete rows present)"
+                )
+            ).cast("boolean"),
+        ).otherwise(F.col("_has_i") == 1)
+    else:
+        pred = F.col("_has_i") == 1
+    return merged.filter(pred).select(*primary_key, *value_cols)

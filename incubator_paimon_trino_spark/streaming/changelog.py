@@ -94,43 +94,42 @@ def read_changelog_stream(
     if consumer_id is not None:
         # Paimon's consumer-id option: a registered position overrides the
         # startup mode — the stream resumes from the consumer's recorded
-        # NEXT snapshot. Advancement stays explicit (advance_consumer at the
-        # application's checkpoint points — Paimon advances on checkpoint
-        # completion); registered positions also pin snapshot retention.
+        # NEXT snapshot (an UNregistered consumer falls through to the
+        # default latest-full bootstrap). Advancement stays explicit
+        # (advance_consumer at the application's checkpoint points — Paimon
+        # advances on checkpoint completion); registered positions also pin
+        # snapshot retention.
         if startup_mode != "latest-full" or scan_snapshot_id is not None or scan_timestamp_ms is not None:
             raise ValueError(
                 "consumer_id is mutually exclusive with an explicit startup "
                 "position (the consumer's recorded progress IS the position)"
             )
-        nxt = cat.consumer_progress(db, table, consumer_id)
-        if nxt is not None:
-            from_version = nxt
-    if from_version is not None:
-        pass  # position came from the consumer file
-    elif startup_mode == "latest-full":
-        if scan_snapshot_id is not None or scan_timestamp_ms is not None:
-            raise ValueError("latest-full takes no scan position")
-    elif startup_mode == "latest":
-        latest = cat._latest_snapshot(tdir)
-        from_version = (latest.snapshot_id if latest else 0) + 1
-    elif startup_mode == "from-snapshot":
-        if scan_snapshot_id is None:
-            raise ValueError("from-snapshot requires scan_snapshot_id")
-        from_version = scan_snapshot_id
-    elif startup_mode == "from-timestamp":
-        if scan_timestamp_ms is None:
-            raise ValueError("from-timestamp requires scan_timestamp_ms")
-        snaps = cat._snapshots(tdir)  # one metadata resolve, reused below
-        newer = [s for s in snaps if s.timestamp_ms >= scan_timestamp_ms]
-        # no snapshot that late yet: start past the current tip and tail
-        from_version = newer[0].snapshot_id if newer else (
-            (snaps[-1].snapshot_id + 1) if snaps else 1
-        )
-    else:
-        raise ValueError(
-            f"unknown startup_mode {startup_mode!r} "
-            "(have latest-full, latest, from-snapshot, from-timestamp)"
-        )
+        from_version = cat.consumer_progress(db, table, consumer_id)
+    if from_version is None:
+        if startup_mode == "latest-full":
+            if scan_snapshot_id is not None or scan_timestamp_ms is not None:
+                raise ValueError("latest-full takes no scan position")
+        elif startup_mode == "latest":
+            latest = cat._latest_snapshot(tdir)
+            from_version = (latest.snapshot_id if latest else 0) + 1
+        elif startup_mode == "from-snapshot":
+            if scan_snapshot_id is None:
+                raise ValueError("from-snapshot requires scan_snapshot_id")
+            from_version = scan_snapshot_id
+        elif startup_mode == "from-timestamp":
+            if scan_timestamp_ms is None:
+                raise ValueError("from-timestamp requires scan_timestamp_ms")
+            snaps = cat._snapshots(tdir)  # one metadata resolve, reused below
+            newer = [s for s in snaps if s.timestamp_ms >= scan_timestamp_ms]
+            # no snapshot that late yet: start past the current tip and tail
+            from_version = newer[0].snapshot_id if newer else (
+                (snaps[-1].snapshot_id + 1) if snaps else 1
+            )
+        else:
+            raise ValueError(
+                f"unknown startup_mode {startup_mode!r} "
+                "(have latest-full, latest, from-snapshot, from-timestamp)"
+            )
 
     reader = (
         cat.spark.readStream.schema(phys)

@@ -125,6 +125,54 @@ def test_streaming_consumer_position(cat, spark, tmp_path):
         )
 
 
+def test_consumer_concurrent_advance_max_wins(cat, spark):
+    """Positions are monotone max-wins markers: a slower writer landing a
+    lower position after a faster one cannot rewind the recorded progress
+    (the r5 review's read-modify-write race), and superseded markers prune."""
+    import os
+
+    _mk(cat, spark)
+    cat.advance_consumer("d", "t", "j", 2)
+    cdir = os.path.join(cat._table_dir("d", "t"), "consumer", "j")
+    # simulate the race: B's advance(3) lands while A (who read cur=2) still
+    # intends 4 — A's later call must settle on max, and a stale direct
+    # marker write of a LOWER position never rewinds the reported progress
+    cat.advance_consumer("d", "t", "j", 3)
+    cat.advance_consumer("d", "t", "j", 4)
+    assert cat.consumer_progress("d", "t", "j") == 4
+    with open(os.path.join(cdir, "pos-2.json"), "w") as fh:  # stale straggler
+        fh.write("{}")
+    assert cat.consumer_progress("d", "t", "j") == 4  # max wins, no rewind
+    cat.advance_consumer("d", "t", "j", 5)  # prunes stragglers
+    assert sorted(os.listdir(cdir)) == ["pos-5.json"]
+
+
+def test_analyze_complex_typed_columns(cat, spark):
+    """ANALYZE on a table with map/array columns records null_count for the
+    complex columns instead of crashing (maps are unorderable — min/NDV
+    would throw DATATYPE_MISMATCH), keeping the table analyzable."""
+    cat.create_database("d", ignore_if_exists=True)
+    cat.create_table(
+        "d", "cx",
+        [("k", "int"), ("tags", "map<string,int>"), ("xs", "array<int>")],
+        primary_key=["k"],
+    )
+    cat.insert_into(
+        "d", "cx",
+        spark.createDataFrame(
+            [(1, {"a": 1}, [1, 2]), (2, None, None)],
+            "k int, tags map<string,int>, xs array<int>",
+        ),
+    )
+    st = cat.sql("CALL sys.analyze(table => 'd.cx')").collect()
+    assert "analyzed 2 rows" in st[0].result
+    stored = cat.stats_of("d", "cx")
+    assert stored["columns"]["tags"] == {"min": None, "max": None, "null_count": 1, "ndv": 0}
+    assert stored["columns"]["k"]["ndv"] == 2
+    rows = {r.column_name: r for r in cat.read_table("d.cx$statistics").collect()}
+    assert rows["xs"].null_count == 1 and rows["xs"].min is None
+
+
 def test_analyze_stats_and_statistics_table(cat, spark):
     _mk(cat, spark)
     st = cat.sql("ANALYZE TABLE d.t COMPUTE STATISTICS").collect()[0]

@@ -203,6 +203,20 @@ def test_aggregation_retraction_semantics(spark):
     # first-row refuses retraction even on an all-key table (Paimon throws)
     with pytest.raises(Exception, match="first-row.*retraction"):
         merge_on_read(keys_only, ["k"], "first-row").collect()
+    # ...and the guard must survive column pruning: COUNT(*) and a
+    # projection that drops the guarded columns still raise (a projection-
+    # wrapped guard is eliminated by Catalyst — the r5 review finding)
+    fr = merge_on_read(_df(spark, commits), ["k"], "first-row")
+    with pytest.raises(Exception, match="first-row.*retraction"):
+        fr.count()
+    with pytest.raises(Exception, match="first-row.*retraction"):
+        fr.select("v").collect()
+    # same pruning-proofness for the strict-aggregate retraction raise
+    strict = merge_on_read(df, ["k"], "aggregation", field_aggregates={"v": "min"})
+    with pytest.raises(Exception, match="does not support retraction"):
+        strict.count()
+    with pytest.raises(Exception, match="does not support retraction"):
+        strict.select("k").collect()
     clean_keys = _df(spark, [[(1, "I", 1, "a"), (2, "I", 2, "b")]]).select(
         "k", "_seq", "_row_kind"
     )
