@@ -86,6 +86,7 @@ _SYSTEM_SUFFIXES = (
     "manifests",
     "consumers",
     "statistics",
+    "branches",
 )
 
 
@@ -129,7 +130,13 @@ class WarehouseCatalog:
         return os.path.join(self.warehouse, f"{db}.db")
 
     def _table_dir(self, db: str, table: str) -> str:
-        return os.path.join(self._db_dir(db), table)
+        """Branch-aware: ``t$branch_<name>`` addresses the branch's own
+        metadata namespace (snapshot/schema/manifest/data dirs under
+        ``<table>/branch/<name>/``) — Paimon's branch addressing syntax.
+        Every (db, table) method then works on branches unchanged."""
+        base, _, br = table.partition("$branch_")
+        d = os.path.join(self._db_dir(db), base)
+        return os.path.join(d, "branch", br) if br else d
 
     # ------------------------------------------------------------ databases
     def create_database(self, db: str, ignore_if_exists: bool = False) -> None:
@@ -179,6 +186,10 @@ class WarehouseCatalog:
         ``bucket_key``, ``changelog_producer`` —
         ``TrinoTableOptionUtils.java:130-135``).
         """
+        if "$" in table:
+            # `$` is branch/system addressing (t$branch_b, t$snapshots) —
+            # branches are created with create_branch, never CREATE TABLE
+            raise ValueError(f"invalid table name {table!r} ('$' is reserved)")
         tdir = self._table_dir(db, table)
         if not os.path.exists(self._db_dir(db)):
             raise ValueError(f"database {db!r} does not exist")
@@ -869,6 +880,16 @@ class WarehouseCatalog:
         tags = self._tags(tdir)
         if tag not in tags:
             raise ValueError(f"no tag {tag!r}")
+        dependent = [
+            b for b, m in self._branches(tdir).items() if m.get("from_tag") == tag
+        ]
+        if dependent:
+            # the tag pins the seed snapshot's files against expiry; removing
+            # it would let main expiry delete data the branch still reads
+            raise ValueError(
+                f"tag {tag!r} seeds branch(es) {dependent} — delete the "
+                "branch(es) first"
+            )
         del tags[tag]
         write_json_atomic(os.path.join(tdir, "snapshot", "TAGS"), tags)
 
@@ -883,8 +904,23 @@ class WarehouseCatalog:
             raise ValueError(f"no snapshot {snapshot_id} (have {ids})")
         kept = [s for s in snaps if s.snapshot_id <= snapshot_id]
         doomed = [s for s in snaps if s.snapshot_id > snapshot_id]
+        tags = self._tags(tdir)
+        stale = [t for t, sid in tags.items() if sid > snapshot_id]
+        dependent = [
+            (t, b)
+            for t in stale
+            for b, m in self._branches(tdir).items()
+            if m.get("from_tag") == t
+        ]
+        if dependent:
+            raise ValueError(
+                f"rollback would discard tag(s) seeding branch(es) "
+                f"{sorted(set(b for _, b in dependent))} — delete the "
+                "branch(es) first"
+            )
         live = {f["path"] for s in kept for f in s.files}
         dead = {f["path"] for s in doomed for f in s.files} - live
+        dead = {p for p in dead if not _shared_data_path(p)}  # see expire
         for rel in sorted(dead):
             p = os.path.join(tdir, rel)
             if os.path.exists(p):
@@ -892,8 +928,6 @@ class WarehouseCatalog:
         for s_ in doomed:
             os.remove(os.path.join(tdir, "snapshot", f"snapshot-{s_.snapshot_id}.json"))
         self._prune_empty_dirs(os.path.join(tdir, "data"))
-        tags = self._tags(tdir)
-        stale = [t for t, sid in tags.items() if sid > snapshot_id]
         for t in stale:
             del tags[t]
         write_json_atomic(os.path.join(tdir, "snapshot", "TAGS"), tags)
@@ -1049,6 +1083,171 @@ class WarehouseCatalog:
                 os.rmdir(cdir)
             except OSError:
                 pass  # non-empty (racing advance) or already gone
+
+    # -------------------------------------------------------------- branches
+    _BRANCH_NAME_RE = re.compile(r"^[A-Za-z0-9][A-Za-z0-9_\-]{0,63}$")
+
+    def _branches(self, tdir: str) -> dict[str, dict]:
+        broot = os.path.join(tdir, "branch")
+        out: dict[str, dict] = {}
+        try:
+            names = sorted(os.listdir(broot))
+        except FileNotFoundError:
+            return out
+        for b in names:
+            p = os.path.join(broot, b, "BRANCH.json")
+            if os.path.exists(p):
+                out[b] = read_json(p)
+        return out
+
+    def create_branch(
+        self, db: str, table: str, branch: str, from_tag: str | None = None
+    ) -> None:
+        """Paimon branches (``CALL sys.create_branch``): an independent
+        snapshot chain over the same table. ``from_tag`` seeds the branch at
+        the tagged snapshot (the tag pins the shared data files against main
+        expiry); omitted → an empty branch carrying only the schema.
+
+        Metadata-only at any scale: the seed is ONE rewritten manifest whose
+        entries point at the parent's immutable data files (``../../data``)
+        — no data is copied, 100 TB branches in milliseconds. Branch commits
+        write their own ``data/`` under the branch dir; every catalog
+        operation (insert/read/compact/changelog/...) works on a branch via
+        the ``t$branch_<name>`` address because the branch IS a table dir.
+        """
+        if not self._BRANCH_NAME_RE.match(branch or ""):
+            raise ValueError(f"invalid branch name {branch!r}")
+        tdir = self._table_dir(db, table)
+        self._latest_schema(tdir)  # main table must exist
+        bdir = os.path.join(tdir, "branch", branch)
+        if os.path.exists(bdir):
+            raise ValueError(f"branch {branch!r} already exists")
+        seed_id = 0
+        if from_tag is not None:
+            tags = self._tags(tdir)
+            if from_tag not in tags:
+                raise ValueError(f"no tag {from_tag!r} (have {sorted(tags)})")
+            seed_id = tags[from_tag]
+        os.makedirs(os.path.join(bdir, "schema"))
+        for sp in glob.glob(os.path.join(tdir, "schema", "schema-*.json")):
+            shutil.copy2(sp, os.path.join(bdir, "schema", os.path.basename(sp)))
+        if seed_id:
+            snap = next(
+                s for s in self._snapshots(tdir) if s.snapshot_id == seed_id
+            )
+            shared = [
+                {**f, "path": os.path.join("..", "..", f["path"])} for f in snap.files
+            ]
+            mname = f"manifest-{seed_id}-seed.json"
+            write_json_atomic(
+                os.path.join(bdir, "manifest", mname), {"files": shared}
+            )
+            seeded = dataclasses.replace(snap, files=[], manifests=[mname])
+            write_json_atomic(
+                os.path.join(bdir, "snapshot", f"snapshot-{seed_id}.json"),
+                seeded.to_json(),
+            )
+            write_json_atomic(
+                os.path.join(bdir, "snapshot", "LATEST"), {"snapshot_id": seed_id}
+            )
+        write_json_atomic(
+            os.path.join(bdir, "BRANCH.json"),
+            {
+                "from_tag": from_tag,
+                "from_snapshot": seed_id,
+                "created_ms": int(time.time() * 1000),
+            },
+        )
+
+    def list_branches(self, db: str, table: str) -> list[str]:
+        return sorted(self._branches(self._table_dir(db, table)))
+
+    def delete_branch(self, db: str, table: str, branch: str) -> None:
+        """Drop the branch and its own data files. Refused while MAIN still
+        references files under the branch dir (a fast-forwarded branch's
+        commits become part of main's history — deleting them would corrupt
+        the main table)."""
+        tdir = self._table_dir(db, table)
+        bdir = os.path.join(tdir, "branch", branch)
+        if not os.path.isdir(bdir):
+            raise ValueError(f"no branch {branch!r}")
+        prefix = os.path.join("branch", branch) + os.sep
+        for s in self._snapshots(tdir):
+            if any(f["path"].startswith(prefix) for f in s.files):
+                raise ValueError(
+                    f"branch {branch!r} was fast-forwarded into main "
+                    f"(snapshot {s.snapshot_id} references its files); "
+                    "expire main history past it before deleting the branch"
+                )
+        shutil.rmtree(bdir)
+
+    def fast_forward(self, db: str, table: str, branch: str) -> int:
+        """``CALL sys.fast_forward``: make main's history continue with the
+        branch's commits. Main snapshots AFTER the branch point are replaced
+        (Paimon's contract — the diverged main commits are discarded); the
+        branch's commits are grafted on by manifest rewrite, sharing the
+        branch's immutable data files in place. Returns the new main tip.
+
+        Metadata-only: per grafted snapshot, one manifest write with paths
+        rewritten (inherited ``../../data`` entries → main-relative, branch-
+        local entries → ``branch/<name>/data``); no data file moves.
+        """
+        tdir = self._table_dir(db, table)
+        bdir = os.path.join(tdir, "branch", branch)
+        meta = self._branches(tdir).get(branch)
+        if meta is None:
+            raise ValueError(f"no branch {branch!r}")
+        base = int(meta.get("from_snapshot", 0))
+        branch_new = [s for s in self._snapshots(bdir) if s.snapshot_id > base]
+        main_snaps = self._snapshots(tdir)
+        main_tip = main_snaps[-1].snapshot_id if main_snaps else 0
+        if main_tip > base:
+            if base == 0:
+                raise ValueError(
+                    f"cannot fast_forward empty-seeded branch {branch!r} over "
+                    f"a main history (main tip {main_tip}); branch from a tag"
+                )
+            # tags above the branch point are about to be discarded with the
+            # diverged main history — refuse if another branch depends on one
+            tags = self._tags(tdir)
+            for other, ometa in self._branches(tdir).items():
+                otag = ometa.get("from_tag")
+                if other != branch and otag in tags and tags[otag] > base:
+                    raise ValueError(
+                        f"fast_forward would discard tag {otag!r} that "
+                        f"branch {other!r} was created from"
+                    )
+            self.rollback_to(db, table, base)
+        import uuid as _uuid
+
+        tip = base
+        for s in branch_new:
+            rewritten = []
+            for f in s.files:
+                p = f["path"]
+                up = os.path.join("..", "..") + os.sep
+                new_p = (
+                    os.path.normpath(p) if p.startswith(up) else os.path.join("branch", branch, p)
+                )
+                # normpath("../../data/x") == "../../data/x"; strip the ../..
+                if new_p.startswith(up):
+                    new_p = new_p[len(up):]
+                rewritten.append({**f, "path": new_p})
+            mname = f"manifest-{s.snapshot_id}-ff{_uuid.uuid4().hex[:8]}.json"
+            write_json_atomic(
+                os.path.join(tdir, "manifest", mname), {"files": rewritten}
+            )
+            grafted = dataclasses.replace(s, files=[], manifests=[mname])
+            write_json_atomic(
+                os.path.join(tdir, "snapshot", f"snapshot-{s.snapshot_id}.json"),
+                grafted.to_json(),
+            )
+            tip = s.snapshot_id
+        if tip != base or main_tip > base:
+            write_json_atomic(
+                os.path.join(tdir, "snapshot", "LATEST"), {"snapshot_id": tip}
+            )
+        return tip
 
     def read_cdc(self, name: str, from_snapshot: int, to_snapshot: int) -> DataFrame:
         """CDC view of ``(from_snapshot, to_snapshot]``: one row per changed
@@ -1295,6 +1494,11 @@ class WarehouseCatalog:
             return {"expired_snapshots": 0, "deleted_files": 0}
         live = {f["path"] for s in kept for f in s.files}
         dead = {f["path"] for s in doomed for f in s.files} - live
+        # files OUTSIDE this chain's namespace are shared, not owned: a
+        # branch's inherited "../../data" entries belong to the parent table,
+        # and a fast-forwarded "branch/<n>/data" entry is reclaimed by
+        # delete_branch — expiring metadata must never delete either
+        dead = {p for p in dead if not _shared_data_path(p)}
         # a concurrent expirer may be deleting an overlapping doomed set:
         # a file already gone is SUCCESS for this pass, not an error
         for rel in sorted(dead):
@@ -1739,6 +1943,10 @@ class WarehouseCatalog:
         """
         db, _, rest = name.partition(".")
         table, _, suffix = rest.partition("$")
+        if suffix.startswith("branch_"):
+            # t$branch_b reads the branch; t$branch_b$snapshots etc. compose
+            br, _, sub = suffix.partition("$")
+            table, suffix = f"{table}${br}", sub
         if suffix:
             return self._system_table(db, table, suffix)
         tdir = self._table_dir(db, table)
@@ -1817,14 +2025,22 @@ class WarehouseCatalog:
         unioned. This is exactly the reference's evolution contract (A18):
         rename must not orphan data.
         """
-        groups: dict[tuple[int, str], list[str]] = {}
+        # group ALSO by resolved data root: a branch snapshot mixes files it
+        # inherited from the parent table ("../../data/...") with its own
+        # commits ("data/..."), and Catalyst's partition-directory inference
+        # needs basePath to be each file's OWN data root (partition dir
+        # values are URL-quoted at write time, so "/data/" cannot appear
+        # inside a partition segment — rsplit is unambiguous)
+        groups: dict[tuple[int, str, str], list[str]] = {}
         for f in snap.files:
-            key = (f["schema_id"], f.get("format", "parquet"))
-            groups.setdefault(key, []).append(os.path.join(tdir, f["path"]))
+            full = os.path.normpath(os.path.join(tdir, f["path"]))
+            root = full.rsplit(f"{os.sep}data{os.sep}", 1)[0] + f"{os.sep}data"
+            key = (f["schema_id"], f.get("format", "parquet"), root)
+            groups.setdefault(key, []).append(full)
         current = {f.id: f for f in schema.fields}
         parts: list[DataFrame] = []
         is_pk = bool(schema.primary_key)
-        for (sid, fmt), paths in sorted(groups.items()):
+        for (sid, fmt, root), paths in sorted(groups.items()):
             old = self._schema(tdir, sid)
             # Partition columns come from Catalyst's directory inference: the
             # data/<k=v>/c<commit>-<file> layout keeps k=v dirs LAST for every
@@ -1835,7 +2051,7 @@ class WarehouseCatalog:
             # .format().load(list) — DataFrameReader.orc() has no varargs
             # (its 2nd positional is mergeSchema), unlike .parquet().
             df = (
-                self.spark.read.option("basePath", os.path.join(tdir, "data"))
+                self.spark.read.option("basePath", root)
                 .schema(_physical_schema(old, is_pk))
                 .format(fmt)
                 .load(paths)
@@ -1911,6 +2127,22 @@ class WarehouseCatalog:
         if suffix == "tags":
             rows = sorted(self._tags(tdir).items())
             return self.spark.createDataFrame(rows, "tag string, snapshot_id bigint")
+        if suffix == "branches":
+            # Paimon's `table$branches`: one row per branch with its seed
+            rows = [
+                (
+                    b,
+                    m.get("from_tag"),
+                    int(m.get("from_snapshot", 0)),
+                    int(m.get("created_ms", 0)),
+                )
+                for b, m in sorted(self._branches(tdir).items())
+            ]
+            return self.spark.createDataFrame(
+                rows,
+                "branch_name string, from_tag string, "
+                "from_snapshot bigint, created_ms bigint",
+            )
         if suffix == "consumers":
             # Paimon's `table$consumers`: one row per registered consumer id
             # with the next snapshot it will consume (these positions pin
@@ -2320,6 +2552,9 @@ class WarehouseCatalog:
             "remove_orphan_files": {"table", "older_than", "dry_run"},
             "reset_consumer": {"table", "consumer_id", "next_snapshot_id"},
             "analyze": {"table"},
+            "create_branch": {"table", "branch", "tag"},
+            "delete_branch": {"table", "branch"},
+            "fast_forward": {"table", "branch"},
         }
         if proc in _ALLOWED_NAMED:
             unknown = set(named) - _ALLOWED_NAMED[proc]
@@ -2463,10 +2698,39 @@ class WarehouseCatalog:
                 result=f"analyzed {st['row_count']} rows at snapshot "
                 f"{st['snapshot_id']} ({len(st['columns'])} columns)"
             )
+        if proc == "create_branch":
+            db, tbl = split_name(take("table"))
+            br = take("branch")
+            if br is None:
+                raise ValueError("sys.create_branch: missing branch argument")
+            tag = take("tag")
+            no_leftovers()
+            self.create_branch(db, tbl, br, from_tag=tag)
+            return ok(
+                result=f"branch {br} created"
+                + (f" from tag {tag}" if tag else " (empty)")
+            )
+        if proc == "delete_branch":
+            db, tbl = split_name(take("table"))
+            br = take("branch")
+            if br is None:
+                raise ValueError("sys.delete_branch: missing branch argument")
+            no_leftovers()
+            self.delete_branch(db, tbl, br)
+            return ok(result=f"branch {br} deleted")
+        if proc == "fast_forward":
+            db, tbl = split_name(take("table"))
+            br = take("branch")
+            if br is None:
+                raise ValueError("sys.fast_forward: missing branch argument")
+            no_leftovers()
+            tip = self.fast_forward(db, tbl, br)
+            return ok(result=f"fast-forwarded main to snapshot {tip} from branch {br}")
         raise ValueError(
             f"unknown procedure sys.{proc} (have compact, expire_snapshots, "
             "rollback, create_tag, delete_tag, remove_orphan_files, "
-            "reset_consumer, analyze)"
+            "reset_consumer, analyze, create_branch, delete_branch, "
+            "fast_forward)"
         )
 
     _MERGE_RE = re.compile(
@@ -2877,6 +3141,16 @@ def _sql_like_to_regex(pattern: str, escape: str | None) -> re.Pattern:
             out.append(re.escape(ch))
         i += 1
     return re.compile("".join(out))
+
+
+def _shared_data_path(rel: str) -> bool:
+    """True for manifest entries whose file lives OUTSIDE this snapshot
+    chain's own ``data/`` dir: a branch's inherited parent files
+    (``../../data/...``) and main entries grafted from a fast-forwarded
+    branch (``branch/<name>/data/...``). Shared files are never deleted by
+    this chain's expire/rollback — the parent's expiry (tag-pinned) and
+    ``delete_branch`` own their lifecycle."""
+    return rel.startswith("..") or rel.startswith("branch" + os.sep) or rel.startswith("branch/")
 
 
 def _parse_byte_conf(v) -> int:
