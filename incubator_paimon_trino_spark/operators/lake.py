@@ -845,6 +845,62 @@ def lake_consumer_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lake_branch_fast_forward",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus AS status
+      FROM orders WHERE o_orderkey <= 2000
+    ), branch_commit AS (
+      SELECT o_orderkey, o_custkey, 'B' AS status
+      FROM orders WHERE o_orderkey > 4000 AND o_orderkey <= 6000
+    )
+    SELECT COALESCE(b.o_orderkey, c.o_orderkey) AS o_orderkey,
+           COALESCE(c.o_custkey, b.o_custkey) AS o_custkey,
+           COALESCE(c.status, b.status) AS status
+    FROM base b FULL OUTER JOIN branch_commit c ON b.o_orderkey = c.o_orderkey
+    """,
+)
+def lake_branch_fast_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Branch lifecycle under the hash gate: tag the base commit, branch from
+    the tag, let MAIN diverge with a commit the branch never sees, commit to
+    the branch, then ``fast_forward`` — main must show base + the branch's
+    commit with the diverged commit discarded (Paimon's fast-forward
+    contract). The oracle replays the surviving history as a keyed merge.
+
+    Scale shape: branch create and fast-forward are pure manifest rewrites —
+    no data file is copied or moved at any table size; the final read is the
+    normal merge-on-read scan over the union of base and branch files.
+    """
+    cat = _fresh_catalog(spark)
+    cat.create_database("lake")
+    cat.create_table(
+        "lake",
+        "branched",
+        [("o_orderkey", "bigint"), ("o_custkey", "bigint"), ("status", "string")],
+        primary_key=["o_orderkey"],
+    )
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.col("o_orderstatus").alias("status")
+    )
+    cat.insert_into("lake", "branched", o.filter(F.col("o_orderkey") <= 2000))
+    cat.create_tag("lake", "branched", "base")
+    # main diverges — these rows must vanish after the fast-forward
+    cat.insert_into(
+        "lake", "branched",
+        o.filter((F.col("o_orderkey") > 2000) & (F.col("o_orderkey") <= 4000)),
+    )
+    cat.sql("CALL sys.create_branch(table => 'lake.branched', branch => 'fix', tag => 'base')")
+    cat.insert_into(
+        "lake", "branched$branch_fix",
+        o.filter((F.col("o_orderkey") > 4000) & (F.col("o_orderkey") <= 6000)).withColumn(
+            "status", F.lit("B")
+        ),
+    )
+    cat.sql("CALL sys.fast_forward(table => 'lake.branched', branch => 'fix')")
+    return cat.read_table("lake.branched")
+
+
+@register(
     "lake_stats_broadcast_join",
     oracle="""
     SELECT n.n_name, COUNT(*) AS n_cust,
