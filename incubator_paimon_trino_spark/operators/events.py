@@ -373,3 +373,72 @@ def streaming_enrich_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"), _sum_value())
     )
     return _run_stream(agg, "streaming_enrich_static_sink", "complete")
+
+
+@register(
+    "events_funnel_conversion",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, MIN(e.ts) AS t_click
+      FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > v.t_view
+      GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, MIN(e.ts) AS t_purchase
+      FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      GROUP BY e.user_id
+    )
+    SELECT stage, n_users FROM (
+      SELECT 1 AS ord, 'view' AS stage, COUNT(*) AS n_users FROM v
+      UNION ALL SELECT 2, 'click', COUNT(*) FROM c
+      UNION ALL SELECT 3, 'purchase', COUNT(*) FROM p
+    ) ORDER BY ord
+    """,
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (view -> click -> purchase): a user counts at
+    a stage only if the stage's event happens strictly AFTER their entry to
+    the previous stage — the standard product-analytics conversion funnel
+    (an operator family the reference's Trino surface reaches only through
+    hand-written SQL; first-class here).
+
+    Scale shape: each stage is one groupBy(user_id) plus one co-partitioned
+    join back on user_id — every exchange hashes the same key, so AQE reuses
+    the partitioning, and the per-stage state is one timestamp per user
+    (never the event list). The final three counts are scalar aggregates.
+    """
+    ev = table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    stage = lambda df, ord_, name: df.agg(  # noqa: E731
+        F.lit(ord_).alias("ord"),
+        F.lit(name).alias("stage"),
+        F.count("*").alias("n_users"),
+    )
+    out = (
+        stage(v, 1, "view")
+        .unionByName(stage(c, 2, "click"))
+        .unionByName(stage(p, 3, "purchase"))
+    )
+    return out.orderBy("ord").select("stage", "n_users")

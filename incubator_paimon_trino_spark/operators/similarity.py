@@ -431,3 +431,69 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rnk",
         )
     )
+
+
+@register(
+    "embedding_int8_quantize",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id, label,
+             CAST(embedding AS DOUBLE[]) AS emb,
+             list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) / 127 AS scale
+      FROM embeddings
+    )
+    SELECT vec_id, label,
+           ROUND(scale, 9) AS scale_r,
+           CASE WHEN scale = 0 THEN 0 ELSE
+             CAST(list_sum(list_transform(emb, x -> round(x / scale))) AS BIGINT)
+           END AS sum_q,
+           CASE WHEN scale = 0 THEN 0.0 ELSE
+             ROUND(list_dot_product(
+               list_transform(emb, x -> x - round(x / scale) * scale),
+               list_transform(emb, x -> x - round(x / scale) * scale)), 9)
+           END AS sse_r
+    FROM q
+    """,
+)
+def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the compression
+    step every vector index / training shard applies before storage. Scale =
+    max|x|/127 per vector (so the extreme value maps to ±127 exactly, no
+    clipping), outputs the per-vector scale, the quantized-value checksum
+    (exact integer) and the reconstruction SSE.
+
+    All arithmetic is per-row element folds over the array (zip/transform +
+    left-to-right aggregate — same evaluation order as DuckDB's list
+    functions, so doubles match bit-for-bit before the defensive ROUND).
+    Scale shape: embarrassingly parallel map, zero shuffles; at 100 TB this
+    runs at scan speed and the output is one short row per vector.
+    """
+    e = table(spark, sf_dir, "embeddings").withColumn("emb", _as_double("embedding"))
+    e = e.withColumn(
+        "scale",
+        F.aggregate(
+            F.transform(F.col("emb"), lambda x: F.abs(x)),
+            F.lit(0.0),
+            lambda acc, x: F.greatest(acc, x),
+        )
+        / 127,
+    )
+    quant = F.transform(F.col("emb"), lambda x: F.round(x / F.col("scale"), 0))
+    sum_q = F.aggregate(quant, F.lit(0.0), lambda a, x: a + x).cast("bigint")
+    sse = F.aggregate(
+        F.zip_with(
+            F.col("emb"),
+            quant,
+            lambda x, qv: (x - qv * F.col("scale")) * (x - qv * F.col("scale")),
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    zero = F.col("scale") == 0
+    return e.select(
+        "vec_id",
+        "label",
+        F.round("scale", 9).alias("scale_r"),
+        F.when(zero, F.lit(0)).otherwise(sum_q).alias("sum_q"),
+        F.when(zero, F.lit(0.0)).otherwise(F.round(sse, 9)).alias("sse_r"),
+    )

@@ -466,3 +466,51 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_logprob"),
         )
     )
+
+
+@register(
+    "text_ngram_topk",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ), bg AS (
+      SELECT words[i] || ' ' || words[i+1] AS bigram
+      FROM w, UNNEST(range(1, GREATEST(len(words), 1))) AS t(i)
+    ), counted AS (
+      SELECT bigram, COUNT(*) AS n FROM bg GROUP BY bigram
+    )
+    SELECT bigram, n FROM counted
+    ORDER BY n DESC, bigram
+    LIMIT 50
+    """,
+)
+def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary mining: the top-50 bigrams by frequency — the
+    n-gram statistics pass every tokenizer/LM data pipeline runs before
+    training. Ties break on the bigram text so the top-K cut is a total
+    order (deterministic across engines).
+
+    Scale shape: bigrams explode map-side (transform over the split array,
+    no shuffle), one count aggregation with map-side partial combine on the
+    bigram key, then ``orderBy().limit(50)`` plans as TakeOrderedAndProject
+    — per-partition top-50 heaps merged on the driver, never a global sort.
+    At 100 TB the only full shuffle is the vocabulary-sized count exchange.
+    """
+    d = table(spark, sf_dir, "documents")
+    bigrams = d.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(split(text, ' ')) >= 2 THEN "
+                "transform(sequence(0, size(split(text, ' ')) - 2), "
+                "  i -> concat(element_at(split(text, ' '), i + 1), ' ', "
+                "              element_at(split(text, ' '), i + 2))) "
+                "ELSE array() END"
+            )
+        ).alias("bigram")
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(50)
+    )
