@@ -845,6 +845,53 @@ def lake_consumer_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lake_dynamic_partition_pruning",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+    FROM orders
+    WHERE year(o_orderdate) IN (
+      SELECT DISTINCT year(o_orderdate) FROM orders WHERE o_orderpriority = '1-URGENT'
+        AND o_orderkey <= 200
+    )
+    GROUP BY 1
+    """,
+)
+def lake_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning through the lake scan — the reference's own
+    unimplemented TODO (``common/TrinoSplitManagerBase.java:38-39`` "// TODO
+    dynamicFilter?"; the dynamicFilter param is ignored at
+    ``common/TrinoPageSourceProvider.java:52``). Here the partitioned lake
+    table's scan carries ``dynamicpruningexpression(order_year IN
+    dynamicpruning#N)`` fed by the dim side at runtime, so only the matching
+    year partitions' files are read (plan pinned in ``tests/test_plan_quality
+    .py::test_dynamic_partition_pruning_on_lake_table``; this query puts the
+    VALUES under the driver's hash gate).
+
+    Scale shape: the dim subquery broadcasts its distinct years; the fact
+    scan then lists only those partitions — at 100 TB a 2-year filter reads
+    2/7 of the table without any static predicate on the fact side.
+    """
+    cat = _orders_by_year(spark, sf_dir)
+    dim_years = (
+        table(spark, sf_dir, "orders")
+        .filter((F.col("o_orderpriority") == "1-URGENT") & (F.col("o_orderkey") <= 200))
+        .select(F.year("o_orderdate").alias("order_year"))
+        .distinct()
+    )
+    dim_years.createOrReplaceTempView("ipt_dpp_years")
+    fact = cat.read_table("lake.orders_by_year")
+    fact.createOrReplaceTempView("ipt_dpp_fact")
+    return spark.sql(
+        """SELECT f.order_year, COUNT(*) AS n,
+                  CAST(SUM(CAST(f.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+           FROM ipt_dpp_fact f JOIN ipt_dpp_years y ON f.order_year = y.order_year
+           GROUP BY f.order_year"""
+    )
+
+
+@register(
     "lake_branch_fast_forward",
     oracle="""
     WITH base AS (
