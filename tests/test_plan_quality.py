@@ -215,3 +215,35 @@ def test_unigram_logprob_broadcasts_vocab(spark):
     assert uses_broadcast_join(df)
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_funnel_reuses_user_partitioning(spark):
+    """Funnel stages groupBy + join on the same user_id key; no cartesian
+    products and the event_type filters reach the parquet scan."""
+    df = _q("events_funnel_conversion")(spark, SF_SMOKE)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "EqualTo(event_type,view)" in plan and "EqualTo(event_type,purchase)" in plan
+
+
+def test_ngram_topk_take_ordered_no_global_sort(spark):
+    """Top-50 bigrams must plan TakeOrderedAndProject (per-partition heaps),
+    never a rangepartitioning global sort; the scan reads only text."""
+    df = _q("text_ngram_topk")(spark, SF_SMOKE)
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan.lower()
+    assert set(read_schema_columns(df)) == {"text"}
+
+
+def test_int8_quantize_zero_shuffles(spark):
+    """Quantization is a pure per-row map: zero exchanges in the plan."""
+    df = _q("embedding_int8_quantize")(spark, SF_SMOKE)
+    assert count_shuffles(df) == 0
+
+
+def test_stats_broadcast_join_is_compile_time(spark):
+    """The ANALYZE-stats hint must plan BroadcastHashJoin statically (not
+    only after an AQE runtime re-plan)."""
+    df = _q("lake_stats_broadcast_join")(spark, SF_SMOKE)
+    assert uses_broadcast_join(df)
