@@ -286,6 +286,8 @@ def write_stream_to_table(
     checkpoint_dir: str,
     query_name: str = "lake_sink",
     available_now: bool = True,
+    source: tuple[str, str] | None = None,
+    consumer_id: str | None = None,
 ):
     """Streaming sink into a lake table: each micro-batch commits through the
     catalog's transactional write path (``foreachBatch`` →
@@ -303,11 +305,39 @@ def write_stream_to_table(
     can see duplicates on crash-replay, as with any at-least-once append
     sink. Scale: executors write each batch's files in parallel; only the
     manifest commit is driver-side, identical to the batch path.
+
+    ``source=(db, table)`` + ``consumer_id``: Paimon's checkpoint-advance —
+    after a batch durably commits to the sink, the SOURCE table's consumer
+    advances to (max ``_seq`` seen in the batch) + 1. ``_seq`` on a plain PK
+    changelog source is the commit/snapshot id, so the recorded position is
+    exactly "everything below this snapshot is committed downstream", and
+    it pins the source's snapshot retention while the pipeline is behind.
+    Progress records only AFTER the commit (crash between commit and advance
+    replays the batch — at-least-once, never a gap). A sequence_field source
+    carries business time in ``_seq`` and is rejected.
     """
+    if consumer_id is not None:
+        if source is None:
+            raise ValueError("consumer_id requires source=(db, table)")
+        src_schema = catalog.schema_of(*source)
+        if not src_schema.primary_key or src_schema.options.get("sequence_field"):
+            raise ValueError(
+                "consumer advancement needs a primary-key source without "
+                "sequence_field (its _seq must be the commit id, not "
+                "business time)"
+            )
+        if SEQ_COL not in stream_df.columns:
+            raise ValueError(
+                f"consumer advancement needs the source's {SEQ_COL} column "
+                "in the stream (read via read_changelog_stream)"
+            )
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        tip = None
+        if consumer_id is not None:
+            tip = batch_df.agg(F.max(SEQ_COL)).collect()[0][0]
         # a PK changelog SOURCE carries _seq (its own commit order); the sink
         # table assigns fresh sequence numbers per committed batch, so the
         # rider _seq must not reach insert_into (it would be rejected as an
@@ -315,6 +345,8 @@ def write_stream_to_table(
         if SEQ_COL in batch_df.columns:
             batch_df = batch_df.drop(SEQ_COL)
         catalog.insert_with_retries(db, table, batch_df)
+        if consumer_id is not None and tip is not None:
+            catalog.advance_consumer(*source, consumer_id, int(tip) + 1)
 
     writer = (
         stream_df.writeStream.foreachBatch(_sink)

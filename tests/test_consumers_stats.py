@@ -147,6 +147,45 @@ def test_consumer_concurrent_advance_max_wins(cat, spark):
     assert sorted(os.listdir(cdir)) == ["pos-5.json"]
 
 
+def test_sink_advances_source_consumer(cat, spark, tmp_path):
+    """write_stream_to_table(source=..., consumer_id=...) records the source
+    position AFTER each durable sink commit (Paimon's checkpoint-advance),
+    so a restarted pipeline resumes exactly past what it already shipped."""
+    from incubator_paimon_trino_spark.streaming.changelog import (
+        read_changelog_stream,
+        write_stream_to_table,
+    )
+
+    _mk(cat, spark)  # d.t snapshots 1..4
+    cat.create_table("d", "sink", [("k", "int"), ("v", "string")], primary_key=["k"])
+    stream = read_changelog_stream(cat, "d.t", consumer_id="pipe")
+    write_stream_to_table(
+        stream, cat, "d", "sink", str(tmp_path / "ck1"),
+        source=("d", "t"), consumer_id="pipe",
+    )
+    assert cat.consumer_progress("d", "t", "pipe") == 5  # consumed 1..4
+    assert {r.k for r in cat.read_table("d.sink").collect()} == {1, 2, 3, 4}
+    # new source commit; the restarted pipeline ships ONLY the new rows
+    cat.insert_into("d", "t", spark.createDataFrame([(9, "v9")], "k int, v string"))
+    stream2 = read_changelog_stream(cat, "d.t", consumer_id="pipe")
+    write_stream_to_table(
+        stream2, cat, "d", "sink", str(tmp_path / "ck2"),
+        source=("d", "t"), consumer_id="pipe",
+    )
+    assert cat.consumer_progress("d", "t", "pipe") == 6
+    assert {r.k for r in cat.read_table("d.sink").collect()} == {1, 2, 3, 4, 9}
+    # a sequence_field source is rejected (its _seq is business time)
+    cat.create_table(
+        "d", "seqsrc", [("k", "int"), ("s", "bigint"), ("v", "string")],
+        primary_key=["k"], options={"sequence_field": "s"},
+    )
+    with pytest.raises(ValueError, match="sequence_field"):
+        write_stream_to_table(
+            read_changelog_stream(cat, "d.seqsrc"), cat, "d", "sink",
+            str(tmp_path / "ck3"), source=("d", "seqsrc"), consumer_id="p2",
+        )
+
+
 def test_analyze_complex_typed_columns(cat, spark):
     """ANALYZE on a table with map/array columns records null_count for the
     complex columns instead of crashing (maps are unorderable — min/NDV
