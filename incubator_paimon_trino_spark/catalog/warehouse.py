@@ -2309,22 +2309,22 @@ class WarehouseCatalog:
     )
 
     _INSERT_RE = re.compile(
-        r"^\s*INSERT\s+(INTO|OVERWRITE)\s+(?P<db>[A-Za-z_]\w*)\.(?P<tbl>[A-Za-z_]\w*)"
+        r"^\s*INSERT\s+(INTO|OVERWRITE)\s+(?P<db>[A-Za-z_]\w*)\.(?P<tbl>[A-Za-z_]\w*(?:\$branch_\w+)?)"
         r"(?:\s*\((?P<cols>\s*[A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*\s*)\))?"
         r"\s+(?P<rest>.+)$",
         re.IGNORECASE | re.DOTALL,
     )
     _DELETE_RE = re.compile(
-        r"^\s*DELETE\s+FROM\s+(?P<db>[A-Za-z_]\w*)\.(?P<tbl>[A-Za-z_]\w*)"
+        r"^\s*DELETE\s+FROM\s+(?P<db>[A-Za-z_]\w*)\.(?P<tbl>[A-Za-z_]\w*(?:\$branch_\w+)?)"
         r"(?:\s+WHERE\s+(?P<where>.+))?\s*$",
         re.IGNORECASE | re.DOTALL,
     )
     _TRUNCATE_RE = re.compile(
-        r"^\s*TRUNCATE\s+TABLE\s+(?P<db>[A-Za-z_]\w*)\.(?P<tbl>[A-Za-z_]\w*)\s*$",
+        r"^\s*TRUNCATE\s+TABLE\s+(?P<db>[A-Za-z_]\w*)\.(?P<tbl>[A-Za-z_]\w*(?:\$branch_\w+)?)\s*$",
         re.IGNORECASE,
     )
     _UPDATE_RE = re.compile(
-        r"^\s*UPDATE\s+(?P<db>[A-Za-z_]\w*)\.(?P<tbl>[A-Za-z_]\w*)\s+SET\s+(?P<sets>.+?)\s+WHERE\s+(?P<where>.+)$",
+        r"^\s*UPDATE\s+(?P<db>[A-Za-z_]\w*)\.(?P<tbl>[A-Za-z_]\w*(?:\$branch_\w+)?)\s+SET\s+(?P<sets>.+?)\s+WHERE\s+(?P<where>.+)$",
         re.IGNORECASE | re.DOTALL,
     )
 
@@ -2734,7 +2734,7 @@ class WarehouseCatalog:
         )
 
     _MERGE_RE = re.compile(
-        r"^\s*MERGE\s+INTO\s+(?P<db>[A-Za-z_]\w*)\.(?P<tbl>[A-Za-z_]\w*)"
+        r"^\s*MERGE\s+INTO\s+(?P<db>[A-Za-z_]\w*)\.(?P<tbl>[A-Za-z_]\w*(?:\$branch_\w+)?)"
         r"\s+USING\s+(?P<src>\(.*\)|[A-Za-z_]\w*\.[A-Za-z_]\w*)\s*(?:(?:AS\s+)?(?!ON\b)[A-Za-z_]\w*\s*)?"
         r"\s+ON\s+(?P<on>.+?)\s+(?P<clauses>WHEN\s+.+?)\s*$",
         re.IGNORECASE | re.DOTALL,

@@ -154,6 +154,22 @@ def test_branch_on_partitioned_table(cat, spark):
     assert {r.k for r in a_only} == {1, 3}
 
 
+def test_sql_dml_on_branch_address(cat, spark):
+    """INSERT/UPDATE/DELETE through cat.sql target a branch directly via the
+    t$branch_<name> address (Paimon's SQL branch addressing); main never
+    moves."""
+    _mk(cat, spark)
+    cat.create_branch("d", "t", "dev", from_tag="v1")
+    cat.sql("INSERT INTO d.t$branch_dev VALUES (20, 'sqlrow')")
+    cat.sql("UPDATE d.t$branch_dev SET v = 'patched' WHERE k = 1")
+    cat.sql("DELETE FROM d.t$branch_dev WHERE k = 2")
+    got = {(r.k, r.v) for r in cat.sql("SELECT * FROM d.t$branch_dev").collect()}
+    assert got == {(1, "patched"), (20, "sqlrow")}
+    assert {(r.k, r.v) for r in cat.read_table("d.t").collect()} == {
+        (1, "a"), (2, "b"), (3, "c"),
+    }
+
+
 def test_branch_name_and_table_name_validation(cat, spark):
     _mk(cat, spark)
     with pytest.raises(ValueError, match="invalid branch"):
