@@ -921,6 +921,7 @@ class WarehouseCatalog:
         live = {f["path"] for s in kept for f in s.files}
         dead = {f["path"] for s in doomed for f in s.files} - live
         dead = {p for p in dead if not _shared_data_path(p)}  # see expire
+        dead -= self._externally_pinned(tdir)  # fast-forwarded into main
         for rel in sorted(dead):
             p = os.path.join(tdir, rel)
             if os.path.exists(p):
@@ -989,7 +990,10 @@ class WarehouseCatalog:
             if not positions:
                 continue
             top = positions[-1]
-            meta = read_json(os.path.join(cdir, f"pos-{top}.json")) or {}
+            try:
+                meta = read_json(os.path.join(cdir, f"pos-{top}.json")) or {}
+            except FileNotFoundError:
+                meta = {}  # pruned between listdir and read — name carries the position
             out[cid] = {
                 "next_snapshot": top,
                 "updated_ms": int(meta.get("updated_ms", 0)),
@@ -999,6 +1003,10 @@ class WarehouseCatalog:
     def consumer_progress(self, db: str, table: str, consumer_id: str) -> int | None:
         """The consumer's NEXT snapshot to consume, or None if unregistered.
         Direct single-directory listing — O(this consumer), not O(all)."""
+        if not self._CONSUMER_ID_RE.match(consumer_id or ""):
+            # same validation as the write path — an unchecked id would be
+            # joined into the filesystem path ('../snapshot' traverses out)
+            raise ValueError(f"invalid consumer_id {consumer_id!r}")
         cdir = os.path.join(self._table_dir(db, table), "consumer", consumer_id)
         positions = self._consumer_positions(cdir)
         return positions[-1] if positions else None
@@ -1086,6 +1094,34 @@ class WarehouseCatalog:
 
     # -------------------------------------------------------------- branches
     _BRANCH_NAME_RE = re.compile(r"^[A-Za-z0-9][A-Za-z0-9_\-]{0,63}$")
+
+    def _externally_pinned(self, tdir: str) -> set[str]:
+        """Branch-local ``data/...`` paths that the PARENT main chain still
+        references through fast_forward grafts (main manifest entries of the
+        form ``branch/<name>/data/...``).
+
+        A branch sees those files as exclusively owned (plain ``data/``
+        paths pass ``_shared_data_path``), so branch-side
+        ``expire_snapshots``/``rollback_to`` after a fast_forward would
+        otherwise delete data files main's live snapshots and time travel
+        still read — the mirror of the ``delete_branch`` guard. Derived from
+        main's actual manifests rather than a sticky flag so the pin releases
+        itself once main's own expiry drops the grafted snapshots.
+        Metadata-only: O(main snapshot manifests), no data file is read.
+        """
+        norm = os.path.normpath(tdir)
+        parent = os.path.dirname(norm)
+        if os.path.basename(parent) != "branch":
+            return set()  # not a branch dir — main is never pinned this way
+        prefix = f"branch/{os.path.basename(norm)}/"
+        main_dir = os.path.dirname(parent)
+        pinned: set[str] = set()
+        for s in self._snapshots(main_dir):
+            for f in s.files:
+                p = f["path"].replace(os.sep, "/")
+                if p.startswith(prefix):
+                    pinned.add(os.path.normpath(p[len(prefix):]))
+        return pinned
 
     def _branches(self, tdir: str) -> dict[str, dict]:
         broot = os.path.join(tdir, "branch")
@@ -1247,6 +1283,13 @@ class WarehouseCatalog:
             write_json_atomic(
                 os.path.join(tdir, "snapshot", "LATEST"), {"snapshot_id": tip}
             )
+        # observability only — the maintenance guard (_externally_pinned)
+        # derives from main's live manifests, so it self-releases when main
+        # expiry drops the grafted snapshots; this flag does not
+        write_json_atomic(
+            os.path.join(bdir, "BRANCH.json"),
+            {**meta, "fast_forwarded_ms": int(time.time() * 1000)},
+        )
         return tip
 
     def read_cdc(self, name: str, from_snapshot: int, to_snapshot: int) -> DataFrame:
@@ -1499,6 +1542,9 @@ class WarehouseCatalog:
         # and a fast-forwarded "branch/<n>/data" entry is reclaimed by
         # delete_branch — expiring metadata must never delete either
         dead = {p for p in dead if not _shared_data_path(p)}
+        # the mirror direction: this chain may BE a fast-forwarded branch
+        # whose local data/ files main's grafted manifests still reference
+        dead -= self._externally_pinned(tdir)
         # a concurrent expirer may be deleting an overlapping doomed set:
         # a file already gone is SUCCESS for this pass, not an error
         for rel in sorted(dead):

@@ -333,20 +333,27 @@ def write_stream_to_table(
             )
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        tip = None
-        if consumer_id is not None:
-            tip = batch_df.agg(F.max(SEQ_COL)).collect()[0][0]
-        # a PK changelog SOURCE carries _seq (its own commit order); the sink
-        # table assigns fresh sequence numbers per committed batch, so the
-        # rider _seq must not reach insert_into (it would be rejected as an
-        # unknown column). _row_kind DOES flow through — deletes upsert away.
-        if SEQ_COL in batch_df.columns:
-            batch_df = batch_df.drop(SEQ_COL)
-        catalog.insert_with_retries(db, table, batch_df)
-        if consumer_id is not None and tip is not None:
-            catalog.advance_consumer(*source, consumer_id, int(tip) + 1)
+        # the emptiness probe, the consumer-tip max, and the sink insert are
+        # three actions over the same micro-batch plan — persist so the
+        # batch materializes once, not once per action
+        batch_df.persist()
+        try:
+            if batch_df.isEmpty():
+                return
+            tip = None
+            if consumer_id is not None:
+                tip = batch_df.agg(F.max(SEQ_COL)).collect()[0][0]
+            # a PK changelog SOURCE carries _seq (its own commit order); the
+            # sink table assigns fresh sequence numbers per committed batch,
+            # so the rider _seq must not reach insert_into (it would be
+            # rejected as an unknown column). _row_kind DOES flow through —
+            # deletes upsert away.
+            out = batch_df.drop(SEQ_COL) if SEQ_COL in batch_df.columns else batch_df
+            catalog.insert_with_retries(db, table, out)
+            if consumer_id is not None and tip is not None:
+                catalog.advance_consumer(*source, consumer_id, int(tip) + 1)
+        finally:
+            batch_df.unpersist()
 
     writer = (
         stream_df.writeStream.foreachBatch(_sink)

@@ -184,3 +184,35 @@ def test_branch_name_and_table_name_validation(cat, spark):
         cat.delete_branch("d", "t", "ghost")
     with pytest.raises(ValueError, match="no branch"):
         cat.fast_forward("d", "t", "ghost")
+
+
+def test_branch_maintenance_after_fast_forward_keeps_main_files(cat, spark):
+    """After fast_forward grafts branch data files into main's manifests,
+    branch-side compact + expire / rollback must not delete them — main's
+    live reads and time travel still reference those files (mirror of the
+    delete_branch guard; the pin derives from main's actual manifests)."""
+    mk = _mk(cat, spark)
+    cat.create_branch("d", "t", "fix", from_tag="v1")
+    cat.insert_into("d", "t$branch_fix", mk([(7, "ff")]))   # branch snap 2
+    cat.insert_into("d", "t$branch_fix", mk([(9, "gg")]))   # branch snap 3
+    cat.fast_forward("d", "t", "fix")
+    main_before = {(r.k, r.v) for r in cat.read_table("d.t").collect()}
+    assert main_before == {(1, "a"), (2, "b"), (7, "ff"), (9, "gg")}
+    # compact the branch (rewrites its live set), then expire its history:
+    # the pre-compaction branch files are exactly the ones main grafted
+    cat.compact("d", "t$branch_fix")
+    cat.expire_snapshots("d", "t$branch_fix", keep_last=1)
+    assert {(r.k, r.v) for r in cat.read_table("d.t").collect()} == main_before
+    # main time travel to the grafted snapshots still reads
+    assert {r.k for r in cat.read_table("d.t", version_as_of=2).collect()} == {1, 2, 7}
+    # rollback on the branch is equally guarded
+    cat.insert_into("d", "t$branch_fix", mk([(11, "post")]))
+    cat.rollback_to("d", "t$branch_fix", 4)  # drop the post-compact commit
+    assert {(r.k, r.v) for r in cat.read_table("d.t").collect()} == main_before
+    # once main's history past the graft is gone, the pin self-releases:
+    # truncate main down to a fresh state and expire everything grafted
+    import os
+
+    tdir = cat._table_dir("d", "t$branch_fix")
+    pinned_before = cat._externally_pinned(tdir)
+    assert pinned_before  # grafted files were pinned while main referenced them

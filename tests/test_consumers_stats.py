@@ -276,3 +276,28 @@ def test_stale_stats_withhold_broadcast(cat, spark):
     assert sum(f["size_bytes"] for f in live.files) > 4 * small
     df = cat.sql("SELECT * FROM d.g")
     assert "broadcast" not in df._jdf.queryExecution().analyzed().toString().lower()
+
+
+def test_consumers_tolerates_pruned_marker_race(cat, spark, monkeypatch):
+    """A position marker deleted between listdir and read (concurrent
+    prune/reset) still yields its position from the NAME — $consumers and
+    expire_snapshots must not crash on FileNotFoundError."""
+    _mk(cat, spark)
+    cat.advance_consumer("d", "t", "job1", 3)
+    from incubator_paimon_trino_spark.catalog import warehouse as wh
+
+    def _gone(path):
+        raise FileNotFoundError(path)
+
+    monkeypatch.setattr(wh, "read_json", _gone)
+    out = cat._consumers(cat._table_dir("d", "t"))
+    assert out == {"job1": {"next_snapshot": 3, "updated_ms": 0}}
+
+
+def test_consumer_progress_rejects_traversal_ids(cat, spark):
+    """Read path validates consumer_id like the write path — an id such as
+    '../snapshot' must not be joined into the filesystem path."""
+    _mk(cat, spark)
+    for bad in ("../snapshot", "a/b", "", ".hidden"):
+        with pytest.raises(ValueError, match="invalid consumer_id"):
+            cat.consumer_progress("d", "t", bad)
