@@ -79,19 +79,55 @@ def _assign(e: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
+# One persisted quantized corpus at a time, keyed by (session, sf_dir).
+# Both operators that train (assignment + blocked dedup) share the entry, so
+# the second caller reuses the SAME DataFrame object instead of re-persisting
+# an identical plan (the "already cached" CacheManager warning), and moving
+# to a different sf_dir/session unpersists the old entry — a long-lived
+# session holds exactly one corpus in executor memory, never an accretion.
+_CORPUS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    hit = _CORPUS_CACHE.get(key)
+    if hit is not None:
+        return hit
+    for k in list(_CORPUS_CACHE):
+        try:
+            _CORPUS_CACHE.pop(k).unpersist()
+        except Exception:
+            pass  # entry from a stopped session — nothing left to release
+    e = _quantized(spark, sf_dir).persist()
+    _CORPUS_CACHE[key] = e
+    return e
+
+
+def release_trained_corpus() -> None:
+    """Explicit lifecycle hook: drop the persisted k-means corpus now
+    (pipelines that are done with clustering/dedup call this instead of
+    waiting for the next sf_dir switch or session end)."""
+    for k in list(_CORPUS_CACHE):
+        try:
+            _CORPUS_CACHE.pop(k).unpersist()
+        except Exception:
+            pass
+
+
 def _trained_cells(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     """(quantized corpus, final per-vector assignment) after the standard
     seed + _ITERS Lloyd rounds — the single source of the training loop for
     both the assignment operator and the blocked dedup (their shared oracle
     CTE chain assumes identical iteration semantics)."""
     # persist the quantized corpus: every Lloyd round re-reads it (seed,
-    # per-round assignment, final assignment — 4 scans here), and Spark's
-    # cache is keyed by plan so repeated calls reuse one entry per sf_dir.
-    # Profiled r5: ~11% off the benched wall time; the remaining cost is
-    # fixed per-stage scheduling latency across the ~10-stage iteration
-    # chain, not data (2k vectors at sf0.1 — the design is sized for 100 TB
-    # where the corpus scans dominate and this cache pays off far more).
-    e = _quantized(spark, sf_dir).persist()
+    # per-round assignment, final assignment — 4 scans here). Profiled r5:
+    # ~11% off the benched wall time; the remaining cost is fixed per-stage
+    # scheduling latency across the ~10-stage iteration chain, not data
+    # (2k vectors at sf0.1 — the design is sized for 100 TB where the
+    # corpus scans dominate and this cache pays off far more).
+    e = _corpus(spark, sf_dir)
     cents = e.filter(F.col("vec_id") < _K).select(
         F.col("vec_id").cast("int").alias("cell"), F.col("q").alias("c")
     )
