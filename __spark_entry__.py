@@ -32,15 +32,19 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["q1_pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
-def _driver_verified() -> tuple[set[str], set[str]]:
-    """(verified, red): queries any prior driver pass already verified
-    (green hash or declared rows-only), and queries with a red verdict
-    (hash/row mismatch or harness error). The driver checks a PREFIX of the
-    registry each round, so verified ones go LAST, red ones go FIRST (the
-    fix needs re-proving), and never-checked queries fill the middle
-    round-robin across operator families — any prefix the driver takes then
-    maximizes §2-family coverage. Reads every CORRECTNESS_r*.json so the
-    ordering keeps itself current round over round."""
+def _driver_verified() -> tuple[dict[str, int], set[str]]:
+    """(verified → round of latest green verdict, red): queries any prior
+    driver pass already verified (green hash or declared rows-only), and
+    queries with a red verdict (hash/row mismatch or harness error). The
+    driver checks a PREFIX of the registry each round, so verified ones go
+    LAST, red ones go FIRST (the fix needs re-proving), and never-checked
+    queries fill the middle round-robin across operator families — any
+    prefix the driver takes then maximizes §2-family coverage. The verified
+    round feeds the tail rotation: with full-registry closure every prefix
+    slot re-proves a green row, so spend those slots on the STALEST verdicts
+    (code keeps evolving under r1-era greens). Reads every
+    CORRECTNESS_r*.json so the ordering keeps itself current round over
+    round."""
     import glob
     import json
     import re
@@ -59,9 +63,10 @@ def _driver_verified() -> tuple[set[str], set[str]]:
                 latest[name] = (rnd, green)
     # the LATEST round's verdict wins: a red that a later round re-proved
     # green must not keep displacing never-checked queries from the prefix
-    done = {n for n, (_, g) in latest.items() if g}
     red = {n for n, (_, g) in latest.items() if not g}
-    done |= _R1_VERIFIED - red
+    done = {n: rnd for n, (rnd, g) in latest.items() if g}
+    for n in _R1_VERIFIED - red - set(done):
+        done[n] = 1
     return done, red
 
 
@@ -109,23 +114,20 @@ _PRIORITY_NAMES = {
 # empty and new surface may land at the front again (r4 verdict item 6).
 _DEFER_NEW: set[str] = set()
 
-# Verified-green queries whose SEMANTICS changed in r4 review fixes (result
-# set or oracle rewritten) — their standing green verdicts predate the change.
-# Re-proof them right after the never-checked block so the driver's ~50-slot
-# prefix re-establishes an honest verdict (memory: r5 TODO; r4 verdict item 7).
-_REPROOF = {
-    "join_left_anti",  # now anti-joins urgent orders — result set changed
-    "cast_try_invalid",  # oracle rewritten (overflow-rounding, 12520e4)
-    "scalar_string_functions",  # concat semantics fix
-    "join_range_banded",  # dedup/exchange removed r4
-    "udf_pandas_scalar",  # rounding fix
-    "lake_information_schema_columns",  # column order fix
-}
+# Verified-green queries whose SEMANTICS changed in review fixes (result
+# set or oracle rewritten) — their standing green verdicts predate the
+# change. Re-proof them right after the never-checked block so the driver's
+# ~50-slot prefix re-establishes an honest verdict. All six r4 entries were
+# re-proved green by the r5 driver run (CORRECTNESS_r05) — drained.
+_REPROOF: set[str] = set()
 
 
 def _ordered_names() -> list[str]:
     """Red (fixed, re-prove) first, then priority never-checked, then the
-    remaining never-checked interleaved round-robin by family, verified last."""
+    remaining never-checked interleaved round-robin by family, verified last
+    — the verified tail ordered OLDEST verdict first (r6 verdict item 3:
+    with full-registry closure the prefix's spare slots should refresh the
+    stalest greens, not whatever the registry order happens to lead with)."""
     from itertools import zip_longest
 
     verified, red = _driver_verified()
@@ -143,7 +145,7 @@ def _ordered_names() -> list[str]:
         and (n.startswith(_PRIORITY_PREFIXES) or n in _PRIORITY_NAMES)
     ]
     order.extend(pri)
-    taken = set(order) | verified
+    taken = set(order) | set(verified)
     fams: dict[str, list[str]] = {}
     for n in QUERIES:
         if n in taken or n in _DEFER_NEW:
@@ -153,7 +155,10 @@ def _ordered_names() -> list[str]:
         order.extend(n for n in row if n is not None)
     order.extend(n for n in QUERIES if n in _DEFER_NEW and n not in verified and n not in red)
     order.extend(n for n in QUERIES if n in _REPROOF and n in verified)
-    order.extend(n for n in QUERIES if n in verified and n not in _REPROOF)
+    reg_idx = {n: i for i, n in enumerate(QUERIES)}
+    tail = [n for n in QUERIES if n in verified and n not in _REPROOF]
+    tail.sort(key=lambda n: (verified[n], reg_idx[n]))  # stalest verdict first
+    order.extend(tail)
     return order
 
 
