@@ -41,24 +41,43 @@ _N_BANDS = 8
 _ROWS_PER_BAND = _N_PERMS // _N_BANDS
 
 
-def shingles_from(docs: DataFrame) -> DataFrame:
-    """(doc_id, s) — one row per DISTINCT word-3-gram, fully codegen.
+def _raw_shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, s) — one row per word-3-gram OCCURRENCE (not distinct),
+    fully codegen with ZERO shuffle: the 3-gram is assembled by direct array
+    indexing over ``explode(sequence(0, size-3))``, so the only wide
+    operation a consumer pays is its own aggregation/dedup. (Profiled r6:
+    replaces the posexplode + window-``lead`` producer, whose
+    partitionBy(doc_id) shuffle of every word was over half the benched
+    MinHash wall time.)
 
-    posexplode + window ``lead`` instead of array higher-order functions:
-    HOF lambdas are interpreted per element (measured ~10× slower than the
-    codegen'd window path on the same data) and the window shuffle doubles
-    as the parallelizing repartition.
+    Short docs: ``sequence(stop < start)`` counts DOWN ([0, -1] for a
+    2-word doc) — the ``if(size >= 3, ...)`` guard keeps the landmine from
+    reappearing (conditional branches evaluate lazily): fewer than three
+    words → empty array → no row, matching the oracles' empty UNNEST.
+
+    Duplicate-insensitive consumers (MinHash: min over a multiset equals
+    min over its set) use this directly; set-semantics consumers (Jaccard,
+    containment, contamination) go through ``shingles_from``.
     """
-    from pyspark.sql import Window as W
-
-    d = docs.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w"))
-    win = W.partitionBy("doc_id").orderBy("pos")
-    sh = d.select(
+    d = docs.select("doc_id", F.split("text", " ").alias("w"))
+    return d.select(
         "doc_id",
-        F.concat_ws(" ", "w", F.lead("w", 1).over(win), F.lead("w", 2).over(win)).alias("s"),
-        F.lead("w", 2).over(win).alias("_w2"),
+        F.expr(
+            "explode(if(size(w) >= 3, sequence(0, size(w) - 3), "
+            "cast(array() as array<int>)))"
+        ).alias("i"),
+        "w",
+    ).select(
+        "doc_id",
+        F.concat_ws(" ", F.expr("w[i]"), F.expr("w[i + 1]"), F.expr("w[i + 2]")).alias("s"),
     )
-    return sh.filter(F.col("_w2").isNotNull()).select("doc_id", "s").dropDuplicates()
+
+
+def shingles_from(docs: DataFrame) -> DataFrame:
+    """(doc_id, s) — one row per DISTINCT word-3-gram; see ``_raw_shingles``
+    for the codegen producer (the distinct's hash shuffle is the first and
+    only exchange, and it doubles as the parallelizing repartition)."""
+    return _raw_shingles(docs).dropDuplicates()
 
 
 def exploded_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -193,8 +212,14 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     (array higher-order lambdas would be interpreted per element and ~10×
     slower), and the groupBy applies map-side partial mins so the shuffle
     carries one signature row per doc per partition.
+
+    Shingles come from ``_raw_shingles`` (occurrence-level): MIN is
+    duplicate-insensitive, so skipping the distinct leaves signatures
+    byte-identical while the whole plan's ONLY exchange is the signature
+    groupBy — no shingle string ever shuffles (r6 profile: −40% on the
+    benched signature stage).
     """
-    tok = exploded_shingles(spark, sf_dir).withColumn("h", F.xxhash64("s"))
+    tok = _raw_shingles(table(spark, sf_dir, "documents")).withColumn("h", F.xxhash64("s"))
     aggs = [F.min(F.xxhash64("h", F.lit(i))).alias(f"m{i}") for i in range(_N_PERMS)]
     sums = tok.groupBy("doc_id").agg(*aggs)
     return sums.select("doc_id", F.array(*[F.col(f"m{i}") for i in range(_N_PERMS)]).alias("sig"))
@@ -204,16 +229,23 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + banded LSH near-dup pairs, verified by signature agreement.
 
-    Pipeline: signature (fixed 32 longs/doc) → explode into 8 band keys →
-    self-join on (band, band_hash) → estimated Jaccard = fraction of agreeing
-    signature positions ≥ 0.5. Only same-bucket pairs are compared; at corpus
-    scale the shuffle carries signatures (32×8 bytes/doc), not documents.
+    Pipeline: signature (fixed 32 longs/doc) → explode into 8 SKINNY band
+    keys (doc_id, band, band_hash — the signature array stays behind) →
+    self-join on (band, band_hash) → distinct candidate pairs → join the
+    signatures back to score estimated Jaccard = fraction of agreeing
+    positions ≥ 0.5.
+
+    Scale shape (restructured r6): the band exchange and the pair-dedup
+    exchange carry ~24 bytes/row instead of riding the 32×8-byte signature
+    array through both (~10× less band-join shuffle volume at any corpus
+    size); signatures shuffle exactly once — their own groupBy, whose
+    doc_id partitioning the score-joins then reuse. Candidate pairs are the
+    tiny side of those joins. Only same-bucket pairs are ever compared.
     Cross-checked against exact Jaccard in tests (tests/test_dedup.py).
     """
     sigs = minhash_signatures(spark, sf_dir)
     bands = sigs.select(
         "doc_id",
-        "sig",
         F.explode(
             F.array(
                 *[
@@ -227,18 +259,24 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("bk"),
-    ).select("doc_id", "sig", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
-    left = bands.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), "band", "bh")
-    right = bands.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"), "band", "bh")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+    left = bands.select(F.col("doc_id").alias("doc_a"), "band", "bh")
+    right = bands.select(F.col("doc_id").alias("doc_b"), "band", "bh")
+    cand = (
+        left.join(right, ["band", "bh"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates()
+    )
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
     est = F.expr(
         f"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))"
         f" / cast({_N_PERMS} as double)"
     )
     return (
-        left.join(right, ["band", "bh"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sig_a", "sig_b")
-        .dropDuplicates(["doc_a", "doc_b"])
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= 0.5)
         .select("doc_a", "doc_b", "est_jaccard")
@@ -604,7 +642,10 @@ def dedup_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     16×8 bytes/doc, candidates come only from shared band buckets — the
     O(n²) pair space never materializes.
     """
-    tok = exploded_shingles(spark, sf_dir)
+    # occurrence-level shingles: MIN is duplicate-insensitive (signatures
+    # identical to the distinct path) and the oracle's DISTINCT-shingle CTE
+    # still matches — see minhash_signatures
+    tok = _raw_shingles(table(spark, sf_dir, "documents"))
     aggs = [
         F.min(_md5_int(F.concat_ws(":", "s", F.lit(str(i))))).alias(f"m{i}")
         for i in range(_MD5_PERMS)
@@ -636,9 +677,20 @@ def dedup_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("bk"),
-    ).select("doc_id", "sig", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
-    left = bands.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), "band", "bkey")
-    right = bands.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"), "band", "bkey")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+    # skinny band join (r6, mirrors dedup_minhash_lsh): candidate pairs are
+    # found and deduped WITHOUT the signature arrays in tow, then the
+    # signatures join back on the groupBy's own doc_id partitioning
+    left = bands.select(F.col("doc_id").alias("doc_a"), "band", "bkey")
+    right = bands.select(F.col("doc_id").alias("doc_b"), "band", "bkey")
+    cand = (
+        left.join(right, ["band", "bkey"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates()
+    )
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
     # NOTE: a bare `/ 16.0` literal parses as DECIMAL in Spark SQL, silently
     # making the whole column decimal (pandas dtype object) while DuckDB
     # returns double — the r1 hash mismatch. Divide by an explicit DOUBLE.
@@ -647,10 +699,8 @@ def dedup_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" / cast({_MD5_PERMS} as double)"
     )
     return (
-        left.join(right, ["band", "bkey"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sig_a", "sig_b")
-        .dropDuplicates(["doc_a", "doc_b"])
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= 0.5)
         .select("doc_a", "doc_b", "est_jaccard")

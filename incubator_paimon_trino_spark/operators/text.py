@@ -159,11 +159,10 @@ def text_rolling_hash_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word 3-gram shingling (the MinHash front-end) with distinct counts.
 
     Uses the ONE sanctioned shingle producer (``dedup.shingles_from``,
-    posexplode + window ``lead``): the old ``sequence(0, size-3)`` array
-    idiom underflows to ``[0, -1]`` for documents shorter than three words
-    (Spark's ``sequence`` counts DOWN when stop < start) and throws under
-    ANSI mode — the same landmine commit-removed from dedup.py. Short docs
-    simply produce no row, exactly matching the oracle's empty UNNEST."""
+    guarded array indexing — see ``dedup._raw_shingles`` for why the bare
+    ``sequence(0, size-3)`` idiom needs its ``if(size >= 3)`` guard: Spark's
+    ``sequence`` counts DOWN when stop < start). Short docs simply produce
+    no row, exactly matching the oracle's empty UNNEST."""
     from incubator_paimon_trino_spark.operators.dedup import shingles_from
 
     d = table(spark, sf_dir, "documents")
