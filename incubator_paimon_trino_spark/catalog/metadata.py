@@ -116,6 +116,10 @@ class Snapshot:
     files: list[dict] = field(default_factory=list)
     record_count: int = 0
     manifests: list[str] = field(default_factory=list)
+    #: deletion-vector index file name under ``<table>/index/`` (Paimon's
+    #: ``deletion-vectors.enabled`` — the DV variant of merge-on-read).
+    #: None for tables/snapshots without DVs; absent in older snapshot JSON.
+    dv: str | None = None
 
     def to_json(self) -> dict:
         out = {
@@ -134,6 +138,8 @@ class Snapshot:
             out["manifests"] = self.manifests
         else:
             out["files"] = self.files
+        if self.dv:
+            out["dv"] = self.dv
         return out
 
     @staticmethod
@@ -148,6 +154,7 @@ class Snapshot:
             d.get("files", []),
             d.get("record_count", 0),
             d.get("manifests", []),
+            d.get("dv"),
         )
 
 

@@ -89,6 +89,11 @@ _SYSTEM_SUFFIXES = (
     "branches",
 )
 
+#: Deletion-vector provenance columns (never user-visible: appended by
+#: ``_read_files(with_pos=True)`` and consumed/dropped by ``_dv_apply``).
+_DV_FILE = "__dv_file"
+_DV_POS = "__dv_pos"
+
 
 class WarehouseCatalog:
     def __init__(self, warehouse: str, spark: SparkSession, commit_user: str = "spark-graft"):
@@ -331,7 +336,22 @@ class WarehouseCatalog:
     def set_options(self, db: str, table: str, options: dict[str, str]) -> None:
         tdir = self._table_dir(db, table)
         s = self._latest_schema(tdir)
-        s.options.update(_canonical_options(options))
+        incoming = _canonical_options(options)
+        if (
+            incoming.get("deletion_vectors_enabled", "").strip().lower() == "true"
+            and s.options.get("deletion_vectors_enabled", "").strip().lower() != "true"
+            and self._latest_snapshot(tdir) is not None
+        ):
+            # flipping DV mode on would leave the existing history UNMARKED:
+            # superseded row versions in already-committed files have no
+            # deletion vector, so the merge-free DV read would resurrect
+            # them. Enable at CREATE time (or on an empty table) only.
+            raise ValueError(
+                "deletion-vectors.enabled cannot be turned on for a table "
+                "with existing snapshots (their superseded rows carry no "
+                "deletion vectors); create the table with it enabled"
+            )
+        s.options.update(incoming)
         _validate_table_options(
             [f.name for f in s.fields],
             s.primary_key,
@@ -560,6 +580,41 @@ class WarehouseCatalog:
         elif KIND_COL in out.columns or row_kind not in (None, "I"):
             raise ValueError("row kinds require a primary-key table")
 
+        dv_vectors: dict[str, list[int]] | None = None
+        dv_marked = 0
+        if self._dv_enabled(schema):
+            pk = schema.primary_key
+            # DV mode has no read-time merge to disambiguate two versions of
+            # one key inside a single commit — reject duplicates loudly
+            # instead of writing a file whose extra version can never be
+            # marked (Paimon's writer dedups in its LSM memtable; a batch
+            # DataFrame has no arrival order to dedup by).
+            dup = (
+                out.filter(F.col(KIND_COL) != "D")
+                .groupBy(*pk)
+                .count()
+                .filter(F.col("count") > 1)
+                .limit(1)
+                .collect()
+            )
+            if dup:
+                raise ValueError(
+                    "deletion-vectors table: batch carries multiple insert "
+                    f"rows for one primary key (e.g. {dict(zip(pk, dup[0][:len(pk)]))}); "
+                    "pre-merge the batch to one row per key"
+                )
+            if not overwrite and prev is not None and prev.files:
+                dv_vectors, dv_marked = self._dv_merged(tdir, schema, prev, out)
+            else:
+                dv_vectors = {}
+            # F1 tie-break (+I and -D of one key in one commit → deleted):
+            # the delete also cancels the batch's own insert. -D rows are
+            # then dropped from the physical write — a DV table records
+            # deletion ONLY as vectors, never as -D data rows (which also
+            # means changelog readers of a DV table see inserts only).
+            d_keys = out.filter(F.col(KIND_COL) == "D").select(*pk).dropDuplicates()
+            out = out.filter(F.col(KIND_COL) != "D").join(d_keys, pk, "left_anti")
+
         # bucketing (reference options bucket/bucket_key — A16): hash-
         # repartition on the bucket key so each commit writes exactly
         # `bucket` files per partition, co-locating equal keys. Joins between
@@ -600,36 +655,42 @@ class WarehouseCatalog:
             )
             out = out.sortWithinPartitions(*cluster_cols)
 
-        staging = self._staging_dir(tdir, version)
-        writer = out.write.mode("errorifexists")
-        if schema.partition_keys:
-            writer = writer.partitionBy(*schema.partition_keys)
         fmt = schema.options.get("file_format", "PARQUET").upper()
-        if fmt == "ORC":
-            writer.orc(staging)
-        elif fmt == "PARQUET":
-            writer.parquet(staging)
-        elif fmt == "AVRO":
-            # Paimon's third file format (FileFormatType —
-            # TrinoTableOptionUtils.java:96,111-112). Spark's avro data source
-            # is an external module; gate on its presence so environments
-            # without the jar get a clear error instead of a classpath trace.
-            try:
-                writer.format("avro").save(staging)
-            except Exception as ex:  # AnalysisException: Failed to find data source
-                if "Failed to find data source" in str(ex):
-                    raise NotImplementedError(
-                        "file_format='AVRO' needs the spark-avro module on the "
-                        "classpath (org.apache.spark:spark-avro); not present "
-                        "in this runtime — use PARQUET or ORC"
-                    ) from ex
-                raise
-        else:
+        if fmt not in ("ORC", "PARQUET", "AVRO"):
             raise ValueError(f"unsupported file_format {fmt!r} (have PARQUET, ORC, AVRO)")
-
         ext = {"ORC": "orc", "AVRO": "avro", "PARQUET": "parquet"}[fmt]
-        final_paths = self._finalize_commit(tdir, staging, version, ext)
-        new_files = self._commit_files(tdir, final_paths, ext, schema)
+        if dv_vectors is not None and out.isEmpty():
+            # pure-DV commit (a DELETE with nothing to insert): the snapshot
+            # is metadata only — writing an empty part file would add a
+            # zero-row data file per delete forever
+            final_paths, new_files = [], []
+        else:
+            staging = self._staging_dir(tdir, version)
+            writer = out.write.mode("errorifexists")
+            if schema.partition_keys:
+                writer = writer.partitionBy(*schema.partition_keys)
+            if fmt == "ORC":
+                writer.orc(staging)
+            elif fmt == "PARQUET":
+                writer.parquet(staging)
+            else:
+                # Paimon's third file format (FileFormatType —
+                # TrinoTableOptionUtils.java:96,111-112). Spark's avro data
+                # source is an external module; gate on its presence so
+                # environments without the jar get a clear error instead of
+                # a classpath trace.
+                try:
+                    writer.format("avro").save(staging)
+                except Exception as ex:  # AnalysisException: Failed to find data source
+                    if "Failed to find data source" in str(ex):
+                        raise NotImplementedError(
+                            "file_format='AVRO' needs the spark-avro module on the "
+                            "classpath (org.apache.spark:spark-avro); not present "
+                            "in this runtime — use PARQUET or ORC"
+                        ) from ex
+                    raise
+            final_paths = self._finalize_commit(tdir, staging, version, ext)
+            new_files = self._commit_files(tdir, final_paths, ext, schema)
         if n_buckets > 0 and bucket_key:
             _record_buckets(new_files, schema, bucket_key, n_buckets)
         n = sum(e["record_count"] for e in new_files)
@@ -648,8 +709,14 @@ class WarehouseCatalog:
             commit_kind=COMMIT_OVERWRITE if overwrite else COMMIT_APPEND,
             timestamp_ms=int(time.time() * 1000),
             files=files,
-            record_count=(0 if overwrite else (prev.record_count if prev else 0)) + n,
+            record_count=(0 if overwrite else (prev.record_count if prev else 0))
+            + n
+            - dv_marked,
         )
+        if dv_vectors is not None:
+            # vectors land BEFORE the snapshot that references them — a
+            # reader must never resolve snapshot N without its deletions
+            snap.dv = self._dv_write(tdir, version, dv_vectors)
         # exclusive publish = the commit point: if a concurrent writer already
         # produced this snapshot id, fail with CommitConflictError rather
         # than clobbering their manifest (caller re-reads and retries, like
@@ -662,6 +729,11 @@ class WarehouseCatalog:
             for p in final_paths:
                 if os.path.exists(p):
                     os.remove(p)
+            if snap.dv:
+                try:
+                    os.remove(os.path.join(tdir, "index", snap.dv))
+                except FileNotFoundError:
+                    pass
             self._prune_empty_dirs(os.path.join(tdir, "data"))
             raise
 
@@ -928,6 +1000,7 @@ class WarehouseCatalog:
                 os.remove(p)
         for s_ in doomed:
             os.remove(os.path.join(tdir, "snapshot", f"snapshot-{s_.snapshot_id}.json"))
+        self._gc_dv_indexes(tdir, kept, doomed)
         self._prune_empty_dirs(os.path.join(tdir, "data"))
         for t in stale:
             del tags[t]
@@ -1171,6 +1244,14 @@ class WarehouseCatalog:
             snap = next(
                 s for s in self._snapshots(tdir) if s.snapshot_id == seed_id
             )
+            if snap.dv:
+                # the seeded snapshot's deletion vectors travel with it —
+                # basename matching makes the ../../ path rewrite moot
+                os.makedirs(os.path.join(bdir, "index"), exist_ok=True)
+                shutil.copy2(
+                    os.path.join(tdir, "index", snap.dv),
+                    os.path.join(bdir, "index", snap.dv),
+                )
             shared = [
                 {**f, "path": os.path.join("..", "..", f["path"])} for f in snap.files
             ]
@@ -1273,6 +1354,15 @@ class WarehouseCatalog:
             write_json_atomic(
                 os.path.join(tdir, "manifest", mname), {"files": rewritten}
             )
+            if s.dv and not os.path.exists(os.path.join(tdir, "index", s.dv)):
+                # grafted snapshots keep their DV index: copy it into main's
+                # namespace (apply matches on basenames, so the stored
+                # branch-relative path keys stay valid as-is)
+                os.makedirs(os.path.join(tdir, "index"), exist_ok=True)
+                shutil.copy2(
+                    os.path.join(bdir, "index", s.dv),
+                    os.path.join(tdir, "index", s.dv),
+                )
             grafted = dataclasses.replace(s, files=[], manifests=[mname])
             write_json_atomic(
                 os.path.join(tdir, "snapshot", f"snapshot-{s.snapshot_id}.json"),
@@ -1560,7 +1650,21 @@ class WarehouseCatalog:
                 pass
         self._prune_empty_dirs(os.path.join(tdir, "data"))
         self._gc_manifests(tdir)
+        self._gc_dv_indexes(tdir, kept, doomed)
         return {"expired_snapshots": len(doomed), "deleted_files": len(dead)}
+
+    @staticmethod
+    def _gc_dv_indexes(tdir: str, kept: list[Snapshot], doomed: list[Snapshot]) -> None:
+        """Reap deletion-vector index files owned by expired/rolled-back
+        snapshots (nonce-named per commit; a kept snapshot referencing the
+        same name — fast-forward copies keep names — pins it)."""
+        live = {s.dv for s in kept if s.dv}
+        for s in doomed:
+            if s.dv and s.dv not in live:
+                try:
+                    os.remove(os.path.join(tdir, "index", s.dv))
+                except FileNotFoundError:
+                    pass
 
     def remove_orphan_files(
         self, db: str, table: str, older_than_ms: int | None = None, dry_run: bool = False
@@ -2025,8 +2129,20 @@ class WarehouseCatalog:
                 empty = empty.add(SEQ_COL, T.LongType()).add(KIND_COL, T.StringType())
             return self.spark.createDataFrame([], empty)
 
-        df = self._read_files(tdir, schema, snap)
-        if schema.primary_key and not with_system_columns:
+        dv_mode = self._dv_enabled(schema) and not with_system_columns
+        dv_vec = self._dv_vectors(tdir, snap) if dv_mode else {}
+        df = self._read_files(tdir, schema, snap, with_pos=bool(dv_vec))
+        if dv_mode:
+            # deletion-vector read: scan − DV IS the merged state (every
+            # superseded row version is position-marked at write time and
+            # -D rows are never stored), so the whole merge-on-read
+            # groupBy/shuffle disappears — filters and projections push
+            # straight into the file scan. with_system_columns still
+            # exposes the raw unfiltered changelog view, like non-DV tables.
+            if dv_vec:
+                df = self._dv_apply(df, dv_vec)
+            df = df.select(*[f.name for f in schema.fields])
+        elif schema.primary_key and not with_system_columns:
             from incubator_paimon_trino_spark.operators.merge_on_read import merge_on_read
 
             aggs = _field_aggregate_specs(schema.options)
@@ -2062,7 +2178,9 @@ class WarehouseCatalog:
             df = df.limit(limit)  # engine re-limits — pushdown is a hint (A8)
         return df
 
-    def _read_files(self, tdir: str, schema: TableSchema, snap: Snapshot) -> DataFrame:
+    def _read_files(
+        self, tdir: str, schema: TableSchema, snap: Snapshot, with_pos: bool = False
+    ) -> DataFrame:
         """Union snapshot files, mapping columns by FIELD ID per file schema.
 
         Files are grouped by the schema they were written under; each group is
@@ -2070,6 +2188,11 @@ class WarehouseCatalog:
         dropped fields discarded, added fields filled with NULL — then
         unioned. This is exactly the reference's evolution contract (A18):
         rename must not orphan data.
+
+        ``with_pos`` appends the file provenance columns the deletion-vector
+        machinery joins on: ``__dv_file`` (``_metadata.file_path``) and
+        ``__dv_pos`` (``_metadata.row_index`` — the row's ordinal within its
+        file, Spark's native row-position metadata; no shuffle, no window).
         """
         # group ALSO by resolved data root: a branch snapshot mixes files it
         # inherited from the parent table ("../../data/...") with its own
@@ -2111,11 +2234,101 @@ class WarehouseCatalog:
                     cols.append(F.col(old_field.name).cast(cur.type).alias(cur.name))
             if is_pk:
                 cols += [F.col(SEQ_COL), F.col(KIND_COL)]
+            if with_pos:
+                cols += [
+                    F.col("_metadata.file_path").alias(_DV_FILE),
+                    F.col("_metadata.row_index").alias(_DV_POS),
+                ]
             parts.append(df.select(*cols))
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
         return out
+
+    # ---------------------------------------------------- deletion vectors
+    # Paimon's ``deletion-vectors.enabled`` (DV mode): instead of merging
+    # row versions at read time, each commit MARKS the positions of the
+    # rows it supersedes in older files; a read is then scan − DV — no
+    # merge shuffle at all. The reference connector inherits this from
+    # Paimon core at scan time; here it is executable end-to-end: writes
+    # pay a key lookup against the live files (Paimon's lookup compaction
+    # cost), reads drop the whole merge-on-read exchange.
+
+    @staticmethod
+    def _dv_enabled(schema: TableSchema) -> bool:
+        return (
+            bool(schema.primary_key)
+            and schema.options.get("deletion_vectors_enabled", "").strip().lower() == "true"
+        )
+
+    def _dv_vectors(self, tdir: str, snap: Snapshot | None) -> dict[str, list[int]]:
+        """The snapshot's cumulative deletion vectors: {rel data path →
+        sorted row positions}. Missing/absent → {} (nothing deleted)."""
+        if snap is None or not snap.dv:
+            return {}
+        try:
+            return read_json(os.path.join(tdir, "index", snap.dv)).get("vectors", {})
+        except FileNotFoundError:
+            return {}
+
+    def _dv_apply(self, df: DataFrame, vectors: dict[str, list[int]], keep_pos: bool = False) -> DataFrame:
+        """Drop DV-marked rows: broadcast anti-join on (file basename, row
+        position). Basenames are globally unique (part files embed a job
+        UUID and the commit id prefixes them), which sidesteps URI-encoding
+        mismatches between ``_metadata.file_path`` and stored relative
+        paths. The DV side is driver-held metadata by construction (it was
+        read from one index JSON), bounded by deletions since the last
+        compaction — a production-size table would store roaring bitmaps
+        per bucket, but the join shape is the same.
+        """
+        df = df.withColumn(_DV_FILE, F.element_at(F.split(F.col(_DV_FILE), "/"), -1))
+        pairs = [
+            (os.path.basename(rel.replace("\\", "/")), int(p))
+            for rel, ps in vectors.items()
+            for p in ps
+        ]
+        if pairs:
+            dv = self.spark.createDataFrame(pairs, f"{_DV_FILE} string, {_DV_POS} bigint")
+            df = df.join(F.broadcast(dv), [_DV_FILE, _DV_POS], "left_anti")
+        return df if keep_pos else df.drop(_DV_FILE, _DV_POS)
+
+    def _dv_merged(
+        self, tdir: str, schema: TableSchema, prev: Snapshot, batch: DataFrame
+    ) -> tuple[dict[str, list[int]], int]:
+        """(cumulative vectors incl. this commit, newly marked row count).
+
+        The mark scan is fully distributed: live files are read with native
+        row positions (``_metadata.row_index``), prev's vectors drop the
+        already-dead rows, and a LEFT SEMI join against the batch's DISTINCT
+        keys finds the superseded positions — only those (file, pos) pairs
+        ever reach the driver, O(overwritten keys) per commit. Nothing here
+        is proportional to table size except the key-lookup scan itself,
+        which manifest min/max pruning on the PK bounds further at scale.
+        """
+        pk = schema.primary_key
+        prev_vec = self._dv_vectors(tdir, prev)
+        old = self._read_files(tdir, schema, prev, with_pos=True)
+        old = self._dv_apply(old, prev_vec, keep_pos=True)
+        keys = batch.select(*pk).dropDuplicates()
+        hits = old.join(keys, pk, "left_semi").select(_DV_FILE, _DV_POS).collect()
+        base_to_rel = {os.path.basename(f["path"].replace("\\", "/")): f["path"] for f in prev.files}
+        merged: dict[str, set[int]] = {
+            rel: set(ps) for rel, ps in prev_vec.items() if os.path.basename(rel.replace("\\", "/")) in base_to_rel
+        }
+        for r in hits:
+            merged.setdefault(base_to_rel[r[0]], set()).add(int(r[1]))
+        return {rel: sorted(ps) for rel, ps in sorted(merged.items())}, len(hits)
+
+    def _dv_write(self, tdir: str, version: int, vectors: dict[str, list[int]]) -> str:
+        """Write the cumulative DV index for ``version`` BEFORE the snapshot
+        publish (readers must never see the snapshot without its vectors).
+        Nonce-named so racing committers at one version can't cross-wire:
+        each snapshot references exactly the file its own writer produced."""
+        name = f"dv-{version}-{uuid.uuid4().hex[:8]}.json"
+        write_json_atomic(
+            os.path.join(tdir, "index", name), {"vectors": vectors}
+        )
+        return name
 
     # -------------------------------------------------------- system tables
     def _system_table(self, db: str, table: str, suffix: str) -> DataFrame:
@@ -3285,6 +3498,28 @@ def _validate_table_options(
         if func not in FIELD_AGGREGATES:
             raise ValueError(
                 f"unknown aggregate-function {func!r} for {col!r}; have {FIELD_AGGREGATES}"
+            )
+    dv = options.get("deletion_vectors_enabled", "").strip().lower()
+    if dv and dv not in ("true", "false"):
+        raise ValueError(f"invalid deletion-vectors.enabled {dv!r}; use true/false")
+    if dv == "true":
+        # Paimon's deletion-vector mode: reads skip the merge entirely, so
+        # the invariants that make "scan minus DV = merged state" true must
+        # hold — latest-commit-wins ordering (deduplicate, no business-time
+        # sequence) over a primary key.
+        if not primary_key:
+            raise ValueError("deletion-vectors.enabled requires a primary-key table")
+        if options.get("merge_engine", "deduplicate") != "deduplicate":
+            raise ValueError(
+                "deletion-vectors.enabled requires merge_engine='deduplicate' "
+                "(value-combining engines still need read-time merging, which "
+                "DV mode's merge-free read skips)"
+            )
+        if options.get("sequence_field"):
+            raise ValueError(
+                "deletion-vectors.enabled is incompatible with sequence_field: "
+                "vectors mark OLDER COMMITS' rows as superseded, but a business"
+                "-time sequence lets an older commit outrank a newer one"
             )
     seq_field = options.get("sequence_field")
     if seq_field and seq_field not in names:

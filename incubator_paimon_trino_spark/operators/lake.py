@@ -990,3 +990,68 @@ def lake_stats_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
            JOIN lake.nation_dim n ON c.c_nationkey = n.n_nationkey
            GROUP BY n.n_name"""
     )
+
+
+@register(
+    "lake_deletion_vector_read",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(o_totalprice AS DOUBLE) AS price,
+             o_orderstatus AS status
+      FROM orders WHERE o_orderkey <= 3000
+    ), upd AS (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_custkey % 7 = 2 THEN price * 2 ELSE price END AS price,
+             CASE WHEN o_custkey % 7 = 2 THEN 'V' ELSE status END AS status
+      FROM base
+    )
+    SELECT o_orderkey, o_custkey, price, status FROM upd
+    WHERE o_orderkey % 4 <> 0
+    """,
+)
+def lake_deletion_vector_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion-vector mode under the hash gate (Paimon's
+    ``deletion-vectors.enabled``): a PK table where UPDATE marks the
+    superseded row positions and DELETE commits pure metadata (no -D data
+    rows, no file rewrite), then the final read must equal the oracle's
+    replay of the same edits as SELECT algebra.
+
+    Scale shape: the read is scan − DV — NO merge shuffle at all (plan
+    pinned merge-free in ``tests/test_deletion_vectors.py``), so filters
+    and projections push straight into the file scan like an append table;
+    writes pay the key-lookup scan instead (Paimon's documented DV
+    trade-off). ``price * 2`` is exact IEEE scaling, so the doubles hash
+    identically in both engines. The reference connector reads DV tables
+    through Paimon core; this is the executable write+read form
+    (``common/TrinoSplitManagerBase.java`` scans carry no DV handling —
+    negative finding, like DPP).
+    """
+    cat = _fresh_catalog(spark)
+    cat.create_database("lake")
+    cat.create_table(
+        "lake",
+        "dvt",
+        [
+            ("o_orderkey", "bigint"),
+            ("o_custkey", "bigint"),
+            ("price", "double"),
+            ("status", "string"),
+        ],
+        primary_key=["o_orderkey"],
+        options={"deletion-vectors.enabled": "true"},
+    )
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 3000)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("o_totalprice").cast("double").alias("price"),
+            F.col("o_orderstatus").alias("status"),
+        )
+    )
+    cat.insert_into("lake", "dvt", o)
+    cat.sql("UPDATE lake.dvt SET price = price * 2, status = 'V' WHERE o_custkey % 7 = 2")
+    cat.sql("DELETE FROM lake.dvt WHERE o_orderkey % 4 = 0")
+    return cat.read_table("lake.dvt")

@@ -1,0 +1,159 @@
+"""Deletion-vector mode (Paimon's ``deletion-vectors.enabled``): commits
+MARK superseded row positions instead of relying on read-time merging, so a
+read is scan − DV — merge-free, no shuffle. The reference connector gets DV
+handling from Paimon core; here write (mark), read (apply), time travel,
+maintenance, and branch composition are all executable and pinned.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import sys
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from incubator_paimon_trino_spark.catalog import WarehouseCatalog
+
+
+@pytest.fixture()
+def cat(spark, tmp_path):
+    return WarehouseCatalog(str(tmp_path / "wh"), spark)
+
+
+def _mk_dv(cat, spark, **extra_options):
+    cat.create_database("d", ignore_if_exists=True)
+    cat.create_table(
+        "d", "t", [("k", "int"), ("v", "string")], primary_key=["k"],
+        options={"deletion-vectors.enabled": "true", **extra_options},
+    )
+    return lambda rows: spark.createDataFrame(rows, "k int, v string")
+
+
+def test_dv_upsert_delete_read_and_time_travel(cat, spark):
+    mk = _mk_dv(cat, spark)
+    cat.insert_into("d", "t", mk([(1, "a"), (2, "b"), (3, "c"), (4, "d"), (5, "e")]))
+    cat.insert_into("d", "t", mk([(2, "B"), (3, "C"), (6, "f")]))
+    cat.delete_where("d", "t", F.col("k").isin(1, 4))
+    assert sorted((r.k, r.v) for r in cat.read_table("d.t").collect()) == [
+        (2, "B"), (3, "C"), (5, "e"), (6, "f"),
+    ]
+    # every historical version reads through ITS snapshot's vectors
+    assert sorted(r.k for r in cat.read_table("d.t", version_as_of=1).collect()) == [1, 2, 3, 4, 5]
+    assert sorted((r.k, r.v) for r in cat.read_table("d.t", version_as_of=2).collect()) == [
+        (1, "a"), (2, "B"), (3, "C"), (4, "d"), (5, "e"), (6, "f"),
+    ]
+    # record_count tracks live rows across upserts and deletes
+    assert [
+        (s.snapshot_id, s.record_count)
+        for s in cat.read_table("d.t$snapshots").collect()
+    ] == [(1, 5), (2, 6), (3, 4)]
+
+
+def test_dv_read_plan_is_merge_free_and_delete_writes_no_data(cat, spark):
+    mk = _mk_dv(cat, spark)
+    cat.insert_into("d", "t", mk([(i, f"v{i}") for i in range(1, 50)]))
+    files_before = glob.glob(os.path.join(cat._table_dir("d", "t"), "data", "**", "*.parquet"), recursive=True)
+    cat.delete_where("d", "t", F.col("k") % 2 == 0)
+    files_after = glob.glob(os.path.join(cat._table_dir("d", "t"), "data", "**", "*.parquet"), recursive=True)
+    # DELETE is pure metadata: zero data files written, zero rewritten
+    assert sorted(files_before) == sorted(files_after)
+    df = cat.read_table("d.t")
+    assert sorted(r.k for r in df.collect()) == list(range(1, 50, 2))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # merge-free: no hash exchange, no merge aggregate anywhere in the read
+    assert "hashpartitioning" not in plan
+    assert "Aggregate" not in plan
+    # filter pushdown reaches the scan like an append table
+    filtered = cat.read_table("d.t").filter(F.col("k") > 40)
+    fplan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(k), GreaterThan(k,40)" in fplan
+
+
+def test_dv_option_validation(cat, spark):
+    cat.create_database("d", ignore_if_exists=True)
+    with pytest.raises(ValueError, match="primary-key"):
+        cat.create_table("d", "x1", [("k", "int")], options={"deletion-vectors.enabled": "true"})
+    with pytest.raises(ValueError, match="merge_engine"):
+        cat.create_table(
+            "d", "x2", [("k", "int"), ("v", "int")], primary_key=["k"],
+            options={"deletion-vectors.enabled": "true", "merge_engine": "aggregation",
+                     "fields.v.aggregate-function": "sum"},
+        )
+    with pytest.raises(ValueError, match="sequence_field"):
+        cat.create_table(
+            "d", "x3", [("k", "int"), ("ts", "bigint")], primary_key=["k"],
+            options={"deletion-vectors.enabled": "true", "sequence_field": "ts"},
+        )
+    # flipping DV on for a table with history would leave it unmarked
+    cat.create_table("d", "x4", [("k", "int"), ("v", "string")], primary_key=["k"])
+    cat.insert_into("d", "x4", spark.createDataFrame([(1, "a")], "k int, v string"))
+    with pytest.raises(ValueError, match="existing snapshots"):
+        cat.set_options("d", "x4", {"deletion-vectors.enabled": "true"})
+
+
+def test_dv_rejects_duplicate_key_batches(cat, spark):
+    mk = _mk_dv(cat, spark)
+    with pytest.raises(ValueError, match="multiple insert"):
+        cat.insert_into("d", "t", mk([(1, "a"), (1, "b")]))
+
+
+def test_dv_same_commit_insert_delete_tiebreak(cat, spark):
+    """F1 contract: +I and -D of one key in ONE commit leaves the key
+    deleted — the delete cancels the batch's own insert too."""
+    mk = _mk_dv(cat, spark)
+    cat.insert_into("d", "t", mk([(1, "a"), (2, "b")]))
+    batch = mk([(1, "a2"), (3, "c")]).withColumn(
+        "_row_kind", F.when(F.col("k") == 1, "D").otherwise("I")
+    )
+    cat.insert_into("d", "t", batch)
+    assert sorted((r.k, r.v) for r in cat.read_table("d.t").collect()) == [(2, "b"), (3, "c")]
+
+
+def test_dv_compact_resets_vectors_and_expire_reaps_indexes(cat, spark):
+    mk = _mk_dv(cat, spark)
+    cat.insert_into("d", "t", mk([(i, f"v{i}") for i in range(1, 20)]))
+    cat.insert_into("d", "t", mk([(i, f"V{i}") for i in range(1, 10)]))
+    cat.delete_where("d", "t", F.col("k") > 15)
+    before = sorted((r.k, r.v) for r in cat.read_table("d.t").collect())
+    cat.compact("d", "t")
+    assert sorted((r.k, r.v) for r in cat.read_table("d.t").collect()) == before
+    # compacted snapshot carries no vectors (live set was rewritten clean)
+    assert cat._latest_snapshot(cat._table_dir("d", "t")).dv is None
+    idx = os.path.join(cat._table_dir("d", "t"), "index")
+    n_idx_before = len(glob.glob(os.path.join(idx, "dv-*.json")))
+    cat.expire_snapshots("d", "t", keep_last=1)
+    # expired snapshots' DV index files are reaped with them
+    assert len(glob.glob(os.path.join(idx, "dv-*.json"))) < n_idx_before
+    assert sorted((r.k, r.v) for r in cat.read_table("d.t").collect()) == before
+
+
+def test_dv_sql_dml_and_overwrite(cat, spark):
+    mk = _mk_dv(cat, spark)
+    cat.insert_into("d", "t", mk([(1, "a"), (2, "b"), (3, "c")]))
+    cat.sql("UPDATE d.t SET v = 'X' WHERE k = 2")
+    cat.sql("DELETE FROM d.t WHERE k = 3")
+    assert sorted((r.k, r.v) for r in cat.read_table("d.t").collect()) == [(1, "a"), (2, "X")]
+    cat.sql("INSERT OVERWRITE d.t VALUES (9, 'z')")
+    assert [(r.k, r.v) for r in cat.read_table("d.t").collect()] == [(9, "z")]
+
+
+def test_dv_on_branch_and_fast_forward(cat, spark):
+    """DV composition with branches: the seeded snapshot's vectors travel to
+    the branch, branch-side DV commits stay isolated, and fast_forward
+    grafts the branch's vectors back into main."""
+    mk = _mk_dv(cat, spark)
+    cat.insert_into("d", "t", mk([(1, "a"), (2, "b"), (3, "c")]))
+    cat.delete_where("d", "t", F.col("k") == 1)  # snapshot 2 with a DV
+    cat.create_tag("d", "t", "v2")
+    cat.create_branch("d", "t", "dev", from_tag="v2")
+    assert sorted(r.k for r in cat.read_table("d.t$branch_dev").collect()) == [2, 3]
+    cat.delete_where("d", "t$branch_dev", F.col("k") == 2)
+    assert sorted(r.k for r in cat.read_table("d.t$branch_dev").collect()) == [3]
+    assert sorted(r.k for r in cat.read_table("d.t").collect()) == [2, 3]  # main untouched
+    cat.fast_forward("d", "t", "dev")
+    assert sorted(r.k for r in cat.read_table("d.t").collect()) == [3]
