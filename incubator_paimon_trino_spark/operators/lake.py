@@ -1055,3 +1055,152 @@ def lake_deletion_vector_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat.sql("UPDATE lake.dvt SET price = price * 2, status = 'V' WHERE o_custkey % 7 = 2")
     cat.sql("DELETE FROM lake.dvt WHERE o_orderkey % 4 = 0")
     return cat.read_table("lake.dvt")
+
+
+def _orders_two_commit_years(spark: SparkSession, sf_dir: str) -> "WarehouseCatalog":
+    """Shared fixture for the $files/$partitions hash-gated queries: a
+    year-partitioned lake table loaded in TWO commits with a deterministic
+    file layout (each commit coalesced to one input partition, so every
+    (commit, year) pair lands in exactly one data file)."""
+    cat = _fresh_catalog(spark)
+    cat.create_database("lake")
+    cat.create_table(
+        "lake",
+        "orders_files",
+        [("o_orderkey", "bigint"), ("order_year", "int")],
+        partitioned_by=["order_year"],
+    )
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("order_year")
+    )
+    cat.insert_into("lake", "orders_files", o.filter(F.col("o_orderkey") <= 2000).coalesce(1))
+    cat.insert_into(
+        "lake",
+        "orders_files",
+        o.filter((F.col("o_orderkey") > 2000) & (F.col("o_orderkey") <= 4000)).coalesce(1),
+    )
+    return cat
+
+
+@register(
+    "lake_files_system_table",
+    oracle="""
+    SELECT 'order_year=' || CAST(year(o_orderdate) AS INT) AS partition,
+           'parquet' AS file_format, CAST(0 AS BIGINT) AS schema_id,
+           CAST(COUNT(*) AS BIGINT) AS record_count
+    FROM orders WHERE o_orderkey <= 2000
+    GROUP BY year(o_orderdate)
+    UNION ALL
+    SELECT 'order_year=' || CAST(year(o_orderdate) AS INT),
+           'parquet', CAST(0 AS BIGINT), CAST(COUNT(*) AS BIGINT)
+    FROM orders WHERE o_orderkey > 2000 AND o_orderkey <= 4000
+    GROUP BY year(o_orderdate)
+    """,
+)
+def lake_files_system_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``$files`` under the hash gate: the manifest-backed file inventory
+    (A13 — the reference resolves any ``$suffix`` through Paimon's system
+    tables, ``common/TrinoMetadataBase.java:138-156``). The fixture pins one
+    file per (commit, partition), so every file-level row — hive partition
+    spelling, format, schema id, per-file record count from the footer
+    stats pass — is value-checked against the source data. The
+    uuid-carrying ``path`` column is projected out (content-free).
+
+    Scale shape: pure metadata — rows come from the manifests, no data file
+    is opened ($files on a million-file table is a manifest scan)."""
+    cat = _orders_two_commit_years(spark, sf_dir)
+    return cat.read_table("lake.orders_files$files").select(
+        "partition",
+        "file_format",
+        F.col("schema_id").cast("bigint").alias("schema_id"),
+        F.col("record_count").cast("bigint").alias("record_count"),
+    )
+
+
+@register(
+    "lake_partitions_system_table",
+    oracle="""
+    SELECT 'order_year=' || CAST(year(o_orderdate) AS INT) AS partition,
+           CAST(COUNT(*) AS BIGINT) AS record_count,
+           CAST(COUNT(DISTINCT CASE WHEN o_orderkey <= 2000 THEN 1 ELSE 2 END) AS BIGINT)
+             AS file_count
+    FROM orders WHERE o_orderkey <= 4000
+    GROUP BY year(o_orderdate)
+    """,
+)
+def lake_partitions_system_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``$partitions`` under the hash gate (A13): per-partition record and
+    file counts aggregated from the manifests — the oracle recomputes the
+    file count from which of the two commits touched each year. Pure
+    metadata at any scale, like ``$files``."""
+    cat = _orders_two_commit_years(spark, sf_dir)
+    return cat.read_table("lake.orders_files$partitions").select(
+        "partition",
+        F.col("record_count").cast("bigint").alias("record_count"),
+        F.col("file_count").cast("bigint").alias("file_count"),
+    )
+
+
+@register(
+    "lake_consumer_incremental_dedup",
+    oracle=r"""
+    WITH fp AS (
+      SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint
+      FROM documents
+    ),
+    corpus_fp AS (SELECT DISTINCT fingerprint FROM fp WHERE doc_id % 2 = 1),
+    new_batch AS (SELECT * FROM fp WHERE doc_id % 2 = 0)
+    SELECT n.doc_id, n.fingerprint,
+           CASE WHEN c.fingerprint IS NOT NULL THEN 'dup_of_corpus'
+                WHEN n.doc_id <> MIN(n.doc_id) OVER (PARTITION BY n.fingerprint)
+                  THEN 'dup_within_batch'
+                ELSE 'novel' END AS status
+    FROM new_batch n
+    LEFT JOIN corpus_fp c ON c.fingerprint = n.fingerprint
+    """,
+)
+def lake_consumer_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consumer-driven incremental dedup — the two green r5 surfaces
+    composed into the daily-ingest pipeline shape: documents land in a lake
+    PK table commit by commit, a durable consumer records how far dedup has
+    processed, and each run dedups ONLY ``table_changelog(consumer_id=...)``
+    (the unprocessed backlog) against the fingerprints of the already-
+    consumed state, then advances the consumer.
+
+    Scale shape: resume is metadata-only (one consumer JSON picks the
+    snapshot range; the changelog scan touches only the backlog's delta
+    files); the consumed corpus collapses to DISTINCT 32-byte fingerprints
+    (in production the maintained index table); one equi-join keyed on the
+    fingerprint — O(backlog + index) per run, never a corpus rescan.
+    """
+    from pyspark.sql import Window as W
+
+    cat = _fresh_catalog(spark)
+    cat.create_database("lake")
+    cat.create_table(
+        "lake", "docs", [("doc_id", "bigint"), ("text", "string")], primary_key=["doc_id"]
+    )
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    cat.insert_into("lake", "docs", d.filter(F.col("doc_id") % 2 == 1))  # snapshot 1
+    cat.insert_into("lake", "docs", d.filter(F.col("doc_id") % 2 == 0))  # snapshot 2
+    cat.advance_consumer("lake", "docs", "dedup_job", 2)  # snapshot 1 processed
+
+    fp = lambda df: F.md5(F.lower(F.regexp_replace(df["text"], r"\s+", " ")))  # noqa: E731
+    consumed_upto = cat.consumer_progress("lake", "docs", "dedup_job") - 1
+    corpus = cat.read_table("lake.docs", version_as_of=consumed_upto)
+    corpus_fp = corpus.select(fp(corpus).alias("c_fingerprint")).distinct()
+    backlog = cat.table_changelog("lake.docs", consumer_id="dedup_job", producer="input")
+    new_batch = backlog.select("doc_id", fp(backlog).alias("fingerprint"), "_snapshot")
+    tip = 2  # this run processed through snapshot 2; checkpoint the consumer
+    cat.advance_consumer("lake", "docs", "dedup_job", tip + 1)
+    w = W.partitionBy("fingerprint")
+    return (
+        new_batch.join(corpus_fp, new_batch.fingerprint == F.col("c_fingerprint"), "left")
+        .withColumn(
+            "status",
+            F.when(F.col("c_fingerprint").isNotNull(), "dup_of_corpus")
+            .when(F.col("doc_id") != F.min("doc_id").over(w), "dup_within_batch")
+            .otherwise("novel"),
+        )
+        .select("doc_id", "fingerprint", "status")
+    )

@@ -247,3 +247,46 @@ def test_stats_broadcast_join_is_compile_time(spark):
     only after an AQE runtime re-plan)."""
     df = _q("lake_stats_broadcast_join")(spark, SF_SMOKE)
     assert uses_broadcast_join(df)
+
+
+def test_deletion_vector_read_is_merge_free(spark):
+    """DV-mode read = scan − vectors: no hash exchange, no merge aggregate
+    anywhere — the whole point of deletion vectors at 100 TB. The DV
+    anti-join itself must be a broadcast."""
+    df = _q("lake_deletion_vector_read")(spark, SF_SMOKE)
+    plan = physical_plan(df)
+    assert "hashpartitioning" not in plan
+    assert "HashAggregate" not in plan and "SortAggregate" not in plan
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_files_partitions_system_tables_are_metadata_only(spark):
+    """$files/$partitions rows come from the manifests: the plan must not
+    open a single data file (LocalTableScan, no parquet scan node)."""
+    for name in ("lake_files_system_table", "lake_partitions_system_table"):
+        df = _q(name)(spark, SF_SMOKE)
+        plan = physical_plan(df)
+        assert "LocalTableScan" in plan or "ExistingRDD" in plan
+        assert "FileScan" not in plan, name
+
+
+def test_consumer_incremental_dedup_scans_backlog_only(spark):
+    """The changelog side of the incremental dedup must list ONLY the
+    unconsumed snapshot's delta files (commit 2), never commit 1's."""
+    df = _q("lake_consumer_incremental_dedup")(spark, SF_SMOKE)
+    plan = physical_plan(df)
+    import re
+
+    backlog_scans = [
+        ln for ln in plan.splitlines() if "FileScan" in ln and "_snapshot" not in ln
+    ]
+    # the backlog scan reads c2- files; the corpus-index scan reads c1-.
+    # Find scans whose file lists mention commit prefixes:
+    c1 = len(re.findall(r"c1-part", plan))
+    assert "c2-part" in plan
+    # corpus side legitimately reads c1; the changelog scan must not UNION
+    # both commits (a full-history changelog read would): assert no scan
+    # node lists c1 and c2 together
+    for ln in plan.splitlines():
+        if "Location" in ln and "c2-part" in ln:
+            assert "c1-part" not in ln
