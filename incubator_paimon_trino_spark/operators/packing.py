@@ -180,3 +180,107 @@ def train_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.select(
         "doc_id", "shard", F.row_number().over(w).cast("bigint").alias("pos")
     )
+
+
+#: independent BFD packers per language — bounds any single packer's state
+#: (production sizes this so one packer's items fit comfortably in memory)
+PACK_SHARDS = 4
+
+_BFD_FIT = (
+    "list_sort(list_filter(list_zip(p.rem, range(1, len(p.rem)+1)), "
+    "z2 -> z2[1] >= i.sz))[1][2]"
+)
+
+
+@register(
+    "pack_best_fit_decreasing",
+    oracle=f"""
+    WITH RECURSIVE items AS (
+      SELECT lang, shard, doc_id, sz,
+             ROW_NUMBER() OVER (PARTITION BY lang, shard
+                                ORDER BY sz DESC, doc_id) AS r
+      FROM (
+        SELECT lang, {_bucket_sql('doc_id', 'PACK_SHARDS_N')} AS shard, doc_id,
+               LEAST(CAST(len(string_split(text, ' ')) AS BIGINT), {SEQ_BUDGET}) AS sz
+        FROM documents
+      )
+    ),
+    n AS (SELECT lang, shard, COUNT(*) AS cnt FROM items GROUP BY lang, shard),
+    pack AS (
+      SELECT lang, shard, CAST(0 AS BIGINT) AS r,
+             CAST([] AS BIGINT[]) AS rem, CAST([] AS BIGINT[]) AS bins
+      FROM n
+      UNION ALL
+      SELECT p.lang, p.shard, p.r + 1,
+             CASE WHEN {_BFD_FIT} IS NULL
+                  THEN list_append(p.rem, {SEQ_BUDGET} - i.sz)
+                  ELSE list_transform(list_zip(p.rem, range(1, len(p.rem)+1)),
+                         z -> CASE WHEN z[2] = {_BFD_FIT}
+                              THEN z[1] - i.sz ELSE z[1] END)
+             END,
+             list_append(p.bins, COALESCE({_BFD_FIT}, len(p.rem) + 1))
+      FROM pack p
+      JOIN items i ON i.lang = p.lang AND i.shard = p.shard AND i.r = p.r + 1
+    ),
+    final AS (
+      SELECT p.lang AS flang, p.shard AS fshard, p.bins
+      FROM pack p JOIN n ON n.lang = p.lang AND n.shard = p.shard AND p.r = n.cnt
+    )
+    SELECT i.lang, CAST(i.shard AS BIGINT) AS pack_shard, i.doc_id,
+           i.sz AS n_tokens, CAST(f.bins[i.r] AS BIGINT) AS bin_id
+    FROM items i JOIN final f ON f.flang = i.lang AND f.fshard = i.shard
+    """.replace("PACK_SHARDS_N", "4"),
+)
+def pack_best_fit_decreasing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-fit-decreasing bin packing — the packing real training pipelines
+    prefer over concat-split (``pack_concat_offsets``): documents never
+    straddle sequence boundaries, and BFD's sorted greedy keeps waste within
+    11/9·OPT+1 of optimal. Each (lang, pack_shard) group is packed
+    independently: items sorted by (tokens DESC, doc_id), each placed in the
+    open bin with the SMALLEST remaining capacity that fits (tie → lowest
+    bin id), else a new bin. Oversized docs are truncated to the budget
+    (standard practice). The DuckDB oracle replays the identical fold as a
+    recursive CTE over list state, so every assignment is value-checked.
+
+    Scale shape: bin packing is inherently sequential PER PACKER, so the
+    corpus is split into independent packers by the deterministic md5 shard
+    (the same bounded-packer model production uses — shard count chosen so
+    one packer's (size, id) pairs fit in memory; only those pairs are held,
+    never text). One hash shuffle on (lang, pack_shard), then an
+    Arrow-batched ``applyInPandas`` running the O(n·bins) fold per group.
+    The prefix-sum twin stays the zero-Python path when boundary-straddling
+    is acceptable.
+    """
+    import pandas as pd
+
+    d = table(spark, sf_dir, "documents")
+    sized = d.select(
+        "lang",
+        _bucket(F.col("doc_id"), PACK_SHARDS).alias("pack_shard"),
+        "doc_id",
+        F.least(
+            F.size(F.split("text", " ")).cast("bigint"), F.lit(SEQ_BUDGET).cast("bigint")
+        ).alias("n_tokens"),
+    )
+
+    def _bfd(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["n_tokens", "doc_id"], ascending=[False, True])
+        rem: list[int] = []
+        bins: list[int] = []
+        for s in pdf["n_tokens"]:
+            best_idx, best_rem = -1, None
+            for idx, r in enumerate(rem):
+                if r >= s and (best_rem is None or r < best_rem):
+                    best_rem, best_idx = r, idx
+            if best_idx < 0:
+                rem.append(SEQ_BUDGET - int(s))
+                bins.append(len(rem))
+            else:
+                rem[best_idx] -= int(s)
+                bins.append(best_idx + 1)
+        return pdf.assign(bin_id=pd.Series(bins, index=pdf.index, dtype="int64"))
+
+    return sized.groupBy("lang", "pack_shard").applyInPandas(
+        _bfd,
+        "lang string, pack_shard bigint, doc_id bigint, n_tokens bigint, bin_id bigint",
+    )

@@ -97,3 +97,31 @@ def test_canonical_options_preserves_field_aggregate_case(col):
     ):
         out = _canonical_options({hybrid: "sum"})
         assert f"fields_{col}_aggregate_function" in out, hybrid
+
+
+def test_bfd_respects_budget_and_beats_next_fit(spark):
+    """Every bin stays within the token budget, assignments are 1..n_bins
+    dense per group, and BFD never uses more bins than the concat-split
+    lower bound would force times the classic 11/9+1 guarantee."""
+    import math
+
+    from incubator_paimon_trino_spark.operators.packing import (
+        SEQ_BUDGET,
+        pack_best_fit_decreasing,
+    )
+    from tests.conftest import SF_SMOKE
+
+    out = pack_best_fit_decreasing(spark, SF_SMOKE).collect()
+    by_group = {}
+    for r in out:
+        by_group.setdefault((r.lang, r.pack_shard), []).append(r)
+    assert by_group
+    for (lang, shard), rows in by_group.items():
+        fill = {}
+        for r in rows:
+            assert 1 <= r.n_tokens <= SEQ_BUDGET
+            fill[r.bin_id] = fill.get(r.bin_id, 0) + r.n_tokens
+        assert all(v <= SEQ_BUDGET for v in fill.values()), (lang, shard)
+        assert sorted(fill) == list(range(1, len(fill) + 1))  # dense bin ids
+        lower = math.ceil(sum(r.n_tokens for r in rows) / SEQ_BUDGET)
+        assert len(fill) <= math.floor(11 / 9 * lower) + 1, (lang, shard)

@@ -290,3 +290,16 @@ def test_consumer_incremental_dedup_scans_backlog_only(spark):
     for ln in plan.splitlines():
         if "Location" in ln and "c2-part" in ln:
             assert "c1-part" not in ln
+
+
+def test_bfd_packing_single_group_shuffle(spark):
+    """BFD packers are independent per (lang, md5-shard): exactly one hash
+    exchange keyed on the group, no global sort, and the scan pruned to the
+    three needed columns (sizes travel, never more text than the tokenizer
+    input)."""
+    df = _q("pack_best_fit_decreasing")(spark, SF_SMOKE)
+    plan = physical_plan(df)
+    assert count_shuffles(df) == 1
+    assert "rangepartitioning" not in plan.lower()
+    assert set(read_schema_columns(df)) == {"lang", "doc_id", "text"}
+    assert "FlatMapGroupsInPandas" in plan or "FlatMapGroupsIn" in plan
