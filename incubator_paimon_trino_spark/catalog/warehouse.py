@@ -337,19 +337,19 @@ class WarehouseCatalog:
         tdir = self._table_dir(db, table)
         s = self._latest_schema(tdir)
         incoming = _canonical_options(options)
-        if (
-            incoming.get("deletion_vectors_enabled", "").strip().lower() == "true"
-            and s.options.get("deletion_vectors_enabled", "").strip().lower() != "true"
-            and self._latest_snapshot(tdir) is not None
-        ):
-            # flipping DV mode on would leave the existing history UNMARKED:
-            # superseded row versions in already-committed files have no
-            # deletion vector, so the merge-free DV read would resurrect
-            # them. Enable at CREATE time (or on an empty table) only.
+        was_dv = s.options.get("deletion_vectors_enabled", "").strip().lower() == "true"
+        now_dv = incoming.get("deletion_vectors_enabled", "").strip().lower()
+        if now_dv and (now_dv == "true") != was_dv and self._latest_snapshot(tdir) is not None:
+            # DV mode cannot flip on a table with history, in EITHER
+            # direction: turning it ON leaves already-committed superseded
+            # rows unmarked (the merge-free read would resurrect them);
+            # turning it OFF hands the files to merge-on-read, which knows
+            # nothing about the DV index — every vector-deleted row (deletes
+            # are pure metadata, no -D data row exists) would reappear.
             raise ValueError(
-                "deletion-vectors.enabled cannot be turned on for a table "
-                "with existing snapshots (their superseded rows carry no "
-                "deletion vectors); create the table with it enabled"
+                "deletion-vectors.enabled cannot be toggled on a table with "
+                "existing snapshots (history written under one mode is "
+                "unreadable under the other); recreate the table instead"
             )
         s.options.update(incoming)
         _validate_table_options(
@@ -582,31 +582,43 @@ class WarehouseCatalog:
 
         dv_vectors: dict[str, list[int]] | None = None
         dv_marked = 0
+        dv_cached: DataFrame | None = None
         if self._dv_enabled(schema):
             pk = schema.primary_key
-            # DV mode has no read-time merge to disambiguate two versions of
-            # one key inside a single commit — reject duplicates loudly
-            # instead of writing a file whose extra version can never be
-            # marked (Paimon's writer dedups in its LSM memtable; a batch
-            # DataFrame has no arrival order to dedup by).
-            dup = (
-                out.filter(F.col(KIND_COL) != "D")
-                .groupBy(*pk)
-                .count()
-                .filter(F.col("count") > 1)
-                .limit(1)
-                .collect()
-            )
-            if dup:
-                raise ValueError(
-                    "deletion-vectors table: batch carries multiple insert "
-                    f"rows for one primary key (e.g. {dict(zip(pk, dup[0][:len(pk)]))}); "
-                    "pre-merge the batch to one row per key"
+            # the batch plan feeds four actions on this path (duplicate-key
+            # probe, mark-scan join, emptiness probe, physical write) and for
+            # UPDATE/DELETE it is itself a full merged read — persist so it
+            # materializes once (unpersisted after the write; a write-time
+            # exception leaves one LRU-evictable entry behind, never growth)
+            out = out.persist()
+            dv_cached = out
+            try:
+                # DV mode has no read-time merge to disambiguate two versions
+                # of one key inside a single commit — reject duplicates
+                # loudly instead of writing a file whose extra version can
+                # never be marked (Paimon's writer dedups in its LSM
+                # memtable; a batch DataFrame has no arrival order).
+                dup = (
+                    out.filter(F.col(KIND_COL) != "D")
+                    .groupBy(*pk)
+                    .count()
+                    .filter(F.col("count") > 1)
+                    .limit(1)
+                    .collect()
                 )
-            if not overwrite and prev is not None and prev.files:
-                dv_vectors, dv_marked = self._dv_merged(tdir, schema, prev, out)
-            else:
-                dv_vectors = {}
+                if dup:
+                    raise ValueError(
+                        "deletion-vectors table: batch carries multiple insert "
+                        f"rows for one primary key (e.g. {dict(zip(pk, dup[0][:len(pk)]))}); "
+                        "pre-merge the batch to one row per key"
+                    )
+                if not overwrite and prev is not None and prev.files:
+                    dv_vectors, dv_marked = self._dv_merged(tdir, schema, prev, out)
+                else:
+                    dv_vectors = {}
+            except BaseException:
+                dv_cached.unpersist()
+                raise
             # F1 tie-break (+I and -D of one key in one commit → deleted):
             # the delete also cancels the batch's own insert. -D rows are
             # then dropped from the physical write — a DV table records
@@ -691,6 +703,8 @@ class WarehouseCatalog:
                     raise
             final_paths = self._finalize_commit(tdir, staging, version, ext)
             new_files = self._commit_files(tdir, final_paths, ext, schema)
+        if dv_cached is not None:
+            dv_cached.unpersist()
         if n_buckets > 0 and bucket_key:
             _record_buckets(new_files, schema, bucket_key, n_buckets)
         n = sum(e["record_count"] for e in new_files)
@@ -3520,6 +3534,15 @@ def _validate_table_options(
                 "deletion-vectors.enabled is incompatible with sequence_field: "
                 "vectors mark OLDER COMMITS' rows as superseded, but a business"
                 "-time sequence lets an older commit outrank a newer one"
+            )
+        if options.get("file_format", "parquet").strip().lower() != "parquet":
+            # the mark scan reads native row positions via
+            # _metadata.row_index, which Spark provides for parquet only
+            # (ORC/Avro raise FIELD_NOT_FOUND at the second commit)
+            raise ValueError(
+                "deletion-vectors.enabled requires file_format='PARQUET' "
+                "(row positions come from _metadata.row_index, which Spark "
+                "exposes for parquet scans only)"
             )
     seq_field = options.get("sequence_field")
     if seq_field and seq_field not in names:

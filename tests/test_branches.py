@@ -209,10 +209,14 @@ def test_branch_maintenance_after_fast_forward_keeps_main_files(cat, spark):
     cat.insert_into("d", "t$branch_fix", mk([(11, "post")]))
     cat.rollback_to("d", "t$branch_fix", 4)  # drop the post-compact commit
     assert {(r.k, r.v) for r in cat.read_table("d.t").collect()} == main_before
-    # once main's history past the graft is gone, the pin self-releases:
-    # truncate main down to a fresh state and expire everything grafted
-    import os
-
     tdir = cat._table_dir("d", "t$branch_fix")
-    pinned_before = cat._externally_pinned(tdir)
-    assert pinned_before  # grafted files were pinned while main referenced them
+    assert cat._externally_pinned(tdir)  # grafted files pinned while referenced
+    # the pin SELF-RELEASES once main's own history past the graft is gone
+    # (the reason it derives from main's live manifests, not a sticky flag):
+    # compact main into its own files, expire the grafted snapshots, and the
+    # branch may then reclaim its data without touching main
+    cat.compact("d", "t")
+    cat.expire_snapshots("d", "t", keep_last=1)
+    assert cat._externally_pinned(tdir) == set()
+    cat.expire_snapshots("d", "t$branch_fix", keep_last=1)
+    assert {(r.k, r.v) for r in cat.read_table("d.t").collect()} == main_before

@@ -99,12 +99,30 @@ def test_canonical_options_preserves_field_aggregate_case(col):
         assert f"fields_{col}_aggregate_function" in out, hybrid
 
 
-def test_bfd_respects_budget_and_beats_next_fit(spark):
-    """Every bin stays within the token budget, assignments are 1..n_bins
-    dense per group, and BFD never uses more bins than the concat-split
-    lower bound would force times the classic 11/9+1 guarantee."""
-    import math
+def _bfd_reference(items: list[tuple[int, int]], budget: int) -> dict[int, int]:
+    """Independent sequential BFD replay: (doc_id, size) sorted by
+    (size DESC, doc_id), each item into the open bin with the smallest
+    remaining capacity that fits (tie → lowest bin id), else a new bin."""
+    rem: list[int] = []
+    out: dict[int, int] = {}
+    for d, s in sorted(items, key=lambda t: (-t[1], t[0])):
+        fits = [(r, idx) for idx, r in enumerate(rem) if r >= s]
+        if fits:
+            _, idx = min(fits)
+            rem[idx] -= s
+            out[d] = idx + 1
+        else:
+            rem.append(budget - s)
+            out[d] = len(rem)
+    return out
 
+
+def test_bfd_matches_sequential_reference_and_respects_budget(spark):
+    """Every bin stays within the token budget, bin ids are 1..n dense per
+    group, and every assignment equals an independent sequential BFD replay
+    of the same (size, id) items — engine-independent of the DuckDB oracle.
+    (No 11/9·OPT bound is asserted: that guarantee is relative to OPT, and
+    cheap lower bounds on OPT would make the assertion unsound.)"""
     from incubator_paimon_trino_spark.operators.packing import (
         SEQ_BUDGET,
         pack_best_fit_decreasing,
@@ -123,5 +141,5 @@ def test_bfd_respects_budget_and_beats_next_fit(spark):
             fill[r.bin_id] = fill.get(r.bin_id, 0) + r.n_tokens
         assert all(v <= SEQ_BUDGET for v in fill.values()), (lang, shard)
         assert sorted(fill) == list(range(1, len(fill) + 1))  # dense bin ids
-        lower = math.ceil(sum(r.n_tokens for r in rows) / SEQ_BUDGET)
-        assert len(fill) <= math.floor(11 / 9 * lower) + 1, (lang, shard)
+        expected = _bfd_reference([(r.doc_id, r.n_tokens) for r in rows], SEQ_BUDGET)
+        assert {r.doc_id: r.bin_id for r in rows} == expected, (lang, shard)

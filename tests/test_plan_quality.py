@@ -283,6 +283,7 @@ def test_consumer_incremental_dedup_scans_backlog_only(spark):
     # the backlog scan reads c2- files; the corpus-index scan reads c1-.
     # Find scans whose file lists mention commit prefixes:
     c1 = len(re.findall(r"c1-part", plan))
+    assert c1 > 0  # the corpus-index side really reads commit 1
     assert "c2-part" in plan
     # corpus side legitimately reads c1; the changelog scan must not UNION
     # both commits (a full-history changelog read would): assert no scan
