@@ -116,11 +116,14 @@ def release_trained_corpus() -> None:
             pass
 
 
-def _trained_cells(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
-    """(quantized corpus, final per-vector assignment) after the standard
-    seed + _ITERS Lloyd rounds — the single source of the training loop for
-    both the assignment operator and the blocked dedup (their shared oracle
-    CTE chain assumes identical iteration semantics)."""
+def _trained_cells(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(quantized corpus, trained centroids, final per-vector assignment)
+    after the standard seed + _ITERS Lloyd rounds — the single source of the
+    training loop for the assignment operator, the blocked dedup, AND the
+    trained-IVF probe (their shared oracle CTE chain assumes identical
+    iteration semantics)."""
     # persist the quantized corpus: every Lloyd round re-reads it (seed,
     # per-round assignment, final assignment — 4 scans here). Profiled r5:
     # ~11% off the benched wall time; the remaining cost is fixed per-stage
@@ -136,7 +139,7 @@ def _trained_cells(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFra
         # doesn't double per Lloyd round (k x d ints — trivially small; the
         # corpus itself is never checkpointed or collected).
         cents = _update(_assign(e, cents)).localCheckpoint(eager=False)
-    return e, _assign(e, cents)
+    return e, cents, _assign(e, cents)
 
 
 def _update(assigned: DataFrame) -> DataFrame:
@@ -224,7 +227,7 @@ def embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-means over ``embeddings`` (k=8, 2 Lloyd rounds): every vector's
     final cluster and distance. Deterministic by construction —
     integer-exact arithmetic end to end (module docstring)."""
-    _, final = _trained_cells(spark, sf_dir)
+    _, _, final = _trained_cells(spark, sf_dir)
     return final.select(
         "vec_id",
         F.col("cell").alias("cluster"),
@@ -268,7 +271,7 @@ def dedup_embedding_cosine_blocked(spark: SparkSession, sf_dir: str) -> DataFram
         embeddings_normalized,
     )
 
-    _, final = _trained_cells(spark, sf_dir)
+    _, _, final = _trained_cells(spark, sf_dir)
     cells = final.select("vec_id", "cell")
 
     en = embeddings_normalized(spark, sf_dir).join(cells, "vec_id")
@@ -289,4 +292,107 @@ def dedup_embedding_cosine_blocked(spark: SparkSession, sf_dir: str) -> DataFram
         .withColumn("cosine", dot / (F.col("na") * F.col("nb")))
         .filter(F.col("cosine") >= 0.4)
         .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine_r"))
+    )
+
+
+_IVF_NQ = 5  # query vectors (vec_id 0..4), like similarity._N_QUERIES
+_IVF_NPROBE = 2  # trained cells each query probes
+_IVF_TOPK = 10
+
+
+@register(
+    "ann_ivf_kmeans_probe",
+    oracle=f"""
+    WITH {_KMEANS_CTES},
+    qd AS (
+      SELECT e.vec_id AS query_id, c.cell,
+             CAST(list_sum(list_transform(list_zip(e.q, c.c),
+                  p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d
+      FROM e, c2 c WHERE e.vec_id < {_IVF_NQ}
+    ),
+    probes AS (
+      SELECT query_id, cell FROM (
+        SELECT query_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d, cell) AS r
+        FROM qd)
+      WHERE r <= {_IVF_NPROBE}
+    ),
+    emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             list_dot_product(eq.v, ec.v)
+               / (sqrt(list_dot_product(eq.v, eq.v))
+                  * sqrt(list_dot_product(ec.v, ec.v))) AS cosine
+      FROM probes p
+      JOIN af a ON a.cell = p.cell AND a.vec_id <> p.query_id
+      JOIN emb eq ON eq.vec_id = p.query_id
+      JOIN emb ec ON ec.vec_id = a.vec_id
+    )
+    SELECT query_id, neighbor_id, ROUND(cosine, 6) AS cosine_r, rnk
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, neighbor_id) AS rnk
+          FROM cand)
+    WHERE rnk <= {_IVF_TOPK}
+    """,
+)
+def ann_ivf_kmeans_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full train → index → probe composition with a value-hash oracle:
+    IVF over TRAINED k-means centroids (``ann_ivf_probe`` seeds its cells
+    from fixed corpus vectors; this is the production shape). Each query
+    ranks the k trained centroids by exact integer distance, probes its
+    {_IVF_NPROBE} nearest cells, and scores exact cosine top-{_IVF_TOPK}
+    within the candidates.
+
+    Deterministic end to end: cell training and query-to-cell ranking are
+    integer-exact (module docstring), so the probe sets — and therefore the
+    candidate sets — are identical in both engines; the cosine itself is
+    the usual IEEE-exact double fold.
+
+    Scale shape: centroids broadcast (k×d ints); the corpus is assigned in
+    place (zero shuffle) and candidates come from an equi-join on the cell
+    id — a corpus bucketed by cell serves every query batch without
+    re-shuffling, and per-query cost is O(N × nprobe / k).
+    """
+    from pyspark.sql import Window as W
+
+    from incubator_paimon_trino_spark.operators.similarity import (
+        _dot,
+        embeddings_normalized,
+    )
+
+    e, cents, final = _trained_cells(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < _IVF_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qq")
+    )
+    dist = F.expr(
+        "aggregate(zip_with(qq, c, (a, b) -> (a - b) * (a - b)), "
+        "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+    wq = W.partitionBy("query_id").orderBy("d", "cell")
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("d", dist)
+        .withColumn("r", F.row_number().over(wq))
+        .filter(F.col("r") <= _IVF_NPROBE)
+        .select("query_id", "cell")
+    )
+    en = embeddings_normalized(spark, sf_dir)
+    corpus = final.select("vec_id", "cell").join(en, "vec_id").select(
+        F.col("vec_id").alias("neighbor_id"), "cell",
+        F.col("emb").alias("ne"), F.col("norm").alias("nn"),
+    )
+    qe = en.select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qe"), F.col("norm").alias("qn")
+    )
+    cand = (
+        probes.join(corpus, "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .join(qe, "query_id")
+        .withColumn("cosine", _dot(F.col("qe"), F.col("ne")) / (F.col("qn") * F.col("nn")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _IVF_TOPK)
+        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine_r"), "rnk")
     )

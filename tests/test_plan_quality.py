@@ -304,3 +304,15 @@ def test_bfd_packing_single_group_shuffle(spark):
     assert "rangepartitioning" not in plan.lower()
     assert set(read_schema_columns(df)) == {"lang", "doc_id", "text"}
     assert "FlatMapGroupsInPandas" in plan or "FlatMapGroupsIn" in plan
+
+
+def test_ivf_kmeans_probe_no_cartesian_equi_join_on_cell(spark):
+    """Trained-IVF probe: centroids broadcast, candidates from an equi-join
+    on the trained cell id — never a cartesian of the corpus; the corpus is
+    assigned in place (its only exchanges are the k-means update aggs and
+    the candidate join)."""
+    df = _q("ann_ivf_kmeans_probe")(spark, SF_SMOKE)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "Broadcast" in plan
+    assert "cell" in plan
