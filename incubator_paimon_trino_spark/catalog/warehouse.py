@@ -1756,11 +1756,32 @@ class WarehouseCatalog:
                     kept_in_flight += 1
             except OSError:
                 pass
+        # DV index files follow the same lifecycle rules: a writer links its
+        # dv-<version>-<nonce>.json BEFORE publishing, so an unreferenced one
+        # above the horizon may belong to a live commit (kept), while one
+        # at/below the horizon lost its race/crashed and is debris
+        live_dv = {s.dv for s in snaps if s.dv}
+        dv_removed = 0
+        for p in glob.glob(os.path.join(tdir, "index", "dv-*.json")):
+            name = os.path.basename(p)
+            if name in live_dv:
+                continue
+            dm = re.match(r"dv-(\d+)-", name)
+            if dm is None or int(dm.group(1)) > horizon or os.path.getmtime(p) * 1000 >= cutoff:
+                kept_in_flight += 1
+                continue
+            dv_removed += 1
+            if not dry_run:
+                try:
+                    os.remove(p)
+                except FileNotFoundError:
+                    pass
         if not dry_run:
             self._prune_empty_dirs(os.path.join(tdir, "data"))
         return {
             "deleted_files": deleted,
             "deleted_staging_dirs": staging_removed,
+            "deleted_dv_indexes": dv_removed,
             "skipped_in_flight": kept_in_flight,
         }
 

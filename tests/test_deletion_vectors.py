@@ -177,3 +177,28 @@ def test_dv_cannot_be_disabled_with_history_and_requires_parquet(cat, spark):
     # and the format of an existing DV table cannot drift off parquet
     with pytest.raises(ValueError, match="PARQUET"):
         cat.set_options("d", "t", {"file_format": "ORC"})
+
+
+def test_remove_orphan_files_reaps_lost_dv_indexes(cat, spark):
+    """A DV index linked by a writer that lost its race/crashed before
+    publishing is debris at/below the snapshot horizon; one referenced by a
+    snapshot, or above the horizon (possibly a live writer's), survives."""
+    mk = _mk_dv(cat, spark)
+    cat.insert_into("d", "t", mk([(1, "a")]))
+    cat.insert_into("d", "t", mk([(1, "A")]))  # snapshot 2 with a live DV
+    idx = os.path.join(cat._table_dir("d", "t"), "index")
+    orphan = os.path.join(idx, "dv-2-deadbeef.json")  # loser at horizon
+    inflight = os.path.join(idx, "dv-3-cafebabe.json")  # above horizon
+    for p in (orphan, inflight):
+        with open(p, "w") as fh:
+            fh.write('{"vectors": {}}')
+    old = 0
+    os.utime(orphan, (old, old))
+    os.utime(inflight, (old, old))
+    out = cat.remove_orphan_files("d", "t", older_than_ms=int(1e18))
+    assert out["deleted_dv_indexes"] == 1
+    assert not os.path.exists(orphan)
+    assert os.path.exists(inflight)  # horizon guard: may be a live writer
+    live = cat._latest_snapshot(cat._table_dir("d", "t")).dv
+    assert os.path.exists(os.path.join(idx, live))
+    assert [(r.k, r.v) for r in cat.read_table("d.t").collect()] == [(1, "A")]
