@@ -2280,6 +2280,57 @@ class WarehouseCatalog:
             out = out.unionByName(p)
         return out
 
+    # ------------------------------------------------ metadata aggregation
+    def metadata_row_count(self, name: str, predicate: list | None = None) -> int | None:
+        """COUNT(*) answered from MANIFESTS alone, or None when only a scan
+        can answer exactly. The reference pushes no aggregation at all (no
+        ``applyAggregation`` in ``common/TrinoMetadataBase.java`` — its
+        count(*) reads every row); here a count over a million-file table
+        is a metadata read when:
+
+        - append-only table, predicate absent or partition-only with every
+          surviving file EXACTLY decided by its partition values (the A8
+          ``_limit_pushable`` guard — same soundness condition), and every
+          manifest entry carries a footer record count; or
+        - deletion-vector PK table with no predicate: ``record_count`` is
+          maintained as the LIVE row count (inserts + upserts − marks), so
+          the snapshot answers in O(1).
+
+        Merge-on-read PK tables (without DV) return None — merging changes
+        the count, so only the merged plan is exact.
+        """
+        db, _, table = name.partition(".")
+        tdir = self._table_dir(db, table)
+        schema = self._latest_schema(tdir)
+        snap = self._latest_snapshot(tdir)
+        if snap is None:
+            return 0
+        if schema.primary_key:
+            if self._dv_enabled(schema) and not predicate:
+                return int(snap.record_count)
+            return None
+        files = snap.files
+        if predicate:
+            files = prune_files(
+                files, predicate, schema, lambda sid: self._schema(tdir, sid)
+            )
+        if not _limit_pushable(schema, predicate, files):
+            return None
+        counts = [f.get("record_count") for f in files]
+        if any(c is None for c in counts):
+            return None  # a file without footer stats → only the scan knows
+        return int(sum(counts))
+
+    def count_star(self, name: str, predicate: list | None = None) -> DataFrame:
+        """One-row ``cnt`` DataFrame: the metadata count when manifests can
+        answer exactly (no file opened), else the regular scan plan."""
+        n = self.metadata_row_count(name, predicate)
+        if n is not None:
+            return self.spark.createDataFrame([(n,)], "cnt bigint")
+        return self.read_table(name, predicate=predicate).agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+
     # ---------------------------------------------------- deletion vectors
     # Paimon's ``deletion-vectors.enabled`` (DV mode): instead of merging
     # row versions at read time, each commit MARKS the positions of the

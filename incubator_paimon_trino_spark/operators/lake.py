@@ -1204,3 +1204,51 @@ def lake_consumer_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .select("doc_id", "fingerprint", "status")
     )
+
+
+@register(
+    "lake_metadata_count",
+    oracle="""
+    SELECT 'full' AS scope, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM orders WHERE o_orderkey <= 4000
+    UNION ALL
+    SELECT 'y1995', CAST(COUNT(*) AS BIGINT)
+    FROM orders WHERE o_orderkey <= 4000 AND year(o_orderdate) = 1995
+    UNION ALL
+    SELECT 'dv_nation', CAST(COUNT(*) AS BIGINT)
+    FROM nation WHERE n_nationkey % 5 <> 0
+    """,
+)
+def lake_metadata_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only COUNT(*) under the hash gate — aggregate pushdown the
+    reference lacks entirely (no ``applyAggregation`` in
+    ``common/TrinoMetadataBase.java``; its count(*) scans every row). Three
+    scopes, none opening a data file: a full append-table count (manifest
+    record-count sum), a partition-predicate count (pruned manifest sum,
+    sound under the A8 exactly-decided guard), and a deletion-vector PK
+    table after deletes (snapshot-tracked live count, O(1)). The plan is
+    pinned scan-free in tests/test_plan_quality.py.
+    """
+    from incubator_paimon_trino_spark.functions.predicates import ColumnDomain
+
+    cat = _orders_two_commit_years(spark, sf_dir)
+    full = cat.metadata_row_count("lake.orders_files")
+    y1995 = cat.metadata_row_count(
+        "lake.orders_files", predicate=[ColumnDomain("order_year", op="=", value=1995)]
+    )
+    cat.create_table(
+        "lake",
+        "nation_dv",
+        [("n_nationkey", "bigint"), ("n_name", "string")],
+        primary_key=["n_nationkey"],
+        options={"deletion-vectors.enabled": "true"},
+    )
+    cat.insert_into(
+        "lake", "nation_dv", table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    )
+    cat.delete_where("lake", "nation_dv", F.col("n_nationkey") % 5 == 0)
+    dv_cnt = cat.metadata_row_count("lake.nation_dv")
+    assert full is not None and y1995 is not None and dv_cnt is not None
+    return spark.createDataFrame(
+        [("full", full), ("y1995", y1995), ("dv_nation", dv_cnt)], "scope string, cnt bigint"
+    )

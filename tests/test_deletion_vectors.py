@@ -202,3 +202,30 @@ def test_remove_orphan_files_reaps_lost_dv_indexes(cat, spark):
     live = cat._latest_snapshot(cat._table_dir("d", "t")).dv
     assert os.path.exists(os.path.join(idx, live))
     assert [(r.k, r.v) for r in cat.read_table("d.t").collect()] == [(1, "A")]
+
+
+def test_metadata_row_count_eligibility(cat, spark):
+    """Manifest counts answer append/partition-exact/DV cases; merge-on-read
+    PK tables without DV must return None (merging changes the count)."""
+    from incubator_paimon_trino_spark.functions.predicates import ColumnDomain
+
+    cat.create_database("d", ignore_if_exists=True)
+    cat.create_table("d", "ap", [("k", "int"), ("y", "int")], partitioned_by=["y"])
+    cat.insert_into("d", "ap", spark.createDataFrame(
+        [(1, 2020), (2, 2020), (3, 2021)], "k int, y int"))
+    assert cat.metadata_row_count("d.ap") == 3
+    assert cat.metadata_row_count(
+        "d.ap", predicate=[ColumnDomain("y", op="=", value=2020)]) == 2
+    # non-partition predicate: stats pruning is conservative → scan only
+    assert cat.metadata_row_count(
+        "d.ap", predicate=[ColumnDomain("k", op="=", value=1)]) is None
+    # plain PK table: merge-on-read → None; DV PK table: live count
+    cat.create_table("d", "pk", [("k", "int"), ("v", "string")], primary_key=["k"])
+    cat.insert_into("d", "pk", spark.createDataFrame([(1, "a"), (1, "b")][:1], "k int, v string"))
+    assert cat.metadata_row_count("d.pk") is None
+    mk = _mk_dv(cat, spark)
+    cat.insert_into("d", "t", mk([(1, "a"), (2, "b"), (3, "c")]))
+    cat.insert_into("d", "t", mk([(2, "B"), (4, "d")]))
+    cat.delete_where("d", "t", F.col("k") == 1)
+    assert cat.metadata_row_count("d.t") == 3
+    assert cat.count_star("d.t").collect()[0].cnt == 3

@@ -316,3 +316,12 @@ def test_ivf_kmeans_probe_no_cartesian_equi_join_on_cell(spark):
     assert "CartesianProduct" not in plan
     assert "Broadcast" in plan
     assert "cell" in plan
+
+
+def test_metadata_count_opens_no_data_file(spark):
+    """COUNT(*) from manifests: the returned plan must be a local scan —
+    no FileScan anywhere (aggregate pushdown the reference lacks)."""
+    df = _q("lake_metadata_count")(spark, SF_SMOKE)
+    plan = physical_plan(df)
+    assert "FileScan" not in plan
+    assert "LocalTableScan" in plan or "ExistingRDD" in plan
