@@ -1495,6 +1495,16 @@ class WarehouseCatalog:
             producer = schema.options.get("changelog_producer", "none")
         if producer not in ("input", "lookup", "full-compaction", "none"):
             raise ValueError(f"unknown changelog_producer {producer!r}")
+        if producer == "input" and self._dv_enabled(schema):
+            # a DV table's deletes are pure metadata — the writer's own rows
+            # contain NO -D records, so an 'input' changelog would silently
+            # drop every delete downstream. The diff producers read merged
+            # (DV-applied) states and emit the full retraction stream.
+            raise ValueError(
+                "changelog_producer='input' cannot represent deletes on a "
+                "deletion-vectors table (deletes write no data rows); use "
+                "producer='lookup' or 'full-compaction'"
+            )
         if consumer_id is not None:
             # resume from the consumer's recorded NEXT snapshot (Paimon's
             # consumer-id option): next=k means everything below k is consumed

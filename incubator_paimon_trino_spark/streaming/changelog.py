@@ -81,6 +81,16 @@ def read_changelog_stream(
     db, _, table = name.partition(".")
     tdir = cat._table_dir(db, table)
     schema = cat._latest_schema(tdir)
+    if cat._dv_enabled(schema):
+        # a DV table's deletes are pure metadata (no -D data rows), so a
+        # file-tail stream would silently drop every delete; the diff-based
+        # batch producers (table_changelog lookup/full-compaction) read
+        # merged DV-applied states and emit the full retraction stream.
+        raise ValueError(
+            "streaming changelog reads are not supported on deletion-vectors "
+            "tables (deletes write no data rows to tail); consume "
+            "table_changelog(producer='lookup') batches instead"
+        )
     # partition columns live in the path, not the files — exclude them from
     # the read schema and rebuild them per row from input_file_name (same
     # contract as the batch read path; streams read the LATEST schema, so a

@@ -229,3 +229,22 @@ def test_metadata_row_count_eligibility(cat, spark):
     cat.delete_where("d", "t", F.col("k") == 1)
     assert cat.metadata_row_count("d.t") == 3
     assert cat.count_star("d.t").collect()[0].cnt == 3
+
+
+def test_dv_changelog_guards(cat, spark, tmp_path):
+    """'input' changelog and streaming tails cannot represent DV deletes
+    (pure metadata, no -D rows) — refuse loudly; the diff producer works
+    since it reads DV-applied merged states."""
+    mk = _mk_dv(cat, spark)
+    cat.insert_into("d", "t", mk([(1, "a"), (2, "b")]))
+    cat.delete_where("d", "t", F.col("k") == 1)
+    with pytest.raises(ValueError, match="deletion-vectors"):
+        cat.table_changelog("d.t", producer="input")
+    from incubator_paimon_trino_spark.streaming import read_changelog_stream
+
+    with pytest.raises(ValueError, match="deletion-vectors"):
+        read_changelog_stream(cat, "d.t")
+    # the lookup diff sees the delete as a -D retraction
+    rows = cat.table_changelog("d.t", producer="lookup").collect()
+    changes = {(r.k, r._change) for r in rows}
+    assert (1, "-D") in changes
