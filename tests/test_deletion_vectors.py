@@ -248,3 +248,47 @@ def test_dv_changelog_guards(cat, spark, tmp_path):
     rows = cat.table_changelog("d.t", producer="lookup").collect()
     changes = {(r.k, r._change) for r in rows}
     assert (1, "-D") in changes
+
+
+def test_dv_on_partitioned_table(cat, spark):
+    """DV marks and applies correctly across hive partition directories
+    (the position join matches on file basenames, so partition-dir paths
+    in _metadata.file_path never need decoding), and partition pruning
+    composes with the DV anti-join."""
+    from incubator_paimon_trino_spark.functions.predicates import ColumnDomain
+
+    cat.create_database("d", ignore_if_exists=True)
+    cat.create_table(
+        "d", "p", [("k", "int"), ("y", "int"), ("v", "string")],
+        primary_key=["k"], partitioned_by=["y"],
+        options={"deletion-vectors.enabled": "true"},
+    )
+    mk = lambda rows: spark.createDataFrame(rows, "k int, y int, v string")  # noqa: E731
+    cat.insert_into("d", "p", mk([(1, 2020, "a"), (2, 2020, "b"), (3, 2021, "c"), (4, 2021, "d")]))
+    cat.insert_into("d", "p", mk([(2, 2020, "B")]))   # upsert inside y=2020
+    cat.delete_where("d", "p", F.col("k") == 3)        # delete inside y=2021
+    assert sorted((r.k, r.y, r.v) for r in cat.read_table("d.p").collect()) == [
+        (1, 2020, "a"), (2, 2020, "B"), (4, 2021, "d"),
+    ]
+    pruned = cat.read_table("d.p", predicate=[ColumnDomain("y", op="=", value=2021)])
+    assert sorted((r.k, r.v) for r in pruned.collect()) == [(4, "d")]
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning" not in plan  # still merge-free under pruning
+
+
+def test_dv_on_bucketed_table(cat, spark):
+    """DV composes with bucketed layout: bucket files keep their vectors
+    and bucket pruning still applies on top of the merge-free read."""
+    cat.create_database("d", ignore_if_exists=True)
+    cat.create_table(
+        "d", "b", [("k", "int"), ("v", "string")], primary_key=["k"],
+        options={"deletion-vectors.enabled": "true", "bucket": "4"},
+    )
+    mk = lambda rows: spark.createDataFrame(rows, "k int, v string")  # noqa: E731
+    cat.insert_into("d", "b", mk([(i, f"v{i}") for i in range(1, 30)]))
+    cat.insert_into("d", "b", mk([(5, "V5"), (6, "V6")]))
+    cat.delete_where("d", "b", F.col("k") > 25)
+    got = {(r.k, r.v) for r in cat.read_table("d.b").collect()}
+    exp = {(i, f"v{i}") for i in range(1, 26)} - {(5, "v5"), (6, "v6")}
+    exp |= {(5, "V5"), (6, "V6")}
+    assert got == exp
