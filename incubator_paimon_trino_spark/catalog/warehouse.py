@@ -2319,11 +2319,13 @@ class WarehouseCatalog:
             if self._dv_enabled(schema) and not predicate:
                 return int(snap.record_count)
             return None
-        files = snap.files
-        if predicate:
-            files = prune_files(
-                files, predicate, schema, lambda sid: self._schema(tdir, sid)
-            )
+        # scan_plan, not a re-implemented prune: it applies the SAME CHAR(n)
+        # pad-insensitive domain normalization as read_table (a padded
+        # literal must prune to the rtrimmed stored form, not to zero files
+        # — a silent wrong 0). Its extra bucket pruning is harmless here:
+        # bucket keys are non-partition columns, which _limit_pushable
+        # rejects below before any count is summed.
+        files = self.scan_plan(name, predicate=predicate)
         if not _limit_pushable(schema, predicate, files):
             return None
         counts = [f.get("record_count") for f in files]
@@ -2638,6 +2640,17 @@ class WarehouseCatalog:
         """
         db, _, table = name.partition(".")
         tdir = self._table_dir(db, table)
+        if self._dv_enabled(self._latest_schema(tdir)):
+            # same hazard as the 'input' changelog: a DV delete commits no
+            # data rows, so the raw file delta would silently omit deletes a
+            # consumer's docstring-promised _row_kind application needs —
+            # use read_cdc/table_changelog(producer='lookup'), whose diff of
+            # DV-applied merged states emits the -D retractions
+            raise ValueError(
+                "read_incremental cannot represent deletes on a deletion-"
+                "vectors table (deletes write no data rows); use read_cdc or "
+                "table_changelog(producer='lookup') for the retraction stream"
+            )
         if from_snapshot > to_snapshot:
             raise ValueError(f"from_snapshot {from_snapshot} > to_snapshot {to_snapshot}")
         snaps = {s.snapshot_id: s for s in self._snapshots(tdir)}

@@ -219,10 +219,24 @@ def test_metadata_row_count_eligibility(cat, spark):
     # non-partition predicate: stats pruning is conservative → scan only
     assert cat.metadata_row_count(
         "d.ap", predicate=[ColumnDomain("k", op="=", value=1)]) is None
-    # plain PK table: merge-on-read → None; DV PK table: live count
+    # plain PK table: merge-on-read → None. Two commits of the same key make
+    # the manifest sum (2) diverge from the live count (1) — the exact case
+    # a loosened guard would get wrong.
     cat.create_table("d", "pk", [("k", "int"), ("v", "string")], primary_key=["k"])
-    cat.insert_into("d", "pk", spark.createDataFrame([(1, "a"), (1, "b")][:1], "k int, v string"))
+    cat.insert_into("d", "pk", spark.createDataFrame([(1, "a")], "k int, v string"))
+    cat.insert_into("d", "pk", spark.createDataFrame([(1, "b")], "k int, v string"))
     assert cat.metadata_row_count("d.pk") is None
+    assert cat.count_star("d.pk").collect()[0].cnt == 1  # falls back to the merged scan
+    # CHAR(n) partition predicate: padded literal must count the rtrimmed
+    # stored form (same normalization as read_table), never a silent 0
+    cat.create_table("d", "cc", [("k", "int"), ("c", "char(4)")], partitioned_by=["c"])
+    cat.insert_into("d", "cc", spark.createDataFrame(
+        [(1, "US"), (2, "US"), (3, "EU")], "k int, c string"))
+    got = cat.metadata_row_count("d.cc", predicate=[ColumnDomain("c", op="=", value="US  ")])
+    assert got in (2, None)  # exact metadata answer or honest fallback — never 0
+    assert cat.count_star(
+        "d.cc", predicate=[ColumnDomain("c", op="=", value="US  ")]
+    ).collect()[0].cnt == 2
     mk = _mk_dv(cat, spark)
     cat.insert_into("d", "t", mk([(1, "a"), (2, "b"), (3, "c")]))
     cat.insert_into("d", "t", mk([(2, "B"), (4, "d")]))
@@ -292,3 +306,15 @@ def test_dv_on_bucketed_table(cat, spark):
     exp = {(i, f"v{i}") for i in range(1, 26)} - {(5, "v5"), (6, "v6")}
     exp |= {(5, "V5"), (6, "V6")}
     assert got == exp
+
+
+def test_dv_read_incremental_refused(cat, spark):
+    """read_incremental has the same delete-dropping hazard as the 'input'
+    changelog — refused; read_cdc emits the -D correctly."""
+    mk = _mk_dv(cat, spark)
+    cat.insert_into("d", "t", mk([(1, "a"), (2, "b")]))
+    cat.delete_where("d", "t", F.col("k") == 2)
+    with pytest.raises(ValueError, match="deletion-"):
+        cat.read_incremental("d.t", 1, 2)
+    changes = {(r.k, r._change) for r in cat.read_cdc("d.t", 1, 2).collect()}
+    assert (2, "-D") in changes
