@@ -594,6 +594,53 @@ def _md5_int(col: F.Column) -> F.Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
 
 
+
+
+def _md5_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sig: array<bigint> of _MD5_PERMS md5-derived minhashes) —
+    the DuckDB-twin sketch shared by the batch and incremental md5 LSH
+    queries. Occurrence-level shingles: MIN is duplicate-insensitive, so
+    signatures match the oracle's DISTINCT-shingle CTE exactly (see
+    ``minhash_signatures``)."""
+    tok = _raw_shingles(table(spark, sf_dir, "documents"))
+    aggs = [
+        F.min(_md5_int(F.concat_ws(":", "s", F.lit(str(i))))).alias(f"m{i}")
+        for i in range(_MD5_PERMS)
+    ]
+    return (
+        tok.groupBy("doc_id")
+        .agg(*aggs)
+        .select("doc_id", F.array(*[F.col(f"m{i}") for i in range(_MD5_PERMS)]).alias("sig"))
+    )
+
+
+def _md5_bands(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band, bkey): _MD5_BANDS band-bucket keys per signature —
+    skinny rows (the signature array stays behind)."""
+    return sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("sig", b * _MD5_RPB + r + 1).cast("string")
+                                    for r in range(_MD5_RPB)
+                                ],
+                            )
+                        ).alias("bkey"),
+                    )
+                    for b in range(_MD5_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+
+
 @register(
     "dedup_minhash_lsh_md5",
     oracle="""
@@ -642,42 +689,8 @@ def dedup_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     16×8 bytes/doc, candidates come only from shared band buckets — the
     O(n²) pair space never materializes.
     """
-    # occurrence-level shingles: MIN is duplicate-insensitive (signatures
-    # identical to the distinct path) and the oracle's DISTINCT-shingle CTE
-    # still matches — see minhash_signatures
-    tok = _raw_shingles(table(spark, sf_dir, "documents"))
-    aggs = [
-        F.min(_md5_int(F.concat_ws(":", "s", F.lit(str(i))))).alias(f"m{i}")
-        for i in range(_MD5_PERMS)
-    ]
-    sigs = (
-        tok.groupBy("doc_id")
-        .agg(*aggs)
-        .select("doc_id", F.array(*[F.col(f"m{i}") for i in range(_MD5_PERMS)]).alias("sig"))
-    )
-    bands = sigs.select(
-        "doc_id",
-        "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.element_at("sig", b * _MD5_RPB + r + 1).cast("string")
-                                    for r in range(_MD5_RPB)
-                                ],
-                            )
-                        ).alias("bkey"),
-                    )
-                    for b in range(_MD5_BANDS)
-                ]
-            )
-        ).alias("bk"),
-    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+    sigs = _md5_signatures(spark, sf_dir)
+    bands = _md5_bands(sigs)
     # skinny band join (r6, mirrors dedup_minhash_lsh): candidate pairs are
     # found and deduped WITHOUT the signature arrays in tow, then the
     # signatures join back on the groupBy's own doc_id partitioning
@@ -911,4 +924,106 @@ def dedup_chunk_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         per.join(dup, "doc_id")
         .withColumn("dup_ratio", F.round(F.col("dup_chunks") / F.col("total_chunks"), 4))
         .select("doc_id", "total_chunks", "dup_chunks", "dup_ratio")
+    )
+
+
+@register(
+    "dedup_incremental_minhash_md5",
+    oracle="""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS s
+      FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+           UNNEST(range(1, GREATEST(len(words) - 1, 1))) AS t(i)
+    ),
+    mh AS (
+      SELECT doc_id, i,
+             MIN(CAST(CAST(('0x' || substring(md5(s || ':' || CAST(i AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT)) AS m
+      FROM sh, UNNEST(range(0, 16)) AS t(i)
+      GROUP BY doc_id, i
+    ),
+    sig AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM mh GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, b, md5(array_to_string(sig[b*4+1 : b*4+4], ',')) AS bkey
+      FROM sig, UNNEST(range(0, 4)) AS t(b)
+    ),
+    cand AS (
+      SELECT DISTINCT n.doc_id AS doc_id, c.doc_id AS cand_id
+      FROM bands n JOIN bands c ON n.b = c.b AND n.bkey = c.bkey
+      WHERE n.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
+    ),
+    est AS (
+      SELECT c.doc_id, c.cand_id,
+             SUM(CASE WHEN ma.m = mb.m THEN 1 ELSE 0 END) / 16.0 AS est_jaccard
+      FROM cand c
+      JOIN mh ma ON ma.doc_id = c.doc_id
+      JOIN mh mb ON mb.doc_id = c.cand_id AND mb.i = ma.i
+      GROUP BY 1, 2
+    ),
+    hits AS (SELECT * FROM est WHERE est_jaccard >= 0.5),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY est_jaccard DESC, cand_id) AS r
+      FROM hits
+    ),
+    agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches FROM hits GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(b.cand_id, -1) AS BIGINT) AS best_match,
+           CAST(COALESCE(b.est_jaccard, 0) AS DOUBLE) AS best_est,
+           CAST(COALESCE(a.n_matches, 0) AS BIGINT) AS n_matches
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+    LEFT JOIN (SELECT doc_id, cand_id, est_jaccard FROM ranked WHERE r = 1) b
+      ON b.doc_id = d.doc_id
+    LEFT JOIN agg a ON a.doc_id = d.doc_id
+    """,
+)
+def dedup_incremental_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup detection — the fuzzy twin of
+    ``dedup_incremental_new_batch``'s exact-fingerprint path: the new batch
+    (doc_id % 10 = 0) probes the already-ingested corpus's BAND-BUCKET
+    index, so near-duplicates with small edits are caught, not just
+    byte-identical ones. Per new doc: the best corpus match (highest
+    estimated Jaccard, tie → lowest id; −1 when clean) and the match count.
+
+    Scale shape: the corpus side is its (doc_id, band, bkey) index — fixed
+    ~4 skinny rows/doc, maintained incrementally as a lake table in
+    production, never a corpus text rescan. The probe is one equi-join on
+    (band, bkey); only same-bucket pairs are ever scored, and signatures
+    join back post-dedup exactly like the batch LSH. O(batch + matching
+    buckets) per run. md5 sketch ⇒ full value-hash oracle.
+    """
+    sigs = _md5_signatures(spark, sf_dir)
+    bands = _md5_bands(sigs)
+    is_new = F.col("doc_id") % 10 == 0
+    new_b = bands.filter(is_new).select(F.col("doc_id"), "band", "bkey")
+    idx_b = bands.filter(~is_new).select(F.col("doc_id").alias("cand_id"), "band", "bkey")
+    cand = (
+        new_b.join(idx_b, ["band", "bkey"])
+        .select("doc_id", "cand_id")
+        .dropDuplicates()
+    )
+    sn = sigs.select(F.col("doc_id"), F.col("sig").alias("sig_n"))
+    sc = sigs.select(F.col("doc_id").alias("cand_id"), F.col("sig").alias("sig_c"))
+    est = F.expr(
+        f"size(filter(zip_with(sig_n, sig_c, (x, y) -> x = y), v -> v))"
+        f" / cast({_MD5_PERMS} as double)"
+    )
+    hits = (
+        cand.join(sn, "doc_id")
+        .join(sc, "cand_id")
+        .withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= 0.5)
+    )
+    best = hits.groupBy("doc_id").agg(
+        F.max_by(F.col("cand_id"), F.struct(F.col("est_jaccard"), (-F.col("cand_id")))).alias(
+            "best_match"
+        ),
+        F.max("est_jaccard").alias("best_est"),
+        F.count(F.lit(1)).cast("bigint").alias("n_matches"),
+    )
+    batch = sigs.filter(is_new).select("doc_id")
+    return batch.join(best, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("best_match"), F.lit(-1)).cast("bigint").alias("best_match"),
+        F.coalesce(F.col("best_est"), F.lit(0.0)).cast("double").alias("best_est"),
+        F.coalesce(F.col("n_matches"), F.lit(0)).cast("bigint").alias("n_matches"),
     )

@@ -325,3 +325,17 @@ def test_metadata_count_opens_no_data_file(spark):
     plan = physical_plan(df)
     assert "FileScan" not in plan
     assert "LocalTableScan" in plan or "ExistingRDD" in plan
+
+
+def test_incremental_minhash_probe_is_equi_join(spark):
+    """The incremental near-dup probe must join batch bands against the
+    corpus band index with an equi hash join — no cartesian/nested-loop,
+    and the exchanges carry band keys and signatures, never text."""
+    df = _q("dedup_incremental_minhash_md5")(spark, SF_SMOKE)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    import re
+
+    for ex in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in ex
