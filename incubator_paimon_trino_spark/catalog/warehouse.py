@@ -2090,6 +2090,17 @@ class WarehouseCatalog:
         snap = self._pin_snapshot(tdir, version_as_of, timestamp_as_of, tag)
         if snap is None:
             return []
+        files = self._pruned_files(tdir, schema, snap, predicate)
+        if limit is not None and _limit_pushable(schema, predicate, files):
+            files = _limit_file_prefix(files, limit)
+        return files
+
+    def _pruned_files(
+        self, tdir: str, schema: TableSchema, snap: Snapshot, predicate: list | None
+    ) -> list[dict]:
+        """The predicate-pruned manifest entries — the shared prune behind
+        ``scan_plan`` and ``metadata_row_count`` (already-loaded metadata in,
+        so the metadata fast paths don't re-read snapshot/schema JSON)."""
         files = snap.files
         if predicate:
             # same CHAR(n) pad-insensitive normalization as read_table — a
@@ -2103,8 +2114,6 @@ class WarehouseCatalog:
                 predicate = normalize_char_domains(predicate, char_cols)
             files = prune_files(files, predicate, schema, lambda sid: self._schema(tdir, sid))
             files = self._bucket_prune(schema, predicate, files)
-        if limit is not None and _limit_pushable(schema, predicate, files):
-            files = _limit_file_prefix(files, limit)
         return files
 
     def read_table(
@@ -2319,13 +2328,13 @@ class WarehouseCatalog:
             if self._dv_enabled(schema) and not predicate:
                 return int(snap.record_count)
             return None
-        # scan_plan, not a re-implemented prune: it applies the SAME CHAR(n)
-        # pad-insensitive domain normalization as read_table (a padded
-        # literal must prune to the rtrimmed stored form, not to zero files
-        # — a silent wrong 0). Its extra bucket pruning is harmless here:
-        # bucket keys are non-partition columns, which _limit_pushable
-        # rejects below before any count is summed.
-        files = self.scan_plan(name, predicate=predicate)
+        # the SHARED prune (scan_plan's), not a re-implementation: it applies
+        # the same CHAR(n) pad-insensitive domain normalization as read_table
+        # (a padded literal must prune to the rtrimmed stored form, not to
+        # zero files — a silent wrong 0). Its extra bucket pruning is
+        # harmless here: bucket keys are non-partition columns, which
+        # _limit_pushable rejects below before any count is summed.
+        files = self._pruned_files(tdir, schema, snap, predicate)
         if not _limit_pushable(schema, predicate, files):
             return None
         counts = [f.get("record_count") for f in files]

@@ -641,6 +641,19 @@ def _md5_bands(sigs: DataFrame) -> DataFrame:
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
 
 
+
+
+def _md5_est(a: str, b: str) -> F.Column:
+    """Estimated Jaccard = agreeing signature positions / _MD5_PERMS.
+    NOTE: a bare `/ 16.0` literal parses as DECIMAL in Spark SQL, silently
+    making the whole column decimal (pandas dtype object) while DuckDB
+    returns double — the r1 hash mismatch. Divide by an explicit DOUBLE."""
+    return F.expr(
+        f"size(filter(zip_with({a}, {b}, (x, y) -> x = y), v -> v))"
+        f" / cast({_MD5_PERMS} as double)"
+    )
+
+
 @register(
     "dedup_minhash_lsh_md5",
     oracle="""
@@ -704,13 +717,7 @@ def dedup_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
-    # NOTE: a bare `/ 16.0` literal parses as DECIMAL in Spark SQL, silently
-    # making the whole column decimal (pandas dtype object) while DuckDB
-    # returns double — the r1 hash mismatch. Divide by an explicit DOUBLE.
-    est = F.expr(
-        f"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))"
-        f" / cast({_MD5_PERMS} as double)"
-    )
+    est = _md5_est("sig_a", "sig_b")
     return (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
@@ -1003,10 +1010,7 @@ def dedup_incremental_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     sn = sigs.select(F.col("doc_id"), F.col("sig").alias("sig_n"))
     sc = sigs.select(F.col("doc_id").alias("cand_id"), F.col("sig").alias("sig_c"))
-    est = F.expr(
-        f"size(filter(zip_with(sig_n, sig_c, (x, y) -> x = y), v -> v))"
-        f" / cast({_MD5_PERMS} as double)"
-    )
+    est = _md5_est("sig_n", "sig_c")
     hits = (
         cand.join(sn, "doc_id")
         .join(sc, "cand_id")
@@ -1020,7 +1024,11 @@ def dedup_incremental_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame
         F.max("est_jaccard").alias("best_est"),
         F.count(F.lit(1)).cast("bigint").alias("n_matches"),
     )
-    batch = sigs.filter(is_new).select("doc_id")
+    # base row set = the DOCUMENTS batch slice, not sigs: a sub-3-word doc
+    # has no shingles/signature but must still report as clean (-1, 0.0, 0)
+    # like the oracle's FROM documents base — and listing ids this way skips
+    # a third recompute of the whole signature pipeline
+    batch = table(spark, sf_dir, "documents").filter(is_new).select("doc_id")
     return batch.join(best, "doc_id", "left").select(
         "doc_id",
         F.coalesce(F.col("best_match"), F.lit(-1)).cast("bigint").alias("best_match"),
