@@ -727,6 +727,53 @@ def dedup_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def _md5_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, simhash): the 60-bit md5-derived frequency-weighted SimHash
+    shared by the batch and incremental md5 variants (DuckDB-computable)."""
+    d = table(spark, sf_dir, "documents")
+    tok = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("h", _md5_int(F.col("token")))
+    )
+    bit_aggs = [
+        F.sum(
+            F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, F.col("cnt")).otherwise(
+                -F.col("cnt")
+            )
+        ).alias(f"s{b}")
+        for b in range(60)
+    ]
+    sums = tok.groupBy("doc_id").agg(*bit_aggs)
+    simhash_expr = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0L END)" for b in range(60)
+    )
+    return sums.select("doc_id", F.expr(simhash_expr).alias("simhash"))
+
+
+def _md5_simhash_bands(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash, band, bh): 4 bands x 15 bits per fingerprint —
+    pigeonhole guarantees a shared band for every pair at hamming <= 3."""
+    return docs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("simhash", 15 * b).bitwiseAND(F.lit(0x7FFF)).alias("bh"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+
+
 @register(
     "dedup_simhash_md5",
     oracle="""
@@ -768,41 +815,8 @@ def dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle matches exactly; the 64-bit xxhash64 variant remains the
     production path.
     """
-    d = table(spark, sf_dir, "documents")
-    tok = (
-        d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
-        .groupBy("doc_id", "token")
-        .agg(F.count("*").alias("cnt"))
-        .withColumn("h", _md5_int(F.col("token")))
-    )
-    bit_aggs = [
-        F.sum(
-            F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, F.col("cnt")).otherwise(
-                -F.col("cnt")
-            )
-        ).alias(f"s{b}")
-        for b in range(60)
-    ]
-    sums = tok.groupBy("doc_id").agg(*bit_aggs)
-    simhash_expr = " + ".join(
-        f"(CASE WHEN s{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0L END)" for b in range(60)
-    )
-    docs = sums.select("doc_id", F.expr(simhash_expr).alias("simhash"))
-    bands = docs.select(
-        "doc_id",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftright("simhash", 15 * b).bitwiseAND(F.lit(0x7FFF)).alias("bh"),
-                    )
-                    for b in range(4)
-                ]
-            )
-        ).alias("bk"),
-    ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+    docs = _md5_simhash_docs(spark, sf_dir)
+    bands = _md5_simhash_bands(docs)
     left = bands.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("h_a"), "band", "bh")
     right = bands.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("h_b"), "band", "bh")
     hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
@@ -1033,5 +1047,96 @@ def dedup_incremental_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame
         "doc_id",
         F.coalesce(F.col("best_match"), F.lit(-1)).cast("bigint").alias("best_match"),
         F.coalesce(F.col("best_est"), F.lit(0.0)).cast("double").alias("best_est"),
+        F.coalesce(F.col("n_matches"), F.lit(0)).cast("bigint").alias("n_matches"),
+    )
+
+
+@register(
+    "dedup_incremental_simhash_md5",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, token, COUNT(*) AS cnt,
+             CAST(CAST(('0x' || substring(md5(token), 1, 15)) AS UBIGINT) AS BIGINT) AS h
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+      GROUP BY doc_id, token
+    ),
+    bits AS (
+      SELECT doc_id, b, SUM(CASE WHEN (h >> b) & 1 = 1 THEN cnt ELSE -cnt END) AS s
+      FROM tok, UNNEST(range(0, 60)) AS t(b)
+      GROUP BY doc_id, b
+    ),
+    docs AS (
+      SELECT doc_id, SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS simhash
+      FROM bits GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, simhash, b AS band, (simhash >> (15 * b)) & 32767 AS bh
+      FROM docs, UNNEST(range(0, 4)) AS t(b)
+    ),
+    cand AS (
+      SELECT DISTINCT n.doc_id AS doc_id, c.doc_id AS cand_id,
+                      n.simhash AS h_n, c.simhash AS h_c
+      FROM bands n JOIN bands c ON n.band = c.band AND n.bh = c.bh
+      WHERE n.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
+    ),
+    hits AS (
+      SELECT doc_id, cand_id, CAST(bit_count(xor(h_n, h_c)) AS INT) AS hamming
+      FROM cand WHERE bit_count(xor(h_n, h_c)) <= 3
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hamming, cand_id) AS r
+      FROM hits
+    ),
+    agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches FROM hits GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(b.cand_id, -1) AS BIGINT) AS best_match,
+           CAST(COALESCE(b.hamming, -1) AS INT) AS best_hamming,
+           CAST(COALESCE(a.n_matches, 0) AS BIGINT) AS n_matches
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+    LEFT JOIN (SELECT doc_id, cand_id, hamming FROM ranked WHERE r = 1) b
+      ON b.doc_id = d.doc_id
+    LEFT JOIN agg a ON a.doc_id = d.doc_id
+    """,
+)
+def dedup_incremental_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SimHash near-dup detection — completes the incremental
+    trio (exact fingerprint / MinHash-Jaccard / SimHash-hamming): the new
+    batch (doc_id % 10 = 0) probes the corpus's 15-bit band index, and
+    hamming ≤ 3 over the 60-bit fingerprints verifies candidates. Per new
+    doc: the closest corpus match (lowest hamming, tie → lowest id; −1 when
+    clean) and the match count. SimHash catches word-frequency-level edits
+    Jaccard shingles over-penalize, at 8 bytes/doc of index state.
+
+    Scale shape: the corpus side is its (doc_id, band, bh) index — 4 skinny
+    rows/doc, maintained incrementally in production; the probe is one
+    equi-join on (band, bh); pigeonhole (4 bands × 15 bits) guarantees no
+    true ≤3-hamming pair is missed. O(batch + matching buckets) per run.
+    """
+    docs = _md5_simhash_docs(spark, sf_dir)
+    bands = _md5_simhash_bands(docs)
+    is_new = F.col("doc_id") % 10 == 0
+    new_b = bands.filter(is_new).select("doc_id", F.col("simhash").alias("h_n"), "band", "bh")
+    idx_b = bands.filter(~is_new).select(
+        F.col("doc_id").alias("cand_id"), F.col("simhash").alias("h_c"), "band", "bh"
+    )
+    hits = (
+        new_b.join(idx_b, ["band", "bh"])
+        .select("doc_id", "cand_id", "h_n", "h_c")
+        .dropDuplicates(["doc_id", "cand_id"])
+        .withColumn("hamming", F.bit_count(F.col("h_n").bitwiseXOR(F.col("h_c"))).cast("int"))
+        .filter(F.col("hamming") <= 3)
+    )
+    best = hits.groupBy("doc_id").agg(
+        F.min_by(F.col("cand_id"), F.struct(F.col("hamming"), F.col("cand_id"))).alias(
+            "best_match"
+        ),
+        F.min("hamming").alias("best_hamming"),
+        F.count(F.lit(1)).cast("bigint").alias("n_matches"),
+    )
+    batch = table(spark, sf_dir, "documents").filter(is_new).select("doc_id")
+    return batch.join(best, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("best_match"), F.lit(-1)).cast("bigint").alias("best_match"),
+        F.coalesce(F.col("best_hamming"), F.lit(-1)).cast("int").alias("best_hamming"),
         F.coalesce(F.col("n_matches"), F.lit(0)).cast("bigint").alias("n_matches"),
     )

@@ -339,3 +339,17 @@ def test_incremental_minhash_probe_is_equi_join(spark):
 
     for ex in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "text" not in ex
+
+
+def test_incremental_simhash_probe_is_equi_join(spark):
+    """The SimHash incremental probe joins batch bands against the corpus
+    band index with an equi hash join — no cartesian/nested-loop; only
+    fingerprints and band keys cross the wire, never text."""
+    df = _q("dedup_incremental_simhash_md5")(spark, SF_SMOKE)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    import re
+
+    for ex in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in ex
