@@ -2095,6 +2095,32 @@ class WarehouseCatalog:
             files = _limit_file_prefix(files, limit)
         return files
 
+    def split_weights(
+        self, name: str, predicate: list | None = None, min_weight: float = 0.05
+    ) -> list[dict]:
+        """``scan_plan`` entries with the reference's split weights attached:
+        ``clamp(rowCount / maxRowCount, minimumSplitWeight, 1.0)`` where
+        maxRowCount is the largest split's row count — the exact formula and
+        0.05 default of ``common/TrinoSplitManagerBase.java:50-63`` and the
+        ``minimum_split_weight`` session property
+        (``common/TrinoSessionProperties.java:57-59``). Weights let a
+        scheduler pack many small splits per task without starving large
+        ones; in Spark the analogous knob is ``files.maxPartitionBytes``
+        bin-packing, but the weights are exposed for parity and for
+        task-sizing diagnostics. A file without footer stats weighs 1.0
+        (conservative: never under-schedule an unknown split).
+        """
+        if not 0.0 < min_weight <= 1.0:
+            raise ValueError(f"min_weight must be in (0, 1], got {min_weight}")
+        files = self.scan_plan(name, predicate=predicate)
+        counts = [f.get("record_count") for f in files]
+        max_rc = max((c for c in counts if c), default=0)
+        out = []
+        for f, rc in zip(files, counts):
+            w = 1.0 if rc is None or max_rc == 0 else min(max(rc / max_rc, min_weight), 1.0)
+            out.append({**f, "split_weight": round(w, 6)})
+        return out
+
     def _pruned_files(
         self, tdir: str, schema: TableSchema, snap: Snapshot, predicate: list | None
     ) -> list[dict]:

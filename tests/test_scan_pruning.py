@@ -300,3 +300,25 @@ def test_review_fixes_round4_plan_parsing(spark, tmp_path):
 
     # the metadata-length conf override is restored to UNSET afterwards
     assert spark.conf.get("spark.sql.maxMetadataStringLength", None) in (None, "100")
+
+
+def test_split_weights_reference_formula(spark, tmp_path):
+    """Split weights follow the reference exactly: clamp(rowCount /
+    maxRowCount, minimum_split_weight, 1.0) with the 0.05 default
+    (common/TrinoSplitManagerBase.java:50-63, TrinoSessionProperties.java:57-59)."""
+    import pytest
+
+    from incubator_paimon_trino_spark.catalog import WarehouseCatalog
+
+    cat = WarehouseCatalog(str(tmp_path / "wh"), spark)
+    cat.create_database("d")
+    cat.create_table("d", "t", [("k", "int")])
+    # three commits with 100 / 10 / 1 rows → one file each (coalesced)
+    for n in (100, 10, 1):
+        cat.insert_into("d", "t", spark.range(n).selectExpr("CAST(id AS INT) AS k").coalesce(1))
+    ws = sorted(e["split_weight"] for e in cat.split_weights("d.t"))
+    assert ws == [0.05, 0.1, 1.0]  # 1/100 clamps up to the 0.05 floor
+    ws2 = sorted(e["split_weight"] for e in cat.split_weights("d.t", min_weight=0.5))
+    assert ws2 == [0.5, 0.5, 1.0]
+    with pytest.raises(ValueError, match="min_weight"):
+        cat.split_weights("d.t", min_weight=0.0)
