@@ -434,6 +434,13 @@ class WarehouseCatalog:
         snaps = self._snapshots(tdir)
         return snaps[-1] if snaps else None
 
+    def latest_snapshot_id(self, db: str, table: str) -> int:
+        """The current tip snapshot id (0 for an empty table) — the position
+        a consumer checkpoints after fully processing the table's backlog
+        (metadata-only: one snapshot-dir listing, no data read)."""
+        snap = self._latest_snapshot(self._table_dir(db, table))
+        return snap.snapshot_id if snap else 0
+
     @staticmethod
     def _staging_dir(tdir: str, version: int, stale_after_s: int = 24 * 3600) -> str:
         """Fresh per-attempt staging path. The nonce keeps concurrent

@@ -1191,7 +1191,10 @@ def lake_consumer_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFra
     corpus_fp = corpus.select(fp(corpus).alias("c_fingerprint")).distinct()
     backlog = cat.table_changelog("lake.docs", consumer_id="dedup_job", producer="input")
     new_batch = backlog.select("doc_id", fp(backlog).alias("fingerprint"), "_snapshot")
-    tip = 2  # this run processed through snapshot 2; checkpoint the consumer
+    # this run processed through the tip the changelog range was planned
+    # against; checkpoint the consumer there (derived from the catalog, so
+    # the registered query IS the production checkpoint logic)
+    tip = cat.latest_snapshot_id("lake", "docs")
     cat.advance_consumer("lake", "docs", "dedup_job", tip + 1)
     w = W.partitionBy("fingerprint")
     return (
