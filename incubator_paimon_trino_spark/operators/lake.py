@@ -1057,6 +1057,91 @@ def lake_deletion_vector_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cat.read_table("lake.dvt")
 
 
+@register(
+    "lake_dv_changelog_stream",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(o_totalprice AS DOUBLE) AS price,
+             o_orderstatus AS status
+      FROM orders WHERE o_orderkey <= 3000
+    )
+    SELECT 'I' AS change, o_orderkey, o_custkey, price, status FROM base
+    UNION ALL
+    SELECT 'I', o_orderkey, o_custkey, price * 2, 'V'
+    FROM base WHERE o_custkey % 7 = 2
+    UNION ALL
+    SELECT 'D', o_orderkey, o_custkey, price, status
+    FROM base WHERE o_custkey % 7 = 2
+    UNION ALL
+    SELECT 'D', o_orderkey, o_custkey,
+           CASE WHEN o_custkey % 7 = 2 THEN price * 2 ELSE price END,
+           CASE WHEN o_custkey % 7 = 2 THEN 'V' ELSE status END
+    FROM base WHERE o_orderkey % 4 = 0
+    """,
+)
+def lake_dv_changelog_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC over a deletion-vectors table — the availableNow twin
+    of the resumable retraction stream (r6's one documented DV gap, now
+    lifted): deletes on a DV table are pure metadata, so the stream unions
+    the data-file tail's +rows with retractions diffed from the tailed
+    ``index/dv-*.json`` indexes, recovering each marked row's image by
+    ``_metadata.row_index`` from ONLY the files the marks reference.
+
+    The oracle replays the same edit history as SELECT algebra: +I = every
+    insert image plus every update's new image; -D = every update's old
+    image plus the delete's live-at-delete-time images.
+
+    Scale shape: the +I side is the ordinary file tail (delta files only);
+    the -D side's per-batch work is O(new marks) — the index JSONs are the
+    stream, the static join re-opens only files holding deleted rows, and
+    resume is a consumer-recorded snapshot position (metadata-only). The
+    reference stores the changelog-producer DDL options without executing
+    them (``common/TrinoTableOptionUtils.java:94-107``).
+    """
+    from incubator_paimon_trino_spark.streaming.changelog import (
+        read_changelog_stream,
+        run_to_completion,
+    )
+
+    cat = _fresh_catalog(spark)
+    cat.create_database("lake")
+    cat.create_table(
+        "lake",
+        "dvs",
+        [
+            ("o_orderkey", "bigint"),
+            ("o_custkey", "bigint"),
+            ("price", "double"),
+            ("status", "string"),
+        ],
+        primary_key=["o_orderkey"],
+        options={"deletion-vectors.enabled": "true"},
+    )
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 3000)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("o_totalprice").cast("double").alias("price"),
+            F.col("o_orderstatus").alias("status"),
+        )
+    )
+    cat.insert_into("lake", "dvs", o)
+    cat.sql("UPDATE lake.dvs SET price = price * 2, status = 'V' WHERE o_custkey % 7 = 2")
+    cat.sql("DELETE FROM lake.dvs WHERE o_orderkey % 4 = 0")
+    stream = read_changelog_stream(cat, "lake.dvs")
+    out = run_to_completion(stream, "lake_dv_changelog_stream_sink", "append")
+    return out.select(
+        F.col("_row_kind").alias("change"),
+        "o_orderkey",
+        "o_custkey",
+        "price",
+        "status",
+    )
+
+
 def _orders_two_commit_years(spark: SparkSession, sf_dir: str) -> "WarehouseCatalog":
     """Shared fixture for the $files/$partitions hash-gated queries: a
     year-partitioned lake table loaded in TWO commits with a deterministic

@@ -25,8 +25,10 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from incubator_paimon_trino_spark.catalog.metadata import KIND_COL, SEQ_COL
+from incubator_paimon_trino_spark.catalog.metadata import KIND_COL, SEQ_COL, read_json
 from incubator_paimon_trino_spark.catalog.warehouse import (
+    _DV_FILE,
+    _DV_POS,
     WarehouseCatalog,
     _physical_schema,
     partition_column_expr,
@@ -45,7 +47,11 @@ def read_changelog_stream(
     """Streaming DataFrame over ``db.table``'s commit stream.
 
     PK tables yield changelog rows (``_seq``/``_row_kind`` included);
-    append-only tables yield plain rows. New commits are picked up as their
+    append-only tables yield plain rows. Deletion-vectors tables yield the
+    file tail's +rows UNIONED with a ``-D`` retraction stream diffed from
+    the tailed DV indexes (``_dv_retraction_stream`` below) — a CDC consumer
+    of a DV table gets a resumable stream with its deletes, not a silent
+    insert-only view. New commits are picked up as their
     files land — at scale, set ``max_files_per_trigger`` to bound batch size
     (this is also what makes watermark semantics observable: with one giant
     availableNow batch nothing is ever late; per-commit batches advance the
@@ -81,24 +87,7 @@ def read_changelog_stream(
     db, _, table = name.partition(".")
     tdir = cat._table_dir(db, table)
     schema = cat._latest_schema(tdir)
-    if cat._dv_enabled(schema):
-        # a DV table's deletes are pure metadata (no -D data rows), so a
-        # file-tail stream would silently drop every delete; the diff-based
-        # batch producers (table_changelog lookup/full-compaction) read
-        # merged DV-applied states and emit the full retraction stream.
-        raise ValueError(
-            "streaming changelog reads are not supported on deletion-vectors "
-            "tables (deletes write no data rows to tail); consume "
-            "table_changelog(producer='lookup') batches instead"
-        )
-    # partition columns live in the path, not the files — exclude them from
-    # the read schema and rebuild them per row from input_file_name (same
-    # contract as the batch read path; streams read the LATEST schema, so a
-    # table whose partition column was renamed mid-history needs a batch
-    # backfill instead).
-    part_names = set(schema.partition_keys)
     _reject_renamed_columns(cat, tdir, schema)
-    phys = _physical_schema(schema, bool(schema.primary_key), exclude=part_names)
 
     from_version: int | None = None
     if consumer_id is not None:
@@ -141,6 +130,34 @@ def read_changelog_stream(
                 "(have latest-full, latest, from-snapshot, from-timestamp)"
             )
 
+    inserts = _data_file_tail(cat, tdir, schema, from_version, max_files_per_trigger)
+    if cat._dv_enabled(schema):
+        # a DV table's deletes are pure metadata (no -D data rows), so the
+        # file tail alone would silently drop every delete — union it with
+        # the retraction stream diffed from the tailed DV indexes.
+        return inserts.unionByName(
+            _dv_retraction_stream(cat, tdir, schema, from_version, max_files_per_trigger)
+        )
+    return inserts
+
+
+def _data_file_tail(
+    cat: WarehouseCatalog,
+    tdir: str,
+    schema,
+    from_version: int | None,
+    max_files_per_trigger: int | None,
+) -> DataFrame:
+    """The +rows file tail shared by plain and DV tables: new data files as
+    they land, partition columns rebuilt from the path, commit-id cut
+    applied per file path."""
+    # partition columns live in the path, not the files — exclude them from
+    # the read schema and rebuild them per row from input_file_name (same
+    # contract as the batch read path; streams read the LATEST schema, so a
+    # table whose partition column was renamed mid-history needs a batch
+    # backfill instead — _reject_renamed_columns guards).
+    part_names = set(schema.partition_keys)
+    phys = _physical_schema(schema, bool(schema.primary_key), exclude=part_names)
     reader = (
         cat.spark.readStream.schema(phys)
         .option("pathGlobFilter", "*.parquet")
@@ -176,6 +193,151 @@ def read_changelog_stream(
         commit_of = F.coalesce(new_c, old_c).cast("bigint")
         stream = stream.filter(commit_of.isNull() | (commit_of >= F.lit(from_version)))
     return stream
+
+
+def _dv_retraction_stream(
+    cat: WarehouseCatalog,
+    tdir: str,
+    schema,
+    from_version: int | None,
+    max_files_per_trigger: int | None,
+) -> DataFrame:
+    """-D retractions for a deletion-vectors table, as a resumable stream.
+
+    A DV table's deletes never write data rows — each commit publishes a
+    CUMULATIVE ``index/dv-<version>-*.json`` marking every superseded (file,
+    position) pair. Those index files are immutable and land atomically,
+    so they are themselves tailable: this stream
+
+    1. tails ``index/dv-*.json`` (wholetext; the commit version parsed from
+       the file name),
+    2. explodes each index into (file basename, position) marks and drops
+       the RESUME BASELINE — marks already cumulative at ``from_version - 1``
+       (broadcast anti-join against driver-held metadata, exactly the set a
+       resuming consumer has already retracted),
+    3. recovers each marked row's full image with a stream-static join
+       against a batch read of ONLY the DV-referenced data files (positions
+       via ``_metadata.row_index`` — the plan-quality property: a delete of
+       k rows re-opens the files holding those rows, never the table), and
+    4. emits each (file, position) exactly once via streaming
+       ``dropDuplicates`` — consecutive cumulative indexes repeat old marks;
+       first-seen wins. State is O(live marks), the size of the DV metadata
+       itself, reset by compaction like the vectors.
+
+    Attribution: retractions carry the OLD row's ``_seq``; ``_row_kind`` is
+    ``'D'``. With per-commit triggers (``max_files_per_trigger=1``) marks
+    surface in commit order; one availableNow batch surfaces them all at
+    once (cumulative indexes make that value-identical, order aside).
+
+    KNOWN LIMIT (same static-listing shape as the write-race note above):
+    the static side lists the DV-referenced files at STREAM BUILD time, so a
+    mark committed after the stream starts against a file the build never
+    saw joins to nothing — bounded tailing sessions (availableNow, or
+    restart-on-schedule) see every mark; an indefinitely-tailing consumer of
+    a table that is still deleting should restart periodically. Paimon's own
+    manifest-driven source is the production fix, as for the write race.
+    """
+    import dataclasses
+
+    index_dir = os.path.join(tdir, "index")
+    os.makedirs(index_dir, exist_ok=True)  # tailable even before any delete
+
+    reader = (
+        cat.spark.readStream.format("text")
+        .schema("value string")
+        .option("wholetext", "true")
+        .option("pathGlobFilter", "dv-*.json")
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    idx = reader.load(index_dir)
+    ver = F.regexp_extract(F.input_file_name(), r"/dv-(\d+)-[^/]*$", 1).cast("bigint")
+    marks = (
+        idx.select(
+            ver.alias("_dv_ver"),
+            F.from_json("value", "vectors map<string, array<bigint>>").alias("_vecs"),
+        )
+        .select("_dv_ver", F.explode("_vecs.vectors").alias("_rel", "_ps"))
+        .select(
+            "_dv_ver",
+            F.element_at(
+                F.split(F.regexp_replace("_rel", r"\\", "/"), "/"), -1
+            ).alias(_DV_FILE),
+            F.explode("_ps").alias(_DV_POS),
+        )
+    )
+
+    snaps = cat._snapshots(tdir)
+    baseline: dict = {}
+    if from_version is not None:
+        marks = marks.filter(F.col("_dv_ver") >= F.lit(from_version))
+        prior = [s for s in snaps if s.snapshot_id < from_version]
+        if prior:
+            # the resume baseline: cumulative vectors at from_version - 1 —
+            # everything below was retracted before the consumer's position
+            baseline = cat._dv_vectors(tdir, prior[-1])
+    if baseline:
+        base_pairs = [
+            (os.path.basename(rel.replace("\\", "/")), int(p))
+            for rel, ps in baseline.items()
+            for p in ps
+        ]
+        base_df = cat.spark.createDataFrame(
+            base_pairs, f"{_DV_FILE} string, {_DV_POS} bigint"
+        )
+        marks = marks.join(F.broadcast(base_df), [_DV_FILE, _DV_POS], "left_anti")
+
+    entries = _dv_referenced_entries(tdir, snaps)
+    if not entries:
+        empty = cat.spark.createDataFrame([], schema.spark_schema())
+        old_df = empty.select(
+            "*",
+            F.lit(None).cast("bigint").alias(SEQ_COL),
+            F.lit(None).cast("string").alias(KIND_COL),
+            F.lit(None).cast("string").alias(_DV_FILE),
+            F.lit(None).cast("bigint").alias(_DV_POS),
+        )
+    else:
+        snap = dataclasses.replace(snaps[-1], files=sorted(entries.values(), key=lambda f: f["path"]))
+        old_df = cat._read_files(tdir, schema, snap, with_pos=True).withColumn(
+            _DV_FILE, F.element_at(F.split(F.col(_DV_FILE), "/"), -1)
+        )
+    return (
+        marks.join(old_df, [_DV_FILE, _DV_POS])  # stream-static: recover images
+        .dropDuplicates([_DV_FILE, _DV_POS])  # cumulative indexes repeat marks
+        .select(
+            *[F.col(f.name) for f in schema.fields],
+            F.col(SEQ_COL),
+            F.lit("D").alias(KIND_COL),
+        )
+    )
+
+
+def _dv_referenced_entries(tdir: str, snaps: list) -> dict[str, dict]:
+    """Manifest entries (by file basename) for ONLY the data files any
+    existing DV index references — the -D static side's read set. Each index
+    JSON is driver-held metadata by construction, and marks are bounded by
+    deletions since the last compaction, so a k-row delete stream re-opens
+    the files holding those k rows, never the table (the plan-quality
+    property ``tests/test_dv_stream.py`` pins). A referenced file whose
+    manifest entry has been expired away is skipped: its marks belong to
+    history a resume position past expiry never replays."""
+    import glob as _glob
+
+    referenced: set[str] = set()
+    for p in _glob.glob(os.path.join(tdir, "index", "dv-*.json")):
+        try:
+            vecs = read_json(p).get("vectors", {})
+        except (OSError, ValueError):
+            continue
+        referenced.update(os.path.basename(rel.replace("\\", "/")) for rel in vecs)
+    entries: dict[str, dict] = {}
+    for s in snaps:
+        for f in s.files:
+            base = os.path.basename(f["path"].replace("\\", "/"))
+            if base in referenced:
+                entries.setdefault(base, f)
+    return entries
 
 
 def _reject_renamed_columns(cat: WarehouseCatalog, tdir: str, schema) -> None:

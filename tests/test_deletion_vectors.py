@@ -246,9 +246,10 @@ def test_metadata_row_count_eligibility(cat, spark):
 
 
 def test_dv_changelog_guards(cat, spark, tmp_path):
-    """'input' changelog and streaming tails cannot represent DV deletes
-    (pure metadata, no -D rows) — refuse loudly; the diff producer works
-    since it reads DV-applied merged states."""
+    """'input' changelog cannot represent DV deletes (pure metadata, no -D
+    rows) — refuse loudly; the diff producer works since it reads DV-applied
+    merged states, and the streaming tail (r7) unions the DV retraction
+    stream rather than refusing (full coverage in test_dv_stream.py)."""
     mk = _mk_dv(cat, spark)
     cat.insert_into("d", "t", mk([(1, "a"), (2, "b")]))
     cat.delete_where("d", "t", F.col("k") == 1)
@@ -256,8 +257,7 @@ def test_dv_changelog_guards(cat, spark, tmp_path):
         cat.table_changelog("d.t", producer="input")
     from incubator_paimon_trino_spark.streaming import read_changelog_stream
 
-    with pytest.raises(ValueError, match="deletion-vectors"):
-        read_changelog_stream(cat, "d.t")
+    assert read_changelog_stream(cat, "d.t").isStreaming
     # the lookup diff sees the delete as a -D retraction
     rows = cat.table_changelog("d.t", producer="lookup").collect()
     changes = {(r.k, r._change) for r in rows}

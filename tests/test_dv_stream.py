@@ -1,0 +1,124 @@
+"""Streaming changelog reads on deletion-vectors tables.
+
+A DV table's deletes are pure metadata (no -D data rows), so the plain file
+tail would silently drop them; ``read_changelog_stream`` unions the tail's
++rows with a retraction stream diffed from the tailed ``index/dv-*.json``
+files (``streaming/changelog._dv_retraction_stream``). These tests pin
+
+- the full availableNow stream equals insert images + DV-marked old images,
+- consumer/from-snapshot resume replays neither consumed +rows nor the
+  baseline's already-retracted marks,
+- the -D static side reads ONLY DV-referenced data files (plan quality),
+- a DV table with no deletes streams like a plain PK table (empty -D side).
+
+Reference anchor: the ``ChangelogProducer`` DDL options the reference stores
+but never executes (``common/TrinoTableOptionUtils.java:94-107``).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F  # noqa: F401
+
+from incubator_paimon_trino_spark.catalog.warehouse import WarehouseCatalog
+from incubator_paimon_trino_spark.streaming.changelog import (
+    _dv_referenced_entries,
+    read_changelog_stream,
+    run_to_completion,
+)
+
+
+@pytest.fixture()
+def cat(spark, tmp_path):
+    return WarehouseCatalog(str(tmp_path / "wh"), spark)
+
+
+def _mk(cat, spark, n=10):
+    cat.create_database("d")
+    cat.create_table(
+        "d", "t", [("k", "bigint"), ("v", "string")],
+        primary_key=["k"], options={"deletion-vectors.enabled": "true"},
+    )
+    cat.insert_into(
+        "d", "t", spark.createDataFrame([(i, f"v{i}") for i in range(n)], "k bigint, v string")
+    )
+
+
+def _rows(cat, name="d.t", qname="dvq", **kw):
+    out = run_to_completion(
+        read_changelog_stream(cat, name, **kw), qname, output_mode="append"
+    )
+    return sorted((r["_row_kind"], r["k"], r["v"]) for r in out.collect())
+
+
+def test_dv_stream_full_emits_inserts_and_retractions(cat, spark):
+    _mk(cat, spark)
+    cat.sql("UPDATE d.t SET v = 'upd' WHERE k % 3 = 0")  # snapshot 2
+    cat.sql("DELETE FROM d.t WHERE k % 2 = 0")  # snapshot 3 — pure metadata
+    exp = sorted(
+        [("I", i, f"v{i}") for i in range(10)]
+        + [("I", i, "upd") for i in (0, 3, 6, 9)]  # update new images
+        + [("D", i, f"v{i}") for i in (0, 3, 6, 9)]  # update old images
+        + [("D", 0, "upd"), ("D", 2, "v2"), ("D", 4, "v4"),
+           ("D", 6, "upd"), ("D", 8, "v8")]  # delete's live images
+    )
+    assert _rows(cat, qname="dv_full") == exp
+
+
+def test_dv_stream_consumer_resume_skips_baseline(cat, spark):
+    _mk(cat, spark)
+    cat.sql("UPDATE d.t SET v = 'upd' WHERE k % 3 = 0")  # snapshot 2
+    cat.advance_consumer("d", "t", "cdc", 3)  # 1..2 consumed downstream
+    cat.sql("DELETE FROM d.t WHERE k % 2 = 0")  # snapshot 3
+    # no +I (snapshot 3 wrote no data files); -D only for the delete's marks —
+    # the snapshot-2 baseline marks (old update images) are NOT replayed
+    exp = sorted(
+        [("D", 0, "upd"), ("D", 2, "v2"), ("D", 4, "v4"), ("D", 6, "upd"), ("D", 8, "v8")]
+    )
+    assert _rows(cat, qname="dv_resume", consumer_id="cdc") == exp
+    # from-snapshot spelling of the same position agrees
+    assert _rows(
+        cat, qname="dv_from_snap", startup_mode="from-snapshot", scan_snapshot_id=3
+    ) == exp
+
+
+def test_dv_stream_no_deletes_is_plain_tail(cat, spark):
+    _mk(cat, spark, n=4)
+    exp = sorted([("I", i, f"v{i}") for i in range(4)])
+    assert _rows(cat, qname="dv_nodel") == exp
+
+
+def test_dv_retraction_static_side_reads_only_marked_files(cat, spark):
+    """Plan quality: the -D side's batch read set is the DV-referenced files,
+    not the table — a delete touching 1 of N files re-opens 1 file."""
+    _mk(cat, spark)
+    # second commit adds more files the delete never touches
+    cat.insert_into(
+        "d", "t",
+        spark.createDataFrame([(i, f"w{i}") for i in range(100, 110)], "k bigint, v string"),
+    )
+    cat.sql("DELETE FROM d.t WHERE k = 3")  # marks exactly one position
+    tdir = cat._table_dir("d", "t")
+    snaps = cat._snapshots(tdir)
+    entries = _dv_referenced_entries(tdir, snaps)
+    live = {os.path.basename(f["path"]) for f in snaps[-1].files}
+    assert entries, "delete must reference at least one file"
+    assert set(entries) < live, "static side must be a strict subset of live files"
+    # every referenced entry really is named by a DV index
+    dv = cat._dv_vectors(tdir, snaps[-1])
+    named = {os.path.basename(rel.replace("\\", "/")) for rel in dv}
+    assert set(entries) == named
+
+
+def test_dv_stream_second_run_tails_only_new_marks(cat, spark):
+    """Two consecutive consumer-driven runs: the second sees only the delta
+    committed between them (the resumable-stream contract)."""
+    _mk(cat, spark, n=6)
+    cat.advance_consumer("d", "t", "cdc", 2)  # snapshot 1 consumed
+    cat.sql("DELETE FROM d.t WHERE k = 1")  # snapshot 2
+    assert _rows(cat, qname="dv_run1", consumer_id="cdc") == [("D", 1, "v1")]
+    cat.advance_consumer("d", "t", "cdc", 3)
+    cat.sql("DELETE FROM d.t WHERE k = 4")  # snapshot 3
+    assert _rows(cat, qname="dv_run2", consumer_id="cdc") == [("D", 4, "v4")]
