@@ -2385,6 +2385,169 @@ class WarehouseCatalog:
             F.count(F.lit(1)).alias("cnt")
         )
 
+    #: column DDL prefixes whose manifest min/max are EXACT by construction —
+    #: strings/binary are excluded because parquet writers may truncate long
+    #: values' footer min/max (the same distrust as scan.py's _MAX_STR_STAT
+    #: guard; a truncated max is merely loose for pruning but WRONG as an
+    #: answer), and complex types never carry stats.
+    _MINMAX_EXACT_TYPES = (
+        "tinyint", "smallint", "int", "integer", "bigint", "long", "short",
+        "byte", "float", "double", "real", "decimal", "date", "timestamp",
+        "boolean",
+    )
+
+    def metadata_min_max(
+        self, name: str, columns: list[str], predicate: list | None = None
+    ) -> dict[str, dict] | None:
+        """MIN(col)/MAX(col)/COUNT(col) answered from MANIFESTS alone, or
+        None when only a scan is exact — the completion of the r6 metadata
+        aggregation (``metadata_row_count`` above): the per-file min/max/
+        null-count stats that already drive scan pruning are summable into
+        the exact global extremes under the soundness conditions
+
+        - append-only table (merge-on-read and DV marks change live values a
+          file's footer cannot see), with the predicate absent or
+          partition-only and EXACTLY decided per surviving file — the same
+          A8 ``_limit_pushable`` guard as the count pushdown;
+        - every requested column has a numeric/date/timestamp/boolean/decimal
+          type (``_MINMAX_EXACT_TYPES`` — string footer stats may be
+          writer-truncated, so they prune but never answer) and EVERY
+          surviving file carries a stats entry for it (one stats-missing
+          file → the scan knows, we don't), or is a partition column (exact
+          values live in the path, no footer involved);
+        - a file that is provably all-null for the column (stats present,
+          min/max None) contributes nothing to MIN/MAX and zero to
+          COUNT(col) — matching SQL's null-ignoring aggregates.
+
+        Returns ``{column: {"min", "max", "count"}}`` with min/max in the
+        normalized manifest representation (ints/floats native; decimals and
+        date/timestamps as their canonical strings — ``scan._norm``'s form);
+        min/max are None when every row is null. The reference pushes no
+        aggregation at all (no ``applyAggregation`` in
+        ``common/TrinoMetadataBase.java``); engines it plugs into answer
+        these from stats, and at 100 TB this is a metadata read replacing a
+        full-column scan.
+        """
+        from incubator_paimon_trino_spark.catalog.scan import (
+            _key,
+            _norm,
+            partition_values,
+        )
+
+        db, _, table = name.partition(".")
+        tdir = self._table_dir(db, table)
+        schema = self._latest_schema(tdir)
+        if schema.primary_key:
+            return None
+        snap = self._latest_snapshot(tdir)
+        if snap is None:
+            return {c: {"min": None, "max": None, "count": 0} for c in columns}
+        files = self._pruned_files(tdir, schema, snap, predicate)
+        if not _limit_pushable(schema, predicate, files):
+            return None
+        parts = set(schema.partition_keys)
+        out: dict[str, dict] = {}
+        for col in columns:
+            f = schema.field_by_name(col)  # KeyError on unknown = caller bug
+            if not f.type.lower().startswith(self._MINMAX_EXACT_TYPES):
+                return None
+            lo = hi = None
+            cnt = 0
+            for e in files:
+                total = e.get("record_count")
+                if total is None:
+                    return None
+                if total == 0:
+                    continue  # empty file (no rows, often no stats): nothing
+                if col in parts:
+                    pv = partition_values(e["path"])
+                    if col not in pv:
+                        return None  # renamed path column → not exact
+                    raw = pv[col]
+                    if raw is None:
+                        continue  # hive null partition: all rows null
+                    try:
+                        flo = fhi = _norm(raw, f.type)
+                    except (TypeError, ValueError, ArithmeticError):
+                        return None
+                    if flo is None:
+                        return None
+                    fcnt = total
+                else:
+                    s = (e.get("stats") or {}).get(str(f.id))
+                    if s is None or s.get("nulls") is None:
+                        return None  # stats-missing file → only the scan knows
+                    flo, fhi = s.get("min"), s.get("max")
+                    fcnt = total - int(s["nulls"])
+                    if flo is None:
+                        if fcnt != 0:
+                            return None  # values exist but no extremes recorded
+                        continue  # provably all-null file
+                cnt += fcnt
+                if lo is None or _key(flo, f.type) < _key(lo, f.type):
+                    lo = flo
+                if hi is None or _key(fhi, f.type) > _key(hi, f.type):
+                    hi = fhi
+            out[col] = {"min": lo, "max": hi, "count": cnt}
+        return out
+
+    def column_extremes(
+        self, name: str, columns: list[str], predicate: list | None = None
+    ) -> DataFrame:
+        """One-row DataFrame ``min_<c>, max_<c>, count_<c>`` per requested
+        column: manifest-answered when ``metadata_min_max`` can (no data file
+        opened — plan pinned scan-free in ``tests/test_plan_quality.py``),
+        else the regular scan plan's aggregate. Both paths produce the
+        table's declared column types, so callers can't tell which answered
+        — except by the plan."""
+        import datetime as _dt
+        import decimal as _dec
+
+        db, _, table = name.partition(".")
+        schema = self.schema_of(db, table)
+        meta = self.metadata_min_max(name, columns, predicate)
+        if meta is None:
+            df = self.read_table(name, predicate=predicate)
+            aggs = []
+            for c in columns:
+                aggs += [
+                    F.min(c).alias(f"min_{c}"),
+                    F.max(c).alias(f"max_{c}"),
+                    F.count(c).cast("bigint").alias(f"count_{c}"),
+                ]
+            return df.agg(*aggs)
+
+        def revive(v, ddl: str):
+            # normalized manifest form → Python value Spark maps to the type
+            if v is None:
+                return None
+            d = ddl.lower()
+            if d == "date":
+                return _dt.date.fromisoformat(v)
+            if d.startswith("timestamp"):
+                return _dt.datetime.fromisoformat(v)
+            if d.startswith("decimal"):
+                return _dec.Decimal(v)
+            if d in ("float", "double", "real"):
+                return float(v)
+            return v
+
+        from pyspark.sql import types as T
+
+        row, fields = [], []
+        spark_t = {f.name: t for f, t in zip(schema.fields, schema.spark_schema().fields)}
+        for c in columns:
+            f = schema.field_by_name(c)
+            t = spark_t[c].dataType
+            row += [revive(meta[c]["min"], f.type), revive(meta[c]["max"], f.type),
+                    int(meta[c]["count"])]
+            fields += [
+                T.StructField(f"min_{c}", t),
+                T.StructField(f"max_{c}", t),
+                T.StructField(f"count_{c}", T.LongType(), nullable=False),
+            ]
+        return self.spark.createDataFrame([tuple(row)], T.StructType(fields))
+
     # ---------------------------------------------------- deletion vectors
     # Paimon's ``deletion-vectors.enabled`` (DV mode): instead of merging
     # row versions at read time, each commit MARKS the positions of the

@@ -1295,6 +1295,89 @@ def lake_consumer_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @register(
+    "lake_metadata_min_max",
+    oracle="""
+    WITH src AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 10 = 0 THEN NULL
+                  ELSE CAST(o_totalprice AS DOUBLE) END AS price,
+             CAST(year(o_orderdate) AS INT) AS order_year
+      FROM orders WHERE o_orderkey <= 4000
+    )
+    SELECT 'full' AS scope,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key,
+           MIN(price) AS min_price, MAX(price) AS max_price,
+           CAST(COUNT(price) AS BIGINT) AS cnt_price,
+           MIN(order_year) AS min_year, MAX(order_year) AS max_year
+    FROM src
+    UNION ALL
+    SELECT 'y1995',
+           CAST(MIN(o_orderkey) AS BIGINT), CAST(MAX(o_orderkey) AS BIGINT),
+           MIN(price), MAX(price), CAST(COUNT(price) AS BIGINT),
+           MIN(order_year), MAX(order_year)
+    FROM src WHERE order_year = 1995
+    """,
+)
+def lake_metadata_min_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only MIN/MAX/COUNT(col) under the hash gate — the completion
+    of ``lake_metadata_count``'s aggregate pushdown: the per-file footer
+    stats that drive scan pruning answer the extremes exactly, under the
+    same A8 exactly-decided guard (append-only table, partition-only
+    predicate, every surviving file carrying stats for the column; string
+    columns always fall back — writer-truncated footer stats prune but never
+    answer). Two scopes: the full table and a partition-pruned slice; a
+    nullable double exercises the null-ignoring count. No data file is
+    opened (plan pinned scan-free in tests/test_plan_quality.py); the
+    reference has no ``applyAggregation`` at all.
+    """
+    from incubator_paimon_trino_spark.functions.predicates import ColumnDomain
+
+    cat = _fresh_catalog(spark)
+    cat.create_database("lake")
+    cat.create_table(
+        "lake",
+        "om",
+        [("o_orderkey", "bigint"), ("price", "double"), ("order_year", "int")],
+        partitioned_by=["order_year"],
+    )
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 4000)
+        .select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 10 == 0, F.lit(None))
+            .otherwise(F.col("o_totalprice").cast("double"))
+            .alias("price"),
+            F.year("o_orderdate").alias("order_year"),
+        )
+    )
+    cat.insert_into("lake", "om", o)
+    cols = ["o_orderkey", "price", "order_year"]
+    pred = [ColumnDomain("order_year", op="=", value=1995)]
+    # the metadata path must answer both scopes — the fixture satisfies the
+    # guard by construction, so a None here is a regression, not a fallback
+    assert cat.metadata_min_max("lake.om", cols) is not None
+    assert cat.metadata_min_max("lake.om", cols, predicate=pred) is not None
+
+    def shaped(df: DataFrame, scope: str) -> DataFrame:
+        return df.select(
+            F.lit(scope).alias("scope"),
+            F.col("min_o_orderkey").alias("min_key"),
+            F.col("max_o_orderkey").alias("max_key"),
+            F.col("min_price"),
+            F.col("max_price"),
+            F.col("count_price").alias("cnt_price"),
+            F.col("min_order_year").alias("min_year"),
+            F.col("max_order_year").alias("max_year"),
+        )
+
+    full = shaped(cat.column_extremes("lake.om", cols), "full")
+    y1995 = shaped(cat.column_extremes("lake.om", cols, predicate=pred), "y1995")
+    return full.unionByName(y1995)
+
+
+@register(
     "lake_metadata_count",
     oracle="""
     SELECT 'full' AS scope, CAST(COUNT(*) AS BIGINT) AS cnt

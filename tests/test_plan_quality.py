@@ -327,6 +327,16 @@ def test_metadata_count_opens_no_data_file(spark):
     assert "LocalTableScan" in plan or "ExistingRDD" in plan
 
 
+def test_metadata_min_max_opens_no_data_file(spark):
+    """MIN/MAX/COUNT(col) from manifest footer stats: both scopes of the
+    registered query must plan as local scans with no FileScan — the
+    extremes come from the same stats that drive pruning, never a read."""
+    df = _q("lake_metadata_min_max")(spark, SF_SMOKE)
+    plan = physical_plan(df)
+    assert "FileScan" not in plan
+    assert "LocalTableScan" in plan or "ExistingRDD" in plan
+
+
 def test_incremental_minhash_probe_is_equi_join(spark):
     """The incremental near-dup probe must join batch bands against the
     corpus band index with an equi hash join — no cartesian/nested-loop,
