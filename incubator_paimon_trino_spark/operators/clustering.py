@@ -295,6 +295,107 @@ def dedup_embedding_cosine_blocked(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+# top-nprobe trained cells per vector, zero-shuffle: the same broadcast
+# argmin fold as _BEST but keeping the 2 nearest (slice of the sorted array)
+_TOP2 = """
+slice(array_sort(transform(cents, s -> named_struct(
+  'd', aggregate(zip_with(q, s.c, (a, b) -> (a - b) * (a - b)),
+                 CAST(0 AS BIGINT), (acc, x) -> acc + x),
+  'cell', s.cell))), 1, 2)
+"""
+
+
+@register(
+    "dedup_semantic_ivf",
+    oracle=f"""
+    WITH {_KMEANS_CTES},
+    alld AS (
+      SELECT e.vec_id, c.cell,
+             CAST(list_sum(list_transform(list_zip(e.q, c.c),
+                  p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d
+      FROM e, c2 c
+    ),
+    probes AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS r
+        FROM alld)
+      WHERE r <= 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM probes a JOIN probes b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    ),
+    emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    scored AS (
+      SELECT vec_a, vec_b,
+             list_dot_product(ea.v, eb.v)
+             / (sqrt(list_dot_product(ea.v, ea.v))
+                * sqrt(list_dot_product(eb.v, eb.v))) AS cosine
+      FROM cand
+      JOIN emb ea ON ea.vec_id = vec_a
+      JOIN emb eb ON eb.vec_id = vec_b
+    )
+    SELECT vec_a, vec_b, ROUND(cosine, 6) AS cosine_r
+    FROM scored WHERE cosine >= 0.4
+    """,
+)
+def dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-scale SEMANTIC dedup — the embedding-space twin of the
+    incremental MinHash probe: every vector is indexed under its 2 nearest
+    TRAINED IVF cells (multi-probe assignment instead of
+    ``dedup_embedding_cosine_blocked``'s single cell), candidate pairs come
+    from sharing ANY indexed cell, and exact cosine >= 0.4 verifies. The
+    second-choice cell is what recovers boundary pairs a single-probe block
+    split apart — the recall fix the blocked dedup documents as its known
+    loss.
+
+    Deterministic end to end: cell training and the per-vector top-2 cell
+    ranking are integer-exact (module docstring), so both engines index
+    every vector identically and the candidate sets match; the oracle
+    replays the same multi-probe algorithm over the shared k-means CTEs.
+
+    Scale shape: the top-2 assignment is the same zero-shuffle broadcast
+    fold as the argmin (k x d ints per row, inside codegen) — the corpus is
+    never shuffled to be indexed; the index is ~2 skinny rows/vector (in
+    production a maintained lake table, exactly like the MinHash band
+    index); candidates come from one equi-join on the cell id, so per-pair
+    work is sum over cells of |cell|^2 with 2x multi-probe overlap, never
+    O(n^2).
+    """
+    from incubator_paimon_trino_spark.operators.similarity import (
+        _dot,
+        embeddings_normalized,
+    )
+
+    e, cents, _ = _trained_cells(spark, sf_dir)
+    cent_row = cents.agg(F.sort_array(F.collect_list(F.struct("cell", "c"))).alias("cents"))
+    multi = (
+        e.crossJoin(F.broadcast(cent_row))
+        .select("vec_id", F.explode(F.expr(_TOP2)).alias("p"))
+        .select("vec_id", F.col("p.cell").alias("cell"))
+    )
+    cand = (
+        multi.alias("a")
+        .join(multi.alias("b"), "cell")
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+        )
+        .dropDuplicates()
+    )
+    en = embeddings_normalized(spark, sf_dir)
+    ea = en.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea"), F.col("norm").alias("na"))
+    eb = en.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("eb"), F.col("norm").alias("nb"))
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .withColumn("cosine", _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")))
+        .filter(F.col("cosine") >= 0.4)
+        .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine_r"))
+    )
+
+
 _IVF_NQ = 5  # query vectors (vec_id 0..4), like similarity._N_QUERIES
 _IVF_NPROBE = 2  # trained cells each query probes
 _IVF_TOPK = 10

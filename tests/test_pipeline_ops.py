@@ -280,6 +280,26 @@ def test_blocked_embedding_dedup_subset_and_recall(spark):
     assert top_pair in blocked
 
 
+def test_semantic_ivf_dedup_dominates_single_probe(spark):
+    """Multi-probe semantic dedup must (a) stay a subset of the exact
+    O(n^2) pair set, (b) contain EVERY pair the single-probe blocked dedup
+    finds (probe 1 is the blocked cell, so multi-probe candidates are a
+    superset by construction), and (c) with near-orthogonal driver
+    embeddings — the blocking worst case — recall at least as much."""
+    from incubator_paimon_trino_spark.operators.clustering import (
+        dedup_embedding_cosine_blocked,
+        dedup_semantic_ivf,
+    )
+    from incubator_paimon_trino_spark.operators.dedup import dedup_embedding_cosine
+
+    exact = {(r.vec_a, r.vec_b) for r in dedup_embedding_cosine(spark, SF_ORACLE).collect()}
+    blocked = {(r.vec_a, r.vec_b) for r in dedup_embedding_cosine_blocked(spark, SF_ORACLE).collect()}
+    multi = {(r.vec_a, r.vec_b) for r in dedup_semantic_ivf(spark, SF_ORACLE).collect()}
+    assert multi <= exact
+    assert blocked <= multi
+    assert len(multi) >= len(blocked)
+
+
 def test_kmeans_invariant_under_repartitioning(spark):
     """The scale claim made concrete: because every k-means step is
     integer-exact and order-independent, re-laying-out the corpus (as a

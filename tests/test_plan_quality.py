@@ -318,6 +318,17 @@ def test_ivf_kmeans_probe_no_cartesian_equi_join_on_cell(spark):
     assert "cell" in plan
 
 
+def test_semantic_ivf_dedup_no_cartesian(spark):
+    """Multi-probe semantic dedup: the corpus is indexed by a zero-shuffle
+    broadcast fold (k x d centroids), candidates come from an equi-join on
+    the cell id — never a cartesian of the corpus."""
+    df = _q("dedup_semantic_ivf")(spark, SF_SMOKE)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "Broadcast" in plan
+    assert "cell" in plan
+
+
 def test_metadata_count_opens_no_data_file(spark):
     """COUNT(*) from manifests: the returned plan must be a local scan —
     no FileScan anywhere (aggregate pushdown the reference lacks)."""
