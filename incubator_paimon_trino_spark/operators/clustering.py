@@ -295,6 +295,220 @@ def dedup_embedding_cosine_blocked(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+# ------------------------------------------------- product quantization
+_PQ_M = 4  # subspaces (64-dim embeddings -> 16-dim sub-vectors)
+_PQ_NQ = 5  # query vectors (vec_id 0..4)
+_PQ_TOPK = 10
+
+# per-(row, subspace) argmin over THAT subspace's broadcast codebook — the
+# same zero-shuffle fold as _BEST with the codebook array pre-filtered by sub
+_PQ_BEST = """
+array_sort(transform(filter(cents, s -> s.sub = sub), s -> named_struct(
+  'd', aggregate(zip_with(qs, s.c, (a, b) -> (a - b) * (a - b)),
+                 CAST(0 AS BIGINT), (acc, x) -> acc + x),
+  'cell', s.cell)))[0]
+"""
+
+
+def _pq_subvectors(e: DataFrame) -> DataFrame:
+    """(vec_id, sub, qs): each quantized vector split into _PQ_M contiguous
+    sub-vectors — a pure map (explode of in-row slices), no shuffle."""
+    w = f"(size(q) div {_PQ_M})"
+    return e.select(
+        "vec_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {_PQ_M - 1}), m -> named_struct("
+                f"'sub', m, 'qs', slice(q, m * {w} + 1, {w})))"
+            )
+        ).alias("s"),
+    ).select("vec_id", F.col("s.sub").alias("sub"), F.col("s.qs").alias("qs"))
+
+
+def _pq_assign(sv: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, sub, qs, cell): nearest same-subspace codeword per
+    sub-vector — broadcast codebooks (_PQ_M x k x d/_PQ_M ints) + map."""
+    cent_row = cents.agg(
+        F.sort_array(F.collect_list(F.struct("sub", "cell", "c"))).alias("cents")
+    )
+    return (
+        sv.crossJoin(F.broadcast(cent_row))
+        .withColumn("best", F.expr(_PQ_BEST))
+        .select("vec_id", "sub", "qs", F.col("best.cell").alias("cell"))
+    )
+
+
+def _pq_update(assigned: DataFrame) -> DataFrame:
+    """(sub, cell, c): per-codeword integer mean, floor(sum/count) per
+    component — the _update fold with the subspace in the key."""
+    pe = assigned.select("sub", "cell", F.posexplode("qs").alias("pos", "val"))
+    comp = pe.groupBy("sub", "cell", "pos").agg(
+        F.sum("val").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    m = comp.withColumn("m", F.floor(F.col("s").cast("double") / F.col("n")).cast("bigint"))
+    return m.groupBy("sub", "cell").agg(
+        F.expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)").alias("c")
+    )
+
+
+def _pq_trained(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(subvector corpus, trained codebooks, final codes) after the standard
+    seed (sub-vectors of vec_id 0..k-1) + _ITERS Lloyd rounds per subspace —
+    the PQ twin of _trained_cells, trained jointly with ``sub`` in every
+    key so one DAG trains all _PQ_M codebooks."""
+    sv = _pq_subvectors(_corpus(spark, sf_dir))
+    cents = sv.filter(F.col("vec_id") < _K).select(
+        "sub", F.col("vec_id").cast("int").alias("cell"), F.col("qs").alias("c")
+    )
+    for _ in range(_ITERS):
+        cents = _pq_update(_pq_assign(sv, cents)).localCheckpoint(eager=False)
+    return sv, cents, _pq_assign(sv, cents).select("vec_id", "sub", "cell")
+
+
+# the shared PQ oracle chain: sub-vector split -> seed -> 2 Lloyd rounds ->
+# final codes ``pqf(vec_id, sub, cell)`` + trained codebooks ``pc2``
+_PQ_CTES = f"""
+e AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(round(x * {_SCALE}) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    sv AS (
+      SELECT vec_id, m AS sub,
+             list_slice(q, m * (len(q) // {_PQ_M}) + 1,
+                        (m + 1) * (len(q) // {_PQ_M})) AS qs
+      FROM e, UNNEST(range(0, {_PQ_M})) AS t(m)
+    ),
+    psx AS (
+      SELECT vec_id, sub, unnest(qs) AS val,
+             unnest(generate_series(1, len(qs))) AS pos
+      FROM sv
+    ),
+    pc0 AS (SELECT sub, CAST(vec_id AS INT) AS cell, qs AS c FROM sv WHERE vec_id < {_K}),
+    pa0 AS (
+      SELECT vec_id, sub, cell FROM (
+        SELECT vec_id, sub, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d, cell) AS r
+        FROM (SELECT s.vec_id, s.sub, c.cell,
+                     CAST(list_sum(list_transform(list_zip(s.qs, c.c),
+                          p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d
+              FROM sv s JOIN pc0 c ON c.sub = s.sub))
+      WHERE r = 1
+    ),
+    pu1 AS (
+      SELECT a.sub, a.cell, p.pos,
+             CAST(FLOOR(CAST(SUM(p.val) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
+      FROM pa0 a JOIN psx p ON p.vec_id = a.vec_id AND p.sub = a.sub
+      GROUP BY a.sub, a.cell, p.pos
+    ),
+    pc1 AS (SELECT sub, cell, list(m ORDER BY pos) AS c FROM pu1 GROUP BY sub, cell),
+    pa1 AS (
+      SELECT vec_id, sub, cell FROM (
+        SELECT vec_id, sub, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d, cell) AS r
+        FROM (SELECT s.vec_id, s.sub, c.cell,
+                     CAST(list_sum(list_transform(list_zip(s.qs, c.c),
+                          p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d
+              FROM sv s JOIN pc1 c ON c.sub = s.sub))
+      WHERE r = 1
+    ),
+    pu2 AS (
+      SELECT a.sub, a.cell, p.pos,
+             CAST(FLOOR(CAST(SUM(p.val) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
+      FROM pa1 a JOIN psx p ON p.vec_id = a.vec_id AND p.sub = a.sub
+      GROUP BY a.sub, a.cell, p.pos
+    ),
+    pc2 AS (SELECT sub, cell, list(m ORDER BY pos) AS c FROM pu2 GROUP BY sub, cell),
+    pqf AS (
+      SELECT vec_id, sub, cell FROM (
+        SELECT vec_id, sub, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d, cell) AS r
+        FROM (SELECT s.vec_id, s.sub, c.cell,
+                     CAST(list_sum(list_transform(list_zip(s.qs, c.c),
+                          p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d
+              FROM sv s JOIN pc2 c ON c.sub = s.sub))
+      WHERE r = 1
+    )
+"""
+
+
+@register(
+    "ann_pq_adc",
+    oracle=f"""
+    WITH {_PQ_CTES},
+    qd AS (
+      SELECT s.vec_id AS query_id, s.sub, c.cell,
+             CAST(list_sum(list_transform(list_zip(s.qs, c.c),
+                  p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d
+      FROM sv s JOIN pc2 c ON c.sub = s.sub
+      WHERE s.vec_id < {_PQ_NQ}
+    ),
+    adc AS (
+      SELECT q.query_id, a.vec_id AS neighbor_id, CAST(SUM(q.d) AS BIGINT) AS adc
+      FROM pqf a JOIN qd q ON q.sub = a.sub AND q.cell = a.cell
+      WHERE a.vec_id <> q.query_id
+      GROUP BY q.query_id, a.vec_id
+    )
+    SELECT query_id, neighbor_id, adc, rnk
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY adc, neighbor_id) AS rnk
+          FROM adc)
+    WHERE rnk <= {_PQ_TOPK}
+    """,
+)
+def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric-distance scoring — the
+    compressed-index path next to the IVF probe: each 64-dim embedding is
+    stored as {_PQ_M} one-byte codes (its nearest trained codeword per
+    16-dim subspace), and a query scores a candidate WITHOUT touching the
+    original vector — the sum over subspaces of the exact distance from the
+    query's sub-vector to the candidate's codeword (ADC). Top-{_PQ_TOPK}
+    per query by ascending ADC distance.
+
+    Deterministic end to end: codebook training is the same integer-exact
+    Lloyd fold as the k-means module (seeded per subspace by vec_id 0..7's
+    sub-vectors), codes are integer argmins, and ADC sums integers — both
+    engines rank identically, so this is value-hash oracle-able like the
+    trained IVF probe.
+
+    Scale shape: codebooks broadcast ({_PQ_M} x 8 codewords x 16 ints); the
+    corpus is encoded in place by the same zero-shuffle fold as the k-means
+    assignment and stored as {_PQ_M} smallints/vector (a 64x compression of
+    the index the production swap stores as a lake table); scoring is one
+    equi-join of codes against the per-query lookup table on (sub, cell) —
+    k x {_PQ_M} rows per query — then a sum per (query, candidate): no
+    original-vector reads, no cartesian of the corpus.
+    """
+    from pyspark.sql import Window as W
+
+    sv, cents, codes = _pq_trained(spark, sf_dir)
+    q = sv.filter(F.col("vec_id") < _PQ_NQ).select(
+        F.col("vec_id").alias("query_id"), "sub", "qs"
+    )
+    dist = F.expr(
+        "aggregate(zip_with(qs, c, (a, b) -> (a - b) * (a - b)), "
+        "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+    qd = (
+        q.join(F.broadcast(cents), "sub")
+        .withColumn("d", dist)
+        .select("query_id", "sub", "cell", "d")
+    )
+    adc = (
+        codes.join(qd, ["sub", "cell"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("d").cast("bigint").alias("adc"))
+    )
+    w = W.partitionBy("query_id").orderBy("adc", "neighbor_id")
+    return (
+        adc.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _PQ_TOPK)
+        .select("query_id", "neighbor_id", "adc", "rnk")
+    )
+
+
 # top-nprobe trained cells per vector, zero-shuffle: the same broadcast
 # argmin fold as _BEST but keeping the 2 nearest (slice of the sorted array)
 _TOP2 = """

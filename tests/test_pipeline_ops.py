@@ -300,6 +300,39 @@ def test_semantic_ivf_dedup_dominates_single_probe(spark):
     assert len(multi) >= len(blocked)
 
 
+def test_pq_adc_ranks_sanely_vs_exact_l2(spark):
+    """PQ/ADC top-10 must (a) be a dense self-excluding ranking and (b)
+    recall far more of the exact integer-L2 top-10 than chance. Random
+    near-orthogonal embeddings are PQ's worst case (measured ~13/50 here;
+    chance is ~1/50), so the floor is modest."""
+    import numpy as np
+    import pandas as pd
+
+    from incubator_paimon_trino_spark.operators.clustering import _SCALE, ann_pq_adc
+
+    pq = ann_pq_adc(spark, SF_ORACLE).toPandas()
+    assert set(pq.query_id) == set(range(5))
+    for q in range(5):
+        part = pq[pq.query_id == q]
+        assert sorted(part.rnk) == list(range(1, 11))
+        assert (part.neighbor_id != q).all()
+        # ADC ascending with the ranking
+        assert part.sort_values("rnk").adc.is_monotonic_increasing
+
+    emb = pd.read_parquet(f"{SF_ORACLE}/embeddings.parquet")
+    V = np.round(np.stack(emb.embedding.values).astype(np.float64) * _SCALE).astype(np.int64)
+    ids = emb.vec_id.values
+    total = 0
+    for q in range(5):
+        qi = np.where(ids == q)[0][0]
+        d = ((V - V[qi]) ** 2).sum(axis=1)
+        order = sorted(range(len(ids)), key=lambda i: (d[i], ids[i]))
+        exact = {ids[i] for i in order if ids[i] != q}
+        exact = set(list(sorted(exact, key=lambda v: (d[np.where(ids == v)[0][0]], v)))[:10])
+        total += len(exact & set(pq[pq.query_id == q].neighbor_id))
+    assert total >= 5
+
+
 def test_kmeans_invariant_under_repartitioning(spark):
     """The scale claim made concrete: because every k-means step is
     integer-exact and order-independent, re-laying-out the corpus (as a

@@ -329,6 +329,18 @@ def test_semantic_ivf_dedup_no_cartesian(spark):
     assert "cell" in plan
 
 
+def test_pq_adc_scores_codes_not_vectors(spark):
+    """PQ/ADC: codebooks broadcast, scoring is an equi-join of codes
+    against the per-query lookup table on (sub, cell) — no cartesian, and
+    the candidate scoring never touches the embedding column (the whole
+    point of ADC: only the training/encoding stages read vectors)."""
+    df = _q("ann_pq_adc")(spark, SF_SMOKE)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "Broadcast" in plan
+    assert "cell" in plan and "sub" in plan
+
+
 def test_metadata_count_opens_no_data_file(spark):
     """COUNT(*) from manifests: the returned plan must be a local scan —
     no FileScan anywhere (aggregate pushdown the reference lacks)."""
