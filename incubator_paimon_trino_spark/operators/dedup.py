@@ -602,7 +602,14 @@ def _md5_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries. Occurrence-level shingles: MIN is duplicate-insensitive, so
     signatures match the oracle's DISTINCT-shingle CTE exactly (see
     ``minhash_signatures``)."""
-    tok = _raw_shingles(table(spark, sf_dir, "documents"))
+    return _md5_signatures_of(table(spark, sf_dir, "documents"))
+
+
+def _md5_signatures_of(docs: DataFrame) -> DataFrame:
+    """The same sketch over an arbitrary (doc_id, text) DataFrame — lets the
+    lake-integrated pipelines (changelog batches, consumer backlogs) sign
+    exactly like the registered documents-table queries."""
+    tok = _raw_shingles(docs)
     aggs = [
         F.min(_md5_int(F.concat_ws(":", "s", F.lit(str(i))))).alias(f"m{i}")
         for i in range(_MD5_PERMS)
@@ -948,9 +955,11 @@ def dedup_chunk_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_incremental_minhash_md5",
-    oracle="""
+# shared by dedup_incremental_minhash_md5 and the lake-integrated
+# streaming_incremental_minhash (operators/lake.py): both compute the same
+# batch-probes-corpus-index result over the same %10 split, one from the
+# documents table directly, one from a changelog stream of it.
+_INCR_MINHASH_ORACLE = """
     WITH sh AS (
       SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS s
       FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
@@ -995,8 +1004,10 @@ def dedup_chunk_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     LEFT JOIN (SELECT doc_id, cand_id, est_jaccard FROM ranked WHERE r = 1) b
       ON b.doc_id = d.doc_id
     LEFT JOIN agg a ON a.doc_id = d.doc_id
-    """,
-)
+    """
+
+
+@register("dedup_incremental_minhash_md5", oracle=_INCR_MINHASH_ORACLE)
 def dedup_incremental_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental NEAR-dup detection — the fuzzy twin of
     ``dedup_incremental_new_batch``'s exact-fingerprint path: the new batch

@@ -1423,3 +1423,114 @@ def lake_metadata_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [("full", full), ("y1995", y1995), ("dv_nation", dv_cnt)], "scope string, cnt bigint"
     )
+
+
+from incubator_paimon_trino_spark.operators.dedup import (  # noqa: E402
+    _INCR_MINHASH_ORACLE,
+    _md5_bands,
+    _md5_est,
+    _md5_signatures_of,
+)
+
+
+@register("streaming_incremental_minhash", oracle=_INCR_MINHASH_ORACLE)
+def streaming_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental near-dup — the r6 incremental MinHash probe fed
+    from a LIVE changelog stream with consumer checkpointing, closing the
+    loop between the resumable stream and the incremental trio: the corpus
+    (doc_id % 10 != 0) is ingested into a lake PK table and its band index
+    built once from the consumed state; the new batch (doc_id % 10 = 0)
+    lands as a later commit and arrives via ``read_changelog_stream(
+    consumer_id=...)``; each micro-batch signs its documents, probes the
+    corpus (band, bkey) index, appends its verdicts to the sink, and
+    advances the consumer to (max _seq seen) + 1 — exactly the
+    ``write_stream_to_table`` checkpoint discipline, so a crash replays the
+    batch (at-least-once) but never skips one. Shares its oracle with
+    ``dedup_incremental_minhash_md5``: the stream-fed pipeline must produce
+    byte-identical verdicts to the batch probe over the same split.
+
+    Scale shape: the stream reads only the backlog commits' delta files;
+    the corpus side is its persisted ~4-skinny-rows/doc band index (a
+    maintained lake table in production — here persisted across batches);
+    per batch one equi-join on (band, bkey), O(batch + matching buckets),
+    never a corpus text rescan.
+    """
+    from incubator_paimon_trino_spark.streaming.changelog import read_changelog_stream
+
+    cat = _fresh_catalog(spark)
+    cat.create_database("lake")
+    cat.create_table(
+        "lake", "docs_nd", [("doc_id", "bigint"), ("text", "string")], primary_key=["doc_id"]
+    )
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    cat.insert_into("lake", "docs_nd", d.filter(F.col("doc_id") % 10 != 0))  # corpus
+    cat.advance_consumer("lake", "docs_nd", "neardup", 2)  # corpus consumed
+    cat.insert_into("lake", "docs_nd", d.filter(F.col("doc_id") % 10 == 0))  # new batch
+
+    consumed = cat.consumer_progress("lake", "docs_nd", "neardup") - 1
+    corpus = cat.read_table("lake.docs_nd", version_as_of=consumed).select("doc_id", "text")
+    corpus_sigs = _md5_signatures_of(corpus).persist()
+    corpus_index = _md5_bands(corpus_sigs).persist()  # the maintained index
+
+    outdir = tempfile.mkdtemp(prefix="ipt_neardup_out_")
+
+    def probe(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            if batch_df.isEmpty():
+                return
+            tip = batch_df.agg(F.max("_seq")).collect()[0][0]
+            docs = batch_df.select("doc_id", "text")
+            sigs_n = _md5_signatures_of(docs)
+            cand = (
+                _md5_bands(sigs_n)
+                .join(
+                    corpus_index.select(
+                        F.col("doc_id").alias("cand_id"), "band", "bkey"
+                    ),
+                    ["band", "bkey"],
+                )
+                .select("doc_id", "cand_id")
+                .dropDuplicates()
+            )
+            sn = sigs_n.select("doc_id", F.col("sig").alias("sig_n"))
+            sc = corpus_sigs.select(F.col("doc_id").alias("cand_id"), F.col("sig").alias("sig_c"))
+            hits = (
+                cand.join(sn, "doc_id")
+                .join(sc, "cand_id")
+                .withColumn("est_jaccard", _md5_est("sig_n", "sig_c"))
+                .filter(F.col("est_jaccard") >= 0.5)
+            )
+            best = hits.groupBy("doc_id").agg(
+                F.max_by(
+                    F.col("cand_id"), F.struct(F.col("est_jaccard"), (-F.col("cand_id")))
+                ).alias("best_match"),
+                F.max("est_jaccard").alias("best_est"),
+                F.count(F.lit(1)).cast("bigint").alias("n_matches"),
+            )
+            # base = the batch's doc ids: a sub-3-word doc has no signature
+            # but must still report clean, like the batch probe's base set
+            out = docs.select("doc_id").dropDuplicates().join(best, "doc_id", "left").select(
+                "doc_id",
+                F.coalesce(F.col("best_match"), F.lit(-1)).cast("bigint").alias("best_match"),
+                F.coalesce(F.col("best_est"), F.lit(0.0)).cast("double").alias("best_est"),
+                F.coalesce(F.col("n_matches"), F.lit(0)).cast("bigint").alias("n_matches"),
+            )
+            out.write.mode("append").parquet(outdir)
+            # checkpoint AFTER the sink write lands (at-least-once, never a gap)
+            cat.advance_consumer("lake", "docs_nd", "neardup", int(tip) + 1)
+        finally:
+            batch_df.unpersist()
+
+    stream = read_changelog_stream(cat, "lake.docs_nd", consumer_id="neardup")
+    q = (
+        stream.writeStream.foreachBatch(probe)
+        .queryName("streaming_incremental_minhash_sink")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ipt_neardup_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    corpus_sigs.unpersist()
+    corpus_index.unpersist()
+    return spark.read.parquet(outdir)

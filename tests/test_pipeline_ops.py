@@ -13,7 +13,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from tests.conftest import SF_ORACLE
+from tests.conftest import SF_ORACLE, SF_SMOKE
 
 
 def _pairs(df, a="doc_a", b="doc_b"):
@@ -298,6 +298,28 @@ def test_semantic_ivf_dedup_dominates_single_probe(spark):
     assert multi <= exact
     assert blocked <= multi
     assert len(multi) >= len(blocked)
+
+
+def test_streaming_incremental_minhash_matches_batch_probe(spark):
+    """The stream-fed near-dup pipeline must produce the exact verdicts of
+    the batch probe over the same split (they share one oracle), and leave
+    the consumer checkpointed past the processed tip."""
+    from incubator_paimon_trino_spark.operators.dedup import (
+        dedup_incremental_minhash_md5,
+    )
+    from incubator_paimon_trino_spark.operators.lake import (
+        streaming_incremental_minhash,
+    )
+
+    streamed = {
+        (r.doc_id, r.best_match, r.best_est, r.n_matches)
+        for r in streaming_incremental_minhash(spark, SF_SMOKE).collect()
+    }
+    batch = {
+        (r.doc_id, r.best_match, r.best_est, r.n_matches)
+        for r in dedup_incremental_minhash_md5(spark, SF_SMOKE).collect()
+    }
+    assert streamed == batch and streamed
 
 
 def test_pq_adc_ranks_sanely_vs_exact_l2(spark):
