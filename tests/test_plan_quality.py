@@ -341,6 +341,27 @@ def test_pq_adc_scores_codes_not_vectors(spark):
     assert "cell" in plan and "sub" in plan
 
 
+def test_ivfpq_probe_no_cartesian_and_code_scored(spark):
+    """IVF-PQ: coarse probes restrict candidates via an equi-join on the
+    trained cell id, ADC ranks via an equi-join on (query, sub, codeword) —
+    no cartesian anywhere; both trained blocks are broadcast."""
+    df = _q("ann_ivfpq_probe")(spark, SF_SMOKE)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "Broadcast" in plan
+    assert "ccell" in plan
+
+
+def test_incremental_semantic_probe_is_equi_join(spark):
+    """The incremental semantic probe joins the batch's cell assignments
+    against the corpus cell index with an equi join — no cartesian/nested
+    loop over embeddings."""
+    df = _q("dedup_incremental_semantic")(spark, SF_SMOKE)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "cell" in plan
+
+
 def test_metadata_count_opens_no_data_file(spark):
     """COUNT(*) from manifests: the returned plan must be a local scan —
     no FileScan anywhere (aggregate pushdown the reference lacks)."""
