@@ -2449,7 +2449,11 @@ class WarehouseCatalog:
         out: dict[str, dict] = {}
         for col in columns:
             f = schema.field_by_name(col)  # KeyError on unknown = caller bug
-            if not f.type.lower().startswith(self._MINMAX_EXACT_TYPES):
+            col = f.name  # canonical spelling (field_by_name is case-insensitive)
+            is_part = col in parts
+            if not is_part and not f.type.lower().startswith(self._MINMAX_EXACT_TYPES):
+                # footer-stat types only; PARTITION columns bypass the gate —
+                # their values live exactly in the path, no footer involved
                 return None
             lo = hi = None
             cnt = 0
@@ -2459,7 +2463,7 @@ class WarehouseCatalog:
                     return None
                 if total == 0:
                     continue  # empty file (no rows, often no stats): nothing
-                if col in parts:
+                if is_part:
                     pv = partition_values(e["path"])
                     if col not in pv:
                         return None  # renamed path column → not exact
@@ -2483,6 +2487,12 @@ class WarehouseCatalog:
                         if fcnt != 0:
                             return None  # values exist but no extremes recorded
                         continue  # provably all-null file
+                    if flo != flo or fhi != fhi:
+                        # NaN-poisoned footer stat (Spark's writer propagates
+                        # NaN into max): NaN compares False against everything,
+                        # making the fold order-dependent, and engines disagree
+                        # on NaN's place in MIN/MAX — only the scan is exact
+                        return None
                 cnt += fcnt
                 if lo is None or _key(flo, f.type) < _key(lo, f.type):
                     lo = flo
@@ -2505,6 +2515,10 @@ class WarehouseCatalog:
 
         db, _, table = name.partition(".")
         schema = self.schema_of(db, table)
+        # canonical spellings up front: both paths then agree on output names
+        # (the metadata dict is keyed canonically; Spark aggs are case-
+        # insensitive but alias with whatever string they were given)
+        columns = [schema.field_by_name(c).name for c in columns]
         meta = self.metadata_min_max(name, columns, predicate)
         if meta is None:
             df = self.read_table(name, predicate=predicate)

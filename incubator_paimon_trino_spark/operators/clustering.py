@@ -642,10 +642,23 @@ slice(array_sort(transform(cents, s -> named_struct(
 """
 
 
-@register(
-    "dedup_semantic_ivf",
-    oracle=f"""
-    WITH {_KMEANS_CTES},
+def _multi_probe_index(e: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, cell): every vector indexed under its 2 nearest trained
+    cells — the zero-shuffle broadcast fold. SINGLE source of the candidate-
+    set definition shared by ``dedup_semantic_ivf`` and
+    ``dedup_incremental_semantic`` (its integer-exact tie-break is their
+    determinism contract; ``_MULTIPROBE_CTES`` is the oracle twin)."""
+    cent_row = cents.agg(F.sort_array(F.collect_list(F.struct("cell", "c"))).alias("cents"))
+    return (
+        e.crossJoin(F.broadcast(cent_row))
+        .select("vec_id", F.explode(F.expr(_TOP2)).alias("p"))
+        .select("vec_id", F.col("p.cell").alias("cell"))
+    )
+
+
+# oracle twin of _multi_probe_index over the shared k-means CTEs: distances
+# to the trained centroids (c2), top-2 cells per vector
+_MULTIPROBE_CTES = """
     alld AS (
       SELECT e.vec_id, c.cell,
              CAST(list_sum(list_transform(list_zip(e.q, c.c),
@@ -658,7 +671,15 @@ slice(array_sort(transform(cents, s -> named_struct(
                ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS r
         FROM alld)
       WHERE r <= 2
-    ),
+    )
+"""
+
+
+@register(
+    "dedup_semantic_ivf",
+    oracle=f"""
+    WITH {_KMEANS_CTES},
+    {_MULTIPROBE_CTES},
     cand AS (
       SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
       FROM probes a JOIN probes b ON a.cell = b.cell AND a.vec_id < b.vec_id
@@ -706,12 +727,7 @@ def dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     e, cents, _ = _trained_cells(spark, sf_dir)
-    cent_row = cents.agg(F.sort_array(F.collect_list(F.struct("cell", "c"))).alias("cents"))
-    multi = (
-        e.crossJoin(F.broadcast(cent_row))
-        .select("vec_id", F.explode(F.expr(_TOP2)).alias("p"))
-        .select("vec_id", F.col("p.cell").alias("cell"))
-    )
+    multi = _multi_probe_index(e, cents)
     cand = (
         multi.alias("a")
         .join(multi.alias("b"), "cell")
@@ -737,19 +753,7 @@ def dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_incremental_semantic",
     oracle=f"""
     WITH {_KMEANS_CTES},
-    alld AS (
-      SELECT e.vec_id, c.cell,
-             CAST(list_sum(list_transform(list_zip(e.q, c.c),
-                  p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d
-      FROM e, c2 c
-    ),
-    probes AS (
-      SELECT vec_id, cell FROM (
-        SELECT vec_id, cell,
-               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS r
-        FROM alld)
-      WHERE r <= 2
-    ),
+    {_MULTIPROBE_CTES},
     cand AS (
       SELECT DISTINCT n.vec_id AS vec_id, c.vec_id AS cand_id
       FROM probes n JOIN probes c ON n.cell = c.cell
@@ -804,12 +808,7 @@ def dedup_incremental_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     e, cents, _ = _trained_cells(spark, sf_dir)
-    cent_row = cents.agg(F.sort_array(F.collect_list(F.struct("cell", "c"))).alias("cents"))
-    multi = (
-        e.crossJoin(F.broadcast(cent_row))
-        .select("vec_id", F.explode(F.expr(_TOP2)).alias("p"))
-        .select("vec_id", F.col("p.cell").alias("cell"))
-    )
+    multi = _multi_probe_index(e, cents)
     is_new = F.col("vec_id") % 10 == 0
     new_idx = multi.filter(is_new)
     corpus_idx = multi.filter(~is_new).select(F.col("vec_id").alias("cand_id"), "cell")

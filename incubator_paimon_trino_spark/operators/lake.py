@@ -1464,7 +1464,11 @@ def streaming_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
     cat.insert_into("lake", "docs_nd", d.filter(F.col("doc_id") % 10 != 0))  # corpus
-    cat.advance_consumer("lake", "docs_nd", "neardup", 2)  # corpus consumed
+    # corpus consumed through the current tip (derived, not a literal — the
+    # registered query carries the production checkpoint logic)
+    cat.advance_consumer(
+        "lake", "docs_nd", "neardup", cat.latest_snapshot_id("lake", "docs_nd") + 1
+    )
     cat.insert_into("lake", "docs_nd", d.filter(F.col("doc_id") % 10 == 0))  # new batch
 
     consumed = cat.consumer_progress("lake", "docs_nd", "neardup") - 1

@@ -251,11 +251,31 @@ def _dv_retraction_stream(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     idx = reader.load(index_dir)
+    snaps = cat._snapshots(tdir)
     ver = F.regexp_extract(F.input_file_name(), r"/dv-(\d+)-[^/]*$", 1).cast("bigint")
+    # Only COMMITTED indexes may retract: a crashed/racing writer leaves an
+    # orphan dv-*.json that no snapshot references (vacuum keeps it while
+    # above the horizon), and tailing it would emit phantom -D rows for
+    # deletes that never happened. Indexes at versions known at build time
+    # must match the exact file name their snapshot references; versions
+    # beyond the build-time tip are accepted on faith — the same
+    # files-land-before-publish trust window as the data-file tail (KNOWN
+    # LIMIT above), closed by the periodic-restart discipline.
+    committed = [os.path.basename(s.dv) for s in snaps if s.dv]
+    build_tip = snaps[-1].snapshot_id if snaps else 0
+    idx_name = F.element_at(F.split(F.input_file_name(), "/"), -1)
+    parsed = F.from_json("value", "vectors map<string, array<bigint>>")
     marks = (
-        idx.select(
-            ver.alias("_dv_ver"),
-            F.from_json("value", "vectors map<string, array<bigint>>").alias("_vecs"),
+        idx.filter((ver > F.lit(build_tip)) | idx_name.isin(committed))
+        .select(ver.alias("_dv_ver"), parsed.alias("_vecs"))
+        # a committed index that does not parse must fail the stream LOUDLY
+        # (the batch reader raises on the same file) — silently exploding
+        # nothing would drop that commit's deletes and checkpoint past them
+        .filter(
+            F.assert_true(
+                F.col("_vecs.vectors").isNotNull(),
+                F.concat(F.lit("unreadable DV index: "), F.input_file_name()),
+            ).isNull()
         )
         .select("_dv_ver", F.explode("_vecs.vectors").alias("_rel", "_ps"))
         .select(
@@ -266,8 +286,6 @@ def _dv_retraction_stream(
             F.explode("_ps").alias(_DV_POS),
         )
     )
-
-    snaps = cat._snapshots(tdir)
     baseline: dict = {}
     if from_version is not None:
         marks = marks.filter(F.col("_dv_ver") >= F.lit(from_version))
@@ -315,21 +333,24 @@ def _dv_retraction_stream(
 
 def _dv_referenced_entries(tdir: str, snaps: list) -> dict[str, dict]:
     """Manifest entries (by file basename) for ONLY the data files any
-    existing DV index references — the -D static side's read set. Each index
-    JSON is driver-held metadata by construction, and marks are bounded by
-    deletions since the last compaction, so a k-row delete stream re-opens
-    the files holding those k rows, never the table (the plan-quality
-    property ``tests/test_dv_stream.py`` pins). A referenced file whose
-    manifest entry has been expired away is skipped: its marks belong to
-    history a resume position past expiry never replays."""
-    import glob as _glob
-
+    COMMITTED DV index references — the -D static side's read set. Each
+    index JSON is driver-held metadata by construction, and marks are
+    bounded by deletions since the last compaction, so a k-row delete
+    stream re-opens the files holding those k rows, never the table (the
+    plan-quality property ``tests/test_dv_stream.py`` pins). Orphan
+    dv-*.json from crashed/racing writers are ignored (their marks never
+    committed — the stream filters them too); an unreadable COMMITTED index
+    raises, like the batch reader. A referenced file whose manifest entry
+    has been expired away is skipped: its marks belong to history a resume
+    position past expiry never replays."""
     referenced: set[str] = set()
-    for p in _glob.glob(os.path.join(tdir, "index", "dv-*.json")):
-        try:
-            vecs = read_json(p).get("vectors", {})
-        except (OSError, ValueError):
+    for s in snaps:
+        if not s.dv:
             continue
+        try:
+            vecs = read_json(os.path.join(tdir, "index", s.dv)).get("vectors", {})
+        except FileNotFoundError:
+            continue  # reaped by expiry — same tolerance as _dv_vectors
         referenced.update(os.path.basename(rel.replace("\\", "/")) for rel in vecs)
     entries: dict[str, dict] = {}
     for s in snaps:

@@ -112,6 +112,32 @@ def test_dv_retraction_static_side_reads_only_marked_files(cat, spark):
     assert set(entries) == named
 
 
+def test_dv_stream_ignores_orphan_index(cat, spark):
+    """An uncommitted dv-*.json (crashed or racing writer — vacuum keeps it
+    while above the horizon) must not emit phantom retractions: only indexes
+    a snapshot references may retract."""
+    from incubator_paimon_trino_spark.catalog.metadata import write_json_atomic
+    from incubator_paimon_trino_spark.streaming.changelog import _dv_referenced_entries
+
+    _mk(cat, spark, n=6)
+    cat.sql("DELETE FROM d.t WHERE k = 1")  # committed delete (snapshot 2)
+    tdir = cat._table_dir("d", "t")
+    snaps = cat._snapshots(tdir)
+    victim = next(f["path"] for f in snaps[-1].files)
+    # orphan at version 2 with a different nonce, marking a LIVE row
+    write_json_atomic(
+        os.path.join(tdir, "index", "dv-2-deadbeef.json"),
+        {"vectors": {victim: [0]}},
+    )
+    rows = _rows(cat, qname="dv_orphan")
+    assert [r for r in rows if r[0] == "D"] == [("D", 1, "v1")]
+    # and the static read set never lists the orphan's victim as referenced
+    # unless a committed index also names it
+    dv = cat._dv_vectors(tdir, snaps[-1])
+    committed_files = {os.path.basename(rel) for rel in dv}
+    assert set(_dv_referenced_entries(tdir, snaps)) == committed_files
+
+
 def test_dv_stream_second_run_tails_only_new_marks(cat, spark):
     """Two consecutive consumer-driven runs: the second sees only the delta
     committed between them (the resumable-stream contract)."""

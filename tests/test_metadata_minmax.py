@@ -97,6 +97,49 @@ def test_all_null_column_and_empty_table(cat, spark):
     )
 
 
+def test_nan_poisoned_float_stats_fall_back(cat, spark):
+    """Spark's parquet writer propagates NaN into the footer max; NaN makes
+    the metadata fold order-dependent and engines disagree on its MIN/MAX
+    rank — a NaN stat must force the scan path, never an answer."""
+    cat.create_database("d")
+    cat.create_table("d", "f", [("k", "bigint"), ("x", "double")])
+    cat.insert_into(
+        "d", "f",
+        spark.createDataFrame(
+            [(1, 1.0), (2, float("nan")), (3, 5.0)], "k bigint, x double"
+        ).coalesce(1),
+    )
+    assert cat.metadata_min_max("d.f", ["x"]) is None
+    row = cat.column_extremes("d.f", ["x"]).collect()[0]  # scan path
+    assert row.min_x == 1.0 and row.max_x != row.max_x  # Spark: NaN is MAX
+
+
+def test_string_partition_column_answers_from_path(cat, spark):
+    """Partition columns bypass the footer-type gate: their values live
+    exactly in the path, so even string extremes are answerable — while a
+    non-partition string still falls back (truncation distrust)."""
+    _mk(cat, spark)  # partitioned by y; s is a data column
+    cat.create_table(
+        "d", "sp", [("k", "bigint"), ("region", "string")], partitioned_by=["region"]
+    )
+    cat.insert_into(
+        "d", "sp",
+        spark.createDataFrame(
+            [(1, "asia"), (2, "europe"), (3, "africa")], "k bigint, region string"
+        ),
+    )
+    mm = cat.metadata_min_max("d.sp", ["region"])
+    assert mm == {"region": {"min": "africa", "max": "europe", "count": 3}}
+    row = cat.column_extremes("d.sp", ["region"]).collect()[0]
+    assert (row.min_region, row.max_region, row.count_region) == ("africa", "europe", 3)
+
+
+def test_case_insensitive_column_names(cat, spark):
+    _mk(cat, spark)
+    row = cat.column_extremes("d.t", ["K"]).collect()[0]  # declared as 'k'
+    assert (row.min_k, row.max_k) == (0, 59)
+
+
 def test_date_extremes_revive_typed(cat, spark):
     cat.create_database("d")
     cat.create_table("d", "dd", [("k", "bigint"), ("day", "date")])

@@ -370,11 +370,35 @@ def test_ivfpq_consistent_with_pq_and_cell_restricted(spark):
     shared = set(ivfpq) & set(pq)
     assert shared, "top lists should overlap on at least one pair"
     assert all(ivfpq[k] == pq[k] for k in shared)
-    # cell restriction: strictly fewer or equal candidates than the full-ADC
-    # ranking can only DROP pairs, never invent them with a better distance
-    for (q, n), d in ivfpq.items():
-        if (q, n) in pq:
-            assert pq[(q, n)] == d
+    # the cell restriction is real: every returned neighbor is coarse-
+    # assigned to one of its query's probed cells (independent recompute of
+    # the probes from the trained centroids)
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from incubator_paimon_trino_spark.operators.clustering import _trained_cells
+
+    e, cents, final = _trained_cells(spark, SF_ORACLE)
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qq")
+    )
+    dist = F.expr(
+        "aggregate(zip_with(qq, c, (a, b) -> (a - b) * (a - b)), "
+        "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+    w = W.partitionBy("query_id").orderBy("d", "cell")
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("d", dist)
+        .withColumn("r", F.row_number().over(w))
+        .filter("r <= 2")
+    )
+    probed: dict[int, set[int]] = {}
+    for r in probes.collect():
+        probed.setdefault(r.query_id, set()).add(r.cell)
+    cell_of = {r.vec_id: r.cell for r in final.select("vec_id", "cell").collect()}
+    for qid, n in ivfpq:
+        assert cell_of[n] in probed[qid], f"neighbor {n} outside query {qid}'s probes"
 
 
 def test_incremental_semantic_consistent_with_multiprobe_pairs(spark):
