@@ -1538,3 +1538,97 @@ def streaming_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame
     corpus_sigs.unpersist()
     corpus_index.unpersist()
     return spark.read.parquet(outdir)
+
+
+@register(
+    "lake_dv_cdc_pipeline",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(o_totalprice AS DOUBLE) AS price,
+             o_orderstatus AS status
+      FROM orders WHERE o_orderkey <= 3000
+    ), upd AS (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_custkey % 7 = 2 THEN price * 2 ELSE price END AS price,
+             CASE WHEN o_custkey % 7 = 2 THEN 'V' ELSE status END AS status
+      FROM base
+    )
+    SELECT o_orderkey, o_custkey, price, status FROM upd
+    WHERE o_orderkey % 4 <> 0
+    """,
+)
+def lake_dv_cdc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end CDC over deletion vectors — the r7 retraction stream
+    CLOSED INTO A SINK: a DV source takes upserts and a pure-metadata
+    DELETE; ``read_changelog_stream`` turns its DV indexes into +rows/-D;
+    ``fold_changelog`` collapses each micro-batch to one winner per key
+    (delete outranks the image it retracts at equal ``_seq``); the fold
+    upserts into a DOWNSTREAM PK mirror through the transactional write
+    path, and the source's consumer advances after each durable sink
+    commit. The mirror's merged read must equal the source's merged state —
+    the oracle is the SAME edit-replay SELECT as ``lake_deletion_vector_read``,
+    so the whole pipeline (DV write → index tail → retraction recovery →
+    CDC fold → merge-on-read) is value-hash-checked in one query.
+
+    Scale shape: the stream reads backlog delta files + DV indexes only;
+    the fold is one hash shuffle on the key (the partitioning the sink's
+    merge reuses); resume is a consumer JSON. This is the lake-to-lake
+    mirror topology a 100 TB CDC deployment runs.
+    """
+    from incubator_paimon_trino_spark.streaming.changelog import (
+        fold_changelog,
+        read_changelog_stream,
+    )
+
+    cat = _fresh_catalog(spark)
+    cat.create_database("lake")
+    cols = [
+        ("o_orderkey", "bigint"),
+        ("o_custkey", "bigint"),
+        ("price", "double"),
+        ("status", "string"),
+    ]
+    cat.create_table(
+        "lake", "dvt_src", cols, primary_key=["o_orderkey"],
+        options={"deletion-vectors.enabled": "true"},
+    )
+    cat.create_table("lake", "mirror", cols, primary_key=["o_orderkey"])
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 3000)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("o_totalprice").cast("double").alias("price"),
+            F.col("o_orderstatus").alias("status"),
+        )
+    )
+    cat.insert_into("lake", "dvt_src", o)
+    cat.sql("UPDATE lake.dvt_src SET price = price * 2, status = 'V' WHERE o_custkey % 7 = 2")
+    cat.sql("DELETE FROM lake.dvt_src WHERE o_orderkey % 4 = 0")
+
+    def apply_cdc(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            if batch_df.isEmpty():
+                return
+            tip = batch_df.agg(F.max("_seq")).collect()[0][0]
+            cat.insert_with_retries(
+                "lake", "mirror", fold_changelog(batch_df, ["o_orderkey"])
+            )
+            # checkpoint AFTER the sink commit (at-least-once, never a gap)
+            cat.advance_consumer("lake", "dvt_src", "mirror", int(tip) + 1)
+        finally:
+            batch_df.unpersist()
+
+    stream = read_changelog_stream(cat, "lake.dvt_src", consumer_id="mirror")
+    q = (
+        stream.writeStream.foreachBatch(apply_cdc)
+        .queryName("lake_dv_cdc_pipeline_sink")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ipt_dvcdc_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return cat.read_table("lake.mirror")

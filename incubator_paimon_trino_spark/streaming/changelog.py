@@ -361,6 +361,34 @@ def _dv_referenced_entries(tdir: str, snaps: list) -> dict[str, dict]:
     return entries
 
 
+def fold_changelog(batch: DataFrame, pk: list[str]) -> DataFrame:
+    """CDC-apply reduction: collapse a changelog micro-batch to at most ONE
+    row per key before sinking it into a PK table — the step that makes a
+    batch containing both a key's +row and its -D retraction (one
+    availableNow batch over a DV table always does) applicable at all.
+
+    Winner per key = highest ``(_seq, kind)`` with a delete outranking an
+    insert at the SAME ``_seq``: a DV retraction carries the OLD image's
+    _seq, so "delete of the image this very commit produced" must beat the
+    image (mirrors the warehouse's same-commit insert+delete tiebreak). The
+    winner keeps ``_row_kind`` (the sink's merge engine upserts 'I' rows and
+    deletes 'D' rows); ``_seq`` is dropped — the sink assigns its own.
+
+    Scale shape: one hash shuffle on the key (the same partitioning the
+    sink's merge uses), a window row_number, no collects.
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(*pk).orderBy(
+        F.desc(SEQ_COL), F.desc(F.col(KIND_COL) == "D")
+    )
+    return (
+        batch.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", SEQ_COL)
+    )
+
+
 def _reject_renamed_columns(cat: WarehouseCatalog, tdir: str, schema) -> None:
     """Fail LOUDLY when any column was ever renamed: the file-stream source
     matches parquet columns by NAME against the latest schema, so files

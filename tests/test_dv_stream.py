@@ -112,6 +112,56 @@ def test_dv_retraction_static_side_reads_only_marked_files(cat, spark):
     assert set(entries) == named
 
 
+def test_fold_changelog_tiebreak(spark):
+    """CDC-apply fold: winner per key is max (_seq, kind) with delete
+    outranking insert at the SAME _seq (a DV retraction carries the old
+    image's _seq), and _seq is dropped from the output."""
+    from incubator_paimon_trino_spark.streaming.changelog import fold_changelog
+
+    batch = spark.createDataFrame(
+        [
+            (1, "a", 1, "I"), (1, "a", 1, "D"),            # same-seq: D wins
+            (2, "b", 1, "I"), (2, "b", 1, "D"), (2, "b2", 2, "I"),  # reinsert wins
+            (3, "c", 2, "I"), (3, "old", 1, "D"),          # later insert wins
+            (4, "d", 1, "I"),                               # plain upsert
+        ],
+        "k bigint, v string, _seq bigint, _row_kind string",
+    )
+    out = {r.k: (r.v, r._row_kind) for r in fold_changelog(batch, ["k"]).collect()}
+    assert out == {1: ("a", "D"), 2: ("b2", "I"), 3: ("c", "I"), 4: ("d", "I")}
+    assert "_seq" not in fold_changelog(batch, ["k"]).columns
+
+
+def test_dv_cdc_pipeline_mirror_equals_source(cat, spark):
+    """Small end-to-end twin of the registered query: stream a DV source's
+    changelog through fold_changelog into a PK mirror; the mirror's merged
+    read must equal the source's."""
+    from incubator_paimon_trino_spark.streaming.changelog import fold_changelog
+
+    _mk(cat, spark)
+    cat.create_table("d", "m", [("k", "bigint"), ("v", "string")], primary_key=["k"])
+    cat.sql("UPDATE d.t SET v = 'upd' WHERE k % 3 = 0")
+    cat.sql("DELETE FROM d.t WHERE k % 2 = 0")
+
+    def apply_cdc(b, _):
+        if not b.isEmpty():
+            cat.insert_with_retries("d", "m", fold_changelog(b, ["k"]))
+
+    import tempfile
+
+    q = (
+        read_changelog_stream(cat, "d.t")
+        .writeStream.foreachBatch(apply_cdc)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="dvcdc_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    src = {(r.k, r.v) for r in cat.read_table("d.t").collect()}
+    mirror = {(r.k, r.v) for r in cat.read_table("d.m").collect()}
+    assert mirror == src and src
+
+
 def test_dv_stream_ignores_orphan_index(cat, spark):
     """An uncommitted dv-*.json (crashed or racing writer — vacuum keeps it
     while above the horizon) must not emit phantom retractions: only indexes
