@@ -509,6 +509,7 @@ def write_stream_to_table(
     available_now: bool = True,
     source: tuple[str, str] | None = None,
     consumer_id: str | None = None,
+    fold_pk: bool = False,
 ):
     """Streaming sink into a lake table: each micro-batch commits through the
     catalog's transactional write path (``foreachBatch`` →
@@ -536,7 +537,22 @@ def write_stream_to_table(
     Progress records only AFTER the commit (crash between commit and advance
     replays the batch — at-least-once, never a gap). A sequence_field source
     carries business time in ``_seq`` and is rejected.
+
+    ``fold_pk=True`` applies ``fold_changelog`` per micro-batch before the
+    insert — REQUIRED for retraction-carrying sources (a DV table's stream
+    puts a key's +row and its -D in one availableNow batch; sinking both
+    raw gives the merge engine two same-commit rows to tiebreak, not the
+    CDC winner). Needs ``_seq`` in the stream and a PK sink.
     """
+    if fold_pk:
+        if SEQ_COL not in stream_df.columns:
+            raise ValueError(
+                f"fold_pk needs the source's {SEQ_COL} column in the stream "
+                "(read via read_changelog_stream)"
+            )
+        sink_pk = catalog.schema_of(db, table).primary_key
+        if not sink_pk:
+            raise ValueError("fold_pk needs a primary-key sink table")
     if consumer_id is not None:
         if source is None:
             raise ValueError("consumer_id requires source=(db, table)")
@@ -569,7 +585,10 @@ def write_stream_to_table(
             # so the rider _seq must not reach insert_into (it would be
             # rejected as an unknown column). _row_kind DOES flow through —
             # deletes upsert away.
-            out = batch_df.drop(SEQ_COL) if SEQ_COL in batch_df.columns else batch_df
+            if fold_pk:
+                out = fold_changelog(batch_df, sink_pk)  # drops _seq itself
+            else:
+                out = batch_df.drop(SEQ_COL) if SEQ_COL in batch_df.columns else batch_df
             catalog.insert_with_retries(db, table, out)
             if consumer_id is not None and tip is not None:
                 catalog.advance_consumer(*source, consumer_id, int(tip) + 1)

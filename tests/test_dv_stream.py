@@ -162,6 +162,36 @@ def test_dv_cdc_pipeline_mirror_equals_source(cat, spark):
     assert mirror == src and src
 
 
+def test_write_stream_to_table_fold_pk(cat, spark):
+    """The fold is available on the stock sink: write_stream_to_table(
+    fold_pk=True) mirrors a DV source correctly, with the consumer advanced
+    past the processed tip."""
+    import tempfile
+
+    from incubator_paimon_trino_spark.streaming.changelog import write_stream_to_table
+
+    _mk(cat, spark)
+    cat.create_table("d", "m2", [("k", "bigint"), ("v", "string")], primary_key=["k"])
+    cat.sql("UPDATE d.t SET v = 'upd' WHERE k % 3 = 0")
+    cat.sql("DELETE FROM d.t WHERE k % 2 = 0")
+    write_stream_to_table(
+        read_changelog_stream(cat, "d.t", consumer_id="mir"),
+        cat, "d", "m2", tempfile.mkdtemp(prefix="dvfold_"),
+        source=("d", "t"), consumer_id="mir", fold_pk=True,
+    )
+    src = {(r.k, r.v) for r in cat.read_table("d.t").collect()}
+    mirror = {(r.k, r.v) for r in cat.read_table("d.m2").collect()}
+    assert mirror == src and src
+    assert cat.consumer_progress("d", "t", "mir") >= 3
+    # guards: fold needs _seq and a PK sink
+    cat.create_table("d", "ap", [("k", "bigint"), ("v", "string")])
+    with pytest.raises(ValueError, match="primary-key sink"):
+        write_stream_to_table(
+            read_changelog_stream(cat, "d.t"), cat, "d", "ap",
+            tempfile.mkdtemp(), fold_pk=True,
+        )
+
+
 def test_dv_stream_ignores_orphan_index(cat, spark):
     """An uncommitted dv-*.json (crashed or racing writer — vacuum keeps it
     while above the horizon) must not emit phantom retractions: only indexes
