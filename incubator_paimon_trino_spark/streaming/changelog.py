@@ -83,6 +83,15 @@ def read_changelog_stream(
     manifest-driven and avoids this; a manifest-driven source here would
     need a custom Source implementation. Single-writer tables (the common
     streaming topology) never hit the window.
+
+    KNOWN LIMIT (compaction): a COMPACT commit rewrites the live set into
+    new files, and a file tail cannot tell rewrites from writer input — a
+    stream crossing a compaction re-emits the live rows (the batch
+    ``table_changelog(producer='input')`` skips COMPACT commits via
+    file-set diffs; a file source has no file-set to diff). Downstream PK
+    sinks absorb the re-emission idempotently (same keys, same values);
+    append sinks should pause tailing around maintenance windows or resume
+    from a post-compaction snapshot.
     """
     db, _, table = name.partition(".")
     tdir = cat._table_dir(db, table)

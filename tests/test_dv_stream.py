@@ -112,6 +112,19 @@ def test_dv_retraction_static_side_reads_only_marked_files(cat, spark):
     assert set(entries) == named
 
 
+def test_dv_stream_per_commit_triggers_dedup_across_batches(cat, spark):
+    """max_files_per_trigger=1 splits the availableNow run into many
+    micro-batches; the streaming dropDuplicates state must still emit each
+    cumulative mark exactly once across them, and the total content must
+    equal the single-batch run."""
+    _mk(cat, spark)
+    cat.sql("UPDATE d.t SET v = 'upd' WHERE k % 3 = 0")
+    cat.sql("DELETE FROM d.t WHERE k % 2 = 0")
+    one = _rows(cat, qname="dv_onebatch")
+    many = _rows(cat, qname="dv_manybatch", max_files_per_trigger=1)
+    assert many == one
+
+
 def test_fold_changelog_tiebreak(spark):
     """CDC-apply fold: winner per key is max (_seq, kind) with delete
     outranking insert at the SAME _seq (a DV retraction carries the old
