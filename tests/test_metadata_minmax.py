@@ -140,6 +140,21 @@ def test_case_insensitive_column_names(cat, spark):
     assert (row.min_k, row.max_k) == (0, 59)
 
 
+def test_rename_keeps_metadata_answers(cat, spark):
+    """Stats are keyed by FIELD ID, so a column rename never orphans them:
+    files written before the rename still answer under the new name."""
+    cat.create_database("d")
+    cat.create_table("d", "r", [("k", "bigint"), ("amount", "double")])
+    cat.insert_into(
+        "d", "r", spark.createDataFrame([(1, 2.5), (2, 7.5)], "k bigint, amount double")
+    )
+    cat.rename_column("d", "r", "amount", "price")
+    mm = cat.metadata_min_max("d.r", ["price"])
+    assert mm == {"price": {"min": 2.5, "max": 7.5, "count": 2}}
+    row = cat.column_extremes("d.r", ["price"]).collect()[0]
+    assert (row.min_price, row.max_price) == (2.5, 7.5)
+
+
 def test_date_extremes_revive_typed(cat, spark):
     cat.create_database("d")
     cat.create_table("d", "dd", [("k", "bigint"), ("day", "date")])
