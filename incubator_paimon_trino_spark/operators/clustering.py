@@ -355,12 +355,14 @@ def _pq_update(assigned: DataFrame) -> DataFrame:
     )
 
 
-def _pq_trained(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """(subvector corpus, trained codebooks, final codes) after the standard
-    seed (sub-vectors of vec_id 0..k-1) + _ITERS Lloyd rounds per subspace —
-    the PQ twin of _trained_cells, trained jointly with ``sub`` in every
-    key so one DAG trains all _PQ_M codebooks."""
-    sv = _pq_subvectors(_corpus(spark, sf_dir))
+def _pq_train_from(ecorpus: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(subvector corpus, trained codebooks, final codes) for ANY integer
+    (vec_id, q) corpus — the plain-vector PQ trains on the quantized
+    embeddings; the residual IVF-PQ trains on per-cell residuals. Seed =
+    sub-vectors of vec_id 0..k-1, then _ITERS Lloyd rounds per subspace,
+    trained jointly with ``sub`` in every key so one DAG trains all _PQ_M
+    codebooks."""
+    sv = _pq_subvectors(ecorpus)
     cents = sv.filter(F.col("vec_id") < _K).select(
         "sub", F.col("vec_id").cast("int").alias("cell"), F.col("qs").alias("c")
     )
@@ -369,16 +371,25 @@ def _pq_trained(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame,
     return sv, cents, _pq_assign(sv, cents).select("vec_id", "sub", "cell")
 
 
-# the shared PQ oracle chain after the quantized corpus ``e``: sub-vector
-# split -> seed -> 2 Lloyd rounds -> final codes ``pqf(vec_id, sub, cell)``
-# + trained codebooks ``pc2``. Split from the ``e`` CTE so it composes with
-# _KMEANS_CTES (which defines the same ``e``) in the IVF-PQ oracle.
-_PQ_TAIL = f"""
+def _pq_trained(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame, DataFrame]:
+    return _pq_train_from(_corpus(spark, sf_dir))
+
+
+# the shared PQ oracle chain after an integer (vec_id, q) source CTE:
+# sub-vector split -> seed -> 2 Lloyd rounds -> final codes
+# ``pqf(vec_id, sub, cell)`` + trained codebooks ``pc2``. Parameterized on
+# the source so it composes with _KMEANS_CTES' ``e`` (plain PQ / IVF-PQ)
+# or a residual CTE ``rv`` (residual IVF-PQ).
+def _pq_tail_sql(src: str = "e") -> str:
+    return _PQ_TAIL_E.replace("SRC", src)
+
+
+_PQ_TAIL_E = f"""
     sv AS (
       SELECT vec_id, m AS sub,
              list_slice(q, m * (len(q) // {_PQ_M}) + 1,
                         (m + 1) * (len(q) // {_PQ_M})) AS qs
-      FROM e, UNNEST(range(0, {_PQ_M})) AS t(m)
+      FROM SRC, UNNEST(range(0, {_PQ_M})) AS t(m)
     ),
     psx AS (
       SELECT vec_id, sub, unnest(qs) AS val,
@@ -431,6 +442,8 @@ _PQ_TAIL = f"""
       WHERE r = 1
     )
 """
+
+_PQ_TAIL = _pq_tail_sql("e")
 
 _PQ_CTES = f"""
 e AS (
@@ -627,6 +640,163 @@ def ann_ivfpq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("query_id").orderBy("adc", "neighbor_id")
     return (
         scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _PQ_TOPK)
+        .select("query_id", "neighbor_id", "adc", "rnk")
+    )
+
+
+@register(
+    "ann_ivfpq_residual",
+    oracle=f"""
+    WITH {_KMEANS_CTES},
+    rv AS (
+      SELECT e.vec_id, list_transform(list_zip(e.q, c.c), p -> p[1] - p[2]) AS q
+      FROM e JOIN af a ON a.vec_id = e.vec_id JOIN c2 c ON c.cell = a.cell
+    ),
+    {_pq_tail_sql('rv')},
+    cqd AS (
+      SELECT e.vec_id AS query_id, c.cell,
+             CAST(list_sum(list_transform(list_zip(e.q, c.c),
+                  p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d
+      FROM e, c2 c WHERE e.vec_id < {_IVF_NQ}
+    ),
+    probes AS (
+      SELECT query_id, cell FROM (
+        SELECT query_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d, cell) AS r
+        FROM cqd)
+      WHERE r <= {_IVF_NPROBE}
+    ),
+    qrv AS (
+      SELECT p.query_id, p.cell, m AS sub,
+             list_slice(list_transform(list_zip(e.q, c.c), z -> z[1] - z[2]),
+                        m * (len(e.q) // {_PQ_M}) + 1,
+                        (m + 1) * (len(e.q) // {_PQ_M})) AS qs
+      FROM probes p
+      JOIN e ON e.vec_id = p.query_id
+      JOIN c2 c ON c.cell = p.cell,
+      UNNEST(range(0, {_PQ_M})) AS t(m)
+    ),
+    qd AS (
+      SELECT q.query_id, q.cell, q.sub, c.cell AS ccell,
+             CAST(list_sum(list_transform(list_zip(q.qs, c.c),
+                  p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d
+      FROM qrv q JOIN pc2 c ON c.sub = q.sub
+    ),
+    cand AS (
+      SELECT p.query_id, p.cell, a.vec_id AS neighbor_id
+      FROM probes p JOIN af a ON a.cell = p.cell AND a.vec_id <> p.query_id
+    ),
+    scored AS (
+      SELECT cd.query_id, cd.neighbor_id, CAST(SUM(q.d) AS BIGINT) AS adc
+      FROM cand cd
+      JOIN pqf f ON f.vec_id = cd.neighbor_id
+      JOIN qd q ON q.query_id = cd.query_id AND q.cell = cd.cell
+               AND q.sub = f.sub AND q.ccell = f.cell
+      GROUP BY cd.query_id, cd.neighbor_id
+    )
+    SELECT query_id, neighbor_id, adc, rnk
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY adc, neighbor_id) AS rnk
+          FROM scored)
+    WHERE rnk <= {_PQ_TOPK}
+    """,
+)
+def ann_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESIDUAL-encoded IVF-PQ — the exact form production ANN indexes
+    (FAISS ``IVFxx,PQyy``) ship: codebooks are trained on each vector's
+    RESIDUAL against its coarse centroid (residuals are small and centered,
+    so the same codebook budget quantizes them far more finely than raw
+    vectors), codes store residuals, and a query builds ONE ADC lookup
+    table PER PROBED CELL from its own residual against that cell's
+    centroid. ``ann_ivfpq_probe`` is the direct-coded simplification; this
+    closes the gap it documents.
+
+    Still integer-exact end to end: residuals are differences of integer
+    micro-units (components ≤ ~1e6, squares × 16 dims ≪ 2^53), the Lloyd
+    fold and code argmins are the shared integer machinery, and ADC sums
+    integers — full value-hash oracle over the composed k-means + residual
+    PQ CTE chains.
+
+    Scale shape: identical joins to ``ann_ivfpq_probe`` plus one extra
+    skinny dimension — the per-(query, probed-cell) lookup is
+    nprobe × {_PQ_M} × 8 rows per query, still broadcast-sized; the corpus
+    is touched once more to form residuals (a zip_with map over the
+    already-assigned rows, no extra shuffle).
+    """
+    from pyspark.sql import Window as W
+
+    e, cents, final = _trained_cells(spark, sf_dir)
+    # residual corpus: each vector minus its own coarse centroid (final
+    # carries q; the k-row centroid block broadcasts)
+    rv = (
+        final.join(F.broadcast(cents), "cell")
+        .select("vec_id", F.expr("zip_with(q, c, (a, b) -> a - b)").alias("q"))
+    )
+    _, pcents, codes = _pq_train_from(rv)
+
+    q = e.filter(F.col("vec_id") < _IVF_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qq")
+    )
+    cdist = F.expr(
+        "aggregate(zip_with(qq, c, (a, b) -> (a - b) * (a - b)), "
+        "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+    wq = W.partitionBy("query_id").orderBy("d", "cell")
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("d", cdist)
+        .withColumn("r", F.row_number().over(wq))
+        .filter(F.col("r") <= _IVF_NPROBE)
+        .select("query_id", "cell")
+    )
+    # per-(query, probed cell) residual sub-vectors
+    w = f"(size(rq) div {_PQ_M})"
+    qrv = (
+        probes.join(q, "query_id")
+        .join(F.broadcast(cents), "cell")
+        .select(
+            "query_id", "cell",
+            F.expr("zip_with(qq, c, (a, b) -> a - b)").alias("rq"),
+        )
+        .select(
+            "query_id", "cell",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {_PQ_M - 1}), m -> named_struct("
+                    f"'sub', m, 'qs', slice(rq, m * {w} + 1, {w})))"
+                )
+            ).alias("s"),
+        )
+        .select("query_id", "cell", F.col("s.sub").alias("sub"), F.col("s.qs").alias("qs"))
+    )
+    fdist = F.expr(
+        "aggregate(zip_with(qs, c, (a, b) -> (a - b) * (a - b)), "
+        "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+    qd = (
+        qrv.join(F.broadcast(pcents.withColumnRenamed("cell", "ccell")), "sub")
+        .withColumn("d", fdist)
+        .select("query_id", "cell", "sub", "ccell", "d")
+    )
+    corpus_cells = final.select(F.col("vec_id").alias("neighbor_id"), "cell")
+    cand = (
+        probes.join(corpus_cells, "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "cell", "neighbor_id")
+    )
+    ncodes = codes.select(
+        F.col("vec_id").alias("neighbor_id"), "sub", F.col("cell").alias("ccell")
+    )
+    scored = (
+        cand.join(ncodes, "neighbor_id")
+        .join(qd, ["query_id", "cell", "sub", "ccell"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d").cast("bigint").alias("adc"))
+    )
+    wr = W.partitionBy("query_id").orderBy("adc", "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(wr))
         .filter(F.col("rnk") <= _PQ_TOPK)
         .select("query_id", "neighbor_id", "adc", "rnk")
     )

@@ -423,6 +423,52 @@ def test_incremental_semantic_consistent_with_multiprobe_pairs(spark):
         assert (r.best_match in expected) if expected else r.best_match == -1
 
 
+def test_residual_ivfpq_beats_direct_coding(spark):
+    """Residual coding is IVF-PQ's reason to exist: quantizing each
+    vector's residual against its coarse centroid recalls MORE of the exact
+    within-probed-cells L2 top-10 than coding raw vectors with the same
+    codebook budget. Integer-exact arithmetic makes both values
+    deterministic (measured 22 vs 18 of 50 on the driver embeddings)."""
+    import numpy as np
+    import pandas as pd
+
+    from incubator_paimon_trino_spark.operators.clustering import (
+        _SCALE,
+        _trained_cells,
+        ann_ivfpq_probe,
+        ann_ivfpq_residual,
+    )
+
+    direct = ann_ivfpq_probe(spark, SF_ORACLE).toPandas()
+    resid = ann_ivfpq_residual(spark, SF_ORACLE).toPandas()
+    _, cents, final = _trained_cells(spark, SF_ORACLE)
+    cell_of = {r.vec_id: r.cell for r in final.select("vec_id", "cell").collect()}
+    emb = pd.read_parquet(f"{SF_ORACLE}/embeddings.parquet")
+    V = np.round(np.stack(emb.embedding.values).astype(np.float64) * _SCALE).astype(np.int64)
+    ids = emb.vec_id.values
+    pos = {v: i for i, v in enumerate(ids)}
+    codebook = {r.cell: np.array(r.c) for r in cents.collect()}
+
+    def probed(qv):
+        d = sorted((int(((V[pos[qv]] - c) ** 2).sum()), cell) for cell, c in codebook.items())
+        return {cell for _, cell in d[:2]}
+
+    tot_d = tot_r = 0
+    for qv in range(5):
+        cells = probed(qv)
+        cand = [v for v in ids if v != qv and cell_of[v] in cells]
+        exact = sorted(cand, key=lambda v: (int(((V[pos[v]] - V[pos[qv]]) ** 2).sum()), v))[:10]
+        tot_d += len(set(exact) & set(direct[direct.query_id == qv].neighbor_id))
+        tot_r += len(set(exact) & set(resid[resid.query_id == qv].neighbor_id))
+    assert tot_r > tot_d, f"residual {tot_r} should beat direct {tot_d}"
+    # both return dense self-excluding rankings
+    for df in (direct, resid):
+        for qv in range(5):
+            part = df[df.query_id == qv]
+            assert sorted(part.rnk) == list(range(1, 11))
+            assert (part.neighbor_id != qv).all()
+
+
 def test_kmeans_invariant_under_repartitioning(spark):
     """The scale claim made concrete: because every k-means step is
     integer-exact and order-independent, re-laying-out the corpus (as a

@@ -352,6 +352,17 @@ def test_ivfpq_probe_no_cartesian_and_code_scored(spark):
     assert "ccell" in plan
 
 
+def test_residual_ivfpq_no_cartesian(spark):
+    """Residual IVF-PQ keeps the direct form's plan shape: broadcast
+    centroid/codebook folds, candidates and ADC scoring via equi-joins —
+    the residual adds a zip_with map over assigned rows, no cartesian."""
+    df = _q("ann_ivfpq_residual")(spark, SF_SMOKE)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "Broadcast" in plan
+    assert "ccell" in plan
+
+
 def test_incremental_semantic_probe_is_equi_join(spark):
     """The incremental semantic probe joins the batch's cell assignments
     against the corpus cell index with an equi join — no cartesian/nested
