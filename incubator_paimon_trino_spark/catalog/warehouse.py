@@ -1105,7 +1105,10 @@ class WarehouseCatalog:
         positions = self._consumer_positions(cdir)
         return positions[-1] if positions else None
 
-    def advance_consumer(self, db: str, table: str, consumer_id: str, next_snapshot: int) -> None:
+    def advance_consumer(
+        self, db: str, table: str, consumer_id: str, next_snapshot: int,
+        strict: bool = True,
+    ) -> None:
         """Record that ``consumer_id`` has consumed everything BELOW
         ``next_snapshot`` (Paimon's consumer-id progress: the stored value is
         the next snapshot the consumer will read, and snapshot expiration
@@ -1118,7 +1121,13 @@ class WarehouseCatalog:
         advance must not silently rewind retention protection); concurrent
         advances settle on the highest position (monotone max-wins markers),
         never on whichever writer happened to land last.
-        """
+
+        ``strict=False`` turns a backward/stale advance into a NO-OP instead
+        of an error — the streaming-sink mode: an at-least-once replay (or a
+        batch whose rows all pre-date the consumer's position) recomputes an
+        old tip, and a checkpoint must absorb that silently rather than
+        crash-loop the stream; the position only ever moves forward either
+        way."""
         if not self._CONSUMER_ID_RE.match(consumer_id or ""):
             raise ValueError(f"invalid consumer_id {consumer_id!r}")
         if next_snapshot < 1:
@@ -1128,6 +1137,8 @@ class WarehouseCatalog:
         positions = self._consumer_positions(cdir)
         cur = positions[-1] if positions else None
         if cur is not None and next_snapshot < cur:
+            if not strict:
+                return  # stale tip from a replayed batch: position holds
             raise ValueError(
                 f"consumer {consumer_id!r} is at {cur}; advance to "
                 f"{next_snapshot} would move it backward — use "
@@ -2475,6 +2486,13 @@ class WarehouseCatalog:
                     except (TypeError, ValueError, ArithmeticError):
                         return None
                     if flo is None:
+                        return None
+                    if flo != flo:
+                        # NaN hive partition value ('col=NaN' path): same
+                        # poisoning as the footer-stats branch below — NaN
+                        # compares False against everything, so the _key fold
+                        # would keep/drop it order-dependently while Spark's
+                        # scan ranks NaN as the MAX. Only the scan is exact.
                         return None
                     fcnt = total
                 else:

@@ -1527,16 +1527,20 @@ def streaming_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame
             batch_df.unpersist()
 
     stream = read_changelog_stream(cat, "lake.docs_nd", consumer_id="neardup")
-    q = (
-        stream.writeStream.foreachBatch(probe)
-        .queryName("streaming_incremental_minhash_sink")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ipt_neardup_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    corpus_sigs.unpersist()
-    corpus_index.unpersist()
+    try:
+        q = (
+            stream.writeStream.foreachBatch(probe)
+            .queryName("streaming_incremental_minhash_sink")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ipt_neardup_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        # release even on a failed stream (mirrors release_trained_corpus's
+        # lifecycle discipline) — sweep memory stays flat as the registry grows
+        corpus_sigs.unpersist()
+        corpus_index.unpersist()
     return spark.read.parquet(outdir)
 
 
@@ -1613,12 +1617,20 @@ def lake_dv_cdc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         try:
             if batch_df.isEmpty():
                 return
-            tip = batch_df.agg(F.max("_seq")).collect()[0][0]
+            # tip = max COMMIT position: a DV retraction's _seq is the OLD
+            # image's (possibly below the consumer), its commit rides in
+            # _dv_ver — a retraction-only batch must still advance
+            tip = batch_df.agg(
+                F.greatest(F.max("_seq"), F.max("_dv_ver"))
+            ).collect()[0][0]
             cat.insert_with_retries(
                 "lake", "mirror", fold_changelog(batch_df, ["o_orderkey"])
             )
-            # checkpoint AFTER the sink commit (at-least-once, never a gap)
-            cat.advance_consumer("lake", "dvt_src", "mirror", int(tip) + 1)
+            # checkpoint AFTER the sink commit (at-least-once, never a gap);
+            # non-strict: a replayed batch's stale tip is a no-op
+            cat.advance_consumer(
+                "lake", "dvt_src", "mirror", int(tip) + 1, strict=False
+            )
         finally:
             batch_df.unpersist()
 

@@ -143,9 +143,16 @@ def read_changelog_stream(
     if cat._dv_enabled(schema):
         # a DV table's deletes are pure metadata (no -D data rows), so the
         # file tail alone would silently drop every delete — union it with
-        # the retraction stream diffed from the tailed DV indexes.
+        # the retraction stream diffed from the tailed DV indexes. The -D
+        # side carries ``_dv_ver`` (the DELETE's commit id): a retraction's
+        # ``_seq`` is the OLD image's by design, so consumer checkpoints
+        # must advance by max(_seq, _dv_ver) — a retraction-only batch
+        # (pure-metadata DELETE) would otherwise compute a tip BELOW the
+        # consumer's position and stall/crash the advance. Insert rows get
+        # NULL ``_dv_ver`` (their ``_seq`` is already the commit id).
         return inserts.unionByName(
-            _dv_retraction_stream(cat, tdir, schema, from_version, max_files_per_trigger)
+            _dv_retraction_stream(cat, tdir, schema, from_version, max_files_per_trigger),
+            allowMissingColumns=True,
         )
     return inserts
 
@@ -336,6 +343,9 @@ def _dv_retraction_stream(
             *[F.col(f.name) for f in schema.fields],
             F.col(SEQ_COL),
             F.lit("D").alias(KIND_COL),
+            # the retracting commit's id — ``_seq`` above is the OLD image's
+            # (attribution), so checkpoint advancement reads THIS column
+            F.col("_dv_ver"),
         )
     )
 
@@ -381,7 +391,8 @@ def fold_changelog(batch: DataFrame, pk: list[str]) -> DataFrame:
     _seq, so "delete of the image this very commit produced" must beat the
     image (mirrors the warehouse's same-commit insert+delete tiebreak). The
     winner keeps ``_row_kind`` (the sink's merge engine upserts 'I' rows and
-    deletes 'D' rows); ``_seq`` is dropped — the sink assigns its own.
+    deletes 'D' rows); ``_seq`` — and the DV stream's ``_dv_ver`` checkpoint
+    rider, when present — are dropped: the sink assigns its own sequence.
 
     Scale shape: one hash shuffle on the key (the same partitioning the
     sink's merge uses), a window row_number, no collects.
@@ -394,7 +405,7 @@ def fold_changelog(batch: DataFrame, pk: list[str]) -> DataFrame:
     return (
         batch.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .drop("_rn", SEQ_COL)
+        .drop("_rn", SEQ_COL, "_dv_ver")
     )
 
 
@@ -539,13 +550,21 @@ def write_stream_to_table(
 
     ``source=(db, table)`` + ``consumer_id``: Paimon's checkpoint-advance —
     after a batch durably commits to the sink, the SOURCE table's consumer
-    advances to (max ``_seq`` seen in the batch) + 1. ``_seq`` on a plain PK
-    changelog source is the commit/snapshot id, so the recorded position is
-    exactly "everything below this snapshot is committed downstream", and
-    it pins the source's snapshot retention while the pipeline is behind.
-    Progress records only AFTER the commit (crash between commit and advance
-    replays the batch — at-least-once, never a gap). A sequence_field source
-    carries business time in ``_seq`` and is rejected.
+    advances to (max commit position seen in the batch) + 1. ``_seq`` on a
+    plain PK changelog source is the commit/snapshot id; a DV retraction
+    row's ``_seq`` is the OLD image's, so its commit position rides in
+    ``_dv_ver`` and the tip is the max over BOTH columns — a
+    retraction-only batch (a pure-metadata DELETE landing after the
+    consumer caught up) would otherwise compute a tip below the consumer's
+    position, and the advance would crash-loop the stream on every restart
+    while the delete-only commit was never recorded as consumed. The
+    recorded position is exactly "everything below this snapshot is
+    committed downstream", and it pins the source's snapshot retention
+    while the pipeline is behind. Progress records only AFTER the commit
+    (crash between commit and advance replays the batch — at-least-once,
+    never a gap); the advance is non-strict (a stale/replayed tip at or
+    below the current position is a no-op, not an error). A sequence_field
+    source carries business time in ``_seq`` and is rejected.
 
     ``fold_pk=True`` applies ``fold_changelog`` per micro-batch before the
     insert — REQUIRED for retraction-carrying sources (a DV table's stream
@@ -588,19 +607,30 @@ def write_stream_to_table(
                 return
             tip = None
             if consumer_id is not None:
-                tip = batch_df.agg(F.max(SEQ_COL)).collect()[0][0]
+                # tip = max commit position: _seq for +rows, _dv_ver for DV
+                # retractions (whose _seq is the retracted OLD image's —
+                # possibly far below the consumer). greatest() ignores the
+                # null side when only one kind is present in the batch.
+                tip_col = (
+                    F.greatest(F.max(SEQ_COL), F.max("_dv_ver"))
+                    if "_dv_ver" in batch_df.columns
+                    else F.max(SEQ_COL)
+                )
+                tip = batch_df.agg(tip_col).collect()[0][0]
             # a PK changelog SOURCE carries _seq (its own commit order); the
             # sink table assigns fresh sequence numbers per committed batch,
-            # so the rider _seq must not reach insert_into (it would be
-            # rejected as an unknown column). _row_kind DOES flow through —
-            # deletes upsert away.
+            # so the rider _seq/_dv_ver must not reach insert_into (they
+            # would be rejected as unknown columns). _row_kind DOES flow
+            # through — deletes upsert away.
             if fold_pk:
-                out = fold_changelog(batch_df, sink_pk)  # drops _seq itself
+                out = fold_changelog(batch_df, sink_pk)  # drops the riders
             else:
-                out = batch_df.drop(SEQ_COL) if SEQ_COL in batch_df.columns else batch_df
+                out = batch_df.drop(SEQ_COL, "_dv_ver")
             catalog.insert_with_retries(db, table, out)
             if consumer_id is not None and tip is not None:
-                catalog.advance_consumer(*source, consumer_id, int(tip) + 1)
+                catalog.advance_consumer(
+                    *source, consumer_id, int(tip) + 1, strict=False
+                )
         finally:
             batch_df.unpersist()
 

@@ -205,6 +205,65 @@ def test_write_stream_to_table_fold_pk(cat, spark):
         )
 
 
+def test_dv_ver_marks_retracting_commit(cat, spark):
+    """Retraction rows expose ``_dv_ver`` = the DELETE's commit id (their
+    ``_seq`` is the retracted OLD image's); insert rows carry NULL. This is
+    the column consumer checkpoints advance by."""
+    _mk(cat, spark, n=4)  # snapshot 1
+    cat.sql("DELETE FROM d.t WHERE k = 1")  # snapshot 2, pure metadata
+    out = run_to_completion(
+        read_changelog_stream(cat, "d.t"), "dv_verq", output_mode="append"
+    )
+    rows = {(r["_row_kind"], r["k"]): r["_dv_ver"] for r in out.collect()}
+    assert rows[("D", 1)] == 2
+    assert all(v is None for (kind, _), v in rows.items() if kind == "I")
+
+
+def test_retraction_only_batch_advances_consumer(cat, spark):
+    """The ADVICE r7 crash-loop: consumer caught up at 3, then a
+    pure-metadata DELETE of a commit-1 row lands. The resumed batch contains
+    ONLY retractions whose _seq (old-image attribution) is far below the
+    consumer — the tip must come from _dv_ver, advancing to the delete's
+    commit + 1, and the delete-only commit must be recorded as consumed
+    (no eternal replay, no retention pinning, no ValueError crash-loop)."""
+    import tempfile
+
+    from incubator_paimon_trino_spark.streaming.changelog import write_stream_to_table
+
+    _mk(cat, spark, n=4)  # snapshot 1
+    cat.insert_into(
+        "d", "t", spark.createDataFrame([(10, "v10")], "k bigint, v string")
+    )  # snapshot 2
+    cat.create_table("d", "mir", [("k", "bigint"), ("v", "string")], primary_key=["k"])
+    write_stream_to_table(
+        read_changelog_stream(cat, "d.t", consumer_id="mir"),
+        cat, "d", "mir", tempfile.mkdtemp(prefix="dvro1_"),
+        source=("d", "t"), consumer_id="mir", fold_pk=True,
+    )
+    assert cat.consumer_progress("d", "t", "mir") == 3  # caught up
+    cat.sql("DELETE FROM d.t WHERE k = 1")  # snapshot 3: -D with _seq = 1
+    write_stream_to_table(
+        read_changelog_stream(cat, "d.t", consumer_id="mir"),
+        cat, "d", "mir", tempfile.mkdtemp(prefix="dvro2_"),
+        source=("d", "t"), consumer_id="mir", fold_pk=True,
+    )
+    assert cat.consumer_progress("d", "t", "mir") == 4  # delete commit consumed
+    mirror = {(r.k, r.v) for r in cat.read_table("d.mir").collect()}
+    src = {(r.k, r.v) for r in cat.read_table("d.t").collect()}
+    assert mirror == src and (1, "v1") not in mirror
+
+
+def test_advance_consumer_nonstrict_noop(cat, spark):
+    """strict=False (the streaming-sink mode) absorbs a stale tip silently;
+    strict advancement still refuses to rewind."""
+    _mk(cat, spark, n=2)
+    cat.advance_consumer("d", "t", "c1", 5)
+    cat.advance_consumer("d", "t", "c1", 3, strict=False)  # no-op, no raise
+    assert cat.consumer_progress("d", "t", "c1") == 5
+    with pytest.raises(ValueError, match="backward"):
+        cat.advance_consumer("d", "t", "c1", 3)
+
+
 def test_dv_stream_ignores_orphan_index(cat, spark):
     """An uncommitted dv-*.json (crashed or racing writer — vacuum keeps it
     while above the horizon) must not emit phantom retractions: only indexes

@@ -114,6 +114,38 @@ def test_nan_poisoned_float_stats_fall_back(cat, spark):
     assert row.min_x == 1.0 and row.max_x != row.max_x  # Spark: NaN is MAX
 
 
+def test_nan_partition_value_falls_back(cat, spark):
+    """A float/double PARTITION column whose hive path value is 'NaN' must
+    hit the same guard as NaN footer stats: the path-value branch normalizes
+    'NaN' to float('nan'), which would poison the _key fold order-dependently
+    (NaN compares False against everything) while Spark's scan ranks NaN as
+    MAX — so the metadata path must refuse, never answer."""
+    cat.create_database("d")
+    cat.create_table(
+        "d", "np", [("k", "bigint"), ("p", "double")], partitioned_by=["p"]
+    )
+    cat.insert_into(
+        "d", "np",
+        spark.createDataFrame(
+            [(1, 1.0), (2, float("nan")), (3, 5.0)], "k bigint, p double"
+        ),
+    )
+    assert cat.metadata_min_max("d.np", ["p"]) is None
+    row = cat.column_extremes("d.np", ["p"]).collect()[0]  # scan path
+    assert row.min_p == 1.0 and row.max_p != row.max_p  # Spark: NaN is MAX
+    # non-NaN float partitions still answer from the path
+    cat.create_table(
+        "d", "fp", [("k", "bigint"), ("p", "double")], partitioned_by=["p"]
+    )
+    cat.insert_into(
+        "d", "fp",
+        spark.createDataFrame([(1, 1.0), (3, 5.0)], "k bigint, p double"),
+    )
+    assert cat.metadata_min_max("d.fp", ["p"]) == {
+        "p": {"min": 1.0, "max": 5.0, "count": 2}
+    }
+
+
 def test_string_partition_column_answers_from_path(cat, spark):
     """Partition columns bypass the footer-type gate: their values live
     exactly in the path, so even string extremes are answerable — while a
