@@ -229,8 +229,11 @@ def _dv_retraction_stream(
        the file name),
     2. explodes each index into (file basename, position) marks and drops
        the RESUME BASELINE — marks already cumulative at ``from_version - 1``
-       (broadcast anti-join against driver-held metadata, exactly the set a
-       resuming consumer has already retracted),
+       (a distributed anti-join against a Spark read of the prior snapshot's
+       committed index, through the same parse/explode pipeline as the
+       marks side — exactly the set a resuming consumer has already
+       retracted, and never materialized on the driver: at 100 TB the
+       baseline is O(live deleted rows)),
     3. recovers each marked row's full image with a stream-static join
        against a batch read of ONLY the DV-referenced data files (positions
        via ``_metadata.row_index`` — the plan-quality property: a delete of
@@ -280,46 +283,30 @@ def _dv_retraction_stream(
     committed = [os.path.basename(s.dv) for s in snaps if s.dv]
     build_tip = snaps[-1].snapshot_id if snaps else 0
     idx_name = F.element_at(F.split(F.input_file_name(), "/"), -1)
-    parsed = F.from_json("value", "vectors map<string, array<bigint>>")
-    marks = (
-        idx.filter((ver > F.lit(build_tip)) | idx_name.isin(committed))
-        .select(ver.alias("_dv_ver"), parsed.alias("_vecs"))
-        # a committed index that does not parse must fail the stream LOUDLY
-        # (the batch reader raises on the same file) — silently exploding
-        # nothing would drop that commit's deletes and checkpoint past them
-        .filter(
-            F.assert_true(
-                F.col("_vecs.vectors").isNotNull(),
-                F.concat(F.lit("unreadable DV index: "), F.input_file_name()),
-            ).isNull()
-        )
-        .select("_dv_ver", F.explode("_vecs.vectors").alias("_rel", "_ps"))
-        .select(
-            "_dv_ver",
-            F.element_at(
-                F.split(F.regexp_replace("_rel", r"\\", "/"), "/"), -1
-            ).alias(_DV_FILE),
-            F.explode("_ps").alias(_DV_POS),
-        )
+    marks = _explode_dv_index(
+        idx.filter((ver > F.lit(build_tip)) | idx_name.isin(committed)),
+        ver_col=ver,
     )
-    baseline: dict = {}
     if from_version is not None:
         marks = marks.filter(F.col("_dv_ver") >= F.lit(from_version))
         prior = [s for s in snaps if s.snapshot_id < from_version]
-        if prior:
+        if prior and prior[-1].dv:
             # the resume baseline: cumulative vectors at from_version - 1 —
-            # everything below was retracted before the consumer's position
-            baseline = cat._dv_vectors(tdir, prior[-1])
-    if baseline:
-        base_pairs = [
-            (os.path.basename(rel.replace("\\", "/")), int(p))
-            for rel, ps in baseline.items()
-            for p in ps
-        ]
-        base_df = cat.spark.createDataFrame(
-            base_pairs, f"{_DV_FILE} string, {_DV_POS} bigint"
-        )
-        marks = marks.join(F.broadcast(base_df), [_DV_FILE, _DV_POS], "left_anti")
+            # everything below was retracted before the consumer's position.
+            # Read DISTRIBUTED through the same parse/explode pipeline as
+            # the marks side and anti-joined executor-side: the baseline is
+            # O(live deleted rows) and must never transit the driver (a
+            # long-lived consumer of a 100 TB table can hold billions of
+            # marks). A baseline index reaped by expiry (position past the
+            # horizon) means nothing below survives to replay — skip.
+            base_path = os.path.join(index_dir, prior[-1].dv)
+            if os.path.exists(base_path):
+                base_df = _explode_dv_index(
+                    cat.spark.read.format("text")
+                    .option("wholetext", "true")
+                    .load(base_path)
+                )
+                marks = marks.join(base_df, [_DV_FILE, _DV_POS], "left_anti")
 
     entries = _dv_referenced_entries(tdir, snaps)
     if not entries:
@@ -346,6 +333,36 @@ def _dv_retraction_stream(
             # the retracting commit's id — ``_seq`` above is the OLD image's
             # (attribution), so checkpoint advancement reads THIS column
             F.col("_dv_ver"),
+        )
+    )
+
+
+def _explode_dv_index(df: DataFrame, ver_col=None) -> DataFrame:
+    """(file basename, position) marks from wholetext DV index JSON rows —
+    the ONE parse/explode pipeline shared by the streaming marks side and
+    the batch resume-baseline side (so the two can never disagree on path
+    normalization). ``ver_col`` (optional expression) rides along as
+    ``_dv_ver``. An index that does not parse fails LOUDLY (the batch
+    reader raises on the same file) — silently exploding nothing would
+    drop that commit's deletes and checkpoint past them."""
+    carry = ["_dv_ver"] if ver_col is not None else []
+    head = [ver_col.alias("_dv_ver")] if ver_col is not None else []
+    parsed = F.from_json("value", "vectors map<string, array<bigint>>")
+    return (
+        df.select(*head, parsed.alias("_vecs"))
+        .filter(
+            F.assert_true(
+                F.col("_vecs.vectors").isNotNull(),
+                F.concat(F.lit("unreadable DV index: "), F.input_file_name()),
+            ).isNull()
+        )
+        .select(*carry, F.explode("_vecs.vectors").alias("_rel", "_ps"))
+        .select(
+            *carry,
+            F.element_at(
+                F.split(F.regexp_replace("_rel", r"\\", "/"), "/"), -1
+            ).alias(_DV_FILE),
+            F.explode("_ps").alias(_DV_POS),
         )
     )
 

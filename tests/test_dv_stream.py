@@ -290,6 +290,27 @@ def test_dv_stream_ignores_orphan_index(cat, spark):
     assert set(_dv_referenced_entries(tdir, snaps)) == committed_files
 
 
+def test_resume_baseline_never_transits_driver(cat, spark, monkeypatch):
+    """Scale pin (r7 'what's wrong' #1): the resume anti-join's baseline
+    side is a Spark read of the prior snapshot's committed index — NOT a
+    driver-held dict. _dv_vectors (the driver-side materialization) must
+    not be called anywhere in the stream build or its execution; the
+    resume semantics must be unchanged."""
+    _mk(cat, spark)
+    cat.sql("UPDATE d.t SET v = 'upd' WHERE k % 3 = 0")  # snapshot 2
+    cat.advance_consumer("d", "t", "cdc", 3)  # 1..2 consumed downstream
+    cat.sql("DELETE FROM d.t WHERE k % 2 = 0")  # snapshot 3
+
+    def boom(*a, **k):  # noqa: ANN002, ANN003
+        raise AssertionError("driver-side _dv_vectors materialization in stream path")
+
+    monkeypatch.setattr(WarehouseCatalog, "_dv_vectors", boom)
+    exp = sorted(
+        [("D", 0, "upd"), ("D", 2, "v2"), ("D", 4, "v4"), ("D", 6, "upd"), ("D", 8, "v8")]
+    )
+    assert _rows(cat, qname="dv_distbase", consumer_id="cdc") == exp
+
+
 def test_dv_stream_second_run_tails_only_new_marks(cat, spark):
     """Two consecutive consumer-driven runs: the second sees only the delta
     committed between them (the resumable-stream contract)."""
