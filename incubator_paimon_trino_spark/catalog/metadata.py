@@ -228,3 +228,29 @@ def write_json_atomic(path: str, payload: dict, exclusive: bool = False) -> None
 def read_json(path: str) -> dict:
     with open(path) as fh:
         return json.load(fh)
+
+
+def load_snapshots(tdir: str) -> list[Snapshot]:
+    """All committed snapshots of a table dir, file lists resolved from the
+    delta manifests, ordered by id. Module-level (no catalog/session) so the
+    manifest-driven streaming source's driver worker — a separate Python
+    process with no SparkSession — plans from the same resolution the batch
+    catalog uses. Shared manifests parse once per call: a K-commit history
+    costs K manifest reads, not K² (each commit adds ONE manifest; snapshots
+    reference the accumulated list)."""
+    import glob as _glob
+
+    out = []
+    manifest_cache: dict[str, list[dict]] = {}
+
+    def manifest_files(name: str) -> list[dict]:
+        if name not in manifest_cache:
+            manifest_cache[name] = read_json(os.path.join(tdir, "manifest", name))["files"]
+        return manifest_cache[name]
+
+    for p in sorted(_glob.glob(os.path.join(tdir, "snapshot", "snapshot-*.json"))):
+        s = Snapshot.from_json(read_json(p))
+        if s.manifests and not s.files:
+            s.files = [f for m in s.manifests for f in manifest_files(m)]
+        out.append(s)
+    return sorted(out, key=lambda s: s.snapshot_id)

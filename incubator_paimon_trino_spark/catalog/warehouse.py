@@ -60,6 +60,7 @@ from incubator_paimon_trino_spark.catalog.metadata import (
     Snapshot,
     TableSchema,
     _parse_type as _meta_parse_type,
+    load_snapshots,
     read_json,
     write_json_atomic,
 )
@@ -363,24 +364,10 @@ class WarehouseCatalog:
 
     # -------------------------------------------------------------- commits
     def _snapshots(self, tdir: str) -> list[Snapshot]:
-        out = []
-        manifest_cache: dict[str, list[dict]] = {}
-
-        def manifest_files(name: str) -> list[dict]:
-            if name not in manifest_cache:
-                manifest_cache[name] = read_json(os.path.join(tdir, "manifest", name))["files"]
-            return manifest_cache[name]
-
-        for p in sorted(glob.glob(os.path.join(tdir, "snapshot", "snapshot-*.json"))):
-            s = Snapshot.from_json(read_json(p))
-            if s.manifests and not s.files:
-                # delta-manifest resolution; shared manifests parse once per
-                # call, so resolving a K-commit history costs K manifest
-                # reads, not K² (each commit adds ONE manifest, snapshots
-                # reference the accumulated list)
-                s.files = [f for m in s.manifests for f in manifest_files(m)]
-            out.append(s)
-        return sorted(out, key=lambda s: s.snapshot_id)
+        # module-level in metadata.py since r8: the manifest-driven streaming
+        # source's driver worker (a separate Python process, no session)
+        # plans from the same resolution
+        return load_snapshots(tdir)
 
     def _publish_snapshot(
         self, tdir: str, snap: Snapshot, new_files: list[dict], base_manifests: list[str]

@@ -1142,6 +1142,101 @@ def lake_dv_changelog_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "lake_manifest_changelog_stream",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(o_totalprice AS DOUBLE) AS price,
+             o_orderstatus AS status
+      FROM orders WHERE o_orderkey <= 3000
+    ), upd AS (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_custkey % 7 = 2 THEN price * 2 ELSE price END AS price,
+             CASE WHEN o_custkey % 7 = 2 THEN 'V' ELSE status END AS status
+      FROM base
+    )
+    SELECT 'I' AS change, o_orderkey, o_custkey, price, status FROM base
+    UNION ALL
+    SELECT 'I', o_orderkey, o_custkey, price, status
+    FROM upd WHERE o_custkey % 7 = 2
+    UNION ALL
+    SELECT 'D', o_orderkey, o_custkey, price, status
+    FROM base WHERE o_custkey % 7 = 2
+    UNION ALL
+    SELECT 'D', o_orderkey, o_custkey, price, status
+    FROM upd WHERE o_orderkey % 4 = 0
+    UNION ALL
+    SELECT 'D', o_orderkey, o_custkey, price, status
+    FROM upd WHERE o_orderkey % 4 <> 0 AND o_orderkey % 10 = 7
+    """,
+)
+def lake_manifest_changelog_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MANIFEST-DRIVEN changelog source (r8; Paimon's own source shape
+    on Spark's Python DataSource API) across a history the file tail cannot
+    stream correctly: insert → update → DV delete → **COMPACT** → second DV
+    delete. Offsets are committed snapshot ids re-planned per trigger, so
+    the compaction contributes NOTHING (rewrites are not writer input — a
+    file tail would re-emit the whole live set here, and the hash gate
+    would catch the surplus rows), and the post-compaction delete's marks
+    are diffed against that commit's own file list. -D images are recovered
+    executor-side by positional take on exactly the marked files.
+
+    The oracle replays the history as SELECT algebra: +I = inserts + update
+    new images; -D = update old images + each delete's live-at-delete-time
+    images; the COMPACT commit adds no term.
+
+    Scale shape: planning is metadata-only (snapshot + per-commit index
+    JSON diffs, no cumulative state between triggers); executors read only
+    planned delta files via Arrow, one file per task. See
+    ``streaming/manifest_source.py`` for the full design and the
+    documented 100 TB swaps.
+    """
+    from incubator_paimon_trino_spark.streaming.changelog import (
+        read_changelog_stream,
+        run_to_completion,
+    )
+
+    cat = _fresh_catalog(spark)
+    cat.create_database("lake")
+    cat.create_table(
+        "lake",
+        "mdvs",
+        [
+            ("o_orderkey", "bigint"),
+            ("o_custkey", "bigint"),
+            ("price", "double"),
+            ("status", "string"),
+        ],
+        primary_key=["o_orderkey"],
+        options={"deletion-vectors.enabled": "true"},
+    )
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 3000)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("o_totalprice").cast("double").alias("price"),
+            F.col("o_orderstatus").alias("status"),
+        )
+    )
+    cat.insert_into("lake", "mdvs", o)
+    cat.sql("UPDATE lake.mdvs SET price = price * 2, status = 'V' WHERE o_custkey % 7 = 2")
+    cat.sql("DELETE FROM lake.mdvs WHERE o_orderkey % 4 = 0")
+    cat.compact("lake", "mdvs")  # pure rewrite: must contribute NOTHING
+    cat.sql("DELETE FROM lake.mdvs WHERE o_orderkey % 10 = 7")
+    stream = read_changelog_stream(cat, "lake.mdvs", source_mode="manifest")
+    out = run_to_completion(stream, "lake_manifest_stream_sink", "append")
+    return out.select(
+        F.col("_row_kind").alias("change"),
+        "o_orderkey",
+        "o_custkey",
+        "price",
+        "status",
+    )
+
+
 def _orders_two_commit_years(spark: SparkSession, sf_dir: str) -> "WarehouseCatalog":
     """Shared fixture for the $files/$partitions hash-gated queries: a
     year-partitioned lake table loaded in TWO commits with a deterministic

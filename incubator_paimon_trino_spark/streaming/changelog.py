@@ -43,6 +43,7 @@ def read_changelog_stream(
     scan_timestamp_ms: int | None = None,
     max_files_per_trigger: int | None = None,
     consumer_id: str | None = None,
+    source_mode: str = "files",
 ) -> DataFrame:
     """Streaming DataFrame over ``db.table``'s commit stream.
 
@@ -73,30 +74,44 @@ def read_changelog_stream(
     ``c<v>-`` file-name prefix — partition-pruning-style, per file path,
     no data read from excluded commits' rows.
 
-    KNOWN LIMIT (delivery semantics under write races): data files land in
-    ``data/`` BEFORE the atomic snapshot publish (batch readers require
-    files to exist when the manifest appears), so a trigger firing inside a
-    commit race's window can list a conflict LOSER's files — those rows are
-    re-committed by the winner's retry at the next id, so the stream sees
-    them twice (at-least-once), or a micro-batch can fail-and-retry if the
-    loser deletes a listed file first. Paimon's own streaming read is
-    manifest-driven and avoids this; a manifest-driven source here would
-    need a custom Source implementation. Single-writer tables (the common
-    streaming topology) never hit the window.
+    ``source_mode`` picks how increments are DISCOVERED:
 
-    KNOWN LIMIT (compaction): a COMPACT commit rewrites the live set into
-    new files, and a file tail cannot tell rewrites from writer input — a
-    stream crossing a compaction re-emits the live rows (the batch
-    ``table_changelog(producer='input')`` skips COMPACT commits via
-    file-set diffs; a file source has no file-set to diff). Downstream PK
-    sinks absorb the re-emission idempotently (same keys, same values);
-    append sinks should pause tailing around maintenance windows or resume
-    from a post-compaction snapshot.
+    - ``"files"`` (default) — Spark's file-stream source tails the data
+      directory: JVM vectorized parquet reads (the fast path), but work is
+      discovered by listing FILES, which carries three file-tail caveats:
+      (1) write races — data files land before the atomic snapshot
+      publish, so a trigger inside a commit race's window can list a
+      conflict loser's files (at-least-once duplicates when the winner
+      retries); single-writer tables never hit the window. (2) compaction —
+      a COMPACT commit's rewrites are indistinguishable from writer input
+      and re-emit the live rows (PK sinks absorb this idempotently).
+      (3) the DV retraction side resolves its static image-recovery join
+      at STREAM BUILD time, so an indefinitely-tailing consumer of a
+      still-deleting table should restart periodically (bounded
+      availableNow sessions are complete).
+    - ``"manifest"`` — the manifest-driven source
+      (``streaming/manifest_source.py``, Paimon's own source shape on the
+      Python DataSource API): every trigger re-plans from the snapshot
+      manifests, which CLOSES all three caveats — only committed snapshots
+      are planned (no race window), COMPACT commits plan no additions (no
+      re-emission), and DV marks are per-commit index diffs recovered
+      against that commit's own file list (a DELETE landing long after
+      stream start, against files the start never saw, still surfaces).
+      Schema renames are mapped by field id (the file tail must refuse
+      them). The trade: Arrow reads in Python workers instead of the JVM
+      vectorized reader, and ``max_files_per_trigger`` becomes a
+      max-COMMITS-per-trigger limit. Pick it for indefinite tailing,
+      multi-writer tables, compacting tables, or renamed-column histories.
     """
     db, _, table = name.partition(".")
     tdir = cat._table_dir(db, table)
     schema = cat._latest_schema(tdir)
-    _reject_renamed_columns(cat, tdir, schema)
+    if source_mode not in ("files", "manifest"):
+        raise ValueError(f"unknown source_mode {source_mode!r} (files, manifest)")
+    if source_mode == "files":
+        # the file tail matches parquet columns by NAME; the manifest
+        # source maps by field id and handles renamed histories
+        _reject_renamed_columns(cat, tdir, schema)
 
     from_version: int | None = None
     if consumer_id is not None:
@@ -139,6 +154,9 @@ def read_changelog_stream(
                 "(have latest-full, latest, from-snapshot, from-timestamp)"
             )
 
+    if source_mode == "manifest":
+        return _manifest_stream(cat, tdir, schema, from_version, max_files_per_trigger)
+
     inserts = _data_file_tail(cat, tdir, schema, from_version, max_files_per_trigger)
     if cat._dv_enabled(schema):
         # a DV table's deletes are pure metadata (no -D data rows), so the
@@ -155,6 +173,38 @@ def read_changelog_stream(
             allowMissingColumns=True,
         )
     return inserts
+
+
+def _manifest_stream(
+    cat: WarehouseCatalog,
+    tdir: str,
+    schema,
+    from_version: int | None,
+    max_commits_per_trigger: int | None,
+) -> DataFrame:
+    """The manifest-driven source (see ``read_changelog_stream``'s
+    ``source_mode`` docs and ``streaming/manifest_source.py``): snapshots
+    are the offsets, per-trigger re-planned — no build-time listing
+    anywhere. Output columns match the files mode exactly (shared
+    ``stream_output_columns``)."""
+    from incubator_paimon_trino_spark.streaming.manifest_source import (
+        PaimonManifestSource,
+        stream_output_columns,
+    )
+
+    cat.spark.dataSource.register(PaimonManifestSource)
+    dv = cat._dv_enabled(schema)
+    ddl = ", ".join(f"`{n}` {t}" for n, t in stream_output_columns(schema, dv))
+    reader = (
+        cat.spark.readStream.format("paimon_manifest")
+        .option("tdir", tdir)
+        .option("from_version", str(from_version or 0))
+        .option("dv", "1" if dv else "0")
+        .option("schema_ddl", ddl)
+    )
+    if max_commits_per_trigger is not None:
+        reader = reader.option("max_commits_per_trigger", str(max_commits_per_trigger))
+    return reader.load()
 
 
 def _data_file_tail(

@@ -1,0 +1,234 @@
+"""Manifest-driven streaming source (``source_mode="manifest"``) — the
+Paimon-source-shaped planner that closes the file tail's three caveats:
+
+- post-start commits surface without restart (latestOffset re-plans per
+  trigger — THE r7 'What's missing' #1 closure: a DELETE committed after
+  stream start, against a file the start never listed, still retracts),
+- COMPACT commits re-emit nothing (rewrites are not writer input),
+- renamed-column histories stream correctly (field-id mapping; the file
+  tail refuses them),
+- output is value-identical to the files mode on histories where both are
+  defined, including the DV retraction stream and _dv_ver attribution.
+
+Reference anchor: the changelog-producer/streaming enums the reference
+stores without executing (``common/TrinoTableOptionUtils.java:94-107``).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import time
+
+import pytest
+from pyspark.sql import functions as F  # noqa: F401
+
+from incubator_paimon_trino_spark.catalog.warehouse import WarehouseCatalog
+from incubator_paimon_trino_spark.streaming.changelog import (
+    read_changelog_stream,
+    run_to_completion,
+)
+
+
+@pytest.fixture()
+def cat(spark, tmp_path):
+    return WarehouseCatalog(str(tmp_path / "wh"), spark)
+
+
+def _mk_dv(cat, spark, n=10):
+    cat.create_database("d")
+    cat.create_table(
+        "d", "t", [("k", "bigint"), ("v", "string")],
+        primary_key=["k"], options={"deletion-vectors.enabled": "true"},
+    )
+    cat.insert_into(
+        "d", "t", spark.createDataFrame([(i, f"v{i}") for i in range(n)], "k bigint, v string")
+    )
+
+
+def _rows(cat, name="d.t", qname="mq", cols=("_row_kind", "k", "v"), **kw):
+    out = run_to_completion(
+        read_changelog_stream(cat, name, source_mode="manifest", **kw),
+        qname, output_mode="append",
+    )
+    return sorted(tuple(r[c] for c in cols) for r in out.collect())
+
+
+def test_manifest_equals_files_mode_on_dv_history(cat, spark):
+    """availableNow over insert+update+delete: byte-identical to the files
+    mode (including _seq attribution and _dv_ver on retractions)."""
+    _mk_dv(cat, spark)
+    cat.sql("UPDATE d.t SET v = 'upd' WHERE k % 3 = 0")
+    cat.sql("DELETE FROM d.t WHERE k % 2 = 0")
+    cols = ("_row_kind", "k", "v", "_seq", "_dv_ver")
+    manifest = _rows(cat, qname="m_eq", cols=cols)
+    files_out = run_to_completion(
+        read_changelog_stream(cat, "d.t"), "f_eq", output_mode="append"
+    )
+    files = sorted(tuple(r[c] for c in cols) for r in files_out.collect())
+    assert manifest == files and manifest
+
+
+def test_manifest_plain_pk_and_append_tables(cat, spark):
+    cat.create_database("d")
+    cat.create_table("d", "pk", [("k", "bigint"), ("v", "string")], primary_key=["k"])
+    cat.insert_into("d", "pk", spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, v string"))
+    cat.insert_into("d", "pk", spark.createDataFrame([(2, "b2")], "k bigint, v string"))
+    assert _rows(cat, "d.pk", qname="m_pk", cols=("_row_kind", "k", "v", "_seq")) == [
+        ("I", 1, "a", 1), ("I", 2, "b", 1), ("I", 2, "b2", 2)
+    ]
+    cat.create_table("d", "ap", [("k", "bigint"), ("v", "string")])
+    cat.insert_into("d", "ap", spark.createDataFrame([(7, "x")], "k bigint, v string"))
+    assert _rows(cat, "d.ap", qname="m_ap", cols=("k", "v")) == [(7, "x")]
+
+
+def test_manifest_partitioned_table_rebuilds_partition_columns(cat, spark):
+    cat.create_database("d")
+    cat.create_table(
+        "d", "p", [("k", "bigint"), ("y", "int"), ("r", "string")],
+        partitioned_by=["y", "r"],
+    )
+    rows = [(1, 2000, "asia"), (2, 2001, "eu/na"), (3, 2001, None)]
+    cat.insert_into("d", "p", spark.createDataFrame(rows, "k bigint, y int, r string"))
+    assert _rows(cat, "d.p", qname="m_part", cols=("k", "y", "r")) == sorted(rows)
+
+
+def test_post_start_delete_surfaces_without_restart(cat, spark):
+    """THE closing test (r7 next-round item 2): the stream starts, THEN a
+    new file is committed and a DELETE marks rows in it — both the +I and
+    the -D must surface in later micro-batches with no restart."""
+    _mk_dv(cat, spark, n=4)  # snapshot 1, listed at build
+    stream = read_changelog_stream(cat, "d.t", source_mode="manifest")
+    q = (
+        stream.writeStream.format("memory").queryName("m_tail")
+        .outputMode("append").trigger(processingTime="1 second").start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.sql("select count(*) c from m_tail").collect()[0].c >= 4:
+                break
+            time.sleep(0.5)
+        # commit a NEW file after stream start, then delete from it —
+        # files the stream build never saw
+        cat.insert_into(
+            "d", "t",
+            spark.createDataFrame([(100, "w100"), (101, "w101")], "k bigint, v string"),
+        )
+        cat.sql("DELETE FROM d.t WHERE k = 100")
+        want = {("I", 100, "w100"), ("I", 101, "w101"), ("D", 100, "w100")}
+        got = set()
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            got = {
+                (r["_row_kind"], r["k"], r["v"])
+                for r in spark.sql("select * from m_tail").collect()
+            }
+            if want <= got:
+                break
+            time.sleep(0.5)
+        assert want <= got, f"missing {want - got}"
+        # and the retraction is attributed to its commit
+        dvv = {
+            (r["k"]): r["_dv_ver"]
+            for r in spark.sql("select * from m_tail where _row_kind='D'").collect()
+        }
+        assert dvv[100] == 3
+    finally:
+        q.stop()
+
+
+def test_compaction_is_not_reemitted(cat, spark):
+    """A stream crossing a COMPACT commit emits nothing for it (the file
+    tail re-emits the whole live set); rows written after the compaction
+    still flow."""
+    cat.create_database("d")
+    cat.create_table("d", "c", [("k", "bigint"), ("v", "string")], primary_key=["k"])
+    cat.insert_into("d", "c", spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, v string"))
+    cat.insert_into("d", "c", spark.createDataFrame([(1, "a2")], "k bigint, v string"))
+    cat.compact("d", "c")  # snapshot 3: pure rewrite
+    cat.insert_into("d", "c", spark.createDataFrame([(9, "z")], "k bigint, v string"))
+    got = _rows(cat, "d.c", qname="m_compact", cols=("_row_kind", "k", "v", "_seq"))
+    assert got == [("I", 1, "a", 1), ("I", 1, "a2", 2), ("I", 2, "b", 1), ("I", 9, "z", 4)]
+
+
+def test_bootstrap_from_compacted_history_emits_baseline(cat, spark):
+    """Expired history whose earliest survivor is the COMPACT commit: a
+    from-scratch stream must emit the compaction's file set as its +I
+    baseline (mirrors table_changelog's input-producer bootstrap)."""
+    cat.create_database("d")
+    cat.create_table("d", "e", [("k", "bigint"), ("v", "string")], primary_key=["k"])
+    cat.insert_into("d", "e", spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, v string"))
+    cat.insert_into("d", "e", spark.createDataFrame([(1, "a2")], "k bigint, v string"))
+    cat.compact("d", "e")  # snapshot 3
+    cat.expire_snapshots("d", "e", keep_last=1)
+    got = _rows(cat, "d.e", qname="m_boot", cols=("_row_kind", "k", "v"))
+    assert got == [("I", 1, "a2"), ("I", 2, "b")]
+
+
+def test_renamed_history_streams_by_field_id(cat, spark):
+    """Files written before a rename stream under the NEW name (field-id
+    mapping); the files mode refuses the same table."""
+    cat.create_database("d")
+    cat.create_table("d", "r", [("k", "bigint"), ("amount", "double")])
+    cat.insert_into("d", "r", spark.createDataFrame([(1, 2.5)], "k bigint, amount double"))
+    cat.rename_column("d", "r", "amount", "price")
+    cat.insert_into("d", "r", spark.createDataFrame([(2, 7.5)], "k bigint, price double"))
+    assert _rows(cat, "d.r", qname="m_ren", cols=("k", "price")) == [(1, 2.5), (2, 7.5)]
+    with pytest.raises(ValueError, match="renamed"):
+        read_changelog_stream(cat, "d.r")  # files mode still guards
+
+
+def test_added_column_nulls_and_from_snapshot_cut(cat, spark):
+    cat.create_database("d")
+    cat.create_table("d", "a", [("k", "bigint")])
+    cat.insert_into("d", "a", spark.createDataFrame([(1,)], "k bigint"))
+    cat.add_column("d", "a", "note", "string")
+    cat.insert_into("d", "a", spark.createDataFrame([(2, "hi")], "k bigint, note string"))
+    assert _rows(cat, "d.a", qname="m_add", cols=("k", "note")) == [(1, None), (2, "hi")]
+    assert _rows(
+        cat, "d.a", qname="m_cut", cols=("k", "note"),
+        startup_mode="from-snapshot", scan_snapshot_id=2,
+    ) == [(2, "hi")]
+
+
+def test_consumer_resume_and_sink_checkpoint(cat, spark):
+    """consumer_id resume + write_stream_to_table over the manifest source:
+    the full checkpoint discipline works unchanged, including the
+    retraction-only-batch advance (tip from _dv_ver)."""
+    from incubator_paimon_trino_spark.streaming.changelog import write_stream_to_table
+
+    _mk_dv(cat, spark, n=4)
+    cat.create_table("d", "mir", [("k", "bigint"), ("v", "string")], primary_key=["k"])
+    write_stream_to_table(
+        read_changelog_stream(cat, "d.t", consumer_id="mm", source_mode="manifest"),
+        cat, "d", "mir", tempfile.mkdtemp(prefix="mms1_"),
+        source=("d", "t"), consumer_id="mm", fold_pk=True,
+    )
+    assert cat.consumer_progress("d", "t", "mm") == 2
+    cat.sql("DELETE FROM d.t WHERE k = 1")  # pure-metadata commit 2
+    write_stream_to_table(
+        read_changelog_stream(cat, "d.t", consumer_id="mm", source_mode="manifest"),
+        cat, "d", "mir", tempfile.mkdtemp(prefix="mms2_"),
+        source=("d", "t"), consumer_id="mm", fold_pk=True,
+    )
+    assert cat.consumer_progress("d", "t", "mm") == 3
+    mirror = {(r.k, r.v) for r in cat.read_table("d.mir").collect()}
+    src = {(r.k, r.v) for r in cat.read_table("d.t").collect()}
+    assert mirror == src and (1, "v1") not in mirror
+
+
+def test_orphan_index_never_planned(cat, spark):
+    """An uncommitted dv-*.json is invisible to the manifest planner (it
+    plans from snapshot.dv references only) — no phantom retractions."""
+    from incubator_paimon_trino_spark.catalog.metadata import write_json_atomic
+
+    _mk_dv(cat, spark, n=4)
+    cat.sql("DELETE FROM d.t WHERE k = 1")
+    tdir = cat._table_dir("d", "t")
+    victim = next(f["path"] for f in cat._snapshots(tdir)[-1].files)
+    write_json_atomic(
+        os.path.join(tdir, "index", "dv-2-deadbeef.json"), {"vectors": {victim: [0]}}
+    )
+    got = _rows(cat, qname="m_orphan")
+    assert [r for r in got if r[0] == "D"] == [("D", 1, "v1")]
