@@ -1639,6 +1639,155 @@ def streaming_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame
     return spark.read.parquet(outdir)
 
 
+def probe_band_index(cat: "WarehouseCatalog", docs: DataFrame) -> DataFrame:
+    """Near-dup verdicts for a batch of ``(doc_id, text)`` against the
+    MAINTAINED ``lake.band_idx`` / ``lake.sig_idx`` lake tables — the probe
+    side of the r8 production swap: candidates come from one equi-join of
+    the batch's bands against ``cat.read_table`` of the index table, and
+    verification signatures come from the signature table. The corpus TEXT
+    is never read (plan-pinned in ``tests/test_plan_quality.py``): at
+    100 TB the index tables are the only corpus-sized state the probe
+    touches, ~4 skinny rows + one signature row per document."""
+    sigs_n = _md5_signatures_of(docs)
+    idx = cat.read_table("lake.band_idx").select(
+        F.col("doc_id").alias("cand_id"), "band", "bkey"
+    )
+    cand = (
+        _md5_bands(sigs_n)
+        .join(idx, ["band", "bkey"])
+        .select("doc_id", "cand_id")
+        .dropDuplicates()
+    )
+    sn = sigs_n.select("doc_id", F.col("sig").alias("sig_n"))
+    sc = cat.read_table("lake.sig_idx").select(
+        F.col("doc_id").alias("cand_id"), F.col("sig").alias("sig_c")
+    )
+    hits = (
+        cand.join(sn, "doc_id")
+        .join(sc, "cand_id")
+        .withColumn("est_jaccard", _md5_est("sig_n", "sig_c"))
+        .filter(F.col("est_jaccard") >= 0.5)
+    )
+    best = hits.groupBy("doc_id").agg(
+        F.max_by(
+            F.col("cand_id"), F.struct(F.col("est_jaccard"), (-F.col("cand_id")))
+        ).alias("best_match"),
+        F.max("est_jaccard").alias("best_est"),
+        F.count(F.lit(1)).cast("bigint").alias("n_matches"),
+    )
+    # base = the batch's doc ids: a sub-3-word doc has no signature but must
+    # still report clean, like the batch probe's base set
+    return docs.select("doc_id").dropDuplicates().join(best, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("best_match"), F.lit(-1)).cast("bigint").alias("best_match"),
+        F.coalesce(F.col("best_est"), F.lit(0.0)).cast("double").alias("best_est"),
+        F.coalesce(F.col("n_matches"), F.lit(0)).cast("bigint").alias("n_matches"),
+    )
+
+
+@register("streaming_band_index_maintained", oracle=_INCR_MINHASH_ORACLE)
+def streaming_band_index_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The band index as a MAINTAINED LAKE TABLE (r8) — making the scale
+    story every incremental probe cites real instead of session-persisted:
+    a maintenance stream tails the corpus table's changelog and UPSERTS
+    each micro-batch's band rows into ``lake.band_idx`` (PK ``(doc_id,
+    band)``) and its signatures into ``lake.sig_idx`` (PK ``doc_id``),
+    advancing its consumer only after both sink commits land
+    (checkpoint-after-sink, at-least-once; upserts make the replay
+    idempotent). The probe stream then answers near-dup verdicts for the
+    new batch from ``cat.read_table`` of those index tables —
+    ``probe_band_index`` above — never from the corpus text. Shares its
+    oracle with ``dedup_incremental_minhash_md5``: index-table
+    indirection must be byte-invisible in the verdicts.
+
+    Scale shape: index maintenance is one signature pass per NEW batch
+    (never a corpus rescan) landing as ordinary PK upserts; the probe is
+    one equi-join on (band, bkey) against a 4-rows/doc table plus one
+    signature fetch join; resume on both sides is a consumer JSON. A crash
+    between the two index inserts replays the batch — same-key upserts
+    converge, the standard lake-sink idempotence argument.
+    """
+    from incubator_paimon_trino_spark.streaming.changelog import read_changelog_stream
+
+    cat = _fresh_catalog(spark)
+    cat.create_database("lake")
+    cat.create_table(
+        "lake", "docs_bim", [("doc_id", "bigint"), ("text", "string")], primary_key=["doc_id"]
+    )
+    cat.create_table(
+        "lake",
+        "band_idx",
+        [("doc_id", "bigint"), ("band", "int"), ("bkey", "string")],
+        primary_key=["doc_id", "band"],
+    )
+    cat.create_table(
+        "lake", "sig_idx", [("doc_id", "bigint"), ("sig", "array<bigint>")],
+        primary_key=["doc_id"],
+    )
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    cat.insert_into("lake", "docs_bim", d.filter(F.col("doc_id") % 10 != 0))  # corpus
+
+    def maintain(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            if batch_df.isEmpty():
+                return
+            tip = batch_df.agg(F.max("_seq")).collect()[0][0]
+            sigs = _md5_signatures_of(batch_df.select("doc_id", "text")).persist()
+            try:
+                cat.insert_with_retries("lake", "sig_idx", sigs)
+                cat.insert_with_retries("lake", "band_idx", _md5_bands(sigs))
+                # advance only after BOTH index commits are durable
+                cat.advance_consumer(
+                    "lake", "docs_bim", "bandix", int(tip) + 1, strict=False
+                )
+            finally:
+                sigs.unpersist()
+        finally:
+            batch_df.unpersist()
+
+    mq = (
+        read_changelog_stream(cat, "lake.docs_bim", consumer_id="bandix")
+        .writeStream.foreachBatch(maintain)
+        .queryName("band_index_maintenance")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ipt_bandix_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    mq.awaitTermination()
+
+    # probe pipeline: corpus already consumed; the new batch lands later
+    cat.advance_consumer(
+        "lake", "docs_bim", "probe", cat.latest_snapshot_id("lake", "docs_bim") + 1
+    )
+    cat.insert_into("lake", "docs_bim", d.filter(F.col("doc_id") % 10 == 0))
+
+    outdir = tempfile.mkdtemp(prefix="ipt_bandprobe_out_")
+
+    def probe(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            if batch_df.isEmpty():
+                return
+            tip = batch_df.agg(F.max("_seq")).collect()[0][0]
+            out = probe_band_index(cat, batch_df.select("doc_id", "text"))
+            out.write.mode("append").parquet(outdir)
+            cat.advance_consumer("lake", "docs_bim", "probe", int(tip) + 1, strict=False)
+        finally:
+            batch_df.unpersist()
+
+    pq_ = (
+        read_changelog_stream(cat, "lake.docs_bim", consumer_id="probe")
+        .writeStream.foreachBatch(probe)
+        .queryName("band_index_probe")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ipt_bandprobe_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    pq_.awaitTermination()
+    return spark.read.parquet(outdir)
+
+
 @register(
     "lake_dv_cdc_pipeline",
     oracle="""

@@ -418,3 +418,53 @@ def test_incremental_simhash_probe_is_equi_join(spark):
 
     for ex in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "text" not in ex
+
+
+def test_band_index_probe_reads_index_tables_not_corpus(spark, tmp_path):
+    """The maintained-band-index probe (r8): its plan must scan the
+    lake.band_idx / lake.sig_idx INDEX tables and never the corpus table's
+    text files — the index-table indirection is the whole production swap."""
+    from pyspark.sql import functions as F
+
+    from incubator_paimon_trino_spark.catalog.warehouse import WarehouseCatalog
+    from incubator_paimon_trino_spark.operators.dedup import (
+        _md5_bands,
+        _md5_signatures_of,
+    )
+    from incubator_paimon_trino_spark.operators.lake import probe_band_index
+
+    cat = WarehouseCatalog(str(tmp_path / "wh"), spark)
+    cat.create_database("lake")
+    cat.create_table(
+        "lake", "docs_bim", [("doc_id", "bigint"), ("text", "string")],
+        primary_key=["doc_id"],
+    )
+    cat.create_table(
+        "lake", "band_idx",
+        [("doc_id", "bigint"), ("band", "int"), ("bkey", "string")],
+        primary_key=["doc_id", "band"],
+    )
+    cat.create_table(
+        "lake", "sig_idx", [("doc_id", "bigint"), ("sig", "array<bigint>")],
+        primary_key=["doc_id"],
+    )
+    corpus = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon {i}") for i in range(1, 6)],
+        "doc_id bigint, text string",
+    )
+    cat.insert_into("lake", "docs_bim", corpus)
+    sigs = _md5_signatures_of(corpus)
+    cat.insert_into("lake", "sig_idx", sigs)
+    cat.insert_into("lake", "band_idx", _md5_bands(sigs))
+
+    batch = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon 1")], "doc_id bigint, text string"
+    )
+    df = probe_band_index(cat, batch)
+    plan = physical_plan(df)
+    assert "band_idx" in plan and "sig_idx" in plan
+    assert "docs_bim" not in plan  # corpus text never scanned
+    assert "CartesianProduct" not in plan
+    # and the verdicts are right on this tiny fixture
+    row = df.collect()[0]
+    assert (row.doc_id, row.best_match) == (10, 1) and row.best_est >= 0.5
