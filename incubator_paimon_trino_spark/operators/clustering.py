@@ -645,10 +645,11 @@ def ann_ivfpq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "ann_ivfpq_residual",
-    oracle=f"""
-    WITH {_KMEANS_CTES},
+# shared CTE chain of the residual IVF-PQ pipeline up to the per-candidate
+# ADC scores — ann_ivfpq_residual ranks `scored` directly; ann_ivfpq_refined
+# appends the exact re-rank of the top-R shortlist
+_RESIDUAL_SCORED_CTES = f"""
+    {_KMEANS_CTES},
     rv AS (
       SELECT e.vec_id, list_transform(list_zip(e.q, c.c), p -> p[1] - p[2]) AS q
       FROM e JOIN af a ON a.vec_id = e.vec_id JOIN c2 c ON c.cell = a.cell
@@ -694,7 +695,13 @@ def ann_ivfpq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN qd q ON q.query_id = cd.query_id AND q.cell = cd.cell
                AND q.sub = f.sub AND q.ccell = f.cell
       GROUP BY cd.query_id, cd.neighbor_id
-    )
+    )"""
+
+
+@register(
+    "ann_ivfpq_residual",
+    oracle=f"""
+    WITH {_RESIDUAL_SCORED_CTES}
     SELECT query_id, neighbor_id, adc, rnk
     FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                        ORDER BY adc, neighbor_id) AS rnk
@@ -724,6 +731,22 @@ def ann_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     is touched once more to form residuals (a zip_with map over the
     already-assigned rows, no extra shuffle).
     """
+    from pyspark.sql import Window as W
+
+    _, scored = _residual_scored(spark, sf_dir)
+    wr = W.partitionBy("query_id").orderBy("adc", "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= _PQ_TOPK)
+        .select("query_id", "neighbor_id", "adc", "rnk")
+    )
+
+
+def _residual_scored(spark: SparkSession, sf_dir: str):
+    """(corpus e, per-candidate ADC scores) of the residual IVF-PQ pipeline
+    — the Spark twin of ``_RESIDUAL_SCORED_CTES``, shared by
+    ``ann_ivfpq_residual`` (ranks ADC directly) and ``ann_ivfpq_refined``
+    (exact re-rank of the ADC shortlist)."""
     from pyspark.sql import Window as W
 
     e, cents, final = _trained_cells(spark, sf_dir)
@@ -794,11 +817,84 @@ def ann_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id", "neighbor_id")
         .agg(F.sum("d").cast("bigint").alias("adc"))
     )
-    wr = W.partitionBy("query_id").orderBy("adc", "neighbor_id")
+    return e, scored
+
+
+_REFINE_R = _PQ_TOPK * 2  # ADC shortlist size fed to the exact re-rank
+
+
+@register(
+    "ann_ivfpq_refined",
+    oracle=f"""
+    WITH {_RESIDUAL_SCORED_CTES},
+    short AS (
+      SELECT query_id, neighbor_id
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY adc, neighbor_id) AS r
+            FROM scored)
+      WHERE r <= {_REFINE_R}
+    ),
+    ex AS (
+      SELECT s.query_id, s.neighbor_id,
+             CAST(list_sum(list_transform(list_zip(eq.q, en.q),
+                  p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d
+      FROM short s
+      JOIN e eq ON eq.vec_id = s.query_id
+      JOIN e en ON en.vec_id = s.neighbor_id
+    )
+    SELECT query_id, neighbor_id, d, rnk
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY d, neighbor_id) AS rnk
+          FROM ex)
+    WHERE rnk <= {_PQ_TOPK}
+    """,
+)
+def ann_ivfpq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ + REFINE — the standard last rung of the production ANN
+    ladder (FAISS ``IVFx,PQy,Refine``): the residual pipeline's ADC scores
+    pick a top-{_REFINE_R} shortlist per query, and ONLY those candidates'
+    ORIGINAL vectors are fetched and re-ranked by exact squared L2 in the
+    ladder's integer micro-units (metric-consistent with what ADC
+    approximates — so the refined top-{_PQ_TOPK} provably recalls at least
+    as much of the exact top-{_PQ_TOPK} as any {_PQ_TOPK}-subset of the
+    shortlist, the residual ranking included; pinned strictly better in
+    ``tests/test_plan_quality.py``). Integer-exact end to end ⇒ full
+    value-hash oracle.
+
+    Scale shape: the refine join BROADCASTS the shortlist (queries ×
+    {_REFINE_R} skinny rows) against the corpus — one hash join producing
+    ≤{_REFINE_R} original vectors per query, never a corpus shuffle or a
+    second scan of unselected vectors; everything upstream is the residual
+    pipeline's plan unchanged.
+    """
+    from pyspark.sql import Window as W
+
+    e, scored = _residual_scored(spark, sf_dir)
+    ws = W.partitionBy("query_id").orderBy("adc", "neighbor_id")
+    short = (
+        scored.withColumn("r", F.row_number().over(ws))
+        .filter(F.col("r") <= _REFINE_R)
+        .select("query_id", "neighbor_id")
+    )
+    # fetch ORIGINAL vectors for shortlist members only: broadcast the
+    # skinny shortlist into the corpus join — ≤ R rows per query survive
+    nv = F.broadcast(short).join(
+        e.select(F.col("vec_id").alias("neighbor_id"), F.col("q").alias("nq")),
+        "neighbor_id",
+    )
+    qv = e.filter(F.col("vec_id") < _IVF_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qq")
+    )
+    exact = F.expr(
+        "aggregate(zip_with(qq, nq, (a, b) -> (a - b) * (a - b)), "
+        "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+    ex = nv.join(F.broadcast(qv), "query_id").withColumn("d", exact)
+    wr = W.partitionBy("query_id").orderBy("d", "neighbor_id")
     return (
-        scored.withColumn("rnk", F.row_number().over(wr))
+        ex.withColumn("rnk", F.row_number().over(wr))
         .filter(F.col("rnk") <= _PQ_TOPK)
-        .select("query_id", "neighbor_id", "adc", "rnk")
+        .select("query_id", "neighbor_id", "d", "rnk")
     )
 
 

@@ -468,3 +468,47 @@ def test_band_index_probe_reads_index_tables_not_corpus(spark, tmp_path):
     # and the verdicts are right on this tiny fixture
     row = df.collect()[0]
     assert (row.doc_id, row.best_match) == (10, 1) and row.best_est >= 0.5
+
+
+def test_refined_ivfpq_recall_and_broadcast_fetch(spark):
+    """ann_ivfpq_refined (r8): (a) the exact re-rank of the ADC shortlist
+    STRICTLY improves recall vs ann_ivfpq_residual against the brute-force
+    exact top-k (it provably can't be worse — the refined set is the
+    exact-best k-subset of a shortlist containing the residual ranking);
+    (b) the refine fetch broadcasts the skinny shortlist against the
+    corpus — no cartesian, no corpus shuffle for the fetch."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from incubator_paimon_trino_spark.operators.clustering import (
+        _IVF_NQ,
+        _PQ_TOPK,
+        _corpus,
+    )
+
+    fin_df = _q("ann_ivfpq_refined")(spark, SF_SMOKE)
+    plan = physical_plan(fin_df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+    res = {(r.query_id, r.neighbor_id) for r in _q("ann_ivfpq_residual")(spark, SF_SMOKE).collect()}
+    fin = {(r.query_id, r.neighbor_id) for r in fin_df.collect()}
+    corp = _corpus(spark, SF_SMOKE)
+    qv = corp.filter(F.col("vec_id") < _IVF_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qq")
+    )
+    d = F.expr(
+        "aggregate(zip_with(qq, q, (a,b) -> (a-b)*(a-b)), CAST(0 AS BIGINT), (acc,x) -> acc+x)"
+    )
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in (
+            qv.crossJoin(corp)  # labeled brute-force oracle (test-only)
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .withColumn("d", d)
+            .withColumn("r", F.row_number().over(W.partitionBy("query_id").orderBy("d", "vec_id")))
+            .filter(F.col("r") <= _PQ_TOPK)
+            .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        ).collect()
+    }
+    assert len(fin & exact) > len(res & exact), (len(fin & exact), len(res & exact))
