@@ -173,6 +173,18 @@ def _parse_type(s: str) -> T.DataType:
 
     if _re.fullmatch(r"\s*(?i:CHAR|VARCHAR)\s*(\(\s*\d+\s*\))?\s*", s):
         return T.StringType()
+    m = _re.fullmatch(r"\s*(?i:TIMESTAMP(?:_NTZ)?)\s*\(\s*(\d)\s*\)\s*", s)
+    if m:
+        # declared-precision timestamp (reference ladder {0,3,6} —
+        # TrinoTypeUtils.java:153-157): storage is micros TimestampNTZ,
+        # values canonicalized to the declared precision at write time.
+        # Other precisions are rejected at DDL time like the reference.
+        if int(m.group(1)) not in (0, 3, 6):
+            raise ValueError(
+                f"unsupported timestamp precision in {s!r}: the ladder is "
+                "TIMESTAMP(0), TIMESTAMP(3), TIMESTAMP(6)"
+            )
+        return T.TimestampNTZType()
     dt = T.StructType.fromDDL(f"c {s}")[0].dataType
     if _contains_char(dt):
         raise ValueError(

@@ -71,9 +71,11 @@ from incubator_paimon_trino_spark.catalog.scan import (
     prune_files,
 )
 from incubator_paimon_trino_spark.functions.types import (
+    castable_ddl,
     char_length,
     paimon_to_spark,
     spark_to_paimon,
+    timestamp_precision,
 )
 
 _SYSTEM_SUFFIXES = (
@@ -542,6 +544,19 @@ class WarehouseCatalog:
         for f_ in schema.fields:
             if char_length(f_.type) is not None:
                 out = out.withColumn(f_.name, F.rtrim(F.col(f_.name)))
+            tp = timestamp_precision(f_.type)
+            if tp is not None and tp < 6:
+                # declared-precision canonical storage (the CHAR-rtrim move
+                # for the reference's TIMESTAMP ladder): a TIMESTAMP(0/3)
+                # column never stores — so never surfaces — sub-precision
+                # digits, and footer stats/predicates see the same values.
+                # date_trunc returns session-TZ TimestampType; with the
+                # session pinned to UTC the ntz round-trip is value-exact.
+                unit = "SECOND" if tp == 0 else "MILLISECOND"
+                out = out.withColumn(
+                    f_.name,
+                    F.date_trunc(unit, F.col(f_.name)).cast("timestamp_ntz"),
+                )
 
         if schema.primary_key:
             if KIND_COL not in out.columns:
@@ -2313,10 +2328,15 @@ class WarehouseCatalog:
             cols = []
             for fid, cur in sorted(current.items()):
                 old_field = next((of for of in old.fields if of.id == fid), None)
+                # castable_ddl: TIMESTAMP(p) declarations cast as their
+                # timestamp_ntz storage type (Spark's cast parser refuses
+                # precision suffixes)
                 if old_field is None:
-                    cols.append(F.lit(None).cast(cur.type).alias(cur.name))
+                    cols.append(F.lit(None).cast(castable_ddl(cur.type)).alias(cur.name))
                 else:
-                    cols.append(F.col(old_field.name).cast(cur.type).alias(cur.name))
+                    cols.append(
+                        F.col(old_field.name).cast(castable_ddl(cur.type)).alias(cur.name)
+                    )
             if is_pk:
                 cols += [F.col(SEQ_COL), F.col(KIND_COL)]
             if with_pos:
@@ -3625,7 +3645,11 @@ def partition_column_expr(pname: str, type_ddl: str) -> Column:
     raw = F.regexp_extract(F.input_file_name(), "/" + re.escape(pname) + "=([^/]*)/", 1)
     shield = lambda c: F.regexp_replace(c, r"\+", "%2B")  # noqa: E731
     decoded = F.url_decode(shield(F.url_decode(shield(raw))))
-    return F.when(raw == F.lit(_HIVE_NULL), F.lit(None)).otherwise(decoded).cast(type_ddl)
+    return (
+        F.when(raw == F.lit(_HIVE_NULL), F.lit(None))
+        .otherwise(decoded)
+        .cast(castable_ddl(type_ddl))
+    )
 
 
 def _record_buckets(files: list[dict], schema: TableSchema, bucket_key: str, n: int) -> None:

@@ -15,10 +15,17 @@ Documented semantic gaps (SURVEY §1.3 / §7 hard spots):
   ``spark.sql.timeType.enabled=true`` (set by ``get_spark`` and by
   ``WarehouseCatalog``); sessions without the flag fail loudly at DDL time
   rather than silently degrading.
-- TIMESTAMP(p) precision ladder {0,3,6} collapses to micros
-  (``TimestampNTZType``); TIMESTAMP WITH LOCAL TIME ZONE maps to
-  ``TimestampType`` with the session pinned to UTC, matching the reference's
-  forced UTC packing (``TrinoPageSourceBase.java:216-219``).
+- TIMESTAMP(p) precision ladder {0,3,6} (``TrinoTypeUtils.java:153-157``)
+  is DECLARED metadata over ``TimestampNTZType`` storage (micros), with
+  values canonicalized to the declared precision at write time
+  (``timestamp_precision`` below; the r8 closure of the last §1.3
+  residual) — a TIMESTAMP(3) column never surfaces micros. TIMESTAMP WITH
+  LOCAL TIME ZONE maps to ``TimestampType`` with the session pinned to
+  UTC, matching the reference's forced UTC packing
+  (``TrinoPageSourceBase.java:216-219``).
+  **CHAR(n) padding remains the one intentional §1.3 gap**: storage is the
+  rtrimmed canonical form with pad-insensitive comparison, not n-padded
+  output.
 - MULTISET<T> maps to ``MAP<T, INT>`` (element → multiplicity), same trick
   Trino uses (``TrinoTypeUtils.java:171-173``).
 """
@@ -108,6 +115,30 @@ def char_length(type_str: str) -> int | None:
     if not m:
         return None
     return int(m.group(1)) if m.group(1) else 1
+
+
+def timestamp_precision(type_str: str) -> int | None:
+    """Declared TIMESTAMP(p) / TIMESTAMP_NTZ(p) precision, or None for
+    non-timestamp and undeclared-precision (= micros) types.
+
+    The reference's ladder is {0, 3, 6} (``TrinoTypeUtils.java:153-157``);
+    the catalog stores the declared string as field metadata over
+    ``TimestampNTZType`` storage and canonicalizes values to the declared
+    precision at write time, so reads, footer stats, and predicates all see
+    the declared precision — the timestamp analog of ``char_length``'s
+    rtrimmed canonical CHAR storage."""
+    m = re.fullmatch(
+        r"TIMESTAMP(?:_NTZ)?\s*\(\s*(\d)\s*\)", type_str.strip().upper()
+    )
+    return int(m.group(1)) if m else None
+
+
+def castable_ddl(type_str: str) -> str:
+    """The declared type's Spark-castable form: precision-carrying
+    TIMESTAMP(p) declarations cast as their ``timestamp_ntz`` storage type
+    (Spark's parser refuses ``cast(x as timestamp(3))``); everything else
+    casts as declared (``char(n)``/``varchar(n)`` parse fine in casts)."""
+    return "timestamp_ntz" if timestamp_precision(type_str) is not None else type_str
 
 
 def spark_to_paimon(dt: T.DataType) -> str:

@@ -95,6 +95,10 @@ def _arrow_type(ddl: str):
         return scalars[s]
     if s.startswith("char") or s.startswith("varchar"):
         return pa.string()  # length is metadata (functions/types.py)
+    if s.startswith("timestamp"):
+        # declared-precision TIMESTAMP(p)/TIMESTAMP_NTZ(p): storage is
+        # micros NTZ, values already write-canonicalized to the precision
+        return pa.timestamp("us")
     if s.startswith("decimal"):
         inner = s[s.index("(") + 1 : s.rindex(")")] if "(" in s else "10,0"
         p, _, sc = inner.partition(",")

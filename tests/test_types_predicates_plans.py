@@ -96,6 +96,74 @@ def test_decimal_over_38_rejected():
         paimon_to_spark("DECIMAL(39, 0)")
 
 
+# ---- TIMESTAMP(p) declared-precision ladder (TrinoTypeUtils.java:153-157;
+# value rows mirror TestTrinoITCase.java:504-508) -----------------------
+
+
+def test_timestamp_precision_metadata():
+    from incubator_paimon_trino_spark.catalog.metadata import _parse_type
+    from incubator_paimon_trino_spark.functions.types import (
+        castable_ddl,
+        timestamp_precision,
+    )
+
+    assert timestamp_precision("timestamp(0)") == 0
+    assert timestamp_precision("TIMESTAMP(3)") == 3
+    assert timestamp_precision("timestamp_ntz(3)") == 3
+    assert timestamp_precision("timestamp(6)") == 6
+    assert timestamp_precision("timestamp") is None  # undeclared = micros
+    assert timestamp_precision("timestamp_ntz") is None
+    assert timestamp_precision("TIMESTAMP(3) WITH LOCAL TIME ZONE") is None
+    assert castable_ddl("timestamp(3)") == "timestamp_ntz"
+    assert castable_ddl("timestamp") == "timestamp"
+    assert castable_ddl("char(5)") == "char(5)"
+    # DDL gate: the ladder is {0, 3, 6}, storage is NTZ micros
+    assert _parse_type("timestamp(3)") == T.TimestampNTZType()
+    with pytest.raises(ValueError, match="ladder"):
+        _parse_type("timestamp(2)")
+
+
+def test_timestamp_precision_truncates_on_table(spark, tmp_path):
+    """A TIMESTAMP(0/3) column never surfaces sub-precision digits: values
+    are canonicalized at write time (the CHAR-rtrim move), so reads, the
+    evolution read path, and footer-stat extremes all agree."""
+    import datetime as dt
+
+    from incubator_paimon_trino_spark.catalog.warehouse import WarehouseCatalog
+
+    cat = WarehouseCatalog(str(tmp_path / "wh"), spark)
+    cat.create_database("d")
+    cat.create_table(
+        "d", "t",
+        [("k", "bigint"), ("ts0", "timestamp(0)"), ("ts3", "timestamp(3)"),
+         ("ts6", "timestamp(6)")],
+    )
+    v = dt.datetime(2024, 1, 2, 3, 4, 5, 123456)
+    cat.insert_into(
+        "d", "t",
+        spark.createDataFrame(
+            [(1, v, v, v)],
+            "k bigint, ts0 timestamp_ntz, ts3 timestamp_ntz, ts6 timestamp_ntz",
+        ),
+    )
+    row = cat.read_table("d.t").collect()[0]
+    assert row.ts0 == dt.datetime(2024, 1, 2, 3, 4, 5)
+    assert row.ts3 == dt.datetime(2024, 1, 2, 3, 4, 5, 123000)
+    assert row.ts6 == v
+    # declared types survive in DESCRIBE / information_schema metadata
+    assert dict(cat.describe("d", "t"))["ts3"] == "timestamp(3)"
+    # footer-stat extremes see the canonical (truncated) values
+    ext = cat.column_extremes("d.t", ["ts3"]).collect()[0]
+    assert ext.min_ts3 == dt.datetime(2024, 1, 2, 3, 4, 5, 123000)
+    # predicates compare against the canonical value
+    assert (
+        cat.read_table("d.t")
+        .filter(F.col("ts3") == dt.datetime(2024, 1, 2, 3, 4, 5, 123000))
+        .count()
+        == 1
+    )
+
+
 # ---- predicate conversion (TestTrinoFilterConverter.java:53-256 analogue) --
 
 
