@@ -650,6 +650,35 @@ def _md5_bands(sigs: DataFrame) -> DataFrame:
 
 
 
+def _minhash_verdicts(base_ids: DataFrame, hits: DataFrame) -> DataFrame:
+    """The incremental-probe verdict block shared by every MinHash probe
+    (batch ``dedup_incremental_minhash_md5``, the streaming probe, and the
+    maintained-index probe — one definition so the tiebreak and defaults
+    can never diverge from the shared oracle): per base doc, the best match
+    (highest est_jaccard, tie → lowest cand_id; −1 when clean), best
+    estimate, and match count. ``hits`` is (doc_id, cand_id, est_jaccard)
+    already thresholded; ``base_ids`` must cover every batch doc — a
+    sub-3-word doc has no signature but still reports clean."""
+    best = hits.groupBy("doc_id").agg(
+        F.max_by(
+            F.col("cand_id"), F.struct(F.col("est_jaccard"), (-F.col("cand_id")))
+        ).alias("best_match"),
+        F.max("est_jaccard").alias("best_est"),
+        F.count(F.lit(1)).cast("bigint").alias("n_matches"),
+    )
+    return (
+        base_ids.select("doc_id")
+        .dropDuplicates()
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("best_match"), F.lit(-1)).cast("bigint").alias("best_match"),
+            F.coalesce(F.col("best_est"), F.lit(0.0)).cast("double").alias("best_est"),
+            F.coalesce(F.col("n_matches"), F.lit(0)).cast("bigint").alias("n_matches"),
+        )
+    )
+
+
 def _md5_est(a: str, b: str) -> F.Column:
     """Estimated Jaccard = agreeing signature positions / _MD5_PERMS.
     NOTE: a bare `/ 16.0` literal parses as DECIMAL in Spark SQL, silently
@@ -1042,24 +1071,12 @@ def dedup_incremental_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame
         .withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= 0.5)
     )
-    best = hits.groupBy("doc_id").agg(
-        F.max_by(F.col("cand_id"), F.struct(F.col("est_jaccard"), (-F.col("cand_id")))).alias(
-            "best_match"
-        ),
-        F.max("est_jaccard").alias("best_est"),
-        F.count(F.lit(1)).cast("bigint").alias("n_matches"),
-    )
     # base row set = the DOCUMENTS batch slice, not sigs: a sub-3-word doc
     # has no shingles/signature but must still report as clean (-1, 0.0, 0)
     # like the oracle's FROM documents base — and listing ids this way skips
     # a third recompute of the whole signature pipeline
     batch = table(spark, sf_dir, "documents").filter(is_new).select("doc_id")
-    return batch.join(best, "doc_id", "left").select(
-        "doc_id",
-        F.coalesce(F.col("best_match"), F.lit(-1)).cast("bigint").alias("best_match"),
-        F.coalesce(F.col("best_est"), F.lit(0.0)).cast("double").alias("best_est"),
-        F.coalesce(F.col("n_matches"), F.lit(0)).cast("bigint").alias("n_matches"),
-    )
+    return _minhash_verdicts(batch, hits)
 
 
 @register(

@@ -1525,6 +1525,7 @@ from incubator_paimon_trino_spark.operators.dedup import (  # noqa: E402
     _md5_bands,
     _md5_est,
     _md5_signatures_of,
+    _minhash_verdicts,
 )
 
 
@@ -1600,22 +1601,7 @@ def streaming_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame
                 .withColumn("est_jaccard", _md5_est("sig_n", "sig_c"))
                 .filter(F.col("est_jaccard") >= 0.5)
             )
-            best = hits.groupBy("doc_id").agg(
-                F.max_by(
-                    F.col("cand_id"), F.struct(F.col("est_jaccard"), (-F.col("cand_id")))
-                ).alias("best_match"),
-                F.max("est_jaccard").alias("best_est"),
-                F.count(F.lit(1)).cast("bigint").alias("n_matches"),
-            )
-            # base = the batch's doc ids: a sub-3-word doc has no signature
-            # but must still report clean, like the batch probe's base set
-            out = docs.select("doc_id").dropDuplicates().join(best, "doc_id", "left").select(
-                "doc_id",
-                F.coalesce(F.col("best_match"), F.lit(-1)).cast("bigint").alias("best_match"),
-                F.coalesce(F.col("best_est"), F.lit(0.0)).cast("double").alias("best_est"),
-                F.coalesce(F.col("n_matches"), F.lit(0)).cast("bigint").alias("n_matches"),
-            )
-            out.write.mode("append").parquet(outdir)
+            _minhash_verdicts(docs, hits).write.mode("append").parquet(outdir)
             # checkpoint AFTER the sink write lands (at-least-once, never a gap)
             cat.advance_consumer("lake", "docs_nd", "neardup", int(tip) + 1)
         finally:
@@ -1668,21 +1654,7 @@ def probe_band_index(cat: "WarehouseCatalog", docs: DataFrame) -> DataFrame:
         .withColumn("est_jaccard", _md5_est("sig_n", "sig_c"))
         .filter(F.col("est_jaccard") >= 0.5)
     )
-    best = hits.groupBy("doc_id").agg(
-        F.max_by(
-            F.col("cand_id"), F.struct(F.col("est_jaccard"), (-F.col("cand_id")))
-        ).alias("best_match"),
-        F.max("est_jaccard").alias("best_est"),
-        F.count(F.lit(1)).cast("bigint").alias("n_matches"),
-    )
-    # base = the batch's doc ids: a sub-3-word doc has no signature but must
-    # still report clean, like the batch probe's base set
-    return docs.select("doc_id").dropDuplicates().join(best, "doc_id", "left").select(
-        "doc_id",
-        F.coalesce(F.col("best_match"), F.lit(-1)).cast("bigint").alias("best_match"),
-        F.coalesce(F.col("best_est"), F.lit(0.0)).cast("double").alias("best_est"),
-        F.coalesce(F.col("n_matches"), F.lit(0)).cast("bigint").alias("n_matches"),
-    )
+    return _minhash_verdicts(docs, hits)
 
 
 @register("streaming_band_index_maintained", oracle=_INCR_MINHASH_ORACLE)

@@ -294,9 +294,18 @@ def _dv_retraction_stream(
        itself, reset by compaction like the vectors.
 
     Attribution: retractions carry the OLD row's ``_seq``; ``_row_kind`` is
-    ``'D'``. With per-commit triggers (``max_files_per_trigger=1``) marks
-    surface in commit order; one availableNow batch surfaces them all at
-    once (cumulative indexes make that value-identical, order aside).
+    ``'D'``; ``_dv_ver`` is the version of A COMMITTED INDEX CONTAINING the
+    mark — indexes are cumulative and the arbitrary dropDuplicates survivor
+    decides which copy's version rides along, so within one availableNow
+    batch it is an upper bound on the retracting commit, not an exact
+    attribution (exact under per-commit triggers, where first-seen state
+    keeps the earliest index; exact ALWAYS in ``source_mode="manifest"``,
+    whose marks are per-commit diffs). Any bound is checkpoint-safe: a
+    surviving copy's index version was consumed by this batch, so
+    ``max(_dv_ver)`` never advances past unconsumed commits. With
+    per-commit triggers marks surface in commit order; one availableNow
+    batch surfaces them all at once (cumulative indexes make that
+    value-identical, order aside).
 
     KNOWN LIMIT (same static-listing shape as the write-race note above):
     the static side lists the DV-referenced files at STREAM BUILD time, so a

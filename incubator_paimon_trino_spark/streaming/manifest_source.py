@@ -63,6 +63,23 @@ from incubator_paimon_trino_spark.catalog.metadata import (
 DV_VER_COL = "_dv_ver"
 
 
+def _storage_ddl(ddl: str) -> str:
+    """A declared field type's STORAGE form, session-free: the two
+    declared-metadata types (TIMESTAMP(p) precision ladder, CHAR/VARCHAR
+    length) normalize to their storage types — Spark's streaming schema
+    parser refuses precision suffixes, and char/varchar may not appear in a
+    plan's output schema. Everything else passes through unchanged (nested
+    char is already rejected at DDL time by ``metadata._parse_type``)."""
+    import re as _re
+
+    s = ddl.strip().lower()
+    if _re.fullmatch(r"timestamp(_ntz)?\s*\(\s*\d\s*\)", s):
+        return "timestamp_ntz"
+    if _re.fullmatch(r"(char|varchar)\s*(\(\s*\d+\s*\))?", s):
+        return "string"
+    return ddl
+
+
 # --------------------------------------------------------------- arrow types
 def _arrow_type(ddl: str):
     """Spark simpleString DDL → pyarrow type, session-free (the executor
@@ -99,6 +116,8 @@ def _arrow_type(ddl: str):
         # declared-precision TIMESTAMP(p)/TIMESTAMP_NTZ(p): storage is
         # micros NTZ, values already write-canonicalized to the precision
         return pa.timestamp("us")
+    if s.startswith("time"):
+        return pa.time64("us")  # Spark 4 TimeType(p): micros storage
     if s.startswith("decimal"):
         inner = s[s.index("(") + 1 : s.rindex(")")] if "(" in s else "10,0"
         p, _, sc = inner.partition(",")
@@ -200,10 +219,13 @@ def _dv_marks(tdir: str, dv_name: str | None) -> dict[str, set[int]]:
 
 
 def stream_output_columns(schema: TableSchema, dv: bool) -> list[tuple[str, str]]:
-    """(name, ddl) of the changelog stream's output — table columns in
-    declared order, then the PK system columns, then the DV commit rider.
-    Shared with ``read_changelog_stream`` so both source modes agree."""
-    cols = [(f.name, f.type) for f in schema.fields]
+    """(name, storage ddl) of the changelog stream's output — table columns
+    in declared order, then the PK system columns, then the DV commit
+    rider. Shared with ``read_changelog_stream`` so both source modes
+    agree. Types are the STORAGE forms (``_storage_ddl``): declared
+    TIMESTAMP(p)/CHAR(n) metadata lives in the catalog, not in a stream's
+    physical schema."""
+    cols = [(f.name, _storage_ddl(f.type)) for f in schema.fields]
     if schema.primary_key:
         cols += [(SEQ_COL, "bigint"), (KIND_COL, "string")]
     if dv:
@@ -228,14 +250,24 @@ class _ManifestStreamReader(DataSourceStreamReader):
 
     # ---- offsets
     def initialOffset(self) -> dict:
+        # called exactly once, on a FRESH checkpoint — seed the limiter base
+        # here; a restarted stream never calls it (offsets come from the
+        # checkpoint), so _planned stays None until partitions() reveals
+        # the checkpointed position
+        self._planned = max(self.from_version - 1, 0)
         return {"version": max(self.from_version - 1, 0)}
 
     def latestOffset(self) -> dict:
         snaps = load_snapshots(self.tdir)
         tip = snaps[-1].snapshot_id if snaps else 0
-        if self.max_commits:
-            base = self._planned if self._planned is not None else max(self.from_version - 1, 0)
-            tip = min(tip, base + self.max_commits)
+        if self.max_commits and self._planned is not None:
+            # rate limit only once the base is KNOWN (fresh stream, or any
+            # trigger after the first partitions() call). On the first
+            # trigger after a restart the base is unknown — returning
+            # from_version-based caps could fall BELOW the checkpointed
+            # position and re-plan consumed commits; one unlimited batch is
+            # the safe degradation.
+            tip = min(tip, self._planned + self.max_commits)
         self._planned = max(tip, self._planned or 0)
         return {"version": tip}
 
@@ -251,7 +283,7 @@ class _ManifestStreamReader(DataSourceStreamReader):
     def _column_spec(self, file_sid: int, current: TableSchema):
         """Field-id column mapping for files written under ``file_sid``:
         (physical columns to read, renames old→current, current fields with
-        no physical column → nulls)."""
+        no physical column → nulls). Types are storage forms."""
         old = self._schema(file_sid)
         old_by_id = {f.id: f for f in old.fields}
         part = set(current.partition_keys)
@@ -261,14 +293,28 @@ class _ManifestStreamReader(DataSourceStreamReader):
                 continue  # injected from the path, never read from the file
             of = old_by_id.get(f.id)
             if of is None:
-                missing.append((f.name, f.type))
+                missing.append((f.name, _storage_ddl(f.type)))
             else:
-                renames.append((of.name, f.name, f.type))
+                renames.append((of.name, f.name, _storage_ddl(f.type)))
         return renames, missing
 
-    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+    def _partition_spec(self, e: dict, current: TableSchema) -> list[tuple]:
+        """(name, storage ddl, raw path value) per partition key for one
+        manifest entry. The hive path spells each key under the name it had
+        WHEN THE FILE WAS WRITTEN — look it up by FIELD ID through the
+        file's schema, so a renamed partition column revives its pre-rename
+        files' values instead of silently streaming NULLs."""
         from incubator_paimon_trino_spark.catalog.scan import partition_values
 
+        pv = partition_values(e["path"])
+        old_names = {f.id: f.name for f in self._schema(e["schema_id"]).fields}
+        out = []
+        for k in current.partition_keys:
+            f = current.field_by_name(k)
+            out.append((k, _storage_ddl(f.type), pv.get(old_names.get(f.id, k))))
+        return out
+
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
         lo, hi = start["version"], end["version"]
         # keep the rate limiter's base at or ahead of the checkpointed
         # position across restarts (a resumed stream re-plans its last
@@ -281,9 +327,6 @@ class _ManifestStreamReader(DataSourceStreamReader):
         current = _latest_schema(self.tdir)
         is_pk = bool(current.primary_key)
         out_cols = stream_output_columns(current, self.dv)
-        part_types = {
-            f.name: f.type for f in current.fields if f.name in set(current.partition_keys)
-        }
         by_id = {s.snapshot_id: s for s in snaps}
         ids = [s.snapshot_id for s in snaps if lo < s.snapshot_id <= hi]
         prev_id = max((s.snapshot_id for s in snaps if s.snapshot_id <= lo), default=0)
@@ -303,7 +346,6 @@ class _ManifestStreamReader(DataSourceStreamReader):
             bootstrap = False
             if s.commit_kind != COMMIT_COMPACT or emit_baseline:
                 for e in added:
-                    pv = partition_values(e["path"])
                     renames, missing = self._column_spec(e["schema_id"], current)
                     parts.append(InputPartition({
                         "kind": "data",
@@ -313,9 +355,7 @@ class _ManifestStreamReader(DataSourceStreamReader):
                         "pk": is_pk,
                         "renames": renames,
                         "missing": missing,
-                        "parts": [
-                            (k, part_types[k], pv.get(k)) for k in current.partition_keys
-                        ],
+                        "parts": self._partition_spec(e, current),
                         "out_cols": out_cols,
                     }))
             if self.dv and s.dv != prev_dv:
@@ -340,7 +380,6 @@ class _ManifestStreamReader(DataSourceStreamReader):
                         raise ValueError(
                             f"DV index of snapshot {sid} marks unknown file {fbase}"
                         )
-                    pv = partition_values(e["path"])
                     renames, missing = self._column_spec(e["schema_id"], current)
                     parts.append(InputPartition({
                         "kind": "dv",
@@ -351,9 +390,7 @@ class _ManifestStreamReader(DataSourceStreamReader):
                         "positions": fresh,
                         "renames": renames,
                         "missing": missing,
-                        "parts": [
-                            (k, part_types[k], pv.get(k)) for k in current.partition_keys
-                        ],
+                        "parts": self._partition_spec(e, current),
                         "out_cols": out_cols,
                     }))
                 prev_dv = s.dv

@@ -55,18 +55,32 @@ def _rows(cat, name="d.t", qname="mq", cols=("_row_kind", "k", "v"), **kw):
 
 
 def test_manifest_equals_files_mode_on_dv_history(cat, spark):
-    """availableNow over insert+update+delete: byte-identical to the files
-    mode (including _seq attribution and _dv_ver on retractions)."""
+    """availableNow over insert+update+delete: row-identical to the files
+    mode on (kind, key, image, _seq). _dv_ver is compared structurally:
+    the manifest mode attributes each mark to its EXACT retracting commit,
+    while the files mode's one-batch dropDuplicates survivor only bounds
+    it (cumulative indexes repeat marks — documented in
+    _dv_retraction_stream), so files-mode _dv_ver must be >= the exact
+    attribution and <= the batch tip."""
     _mk_dv(cat, spark)
     cat.sql("UPDATE d.t SET v = 'upd' WHERE k % 3 = 0")
     cat.sql("DELETE FROM d.t WHERE k % 2 = 0")
-    cols = ("_row_kind", "k", "v", "_seq", "_dv_ver")
-    manifest = _rows(cat, qname="m_eq", cols=cols)
+    cols = ("_row_kind", "k", "v", "_seq")
+    manifest_out = run_to_completion(
+        read_changelog_stream(cat, "d.t", source_mode="manifest"), "m_eq", "append"
+    ).collect()
     files_out = run_to_completion(
         read_changelog_stream(cat, "d.t"), "f_eq", output_mode="append"
-    )
-    files = sorted(tuple(r[c] for c in cols) for r in files_out.collect())
+    ).collect()
+    manifest = sorted(tuple(r[c] for c in cols) for r in manifest_out)
+    files = sorted(tuple(r[c] for c in cols) for r in files_out)
     assert manifest == files and manifest
+    exact = {
+        (r["k"], r["v"]): r["_dv_ver"] for r in manifest_out if r["_row_kind"] == "D"
+    }
+    for r in files_out:
+        if r["_row_kind"] == "D":
+            assert exact[(r["k"], r["v"])] <= r["_dv_ver"] <= 3
 
 
 def test_manifest_plain_pk_and_append_tables(cat, spark):
@@ -177,6 +191,42 @@ def test_renamed_history_streams_by_field_id(cat, spark):
     assert _rows(cat, "d.r", qname="m_ren", cols=("k", "price")) == [(1, 2.5), (2, 7.5)]
     with pytest.raises(ValueError, match="renamed"):
         read_changelog_stream(cat, "d.r")  # files mode still guards
+
+
+def test_renamed_partition_column_streams_by_field_id(cat, spark):
+    """Hive paths spell the partition key under its name AT WRITE TIME:
+    pre-rename files' partition values must revive through the field-id
+    mapping, not silently stream NULL (r8 review finding #1)."""
+    cat.create_database("d")
+    cat.create_table(
+        "d", "rp", [("k", "bigint"), ("y", "int")], partitioned_by=["y"]
+    )
+    cat.insert_into("d", "rp", spark.createDataFrame([(1, 2000)], "k bigint, y int"))
+    cat.rename_column("d", "rp", "y", "year")
+    cat.insert_into("d", "rp", spark.createDataFrame([(2, 2001)], "k bigint, year int"))
+    assert _rows(cat, "d.rp", qname="m_rpart", cols=("k", "year")) == [(1, 2000), (2, 2001)]
+
+
+def test_declared_metadata_types_stream(cat, spark):
+    """TIMESTAMP(3)/CHAR(5) declarations are catalog metadata over storage
+    types — the manifest stream's schema must use the storage forms, not
+    crash on precision suffixes (r8 review finding #2); values arrive
+    write-canonicalized."""
+    import datetime as dt
+
+    cat.create_database("d")
+    cat.create_table(
+        "d", "tm", [("k", "bigint"), ("ts3", "timestamp(3)"), ("c5", "char(5)")]
+    )
+    v = dt.datetime(2024, 1, 2, 3, 4, 5, 123456)
+    cat.insert_into(
+        "d", "tm",
+        spark.createDataFrame(
+            [(1, v, "ab   ")], "k bigint, ts3 timestamp_ntz, c5 string"
+        ),
+    )
+    got = _rows(cat, "d.tm", qname="m_types", cols=("k", "ts3", "c5"))
+    assert got == [(1, dt.datetime(2024, 1, 2, 3, 4, 5, 123000), "ab")]
 
 
 def test_added_column_nulls_and_from_snapshot_cut(cat, spark):
