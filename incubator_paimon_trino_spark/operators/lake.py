@@ -1237,6 +1237,63 @@ def lake_manifest_changelog_stream(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+@register(
+    "lake_timestamp_precision",
+    oracle="""
+    SELECT event_id,
+           strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S.%f') AS s0,
+           strftime(date_trunc('millisecond', ts), '%Y-%m-%d %H:%M:%S.%f') AS s3,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS s6
+    FROM events WHERE event_id < 2000
+    """,
+)
+def lake_timestamp_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TIMESTAMP(0/3/6) declared-precision ladder (r8;
+    ``TrinoTypeUtils.java:153-157``, value rows mirroring
+    ``TestTrinoITCase.java:504-508``) under the hash gate: one lake table
+    declares the same micro-precision event time at all three precisions;
+    the write path canonicalizes each column to its declared precision (the
+    CHAR-rtrim move), so the merged read's values — formatted to
+    fixed-width micros for a byte-stable compare — must equal DuckDB's
+    date_trunc replay. A TIMESTAMP(0/3) column surfacing ANY sub-precision
+    digit hash-fails here.
+
+    Scale shape: truncation is a map-side expression in the one write
+    pass; reads carry no precision logic at all (values are canonical in
+    the files, so footer stats, pruning, and predicates agree for free).
+    """
+    cat = _fresh_catalog(spark)
+    cat.create_database("lake")
+    cat.create_table(
+        "lake",
+        "ev_ts",
+        [
+            ("event_id", "bigint"),
+            ("ts0", "timestamp(0)"),
+            ("ts3", "timestamp(3)"),
+            ("ts6", "timestamp(6)"),
+        ],
+    )
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 2000)
+        .select(
+            "event_id",
+            F.col("ts").cast("timestamp_ntz").alias("ts0"),
+            F.col("ts").cast("timestamp_ntz").alias("ts3"),
+            F.col("ts").cast("timestamp_ntz").alias("ts6"),
+        )
+    )
+    cat.insert_into("lake", "ev_ts", ev)
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return cat.read_table("lake.ev_ts").select(
+        "event_id",
+        F.date_format("ts0", fmt).alias("s0"),
+        F.date_format("ts3", fmt).alias("s3"),
+        F.date_format("ts6", fmt).alias("s6"),
+    )
+
+
 def _orders_two_commit_years(spark: SparkSession, sf_dir: str) -> "WarehouseCatalog":
     """Shared fixture for the $files/$partitions hash-gated queries: a
     year-partitioned lake table loaded in TWO commits with a deterministic

@@ -44,7 +44,6 @@ custom source; delta tails are small relative to the table by definition.
 
 from __future__ import annotations
 
-import json
 import os
 from typing import Iterator
 
