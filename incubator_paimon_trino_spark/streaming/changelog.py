@@ -108,10 +108,24 @@ def read_changelog_stream(
     schema = cat._latest_schema(tdir)
     if source_mode not in ("files", "manifest"):
         raise ValueError(f"unknown source_mode {source_mode!r} (files, manifest)")
+    fmt = schema.options.get("file_format", "parquet").strip().lower()
     if source_mode == "files":
         # the file tail matches parquet columns by NAME; the manifest
         # source maps by field id and handles renamed histories
         _reject_renamed_columns(cat, tdir, schema)
+        if fmt != "parquet":
+            # the tail's glob is *.parquet — an ORC/AVRO table would
+            # silently stream NOTHING, the worst failure mode
+            raise ValueError(
+                f"the file-tail stream reads parquet tables; this table's "
+                f"file_format is {fmt!r} — use source_mode='manifest' "
+                "(parquet/orc) or the batch changelog"
+            )
+    elif fmt == "avro":
+        raise ValueError(
+            "the manifest stream source reads parquet/orc; avro has no "
+            "Arrow reader — use the batch changelog for this table"
+        )
 
     from_version: int | None = None
     if consumer_id is not None:

@@ -249,23 +249,23 @@ class _ManifestStreamReader(DataSourceStreamReader):
 
     # ---- offsets
     def initialOffset(self) -> dict:
-        # called exactly once, on a FRESH checkpoint — seed the limiter base
-        # here; a restarted stream never calls it (offsets come from the
-        # checkpoint), so _planned stays None until partitions() reveals
-        # the checkpointed position
-        self._planned = max(self.from_version - 1, 0)
         return {"version": max(self.from_version - 1, 0)}
 
     def latestOffset(self) -> dict:
         snaps = load_snapshots(self.tdir)
         tip = snaps[-1].snapshot_id if snaps else 0
         if self.max_commits and self._planned is not None:
-            # rate limit only once the base is KNOWN (fresh stream, or any
-            # trigger after the first partitions() call). On the first
-            # trigger after a restart the base is unknown — returning
-            # from_version-based caps could fall BELOW the checkpointed
-            # position and re-plan consumed commits; one unlimited batch is
-            # the safe degradation.
+            # The limiter bounds STEADY-STATE tailing batches only: the
+            # base is what this reader has already planned, learned from
+            # its own prior latestOffset/partitions calls. On the FIRST
+            # trigger of any run the base is unknown (Spark calls
+            # latestOffset before initialOffset, and a restarted reader
+            # only learns the checkpointed position when partitions() is
+            # invoked), so the bootstrap backlog arrives in one unlimited
+            # batch — the safe degradation: a from_version-derived cap
+            # could fall BELOW a restart's checkpointed position and
+            # re-plan consumed commits. Bound the bootstrap by starting
+            # from a consumer/snapshot position instead.
             tip = min(tip, self._planned + self.max_commits)
         self._planned = max(tip, self._planned or 0)
         return {"version": tip}

@@ -242,6 +242,47 @@ def test_added_column_nulls_and_from_snapshot_cut(cat, spark):
     ) == [(2, "hi")]
 
 
+def test_max_commits_per_trigger_bounds_tailing_batches(cat, spark):
+    """max_commits_per_trigger=1 bounds STEADY-STATE tailing: the bootstrap
+    backlog arrives in one batch (the documented safe degradation — the
+    limiter base is unknown on a run's first trigger), then each post-start
+    commit lands in its own single-commit micro-batch."""
+    import tempfile
+
+    cat.create_database("d")
+    cat.create_table("d", "b", [("k", "bigint")], primary_key=["k"])
+    cat.insert_into("d", "b", spark.createDataFrame([(0,)], "k bigint"))
+    batches = []
+
+    def grab(bdf, bid):
+        rows = [(r["k"], r["_seq"]) for r in bdf.collect()]
+        if rows:
+            batches.append(sorted(rows))
+
+    q = (
+        read_changelog_stream(cat, "d.b", source_mode="manifest", max_files_per_trigger=1)
+        .writeStream.foreachBatch(grab)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="mlim_"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and not batches:
+            time.sleep(0.5)
+        # post-start commits: two at once — must surface as TWO batches
+        cat.insert_into("d", "b", spark.createDataFrame([(1,)], "k bigint"))
+        cat.insert_into("d", "b", spark.createDataFrame([(2,)], "k bigint"))
+        deadline = time.time() + 90
+        while time.time() < deadline and len(sum(batches, [])) < 3:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert sorted(sum(batches, [])) == [(0, 1), (1, 2), (2, 3)]
+    post = [b for b in batches if (0, 1) not in b]
+    assert len(post) == 2 and all(len(b) == 1 for b in post), batches
+
+
 def test_consumer_resume_and_sink_checkpoint(cat, spark):
     """consumer_id resume + write_stream_to_table over the manifest source:
     the full checkpoint discipline works unchanged, including the
@@ -266,6 +307,27 @@ def test_consumer_resume_and_sink_checkpoint(cat, spark):
     mirror = {(r.k, r.v) for r in cat.read_table("d.mir").collect()}
     src = {(r.k, r.v) for r in cat.read_table("d.t").collect()}
     assert mirror == src and (1, "v1") not in mirror
+
+
+def test_orc_table_streams_via_manifest_and_files_mode_refuses(cat, spark):
+    """An ORC table: the files-mode tail's *.parquet glob would silently
+    emit NOTHING (the worst failure mode) — it must refuse loudly; the
+    manifest source reads ORC through Arrow."""
+    cat.create_database("d")
+    cat.create_table(
+        "d", "o", [("k", "bigint"), ("v", "string")],
+        options={"file_format": "orc"},
+    )
+    cat.insert_into("d", "o", spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, v string"))
+    with pytest.raises(ValueError, match="file-tail"):
+        read_changelog_stream(cat, "d.o")
+    assert _rows(cat, "d.o", qname="m_orc", cols=("k", "v")) == [(1, "a"), (2, "b")]
+    # avro: neither streaming source can read it — loud refusal both ways
+    cat.create_table(
+        "d", "av", [("k", "bigint")], options={"file_format": "avro"}
+    )
+    with pytest.raises(ValueError, match="avro|file-tail"):
+        read_changelog_stream(cat, "d.av", source_mode="manifest")
 
 
 def test_orphan_index_never_planned(cat, spark):
