@@ -1108,9 +1108,11 @@ def dedup_incremental_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "ann_ivf_kmeans_probe",
-    oracle=f"""
+# shared by ann_ivf_kmeans_probe and the lake-integrated
+# streaming_vector_index_maintained (operators/lake.py): both compute the
+# same trained-IVF probe, one from the in-session pipeline, one from
+# maintained lake index tables — the indirection must be value-invisible.
+_IVF_KMEANS_ORACLE = f"""
     WITH {_KMEANS_CTES},
     qd AS (
       SELECT e.vec_id AS query_id, c.cell,
@@ -1141,8 +1143,10 @@ def dedup_incremental_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
                                        ORDER BY cosine DESC, neighbor_id) AS rnk
           FROM cand)
     WHERE rnk <= {_IVF_TOPK}
-    """,
-)
+    """
+
+
+@register("ann_ivf_kmeans_probe", oracle=_IVF_KMEANS_ORACLE)
 def ann_ivf_kmeans_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full train → index → probe composition with a value-hash oracle:
     IVF over TRAINED k-means centroids (``ann_ivf_probe`` seeds its cells

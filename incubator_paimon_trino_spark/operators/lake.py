@@ -1584,6 +1584,9 @@ from incubator_paimon_trino_spark.operators.dedup import (  # noqa: E402
     _md5_signatures_of,
     _minhash_verdicts,
 )
+from incubator_paimon_trino_spark.operators.clustering import (  # noqa: E402
+    _IVF_KMEANS_ORACLE,
+)
 
 
 @register("streaming_incremental_minhash", oracle=_INCR_MINHASH_ORACLE)
@@ -1815,6 +1818,145 @@ def streaming_band_index_maintained(spark: SparkSession, sf_dir: str) -> DataFra
     )
     pq_.awaitTermination()
     return spark.read.parquet(outdir)
+
+
+@register("streaming_vector_index_maintained", oracle=_IVF_KMEANS_ORACLE)
+def streaming_vector_index_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The VECTOR index as maintained lake state (r8) — the embedding twin
+    of ``streaming_band_index_maintained``, completing the production
+    story for the ANN/semantic-dedup family: the trained k-means model is
+    PUBLISHED as a lake table (``vec_centroids``, k rows of integer
+    centroids — one commit, the model-release step), the corpus lands in a
+    PK source table, and a maintenance stream assigns each micro-batch
+    against the published model (broadcast k×d ints) and upserts
+    (vec_id, cell) into the ``cell_idx`` PK table,
+    consumer-checkpointed after the sink commit. The probe then answers
+    trained-IVF ANN entirely from ``cat.read_table`` of the three lake
+    tables — centroids ranked by exact integer distance, candidates from
+    an equi-join on the maintained cell index, exact cosine top-k — and
+    shares ``ann_ivf_kmeans_probe``'s oracle: the lake-table indirection
+    must be value-invisible.
+
+    Scale shape: maintenance is O(new batch) per run (assignment is a
+    broadcast + narrow fold, the sink an ordinary PK upsert); the probe
+    reads k centroid rows, the probed cells' skinny index rows, and only
+    candidate vectors — never the raw corpus file (plan-pinned). Resume on
+    both sides is a consumer JSON; replays converge by PK upsert
+    idempotence. At 100 TB this is the lakehouse vector-index layout:
+    model, assignments, and vectors are all tables with snapshots, time
+    travel, and branches for free.
+    """
+    from incubator_paimon_trino_spark.operators.clustering import (
+        _IVF_NPROBE,
+        _IVF_NQ,
+        _IVF_TOPK,
+        _SCALE,
+        _assign,
+        _trained_cells,
+    )
+    from incubator_paimon_trino_spark.operators.similarity import _dot
+    from incubator_paimon_trino_spark.streaming.changelog import read_changelog_stream
+    from pyspark.sql import Window as W
+
+    cat = _fresh_catalog(spark)
+    cat.create_database("lake")
+    cat.create_table(
+        "lake", "vecs_src", [("vec_id", "bigint"), ("emb", "array<double>")],
+        primary_key=["vec_id"],
+    )
+    cat.create_table(
+        "lake", "vec_centroids", [("cell", "int"), ("c", "array<bigint>")],
+        primary_key=["cell"],
+    )
+    cat.create_table(
+        "lake", "cell_idx", [("vec_id", "bigint"), ("cell", "int")],
+        primary_key=["vec_id"],
+    )
+
+    # train on the corpus, publish the model as ONE lake commit
+    _, cents, _ = _trained_cells(spark, sf_dir)
+    cat.insert_into("lake", "vec_centroids", cents.select(F.col("cell").cast("int").alias("cell"), "c"))
+    # corpus lands in the lake source table (same doubles the oracle casts)
+    cat.insert_into(
+        "lake", "vecs_src",
+        table(spark, sf_dir, "embeddings").select(
+            "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
+        ),
+    )
+
+    quant = F.expr(f"transform(emb, x -> CAST(round(x * {_SCALE}) AS BIGINT))")
+
+    def maintain(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            if batch_df.isEmpty():
+                return
+            tip = batch_df.agg(F.max("_seq")).collect()[0][0]
+            qv = batch_df.select("vec_id", quant.alias("q"))
+            cents_t = cat.read_table("lake.vec_centroids").select("cell", "c")
+            assigned = _assign(qv, cents_t).select(
+                "vec_id", F.col("cell").cast("int").alias("cell")
+            )
+            cat.insert_with_retries("lake", "cell_idx", assigned)
+            cat.advance_consumer(
+                "lake", "vecs_src", "vecidx", int(tip) + 1, strict=False
+            )
+        finally:
+            batch_df.unpersist()
+
+    mq = (
+        read_changelog_stream(cat, "lake.vecs_src", consumer_id="vecidx")
+        .writeStream.foreachBatch(maintain)
+        .queryName("vector_index_maintenance")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ipt_vecidx_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    mq.awaitTermination()
+
+    # ---- probe: ONLY the maintained lake tables from here on
+    src = cat.read_table("lake.vecs_src")
+    cents_t = cat.read_table("lake.vec_centroids").select("cell", "c")
+    q = src.filter(F.col("vec_id") < _IVF_NQ).select(
+        F.col("vec_id").alias("query_id"), quant.alias("qq")
+    )
+    dist = F.expr(
+        "aggregate(zip_with(qq, c, (a, b) -> (a - b) * (a - b)), "
+        "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+    wq = W.partitionBy("query_id").orderBy("d", "cell")
+    probes = (
+        q.crossJoin(F.broadcast(cents_t))
+        .withColumn("d", dist)
+        .withColumn("r", F.row_number().over(wq))
+        .filter(F.col("r") <= _IVF_NPROBE)
+        .select("query_id", "cell")
+    )
+    with_norm = src.withColumn("norm", F.sqrt(_dot(F.col("emb"), F.col("emb"))))
+    corpus = (
+        cat.read_table("lake.cell_idx")
+        .join(with_norm, "vec_id")
+        .select(
+            F.col("vec_id").alias("neighbor_id"), "cell",
+            F.col("emb").alias("ne"), F.col("norm").alias("nn"),
+        )
+    )
+    qe = with_norm.select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qe"),
+        F.col("norm").alias("qn"),
+    )
+    cand = (
+        probes.join(corpus, "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .join(qe, "query_id")
+        .withColumn("cosine", _dot(F.col("qe"), F.col("ne")) / (F.col("qn") * F.col("nn")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _IVF_TOPK)
+        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine_r"), "rnk")
+    )
 
 
 @register(

@@ -512,3 +512,16 @@ def test_refined_ivfpq_recall_and_broadcast_fetch(spark):
         ).collect()
     }
     assert len(fin & exact) > len(res & exact), (len(fin & exact), len(res & exact))
+
+
+def test_vector_index_probe_reads_lake_tables_not_corpus_file(spark):
+    """streaming_vector_index_maintained (r8): the returned probe plan must
+    scan the maintained lake tables (vec_centroids / cell_idx / vecs_src)
+    and never the raw embeddings parquet — the model, the assignments, and
+    the vectors are all lake state."""
+    df = _q("streaming_vector_index_maintained")(spark, SF_SMOKE)
+    plan = physical_plan(df)
+    assert "vec_centroids" in plan and "cell_idx" in plan and "vecs_src" in plan
+    assert "embeddings.parquet" not in plan
+    assert "CartesianProduct" not in plan  # centroid ranking is a broadcast
+    assert "Broadcast" in plan
