@@ -2230,17 +2230,19 @@ class WarehouseCatalog:
             return self.spark.createDataFrame([], empty)
 
         dv_mode = self._dv_enabled(schema) and not with_system_columns
-        dv_vec = self._dv_vectors(tdir, snap) if dv_mode else {}
-        df = self._read_files(tdir, schema, snap, with_pos=bool(dv_vec))
+        has_dv = bool(dv_mode and snap.dv)
+        df = self._read_files(tdir, schema, snap, with_pos=has_dv)
         if dv_mode:
             # deletion-vector read: scan − DV IS the merged state (every
             # superseded row version is position-marked at write time and
             # -D rows are never stored), so the whole merge-on-read
             # groupBy/shuffle disappears — filters and projections push
-            # straight into the file scan. with_system_columns still
-            # exposes the raw unfiltered changelog view, like non-DV tables.
-            if dv_vec:
-                df = self._dv_apply(df, dv_vec)
+            # straight into the file scan. The marks side is a Spark read
+            # of the committed index (r8: never a driver dict — see
+            # _dv_apply_distributed). with_system_columns still exposes
+            # the raw unfiltered changelog view, like non-DV tables.
+            if has_dv:
+                df = self._dv_apply_distributed(df, tdir, snap)
             df = df.select(*[f.name for f in schema.fields])
         elif schema.primary_key and not with_system_columns:
             from incubator_paimon_trino_spark.operators.merge_on_read import merge_on_read
@@ -2614,15 +2616,14 @@ class WarehouseCatalog:
             return {}
 
     def _dv_apply(self, df: DataFrame, vectors: dict[str, list[int]], keep_pos: bool = False) -> DataFrame:
-        """Drop DV-marked rows: broadcast anti-join on (file basename, row
-        position). Basenames are globally unique (part files embed a job
-        UUID and the commit id prefixes them), which sidesteps URI-encoding
-        mismatches between ``_metadata.file_path`` and stored relative
-        paths. The DV side is driver-held metadata by construction (it was
-        read from one index JSON), bounded by deletions since the last
-        compaction — a production-size table would store roaring bitmaps
-        per bucket, but the join shape is the same.
-        """
+        """Drop DV-marked rows from an ALREADY-PARSED vectors dict —
+        the write path's form (commit-time mark merging holds the dict
+        anyway; the JSON index format makes the commit O(marks) by
+        construction). READS use ``_dv_apply_distributed`` below, which
+        never materializes the marks on the driver. Basenames are globally
+        unique (part files embed a job UUID and the commit id prefixes
+        them), which sidesteps URI-encoding mismatches between
+        ``_metadata.file_path`` and stored relative paths."""
         df = df.withColumn(_DV_FILE, F.element_at(F.split(F.col(_DV_FILE), "/"), -1))
         pairs = [
             (os.path.basename(rel.replace("\\", "/")), int(p))
@@ -2633,6 +2634,27 @@ class WarehouseCatalog:
             dv = self.spark.createDataFrame(pairs, f"{_DV_FILE} string, {_DV_POS} bigint")
             df = df.join(F.broadcast(dv), [_DV_FILE, _DV_POS], "left_anti")
         return df if keep_pos else df.drop(_DV_FILE, _DV_POS)
+
+    def _dv_apply_distributed(self, df: DataFrame, tdir: str, snap: Snapshot) -> DataFrame:
+        """Drop DV-marked rows with the marks side read BY SPARK from the
+        snapshot's committed index (``explode_dv_index_text`` — the same
+        parse/explode pipeline the retraction stream uses): the anti-join
+        side never transits the driver, so a 100 TB table with billions of
+        live marks reads with O(1) driver memory. The join strategy is left
+        to AQE — a small index broadcasts (the common case, marks bounded
+        by deletions since the last compaction), a huge one sort-merges
+        instead of OOMing the driver. An index reaped by expiry reads as
+        no-marks, matching ``_dv_vectors``'s tolerance."""
+        if not snap.dv:
+            return df.drop(_DV_FILE, _DV_POS)
+        path = os.path.join(tdir, "index", snap.dv)
+        df = df.withColumn(_DV_FILE, F.element_at(F.split(F.col(_DV_FILE), "/"), -1))
+        if os.path.exists(path):
+            marks = explode_dv_index_text(
+                self.spark.read.format("text").option("wholetext", "true").load(path)
+            )
+            df = df.join(marks, [_DV_FILE, _DV_POS], "left_anti")
+        return df.drop(_DV_FILE, _DV_POS)
 
     def _dv_merged(
         self, tdir: str, schema: TableSchema, prev: Snapshot, batch: DataFrame
@@ -3631,6 +3653,36 @@ class WarehouseCatalog:
             out.append(view)
             last = m.end()
         return self.spark.sql("".join(out) + query[last:])
+
+
+def explode_dv_index_text(df: DataFrame, ver_col=None) -> DataFrame:
+    """(file basename, position) marks from wholetext DV index JSON rows —
+    the ONE parse/explode pipeline shared by the batch DV read
+    (``_dv_apply_distributed``), the retraction stream's marks side, and
+    its resume baseline (``streaming/changelog.py``), so no two paths can
+    disagree on path normalization. ``ver_col`` (optional expression) rides
+    along as ``_dv_ver``. An index that does not parse fails LOUDLY —
+    silently exploding nothing would drop deletes."""
+    carry = ["_dv_ver"] if ver_col is not None else []
+    head = [ver_col.alias("_dv_ver")] if ver_col is not None else []
+    parsed = F.from_json("value", "vectors map<string, array<bigint>>")
+    return (
+        df.select(*head, parsed.alias("_vecs"))
+        .filter(
+            F.assert_true(
+                F.col("_vecs.vectors").isNotNull(),
+                F.concat(F.lit("unreadable DV index: "), F.input_file_name()),
+            ).isNull()
+        )
+        .select(*carry, F.explode("_vecs.vectors").alias("_rel", "_ps"))
+        .select(
+            *carry,
+            F.element_at(
+                F.split(F.regexp_replace("_rel", r"\\", "/"), "/"), -1
+            ).alias(_DV_FILE),
+            F.explode("_ps").alias(_DV_POS),
+        )
+    )
 
 
 def partition_column_expr(pname: str, type_ddl: str) -> Column:

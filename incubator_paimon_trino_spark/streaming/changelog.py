@@ -31,6 +31,7 @@ from incubator_paimon_trino_spark.catalog.warehouse import (
     _DV_POS,
     WarehouseCatalog,
     _physical_schema,
+    explode_dv_index_text,
     partition_column_expr,
 )
 
@@ -410,34 +411,8 @@ def _dv_retraction_stream(
     )
 
 
-def _explode_dv_index(df: DataFrame, ver_col=None) -> DataFrame:
-    """(file basename, position) marks from wholetext DV index JSON rows —
-    the ONE parse/explode pipeline shared by the streaming marks side and
-    the batch resume-baseline side (so the two can never disagree on path
-    normalization). ``ver_col`` (optional expression) rides along as
-    ``_dv_ver``. An index that does not parse fails LOUDLY (the batch
-    reader raises on the same file) — silently exploding nothing would
-    drop that commit's deletes and checkpoint past them."""
-    carry = ["_dv_ver"] if ver_col is not None else []
-    head = [ver_col.alias("_dv_ver")] if ver_col is not None else []
-    parsed = F.from_json("value", "vectors map<string, array<bigint>>")
-    return (
-        df.select(*head, parsed.alias("_vecs"))
-        .filter(
-            F.assert_true(
-                F.col("_vecs.vectors").isNotNull(),
-                F.concat(F.lit("unreadable DV index: "), F.input_file_name()),
-            ).isNull()
-        )
-        .select(*carry, F.explode("_vecs.vectors").alias("_rel", "_ps"))
-        .select(
-            *carry,
-            F.element_at(
-                F.split(F.regexp_replace("_rel", r"\\", "/"), "/"), -1
-            ).alias(_DV_FILE),
-            F.explode("_ps").alias(_DV_POS),
-        )
-    )
+# moved to warehouse.explode_dv_index_text (r8: the batch DV read shares it)
+_explode_dv_index = explode_dv_index_text
 
 
 def _dv_referenced_entries(tdir: str, snaps: list) -> dict[str, dict]:

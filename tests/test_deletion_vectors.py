@@ -318,3 +318,22 @@ def test_dv_read_incremental_refused(cat, spark):
         cat.read_incremental("d.t", 1, 2)
     changes = {(r.k, r._change) for r in cat.read_cdc("d.t", 1, 2).collect()}
     assert (2, "-D") in changes
+
+
+def test_dv_read_marks_never_transit_driver(cat, spark, monkeypatch):
+    """Scale pin (r8): the batch DV read's anti-join side is a Spark read
+    of the committed index — _dv_vectors (the driver-side dict) must be
+    unreachable from read_table, and the merged result unchanged. The
+    write path legitimately keeps the dict (commit-time mark merging)."""
+    mk = _mk_dv(cat, spark)
+    cat.insert_into("d", "t", mk([(i, f"v{i}") for i in range(8)]))
+    cat.delete_where("d", "t", F.col("k") % 2 == 0)
+    expect = {(r.k, r.v) for r in cat.read_table("d.t").collect()}
+    assert expect == {(i, f"v{i}") for i in range(8) if i % 2}
+
+    def boom(*a, **kw):  # noqa: ANN002, ANN003
+        raise AssertionError("driver-side _dv_vectors materialization on the read path")
+
+    monkeypatch.setattr(WarehouseCatalog, "_dv_vectors", boom)
+    got = {(r.k, r.v) for r in cat.read_table("d.t").collect()}
+    assert got == expect
