@@ -2639,12 +2639,16 @@ class WarehouseCatalog:
         """Drop DV-marked rows with the marks side read BY SPARK from the
         snapshot's committed index (``explode_dv_index_text`` — the same
         parse/explode pipeline the retraction stream uses): the anti-join
-        side never transits the driver, so a 100 TB table with billions of
-        live marks reads with O(1) driver memory. The join strategy is left
-        to AQE — a small index broadcasts (the common case, marks bounded
-        by deletions since the last compaction), a huge one sort-merges
-        instead of OOMing the driver. An index reaped by expiry reads as
-        no-marks, matching ``_dv_vectors``'s tolerance."""
+        side never transits the driver (O(1) driver memory), and the join
+        strategy is left to AQE — a small index broadcasts (the common
+        case, marks bounded by deletions since the last compaction), a
+        large one shuffles. The remaining ceiling is the FORMAT, not the
+        plan: the cumulative index is one wholetext JSON, so its parse is a
+        single executor task of O(index size) — the production swap is
+        per-bucket bitmap index files (Paimon's layout), which this join
+        shape consumes unchanged as many small parse tasks. An index reaped
+        by expiry reads as no-marks, matching ``_dv_vectors``'s
+        tolerance."""
         if not snap.dv:
             return df.drop(_DV_FILE, _DV_POS)
         path = os.path.join(tdir, "index", snap.dv)

@@ -1146,6 +1146,50 @@ _IVF_KMEANS_ORACLE = f"""
     """
 
 
+def _ivf_probe_topk(
+    q: DataFrame, cents: DataFrame, corpus: DataFrame, qe: DataFrame
+) -> DataFrame:
+    """The ONE trained-IVF probe definition: rank the k centroids by exact
+    integer distance per query, probe the ``_IVF_NPROBE`` nearest cells,
+    score exact cosine top-``_IVF_TOPK`` within the candidates. Shared by
+    ``ann_ivf_kmeans_probe`` (in-session pipeline) and
+    ``streaming_vector_index_maintained`` (maintained lake tables) — both
+    register against ``_IVF_KMEANS_ORACLE``, so a drift between copies
+    would silently break hash parity; there are no copies.
+
+    Inputs: ``q`` (query_id, qq: quantized ints), ``cents`` (cell, c),
+    ``corpus`` (neighbor_id, cell, ne: double emb, nn: norm),
+    ``qe`` (query_id, qe: double emb, qn: norm)."""
+    from pyspark.sql import Window as W
+
+    from incubator_paimon_trino_spark.operators.similarity import _dot
+
+    dist = F.expr(
+        "aggregate(zip_with(qq, c, (a, b) -> (a - b) * (a - b)), "
+        "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+    wq = W.partitionBy("query_id").orderBy("d", "cell")
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("d", dist)
+        .withColumn("r", F.row_number().over(wq))
+        .filter(F.col("r") <= _IVF_NPROBE)
+        .select("query_id", "cell")
+    )
+    cand = (
+        probes.join(corpus, "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .join(qe, "query_id")
+        .withColumn("cosine", _dot(F.col("qe"), F.col("ne")) / (F.col("qn") * F.col("nn")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _IVF_TOPK)
+        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine_r"), "rnk")
+    )
+
+
 @register("ann_ivf_kmeans_probe", oracle=_IVF_KMEANS_ORACLE)
 def ann_ivf_kmeans_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full train → index → probe composition with a value-hash oracle:
@@ -1165,28 +1209,13 @@ def ann_ivf_kmeans_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     id — a corpus bucketed by cell serves every query batch without
     re-shuffling, and per-query cost is O(N × nprobe / k).
     """
-    from pyspark.sql import Window as W
-
     from incubator_paimon_trino_spark.operators.similarity import (
-        _dot,
         embeddings_normalized,
     )
 
     e, cents, final = _trained_cells(spark, sf_dir)
     q = e.filter(F.col("vec_id") < _IVF_NQ).select(
         F.col("vec_id").alias("query_id"), F.col("q").alias("qq")
-    )
-    dist = F.expr(
-        "aggregate(zip_with(qq, c, (a, b) -> (a - b) * (a - b)), "
-        "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
-    )
-    wq = W.partitionBy("query_id").orderBy("d", "cell")
-    probes = (
-        q.crossJoin(F.broadcast(cents))
-        .withColumn("d", dist)
-        .withColumn("r", F.row_number().over(wq))
-        .filter(F.col("r") <= _IVF_NPROBE)
-        .select("query_id", "cell")
     )
     en = embeddings_normalized(spark, sf_dir)
     corpus = final.select("vec_id", "cell").join(en, "vec_id").select(
@@ -1196,15 +1225,4 @@ def ann_ivf_kmeans_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     qe = en.select(
         F.col("vec_id").alias("query_id"), F.col("emb").alias("qe"), F.col("norm").alias("qn")
     )
-    cand = (
-        probes.join(corpus, "cell")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .join(qe, "query_id")
-        .withColumn("cosine", _dot(F.col("qe"), F.col("ne")) / (F.col("qn") * F.col("nn")))
-    )
-    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
-    return (
-        cand.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= _IVF_TOPK)
-        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine_r"), "rnk")
-    )
+    return _ivf_probe_topk(q, cents, corpus, qe)

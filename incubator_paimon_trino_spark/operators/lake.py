@@ -1847,16 +1847,14 @@ def streaming_vector_index_maintained(spark: SparkSession, sf_dir: str) -> DataF
     travel, and branches for free.
     """
     from incubator_paimon_trino_spark.operators.clustering import (
-        _IVF_NPROBE,
         _IVF_NQ,
-        _IVF_TOPK,
         _SCALE,
         _assign,
+        _ivf_probe_topk,
         _trained_cells,
     )
     from incubator_paimon_trino_spark.operators.similarity import _dot
     from incubator_paimon_trino_spark.streaming.changelog import read_changelog_stream
-    from pyspark.sql import Window as W
 
     cat = _fresh_catalog(spark)
     cat.create_database("lake")
@@ -1914,23 +1912,12 @@ def streaming_vector_index_maintained(spark: SparkSession, sf_dir: str) -> DataF
     )
     mq.awaitTermination()
 
-    # ---- probe: ONLY the maintained lake tables from here on
+    # ---- probe: ONLY the maintained lake tables from here on, through
+    # the ONE shared probe definition (_ivf_probe_topk — no copy to drift)
     src = cat.read_table("lake.vecs_src")
     cents_t = cat.read_table("lake.vec_centroids").select("cell", "c")
     q = src.filter(F.col("vec_id") < _IVF_NQ).select(
         F.col("vec_id").alias("query_id"), quant.alias("qq")
-    )
-    dist = F.expr(
-        "aggregate(zip_with(qq, c, (a, b) -> (a - b) * (a - b)), "
-        "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
-    )
-    wq = W.partitionBy("query_id").orderBy("d", "cell")
-    probes = (
-        q.crossJoin(F.broadcast(cents_t))
-        .withColumn("d", dist)
-        .withColumn("r", F.row_number().over(wq))
-        .filter(F.col("r") <= _IVF_NPROBE)
-        .select("query_id", "cell")
     )
     with_norm = src.withColumn("norm", F.sqrt(_dot(F.col("emb"), F.col("emb"))))
     corpus = (
@@ -1945,18 +1932,7 @@ def streaming_vector_index_maintained(spark: SparkSession, sf_dir: str) -> DataF
         F.col("vec_id").alias("query_id"), F.col("emb").alias("qe"),
         F.col("norm").alias("qn"),
     )
-    cand = (
-        probes.join(corpus, "cell")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .join(qe, "query_id")
-        .withColumn("cosine", _dot(F.col("qe"), F.col("ne")) / (F.col("qn") * F.col("nn")))
-    )
-    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
-    return (
-        cand.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= _IVF_TOPK)
-        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine_r"), "rnk")
-    )
+    return _ivf_probe_topk(q, cents_t, corpus, qe)
 
 
 @register(

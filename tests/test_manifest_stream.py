@@ -344,3 +344,27 @@ def test_orphan_index_never_planned(cat, spark):
     )
     got = _rows(cat, qname="m_orphan")
     assert [r for r in got if r[0] == "D"] == [("D", 1, "v1")]
+
+
+def test_arrow_type_agrees_with_pyspark_conversion(spark):
+    """_arrow_type (session-free, used by executor reads) must agree with
+    pyspark's own StructType->arrow conversion for every storage type the
+    catalog admits — a silent divergence would fail batches at runtime."""
+    from pyspark.sql.pandas.types import to_arrow_schema
+    from pyspark.sql.types import StructType
+
+    from incubator_paimon_trino_spark.streaming.manifest_source import _arrow_type
+
+    ddls = [
+        "boolean", "tinyint", "smallint", "int", "bigint", "float", "double",
+        "string", "binary", "date", "timestamp_ntz", "decimal(9,2)",
+        "decimal(38,0)", "array<double>", "array<bigint>",
+        "map<string,bigint>", "struct<a:int,b:array<string>>",
+        "array<struct<x:double,y:string>>",
+    ]
+    st = StructType.fromDDL(", ".join(f"c{i} {t}" for i, t in enumerate(ddls)))
+    expected = to_arrow_schema(st)
+    for i, t in enumerate(ddls):
+        got = _arrow_type(t)
+        exp = expected.field(i).type
+        assert got == exp, f"{t}: {got} != {exp}"
