@@ -244,6 +244,11 @@ class _ManifestStreamReader(DataSourceStreamReader):
         # rate limit: at most N commits per micro-batch (0 = unbounded) —
         # the manifest-mode analog of maxFilesPerTrigger
         self.max_commits = int(opts.get("max_commits_per_trigger") or 0)
+        # split packing: small same-commit files bin-pack into one read
+        # task up to this many bytes (the reference sizes splits the same
+        # way — A2 split weighting; Python task startup would otherwise
+        # dominate a many-small-files commit)
+        self.split_bytes = int(opts.get("split_target_bytes") or 64 * 1024 * 1024)
         self._schema_cache: dict[int, TableSchema] = {}
         self._planned = None  # last offset returned by latestOffset
 
@@ -344,17 +349,24 @@ class _ManifestStreamReader(DataSourceStreamReader):
             emit_baseline = bootstrap and s.commit_kind == COMMIT_COMPACT
             bootstrap = False
             if s.commit_kind != COMMIT_COMPACT or emit_baseline:
-                for e in added:
-                    renames, missing = self._column_spec(e["schema_id"], current)
+                for (fsid, fmt), pack in _pack_splits(added, self.split_bytes):
+                    renames, missing = self._column_spec(fsid, current)
                     parts.append(InputPartition({
                         "kind": "data",
-                        "path": os.path.normpath(os.path.join(self.tdir, e["path"])),
-                        "fmt": e.get("format", "parquet"),
+                        "files": [
+                            {
+                                "path": os.path.normpath(
+                                    os.path.join(self.tdir, e["path"])
+                                ),
+                                "parts": self._partition_spec(e, current),
+                            }
+                            for e in pack
+                        ],
+                        "fmt": fmt,
                         "commit": sid,
                         "pk": is_pk,
                         "renames": renames,
                         "missing": missing,
-                        "parts": self._partition_spec(e, current),
                         "out_cols": out_cols,
                     }))
             if self.dv and s.dv != prev_dv:
@@ -382,14 +394,18 @@ class _ManifestStreamReader(DataSourceStreamReader):
                     renames, missing = self._column_spec(e["schema_id"], current)
                     parts.append(InputPartition({
                         "kind": "dv",
-                        "path": os.path.normpath(os.path.join(self.tdir, e["path"])),
+                        "files": [{
+                            "path": os.path.normpath(
+                                os.path.join(self.tdir, e["path"])
+                            ),
+                            "parts": self._partition_spec(e, current),
+                            "positions": fresh,
+                        }],
                         "fmt": e.get("format", "parquet"),
                         "commit": sid,
                         "pk": is_pk,
-                        "positions": fresh,
                         "renames": renames,
                         "missing": missing,
-                        "parts": self._partition_spec(e, current),
                         "out_cols": out_cols,
                     }))
                 prev_dv = s.dv
@@ -404,48 +420,74 @@ class _ManifestStreamReader(DataSourceStreamReader):
         phys_cols = [old for old, _, _ in spec["renames"]]
         if spec["pk"]:
             phys_cols += [SEQ_COL, KIND_COL]
-        if fmt == "parquet":
-            import pyarrow.parquet as pq
-
-            table = pq.read_table(spec["path"], columns=phys_cols)
-        elif fmt == "orc":
-            import pyarrow.orc as orc
-
-            table = orc.ORCFile(spec["path"]).read(columns=phys_cols)
-        else:
-            raise NotImplementedError(
-                f"manifest stream source reads parquet/orc; table file is {fmt!r}"
-                " (avro has no Arrow reader — use the batch changelog)"
-            )
-        if spec["kind"] == "dv":
-            table = table.take(spec["positions"])
-        n = len(table)
-        if n == 0:
-            return
-        arrays, names = [], []
-        part_vals = {k: (ddl, raw) for k, ddl, raw in spec["parts"]}
         renamed = {new: (old, ddl) for old, new, ddl in spec["renames"]}
         missing = dict(spec["missing"])
-        for name, ddl in spec["out_cols"]:
-            at = _arrow_type(ddl)
-            if name == DV_VER_COL:
-                v = spec["commit"] if spec["kind"] == "dv" else None
-                arr = pa.array([v] * n, type=at)
-            elif name == KIND_COL and spec["kind"] == "dv":
-                arr = pa.array(["D"] * n, type=at)
-            elif name in part_vals:
-                pddl, raw = part_vals[name]
-                arr = pa.array([_typed_partition_value(raw, pddl)] * n, type=at)
-            elif name in renamed:
-                old, _ = renamed[name]
-                arr = table.column(old).cast(at)
-            elif name in missing:
-                arr = pa.nulls(n, type=at)
-            else:  # _seq / _row_kind straight from the file
-                arr = table.column(name).cast(at)
-            arrays.append(arr)
-            names.append(name)
-        yield from pa.table(dict(zip(names, arrays))).to_batches()
+        for f in spec["files"]:
+            if fmt == "parquet":
+                import pyarrow.parquet as pq
+
+                table = pq.read_table(f["path"], columns=phys_cols)
+            elif fmt == "orc":
+                import pyarrow.orc as orc
+
+                table = orc.ORCFile(f["path"]).read(columns=phys_cols)
+            else:
+                raise NotImplementedError(
+                    f"manifest stream source reads parquet/orc; table file is "
+                    f"{fmt!r} (avro has no Arrow reader — use the batch changelog)"
+                )
+            if spec["kind"] == "dv":
+                table = table.take(f["positions"])
+            n = len(table)
+            if n == 0:
+                continue
+            arrays, names = [], []
+            part_vals = {k: (ddl, raw) for k, ddl, raw in f["parts"]}
+            for name, ddl in spec["out_cols"]:
+                at = _arrow_type(ddl)
+                if name == DV_VER_COL:
+                    v = spec["commit"] if spec["kind"] == "dv" else None
+                    arr = pa.array([v] * n, type=at)
+                elif name == KIND_COL and spec["kind"] == "dv":
+                    arr = pa.array(["D"] * n, type=at)
+                elif name in part_vals:
+                    pddl, raw = part_vals[name]
+                    arr = pa.array([_typed_partition_value(raw, pddl)] * n, type=at)
+                elif name in renamed:
+                    old, _ = renamed[name]
+                    arr = table.column(old).cast(at)
+                elif name in missing:
+                    arr = pa.nulls(n, type=at)
+                else:  # _seq / _row_kind straight from the file
+                    arr = table.column(name).cast(at)
+                arrays.append(arr)
+                names.append(name)
+            yield from pa.table(dict(zip(names, arrays))).to_batches()
+
+
+def _pack_splits(entries: list[dict], target_bytes: int):
+    """Bin-pack one commit's added files into read splits: group by
+    (schema_id, format) — a split shares one column-mapping spec — then
+    first-fit by ``size_bytes`` up to ``target_bytes`` (always at least one
+    file per split). The manifest-mode analog of the reference's split
+    sizing (``TrinoSplitManagerBase.java:50-63``): without it, a commit of
+    many small files costs one Python task EACH, and task startup dominates
+    the read. Yields ((schema_id, format), [entries])."""
+    groups: dict[tuple, list[dict]] = {}
+    for e in sorted(entries, key=lambda e: e["path"]):
+        groups.setdefault((e["schema_id"], e.get("format", "parquet")), []).append(e)
+    for key, group in sorted(groups.items()):
+        pack: list[dict] = []
+        size = 0
+        for e in group:
+            sz = int(e.get("size_bytes") or target_bytes)  # unknown → own split
+            if pack and size + sz > target_bytes:
+                yield key, pack
+                pack, size = [], 0
+            pack.append(e)
+            size += sz
+        if pack:
+            yield key, pack
 
 
 class PaimonManifestSource(DataSource):
