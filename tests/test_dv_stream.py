@@ -321,3 +321,49 @@ def test_dv_stream_second_run_tails_only_new_marks(cat, spark):
     cat.advance_consumer("d", "t", "cdc", 3)
     cat.sql("DELETE FROM d.t WHERE k = 4")  # snapshot 3
     assert _rows(cat, qname="dv_run2", consumer_id="cdc") == [("D", 4, "v4")]
+
+
+def test_fold_changelog_property(spark):
+    """Property: fold_changelog == a per-key python reference fold (winner
+    by highest (_seq, D-outranks-I at equal _seq); riders dropped) over
+    randomized changelogs."""
+    import random
+
+    from incubator_paimon_trino_spark.streaming.changelog import fold_changelog
+
+    rng = random.Random(8)
+    for trial in range(5):
+        rows = []
+        for _ in range(rng.randint(1, 60)):
+            rows.append((
+                rng.randint(1, 8),                       # key
+                f"v{rng.randint(0, 99)}",                # image
+                rng.randint(1, 5),                       # _seq
+                rng.choice(["I", "D"]),                  # kind
+                rng.choice([None, rng.randint(1, 5)]),   # _dv_ver rider
+            ))
+        df = spark.createDataFrame(
+            rows, "k bigint, v string, _seq bigint, _row_kind string, _dv_ver bigint"
+        )
+        out = {r.k: (r.v, r._row_kind) for r in fold_changelog(df, ["k"]).collect()}
+        # reference: stable max by (_seq, kind=='D'), ties broken by the
+        # SAME deterministic order Spark's row_number sees is not defined —
+        # so only compare on keys whose winner is unique
+        ref = {}
+        ambiguous = set()
+        for k, v, seq, kind, _ in rows:
+            cur = ref.get(k)
+            score = (seq, kind == "D")
+            if cur is None or score > cur[0]:
+                ref[k] = (score, (v, kind), False)
+            elif score == cur[0]:
+                same = cur[1] == (v, kind)
+                ref[k] = (score, cur[1], cur[2] or not same)
+        for k, (_, win, amb) in ref.items():
+            if amb:
+                ambiguous.add(k)
+            else:
+                assert out[k] == win, (trial, k, out[k], win)
+        assert set(out) == set(ref)
+        cols = fold_changelog(df, ["k"]).columns
+        assert "_seq" not in cols and "_dv_ver" not in cols

@@ -368,3 +368,30 @@ def test_arrow_type_agrees_with_pyspark_conversion(spark):
         got = _arrow_type(t)
         exp = expected.field(i).type
         assert got == exp, f"{t}: {got} != {exp}"
+
+
+def test_pack_splits_groups_and_sizes():
+    """Split packing: same-(schema_id, format) files pack first-fit by
+    size up to the target; unknown sizes isolate; groups never mix (a
+    split shares one column-mapping spec)."""
+    from incubator_paimon_trino_spark.streaming.manifest_source import _pack_splits
+
+    def e(path, sid=0, fmt="parquet", size=10):
+        d = {"path": path, "schema_id": sid, "format": fmt}
+        if size is not None:
+            d["size_bytes"] = size
+        return d
+
+    entries = [e("a", size=10), e("b", size=10), e("c", size=25),
+               e("d", sid=1, size=5), e("x", size=None)]
+    packs = list(_pack_splits(entries, target_bytes=30))
+    got = [(k, [p["path"] for p in pack]) for k, pack in packs]
+    # sid 0: a+b fit (20), c would overflow -> new pack; x unknown -> own
+    assert got == [
+        ((0, "parquet"), ["a", "b"]),
+        ((0, "parquet"), ["c"]),
+        ((0, "parquet"), ["x"]),
+        ((1, "parquet"), ["d"]),
+    ]
+    # always at least one file per split even above target
+    assert [len(p) for _, p in _pack_splits([e("big", size=999)], 30)] == [1]
