@@ -45,8 +45,13 @@ def read_changelog_stream(
     max_files_per_trigger: int | None = None,
     consumer_id: str | None = None,
     source_mode: str = "files",
+    split_target_bytes: int | None = None,
 ) -> DataFrame:
     """Streaming DataFrame over ``db.table``'s commit stream.
+
+    ``split_target_bytes`` (manifest mode only): read-split packing target
+    — small same-commit files bin-pack into one read task up to this many
+    bytes (default 64 MiB; <= 0 disables packing, one file per task).
 
     PK tables yield changelog rows (``_seq``/``_row_kind`` included);
     append-only tables yield plain rows. Deletion-vectors tables yield the
@@ -170,7 +175,10 @@ def read_changelog_stream(
             )
 
     if source_mode == "manifest":
-        return _manifest_stream(cat, tdir, schema, from_version, max_files_per_trigger)
+        return _manifest_stream(
+            cat, tdir, schema, from_version, max_files_per_trigger,
+            split_target_bytes,
+        )
 
     inserts = _data_file_tail(cat, tdir, schema, from_version, max_files_per_trigger)
     if cat._dv_enabled(schema):
@@ -196,6 +204,7 @@ def _manifest_stream(
     schema,
     from_version: int | None,
     max_commits_per_trigger: int | None,
+    split_target_bytes: int | None = None,
 ) -> DataFrame:
     """The manifest-driven source (see ``read_changelog_stream``'s
     ``source_mode`` docs and ``streaming/manifest_source.py``): snapshots
@@ -219,6 +228,8 @@ def _manifest_stream(
     )
     if max_commits_per_trigger is not None:
         reader = reader.option("max_commits_per_trigger", str(max_commits_per_trigger))
+    if split_target_bytes is not None:
+        reader = reader.option("split_target_bytes", str(split_target_bytes))
     return reader.load()
 
 

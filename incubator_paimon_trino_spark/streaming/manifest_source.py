@@ -379,6 +379,7 @@ class _ManifestStreamReader(DataSourceStreamReader):
                 entries = {
                     os.path.basename(f["path"].replace("\\", "/")): f for f in s.files
                 }
+                marked: list[dict] = []
                 for fbase, positions in sorted(cur_marks.items()):
                     fresh = sorted(positions - base_marks.get(fbase, set()))
                     if not fresh:
@@ -391,17 +392,24 @@ class _ManifestStreamReader(DataSourceStreamReader):
                         raise ValueError(
                             f"DV index of snapshot {sid} marks unknown file {fbase}"
                         )
-                    renames, missing = self._column_spec(e["schema_id"], current)
+                    marked.append({**e, "_fresh": fresh})
+                # marked files pack like data files (a delete across many
+                # small files would otherwise cost one Python task each)
+                for (fsid, fmt), pack in _pack_splits(marked, self.split_bytes):
+                    renames, missing = self._column_spec(fsid, current)
                     parts.append(InputPartition({
                         "kind": "dv",
-                        "files": [{
-                            "path": os.path.normpath(
-                                os.path.join(self.tdir, e["path"])
-                            ),
-                            "parts": self._partition_spec(e, current),
-                            "positions": fresh,
-                        }],
-                        "fmt": e.get("format", "parquet"),
+                        "files": [
+                            {
+                                "path": os.path.normpath(
+                                    os.path.join(self.tdir, e["path"])
+                                ),
+                                "parts": self._partition_spec(e, current),
+                                "positions": e["_fresh"],
+                            }
+                            for e in pack
+                        ],
+                        "fmt": fmt,
                         "commit": sid,
                         "pk": is_pk,
                         "renames": renames,
@@ -469,18 +477,27 @@ def _pack_splits(entries: list[dict], target_bytes: int):
     """Bin-pack one commit's added files into read splits: group by
     (schema_id, format) — a split shares one column-mapping spec — then
     first-fit by ``size_bytes`` up to ``target_bytes`` (always at least one
-    file per split). The manifest-mode analog of the reference's split
-    sizing (``TrinoSplitManagerBase.java:50-63``): without it, a commit of
-    many small files costs one Python task EACH, and task startup dominates
-    the read. Yields ((schema_id, format), [entries])."""
+    file per split). ``target_bytes <= 0`` DISABLES packing (one file per
+    split, the pre-packing behavior); an entry with no recorded size
+    (foreign manifests — this warehouse always records one) is weighted a
+    full target so it isolates. The manifest-mode analog of the
+    reference's split sizing (``TrinoSplitManagerBase.java:50-63``):
+    without it, a commit of many small files costs one Python task EACH,
+    and task startup dominates the read. Yields
+    ((schema_id, format), [entries])."""
     groups: dict[tuple, list[dict]] = {}
     for e in sorted(entries, key=lambda e: e["path"]):
         groups.setdefault((e["schema_id"], e.get("format", "parquet")), []).append(e)
     for key, group in sorted(groups.items()):
+        if target_bytes <= 0:
+            for e in group:
+                yield key, [e]
+            continue
         pack: list[dict] = []
         size = 0
         for e in group:
-            sz = int(e.get("size_bytes") or target_bytes)  # unknown → own split
+            raw = e.get("size_bytes")
+            sz = target_bytes if raw is None else int(raw)
             if pack and size + sz > target_bytes:
                 yield key, pack
                 pack, size = [], 0
@@ -495,7 +512,9 @@ class PaimonManifestSource(DataSource):
     (table directory), ``from_version`` (first snapshot id to emit; 0 =
     everything), ``dv`` ("1" on deletion-vectors tables), ``schema_ddl``
     (output schema, computed by ``read_changelog_stream``),
-    ``max_commits_per_trigger`` (rate limit, 0 = unbounded)."""
+    ``max_commits_per_trigger`` (rate limit, 0 = unbounded),
+    ``split_target_bytes`` (read-split packing target, default 64 MiB;
+    <= 0 disables packing — one file per split)."""
 
     @classmethod
     def name(cls) -> str:

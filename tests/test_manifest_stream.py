@@ -395,3 +395,10 @@ def test_pack_splits_groups_and_sizes():
     ]
     # always at least one file per split even above target
     assert [len(p) for _, p in _pack_splits([e("big", size=999)], 30)] == [1]
+    # target <= 0 disables packing entirely: one file per split
+    assert [
+        [p["path"] for p in pack] for _, pack in _pack_splits(entries, 0)
+    ] == [["a"], ["b"], ["c"], ["x"], ["d"]]
+    # a genuinely 0-byte file packs (only a MISSING size isolates)
+    z = list(_pack_splits([e("z0", size=0), e("z1", size=10)], 30))
+    assert [[p["path"] for p in pack] for _, pack in z] == [["z0", "z1"]]
