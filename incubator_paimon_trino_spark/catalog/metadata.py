@@ -242,6 +242,22 @@ def read_json(path: str) -> dict:
         return json.load(fh)
 
 
+def latest_snapshot_id(tdir: str) -> int:
+    """Tip snapshot id from the snapshot directory listing alone — no
+    manifest resolution. The streaming source's ``latestOffset`` runs every
+    trigger even when the table is idle; it needs only the max committed id,
+    so resolving every snapshot's file list there would make the idle-tick
+    cost O(history length) for nothing (``load_snapshots`` stays the full
+    resolution used by ``partitions()``). 0 = no commits."""
+    import glob as _glob
+
+    ids = [
+        int(os.path.basename(p)[len("snapshot-") : -len(".json")])
+        for p in _glob.glob(os.path.join(tdir, "snapshot", "snapshot-*.json"))
+    ]
+    return max(ids, default=0)
+
+
 def load_snapshots(tdir: str) -> list[Snapshot]:
     """All committed snapshots of a table dir, file lists resolved from the
     delta manifests, ordered by id. Module-level (no catalog/session) so the

@@ -214,8 +214,10 @@ def _manifest_stream(
     from incubator_paimon_trino_spark.streaming.manifest_source import (
         PaimonManifestSource,
         stream_output_columns,
+        validate_partition_types,
     )
 
+    validate_partition_types(schema)  # loud build-time refusal (e.g. BINARY)
     cat.spark.dataSource.register(PaimonManifestSource)
     dv = cat._dv_enabled(schema)
     ddl = ", ".join(f"`{n}` {t}" for n, t in stream_output_columns(schema, dv))

@@ -54,6 +54,7 @@ from incubator_paimon_trino_spark.catalog.metadata import (
     KIND_COL,
     SEQ_COL,
     TableSchema,
+    latest_snapshot_id,
     load_snapshots,
     read_json,
 )
@@ -182,7 +183,35 @@ def _typed_partition_value(raw: str | None, ddl: str):
         return raw
     if s.startswith("timestamp"):
         return _dt.datetime.fromisoformat(raw.replace(" ", "T"))
+    if s.startswith("time"):
+        return _dt.time.fromisoformat(raw)
     raise ValueError(f"unsupported partition column type {ddl!r}")
+
+
+def _partition_type_supported(ddl: str) -> bool:
+    """Exactly the dispatch of ``_typed_partition_value`` — the two must
+    agree or the build-time guard lies."""
+    s = ddl.strip().lower()
+    return s in (
+        "tinyint", "byte", "smallint", "short", "int", "integer", "bigint",
+        "long", "float", "real", "double", "boolean", "date", "string",
+    ) or s.startswith(("decimal", "char", "varchar", "timestamp", "time"))
+
+
+def validate_partition_types(schema: TableSchema) -> None:
+    """Driver-side, stream-build-time guard: every partition column's type
+    must be one ``_typed_partition_value`` can revive from a hive path
+    value, so an unsupported partition schema (e.g. BINARY) fails the
+    ``readStream`` build loudly instead of surfacing as an executor-side
+    ValueError on the first batch."""
+    for k in schema.partition_keys:
+        t = _storage_ddl(schema.field_by_name(k).type)
+        if not _partition_type_supported(t):
+            raise ValueError(
+                f"manifest stream source: partition column {k!r} has type "
+                f"{t!r}, which cannot be revived from a hive path value — "
+                "use source_mode='files' for this table"
+            )
 
 
 # ------------------------------------------------------------------ planning
@@ -254,23 +283,37 @@ class _ManifestStreamReader(DataSourceStreamReader):
 
     # ---- offsets
     def initialOffset(self) -> dict:
-        return {"version": max(self.from_version - 1, 0)}
+        off = max(self.from_version - 1, 0)
+        # Raise the limiter base to the stream's declared start. NOTE this
+        # cannot bound the cold-start batch: the engine's measured call
+        # order is latestOffset -> initialOffset -> partitions on BOTH
+        # processingTime and availableNow triggers (probed on the public
+        # Python DataSource API, whose latestOffset takes no start offset
+        # and whose runner forwards no setLatestSeenOffset), so the first
+        # latestOffset always runs with an unknown base — see latestOffset
+        # for why guessing the base from from_version is unsafe.
+        self._planned = off if self._planned is None else max(self._planned, off)
+        return {"version": off}
 
     def latestOffset(self) -> dict:
-        snaps = load_snapshots(self.tdir)
-        tip = snaps[-1].snapshot_id if snaps else 0
+        # max committed id only — never resolve manifests here (this runs
+        # every trigger, table idle or not; full resolution is O(history)
+        # and belongs to partitions(), which runs only when work exists).
+        #
+        # The limiter bounds STEADY-STATE batches only: on a run's FIRST
+        # trigger the base is unknown (measured call order is latestOffset
+        # -> initialOffset -> partitions, and the API hands latestOffset no
+        # start offset), so the backlog arrives in one unlimited batch. A
+        # from_version-derived base is NOT a safe substitute: a restarted
+        # stream's checkpointed position P can exceed from_version-1+max,
+        # the capped tip T < P would make the engine construct batch (P, T]
+        # and then advance the NEXT batch from T — replaying (T, P] into
+        # the sink as duplicates (WAL rewind). Bound a cold start by
+        # STARTING from a consumer/snapshot position instead; restarts are
+        # bounded from their second trigger on (partitions() latches the
+        # checkpointed base).
+        tip = latest_snapshot_id(self.tdir)
         if self.max_commits and self._planned is not None:
-            # The limiter bounds STEADY-STATE tailing batches only: the
-            # base is what this reader has already planned, learned from
-            # its own prior latestOffset/partitions calls. On the FIRST
-            # trigger of any run the base is unknown (Spark calls
-            # latestOffset before initialOffset, and a restarted reader
-            # only learns the checkpointed position when partitions() is
-            # invoked), so the bootstrap backlog arrives in one unlimited
-            # batch — the safe degradation: a from_version-derived cap
-            # could fall BELOW a restart's checkpointed position and
-            # re-plan consumed commits. Bound the bootstrap by starting
-            # from a consumer/snapshot position instead.
             tip = min(tip, self._planned + self.max_commits)
         self._planned = max(tip, self._planned or 0)
         return {"version": tip}
@@ -334,6 +377,23 @@ class _ManifestStreamReader(DataSourceStreamReader):
         by_id = {s.snapshot_id: s for s in snaps}
         ids = [s.snapshot_id for s in snaps if lo < s.snapshot_id <= hi]
         prev_id = max((s.snapshot_id for s in snaps if s.snapshot_id <= lo), default=0)
+        if prev_id == 0 and ids and lo > max(self.from_version - 1, 0):
+            # The planned-from position lo is PAST the stream's own start,
+            # so it came from a checkpoint — and no snapshot <= lo survives:
+            # retention expired the consumed window, and the per-commit
+            # delta from lo is unreconstructable (a cumulative file list
+            # diffed against nothing re-emits the entire live set as +I —
+            # duplicates into every append sink). Fail loudly (Kafka's
+            # failOnDataLoss shape); keep a consumer_id so retention
+            # protects the stream's window. A true COLD start (lo at the
+            # from_version base) into expired history is different: there
+            # the live-set baseline IS the correct first batch.
+            raise ValueError(
+                f"manifest stream: checkpointed position {lo} predates the "
+                f"earliest surviving snapshot {min(ids)} — retention expired "
+                "the consumed window; restart the stream from scratch, and "
+                "register a consumer_id so expire_snapshots pins its window"
+            )
         prev_paths = {f["path"] for f in by_id[prev_id].files} if prev_id else set()
         prev_dv = by_id[prev_id].dv if prev_id else None
         bootstrap = prev_id == 0
