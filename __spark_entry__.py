@@ -117,9 +117,17 @@ _DEFER_NEW: set[str] = set()
 # Verified-green queries whose SEMANTICS changed in review fixes (result
 # set or oracle rewritten) — their standing green verdicts predate the
 # change. Re-proof them right after the never-checked block so the driver's
-# ~50-slot prefix re-establishes an honest verdict. All six r4 entries were
-# re-proved green by the r5 driver run (CORRECTNESS_r05) — drained.
-_REPROOF: set[str] = set()
+# ~50-slot prefix re-establishes an honest verdict. (The six r4 entries
+# drained in r5.) r9: the four DV queries now build their tables with
+# ``dv-index.inline-threshold = 0`` to exercise the SHARDED index format
+# (r8 verdict item 1 — executor-written per-bucket shards); their green
+# verdicts predate the format, so they re-prove on it.
+_REPROOF: set[str] = {
+    "lake_deletion_vector_read",
+    "lake_dv_changelog_stream",
+    "lake_manifest_changelog_stream",
+    "lake_dv_cdc_pipeline",
+}
 
 
 def _ordered_names() -> list[str]:

@@ -120,6 +120,11 @@ class Snapshot:
     #: ``deletion-vectors.enabled`` — the DV variant of merge-on-read).
     #: None for tables/snapshots without DVs; absent in older snapshot JSON.
     dv: str | None = None
+    #: cumulative live mark count of ``dv`` (lets readers skip the DV
+    #: anti-join for mark-free snapshots in O(1), and the committer pick the
+    #: inline/sharded format without parsing the prior index). None =
+    #: unknown (legacy snapshots) — readers must then assume marks exist.
+    dv_marks: int | None = None
 
     def to_json(self) -> dict:
         out = {
@@ -140,6 +145,8 @@ class Snapshot:
             out["files"] = self.files
         if self.dv:
             out["dv"] = self.dv
+            if self.dv_marks is not None:
+                out["dv_marks"] = self.dv_marks
         return out
 
     @staticmethod
@@ -155,6 +162,7 @@ class Snapshot:
             d.get("record_count", 0),
             d.get("manifests", []),
             d.get("dv"),
+            d.get("dv_marks"),
         )
 
 

@@ -589,8 +589,9 @@ class WarehouseCatalog:
         elif KIND_COL in out.columns or row_kind not in (None, "I"):
             raise ValueError("row kinds require a primary-key table")
 
-        dv_vectors: dict[str, list[int]] | None = None
-        dv_marked = 0
+        #: (index name, newly marked, cumulative marks, files written) —
+        #: set for every DV-table commit; None on non-DV tables.
+        dv_index: tuple[str, int, int, list[str]] | None = None
         dv_cached: DataFrame | None = None
         if self._dv_enabled(schema):
             pk = schema.primary_key
@@ -622,9 +623,10 @@ class WarehouseCatalog:
                         "pre-merge the batch to one row per key"
                     )
                 if not overwrite and prev is not None and prev.files:
-                    dv_vectors, dv_marked = self._dv_merged(tdir, schema, prev, out)
+                    dv_index = self._dv_build(tdir, schema, prev, out, version)
                 else:
-                    dv_vectors = {}
+                    name = self._dv_write_inline(tdir, version, {})
+                    dv_index = (name, 0, 0, [name])
             except BaseException:
                 dv_cached.unpersist()
                 raise
@@ -680,7 +682,7 @@ class WarehouseCatalog:
         if fmt not in ("ORC", "PARQUET", "AVRO"):
             raise ValueError(f"unsupported file_format {fmt!r} (have PARQUET, ORC, AVRO)")
         ext = {"ORC": "orc", "AVRO": "avro", "PARQUET": "parquet"}[fmt]
-        if dv_vectors is not None and out.isEmpty():
+        if dv_index is not None and out.isEmpty():
             # pure-DV commit (a DELETE with nothing to insert): the snapshot
             # is metadata only — writing an empty part file would add a
             # zero-row data file per delete forever
@@ -734,12 +736,13 @@ class WarehouseCatalog:
             files=files,
             record_count=(0 if overwrite else (prev.record_count if prev else 0))
             + n
-            - dv_marked,
+            - (dv_index[1] if dv_index else 0),
         )
-        if dv_vectors is not None:
-            # vectors land BEFORE the snapshot that references them — a
+        if dv_index is not None:
+            # the index landed BEFORE this publish (inside _dv_build) — a
             # reader must never resolve snapshot N without its deletions
-            snap.dv = self._dv_write(tdir, version, dv_vectors)
+            snap.dv = dv_index[0]
+            snap.dv_marks = dv_index[2]
         # exclusive publish = the commit point: if a concurrent writer already
         # produced this snapshot id, fail with CommitConflictError rather
         # than clobbering their manifest (caller re-reads and retries, like
@@ -752,11 +755,14 @@ class WarehouseCatalog:
             for p in final_paths:
                 if os.path.exists(p):
                     os.remove(p)
-            if snap.dv:
-                try:
-                    os.remove(os.path.join(tdir, "index", snap.dv))
-                except FileNotFoundError:
-                    pass
+            if dv_index is not None:
+                # remove every index file THIS commit wrote (manifest +
+                # new shards); carried-forward shards belong to the winner
+                for idx_name in dv_index[3]:
+                    try:
+                        os.remove(os.path.join(tdir, "index", idx_name))
+                    except FileNotFoundError:
+                        pass
             self._prune_empty_dirs(os.path.join(tdir, "data"))
             raise
 
@@ -1280,12 +1286,13 @@ class WarehouseCatalog:
             )
             if snap.dv:
                 # the seeded snapshot's deletion vectors travel with it —
-                # basename matching makes the ../../ path rewrite moot
-                os.makedirs(os.path.join(bdir, "index"), exist_ok=True)
-                shutil.copy2(
-                    os.path.join(tdir, "index", snap.dv),
-                    os.path.join(bdir, "index", snap.dv),
+                # basename matching makes the ../../ path rewrite moot;
+                # a sharded index copies manifest + shard files
+                from incubator_paimon_trino_spark.catalog.dv_index import (
+                    copy_index_files,
                 )
+
+                copy_index_files(tdir, bdir, snap.dv)
             shared = [
                 {**f, "path": os.path.join("..", "..", f["path"])} for f in snap.files
             ]
@@ -1388,15 +1395,17 @@ class WarehouseCatalog:
             write_json_atomic(
                 os.path.join(tdir, "manifest", mname), {"files": rewritten}
             )
-            if s.dv and not os.path.exists(os.path.join(tdir, "index", s.dv)):
+            if s.dv:
                 # grafted snapshots keep their DV index: copy it into main's
                 # namespace (apply matches on basenames, so the stored
-                # branch-relative path keys stay valid as-is)
-                os.makedirs(os.path.join(tdir, "index"), exist_ok=True)
-                shutil.copy2(
-                    os.path.join(bdir, "index", s.dv),
-                    os.path.join(tdir, "index", s.dv),
+                # branch-relative path keys stay valid as-is); sharded
+                # indexes copy manifest + shards, already-present files
+                # (shards shared across grafted snapshots) copy once
+                from incubator_paimon_trino_spark.catalog.dv_index import (
+                    copy_index_files,
                 )
+
+                copy_index_files(bdir, tdir, s.dv)
             grafted = dataclasses.replace(s, files=[], manifests=[mname])
             write_json_atomic(
                 os.path.join(tdir, "snapshot", f"snapshot-{s.snapshot_id}.json"),
@@ -1701,14 +1710,26 @@ class WarehouseCatalog:
     def _gc_dv_indexes(tdir: str, kept: list[Snapshot], doomed: list[Snapshot]) -> None:
         """Reap deletion-vector index files owned by expired/rolled-back
         snapshots (nonce-named per commit; a kept snapshot referencing the
-        same name — fast-forward copies keep names — pins it)."""
-        live = {s.dv for s in kept if s.dv}
+        same name — fast-forward copies keep names, and SHARD files carry
+        forward across commits by design — pins it). Liveness is resolved
+        to the full file set (manifest + shards), so a shard still listed
+        by any kept snapshot's manifest survives its writer's expiry."""
+        from incubator_paimon_trino_spark.catalog.dv_index import index_file_names
+
+        live: set[str] = set()
+        for s in kept:
+            if s.dv:
+                live.update(index_file_names(tdir, s.dv))
+                live.add(s.dv)
         for s in doomed:
-            if s.dv and s.dv not in live:
-                try:
-                    os.remove(os.path.join(tdir, "index", s.dv))
-                except FileNotFoundError:
-                    pass
+            if not s.dv:
+                continue
+            for name in index_file_names(tdir, s.dv) + [s.dv]:
+                if name not in live:
+                    try:
+                        os.remove(os.path.join(tdir, "index", name))
+                    except FileNotFoundError:
+                        pass
 
     def remove_orphan_files(
         self, db: str, table: str, older_than_ms: int | None = None, dry_run: bool = False
@@ -1790,13 +1811,22 @@ class WarehouseCatalog:
         # dv-<version>-<nonce>.json BEFORE publishing, so an unreferenced one
         # above the horizon may belong to a live commit (kept), while one
         # at/below the horizon lost its race/crashed and is debris
-        live_dv = {s.dv for s in snaps if s.dv}
+        from incubator_paimon_trino_spark.catalog.dv_index import index_file_names
+
+        live_dv: set[str] = set()
+        for s in snaps:
+            if s.dv:
+                live_dv.update(index_file_names(tdir, s.dv))
+                live_dv.add(s.dv)
         dv_removed = 0
-        for p in glob.glob(os.path.join(tdir, "index", "dv-*.json")):
+        for p in sorted(
+            glob.glob(os.path.join(tdir, "index", "dv-*.json"))
+            + glob.glob(os.path.join(tdir, "index", "dvm-*.json"))
+        ):
             name = os.path.basename(p)
             if name in live_dv:
                 continue
-            dm = re.match(r"dv-(\d+)-", name)
+            dm = re.match(r"dvm?-(\d+)-", name)
             if dm is None or int(dm.group(1)) > horizon or os.path.getmtime(p) * 1000 >= cutoff:
                 kept_in_flight += 1
                 continue
@@ -2230,7 +2260,11 @@ class WarehouseCatalog:
             return self.spark.createDataFrame([], empty)
 
         dv_mode = self._dv_enabled(schema) and not with_system_columns
-        has_dv = bool(dv_mode and snap.dv)
+        # dv_marks == 0 (every DV commit records the cumulative count in
+        # the snapshot) skips the whole anti-join + position columns in
+        # O(1) — most DV-table snapshots carry no marks at all. None =
+        # legacy snapshot without the count: assume marks (old behavior).
+        has_dv = bool(dv_mode and snap.dv and snap.dv_marks != 0)
         df = self._read_files(tdir, schema, snap, with_pos=has_dv)
         if dv_mode:
             # deletion-vector read: scan − DV IS the merged state (every
@@ -2606,97 +2640,293 @@ class WarehouseCatalog:
         )
 
     def _dv_vectors(self, tdir: str, snap: Snapshot | None) -> dict[str, list[int]]:
-        """The snapshot's cumulative deletion vectors: {rel data path →
-        sorted row positions}. Missing/absent → {} (nothing deleted)."""
-        if snap is None or not snap.dv:
-            return {}
-        try:
-            return read_json(os.path.join(tdir, "index", snap.dv)).get("vectors", {})
-        except FileNotFoundError:
-            return {}
+        """TEST/DEBUG utility: the snapshot's cumulative deletion vectors
+        as a driver dict {rel-or-base path → sorted positions}, either
+        format. NEVER on a read, stream, or commit path (pinned by
+        monkeypatch in tests/test_deletion_vectors.py and
+        tests/test_dv_stream.py) — a sharded index is O(live deleted rows).
+        Missing/absent → {} (nothing deleted)."""
+        from incubator_paimon_trino_spark.catalog.dv_index import (
+            load_index_meta,
+            mark_file_names,
+        )
 
-    def _dv_apply(self, df: DataFrame, vectors: dict[str, list[int]], keep_pos: bool = False) -> DataFrame:
-        """Drop DV-marked rows from an ALREADY-PARSED vectors dict —
-        the write path's form (commit-time mark merging holds the dict
-        anyway; the JSON index format makes the commit O(marks) by
-        construction). READS use ``_dv_apply_distributed`` below, which
-        never materializes the marks on the driver. Basenames are globally
-        unique (part files embed a job UUID and the commit id prefixes
-        them), which sidesteps URI-encoding mismatches between
-        ``_metadata.file_path`` and stored relative paths."""
-        df = df.withColumn(_DV_FILE, F.element_at(F.split(F.col(_DV_FILE), "/"), -1))
-        pairs = [
-            (os.path.basename(rel.replace("\\", "/")), int(p))
-            for rel, ps in vectors.items()
-            for p in ps
+        meta = load_index_meta(tdir, snap.dv if snap else None)
+        if meta is None:
+            return {}
+        if meta["kind"] == "inline":
+            return meta["vectors"]
+        out: dict[str, list[int]] = {}
+        for name in mark_file_names(tdir, snap.dv):
+            try:
+                doc = read_json(os.path.join(tdir, "index", name))
+            except FileNotFoundError:
+                continue
+            out.update(doc.get("vectors", {}))
+        return out
+
+    def _dv_marks_df(self, tdir: str, dv_name: str | None) -> DataFrame | None:
+        """The index's marks as a Spark-read DataFrame (file basename,
+        position) — the ONE way marks reach any read/stream plan. Inline or
+        sharded, the mark-bearing files share the ``{"vectors": ...}``
+        document shape, so both formats flow through the same
+        ``explode_dv_index_text`` pipeline: an inline index parses as one
+        executor task of O(index) (bounded by the inline threshold), a
+        sharded one as many small per-bucket parse tasks. None = no marks
+        (no index, or reaped by expiry)."""
+        from incubator_paimon_trino_spark.catalog.dv_index import mark_file_names
+
+        paths = [
+            os.path.join(tdir, "index", n) for n in mark_file_names(tdir, dv_name)
         ]
-        if pairs:
-            dv = self.spark.createDataFrame(pairs, f"{_DV_FILE} string, {_DV_POS} bigint")
-            df = df.join(F.broadcast(dv), [_DV_FILE, _DV_POS], "left_anti")
-        return df if keep_pos else df.drop(_DV_FILE, _DV_POS)
+        paths = [p for p in paths if os.path.exists(p)]
+        if not paths:
+            return None
+        return explode_dv_index_text(
+            self.spark.read.format("text").option("wholetext", "true").load(paths)
+        )
 
     def _dv_apply_distributed(self, df: DataFrame, tdir: str, snap: Snapshot) -> DataFrame:
         """Drop DV-marked rows with the marks side read BY SPARK from the
-        snapshot's committed index (``explode_dv_index_text`` — the same
-        parse/explode pipeline the retraction stream uses): the anti-join
-        side never transits the driver (O(1) driver memory), and the join
+        snapshot's committed index (``_dv_marks_df``): the anti-join side
+        never transits the driver (O(1) driver memory), and the join
         strategy is left to AQE — a small index broadcasts (the common
         case, marks bounded by deletions since the last compaction), a
-        large one shuffles. The remaining ceiling is the FORMAT, not the
-        plan: the cumulative index is one wholetext JSON, so its parse is a
-        single executor task of O(index size) — the production swap is
-        per-bucket bitmap index files (Paimon's layout), which this join
-        shape consumes unchanged as many small parse tasks. An index reaped
-        by expiry reads as no-marks, matching ``_dv_vectors``'s
-        tolerance."""
-        if not snap.dv:
-            return df.drop(_DV_FILE, _DV_POS)
-        path = os.path.join(tdir, "index", snap.dv)
+        large one shuffles. A sharded index reads as many small per-bucket
+        parse tasks; an index reaped by expiry reads as no-marks."""
+        marks = self._dv_marks_df(tdir, snap.dv) if snap.dv else None
         df = df.withColumn(_DV_FILE, F.element_at(F.split(F.col(_DV_FILE), "/"), -1))
-        if os.path.exists(path):
-            marks = explode_dv_index_text(
-                self.spark.read.format("text").option("wholetext", "true").load(path)
-            )
+        if marks is not None:
             df = df.join(marks, [_DV_FILE, _DV_POS], "left_anti")
         return df.drop(_DV_FILE, _DV_POS)
 
-    def _dv_merged(
-        self, tdir: str, schema: TableSchema, prev: Snapshot, batch: DataFrame
-    ) -> tuple[dict[str, list[int]], int]:
-        """(cumulative vectors incl. this commit, newly marked row count).
+    def _dv_build(
+        self,
+        tdir: str,
+        schema: TableSchema,
+        prev: Snapshot,
+        batch: DataFrame,
+        version: int,
+    ) -> tuple[str, int, int, list[str]]:
+        """Find the rows this commit supersedes and publish the commit's DV
+        index; returns (index name, newly marked, cumulative marks, files
+        this commit wrote — the conflict-cleanup set).
 
         The mark scan is fully distributed: live files are read with native
-        row positions (``_metadata.row_index``), prev's vectors drop the
-        already-dead rows, and a LEFT SEMI join against the batch's DISTINCT
-        keys finds the superseded positions — only those (file, pos) pairs
-        ever reach the driver, O(overwritten keys) per commit. Nothing here
-        is proportional to table size except the key-lookup scan itself,
-        which manifest min/max pruning on the PK bounds further at scale.
-        """
-        pk = schema.primary_key
-        prev_vec = self._dv_vectors(tdir, prev)
-        old = self._read_files(tdir, schema, prev, with_pos=True)
-        old = self._dv_apply(old, prev_vec, keep_pos=True)
-        keys = batch.select(*pk).dropDuplicates()
-        hits = old.join(keys, pk, "left_semi").select(_DV_FILE, _DV_POS).collect()
-        base_to_rel = {os.path.basename(f["path"].replace("\\", "/")): f["path"] for f in prev.files}
-        merged: dict[str, set[int]] = {
-            rel: set(ps) for rel, ps in prev_vec.items() if os.path.basename(rel.replace("\\", "/")) in base_to_rel
-        }
-        for r in hits:
-            merged.setdefault(base_to_rel[r[0]], set()).add(int(r[1]))
-        return {rel: sorted(ps) for rel, ps in sorted(merged.items())}, len(hits)
+        row positions (``_metadata.row_index``), prev's marks drop the
+        already-dead rows via the same distributed anti-join every read
+        uses, and a LEFT SEMI join against the batch's DISTINCT keys finds
+        the superseded positions. What happens to the hits then depends on
+        the CUMULATIVE size (decided from ``prev.dv_marks`` + a distributed
+        count — never a parse):
 
-    def _dv_write(self, tdir: str, version: int, vectors: dict[str, list[int]]) -> str:
-        """Write the cumulative DV index for ``version`` BEFORE the snapshot
-        publish (readers must never see the snapshot without its vectors).
-        Nonce-named so racing committers at one version can't cross-wire:
-        each snapshot references exactly the file its own writer produced."""
+        - at or under ``dv-index.inline-threshold``: collect (bounded by
+          the threshold) and fold into one inline JSON — the legacy format,
+          O(threshold) driver memory by construction;
+        - above it (or once sharded): executors write per-bucket shard
+          files for ONLY the touched buckets; untouched buckets carry
+          forward by name. No mark set ever reaches the driver — the last
+          O(live deleted rows) driver bound of the DV design is gone.
+        """
+        from incubator_paimon_trino_spark.catalog.dv_index import (
+            inline_threshold,
+            is_sharded,
+            load_index_meta,
+        )
+
+        pk = schema.primary_key
+        old = self._read_files(tdir, schema, prev, with_pos=True)
+        old = old.withColumn(_DV_FILE, F.element_at(F.split(F.col(_DV_FILE), "/"), -1))
+        prev_marks = self._dv_marks_df(tdir, prev.dv) if prev.dv else None
+        if prev_marks is not None:
+            old = old.join(prev_marks, [_DV_FILE, _DV_POS], "left_anti")
+        keys = batch.select(*pk).dropDuplicates()
+        hits = (
+            old.join(keys, pk, "left_semi")
+            .select(_DV_FILE, F.col(_DV_POS).cast("bigint").alias(_DV_POS))
+            .persist()
+        )
+        try:
+            n_hits = hits.count()
+            prev_meta = load_index_meta(tdir, prev.dv)
+            prev_count = prev.dv_marks
+            if prev_count is None:
+                prev_count = (
+                    0
+                    if prev_meta is None
+                    else (
+                        prev_meta["marks"]
+                        if prev_meta["marks"] is not None
+                        # legacy inline without a recorded count: the dict
+                        # is already parsed, size it directly
+                        else sum(len(ps) for ps in prev_meta["vectors"].values())
+                    )
+                )
+            sharded = is_sharded(prev.dv) or (
+                prev_count + n_hits > inline_threshold(schema.options)
+            )
+            if not sharded:
+                return self._dv_fold_inline(tdir, prev, prev_meta, hits, n_hits, version)
+            return self._dv_write_shards(
+                tdir, schema, prev_meta, hits, n_hits, prev_count, version
+            )
+        finally:
+            hits.unpersist()
+
+    def _dv_fold_inline(
+        self,
+        tdir: str,
+        prev: Snapshot,
+        prev_meta: dict | None,
+        hits: DataFrame,
+        n_hits: int,
+        version: int,
+    ) -> tuple[str, int, int, list[str]]:
+        """Inline-format commit: cumulative marks ≤ threshold by the
+        caller's decision, so collecting the new hits and folding them into
+        the prior parsed dict is bounded driver work (the docstring
+        contract: the dict survives only here, and only under the
+        threshold). Marks of files no longer live are dropped."""
+        prev_vec = prev_meta["vectors"] if prev_meta else {}
+        base_to_rel = {
+            os.path.basename(f["path"].replace("\\", "/")): f["path"]
+            for f in prev.files
+        }
+        merged: dict[str, set[int]] = {
+            rel: set(ps)
+            for rel, ps in prev_vec.items()
+            if os.path.basename(rel.replace("\\", "/")) in base_to_rel
+        }
+        for r in hits.collect():
+            merged.setdefault(base_to_rel[r[0]], set()).add(int(r[1]))
+        vectors = {rel: sorted(ps) for rel, ps in sorted(merged.items())}
+        total = sum(len(ps) for ps in vectors.values())
+        name = self._dv_write_inline(tdir, version, vectors)
+        return name, n_hits, total, [name]
+
+    def _dv_write_inline(self, tdir: str, version: int, vectors: dict[str, list[int]]) -> str:
+        """Write an inline cumulative DV index for ``version`` BEFORE the
+        snapshot publish (readers must never see the snapshot without its
+        vectors). Nonce-named so racing committers at one version can't
+        cross-wire: each snapshot references exactly the file its own
+        writer produced."""
         name = f"dv-{version}-{uuid.uuid4().hex[:8]}.json"
         write_json_atomic(
-            os.path.join(tdir, "index", name), {"vectors": vectors}
+            os.path.join(tdir, "index", name),
+            {"vectors": vectors, "marks": sum(len(ps) for ps in vectors.values())},
         )
         return name
+
+    def _dv_write_shards(
+        self,
+        tdir: str,
+        schema: TableSchema,
+        prev_meta: dict | None,
+        hits: DataFrame,
+        n_hits: int,
+        prev_count: int,
+        version: int,
+    ) -> tuple[str, int, int, list[str]]:
+        """Sharded-format commit: EXECUTORS write one ``{"vectors": ...}``
+        document per touched bucket (marks hashed by data-file basename);
+        untouched buckets carry their prior shard files forward BY NAME, so
+        consumers diff two snapshots with a metadata-only name compare. The
+        driver handles only bucket ids (≤ ``dv-index.buckets``) and file
+        renames — never marks.
+
+        Rewrite set per bucket = prior marks of that bucket ∪ new hits:
+        prior marks come from reading ONLY the touched buckets' shard files
+        (or the one prior inline file on the threshold-crossing commit).
+        Liveness filtering is deliberately skipped — a dead file's marks
+        anti-join against nothing (harmless) and compaction resets the
+        index wholesale; filtering would force reading every bucket every
+        commit."""
+        from incubator_paimon_trino_spark.catalog.dv_index import index_buckets
+
+        k = index_buckets(schema.options)
+        nonce = uuid.uuid4().hex[:8]
+        bucket = F.pmod(F.crc32(F.encode(F.col(_DV_FILE), "UTF-8")), F.lit(k)).cast("int")
+        carried: dict[int, list[str]] = {}
+        base: DataFrame | None = None
+        if prev_meta is None:
+            touched = None  # no prior marks: every hit bucket gets written
+        elif prev_meta["kind"] == "inline":
+            # threshold-crossing commit: rewrite ALL prior marks into shards
+            touched = None
+            if prev_meta["vectors"]:
+                base = self._dv_marks_df(tdir, prev_meta["name"])
+        elif prev_meta["buckets"] != k:
+            # bucket-count change: full rewrite under the new k (consumers
+            # see every bucket as touched and diff executor-side — correct,
+            # just not incremental for this one commit)
+            touched = None
+            base = self._dv_marks_df(tdir, prev_meta["name"])
+        else:
+            touched = sorted(
+                r[0] for r in hits.select(bucket.alias("_b")).distinct().collect()
+            )
+            carried = {
+                b: names
+                for b, names in prev_meta["shards"].items()
+                if b not in set(touched)
+            }
+            prior_paths = [
+                os.path.join(tdir, "index", n)
+                for b in touched
+                for n in prev_meta["shards"].get(b, [])
+            ]
+            prior_paths = [p for p in prior_paths if os.path.exists(p)]
+            if prior_paths:
+                base = explode_dv_index_text(
+                    self.spark.read.format("text")
+                    .option("wholetext", "true")
+                    .load(prior_paths)
+                )
+        rewrite = hits if base is None else hits.unionByName(base)
+        docs = (
+            rewrite.withColumn("_b", bucket)
+            .groupBy("_b", _DV_FILE)
+            .agg(F.sort_array(F.collect_set(_DV_POS)).alias("_ps"))
+            .groupBy("_b")
+            .agg(
+                F.to_json(
+                    F.struct(
+                        F.map_from_entries(
+                            F.sort_array(
+                                F.collect_list(F.struct(F.col(_DV_FILE), F.col("_ps")))
+                            )
+                        ).alias("vectors")
+                    )
+                ).alias("value")
+            )
+        )
+        staging = os.path.join(tdir, "index", f".staging-dv-{version}-{nonce}")
+        docs.write.partitionBy("_b").text(staging)
+        written: list[str] = []
+        shards: dict[int, list[str]] = dict(carried)
+        for bdir in sorted(glob.glob(os.path.join(staging, "_b=*"))):
+            b = int(os.path.basename(bdir).split("=", 1)[1])
+            parts = sorted(glob.glob(os.path.join(bdir, "part-*")))
+            # one row per bucket in `docs` → exactly one part file
+            assert len(parts) == 1, f"expected one shard doc for bucket {b}: {parts}"
+            name = f"dv-{version}-{nonce}-b{b}.json"
+            os.replace(parts[0], os.path.join(tdir, "index", name))
+            written.append(name)
+            shards[b] = [name]
+        shutil.rmtree(staging, ignore_errors=True)
+        total = prev_count + n_hits  # hits are strictly new (pre-filtered)
+        manifest = f"dvm-{version}-{nonce}.json"
+        write_json_atomic(
+            os.path.join(tdir, "index", manifest),
+            {
+                "format": "sharded",
+                "buckets": k,
+                "marks": total,
+                "shards": {str(b): names for b, names in sorted(shards.items())},
+            },
+        )
+        written.append(manifest)
+        return manifest, n_hits, total, written
 
     # -------------------------------------------------------- system tables
     def _system_table(self, db: str, table: str, suffix: str) -> DataFrame:

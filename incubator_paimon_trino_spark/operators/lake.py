@@ -1039,7 +1039,14 @@ def lake_deletion_vector_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("status", "string"),
         ],
         primary_key=["o_orderkey"],
-        options={"deletion-vectors.enabled": "true"},
+        options={
+            "deletion-vectors.enabled": "true",
+            # r9: exercise the SHARDED index format (executor-written
+            # per-bucket shards, dv_index.py) under the driver's hash gate —
+            # threshold 0 shards from the first mark
+            "dv-index.inline-threshold": "0",
+            "dv-index.buckets": "4",
+        },
     )
     o = (
         table(spark, sf_dir, "orders")
@@ -1116,7 +1123,14 @@ def lake_dv_changelog_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("status", "string"),
         ],
         primary_key=["o_orderkey"],
-        options={"deletion-vectors.enabled": "true"},
+        options={
+            "deletion-vectors.enabled": "true",
+            # r9: exercise the SHARDED index format (executor-written
+            # per-bucket shards, dv_index.py) under the driver's hash gate —
+            # threshold 0 shards from the first mark
+            "dv-index.inline-threshold": "0",
+            "dv-index.buckets": "4",
+        },
     )
     o = (
         table(spark, sf_dir, "orders")
@@ -1209,7 +1223,14 @@ def lake_manifest_changelog_stream(spark: SparkSession, sf_dir: str) -> DataFram
             ("status", "string"),
         ],
         primary_key=["o_orderkey"],
-        options={"deletion-vectors.enabled": "true"},
+        options={
+            "deletion-vectors.enabled": "true",
+            # r9: exercise the SHARDED index format (executor-written
+            # per-bucket shards, dv_index.py) under the driver's hash gate —
+            # threshold 0 shards from the first mark
+            "dv-index.inline-threshold": "0",
+            "dv-index.buckets": "4",
+        },
     )
     o = (
         table(spark, sf_dir, "orders")
@@ -1986,7 +2007,14 @@ def lake_dv_cdc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     cat.create_table(
         "lake", "dvt_src", cols, primary_key=["o_orderkey"],
-        options={"deletion-vectors.enabled": "true"},
+        options={
+            "deletion-vectors.enabled": "true",
+            # r9: exercise the SHARDED index format (executor-written
+            # per-bucket shards, dv_index.py) under the driver's hash gate —
+            # threshold 0 shards from the first mark
+            "dv-index.inline-threshold": "0",
+            "dv-index.buckets": "4",
+        },
     )
     cat.create_table("lake", "mirror", cols, primary_key=["o_orderkey"])
     o = (

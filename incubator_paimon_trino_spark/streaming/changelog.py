@@ -25,7 +25,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from incubator_paimon_trino_spark.catalog.metadata import KIND_COL, SEQ_COL, read_json
+from incubator_paimon_trino_spark.catalog.metadata import KIND_COL, SEQ_COL
 from incubator_paimon_trino_spark.catalog.warehouse import (
     _DV_FILE,
     _DV_POS,
@@ -367,7 +367,16 @@ def _dv_retraction_stream(
     # beyond the build-time tip are accepted on faith — the same
     # files-land-before-publish trust window as the data-file tail (KNOWN
     # LIMIT above), closed by the periodic-restart discipline.
-    committed = [os.path.basename(s.dv) for s in snaps if s.dv]
+    # mark-bearing file names only: an inline index is itself; a sharded
+    # index contributes its per-bucket shard files (same document shape —
+    # the dv-*.json glob tails them directly; the dvm- manifest carries no
+    # marks and is glob-invisible). Shard files carried forward across
+    # commits resolve once (set semantics).
+    from incubator_paimon_trino_spark.catalog.dv_index import mark_file_names
+
+    committed = sorted(
+        {n for s in snaps if s.dv for n in mark_file_names(tdir, s.dv)}
+    )
     build_tip = snaps[-1].snapshot_id if snaps else 0
     idx_name = F.element_at(F.split(F.input_file_name(), "/"), -1)
     marks = _explode_dv_index(
@@ -384,18 +393,15 @@ def _dv_retraction_stream(
             # the marks side and anti-joined executor-side: the baseline is
             # O(live deleted rows) and must never transit the driver (a
             # long-lived consumer of a 100 TB table can hold billions of
-            # marks). A baseline index reaped by expiry (position past the
-            # horizon) means nothing below survives to replay — skip.
-            base_path = os.path.join(index_dir, prior[-1].dv)
-            if os.path.exists(base_path):
-                base_df = _explode_dv_index(
-                    cat.spark.read.format("text")
-                    .option("wholetext", "true")
-                    .load(base_path)
-                )
+            # marks). _dv_marks_df resolves either format (a sharded
+            # baseline reads as per-bucket parse tasks). A baseline index
+            # reaped by expiry (position past the horizon) means nothing
+            # below survives to replay — skip.
+            base_df = cat._dv_marks_df(tdir, prior[-1].dv)
+            if base_df is not None:
                 marks = marks.join(base_df, [_DV_FILE, _DV_POS], "left_anti")
 
-    entries = _dv_referenced_entries(tdir, snaps)
+    entries = _dv_referenced_entries(cat, tdir, snaps)
     if not entries:
         empty = cat.spark.createDataFrame([], schema.spark_schema())
         old_df = empty.select(
@@ -428,11 +434,14 @@ def _dv_retraction_stream(
 _explode_dv_index = explode_dv_index_text
 
 
-def _dv_referenced_entries(tdir: str, snaps: list) -> dict[str, dict]:
+def _dv_referenced_entries(cat: WarehouseCatalog, tdir: str, snaps: list) -> dict[str, dict]:
     """Manifest entries (by file basename) for ONLY the data files any
-    COMMITTED DV index references — the -D static side's read set. Each
-    index JSON is driver-held metadata by construction, and marks are
-    bounded by deletions since the last compaction, so a k-row delete
+    COMMITTED DV index references — the -D static side's read set. The
+    referenced-file set is collected by ONE Spark job over every committed
+    mark file (inline docs and shards alike): distinct basenames only, so
+    the driver holds O(marked files), never O(marks) — a sharded index of
+    10⁹ marks still resolves to the handful of files holding them. Marks
+    are bounded by deletions since the last compaction, so a k-row delete
     stream re-opens the files holding those k rows, never the table (the
     plan-quality property ``tests/test_dv_stream.py`` pins). Orphan
     dv-*.json from crashed/racing writers are ignored (their marks never
@@ -440,15 +449,23 @@ def _dv_referenced_entries(tdir: str, snaps: list) -> dict[str, dict]:
     raises, like the batch reader. A referenced file whose manifest entry
     has been expired away is skipped: its marks belong to history a resume
     position past expiry never replays."""
+    from incubator_paimon_trino_spark.catalog.dv_index import mark_file_names
+
+    paths = sorted(
+        {
+            os.path.join(tdir, "index", n)
+            for s in snaps
+            if s.dv
+            for n in mark_file_names(tdir, s.dv)
+        }
+    )
+    paths = [p for p in paths if os.path.exists(p)]
     referenced: set[str] = set()
-    for s in snaps:
-        if not s.dv:
-            continue
-        try:
-            vecs = read_json(os.path.join(tdir, "index", s.dv)).get("vectors", {})
-        except FileNotFoundError:
-            continue  # reaped by expiry — same tolerance as _dv_vectors
-        referenced.update(os.path.basename(rel.replace("\\", "/")) for rel in vecs)
+    if paths:
+        marks = _explode_dv_index(
+            cat.spark.read.format("text").option("wholetext", "true").load(paths)
+        )
+        referenced = {r[0] for r in marks.select(_DV_FILE).distinct().collect()}
     entries: dict[str, dict] = {}
     for s in snaps:
         for f in s.files:

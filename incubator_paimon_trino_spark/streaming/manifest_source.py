@@ -233,19 +233,6 @@ def _schema_of(tdir: str, sid: int) -> TableSchema:
     )
 
 
-def _dv_marks(tdir: str, dv_name: str | None) -> dict[str, set[int]]:
-    """Cumulative {file basename: positions} of one committed index JSON.
-    Transient, per planned commit — the stream keeps no cumulative state."""
-    if not dv_name:
-        return {}
-    vecs = read_json(os.path.join(tdir, "index", dv_name)).get("vectors")
-    if vecs is None:
-        raise ValueError(f"unreadable DV index: {dv_name}")
-    return {
-        os.path.basename(rel.replace("\\", "/")): set(ps) for rel, ps in vecs.items()
-    }
-
-
 def stream_output_columns(schema: TableSchema, dv: bool) -> list[tuple[str, str]]:
     """(name, storage ddl) of the changelog stream's output — table columns
     in declared order, then the PK system columns, then the DV commit
@@ -433,104 +420,283 @@ class _ManifestStreamReader(DataSourceStreamReader):
                 # this commit's marks = cumulative(v) − cumulative(prev
                 # committed): exact per-commit retractions, no dedup state.
                 # A compaction RESET (marks vanish with their rewritten
-                # files) diffs to nothing, correctly.
-                cur_marks = _dv_marks(self.tdir, s.dv)
-                base_marks = _dv_marks(self.tdir, prev_dv)
-                entries = {
-                    os.path.basename(f["path"].replace("\\", "/")): f for f in s.files
-                }
-                marked: list[dict] = []
-                for fbase, positions in sorted(cur_marks.items()):
-                    fresh = sorted(positions - base_marks.get(fbase, set()))
-                    if not fresh:
-                        continue
-                    e = entries.get(fbase)
-                    if e is None:
-                        # a mark against a file this snapshot does not list
-                        # is a corrupt index — failing loudly beats silently
-                        # dropping a delete
-                        raise ValueError(
-                            f"DV index of snapshot {sid} marks unknown file {fbase}"
-                        )
-                    marked.append({**e, "_fresh": fresh})
-                # marked files pack like data files (a delete across many
-                # small files would otherwise cost one Python task each)
-                for (fsid, fmt), pack in _pack_splits(marked, self.split_bytes):
-                    renames, missing = self._column_spec(fsid, current)
-                    parts.append(InputPartition({
-                        "kind": "dv",
-                        "files": [
-                            {
-                                "path": os.path.normpath(
-                                    os.path.join(self.tdir, e["path"])
-                                ),
-                                "parts": self._partition_spec(e, current),
-                                "positions": e["_fresh"],
-                            }
-                            for e in pack
-                        ],
-                        "fmt": fmt,
-                        "commit": sid,
-                        "pk": is_pk,
-                        "renames": renames,
-                        "missing": missing,
-                        "out_cols": out_cols,
-                    }))
+                # files) diffs to nothing, correctly. Two format regimes:
+                # inline indexes (bounded by the table's inline threshold)
+                # diff HERE, on the planner; a SHARDED index diffs by
+                # comparing per-bucket shard file NAMES — metadata-only —
+                # and ships only the changed buckets' document paths to
+                # executors, which do the O(bucket marks) parse+diff. The
+                # planner never reads a shard file.
+                parts.extend(
+                    self._plan_dv_partitions(s, prev_dv, current, is_pk, out_cols)
+                )
                 prev_dv = s.dv
+        return parts
+
+    def _plan_dv_partitions(self, s, prev_dv, current, is_pk, out_cols):
+        from incubator_paimon_trino_spark.catalog.dv_index import load_index_meta
+
+        sid = s.snapshot_id
+        cur_meta = load_index_meta(self.tdir, s.dv)
+        if cur_meta is None:
+            return []  # no index / reaped: nothing can be fresh
+        if cur_meta["kind"] == "inline" and not cur_meta["vectors"]:
+            return []  # empty inline (covers legacy docs without "marks")
+        if cur_meta["kind"] == "sharded" and not cur_meta["marks"]:
+            return []
+        prev_meta = load_index_meta(self.tdir, prev_dv)
+        entries = {
+            os.path.basename(f["path"].replace("\\", "/")): f for f in s.files
+        }
+        parts: list[InputPartition] = []
+        if cur_meta["kind"] == "inline":
+            if prev_meta is not None and prev_meta["kind"] == "sharded":
+                # unreachable via this warehouse's writer (once sharded, an
+                # index stays sharded until a compaction RESET, which
+                # clears s.dv marks to zero) — a foreign/corrupt history
+                raise ValueError(
+                    f"DV index of snapshot {sid} is inline but its "
+                    "predecessor is sharded — unsupported history"
+                )
+            base_marks = {
+                os.path.basename(rel.replace("\\", "/")): set(ps)
+                for rel, ps in (prev_meta["vectors"] if prev_meta else {}).items()
+            }
+            marked: list[dict] = []
+            for rel, positions in sorted(cur_meta["vectors"].items()):
+                fbase = os.path.basename(rel.replace("\\", "/"))
+                fresh = sorted(set(positions) - base_marks.get(fbase, set()))
+                if not fresh:
+                    continue
+                e = entries.get(fbase)
+                if e is None:
+                    # a mark against a file this snapshot does not list
+                    # is a corrupt index — failing loudly beats silently
+                    # dropping a delete
+                    raise ValueError(
+                        f"DV index of snapshot {sid} marks unknown file {fbase}"
+                    )
+                marked.append({**e, "_fresh": fresh})
+            # marked files pack like data files (a delete across many
+            # small files would otherwise cost one Python task each)
+            for (fsid, fmt), pack in _pack_splits(marked, self.split_bytes):
+                renames, missing = self._column_spec(fsid, current)
+                parts.append(InputPartition({
+                    "kind": "dv",
+                    "files": [
+                        {
+                            "path": os.path.normpath(
+                                os.path.join(self.tdir, e["path"])
+                            ),
+                            "parts": self._partition_spec(e, current),
+                            "positions": e["_fresh"],
+                        }
+                        for e in pack
+                    ],
+                    "fmt": fmt,
+                    "commit": sid,
+                    "pk": is_pk,
+                    "renames": renames,
+                    "missing": missing,
+                    "out_cols": out_cols,
+                }))
+            return parts
+
+        # sharded: one partition per CHANGED bucket (same shard names =
+        # provably no new marks — shard files are immutable and carried
+        # forward by name)
+        from incubator_paimon_trino_spark.catalog.dv_index import bucket_of
+
+        k = cur_meta["buckets"]
+        idx = os.path.join(self.tdir, "index")
+        if prev_meta is None:
+            prev_for = lambda b: []  # noqa: E731
+        elif prev_meta["kind"] == "inline":
+            prev_paths = [os.path.join(idx, prev_meta["name"])]
+            prev_for = lambda b: prev_paths  # noqa: E731
+        elif prev_meta["buckets"] != k:
+            all_prev = [
+                os.path.join(idx, n)
+                for names in prev_meta["shards"].values()
+                for n in names
+            ]
+            prev_for = lambda b: all_prev  # noqa: E731
+        else:
+            prev_for = lambda b: [  # noqa: E731
+                os.path.join(idx, n) for n in prev_meta["shards"].get(b, [])
+            ]
+        by_bucket: dict[int, dict] = {}
+        for fbase, e in entries.items():
+            by_bucket.setdefault(bucket_of(fbase, k), {})[fbase] = e
+        for b, names in sorted(cur_meta["shards"].items()):
+            if (
+                prev_meta is not None
+                and prev_meta["kind"] == "sharded"
+                and prev_meta["buckets"] == k
+                and prev_meta["shards"].get(b) == names
+            ):
+                continue  # untouched bucket
+            bucket_entries = by_bucket.get(b, {})
+            sids = {e["schema_id"] for e in bucket_entries.values()}
+            parts.append(InputPartition({
+                "kind": "dv_shard",
+                "commit": sid,
+                "bucket": b,
+                "buckets": k,
+                "cur_marks": [os.path.join(idx, n) for n in names],
+                "prev_marks": prev_for(b),
+                "files": {
+                    fbase: {
+                        "path": os.path.normpath(
+                            os.path.join(self.tdir, e["path"])
+                        ),
+                        "parts": self._partition_spec(e, current),
+                        "sid": e["schema_id"],
+                        "fmt": e.get("format", "parquet"),
+                    }
+                    for fbase, e in bucket_entries.items()
+                },
+                "col_specs": {
+                    str(fsid): self._column_spec(fsid, current) for fsid in sids
+                },
+                "pk": is_pk,
+                "out_cols": out_cols,
+            }))
         return parts
 
     # ---- executor read
     def read(self, partition: InputPartition) -> Iterator:
-        import pyarrow as pa
-
         spec = partition.value
-        fmt = spec["fmt"]
-        phys_cols = [old for old, _, _ in spec["renames"]]
-        if spec["pk"]:
-            phys_cols += [SEQ_COL, KIND_COL]
-        renamed = {new: (old, ddl) for old, new, ddl in spec["renames"]}
-        missing = dict(spec["missing"])
+        if spec["kind"] == "dv_shard":
+            yield from self._read_dv_shard(spec)
+            return
+        renames, missing = spec["renames"], spec["missing"]
         for f in spec["files"]:
-            if fmt == "parquet":
-                import pyarrow.parquet as pq
-
-                table = pq.read_table(f["path"], columns=phys_cols)
-            elif fmt == "orc":
-                import pyarrow.orc as orc
-
-                table = orc.ORCFile(f["path"]).read(columns=phys_cols)
-            else:
-                raise NotImplementedError(
-                    f"manifest stream source reads parquet/orc; table file is "
-                    f"{fmt!r} (avro has no Arrow reader — use the batch changelog)"
-                )
+            table = _read_file(f["path"], spec["fmt"], renames, spec["pk"])
             if spec["kind"] == "dv":
                 table = table.take(f["positions"])
-            n = len(table)
-            if n == 0:
+            yield from _output_batches(
+                table,
+                spec["out_cols"],
+                renames,
+                missing,
+                f["parts"],
+                dv_commit=spec["commit"] if spec["kind"] == "dv" else None,
+            )
+
+    def _read_dv_shard(self, spec: dict) -> Iterator:
+        """One changed bucket of a SHARDED index commit: parse the bucket's
+        current and prior mark documents (per-bucket JSON shards, or the
+        one prior inline file on the threshold-crossing commit), diff to
+        this commit's fresh marks, and emit -D rows by positional take on
+        the marked data files. All O(bucket marks) work happens HERE, in
+        the executor — the planner only compared shard file names."""
+        cur = _parse_bucket_marks(spec["cur_marks"], spec["bucket"], spec["buckets"])
+        prev = _parse_bucket_marks(spec["prev_marks"], spec["bucket"], spec["buckets"])
+        for base in sorted(cur):
+            fresh = sorted(cur[base] - prev.get(base, set()))
+            if not fresh:
                 continue
-            arrays, names = [], []
-            part_vals = {k: (ddl, raw) for k, ddl, raw in f["parts"]}
-            for name, ddl in spec["out_cols"]:
-                at = _arrow_type(ddl)
-                if name == DV_VER_COL:
-                    v = spec["commit"] if spec["kind"] == "dv" else None
-                    arr = pa.array([v] * n, type=at)
-                elif name == KIND_COL and spec["kind"] == "dv":
-                    arr = pa.array(["D"] * n, type=at)
-                elif name in part_vals:
-                    pddl, raw = part_vals[name]
-                    arr = pa.array([_typed_partition_value(raw, pddl)] * n, type=at)
-                elif name in renamed:
-                    old, _ = renamed[name]
-                    arr = table.column(old).cast(at)
-                elif name in missing:
-                    arr = pa.nulls(n, type=at)
-                else:  # _seq / _row_kind straight from the file
-                    arr = table.column(name).cast(at)
-                arrays.append(arr)
-                names.append(name)
-            yield from pa.table(dict(zip(names, arrays))).to_batches()
+            e = spec["files"].get(base)
+            if e is None:
+                # a mark against a file this snapshot does not list is a
+                # corrupt index — failing loudly beats dropping a delete
+                raise ValueError(
+                    f"DV index of snapshot {spec['commit']} marks unknown "
+                    f"file {base}"
+                )
+            renames, missing = spec["col_specs"][str(e["sid"])]
+            table = _read_file(e["path"], e["fmt"], renames, spec["pk"])
+            yield from _output_batches(
+                table.take(fresh),
+                spec["out_cols"],
+                renames,
+                missing,
+                e["parts"],
+                dv_commit=spec["commit"],
+            )
+
+
+def _read_file(path: str, fmt: str, renames: list, pk: bool):
+    """Arrow-read one data file's physical columns (old names + the PK
+    system columns)."""
+    phys_cols = [old for old, _, _ in renames]
+    if pk:
+        phys_cols += [SEQ_COL, KIND_COL]
+    if fmt == "parquet":
+        import pyarrow.parquet as pq
+
+        return pq.read_table(path, columns=phys_cols)
+    if fmt == "orc":
+        import pyarrow.orc as orc
+
+        return orc.ORCFile(path).read(columns=phys_cols)
+    raise NotImplementedError(
+        f"manifest stream source reads parquet/orc; table file is "
+        f"{fmt!r} (avro has no Arrow reader — use the batch changelog)"
+    )
+
+
+def _output_batches(table, out_cols, renames, missing_cols, parts, dv_commit):
+    """Arrow batches in the stream's output schema, from one file's read:
+    renamed columns cast by field id, partition values injected from the
+    path, absent-in-file columns as nulls; DV retractions override
+    ``_row_kind`` to 'D' and ride the retracting commit id in ``_dv_ver``.
+    Shared by the data/dv partition reads and the sharded-DV read."""
+    import pyarrow as pa
+
+    n = len(table)
+    if n == 0:
+        return
+    renamed = {new: (old, ddl) for old, new, ddl in renames}
+    missing = dict(missing_cols)
+    part_vals = {k: (ddl, raw) for k, ddl, raw in parts}
+    arrays, names = [], []
+    for name, ddl in out_cols:
+        at = _arrow_type(ddl)
+        if name == DV_VER_COL:
+            arr = pa.array([dv_commit] * n, type=at)
+        elif name == KIND_COL and dv_commit is not None:
+            arr = pa.array(["D"] * n, type=at)
+        elif name in part_vals:
+            pddl, raw = part_vals[name]
+            arr = pa.array([_typed_partition_value(raw, pddl)] * n, type=at)
+        elif name in renamed:
+            old, _ = renamed[name]
+            arr = table.column(old).cast(at)
+        elif name in missing:
+            arr = pa.nulls(n, type=at)
+        else:  # _seq / _row_kind straight from the file
+            arr = table.column(name).cast(at)
+        arrays.append(arr)
+        names.append(name)
+    yield from pa.table(dict(zip(names, arrays))).to_batches()
+
+
+def _parse_bucket_marks(paths: list[str], bucket: int, k: int) -> dict[str, set[int]]:
+    """{data-file basename: positions} for ONE bucket, parsed from mark
+    documents (per-bucket shard files, or an inline index filtered down to
+    the bucket on threshold-crossing/bucket-count-change commits). Runs in
+    the executor; an unreadable document raises — silently dropping a
+    delete is the worst failure mode. A document reaped by expiry between
+    planning and read raises too (the plan referenced it; losing it
+    mid-batch is a real race to surface, and Spark retries the task)."""
+    import json as _json
+
+    from incubator_paimon_trino_spark.catalog.dv_index import bucket_of
+
+    out: dict[str, set[int]] = {}
+    for p in paths:
+        with open(p) as fh:
+            doc = _json.load(fh)
+        vecs = doc.get("vectors")
+        if vecs is None:
+            raise ValueError(f"unreadable DV index document: {p}")
+        for rel, ps in vecs.items():
+            base = os.path.basename(rel.replace("\\", "/"))
+            if bucket_of(base, k) == bucket:
+                out.setdefault(base, set()).update(int(x) for x in ps)
+    return out
 
 
 def _pack_splits(entries: list[dict], target_bytes: int):

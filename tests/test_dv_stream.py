@@ -102,7 +102,7 @@ def test_dv_retraction_static_side_reads_only_marked_files(cat, spark):
     cat.sql("DELETE FROM d.t WHERE k = 3")  # marks exactly one position
     tdir = cat._table_dir("d", "t")
     snaps = cat._snapshots(tdir)
-    entries = _dv_referenced_entries(tdir, snaps)
+    entries = _dv_referenced_entries(cat, tdir, snaps)
     live = {os.path.basename(f["path"]) for f in snaps[-1].files}
     assert entries, "delete must reference at least one file"
     assert set(entries) < live, "static side must be a strict subset of live files"
@@ -287,7 +287,7 @@ def test_dv_stream_ignores_orphan_index(cat, spark):
     # unless a committed index also names it
     dv = cat._dv_vectors(tdir, snaps[-1])
     committed_files = {os.path.basename(rel) for rel in dv}
-    assert set(_dv_referenced_entries(tdir, snaps)) == committed_files
+    assert set(_dv_referenced_entries(cat, tdir, snaps)) == committed_files
 
 
 def test_resume_baseline_never_transits_driver(cat, spark, monkeypatch):
