@@ -154,19 +154,16 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def window_ntile_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global (unpartitioned) window — single-partition sort; fine for dims,
-    an anti-pattern for fact tables at scale (documented deliberately).
-    The scale path producing IDENTICAL results with no one-task sort is
-    ``window_global_rank_scalable``."""
-    c = table(spark, sf_dir, "customer")
-    w = W.orderBy("c_acctbal", "c_custkey")
-    return c.select(
-        "c_custkey",
-        "c_acctbal",
-        F.ntile(4).over(w).alias("quartile"),
-        F.percent_rank().over(w).alias("pct_rank"),
-        F.cume_dist().over(w).alias("cume"),
-    )
+    """Global NTILE/PERCENT_RANK/CUME_DIST. Through r8 this was the ONE
+    deliberately single-task query (Spark executes an empty PARTITION BY
+    in one task — the documented anti-pattern, with the scalable twin
+    alongside); r9 retires that weak row by routing it through the same
+    two-pass plan as ``window_global_rank_scalable`` — identical results
+    (same oracle, unchanged), no single-partition sort (plan pinned in
+    ``tests/test_plan_quality.py``). The naive ``F.ntile(4).over(
+    Window.orderBy(...))`` spelling survives only in the twin's docstring
+    as what NOT to ship."""
+    return _global_rank_two_pass(table(spark, sf_dir, "customer"))
 
 
 @register(
@@ -197,9 +194,17 @@ def window_global_rank_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
          on (rn, n).
     Shuffles: one hash agg for counts + one per-bucket sort — every stage
     parallel across buckets. Skewed values cost at most one oversized
-    bucket, not a one-task table sort.
+    bucket, not a one-task table sort. (The naive spelling this replaces:
+    ``F.ntile(4).over(Window.orderBy("c_acctbal", "c_custkey"))`` — one
+    task sorts the whole table.) Since r9 ``window_ntile_percent`` routes
+    through the same helper, so the registry carries no single-task global
+    window at all.
     """
-    c = table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    return _global_rank_two_pass(table(spark, sf_dir, "customer"))
+
+
+def _global_rank_two_pass(c: DataFrame) -> DataFrame:
+    c = c.select("c_custkey", "c_acctbal")
     B = 64
     fracs = [i / B for i in range(1, B)]
     glob = c.agg(

@@ -525,3 +525,27 @@ def test_vector_index_probe_reads_lake_tables_not_corpus_file(spark):
     assert "embeddings.parquet" not in plan
     assert "CartesianProduct" not in plan  # centroid ranking is a broadcast
     assert "Broadcast" in plan
+
+
+def test_window_ntile_percent_no_single_task_table_sort(spark):
+    """r8 verdict item 6 (the oldest weak row, retired): the global
+    NTILE/PERCENT_RANK query routes through the two-pass bucket plan — the
+    ONLY unpartitioned window left is the cumulative-offset pass over the
+    per-bucket COUNTS (<= 64 rows, metadata scale), never over the table.
+    Both spellings share the helper, so they cannot diverge."""
+    for name in ("window_ntile_percent", "window_global_rank_scalable"):
+        df = _q(name)(spark, SF_SMOKE)
+        plan = physical_plan(df)
+        # two-pass signature: the boundary sketch and the per-bucket window
+        assert "percentile_approx" in plan, name
+        assert "partitionspec(bucket" in plan.replace(" ", "").lower() or (
+            "windowspecdefinition(bucket" in plan.replace(" ", "").lower()
+        ), name
+        # every window ordered by the DATA column is bucket-partitioned;
+        # the naive global form — windowspecdefinition(c_acctbal ... with
+        # no partition column — would sort the whole table in one task
+        import re as _re
+
+        for m in _re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+            spec = m.group(1)
+            assert "c_acctbal" not in spec or "bucket" in spec, (name, spec)
