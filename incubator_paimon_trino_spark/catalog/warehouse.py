@@ -542,8 +542,29 @@ class WarehouseCatalog:
         # storage makes plain equality, min/max file stats, and groupBy keys
         # all behave CHAR-correctly with zero read-time cost.
         for f_ in schema.fields:
-            if char_length(f_.type) is not None:
-                out = out.withColumn(f_.name, F.rtrim(F.col(f_.name)))
+            n_chars = char_length(f_.type)
+            if n_chars is not None:
+                # rtrim to canonical storage; values longer than the
+                # declared length (after trim) are a type error, as in the
+                # reference engine — raised executor-side mid-write
+                trimmed = F.rtrim(F.col(f_.name))
+                out = out.withColumn(
+                    f_.name,
+                    F.when(
+                        trimmed.isNull() | (F.length(trimmed) <= n_chars), trimmed
+                    ).otherwise(
+                        F.raise_error(
+                            F.concat(
+                                F.lit(
+                                    f"value too long for column {f_.name!r} "
+                                    f"char({n_chars}): '"
+                                ),
+                                F.col(f_.name),
+                                F.lit("'"),
+                            )
+                        )
+                    ),
+                )
             tp = timestamp_precision(f_.type)
             if tp is not None and tp < 6:
                 # declared-precision canonical storage (the CHAR-rtrim move
@@ -2312,6 +2333,20 @@ class WarehouseCatalog:
             df = apply_tuple_domain(df, predicate)
         if limit is not None:
             df = df.limit(limit)  # engine re-limits — pushdown is a hint (A8)
+        if not with_system_columns:
+            # CHAR(n) padded OUTPUT (r9 — retires the last §1.3 fidelity
+            # delta, TrinoTypeUtils.java:77-90): storage stays the rtrimmed
+            # canonical form (equality, file stats, groupBy keys, and the
+            # pad-insensitive predicate normalization above all work on
+            # it), and the declared length pads back on only at the very
+            # END of the read — after predicates, which were normalized to
+            # the storage form. A CHAR(3) 'ab' now reads as 'ab ', like
+            # the reference. System-column views (changelog/audit) stay in
+            # storage form — declared metadata lives in the catalog.
+            for f_ in schema.fields:
+                n_chars = char_length(f_.type)
+                if n_chars is not None:
+                    df = df.withColumn(f_.name, F.rpad(F.col(f_.name), n_chars, " "))
         return df
 
     def _read_files(

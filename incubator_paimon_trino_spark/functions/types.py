@@ -23,9 +23,14 @@ Documented semantic gaps (SURVEY §1.3 / §7 hard spots):
   LOCAL TIME ZONE maps to ``TimestampType`` with the session pinned to
   UTC, matching the reference's forced UTC packing
   (``TrinoPageSourceBase.java:216-219``).
-  **CHAR(n) padding remains the one intentional §1.3 gap**: storage is the
-  rtrimmed canonical form with pad-insensitive comparison, not n-padded
-  output.
+  **CHAR(n) is fully faithful since r9** (the last §1.3 delta, retired):
+  storage is the rtrimmed canonical form (equality, footer stats, groupBy
+  keys, and predicate normalization are pad-insensitive on it), writes
+  REJECT values longer than the declared length after trim, and
+  ``read_table`` surfaces the n-PADDED form like the reference engine
+  (``TrinoTypeUtils.java:77-90``) — hash-gated by
+  ``lake_char_padded_read``. System-column views (changelog/audit) stay in
+  storage form: declared metadata lives in the catalog.
 - MULTISET<T> maps to ``MAP<T, INT>`` (element → multiplicity), same trick
   Trino uses (``TrinoTypeUtils.java:171-173``).
 """

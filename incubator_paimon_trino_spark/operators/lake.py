@@ -1259,6 +1259,57 @@ def lake_manifest_changelog_stream(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
+    "lake_char_padded_read",
+    oracle="""
+    SELECT r_regionkey,
+           CASE WHEN r_regionkey = 0 THEN NULL
+                ELSE rpad(rtrim(substr(r_name, 1, 3)), 5, ' ') END AS code,
+           CAST(CASE WHEN r_regionkey = 0 THEN NULL ELSE 5 END AS BIGINT) AS code_len,
+           r_name AS name
+    FROM region
+    """,
+)
+def lake_char_padded_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAR(n) full fidelity under the hash gate (r9 — retires the last
+    §1.3 delta, ``TrinoTypeUtils.java:77-90``; char values exercised at
+    ``TestTrinoITCase.java:252, 272``): values insert WITH trailing blanks,
+    store rtrimmed (so equality, footer stats, and groupBy keys are
+    pad-insensitive — the char tests' long-standing property), and read
+    back n-PADDED to the declared length, like the reference engine. The
+    ``code_len`` column makes the padding itself part of the value hash;
+    the NULL row pins that NULL never pads.
+
+    Scale shape: one map-side rtrim+guard on write, one map-side rpad at
+    the end of the read — no shuffle, no read-path predicate cost (the
+    pad-insensitive predicate normalization runs on the storage form).
+    """
+    cat = _fresh_catalog(spark)
+    cat.create_database("lake")
+    cat.create_table(
+        "lake",
+        "chart",
+        [("r_regionkey", "bigint"), ("code", "char(5)"), ("name", "string")],
+        primary_key=["r_regionkey"],
+    )
+    r = table(spark, sf_dir, "region").select(
+        "r_regionkey",
+        # trailing blanks on the way in: storage must rtrim them
+        F.when(
+            F.col("r_regionkey") != 0, F.concat(F.substring("r_name", 1, 3), F.lit("  "))
+        ).alias("code"),
+        F.col("r_name").alias("name"),
+    )
+    cat.insert_into("lake", "chart", r)
+    out = cat.read_table("lake.chart")
+    return out.select(
+        "r_regionkey",
+        "code",
+        F.length("code").cast("bigint").alias("code_len"),
+        "name",
+    )
+
+
+@register(
     "lake_timestamp_precision",
     oracle="""
     SELECT event_id,

@@ -896,7 +896,9 @@ def test_char_column_semantics(cat, spark):
     """CHAR(n) golden mirroring TestTrinoITCase.java:252 (t1.d is CHAR(1)):
     trailing blanks are insignificant — padded inserts compare equal to
     unpadded literals through both the pruning predicate path and the
-    re-applied filter, and groupBy keys collapse padded/unpadded variants."""
+    re-applied filter, and groupBy keys collapse padded/unpadded variants.
+    r9: reads surface the n-PADDED form (TrinoTypeUtils.java:77-90 parity —
+    the retired last §1.3 delta), and over-length values fail the write."""
     from incubator_paimon_trino_spark.functions.predicates import ColumnDomain
 
     cat.create_database("default", ignore_if_exists=True)
@@ -927,11 +929,31 @@ def test_char_column_semantics(cat, spark):
         "default.tchar", predicate=[ColumnDomain(column="d", in_values=["1 ", "3  "])]
     ).collect()
     assert sorted(r.a for r in got) == [1, 5]
-    # canonical storage makes groupBy CHAR-correct: 'ab ' and 'ab' is ONE key
+    # canonical storage makes groupBy CHAR-correct: 'ab ' and 'ab' is ONE
+    # key — and the read surfaces it n-PADDED, like the reference engine
     from pyspark.sql import functions as F
 
     keys = cat.read_table("default.tchar").groupBy("tag").agg(F.count("*").alias("n"))
-    assert {(r.tag, r.n) for r in keys.collect()} == {("ab", 2), ("xyz", 1)}
+    assert {(r.tag, r.n) for r in keys.collect()} == {("ab ", 2), ("xyz", 1)}
+    # exactly the declared length everywhere; NULL stays NULL
+    cat.insert_into(
+        "default", "tchar",
+        spark.createDataFrame(
+            [(7, 8, "4", None, None)], "a int, b bigint, aCa string, d string, tag string"
+        ),
+    )
+    got = {(r.a, r.tag) for r in cat.read_table("default.tchar").collect()}
+    assert (7, None) in got
+    assert all(t is None or len(t) == 3 for _, t in got)
+    # over-length after rtrim is a type error, as in the reference engine
+    with pytest.raises(Exception, match="too long"):
+        cat.insert_into(
+            "default", "tchar",
+            spark.createDataFrame(
+                [(9, 1, "x", "too-long", "wxyz")],
+                "a int, b bigint, aCa string, d string, tag string",
+            ),
+        )
 
 
 def test_information_schema_relations(cat, spark):
