@@ -469,6 +469,110 @@ class WarehouseCatalog:
         shutil.rmtree(staging)
         return final
 
+    def _write_avro_fallback(self, out: DataFrame, staging: str, schema: TableSchema) -> None:
+        """AVRO write without the spark-avro module: ``mapInArrow`` tasks
+        encode standard Avro object container files (``formats/avro_ocf``,
+        null codec — readable by any stock Avro reader) straight into the
+        staging dir, one file per (task, hive partition dir), named
+        ``part-<task>-...`` so bucket recording keeps working. Partition
+        values are hive-escaped exactly as the read side's two-layer
+        url-decode expects. Correctness fallback, not a speed path —
+        per-row Python encode; the JVM writer is preferred when present."""
+        from incubator_paimon_trino_spark.formats.avro_ocf import (
+            OcfWriter,
+            record_schema,
+        )
+
+        part_keys = list(schema.partition_keys)
+        ddl_of = {f.name: f.type for f in schema.fields}
+        ddl_of[SEQ_COL], ddl_of[KIND_COL] = "bigint", "string"
+        avro_fields = [(c, ddl_of[c]) for c in out.columns if c not in part_keys]
+        aschema = record_schema(avro_fields)
+        hive_null = _HIVE_NULL
+
+        def write_task(batches):
+            import os as _os
+            import urllib.parse as _up
+            import uuid as _uuid
+
+            import pyarrow as pa
+            from pyspark import TaskContext
+
+            tid = TaskContext.get().partitionId()
+            writers: dict[tuple, tuple] = {}
+            for batch in batches:
+                for row in batch.to_pylist():
+                    key = tuple(row[k] for k in part_keys)
+                    w = writers.get(key)
+                    if w is None:
+                        segs = [
+                            f"{k}={hive_null if v is None else _up.quote(str(v), safe='')}"
+                            for k, v in zip(part_keys, key)
+                        ]
+                        d = _os.path.join(staging, *segs)
+                        _os.makedirs(d, exist_ok=True)
+                        fh = open(
+                            _os.path.join(
+                                d, f"part-{tid:05d}-{_uuid.uuid4().hex}.c000.avro"
+                            ),
+                            "wb",
+                        )
+                        w = writers[key] = (fh, OcfWriter(fh, aschema))
+                    w[1].write(row)
+            for fh, ocf in writers.values():
+                ocf.close()
+                fh.close()
+            yield pa.record_batch({"files": pa.array([len(writers)], type=pa.int64())})
+
+        os.makedirs(staging, exist_ok=True)
+        out.mapInArrow(write_task, "files bigint").collect()
+
+    def _read_avro_fallback(self, paths: list[str], old: TableSchema, is_pk: bool) -> DataFrame:
+        """Batch-read avro data files without the spark-avro module, via the
+        ``paimon_avro`` Python DataSource (``formats/avro_batch``): one
+        Arrow-decode task per file, hive partition values injected from the
+        path (what ``basePath`` directory inference does for native
+        readers). Output columns are the WRITING schema's names/storage
+        types — ``_read_files`` maps them by field id like any format."""
+        import json as _json
+
+        from incubator_paimon_trino_spark.catalog.scan import partition_values
+        from incubator_paimon_trino_spark.formats.avro_batch import (
+            PaimonAvroBatchSource,
+        )
+        from incubator_paimon_trino_spark.streaming.manifest_source import (
+            _storage_ddl,
+        )
+
+        self.spark.dataSource.register(PaimonAvroBatchSource)
+        part = set(old.partition_keys)
+        data_fields = [
+            (f.name, _storage_ddl(f.type)) for f in old.fields if f.name not in part
+        ]
+        if is_pk:
+            data_fields += [(SEQ_COL, "bigint"), (KIND_COL, "string")]
+        part_fields = [
+            (f.name, _storage_ddl(f.type)) for f in old.fields if f.name in part
+        ]
+        files = [
+            {
+                "path": p,
+                "parts": [
+                    (k, ddl, partition_values(p).get(k)) for k, ddl in part_fields
+                ],
+            }
+            for p in sorted(paths)
+        ]
+        ddl = ", ".join(f"`{n}` {t}" for n, t in data_fields + part_fields)
+        return (
+            self.spark.read.format("paimon_avro")
+            .option("schema_ddl", ddl)
+            .option("data_fields", _json.dumps(data_fields))
+            .option("part_fields", _json.dumps(part_fields))
+            .option("files", _json.dumps(files))
+            .load()
+        )
+
     def _commit_files(
         self, tdir: str, paths: list[str], ext: str, schema: TableSchema
     ) -> list[dict]:
@@ -482,19 +586,30 @@ class WarehouseCatalog:
         """
         avro_counts: dict[str, int] = {}
         if ext == "avro" and paths:
-            import urllib.parse as _up
+            try:
+                import urllib.parse as _up
 
-            # input_file_name() returns a percent-encoded URI — unquote it
-            # or any path needing encoding (spaces, hive-escaped partition
-            # values) misses the realpath lookup and records count 0
-            avro_counts = {
-                os.path.realpath(_up.unquote(r.f.removeprefix("file:"))): r.asDict()["count"]
-                for r in self.spark.read.format("avro")
-                .load(paths)
-                .groupBy(F.input_file_name().alias("f"))
-                .count()
-                .collect()
-            }
+                # input_file_name() returns a percent-encoded URI — unquote
+                # it or any path needing encoding (spaces, hive-escaped
+                # partition values) misses the realpath lookup → count 0
+                avro_counts = {
+                    os.path.realpath(_up.unquote(r.f.removeprefix("file:"))): r.asDict()["count"]
+                    for r in self.spark.read.format("avro")
+                    .load(paths)
+                    .groupBy(F.input_file_name().alias("f"))
+                    .count()
+                    .collect()
+                }
+            except Exception as ex:
+                if "Failed to find data source" not in str(ex):
+                    raise
+                # no spark-avro module: counts from OCF BLOCK HEADERS only
+                # (no row decode — each block fronts its record count)
+                from incubator_paimon_trino_spark.formats.avro_ocf import (
+                    count_records,
+                )
+
+                avro_counts = {os.path.realpath(p): count_records(p) for p in paths}
         return [
             {
                 "path": os.path.relpath(p, tdir),
@@ -720,19 +835,16 @@ class WarehouseCatalog:
             else:
                 # Paimon's third file format (FileFormatType —
                 # TrinoTableOptionUtils.java:96,111-112). Spark's avro data
-                # source is an external module; gate on its presence so
-                # environments without the jar get a clear error instead of
-                # a classpath trace.
+                # source is an external module; when absent, fall back to
+                # the pure-Python OCF writer (formats/avro_ocf.py — r9,
+                # closing the last format gap) — executors encode standard
+                # Avro container files, one per (task, partition dir).
                 try:
                     writer.format("avro").save(staging)
                 except Exception as ex:  # AnalysisException: Failed to find data source
-                    if "Failed to find data source" in str(ex):
-                        raise NotImplementedError(
-                            "file_format='AVRO' needs the spark-avro module on the "
-                            "classpath (org.apache.spark:spark-avro); not present "
-                            "in this runtime — use PARQUET or ORC"
-                        ) from ex
-                    raise
+                    if "Failed to find data source" not in str(ex):
+                        raise
+                    self._write_avro_fallback(out, staging, schema)
             final_paths = self._finalize_commit(tdir, staging, version, ext)
             new_files = self._commit_files(tdir, final_paths, ext, schema)
         if dv_cached is not None:
@@ -1933,7 +2045,12 @@ class WarehouseCatalog:
         if fmt not in ("PARQUET", "ORC", "AVRO"):
             raise ValueError(f"unsupported file_format {fmt!r} (have PARQUET, ORC, AVRO)")
         ext = {"ORC": "orc", "AVRO": "avro", "PARQUET": "parquet"}[fmt]
-        writer.format(ext).save(staging)
+        try:
+            writer.format(ext).save(staging)
+        except Exception as ex:
+            if ext != "avro" or "Failed to find data source" not in str(ex):
+                raise
+            self._write_avro_fallback(out, staging, schema)  # module-less runtime
         final_paths = self._finalize_commit(tdir, staging, version, ext)
         files = self._commit_files(tdir, final_paths, ext, schema)
         if n_buckets > 0 and bucket_key:
@@ -2390,12 +2507,24 @@ class WarehouseCatalog:
             # domain behavior (TrinoMetadataBase.java:363-376) for free.
             # .format().load(list) — DataFrameReader.orc() has no varargs
             # (its 2nd positional is mergeSchema), unlike .parquet().
-            df = (
-                self.spark.read.option("basePath", root)
-                .schema(_physical_schema(old, is_pk))
-                .format(fmt)
-                .load(paths)
-            )
+            try:
+                df = (
+                    self.spark.read.option("basePath", root)
+                    .schema(_physical_schema(old, is_pk))
+                    .format(fmt)
+                    .load(paths)
+                )
+            except Exception as ex:
+                if fmt != "avro" or "Failed to find data source" not in str(ex):
+                    raise
+                if with_pos:
+                    # unreachable from DV paths (DV requires parquet at
+                    # create time) — loud beats a missing-_metadata trace
+                    raise ValueError(
+                        "positional (row_index) reads need the native "
+                        "parquet/orc readers; avro has none"
+                    ) from ex
+                df = self._read_avro_fallback(paths, old, is_pk)
             cols = []
             for fid, cur in sorted(current.items()):
                 old_field = next((of for of in old.fields if of.id == fid), None)

@@ -1,0 +1,69 @@
+"""Batch read of avro data files without the spark-avro module.
+
+``paimon_avro`` — a Python DataSource (batch) over ``formats/avro_ocf``:
+one read task per file, Arrow batches out, hive partition values injected
+from the path (the directory inference Spark's native readers get from
+``basePath`` — a Python source must supply them itself). Used by
+``warehouse._read_files`` ONLY when the JVM module is absent; positional
+(``_metadata.row_index``) reads are impossible here, which is exactly why
+deletion vectors stay parquet-only at create time."""
+
+from __future__ import annotations
+
+import json
+from typing import Iterator
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+
+class PaimonAvroBatchSource(DataSource):
+    """Options: ``schema_ddl`` (output schema), ``data_fields`` /
+    ``part_fields`` (JSON [(name, storage ddl)] — file-borne vs
+    path-borne columns), ``files`` (JSON [{path, parts: [(name, ddl,
+    raw)]}])."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "paimon_avro"
+
+    def schema(self) -> str:
+        return self.options["schema_ddl"]
+
+    def reader(self, schema) -> "_AvroBatchReader":
+        return _AvroBatchReader(self.options)
+
+
+class _AvroBatchReader(DataSourceReader):
+    def __init__(self, opts) -> None:
+        self.files = json.loads(opts["files"])
+        self.data_fields = [tuple(f) for f in json.loads(opts["data_fields"])]
+        self.part_fields = [tuple(f) for f in json.loads(opts["part_fields"])]
+
+    def partitions(self) -> list[InputPartition]:
+        return [InputPartition(f) for f in self.files]
+
+    def read(self, partition: InputPartition) -> Iterator:
+        import pyarrow as pa
+
+        from incubator_paimon_trino_spark.formats.avro_ocf import read_ocf_arrow
+        from incubator_paimon_trino_spark.streaming.manifest_source import (
+            _arrow_type,
+            _typed_partition_value,
+        )
+
+        spec = partition.value
+        table = read_ocf_arrow(spec["path"], self.data_fields)
+        n = table.num_rows
+        if n == 0:
+            return
+        raw_parts = {k: raw for k, _ddl, raw in spec["parts"]}
+        cols, names = [], []
+        for name, ddl in self.data_fields:
+            cols.append(table.column(name))
+            names.append(name)
+        for name, ddl in self.part_fields:
+            at = _arrow_type(ddl)
+            v = _typed_partition_value(raw_parts.get(name), ddl)
+            cols.append(pa.array([v] * n, type=at))
+            names.append(name)
+        yield from pa.table(dict(zip(names, cols))).to_batches()

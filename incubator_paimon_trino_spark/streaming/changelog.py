@@ -127,11 +127,8 @@ def read_changelog_stream(
                 f"file_format is {fmt!r} — use source_mode='manifest' "
                 "(parquet/orc) or the batch changelog"
             )
-    elif fmt == "avro":
-        raise ValueError(
-            "the manifest stream source reads parquet/orc; avro has no "
-            "Arrow reader — use the batch changelog for this table"
-        )
+    # manifest mode reads parquet/orc via pyarrow and avro via the
+    # pure-Python OCF codec (formats/avro_ocf) — no format refusal
 
     from_version: int | None = None
     if consumer_id is not None:

@@ -631,9 +631,19 @@ def _read_file(path: str, fmt: str, renames: list, pk: bool):
         import pyarrow.orc as orc
 
         return orc.ORCFile(path).read(columns=phys_cols)
+    if fmt == "avro":
+        # pyarrow has no avro reader: decode through the pure-Python OCF
+        # codec (formats/avro_ocf — r9, closes the r8 'What's missing #2'
+        # gap). Per-row Python decode, but delta tails are small relative
+        # to the table by definition — same trade as this source's parquet
+        # path being Python-worker-side.
+        from incubator_paimon_trino_spark.formats.avro_ocf import read_ocf_arrow
+
+        types = {old: ddl for old, _new, ddl in renames}
+        fields = [(c, types.get(c, "bigint" if c == SEQ_COL else "string")) for c in phys_cols]
+        return read_ocf_arrow(path, fields)
     raise NotImplementedError(
-        f"manifest stream source reads parquet/orc; table file is "
-        f"{fmt!r} (avro has no Arrow reader — use the batch changelog)"
+        f"manifest stream source reads parquet/orc/avro; table file is {fmt!r}"
     )
 
 

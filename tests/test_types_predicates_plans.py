@@ -252,3 +252,29 @@ def test_partition_pruning_in_warehouse_table(spark, tmp_path):
     q = cat.read_table("p.t").filter(F.col("pt") == "b")
     assert any("pt" in f for f in partition_filters(q))
     assert q.count() == 2
+
+
+def test_timestamp_precision_truncates_not_rounds(spark, tmp_path):
+    """r8 ADVICE, resolved as a DOCUMENTED divergence (SURVEY §1.3): the
+    declared-precision ladder coerces sub-precision digits by TRUNCATION
+    (Spark's date_trunc / cast semantics, matched by the DuckDB oracle and
+    the file stats), where Trino the engine would round half-up. .0015s
+    into TIMESTAMP(3) stores as .001 — this golden pins the choice so a
+    future 'fix' to rounding fails loudly instead of silently flipping
+    every layer out of agreement."""
+    import datetime
+
+    from incubator_paimon_trino_spark.catalog.warehouse import WarehouseCatalog
+
+    cat = WarehouseCatalog(str(tmp_path / "wh"), spark)
+    cat.create_database("d")
+    cat.create_table("d", "tsr", [("k", "int"), ("t3", "timestamp(3)"), ("t0", "timestamp(0)")])
+    v = datetime.datetime(2024, 1, 1, 0, 0, 0, 1500)  # .0015s
+    h = datetime.datetime(2024, 1, 1, 0, 0, 30, 500000)  # 30.5s
+    cat.insert_into(
+        "d", "tsr",
+        spark.createDataFrame([(1, v, h)], "k int, t3 timestamp_ntz, t0 timestamp_ntz"),
+    )
+    row = cat.read_table("d.tsr").collect()[0]
+    assert row.t3 == datetime.datetime(2024, 1, 1, 0, 0, 0, 1000)  # not .002
+    assert row.t0 == datetime.datetime(2024, 1, 1, 0, 0, 30)  # not :31
