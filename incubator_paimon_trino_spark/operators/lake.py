@@ -1259,6 +1259,79 @@ def lake_manifest_changelog_stream(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
+    "lake_avro_roundtrip",
+    oracle="""
+    WITH base AS (
+      SELECT s_suppkey, s_nationkey, CAST(s_acctbal AS DOUBLE) AS bal, s_name
+      FROM supplier WHERE s_suppkey <= 600
+    ), merged AS (
+      SELECT s_suppkey, s_nationkey,
+             CASE WHEN s_suppkey % 7 = 1 THEN bal + 1000 ELSE bal END AS bal,
+             s_name
+      FROM base
+    )
+    SELECT s_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+    FROM merged GROUP BY s_nationkey
+    """,
+)
+def lake_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``file_format='AVRO'`` under the hash gate (r9; the reference's
+    third format, ``TrinoTableOptionUtils.java:96,111-112``): a
+    partitioned avro PK table takes an insert plus an upsert and the
+    merged read aggregates back to the oracle's replay. In this runtime
+    the whole path runs on the pure-Python OCF codec
+    (``formats/avro_ocf``) — executor-written container files, the
+    ``paimon_avro`` batch source, hive partition injection from the path,
+    merge-on-read on top; with spark-avro present the same query runs on
+    the JVM module. Decimal-cast sum for a deterministic double hash.
+
+    Scale shape: the fallback is correctness-first (per-row Python
+    encode/decode, documented); the FORMAT choice is per-table — mixed
+    warehouses keep parquet/orc on the native vectorized readers.
+    """
+    cat = _fresh_catalog(spark)
+    cat.create_database("lake")
+    cat.create_table(
+        "lake",
+        "avrot",
+        [
+            ("s_suppkey", "bigint"),
+            ("s_nationkey", "bigint"),
+            ("bal", "double"),
+            ("s_name", "string"),
+        ],
+        primary_key=["s_suppkey"],
+        partitioned_by=["s_nationkey"],
+        options={"file_format": "avro"},
+    )
+    s = (
+        table(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") <= 600)
+        .select(
+            "s_suppkey",
+            F.col("s_nationkey").cast("bigint"),
+            F.col("s_acctbal").cast("double").alias("bal"),
+            "s_name",
+        )
+    )
+    cat.insert_into("lake", "avrot", s)
+    upd = s.filter(F.col("s_suppkey") % 7 == 1).withColumn(
+        "bal", F.col("bal") + F.lit(1000.0)
+    )
+    cat.insert_into("lake", "avrot", upd)  # PK upsert through avro files
+    return (
+        cat.read_table("lake.avrot")
+        .groupBy("s_nationkey")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("bal").cast("decimal(18,2)")).cast("double").alias("total_bal"),
+        )
+    )
+
+
+@register(
     "lake_char_padded_read",
     oracle="""
     SELECT r_regionkey,

@@ -480,6 +480,12 @@ def test_cold_start_backlog_and_restart_never_rewind(cat, spark):
             deadline = time.time() + 90
             while time.time() < deadline and sum(len(b) for b in batches) < target:
                 time.sleep(0.5)
+            # drain + COMMIT everything before stopping: foreachBatch is
+            # at-least-once across a stop that lands between sink success
+            # and the commit-log write — that documented replay is not the
+            # WAL-rewind this test pins, so don't let it race the
+            # assertion (flaked under full-suite load)
+            q.processAllAvailable()
         finally:
             q.stop()
 
