@@ -491,14 +491,27 @@ class WarehouseCatalog:
         hive_null = _HIVE_NULL
 
         def write_task(batches):
+            # Minimal task-commit protocol (the JVM writers get this from
+            # the Hadoop output committer; mapInArrow has none): each task
+            # ATTEMPT writes under a private .attempt-<id> dir and promotes
+            # its finished files into staging only at iterator end — a
+            # crashed/failed attempt leaves only its private dir behind
+            # (removed below with the staging tree), never a truncated or
+            # duplicate committed file. Two attempts can both promote only
+            # under speculative execution, which Spark disables by default
+            # (spark.speculation) — this fallback requires it off, as does
+            # every side-effect-writing task.
             import os as _os
+            import shutil as _shutil
             import urllib.parse as _up
             import uuid as _uuid
 
             import pyarrow as pa
             from pyspark import TaskContext
 
-            tid = TaskContext.get().partitionId()
+            ctx = TaskContext.get()
+            tid = ctx.partitionId()
+            tmp = _os.path.join(staging, f".attempt-{ctx.taskAttemptId()}")
             writers: dict[tuple, tuple] = {}
             for batch in batches:
                 for row in batch.to_pylist():
@@ -509,23 +522,37 @@ class WarehouseCatalog:
                             f"{k}={hive_null if v is None else _up.quote(str(v), safe='')}"
                             for k, v in zip(part_keys, key)
                         ]
-                        d = _os.path.join(staging, *segs)
-                        _os.makedirs(d, exist_ok=True)
-                        fh = open(
-                            _os.path.join(
-                                d, f"part-{tid:05d}-{_uuid.uuid4().hex}.c000.avro"
-                            ),
-                            "wb",
-                        )
-                        w = writers[key] = (fh, OcfWriter(fh, aschema))
+                        name = f"part-{tid:05d}-{_uuid.uuid4().hex}.c000.avro"
+                        _os.makedirs(_os.path.join(tmp, *segs), exist_ok=True)
+                        fh = open(_os.path.join(tmp, *segs, name), "wb")
+                        w = writers[key] = (fh, OcfWriter(fh, aschema), segs, name)
                     w[1].write(row)
-            for fh, ocf in writers.values():
+            names, rows_per = [], []
+            for fh, ocf, segs, name in writers.values():
                 ocf.close()
                 fh.close()
-            yield pa.record_batch({"files": pa.array([len(writers)], type=pa.int64())})
+                dest = _os.path.join(staging, *segs)
+                _os.makedirs(dest, exist_ok=True)
+                _os.replace(fh.name, _os.path.join(dest, name))  # atomic promote
+                names.append(name)
+                rows_per.append(ocf.count_written)
+            _shutil.rmtree(tmp, ignore_errors=True)
+            yield pa.record_batch(
+                {
+                    "name": pa.array(names, type=pa.string()),
+                    "rows": pa.array(rows_per, type=pa.int64()),
+                }
+            )
 
         os.makedirs(staging, exist_ok=True)
-        out.mapInArrow(write_task, "files bigint").collect()
+        counts = {
+            r["name"]: r["rows"]
+            for r in out.mapInArrow(write_task, "name string, rows bigint").collect()
+        }
+        # sweep any failed attempts' private dirs before finalize globs
+        for d in glob.glob(os.path.join(staging, ".attempt-*")):
+            shutil.rmtree(d, ignore_errors=True)
+        return counts
 
     def _read_avro_fallback(self, paths: list[str], old: TableSchema, is_pk: bool) -> DataFrame:
         """Batch-read avro data files without the spark-avro module, via the
@@ -574,18 +601,30 @@ class WarehouseCatalog:
         )
 
     def _commit_files(
-        self, tdir: str, paths: list[str], ext: str, schema: TableSchema
+        self,
+        tdir: str,
+        paths: list[str],
+        ext: str,
+        schema: TableSchema,
+        fallback_counts: dict[str, int] | None = None,
     ) -> list[dict]:
         """Manifest entries for the files one commit just wrote.
 
         Footer-only stats pass: row counts (no second execution of the input
         plan) + per-column min/max/null-count keyed by field id, the input
         to manifest-level file skipping at read time (catalog/scan.py).
-        Avro has no pyarrow footer reader: one spark job counts rows per
-        file instead (gated path; pruning simply never drops avro files).
+        Avro has no pyarrow footer reader: counts come from the write tasks
+        themselves when the OCF fallback wrote the files
+        (``fallback_counts``, keyed by staged basename — finalize only
+        prefixes ``c<version>-``), else one spark job counts rows per file
+        (gated path; pruning simply never drops avro files).
         """
         avro_counts: dict[str, int] = {}
-        if ext == "avro" and paths:
+        if ext == "avro" and fallback_counts is not None:
+            for p in paths:
+                base = re.sub(r"^c\d+-", "", os.path.basename(p))
+                avro_counts[os.path.realpath(p)] = fallback_counts[base]
+        elif ext == "avro" and paths:
             try:
                 import urllib.parse as _up
 
@@ -825,6 +864,7 @@ class WarehouseCatalog:
             final_paths, new_files = [], []
         else:
             staging = self._staging_dir(tdir, version)
+            fb_counts: dict[str, int] | None = None
             writer = out.write.mode("errorifexists")
             if schema.partition_keys:
                 writer = writer.partitionBy(*schema.partition_keys)
@@ -844,9 +884,9 @@ class WarehouseCatalog:
                 except Exception as ex:  # AnalysisException: Failed to find data source
                     if "Failed to find data source" not in str(ex):
                         raise
-                    self._write_avro_fallback(out, staging, schema)
+                    fb_counts = self._write_avro_fallback(out, staging, schema)
             final_paths = self._finalize_commit(tdir, staging, version, ext)
-            new_files = self._commit_files(tdir, final_paths, ext, schema)
+            new_files = self._commit_files(tdir, final_paths, ext, schema, fb_counts)
         if dv_cached is not None:
             dv_cached.unpersist()
         if n_buckets > 0 and bucket_key:
@@ -972,7 +1012,7 @@ class WarehouseCatalog:
                 "DELETE is not supported on first-row merge-engine tables "
                 "(first-row ignores retractions; the key would remain visible)"
             )
-        doomed = self.read_table(f"{db}.{table}").filter(condition)
+        doomed = self.read_table(f"{db}.{table}", pad_char=False).filter(condition)
         return self.insert_into(db, table, doomed, row_kind="D")
 
     def update_where(self, db: str, table: str, condition, assignments: dict) -> int:
@@ -1006,7 +1046,7 @@ class WarehouseCatalog:
                 "UPDATE is not supported on first-row merge-engine tables "
                 "(the earliest insert wins; the rewritten row would be ignored)"
             )
-        updated = self.read_table(f"{db}.{table}").filter(condition)
+        updated = self.read_table(f"{db}.{table}", pad_char=False).filter(condition)
         for col, expr in assignments.items():
             if col not in [f.name for f in schema.fields]:
                 raise ValueError(f"unknown column {col!r}")
@@ -1052,7 +1092,7 @@ class WarehouseCatalog:
         if when_not_matched not in ("insert", None):
             raise ValueError(f"when_not_matched must be 'insert' or None, got {when_not_matched!r}")
 
-        target = self.read_table(f"{db}.{table}")
+        target = self.read_table(f"{db}.{table}", pad_char=False)
         target_keys = target.select(*on)
         pieces = []
         if when_matched == "update":
@@ -1998,7 +2038,9 @@ class WarehouseCatalog:
         prev = self._latest_snapshot(tdir)
         if prev is None:
             raise ValueError(f"nothing to compact in {db}.{table}")
-        merged = self.read_table(f"{db}.{table}")  # merged view under latest schema
+        merged = self.read_table(f"{db}.{table}", pad_char=False)  # merged view,
+        # STORAGE form — re-storing padded CHAR bytes would break the
+        # rtrimmed-canonical invariant predicates and stats rely on
         version = prev.snapshot_id + 1
 
         out = merged
@@ -2045,14 +2087,15 @@ class WarehouseCatalog:
         if fmt not in ("PARQUET", "ORC", "AVRO"):
             raise ValueError(f"unsupported file_format {fmt!r} (have PARQUET, ORC, AVRO)")
         ext = {"ORC": "orc", "AVRO": "avro", "PARQUET": "parquet"}[fmt]
+        fb_counts: dict[str, int] | None = None
         try:
             writer.format(ext).save(staging)
         except Exception as ex:
             if ext != "avro" or "Failed to find data source" not in str(ex):
                 raise
-            self._write_avro_fallback(out, staging, schema)  # module-less runtime
+            fb_counts = self._write_avro_fallback(out, staging, schema)  # module-less
         final_paths = self._finalize_commit(tdir, staging, version, ext)
-        files = self._commit_files(tdir, final_paths, ext, schema)
+        files = self._commit_files(tdir, final_paths, ext, schema, fb_counts)
         if n_buckets > 0 and bucket_key:
             _record_buckets(files, schema, bucket_key, n_buckets)
         n = sum(e["record_count"] for e in files)
@@ -2339,8 +2382,15 @@ class WarehouseCatalog:
         tag: str | None = None,
         predicate: list | None = None,
         limit: int | None = None,
+        pad_char: bool = True,
     ) -> DataFrame:
         """Read ``db.table`` (or ``db.table$system``) as a DataFrame.
+
+        ``pad_char=False`` (internal) returns CHAR columns in their
+        rtrimmed STORAGE form instead of the user-facing n-padded form:
+        the write paths (compaction must not re-store padded bytes) and
+        DML condition evaluation (an unpadded literal in an UPDATE/DELETE
+        condition must keep matching, as before r9) read through this.
 
         - ``version_as_of=n``    — pin snapshot n (``FOR VERSION AS OF`` /
           ``scan.snapshot-id`` — ``TrinoMetadata.java:102-108``)
@@ -2450,7 +2500,7 @@ class WarehouseCatalog:
             df = apply_tuple_domain(df, predicate)
         if limit is not None:
             df = df.limit(limit)  # engine re-limits — pushdown is a hint (A8)
-        if not with_system_columns:
+        if not with_system_columns and pad_char:
             # CHAR(n) padded OUTPUT (r9 — retires the last §1.3 fidelity
             # delta, TrinoTypeUtils.java:77-90): storage stays the rtrimmed
             # canonical form (equality, file stats, groupBy keys, and the
@@ -2458,8 +2508,10 @@ class WarehouseCatalog:
             # it), and the declared length pads back on only at the very
             # END of the read — after predicates, which were normalized to
             # the storage form. A CHAR(3) 'ab' now reads as 'ab ', like
-            # the reference. System-column views (changelog/audit) stay in
-            # storage form — declared metadata lives in the catalog.
+            # the reference. System-column views (changelog/audit) and
+            # internal pad_char=False reads (compaction, DML condition
+            # evaluation) stay in storage form — declared metadata lives
+            # in the catalog.
             for f_ in schema.fields:
                 n_chars = char_length(f_.type)
                 if n_chars is not None:
@@ -3047,36 +3099,68 @@ class WarehouseCatalog:
                     .load(prior_paths)
                 )
         rewrite = hits if base is None else hits.unionByName(base)
-        docs = (
-            rewrite.withColumn("_b", bucket)
-            .groupBy("_b", _DV_FILE)
-            .agg(F.sort_array(F.collect_set(_DV_POS)).alias("_ps"))
-            .groupBy("_b")
-            .agg(
-                F.to_json(
-                    F.struct(
-                        F.map_from_entries(
-                            F.sort_array(
-                                F.collect_list(F.struct(F.col(_DV_FILE), F.col("_ps")))
-                            )
-                        ).alias("vectors")
-                    )
-                ).alias("value")
-            )
+        # Bound each shard DOCUMENT (it aggregates into one JSON string, so
+        # one buffer): buckets whose rewrite exceeds max-marks-per-shard
+        # split into sub-shards by data-file hash — the manifest lists a
+        # LIST of files per bucket and every reader unions marks across
+        # them, so sub-splitting is invisible downstream. Per-file
+        # granularity floor: one data file's marks stay in one document,
+        # bounded by that file's row count. The per-bucket sizing pass is
+        # K rows on the driver.
+        max_marks = int(
+            schema.options.get("dv_index_max_marks_per_shard", 2_000_000) or 2_000_000
         )
-        staging = os.path.join(tdir, "index", f".staging-dv-{version}-{nonce}")
-        docs.write.partitionBy("_b").text(staging)
+        rewrite = rewrite.withColumn("_b", bucket).persist()
+        try:
+            sizes = {
+                r["_b"]: r["n"]
+                for r in rewrite.groupBy("_b").agg(F.count("*").alias("n")).collect()
+            }
+            subs_of = {b: -(-n // max_marks) for b, n in sizes.items()}
+            sub_expr = F.lit(0)
+            for b, s in subs_of.items():
+                if s > 1:
+                    sub_expr = F.when(
+                        F.col("_b") == b,
+                        F.pmod(F.crc32(F.encode(F.col(_DV_FILE), "UTF-8")), F.lit(s)),
+                    ).otherwise(sub_expr)
+            docs = (
+                rewrite.withColumn("_s", sub_expr.cast("int"))
+                .groupBy("_b", "_s", _DV_FILE)
+                .agg(F.sort_array(F.collect_set(_DV_POS)).alias("_ps"))
+                .groupBy("_b", "_s")
+                .agg(
+                    F.to_json(
+                        F.struct(
+                            F.map_from_entries(
+                                F.sort_array(
+                                    F.collect_list(
+                                        F.struct(F.col(_DV_FILE), F.col("_ps"))
+                                    )
+                                )
+                            ).alias("vectors")
+                        )
+                    ).alias("value")
+                )
+            )
+            staging = os.path.join(tdir, "index", f".staging-dv-{version}-{nonce}")
+            docs.write.partitionBy("_b", "_s").text(staging)
+        finally:
+            rewrite.unpersist()
         written: list[str] = []
         shards: dict[int, list[str]] = dict(carried)
-        for bdir in sorted(glob.glob(os.path.join(staging, "_b=*"))):
-            b = int(os.path.basename(bdir).split("=", 1)[1])
-            parts = sorted(glob.glob(os.path.join(bdir, "part-*")))
-            # one row per bucket in `docs` → exactly one part file
-            assert len(parts) == 1, f"expected one shard doc for bucket {b}: {parts}"
-            name = f"dv-{version}-{nonce}-b{b}.json"
+        for sdir in sorted(glob.glob(os.path.join(staging, "_b=*", "_s=*"))):
+            b = int(os.path.basename(os.path.dirname(sdir)).split("=", 1)[1])
+            s = int(os.path.basename(sdir).split("=", 1)[1])
+            parts = sorted(glob.glob(os.path.join(sdir, "part-*")))
+            # one row per (bucket, sub) in `docs` → exactly one part file
+            assert len(parts) == 1, f"expected one doc for bucket {b}/{s}: {parts}"
+            name = f"dv-{version}-{nonce}-b{b}-s{s}.json"
             os.replace(parts[0], os.path.join(tdir, "index", name))
             written.append(name)
-            shards[b] = [name]
+            if b in carried:
+                raise AssertionError(f"bucket {b} both carried and rewritten")
+            shards.setdefault(b, []).append(name)
         shutil.rmtree(staging, ignore_errors=True)
         total = prev_count + n_hits  # hits are strictly new (pre-filtered)
         manifest = f"dvm-{version}-{nonce}.json"

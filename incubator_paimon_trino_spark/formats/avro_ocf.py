@@ -88,20 +88,13 @@ class _Reader:
 
 # ------------------------------------------------------------ DDL → schema
 def _split_commas(s: str) -> list[str]:
-    out, depth, cur = [], 0, []
-    for ch in s:
-        if ch in "<(":
-            depth += 1
-        elif ch in ">)":
-            depth -= 1
-        if ch == "," and depth == 0:
-            out.append("".join(cur))
-            cur = []
-        else:
-            cur.append(ch)
-    if cur:
-        out.append("".join(cur))
-    return out
+    # the one shared depth-tracking DDL splitter (defined next to
+    # _arrow_type, which this module's schema mapping mirrors)
+    from incubator_paimon_trino_spark.streaming.manifest_source import (
+        _split_commas as _impl,
+    )
+
+    return _impl(s)
 
 
 def _avro_type(ddl: str, name_hint: str) -> object:
@@ -427,6 +420,7 @@ class OcfWriter:
         self.sync = os.urandom(16)
         self.buf = bytearray()
         self.count = 0
+        self.count_written = 0  # running total across blocks
         meta = {"avro.schema": json.dumps(schema).encode(), "avro.codec": b"null"}
         fh.write(MAGIC)
         fh.write(_zigzag_encode(len(meta)))
@@ -442,6 +436,7 @@ class OcfWriter:
     def write(self, row) -> None:
         self.enc(row, self.buf.extend)
         self.count += 1
+        self.count_written += 1
         if len(self.buf) >= _BLOCK_TARGET:
             self.flush_block()
 
@@ -471,13 +466,13 @@ def write_ocf(path: str, schema: dict, rows) -> int:
     return n
 
 
-def _read_header(fh) -> tuple[dict, bytes]:
-    head = fh.read(4)
-    if head != MAGIC:
+def _parse_header(buf: bytes) -> tuple[dict, bytes, int, bytes]:
+    """(schema, sync marker, header end offset, codec) from the container's
+    leading bytes. Raises IndexError if ``buf`` is too short (callers with
+    partial buffers extend and retry)."""
+    if buf[:4] != MAGIC:
         raise ValueError("not an Avro object container file")
-    # the metadata map is small; read it incrementally via a buffered probe
-    buf = fh.read()
-    r = _Reader(buf)
+    r = _Reader(buf, 4)
     meta = {}
     while True:
         n = r.long()
@@ -494,14 +489,20 @@ def _read_header(fh) -> tuple[dict, bytes]:
         raise ValueError(f"unsupported avro codec {codec!r}")
     schema = json.loads(meta["avro.schema"])
     sync = r.fixed(16)
-    return schema, sync, r, codec
+    if len(sync) != 16:
+        raise IndexError("short header")
+    return schema, sync, r.pos, codec
 
 
 def read_ocf(path: str) -> tuple[dict, Iterator[dict]]:
     """(schema, row iterator) — decodes the whole container lazily per
-    block; deflate-codec files (spark-avro's default) inflate per block."""
+    block; deflate-codec files (spark-avro's default) inflate per block.
+    Slurps the file (executor-side, per delta/data file — decode touches
+    every byte anyway); ``count_records`` is the seek-based path."""
     with open(path, "rb") as fh:
-        schema, sync, r, codec = _read_header(fh)
+        buf = fh.read()
+    schema, sync, pos, codec = _parse_header(buf)
+    r = _Reader(buf, pos)
     dec = _decoder(schema)
 
     def rows():
@@ -522,19 +523,31 @@ def read_ocf(path: str) -> tuple[dict, Iterator[dict]]:
 
 
 def count_records(path: str) -> int:
-    """Record count from BLOCK HEADERS only — no row decoding (the commit
-    path's manifest stats for avro files)."""
+    """Record count from BLOCK HEADERS only — no row decoding AND no full
+    read: each block fronts (count, byte size), so the scan SEEKS over the
+    payloads. O(blocks) small reads, O(1) memory, any file size."""
     with open(path, "rb") as fh:
-        _, sync, r, _codec = _read_header(fh)
-    total = 0
-    while r.pos < len(r.buf):
-        n = r.long()
-        size = r.long()
-        r.fixed(size)
-        if r.fixed(16) != sync:
-            raise ValueError(f"sync marker mismatch in {path}")
-        total += n
-    return total
+        buf = fh.read(1 << 16)
+        while True:
+            try:
+                _, _sync, pos, _codec = _parse_header(buf)
+                break
+            except IndexError:  # oversized metadata map: extend and retry
+                more = fh.read(1 << 16)
+                if not more:
+                    raise ValueError(f"truncated avro header in {path}") from None
+                buf += more
+        fh.seek(pos)
+        total = 0
+        while True:
+            head = fh.read(20)  # two varints (≤ 10 bytes each)
+            if not head:
+                return total
+            hr = _Reader(head)
+            n = hr.long()
+            size = hr.long()
+            fh.seek(size + 16 - (len(head) - hr.pos), 1)  # payload + sync
+            total += n
 
 
 def read_ocf_arrow(path: str, out_fields: list[tuple[str, str]]):

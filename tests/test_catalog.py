@@ -954,6 +954,17 @@ def test_char_column_semantics(cat, spark):
                 "a int, b bigint, aCa string, d string, tag string",
             ),
         )
+    # r9 review pins: (a) compaction re-stores the rtrimmed STORAGE form,
+    # never padded bytes — the predicate keeps matching post-compact;
+    # (b) DML conditions evaluate on the storage form, so an unpadded
+    # literal keeps matching (pre-r9 semantics)
+    cat.compact("default", "tchar")
+    got = cat.read_table(
+        "default.tchar", predicate=[ColumnDomain(column="tag", op="=", value="ab")]
+    ).collect()
+    assert sorted(r.a for r in got) == [1, 3]
+    cat.sql("DELETE FROM default.tchar WHERE tag = 'xyz'")
+    assert 5 not in {r.a for r in cat.read_table("default.tchar").collect()}
 
 
 def test_information_schema_relations(cat, spark):

@@ -275,3 +275,39 @@ def test_mark_free_snapshot_skips_dv_antijoin(cat, spark, monkeypatch):
     assert cat.read_table("d.t").count() == 6
     plan = cat.read_table("d.t")._jdf.queryExecution().executedPlan().toString()
     assert "__dv_pos" not in plan and "row_index" not in plan
+
+
+def test_oversized_bucket_splits_into_sub_shards(cat, spark):
+    """r9 review: one shard document aggregates into ONE JSON string, so a
+    bucket whose rewrite exceeds dv-index.max-marks-per-shard splits into
+    sub-shard files (by data-file hash) — readers union marks across a
+    bucket's file LIST, so results are unchanged."""
+    cat.create_database("d")
+    cat.create_table(
+        "d", "big", [("k", "bigint"), ("v", "string")],
+        primary_key=["k"],
+        options={
+            "deletion-vectors.enabled": "true",
+            "dv-index.inline-threshold": "0",
+            "dv-index.buckets": "1",        # force everything into one bucket
+            "dv-index.max-marks-per-shard": "10",
+        },
+    )
+    cat.insert_into(
+        "d", "big",
+        spark.createDataFrame([(i, f"v{i}") for i in range(60)], "k bigint, v string")
+        .repartition(6),  # several data files → sub-split has hash spread
+    )
+    cat.sql("DELETE FROM d.big WHERE k % 2 = 0")  # 30 marks, 1 bucket
+    tdir = cat._table_dir("d", "big")
+    m = load_index_meta(tdir, cat._snapshots(tdir)[-1].dv)
+    assert m["marks"] == 30 and list(m["shards"]) == [0]
+    assert len(m["shards"][0]) >= 2, m["shards"]  # split happened
+    assert sorted(r.k for r in cat.read_table("d.big").collect()) == [
+        i for i in range(60) if i % 2 == 1
+    ]
+    # the manifest stream diffs the multi-file bucket correctly
+    got = _stream_rows(cat, "d.big", qname="subq", source_mode="manifest")
+    assert [g for g in got if g[0] == "D"] == [
+        ("D", i, f"v{i}") for i in range(60) if i % 2 == 0
+    ]

@@ -244,9 +244,10 @@ def test_added_column_nulls_and_from_snapshot_cut(cat, spark):
 
 def test_max_commits_per_trigger_bounds_tailing_batches(cat, spark):
     """max_commits_per_trigger=1 bounds steady-state tailing: each
-    post-start commit lands in its own single-commit micro-batch (cold
-    starts are bounded too — test_cold_start_respects_max_commits; only a
-    checkpoint RESTART's first trigger stays unbounded)."""
+    post-start commit lands in its own single-commit micro-batch. Any
+    run's FIRST trigger is unbounded by design (latestOffset runs before
+    initialOffset and gets no start offset — see
+    test_cold_start_backlog_and_restart_never_rewind)."""
     import tempfile
 
     cat.create_database("d")
