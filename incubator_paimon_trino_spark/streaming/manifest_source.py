@@ -590,7 +590,13 @@ class _ManifestStreamReader(DataSourceStreamReader):
         one prior inline file on the threshold-crossing commit), diff to
         this commit's fresh marks, and emit -D rows by positional take on
         the marked data files. All O(bucket marks) work happens HERE, in
-        the executor — the planner only compared shard file names."""
+        the executor — the planner only compared shard file names. The
+        task granularity is the BUCKET (a diff needs a bucket's whole
+        current and prior mark sets), so ``dv-index.buckets`` is the knob
+        bounding per-task memory on huge-delete tables — the same knob
+        that sizes the commit's write parallelism. (The batch read has no
+        such floor: its anti-join explodes shard documents as ordinary
+        distributed rows.)"""
         cur = _parse_bucket_marks(spec["cur_marks"], spec["bucket"], spec["buckets"])
         prev = _parse_bucket_marks(spec["prev_marks"], spec["bucket"], spec["buckets"])
         for base in sorted(cur):
