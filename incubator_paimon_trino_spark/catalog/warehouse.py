@@ -2951,17 +2951,52 @@ class WarehouseCatalog:
         )
 
         pk = schema.primary_key
-        old = self._read_files(tdir, schema, prev, with_pos=True)
-        old = old.withColumn(_DV_FILE, F.element_at(F.split(F.col(_DV_FILE), "/"), -1))
-        prev_marks = self._dv_marks_df(tdir, prev.dv) if prev.dv else None
-        if prev_marks is not None:
-            old = old.join(prev_marks, [_DV_FILE, _DV_POS], "left_anti")
-        keys = batch.select(*pk).dropDuplicates()
-        hits = (
-            old.join(keys, pk, "left_semi")
-            .select(_DV_FILE, F.col(_DV_POS).cast("bigint").alias(_DV_POS))
-            .persist()
-        )
+        keys = batch.select(*pk).dropDuplicates().persist()
+        try:
+            # Bound the mark scan by the BATCH's key range (r9 — previously
+            # claimed, now executed): the lead PK's min/max over the batch
+            # prunes the live files through the same manifest min/max
+            # machinery every read uses, so a point DELETE on a huge table
+            # opens only the files whose key range admits its keys — not
+            # the table. One scalar agg over the (already persisted) batch.
+            lead = pk[0]
+            lo, hi = keys.agg(F.min(lead), F.max(lead)).collect()[0]
+            scan_snap = prev
+            if lo is None and keys.isEmpty():
+                # empty batch (e.g. a DELETE matching nothing): no key can
+                # supersede anything — skip the scan outright
+                scan_snap = dataclasses.replace(prev, files=[])
+            elif lo is not None:
+                from incubator_paimon_trino_spark.functions.predicates import (
+                    ColumnDomain,
+                    Range,
+                )
+
+                pruned = prune_files(
+                    prev.files,
+                    [ColumnDomain(lead, ranges=[Range(low=lo, high=hi)])],
+                    schema,
+                    lambda sid: self._schema(tdir, sid),
+                )
+                scan_snap = dataclasses.replace(prev, files=pruned)
+            if scan_snap.files:
+                old = self._read_files(tdir, schema, scan_snap, with_pos=True)
+                old = old.withColumn(
+                    _DV_FILE, F.element_at(F.split(F.col(_DV_FILE), "/"), -1)
+                )
+                prev_marks = self._dv_marks_df(tdir, prev.dv) if prev.dv else None
+                if prev_marks is not None:
+                    old = old.join(prev_marks, [_DV_FILE, _DV_POS], "left_anti")
+                hits = old.join(keys, pk, "left_semi").select(
+                    _DV_FILE, F.col(_DV_POS).cast("bigint").alias(_DV_POS)
+                )
+            else:  # no live file's key range admits any batch key
+                hits = self.spark.createDataFrame(
+                    [], f"{_DV_FILE} string, {_DV_POS} bigint"
+                )
+            hits = hits.persist()
+        finally:
+            keys.unpersist()
         try:
             n_hits = hits.count()
             prev_meta = load_index_meta(tdir, prev.dv)

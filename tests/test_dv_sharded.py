@@ -311,3 +311,47 @@ def test_oversized_bucket_splits_into_sub_shards(cat, spark):
     assert [g for g in got if g[0] == "D"] == [
         ("D", i, f"v{i}") for i in range(60) if i % 2 == 0
     ]
+
+
+def test_mark_scan_prunes_by_batch_key_range(cat, spark, monkeypatch):
+    """r9: the DV commit's superseded-row scan is bounded by the batch's
+    lead-PK min/max through manifest min/max pruning — a point DELETE on a
+    many-file table opens only the files whose key range admits the key,
+    never the table. (Previously claimed in the docstring, now executed
+    and pinned.)"""
+    cat.create_database("d")
+    cat.create_table(
+        "d", "pr", [("k", "bigint"), ("v", "string")],
+        primary_key=["k"],
+        options={"deletion-vectors.enabled": "true"},
+    )
+    # three commits with DISJOINT key ranges -> three files with disjoint
+    # k min/max in the manifest
+    for base in (0, 1000, 2000):
+        cat.insert_into(
+            "d", "pr",
+            spark.createDataFrame(
+                [(base + i, "x") for i in range(50)], "k bigint, v string"
+            ).coalesce(1),
+        )
+    tdir = cat._table_dir("d", "pr")
+    assert len(cat._snapshots(tdir)[-1].files) == 3
+    seen: list[int] = []
+    orig = WarehouseCatalog._read_files
+
+    def spy(self, tdir_, schema_, snap_, with_pos=False):
+        if with_pos:
+            seen.append(len(snap_.files))
+        return orig(self, tdir_, schema_, snap_, with_pos)
+
+    monkeypatch.setattr(WarehouseCatalog, "_read_files", spy)
+    cat.sql("DELETE FROM d.pr WHERE k = 1005")  # middle file only
+    assert seen == [1], seen
+    assert cat.read_table("d.pr").count() == 149
+    # an empty batch (nothing matches): the MARK SCAN is skipped outright —
+    # the remaining 3-file read is delete_where's own merged read (the
+    # table now carries marks, so its read plans positions)
+    seen.clear()
+    cat.sql("DELETE FROM d.pr WHERE k = 999999")
+    assert seen == [3], seen
+    assert cat.read_table("d.pr").count() == 149
