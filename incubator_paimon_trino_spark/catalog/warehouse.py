@@ -4160,7 +4160,17 @@ class WarehouseCatalog:
                 view += "__tag_" + re.sub(r"\W", "_", tag)
             if ts is not None:
                 view += f"__t{ts}"
-            df = self.read_table(name, version_as_of=ver, timestamp_as_of=ts, tag=tag)
+            # STORAGE-form views (pad_char=False): Spark SQL has no CHAR
+            # comparator, so a padded view would make WHERE c = 'ab' on a
+            # CHAR(5) column silently match nothing — the worst failure
+            # mode. Storage-form views keep every comparison/group/join
+            # over char columns pad-insensitive with unpadded literals
+            # (the pre-r9 facade semantics); the reference-faithful PADDED
+            # surface is the API read (read_table), hash-gated by
+            # lake_char_padded_read. Documented in functions/types.py.
+            df = self.read_table(
+                name, version_as_of=ver, timestamp_as_of=ts, tag=tag, pad_char=False
+            )
             if sys_sfx is None and ver is None and tag is None and ts is None:
                 # plain current-version reads get the ANALYZE-stats broadcast
                 # decision (time-travel/system reads describe other versions)

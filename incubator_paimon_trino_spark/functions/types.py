@@ -29,8 +29,13 @@ Documented semantic gaps (SURVEY §1.3 / §7 hard spots):
   REJECT values longer than the declared length after trim, and
   ``read_table`` surfaces the n-PADDED form like the reference engine
   (``TrinoTypeUtils.java:77-90``) — hash-gated by
-  ``lake_char_padded_read``. System-column views (changelog/audit) stay in
-  storage form: declared metadata lives in the catalog.
+  ``lake_char_padded_read``. Three surfaces deliberately stay in STORAGE
+  form, because Spark has no CHAR comparator and a padded frame makes
+  ``c = 'ab'`` silently match nothing: system-column views
+  (changelog/audit), DML condition evaluation (UPDATE/DELETE/MERGE —
+  write literals unpadded), and the SQL facade's table views (``cat.sql``
+  comparisons behave like pre-r9; its SELECT output is therefore
+  unpadded — the padded surface is the API read).
 - MULTISET<T> maps to ``MAP<T, INT>`` (element → multiplicity), same trick
   Trino uses (``TrinoTypeUtils.java:171-173``).
 """

@@ -1083,3 +1083,22 @@ def test_sequence_field_interval_type_rejected(cat, spark):
             primary_key=["k"],
             options={"sequence_field": "lag"},
         )
+
+
+def test_char_sql_facade_storage_form(cat, spark):
+    """r9: the SQL facade's views stay in STORAGE form — Spark has no CHAR
+    comparator, so a padded view would make WHERE c = 'ab' match nothing.
+    Comparisons, GROUP BY, and joins over char columns keep working with
+    unpadded literals through cat.sql; the padded surface is read_table."""
+    cat.create_database("cf")
+    cat.create_table("cf", "t", [("k", "bigint"), ("c", "char(4)")], primary_key=["k"])
+    cat.insert_into(
+        "cf", "t",
+        spark.createDataFrame([(1, "ab"), (2, "ab  "), (3, "wxyz")], "k bigint, c string"),
+    )
+    got = cat.sql("SELECT k FROM cf.t WHERE c = 'ab' ORDER BY k").collect()
+    assert [r.k for r in got] == [1, 2]
+    grp = cat.sql("SELECT c, COUNT(*) AS n FROM cf.t GROUP BY c").collect()
+    assert {(r.c, r.n) for r in grp} == {("ab", 2), ("wxyz", 1)}
+    # API read: padded (the hash-gated reference-faithful surface)
+    assert {r.c for r in cat.read_table("cf.t").collect()} == {"ab  ", "wxyz"}
