@@ -581,22 +581,32 @@ class WarehouseCatalog:
         part_fields = [
             (f.name, _storage_ddl(f.type)) for f in old.fields if f.name in part
         ]
-        files = [
-            {
+        # bin-pack small files into read tasks (~64 MiB) — one Python task
+        # per tiny file would make startup dominate many-small-file tables
+        target = 64 * 1024 * 1024
+        tasks: list[list[dict]] = []
+        size = 0
+        for p in sorted(paths):
+            spec = {
                 "path": p,
                 "parts": [
                     (k, ddl, partition_values(p).get(k)) for k, ddl in part_fields
                 ],
             }
-            for p in sorted(paths)
-        ]
+            sz = os.path.getsize(p) if os.path.exists(p) else target
+            if not tasks or size + sz > target:
+                tasks.append([spec])
+                size = sz
+            else:
+                tasks[-1].append(spec)
+                size += sz
         ddl = ", ".join(f"`{n}` {t}" for n, t in data_fields + part_fields)
         return (
             self.spark.read.format("paimon_avro")
             .option("schema_ddl", ddl)
             .option("data_fields", _json.dumps(data_fields))
             .option("part_fields", _json.dumps(part_fields))
-            .option("files", _json.dumps(files))
+            .option("files", _json.dumps(tasks))
             .load()
         )
 

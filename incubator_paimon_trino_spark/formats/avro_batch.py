@@ -19,8 +19,10 @@ from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 class PaimonAvroBatchSource(DataSource):
     """Options: ``schema_ddl`` (output schema), ``data_fields`` /
     ``part_fields`` (JSON [(name, storage ddl)] — file-borne vs
-    path-borne columns), ``files`` (JSON [{path, parts: [(name, ddl,
-    raw)]}])."""
+    path-borne columns), ``files`` (JSON list of read TASKS, each a LIST
+    of {path, parts: [(name, ddl, raw)]} — the caller bin-packs small
+    files so per-task Python startup doesn't dominate many-small-file
+    tables, the same trade the manifest stream's split packing makes)."""
 
     @classmethod
     def name(cls) -> str:
@@ -51,19 +53,19 @@ class _AvroBatchReader(DataSourceReader):
             _typed_partition_value,
         )
 
-        spec = partition.value
-        table = read_ocf_arrow(spec["path"], self.data_fields)
-        n = table.num_rows
-        if n == 0:
-            return
-        raw_parts = {k: raw for k, _ddl, raw in spec["parts"]}
-        cols, names = [], []
-        for name, ddl in self.data_fields:
-            cols.append(table.column(name))
-            names.append(name)
-        for name, ddl in self.part_fields:
-            at = _arrow_type(ddl)
-            v = _typed_partition_value(raw_parts.get(name), ddl)
-            cols.append(pa.array([v] * n, type=at))
-            names.append(name)
-        yield from pa.table(dict(zip(names, cols))).to_batches()
+        for spec in partition.value:
+            table = read_ocf_arrow(spec["path"], self.data_fields)
+            n = table.num_rows
+            if n == 0:
+                continue
+            raw_parts = {k: raw for k, _ddl, raw in spec["parts"]}
+            cols, names = [], []
+            for name, ddl in self.data_fields:
+                cols.append(table.column(name))
+                names.append(name)
+            for name, ddl in self.part_fields:
+                at = _arrow_type(ddl)
+                v = _typed_partition_value(raw_parts.get(name), ddl)
+                cols.append(pa.array([v] * n, type=at))
+                names.append(name)
+            yield from pa.table(dict(zip(names, cols))).to_batches()
