@@ -46,8 +46,10 @@ from incubator_paimon_trino_spark.catalog.metadata import read_json
 #: Table options (normalized keys — '.'/'-' → '_', like every CoreOption).
 INLINE_THRESHOLD_OPT = "dv_index_inline_threshold"
 BUCKETS_OPT = "dv_index_buckets"
+MAX_MARKS_PER_SHARD_OPT = "dv_index_max_marks_per_shard"
 DEFAULT_INLINE_THRESHOLD = 65536
 DEFAULT_BUCKETS = 16
+DEFAULT_MAX_MARKS_PER_SHARD = 2_000_000
 
 #: Sharded-index manifest prefix. MUST NOT match the ``dv-*.json`` glob the
 #: file-tail retraction stream tails (a manifest carries no marks).
@@ -67,6 +69,19 @@ def index_buckets(options: dict) -> int:
     if k < 1:
         raise ValueError(f"{BUCKETS_OPT} must be >= 1, got {k}")
     return k
+
+
+def max_marks_per_shard(options: dict) -> int:
+    """Per-shard-DOCUMENT mark ceiling: a shard aggregates into one JSON
+    string, so oversized buckets split into sub-shard files at this bound
+    (per-file granularity floor — one data file's marks stay together)."""
+    n = int(
+        options.get(MAX_MARKS_PER_SHARD_OPT, DEFAULT_MAX_MARKS_PER_SHARD)
+        or DEFAULT_MAX_MARKS_PER_SHARD
+    )
+    if n < 1:
+        raise ValueError(f"{MAX_MARKS_PER_SHARD_OPT} must be >= 1, got {n}")
+    return n
 
 
 def bucket_of(basename: str, k: int) -> int:

@@ -469,7 +469,7 @@ class WarehouseCatalog:
         shutil.rmtree(staging)
         return final
 
-    def _write_avro_fallback(self, out: DataFrame, staging: str, schema: TableSchema) -> None:
+    def _write_avro_fallback(self, out: DataFrame, staging: str, schema: TableSchema) -> dict[str, int]:
         """AVRO write without the spark-avro module: ``mapInArrow`` tasks
         encode standard Avro object container files (``formats/avro_ocf``,
         null codec — readable by any stock Avro reader) straight into the
@@ -491,18 +491,17 @@ class WarehouseCatalog:
         hive_null = _HIVE_NULL
 
         def write_task(batches):
-            # Minimal task-commit protocol (the JVM writers get this from
-            # the Hadoop output committer; mapInArrow has none): each task
-            # ATTEMPT writes under a private .attempt-<id> dir and promotes
-            # its finished files into staging only at iterator end — a
-            # crashed/failed attempt leaves only its private dir behind
-            # (removed below with the staging tree), never a truncated or
-            # duplicate committed file. Two attempts can both promote only
-            # under speculative execution, which Spark disables by default
-            # (spark.speculation) — this fallback requires it off, as does
-            # every side-effect-writing task.
+            # Task side of a v1-committer-style protocol (the JVM writers
+            # get this from the Hadoop output committer; mapInArrow has
+            # none): each task ATTEMPT writes everything under a private
+            # .attempt-<id> dir and only REPORTS its finished files — the
+            # DRIVER promotes exactly the files of the one successful
+            # attempt per partition that collect() returns. A crashed /
+            # failed / speculative-loser attempt leaves only its private
+            # dir (swept below); a crash mid-iterator can never surface a
+            # truncated or duplicate committed file, and there is no
+            # partial-promotion window at all.
             import os as _os
-            import shutil as _shutil
             import urllib.parse as _up
             import uuid as _uuid
 
@@ -511,7 +510,8 @@ class WarehouseCatalog:
 
             ctx = TaskContext.get()
             tid = ctx.partitionId()
-            tmp = _os.path.join(staging, f".attempt-{ctx.taskAttemptId()}")
+            att = ctx.taskAttemptId()
+            tmp = _os.path.join(staging, f".attempt-{att}")
             writers: dict[tuple, tuple] = {}
             for batch in batches:
                 for row in batch.to_pylist():
@@ -527,29 +527,35 @@ class WarehouseCatalog:
                         fh = open(_os.path.join(tmp, *segs, name), "wb")
                         w = writers[key] = (fh, OcfWriter(fh, aschema), segs, name)
                     w[1].write(row)
-            names, rows_per = [], []
+            rels, rows_per = [], []
             for fh, ocf, segs, name in writers.values():
                 ocf.close()
                 fh.close()
-                dest = _os.path.join(staging, *segs)
-                _os.makedirs(dest, exist_ok=True)
-                _os.replace(fh.name, _os.path.join(dest, name))  # atomic promote
-                names.append(name)
+                rels.append("/".join(list(segs) + [name]))
                 rows_per.append(ocf.count_written)
-            _shutil.rmtree(tmp, ignore_errors=True)
             yield pa.record_batch(
                 {
-                    "name": pa.array(names, type=pa.string()),
+                    "attempt": pa.array([att] * len(rels), type=pa.int64()),
+                    "rel": pa.array(rels, type=pa.string()),
                     "rows": pa.array(rows_per, type=pa.int64()),
                 }
             )
 
         os.makedirs(staging, exist_ok=True)
-        counts = {
-            r["name"]: r["rows"]
-            for r in out.mapInArrow(write_task, "name string, rows bigint").collect()
-        }
-        # sweep any failed attempts' private dirs before finalize globs
+        reported = out.mapInArrow(
+            write_task, "attempt bigint, rel string, rows bigint"
+        ).collect()
+        counts: dict[str, int] = {}
+        for r in reported:  # driver-side commit: promote ONLY reported files
+            segs = r["rel"].split("/")
+            dest_dir = os.path.join(staging, *segs[:-1]) if len(segs) > 1 else staging
+            os.makedirs(dest_dir, exist_ok=True)
+            os.replace(
+                os.path.join(staging, f".attempt-{r['attempt']}", *segs),
+                os.path.join(dest_dir, segs[-1]),
+            )
+            counts[segs[-1]] = r["rows"]
+        # sweep losers'/failed attempts' private dirs before finalize globs
         for d in glob.glob(os.path.join(staging, ".attempt-*")):
             shutil.rmtree(d, ignore_errors=True)
         return counts
@@ -633,7 +639,14 @@ class WarehouseCatalog:
         if ext == "avro" and fallback_counts is not None:
             for p in paths:
                 base = re.sub(r"^c\d+-", "", os.path.basename(p))
-                avro_counts[os.path.realpath(p)] = fallback_counts[base]
+                c = fallback_counts.get(base)
+                if c is None:  # unreported file: count it rather than crash
+                    from incubator_paimon_trino_spark.formats.avro_ocf import (
+                        count_records,
+                    )
+
+                    c = count_records(p)
+                avro_counts[os.path.realpath(p)] = c
         elif ext == "avro" and paths:
             try:
                 import urllib.parse as _up
@@ -2142,7 +2155,10 @@ class WarehouseCatalog:
         """
         from pyspark.sql import types as _T  # noqa: PLC0415
 
-        df = self.read_table(f"{db}.{table}")
+        # storage form: ANALYZE min/max must agree with the manifest's
+        # file stats (both describe the stored bytes), and the rpad
+        # projection would be pure overhead on a full-table scan
+        df = self.read_table(f"{db}.{table}", pad_char=False)
         aggs = [F.count(F.lit(1)).alias("__rows")]  # one pass, not count()+agg
         scalar_cols = []
         for f in df.schema.fields:
@@ -3152,9 +3168,9 @@ class WarehouseCatalog:
         # granularity floor: one data file's marks stay in one document,
         # bounded by that file's row count. The per-bucket sizing pass is
         # K rows on the driver.
-        max_marks = int(
-            schema.options.get("dv_index_max_marks_per_shard", 2_000_000) or 2_000_000
-        )
+        from incubator_paimon_trino_spark.catalog.dv_index import max_marks_per_shard
+
+        max_marks = max_marks_per_shard(schema.options)
         rewrite = rewrite.withColumn("_b", bucket).persist()
         try:
             sizes = {
@@ -3162,13 +3178,24 @@ class WarehouseCatalog:
                 for r in rewrite.groupBy("_b").agg(F.count("*").alias("n")).collect()
             }
             subs_of = {b: -(-n // max_marks) for b, n in sizes.items()}
-            sub_expr = F.lit(0)
-            for b, s in subs_of.items():
-                if s > 1:
-                    sub_expr = F.when(
-                        F.col("_b") == b,
-                        F.pmod(F.crc32(F.encode(F.col(_DV_FILE), "UTF-8")), F.lit(s)),
-                    ).otherwise(sub_expr)
+            over = {b: s for b, s in subs_of.items() if s > 1}
+            if over:
+                # flat map lookup, not a nested WHEN per oversized bucket
+                # (a wide bulk delete could otherwise build a K-deep CASE)
+                sub_count = F.coalesce(
+                    F.element_at(
+                        F.create_map(
+                            *[x for b, s in sorted(over.items()) for x in (F.lit(b), F.lit(s))]
+                        ),
+                        F.col("_b"),
+                    ),
+                    F.lit(1),
+                )
+                sub_expr = F.pmod(
+                    F.crc32(F.encode(F.col(_DV_FILE), "UTF-8")), sub_count
+                )
+            else:
+                sub_expr = F.lit(0)
             docs = (
                 rewrite.withColumn("_s", sub_expr.cast("int"))
                 .groupBy("_b", "_s", _DV_FILE)
@@ -3908,9 +3935,11 @@ class WarehouseCatalog:
         SET lists are not parsed (use ``merge_into``/``update_where``)."""
         src = m.group("src").strip()
         if src.startswith("("):
-            source = self.sql(src[1:-1])
+            source = self.sql(src[1:-1])  # facade views are storage-form
         else:
-            source = self.read_table(src)
+            # storage form, like the target read inside merge_into — a
+            # padded source vs rtrimmed target would never match CHAR keys
+            source = self.read_table(src, pad_char=False)
         keys = []
         for conj in re.split(r"\s+AND\s+", m.group("on").strip(), flags=re.IGNORECASE):
             eq = re.fullmatch(

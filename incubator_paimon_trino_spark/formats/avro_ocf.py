@@ -88,13 +88,12 @@ class _Reader:
 
 # ------------------------------------------------------------ DDL → schema
 def _split_commas(s: str) -> list[str]:
-    # the one shared depth-tracking DDL splitter (defined next to
-    # _arrow_type, which this module's schema mapping mirrors)
-    from incubator_paimon_trino_spark.streaming.manifest_source import (
-        _split_commas as _impl,
-    )
+    # the one shared depth-tracking DDL splitter (functions/types.py — a
+    # neutral home: this format module must not depend on the streaming
+    # DataSource module)
+    from incubator_paimon_trino_spark.functions.types import split_top_commas
 
-    return _impl(s)
+    return split_top_commas(s)
 
 
 def _avro_type(ddl: str, name_hint: str) -> object:
@@ -546,7 +545,15 @@ def count_records(path: str) -> int:
             hr = _Reader(head)
             n = hr.long()
             size = hr.long()
-            fh.seek(size + 16 - (len(head) - hr.pos), 1)  # payload + sync
+            if n < 0 or size < 0:
+                raise ValueError(f"corrupt avro block header in {path}")
+            fh.seek(size - (len(head) - hr.pos), 1)  # skip payload only
+            marker = fh.read(16)
+            if marker != _sync:
+                # truncated mid-block or corrupt: the old full-read path
+                # raised here too — over-counting a partial block would
+                # record rows the file does not hold
+                raise ValueError(f"sync marker mismatch in {path}")
             total += n
 
 

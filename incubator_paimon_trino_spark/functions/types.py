@@ -47,6 +47,26 @@ import re
 from pyspark.sql import types as T
 
 
+def split_top_commas(s: str) -> list[str]:
+    """Split a DDL fragment on TOP-LEVEL commas only (depth-tracked through
+    ``<>``/``()``), e.g. ``"a:int, b:map<string,int>"`` → two parts. The one
+    shared splitter behind the arrow-type and avro-schema DDL parsers."""
+    out, depth, cur = [], 0, []
+    for ch in s:
+        if ch in "<(":
+            depth += 1
+        elif ch in ">)":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur))
+    return out
+
+
 def paimon_to_spark(type_str: str) -> T.DataType:
     """Parse a Paimon/SQL type string into a Spark DataType."""
     s = type_str.strip()

@@ -144,20 +144,9 @@ def _split_top(s: str) -> tuple[str, str]:
 
 
 def _split_commas(s: str) -> list[str]:
-    out, depth, cur = [], 0, []
-    for ch in s:
-        if ch == "<" or ch == "(":
-            depth += 1
-        elif ch == ">" or ch == ")":
-            depth -= 1
-        if ch == "," and depth == 0:
-            out.append("".join(cur))
-            cur = []
-        else:
-            cur.append(ch)
-    if cur:
-        out.append("".join(cur))
-    return out
+    from incubator_paimon_trino_spark.functions.types import split_top_commas
+
+    return split_top_commas(s)
 
 
 def _typed_partition_value(raw: str | None, ddl: str):

@@ -1102,3 +1102,20 @@ def test_char_sql_facade_storage_form(cat, spark):
     assert {(r.c, r.n) for r in grp} == {("ab", 2), ("wxyz", 1)}
     # API read: padded (the hash-gated reference-faithful surface)
     assert {r.c for r in cat.read_table("cf.t").collect()} == {"ab  ", "wxyz"}
+
+
+def test_char_pk_merge_matches(cat, spark):
+    """r9 review: SQL MERGE with a CHAR primary key — source and target
+    must both read in STORAGE form or padded-vs-rtrimmed keys silently
+    never match and WHEN MATCHED updates zero rows."""
+    cat.create_database("cm")
+    cat.create_table("cm", "t", [("k", "char(4)"), ("v", "bigint")], primary_key=["k"])
+    cat.create_table("cm", "s", [("k", "char(4)"), ("v", "bigint")], primary_key=["k"])
+    cat.insert_into("cm", "t", spark.createDataFrame([("ab", 1), ("cd", 2)], "k string, v bigint"))
+    cat.insert_into("cm", "s", spark.createDataFrame([("ab", 100), ("zz", 3)], "k string, v bigint"))
+    cat.sql(
+        "MERGE INTO cm.t USING cm.s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+    )
+    got = {r.k: r.v for r in cat.read_table("cm.t").collect()}
+    assert got == {"ab  ": 100, "cd  ": 2, "zz  ": 3}, got
