@@ -355,3 +355,71 @@ def test_mark_scan_prunes_by_batch_key_range(cat, spark, monkeypatch):
     cat.sql("DELETE FROM d.pr WHERE k = 999999")
     assert seen == [3], seen
     assert cat.read_table("d.pr").count() == 149
+
+
+def test_sharded_dv_randomized_model(cat, spark):
+    """Model-based randomized pin: a seeded mix of inserts, upserts,
+    deletes, and compactions over a DV table with tiny threshold/bucket/
+    sub-shard settings (so every format transition and split triggers at
+    toy scale) must always read back equal to a plain dict model — and
+    time travel must replay any earlier state exactly."""
+    import random
+
+    rng = random.Random(17)
+    cat.create_database("d")
+    cat.create_table(
+        "d", "mdl", [("k", "bigint"), ("v", "string")],
+        primary_key=["k"],
+        options={
+            "deletion-vectors.enabled": "true",
+            "dv-index.inline-threshold": "2",
+            "dv-index.buckets": "3",
+            "dv-index.max-marks-per-shard": "4",
+        },
+    )
+    model: dict[int, str] = {}
+    history: list[dict[int, str]] = []  # model state per snapshot id
+
+    def check():
+        got = {r.k: r.v for r in cat.read_table("d.mdl").collect()}
+        assert got == model, (got, model)
+
+    for step in range(10):
+        op = rng.choice(["insert", "upsert", "delete", "delete", "compact"])
+        if op == "insert":
+            rows = [(rng.randrange(40), f"s{step}") for _ in range(rng.randrange(1, 6))]
+            rows = list({k: (k, v) for k, v in rows}.values())  # one row per key
+            cat.insert_into(
+                "d", "mdl", spark.createDataFrame(rows, "k bigint, v string")
+            )
+            model.update({k: v for k, v in rows})
+        elif op == "upsert" and model:
+            k = rng.choice(sorted(model))
+            cat.insert_into(
+                "d", "mdl",
+                spark.createDataFrame([(k, f"u{step}")], "k bigint, v string"),
+            )
+            model[k] = f"u{step}"
+        elif op == "delete" and model:
+            mod = rng.randrange(2, 5)
+            cat.sql(f"DELETE FROM d.mdl WHERE k % {mod} = 0")
+            model = {k: v for k, v in model.items() if k % mod != 0}
+        elif op == "compact" and history:
+            cat.compact("d", "mdl")
+        else:  # empty-table edge for upsert/delete
+            cat.insert_into(
+                "d", "mdl", spark.createDataFrame([(0, "z")], "k bigint, v string")
+            )
+            model[0] = "z"
+        history.append(dict(model))
+        check()
+    # time travel replays arbitrary earlier states from their own indexes
+    tdir = cat._table_dir("d", "mdl")
+    snaps = cat._snapshots(tdir)
+    assert len(snaps) == len(history)
+    for idx in (0, len(history) // 2, len(history) - 1):
+        sid = snaps[idx].snapshot_id
+        got = {
+            r.k: r.v for r in cat.read_table("d.mdl", version_as_of=sid).collect()
+        }
+        assert got == history[idx], (sid, got, history[idx])
