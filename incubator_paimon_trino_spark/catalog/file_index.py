@@ -1,0 +1,568 @@
+"""Per-data-file secondary indexes for manifest-level file skipping.
+
+Paimon's file-index family (``file-index.bloom-filter.columns`` /
+``file-index.bitmap.columns`` in CoreOptions) builds a small per-file index
+at write time and consults it at scan planning, skipping files that min/max
+stats cannot: a high-cardinality column written in arrival order has
+near-full-range min/max in EVERY file, so a point lookup scans the whole
+table — the bloom filter answers "this value is provably absent here" per
+file instead. The reference connector inherits the behavior from Paimon's
+scan (the same seam that takes the pushed predicate,
+``common/TrinoSplitManagerBase.java:44-48``); this module is the
+PySpark-native equivalent, slotting in right after min/max pruning
+(``catalog/scan.py``) and bucket pruning.
+
+Two index kinds, per Paimon's two main file-index types:
+
+- ``bloom`` — fixed-size bloom filter (``items`` expected distinct values,
+  ``fpp`` target false-positive rate, Paimon's option pair). False positives
+  KEEP a file (harmless); false negatives are impossible by construction, so
+  dropping is always safe.
+- ``bitmap`` — exact per-file distinct-value set, stored as 64-bit value
+  hashes (Paimon's bitmap index answers per-row positions; at the connector
+  seam its observable effect is file/split skipping, which is the granularity
+  our scan plans at — documented coarsening). Overflows past
+  ``max_distinct`` mark the field unusable (file kept). A hash collision can
+  only KEEP an extra file, never drop a matching one; absence of the probe
+  hash is exact, so drops are safe.
+
+Storage: one sidecar JSON per data file, colocated as ``<data-file>.fidx``
+(same directory). Colocation ties the sidecar's lifecycle to its data file —
+snapshot expiry / rollback / orphan cleanup derive the sidecar name from the
+dead data path; branch reads that reference a parent table's shared data
+files (``../../data`` manifest entries) resolve the sidecar through the same
+relative path. ``*.fidx`` never matches the data-file globs elsewhere in the
+package (file-tail streams filter ``*.parquet``; readers open manifest-listed
+paths only).
+
+Scale shape (the 100 TB story):
+
+- BUILD is one distributed pass per commit over only the NEWLY written files,
+  reading only the indexed columns (column-pruned parquet scan). Partial
+  filters are built per arrow batch (distinct-first: hashing cost is per
+  unique value per batch, not per row), shuffled as fixed-size bitsets — not
+  raw column data — and OR-combined per file; each executor writes its files'
+  sidecars directly (atomic tmp+rename). The driver sees one tiny row per
+  file.
+- PROBE is metadata-sized per candidate file. Small candidate sets (most
+  queries, after partition/bucket/min-max pruning) probe on the driver with
+  an mtime-keyed cache; large sets fan the probe out as one Spark job that
+  returns surviving file indices — the driver never holds more than the file
+  list it already planned with.
+
+Field ids, not names, key the sidecar entries — renames never invalidate an
+index (same rule as min/max stats, A18).
+"""
+
+from __future__ import annotations
+
+import base64
+import functools
+import hashlib
+import json
+import math
+import os
+from dataclasses import dataclass
+
+from incubator_paimon_trino_spark.catalog.metadata import TableSchema
+from incubator_paimon_trino_spark.functions.predicates import ColumnDomain
+
+#: candidate-file count above which the probe fans out as a Spark job
+DRIVER_PROBE_MAX = 64
+
+#: sidecar filename suffix (``<data-file>.fidx``)
+SUFFIX = ".fidx"
+
+_INT_DDL = ("tinyint", "smallint", "int", "integer", "bigint", "long", "short", "byte")
+
+_BLOOM_DEFAULT_ITEMS = 1_000_000  # Paimon file-index.bloom-filter.<col>.items
+_BLOOM_DEFAULT_FPP = 0.1  # Paimon file-index.bloom-filter.<col>.fpp
+_BITMAP_DEFAULT_MAX = 50_000
+
+
+@dataclass(frozen=True)
+class IndexSpec:
+    """One indexed column: resolved at the CURRENT schema, keyed by field id."""
+
+    fid: int
+    column: str  # current name (build-time read path)
+    ddl: str
+    kind: str  # "bloom" | "bitmap"
+    m_bits: int = 0  # bloom only
+    k: int = 0  # bloom only
+    max_distinct: int = 0  # bitmap only
+
+
+def _supported_ddl(ddl: str) -> bool:
+    d = ddl.lower()
+    return (
+        d in _INT_DDL
+        or d == "string"
+        or d.startswith("varchar")
+        or d.startswith("char")
+        or d == "date"
+        or d == "boolean"
+    )
+
+
+def _split_cols(raw: str | None) -> list[str]:
+    return [c.strip() for c in (raw or "").split(",") if c.strip()]
+
+
+def bloom_params(items: int, fpp: float) -> tuple[int, int]:
+    """(m_bits, k) for ``items`` expected distinct values at ``fpp``.
+
+    Standard sizing: m = -n·ln(p)/ln(2)², k = (m/n)·ln(2). m is rounded up
+    to a byte multiple so partial bitsets OR together byte-exactly.
+    """
+    if items < 1 or not (0.0 < fpp < 1.0):
+        raise ValueError(f"bloom filter needs items >= 1 and 0 < fpp < 1, got {items}, {fpp}")
+    m = math.ceil(-items * math.log(fpp) / (math.log(2) ** 2))
+    m = (m + 7) // 8 * 8
+    k = max(1, round(m / items * math.log(2)))
+    return m, k
+
+
+def index_specs(schema: TableSchema) -> list[IndexSpec]:
+    """Parse the table's ``file_index_*`` options into resolved specs.
+
+    Raises on unknown / unsupported / partition columns so CREATE TABLE and
+    SET PROPERTIES fail loudly instead of storing an option every write would
+    then silently skip. A column may carry at most one index kind.
+    """
+    opts = schema.options
+    bloom_cols = _split_cols(opts.get("file_index_bloom_filter_columns"))
+    bitmap_cols = _split_cols(opts.get("file_index_bitmap_columns"))
+    if not bloom_cols and not bitmap_cols:
+        return []
+    items = int(opts.get("file_index_bloom_filter_items", str(_BLOOM_DEFAULT_ITEMS)))
+    fpp = float(opts.get("file_index_bloom_filter_fpp", str(_BLOOM_DEFAULT_FPP)))
+    max_distinct = int(opts.get("file_index_bitmap_max_distinct", str(_BITMAP_DEFAULT_MAX)))
+    m, k = bloom_params(items, fpp)
+
+    both = sorted(set(bloom_cols) & set(bitmap_cols))
+    if both:
+        raise ValueError(f"column(s) {both} appear in both bloom-filter and bitmap file indexes")
+    out: list[IndexSpec] = []
+    for kind, cols in (("bloom", bloom_cols), ("bitmap", bitmap_cols)):
+        for name in cols:
+            try:
+                f = schema.field_by_name(name)
+            except KeyError:
+                raise ValueError(f"file-index column {name!r} does not exist") from None
+            if name in schema.partition_keys:
+                # partition values never sit inside data files; partition
+                # pruning already answers these exactly
+                raise ValueError(
+                    f"file-index on partition column {name!r} is redundant "
+                    "(partition pruning already skips by its value)"
+                )
+            if schema.primary_key and name not in schema.primary_key:
+                # merged-read rule (same as min/max stats): a value column's
+                # per-file content says nothing about the MERGED row, so an
+                # index there could never be consulted — refuse loudly
+                raise ValueError(
+                    f"file-index on non-key column {name!r} of a primary-key "
+                    "table would never be used (only key/partition predicates "
+                    "can skip files pre-merge)"
+                )
+            if not _supported_ddl(f.type):
+                raise ValueError(
+                    f"file-index on column {name!r} of type {f.type!r} is not "
+                    "supported (string/char/varchar, integers, date, boolean)"
+                )
+            out.append(
+                IndexSpec(
+                    fid=f.id,
+                    column=f.name,
+                    ddl=f.type,
+                    kind=kind,
+                    m_bits=m if kind == "bloom" else 0,
+                    k=k if kind == "bloom" else 0,
+                    max_distinct=max_distinct if kind == "bitmap" else 0,
+                )
+            )
+    return out
+
+
+# ------------------------------------------------------------- canonical form
+def canon_bytes(v, ddl: str) -> bytes | None:
+    """Hash input for one value — IDENTICAL on the build side (pandas values
+    decoded from parquet) and the probe side (predicate literals).
+
+    Returns None for "this value cannot exist in the column" (e.g. a
+    fractional literal probing an integer column) — the probe then treats the
+    value as absent from every file, which is exact. Raises on values it
+    cannot canonicalize at BUILD time (callers mark the field unusable)."""
+    import datetime as _dt
+
+    d = ddl.lower()
+    if d == "string" or d.startswith("varchar") or d.startswith("char"):
+        # char(n) storage is the rtrimmed canonical form and char predicate
+        # domains are normalized before pruning (normalize_char_domains), so
+        # plain utf-8 agrees on both sides
+        return b"s:" + str(v).encode("utf-8")
+    if d in _INT_DDL:
+        if isinstance(v, bool):
+            raise ValueError("boolean value in integer column")
+        if isinstance(v, float):
+            if not v.is_integer():
+                return None
+            v = int(v)
+        if not isinstance(v, int):
+            s = str(v)
+            try:
+                v = int(s)
+            except ValueError:
+                f = float(s)
+                if not f.is_integer():
+                    return None
+                v = int(f)
+        return b"i:%d" % v
+    if d == "boolean":
+        if isinstance(v, str):
+            v = v.strip().lower() == "true"
+        return b"b:1" if v else b"b:0"
+    if d == "date":
+        if isinstance(v, _dt.datetime):
+            v = v.date()
+        if isinstance(v, _dt.date):
+            return b"d:" + v.isoformat().encode()
+        # numpy datetime64 / pandas Timestamp / iso string
+        s = str(v)
+        try:
+            return b"d:" + _dt.date.fromisoformat(s[:10]).isoformat().encode()
+        except ValueError as ex:
+            raise ValueError(f"not a date: {v!r}") from ex
+    raise ValueError(f"unsupported file-index type {ddl!r}")
+
+
+def _bit_positions(canon: bytes, m: int, k: int) -> list[int]:
+    """k bloom positions via double hashing over one stable md5 (the index is
+    durable on disk — positions must never depend on process/library
+    versions, or a probe would silently drop files that hold the value)."""
+    dig = hashlib.md5(canon).digest()
+    h1 = int.from_bytes(dig[:8], "big")
+    h2 = int.from_bytes(dig[8:], "big") | 1  # odd → full-period stride
+    return [(h1 + i * h2) % m for i in range(k)]
+
+
+def _value_hash(canon: bytes) -> str:
+    """64-bit value hash for the bitmap kind (16 hex chars)."""
+    return hashlib.md5(canon).hexdigest()[:16]
+
+
+def sidecar_path(data_path: str) -> str:
+    return data_path + SUFFIX
+
+
+# -------------------------------------------------------------------- build
+def build_file_indexes(
+    spark,
+    paths: list[str],
+    schema: TableSchema,
+    read_names: dict[int, str] | None = None,
+) -> int:
+    """One distributed pass building every new file's sidecar; returns the
+    number of sidecars written. Parquet commits only (ORC/AVRO tables simply
+    never prune by index — same graceful degradation as min/max stats).
+
+    ``read_names`` maps field id → the PHYSICAL column name inside these
+    files, for rebuilds over files written under an older schema (renames);
+    commit-time builds omit it (files were just written with the current
+    names). All ``paths`` must share one physical naming — the rebuild
+    caller groups by schema_id.
+
+    Stage 1 (mapInPandas, zero shuffle): accumulate ONE partial per
+    (file, column) across the whole partition — fixed-size bitset (bloom) or
+    hash set (bitmap), fed per arrow batch from the batch's DISTINCT values —
+    and emit the partials only when the partition's input is exhausted, so
+    the stage-2 shuffle moves one bitset per file-split, never one per batch.
+    Stage 2 (applyInPandas on file name): OR/union the few partials and write
+    the sidecar next to the data file from the executor.
+
+    Integer columns are read CAST TO STRING: pandas coerces a nullable int64
+    arrow column to float64, which silently rounds values above 2^53 before
+    hashing (a false NEGATIVE — the one failure bloom must never have);
+    ``canon_bytes`` parses integer strings exactly, so the string route is
+    value-identical and null-safe.
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    specs = index_specs(schema)
+    if not specs or not paths:
+        return 0
+    fmt = schema.options.get("file_format", "parquet").strip().lower()
+    if fmt != "parquet":
+        return 0
+
+    partial_schema = "file string, fid int, payload binary, bad boolean"
+
+    def _partials(batches):
+        import numpy as np
+
+        blooms: dict[tuple, "np.ndarray"] = {}
+        dicts: dict[tuple, set] = {}
+        bad: set[tuple] = set()
+        seen: set[tuple] = set()
+        for pdf in batches:
+            for spec in specs:
+                for fname, col in pdf.groupby("_fidx_file", sort=False)[spec.column]:
+                    key = (fname, spec.fid)
+                    seen.add(key)
+                    if key in bad:
+                        continue
+                    try:
+                        vals = pd.unique(col.dropna())
+                        if spec.kind == "bloom":
+                            bits = blooms.get(key)
+                            if bits is None:
+                                bits = blooms[key] = np.zeros(spec.m_bits // 8, dtype=np.uint8)
+                            for v in vals:
+                                c = canon_bytes(v, spec.ddl)
+                                if c is None:
+                                    raise ValueError(f"uncanonical value {v!r}")
+                                for pos in _bit_positions(c, spec.m_bits, spec.k):
+                                    bits[pos >> 3] |= 1 << (pos & 7)
+                        else:  # bitmap
+                            hs = dicts.setdefault(key, set())
+                            for v in vals:
+                                c = canon_bytes(v, spec.ddl)
+                                if c is None:
+                                    raise ValueError(f"uncanonical value {v!r}")
+                                hs.add(_value_hash(c))
+                                if len(hs) > spec.max_distinct:
+                                    raise ValueError("distinct overflow")
+                    except (ValueError, TypeError, ArithmeticError):
+                        # unusable field for this file: recorded, probe keeps
+                        bad.add(key)
+                        blooms.pop(key, None)
+                        dicts.pop(key, None)
+        for fname, fid in sorted(seen):
+            key = (fname, fid)
+            if key in bad:
+                payload = b""
+            elif key in blooms:
+                payload = blooms[key].tobytes()
+            else:
+                payload = ",".join(sorted(dicts[key])).encode()
+            yield pd.DataFrame(
+                {"file": [fname], "fid": [fid], "payload": [payload], "bad": [key in bad]}
+            )
+
+    by_spec = {s.fid: s for s in specs}
+
+    def _combine(key, pdf):
+        import urllib.parse
+
+        import numpy as np
+
+        fname = key[0]
+        local = urllib.parse.unquote(fname).removeprefix("file:")
+        fields: dict[str, dict] = {}
+        for fid, rows in pdf.groupby("fid", sort=False):
+            spec = by_spec[int(fid)]
+            if bool(rows["bad"].any()):
+                fields[str(fid)] = {"kind": spec.kind, "bad": True}
+                continue
+            if spec.kind == "bloom":
+                acc = np.zeros(spec.m_bits // 8, dtype=np.uint8)
+                for p in rows["payload"]:
+                    acc |= np.frombuffer(p, dtype=np.uint8)
+                fields[str(fid)] = {
+                    "kind": "bloom",
+                    "m": spec.m_bits,
+                    "k": spec.k,
+                    "bits": base64.b64encode(acc.tobytes()).decode("ascii"),
+                }
+            else:
+                hs: set[str] = set()
+                for p in rows["payload"]:
+                    if p:
+                        hs.update(p.decode().split(","))
+                if len(hs) > spec.max_distinct:
+                    fields[str(fid)] = {"kind": "bitmap", "bad": True}
+                else:
+                    fields[str(fid)] = {"kind": "bitmap", "hashes": sorted(hs)}
+        doc = {"version": 1, "fields": fields}
+        tmp = sidecar_path(local) + f".tmp-{os.getpid()}"
+        with open(tmp, "w") as fh:
+            json.dump(doc, fh)
+        os.replace(tmp, sidecar_path(local))
+        return pd.DataFrame({"file": [fname], "n_fields": [len(fields)]})
+
+    sel = [F.input_file_name().alias("_fidx_file")]
+    for s in sorted(specs, key=lambda x: x.column):
+        phys = (read_names or {}).get(s.fid, s.column)
+        col = F.col(phys)
+        if s.ddl.lower() in _INT_DDL:
+            col = col.cast("string")  # exactness guard — see docstring
+        sel.append(col.alias(s.column))
+    df = (
+        spark.read.parquet(*paths)
+        .select(*sel)
+        .mapInPandas(_partials, schema=partial_schema)
+        .groupBy("file")
+        .applyInPandas(_combine, schema="file string, n_fields int")
+    )
+    return len(df.collect())
+
+
+# -------------------------------------------------------------------- probe
+def _equality_values(d: ColumnDomain) -> list | None:
+    """The probe-able equality value set of one domain, or None.
+
+    Only CONJUNCTS that are pure value sets qualify (op '=', IN, or all-point
+    ranges); any such conjunct failing for every value proves the whole
+    conjunction can't match. ``null_allowed`` domains are never probe-able —
+    a null row satisfies them and nulls are not indexed."""
+    if d.null_allowed or d.is_null is True:
+        return None
+    if d.op == "=":
+        return [d.value]
+    if d.op is None and d.in_values is not None:
+        return list(d.in_values)
+    if d.op is None and d.in_values is None and d.ranges:
+        pts = []
+        for r in d.ranges:
+            if (
+                r.low is None
+                or r.high is None
+                or r.low != r.high
+                or not (r.low_inclusive and r.high_inclusive)
+            ):
+                return None
+            pts.append(r.low)
+        return pts
+    return None
+
+
+def probe_domains(schema: TableSchema, domains: list[ColumnDomain]) -> list[tuple[int, str, list]]:
+    """(field_id, ddl, values) for every domain the file index can answer."""
+    specs = {s.fid for s in index_specs(schema)}
+    if not specs:
+        return []
+    pk = set(schema.primary_key)
+    out = []
+    for d in domains:
+        try:
+            f = schema.field_by_name(d.column)
+        except KeyError:
+            continue
+        if f.id not in specs:
+            continue
+        if pk and f.name not in pk:
+            continue  # PK table: value columns judged only after merge
+        vals = _equality_values(d)
+        if vals is not None:
+            out.append((f.id, f.type, vals))
+    return out
+
+
+def _possibly_contains(doc: dict, fid: int, ddl: str, values: list) -> bool:
+    """May ANY of ``values`` exist in the file, per its sidecar? Unknown → True."""
+    entry = (doc.get("fields") or {}).get(str(fid))
+    if entry is None or entry.get("bad"):
+        return True
+    if entry["kind"] == "bloom":
+        m, k = int(entry["m"]), int(entry["k"])
+        bits = base64.b64decode(entry["bits"])
+        if len(bits) * 8 != m:
+            return True  # corrupt → keep
+        for v in values:
+            try:
+                c = canon_bytes(v, ddl)
+            except (ValueError, TypeError, ArithmeticError):
+                return True  # un-probe-able literal → keep
+            if c is None:
+                continue  # value cannot exist in this column type
+            if all(bits[p >> 3] & (1 << (p & 7)) for p in _bit_positions(c, m, k)):
+                return True
+        return False
+    if entry["kind"] == "bitmap":
+        hs = set(entry.get("hashes") or [])
+        for v in values:
+            try:
+                c = canon_bytes(v, ddl)
+            except (ValueError, TypeError, ArithmeticError):
+                return True
+            if c is None:
+                continue
+            if _value_hash(c) in hs:
+                return True
+        return False
+    return True  # unknown kind (future format) → keep
+
+
+def _load_sidecar(path: str) -> dict | None:
+    try:
+        st = os.stat(path)
+    except OSError:
+        return None
+    return _load_sidecar_cached(path, st.st_size, int(st.st_mtime_ns))
+
+
+@functools.lru_cache(maxsize=64)
+def _load_sidecar_cached(path: str, size: int, mtime_ns: int) -> dict | None:
+    # (size, mtime) key the cache: sidecars are written once via atomic
+    # rename, so a hit is always current; a rewritten path (recreated table
+    # dir) changes the stat and misses
+    try:
+        with open(path) as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        return None
+
+
+def prune_files_by_index(
+    spark,
+    tdir: str,
+    files: list[dict],
+    domains: list[ColumnDomain],
+    schema: TableSchema,
+) -> list[dict]:
+    """Manifest entries whose sidecars cannot rule out the domains.
+
+    Missing / unreadable / format-unknown sidecars keep their file (index
+    pruning is an optimization, never a correctness dial — same contract as
+    ``scan.prune_files``; the residual filter still runs)."""
+    probes = probe_domains(schema, domains)
+    if not probes or not files:
+        return files
+
+    if len(files) <= DRIVER_PROBE_MAX:
+        out = []
+        for e in files:
+            doc = _load_sidecar(sidecar_path(os.path.join(tdir, e["path"])))
+            if doc is None or all(_possibly_contains(doc, fid, ddl, vs) for fid, ddl, vs in probes):
+                out.append(e)
+        return out
+
+    # Large candidate set: fan the sidecar reads out. One row per file in,
+    # surviving indices out — the probe job moves O(files) strings, zero data.
+    paths = [(i, sidecar_path(os.path.join(tdir, e["path"]))) for i, e in enumerate(files)]
+
+    def _probe(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            keep = []
+            for i, p in zip(pdf["i"], pdf["p"]):
+                doc = None
+                try:
+                    with open(p) as fh:
+                        doc = json.load(fh)
+                except (OSError, ValueError):
+                    pass
+                if doc is None or all(
+                    _possibly_contains(doc, fid, ddl, vs) for fid, ddl, vs in probes
+                ):
+                    keep.append(int(i))
+            yield pd.DataFrame({"i": keep})
+
+    kept_df = spark.createDataFrame(paths, "i int, p string").repartition(32).mapInPandas(
+        _probe, schema="i int"
+    )
+    kept = {r.i for r in kept_df.collect()}
+    return [e for i, e in enumerate(files) if i in kept]

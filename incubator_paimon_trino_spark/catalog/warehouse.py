@@ -64,6 +64,12 @@ from incubator_paimon_trino_spark.catalog.metadata import (
     read_json,
     write_json_atomic,
 )
+from incubator_paimon_trino_spark.catalog.file_index import (
+    SUFFIX as _FIDX_SUFFIX,
+    build_file_indexes,
+    index_specs as _file_index_specs,
+    prune_files_by_index,
+)
 from incubator_paimon_trino_spark.catalog.scan import (
     _HIVE_NULL,
     collect_file_stats,
@@ -230,7 +236,11 @@ class WarehouseCatalog:
                 raise ValueError(f"key column {k!r} not in columns {names}")
         options = _canonical_options(options)
         _validate_table_options(
-            names, primary_key, options, types={c[0]: c[1] for c in columns}
+            names,
+            primary_key,
+            options,
+            types={c[0]: c[1] for c in columns},
+            partition_keys=partitioned_by,
         )
         fields = [
             Field(i, c[0], c[1], comment=(c[2] if len(c) > 2 else None))
@@ -320,6 +330,12 @@ class WarehouseCatalog:
             s.partition_keys = [new_name if k == f.name else k for k in s.partition_keys]
         if s.options.get("bucket_key") == f.name:
             s.options["bucket_key"] = new_name
+        for opt in ("file_index_bloom_filter_columns", "file_index_bitmap_columns"):
+            cols = [c.strip() for c in s.options.get(opt, "").split(",") if c.strip()]
+            if f.name in cols:
+                # sidecar entries are keyed by field id, so existing indexes
+                # keep working — only the option's name list follows the rename
+                s.options[opt] = ",".join(new_name if c == f.name else c for c in cols)
         f.name = new_name  # field id unchanged — old files remain readable
         s.schema_id += 1
         self._write_schema(tdir, s)
@@ -332,6 +348,13 @@ class WarehouseCatalog:
             raise ValueError(f"cannot drop key column {name!r}")
         if s.options.get("bucket_key") == f.name:
             raise ValueError(f"cannot drop bucket_key column {name!r}")
+        for opt in ("file_index_bloom_filter_columns", "file_index_bitmap_columns"):
+            cols = [c.strip() for c in s.options.get(opt, "").split(",") if c.strip()]
+            if f.name in cols:
+                raise ValueError(
+                    f"cannot drop file-indexed column {name!r}; remove it from "
+                    f"the {opt} option first"
+                )
         s.fields = [x for x in s.fields if x.id != f.id]
         s.schema_id += 1
         self._write_schema(tdir, s)
@@ -360,6 +383,7 @@ class WarehouseCatalog:
             s.primary_key,
             s.options,
             types={f.name: f.type for f in s.fields},
+            partition_keys=s.partition_keys,
         )
         s.schema_id += 1
         self._write_schema(tdir, s)
@@ -868,13 +892,27 @@ class WarehouseCatalog:
             # right at scale, but a tiny commit then collapses to one file
             # and min/max pruning has nothing to skip.
             n_ranges = int(schema.options.get("clustering_partitions", "0") or 0)
-            range_cols = [F.col(c) for c in cluster_cols]
-            out = (
-                out.repartitionByRange(n_ranges, *range_cols)
-                if n_ranges > 0
-                else out.repartitionByRange(*range_cols)
-            )
-            out = out.sortWithinPartitions(*cluster_cols)
+            if schema.options.get("clustering_strategy", "").strip().lower() == "zorder":
+                # clustering.strategy='zorder': per-commit Morton clustering —
+                # every file becomes a tight box in ALL clustering dimensions
+                # (same key as zorder compaction; the commit-local min/max agg
+                # costs one scalar job over the commit, not the table)
+                zc = "_zorder_key"
+                out = out.withColumn(zc, self._zorder_expr(out, schema, cluster_cols))
+                out = (
+                    out.repartitionByRange(n_ranges, F.col(zc))
+                    if n_ranges > 0
+                    else out.repartitionByRange(F.col(zc))
+                )
+                out = out.sortWithinPartitions(zc).drop(zc)
+            else:
+                range_cols = [F.col(c) for c in cluster_cols]
+                out = (
+                    out.repartitionByRange(n_ranges, *range_cols)
+                    if n_ranges > 0
+                    else out.repartitionByRange(*range_cols)
+                )
+                out = out.sortWithinPartitions(*cluster_cols)
 
         fmt = schema.options.get("file_format", "PARQUET").upper()
         if fmt not in ("ORC", "PARQUET", "AVRO"):
@@ -910,6 +948,13 @@ class WarehouseCatalog:
                     fb_counts = self._write_avro_fallback(out, staging, schema)
             final_paths = self._finalize_commit(tdir, staging, version, ext)
             new_files = self._commit_files(tdir, final_paths, ext, schema, fb_counts)
+            # file-index sidecars (bloom / bitmap) for the new files, BEFORE
+            # the publish below — a reader must never resolve a snapshot whose
+            # sidecars are still being written (missing sidecar = file kept,
+            # so it would only lose skipping, but build-then-publish keeps the
+            # invariant simple). A crash here leaves finalized-but-unpublished
+            # files + sidecars: remove_orphan_files debris, as before.
+            build_file_indexes(self.spark, final_paths, schema)
         if dv_cached is not None:
             dv_cached.unpersist()
         if n_buckets > 0 and bucket_key:
@@ -951,6 +996,7 @@ class WarehouseCatalog:
             for p in final_paths:
                 if os.path.exists(p):
                     os.remove(p)
+                _rm_sidecar(p)
             if dv_index is not None:
                 # remove every index file THIS commit wrote (manifest +
                 # new shards); carried-forward shards belong to the winner
@@ -1223,6 +1269,7 @@ class WarehouseCatalog:
             p = os.path.join(tdir, rel)
             if os.path.exists(p):
                 os.remove(p)
+            _rm_sidecar(p)  # the colocated file-index dies with its data file
         for s_ in doomed:
             os.remove(os.path.join(tdir, "snapshot", f"snapshot-{s_.snapshot_id}.json"))
         self._gc_dv_indexes(tdir, kept, doomed)
@@ -1892,6 +1939,7 @@ class WarehouseCatalog:
                 os.remove(p)
             except FileNotFoundError:
                 pass
+            _rm_sidecar(p)  # the colocated file-index dies with its data file
         for s in doomed:
             try:
                 os.remove(os.path.join(tdir, "snapshot", f"snapshot-{s.snapshot_id}.json"))
@@ -1970,6 +2018,13 @@ class WarehouseCatalog:
             rel = os.path.relpath(p, tdir)
             if rel.replace(os.sep, "/") in referenced:
                 continue
+            if p.endswith(_FIDX_SUFFIX):
+                # a file-index sidecar is live iff ITS DATA FILE is referenced
+                # (the sidecar itself never appears in manifests); an orphaned
+                # one falls through to the same horizon + mtime rules as its
+                # data file — its basename starts with the same c<N>- id
+                if rel[: -len(_FIDX_SUFFIX)].replace(os.sep, "/") in referenced:
+                    continue
             m = re.match(r"c(\d+)-", os.path.basename(p))
             if m is None or int(m.group(1)) > horizon:
                 kept_in_flight += 1
@@ -2041,7 +2096,122 @@ class WarehouseCatalog:
             "skipped_in_flight": kept_in_flight,
         }
 
-    def compact(self, db: str, table: str, order_by: list[str] | None = None) -> int:
+    def rebuild_file_index(self, db: str, table: str, force: bool = False) -> dict:
+        """Backfill file-index sidecars for live data files missing them.
+
+        A table that enables ``file-index.*`` options AFTER writing history
+        (set_options) indexes only its post-enable commits — earlier files
+        stay probe-unknown (kept on every scan) until compaction rewrites
+        them or this maintenance op backfills in place. ``force=True``
+        rebuilds every live sidecar (e.g. after changing items/fpp sizing).
+
+        One distributed pass over only the missing files (same build job a
+        commit runs); idempotent; metadata untouched, so no new snapshot.
+        Shared entries (a branch's inherited ``../../data`` files) are
+        skipped — their sidecars belong to the parent table's lifecycle.
+        """
+        tdir = self._table_dir(db, table)
+        schema = self._latest_schema(tdir)
+        if not _file_index_specs(schema):
+            raise ValueError(
+                f"{db}.{table} has no file-index options; set "
+                "file-index.bloom-filter.columns / file-index.bitmap.columns first"
+            )
+        snap = self._latest_snapshot(tdir)
+        # group by WRITING schema: a renamed column's physical name inside an
+        # old file differs from the current one (_read_files maps by field id
+        # for the same reason) — reading old files by the current name would
+        # produce all-NULL columns and an all-empty sidecar that then FALSELY
+        # drops the file on every probe
+        todo: dict[int, list[str]] = {}
+        skipped = 0
+        for e in snap.files if snap else []:
+            if e.get("format", "parquet") != "parquet" or _shared_data_path(e["path"]):
+                skipped += 1
+                continue
+            p = os.path.join(tdir, e["path"])
+            if force or not os.path.exists(p + _FIDX_SUFFIX):
+                todo.setdefault(e["schema_id"], []).append(p)
+        built = 0
+        spec_fids = {s.fid for s in _file_index_specs(schema)}
+        for sid, paths in sorted(todo.items()):
+            ws = self._schema(tdir, sid) if sid != schema.schema_id else schema
+            read_names = {f.id: f.name for f in ws.fields if f.id in spec_fids}
+            if len(read_names) < len(spec_fids):
+                # an indexed column added AFTER these files were written: the
+                # files can't contain it, and a probe on it never matches
+                # their rows anyway — skip rather than half-index
+                skipped += len(paths)
+                continue
+            built += build_file_indexes(self.spark, paths, schema, read_names=read_names)
+        return {"built": built, "skipped": skipped}
+
+    def _zorder_expr(self, df: DataFrame, schema: TableSchema, order_by: list[str]):
+        """Morton (Z-order) key over ``order_by`` as built-in expressions.
+
+        Each column maps to a cell on a 2^bits equal-width grid between its
+        own min/max (ONE scalar agg over the compaction input — the rewrite
+        reads everything anyway); cells' bits interleave into one BIGINT via
+        shift/and/or expressions, so the whole key stays inside whole-stage
+        codegen. NULLs and degenerate (constant / all-null) columns land in
+        cell 0 — they cluster together at the low end, which is exactly the
+        min/max-stats-friendly placement. Equal-width (not equal-frequency)
+        cells: heavy skew degrades clustering quality, never correctness —
+        the same trade Paimon's byte-slice z-values make.
+        """
+        k = len(order_by)
+        bits = min(16, 60 // k)  # ≤ 60 total: the key must stay a positive bigint
+        cells = 1 << bits
+        by_name = {f.name: f for f in schema.fields}
+
+        def as_double(name: str):
+            d = by_name[name].type.lower()
+            if d == "date":
+                return F.unix_date(F.col(name)).cast("double")
+            if d.startswith("timestamp"):
+                # ntz → ltz shift is a constant offset: monotonic, grid-safe
+                return F.unix_micros(F.col(name).cast("timestamp_ltz")).cast("double")
+            if _zorderable_ddl(d):
+                return F.col(name).cast("double")
+            raise ValueError(
+                f"zorder column {name!r} has type {by_name[name].type!r}; "
+                "numeric, date, or timestamp required (strings have no "
+                "grid embedding — use strategy='order' for a leading string)"
+            )
+
+        nums = [as_double(c) for c in order_by]
+        row = df.agg(
+            *[a for i, n in enumerate(nums) for a in (F.min(n).alias(f"lo{i}"), F.max(n).alias(f"hi{i}"))]
+        ).first()
+        z = F.lit(0).cast("bigint")
+        for j, n in enumerate(nums):
+            lo, hi = row[f"lo{j}"], row[f"hi{j}"]
+            if lo is None or hi is None or lo == hi:
+                continue  # constant/all-null column contributes nothing
+            cell = (
+                F.least(
+                    F.lit(cells - 1),
+                    F.greatest(
+                        F.lit(0),
+                        F.width_bucket(n, F.lit(float(lo)), F.lit(float(hi)), F.lit(cells)) - 1,
+                    ),
+                )
+                .cast("bigint")
+            )
+            cell = F.coalesce(cell, F.lit(0).cast("bigint"))
+            for i in range(bits):
+                z = z.bitwiseOR(
+                    F.shiftleft(F.shiftright(cell, i).bitwiseAND(F.lit(1)), i * k + j)
+                )
+        return z
+
+    def compact(
+        self,
+        db: str,
+        table: str,
+        order_by: list[str] | None = None,
+        strategy: str = "order",
+    ) -> int:
         """Rewrite the table's live data into one fresh commit (COMPACT kind).
 
         The LSM analogue of Paimon's compaction: many small per-commit files
@@ -2055,7 +2225,23 @@ class WarehouseCatalog:
         covers a narrow key range and manifest min/max skipping prunes
         range predicates to a handful of files. On bucketed tables the
         bucket layout is preserved and sorting happens within buckets.
+
+        ``strategy='zorder'`` (Paimon ``order_strategy => 'zorder'``) sorts by
+        the interleaved-bit Morton code of ALL ``order_by`` columns instead of
+        lexicographically: per-file min/max become tight boxes in EVERY
+        dimension, so predicates on any subset of the columns prune — a
+        trailing-column predicate under lexicographic order prunes nothing.
+        Columns normalize to a 2^bits equal-width grid between their min/max
+        (one scalar agg; ``width_bucket``), bits interleave as built-in
+        bitwise expressions — everything whole-stage-codegen, no UDF.
         """
+        if strategy not in ("order", "zorder"):
+            raise ValueError(f"unknown compaction strategy {strategy!r} (have order, zorder)")
+        if strategy == "zorder" and (not order_by or len(order_by) < 2):
+            raise ValueError(
+                "zorder needs >= 2 order_by columns (a single column is plain "
+                "sort compaction — use strategy='order')"
+            )
         tdir = self._table_dir(db, table)
         schema = self._latest_schema(tdir)
         prev = self._latest_snapshot(tdir)
@@ -2090,18 +2276,28 @@ class WarehouseCatalog:
         target = 128 * 1024 * 1024
         total = sum(f.get("size_bytes", 0) for f in prev.files)
         n_parts = max(1, -(-total // target))
+        zcol = "_zorder_key"
+        if order_by and strategy == "zorder":
+            out = out.withColumn(zcol, self._zorder_expr(out, schema, order_by))
+            sort_keys = [F.col(zcol)]
+        else:
+            sort_keys = [F.col(c) for c in order_by or []]
         if n_buckets > 0 and bucket_key:
             out = out.repartition(n_buckets, F.col(bucket_key))
-            if order_by:
-                out = out.sortWithinPartitions(*order_by)
-        elif order_by:
+            if sort_keys:
+                out = out.sortWithinPartitions(*sort_keys)
+        elif sort_keys:
             # honor the table's clustering_partitions pin if set (same knob
             # as write clustering); else size range buckets by volume
             pinned = int(schema.options.get("clustering_partitions", "0") or 0)
-            out = out.repartitionByRange(pinned or n_parts, *[F.col(c) for c in order_by])
-            out = out.sortWithinPartitions(*order_by)
+            out = out.repartitionByRange(pinned or n_parts, *sort_keys)
+            out = out.sortWithinPartitions(*sort_keys)
         else:
             out = out.repartition(n_parts)
+        if order_by and strategy == "zorder":
+            # the Morton key ordered the shuffle + sort; it must not land in
+            # the files (narrow projection preserves the partition-local sort)
+            out = out.drop(zcol)
         staging = self._staging_dir(tdir, version)
         writer = out.write.mode("errorifexists")
         if schema.partition_keys:
@@ -2119,6 +2315,9 @@ class WarehouseCatalog:
             fb_counts = self._write_avro_fallback(out, staging, schema)  # module-less
         final_paths = self._finalize_commit(tdir, staging, version, ext)
         files = self._commit_files(tdir, final_paths, ext, schema, fb_counts)
+        # compaction rewrites the live set: the rewritten files get fresh
+        # file-index sidecars exactly like an insert's (built pre-publish)
+        build_file_indexes(self.spark, final_paths, schema)
         if n_buckets > 0 and bucket_key:
             _record_buckets(files, schema, bucket_key, n_buckets)
         n = sum(e["record_count"] for e in files)
@@ -2143,6 +2342,7 @@ class WarehouseCatalog:
             for p in final_paths:
                 if os.path.exists(p):
                     os.remove(p)
+                _rm_sidecar(p)
             self._prune_empty_dirs(os.path.join(tdir, "data"))
             raise
         return version
@@ -2397,6 +2597,7 @@ class WarehouseCatalog:
                 predicate = normalize_char_domains(predicate, char_cols)
             files = prune_files(files, predicate, schema, lambda sid: self._schema(tdir, sid))
             files = self._bucket_prune(schema, predicate, files)
+            files = prune_files_by_index(self.spark, tdir, files, predicate, schema)
         return files
 
     def read_table(
@@ -2461,6 +2662,10 @@ class WarehouseCatalog:
                 snap.files, predicate, schema, lambda sid: self._schema(tdir, sid)
             )
             pruned = self._bucket_prune(schema, predicate, pruned)
+            # file-index probe (bloom/bitmap sidecars) — the rung after
+            # min/max and bucket pruning: equality/IN on indexed columns
+            # drops files whose sidecar proves the value(s) absent
+            pruned = prune_files_by_index(self.spark, tdir, pruned, predicate, schema)
             snap = dataclasses.replace(snap, files=pruned)
         if snap is not None and limit is not None and _limit_pushable(schema, predicate, snap.files):
             snap = dataclasses.replace(snap, files=_limit_file_prefix(snap.files, limit))
@@ -3738,6 +3943,7 @@ class WarehouseCatalog:
             "create_tag": {"table", "tag", "snapshot"},
             "delete_tag": {"table", "tag"},
             "remove_orphan_files": {"table", "older_than", "dry_run"},
+            "rebuild_file_index": {"table", "force"},
             "reset_consumer": {"table", "consumer_id", "next_snapshot_id"},
             "analyze": {"table"},
             "create_branch": {"table", "branch", "tag"},
@@ -3791,10 +3997,11 @@ class WarehouseCatalog:
         if proc == "compact":
             db, tbl = split_name(take("table"))
             strategy = named.get("order_strategy", "order").lower()
-            if strategy not in ("order", "none"):
+            if strategy not in ("order", "zorder", "none"):
                 raise ValueError(
                     f"sys.compact: order_strategy {strategy!r} not supported "
-                    "(have 'order' [lexicographic sort-compaction], 'none')"
+                    "(have 'order' [lexicographic sort-compaction], 'zorder' "
+                    "[Morton-interleaved multi-column clustering], 'none')"
                 )
             if "partitions" in named:
                 raise ValueError(
@@ -3810,14 +4017,17 @@ class WarehouseCatalog:
                 _cursor[0] = len(pos)
             if strategy == "none" and order_by:
                 raise ValueError("sys.compact: order_by given but order_strategy => 'none'")
-            if "order_strategy" in named and strategy == "order" and not order_by:
+            if "order_strategy" in named and strategy != "none" and not order_by:
                 # the caller explicitly asked for sort-compaction; silently
                 # compacting unsorted would not be what they requested
                 raise ValueError(
-                    "sys.compact: order_strategy => 'order' requires order_by "
-                    "(sort columns); omit order_strategy for plain compaction"
+                    f"sys.compact: order_strategy => '{strategy}' requires "
+                    "order_by (sort columns); omit order_strategy for plain "
+                    "compaction"
                 )
-            v = self.compact(db, tbl, order_by=order_by)
+            v = self.compact(
+                db, tbl, order_by=order_by, strategy="zorder" if strategy == "zorder" else "order"
+            )
             return ok(result=f"compacted to snapshot {v}")
         if proc == "expire_snapshots":
             db, tbl = split_name(take("table"))
@@ -3863,6 +4073,15 @@ class WarehouseCatalog:
                 result=f"removed {stats['deleted_files']} orphan files, "
                 f"{stats['deleted_staging_dirs']} staging dirs "
                 f"(skipped {stats['skipped_in_flight']} in-flight)"
+            )
+        if proc == "rebuild_file_index":
+            db, tbl = split_name(take("table"))
+            force = (take("force", "false") or "").strip().lower() in ("true", "1", "yes")
+            no_leftovers()
+            stats = self.rebuild_file_index(db, tbl, force=force)
+            return ok(
+                result=f"built {stats['built']} file-index sidecars "
+                f"(skipped {stats['skipped']} shared/non-parquet files)"
             )
         if proc == "reset_consumer":
             # Paimon's sys.reset_consumer: pin to next_snapshot_id, or DELETE
@@ -4338,6 +4557,9 @@ _ENUM_OPTIONS: dict[str, tuple[str, ...]] = {
     "merge_engine": ("deduplicate", "partial-update", "aggregation", "first-row"),
     # CoreOptions.ChangelogProducer
     "changelog_producer": ("none", "input", "full-compaction", "lookup"),
+    # clustering.strategy (Paimon append-table write clustering; 'hilbert'
+    # is not implemented — zorder covers the multi-dimension case)
+    "clustering_strategy": ("order", "zorder"),
     # CoreOptions.StartupMode
     "scan_mode": (
         "default", "latest-full", "full", "latest", "compacted-full",
@@ -4385,6 +4607,32 @@ def _shared_data_path(rel: str) -> bool:
     this chain's expire/rollback — the parent's expiry (tag-pinned) and
     ``delete_branch`` own their lifecycle."""
     return rel.startswith("..") or rel.startswith("branch" + os.sep) or rel.startswith("branch/")
+
+
+def _zorderable_ddl(ddl: str) -> bool:
+    """Types with a monotonic grid embedding for the Morton key (see
+    ``_zorder_expr``): numerics, date, timestamp. Strings have none."""
+    d = ddl.lower()
+    return (
+        d
+        in (
+            "tinyint", "smallint", "int", "integer", "bigint", "long",
+            "short", "byte", "float", "double", "real",
+        )
+        or d.startswith("decimal")
+        or d == "date"
+        or d.startswith("timestamp")
+    )
+
+
+def _rm_sidecar(data_path: str) -> None:
+    """Remove a data file's colocated file-index sidecar, if any. Called
+    wherever the data file itself is deleted — colocation makes the sidecar's
+    lifecycle exactly the data file's, so no GC pass tracks them separately."""
+    try:
+        os.remove(data_path + _FIDX_SUFFIX)
+    except FileNotFoundError:
+        pass
 
 
 def _parse_byte_conf(v) -> int:
@@ -4444,6 +4692,7 @@ def _validate_table_options(
     primary_key: list[str],
     options: dict[str, str],
     types: dict[str, str] | None = None,
+    partition_keys: list[str] | None = None,
 ) -> None:
     """Option-coherence checks shared by CREATE TABLE and SET PROPERTIES —
     validating only at create would let ALTER re-introduce the silently-
@@ -4533,6 +4782,41 @@ def _validate_table_options(
                 "timestamp column is required (non-numeric values would cast "
                 "to NULL and make merge order undefined)"
             )
+    if options.get("clustering_strategy", "").strip().lower() == "zorder":
+        zcols = [c.strip() for c in options.get("clustering_columns", "").split(",") if c.strip()]
+        if len(zcols) < 2:
+            raise ValueError(
+                "clustering.strategy='zorder' needs >= 2 clustering.columns "
+                "(one column is plain range clustering — use 'order')"
+            )
+        if types is not None:
+            bad_z = [c for c in zcols if not _zorderable_ddl(types.get(c, ""))]
+            if bad_z:
+                raise ValueError(
+                    f"clustering.strategy='zorder' on column(s) {bad_z} — "
+                    "numeric, date, or timestamp required (strings have no "
+                    "grid embedding)"
+                )
+    if any(k.startswith("file_index_") for k in options):
+        # file-index coherence: resolve the specs against a synthetic schema
+        # so CREATE/ALTER fail loudly (unknown column, unsupported type,
+        # partition/value-column misuse raise inside index_specs) instead of
+        # storing an option every write would silently skip
+        tmp = TableSchema(
+            schema_id=0,
+            fields=[Field(i, n, (types or {}).get(n, "string")) for i, n in enumerate(names)],
+            primary_key=list(primary_key),
+            partition_keys=list(partition_keys or []),
+            options=options,
+        )
+        if _file_index_specs(tmp):
+            fmt = options.get("file_format", "parquet").strip().lower()
+            if fmt != "parquet":
+                raise ValueError(
+                    "file-index options require file_format='PARQUET' (the "
+                    "index build reads the written files with pyarrow/Spark "
+                    "parquet; ORC/AVRO files would silently never be indexed)"
+                )
 
 
 def _field_aggregate_specs(options: dict[str, str]) -> dict[str, str]:

@@ -2187,3 +2187,175 @@ def lake_dv_cdc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return cat.read_table("lake.mirror")
+
+
+@register(
+    "lake_bloom_index_point_lookup",
+    oracle="""
+    SELECT o_orderkey,
+           md5(CAST(o_orderkey AS VARCHAR)) AS uid,
+           o_totalprice
+    FROM orders
+    WHERE md5(CAST(o_orderkey AS VARCHAR)) IN (md5('1'), md5('5'), md5('7'))
+    ORDER BY o_orderkey
+    """,
+)
+def lake_bloom_index_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter file index (Paimon ``file-index.bloom-filter.columns``;
+    the scan seam the reference hands its pushed predicate to —
+    ``common/TrinoSplitManagerBase.java:44-48``): a synthetic uid column
+    (md5 of the order key) is high-cardinality and arrival-ordered, so every
+    file's min/max spans the whole hex range and stats pruning keeps
+    everything — the per-file bloom sidecar is what skips. Three commits
+    slice the orders by ``o_orderkey % 3``; the IN-probe's keys (1, 5, 7)
+    land in two of the three files, so the planned scan provably drops the
+    third (pinned in tests/test_file_index.py) while the result hash must
+    still equal DuckDB's replay over the raw parquet.
+
+    Scale shape: the build is one column-pruned distributed pass per commit
+    over only that commit's files; the probe is metadata-sized per candidate
+    file (fanned out as a Spark job above 64 candidates). At 100 TB a point
+    lookup on an indexed column opens the files that may hold the value —
+    not the table.
+    """
+    from incubator_paimon_trino_spark.functions.predicates import ColumnDomain
+
+    cat = _fresh_catalog(spark)
+    cat.create_database("lake")
+    cat.create_table(
+        "lake",
+        "orders_uid",
+        [("o_orderkey", "bigint"), ("uid", "string"), ("o_totalprice", "double")],
+        options={
+            "file-index.bloom-filter.columns": "uid",
+            "file-index.bloom-filter.items": "100000",
+            "file-index.bloom-filter.fpp": "0.02",
+        },
+    )
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.md5(F.col("o_orderkey").cast("string")).alias("uid"),
+        "o_totalprice",
+    )
+    for r in range(3):
+        cat.insert_into("lake", "orders_uid", o.filter(F.col("o_orderkey") % 3 == r))
+    import hashlib
+
+    vals = [hashlib.md5(s.encode()).hexdigest() for s in ("1", "5", "7")]
+    out = cat.read_table(
+        "lake.orders_uid", predicate=[ColumnDomain("uid", in_values=vals)]
+    )
+    return out.orderBy("o_orderkey")
+
+
+@register(
+    "lake_bitmap_index_lookup",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority
+    FROM orders
+    WHERE o_orderpriority = '1-URGENT'
+    ORDER BY o_orderkey
+    """,
+)
+def lake_bitmap_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap file index (Paimon ``file-index.bitmap.columns``) for
+    low-cardinality columns: each sidecar holds the file's exact distinct
+    value-hash set, so equality/IN probes skip files with zero false
+    positives (the bloom kind trades exactness for fixed size). Commits are
+    sliced by priority class, so files genuinely lack the probed value and
+    the planned scan opens only the matching slice — at the connector seam
+    this is Paimon's bitmap-index file skipping at file granularity
+    (documented coarsening: Paimon also positions rows inside the file).
+    """
+    from incubator_paimon_trino_spark.functions.predicates import ColumnDomain
+
+    cat = _fresh_catalog(spark)
+    cat.create_database("lake")
+    cat.create_table(
+        "lake",
+        "orders_prio",
+        [("o_orderkey", "bigint"), ("o_orderpriority", "string")],
+        options={"file-index.bitmap.columns": "o_orderpriority"},
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    for pri in ("1-URGENT|2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED|5-LOW"):
+        cat.insert_into(
+            "lake",
+            "orders_prio",
+            o.filter(F.col("o_orderpriority").isin(*pri.split("|"))),
+        )
+    out = cat.read_table(
+        "lake.orders_prio",
+        predicate=[ColumnDomain("o_orderpriority", op="=", value="1-URGENT")],
+    )
+    return out.orderBy("o_orderkey")
+
+
+@register(
+    "lake_zorder_compacted_scan",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(EXTRACT(doy FROM o_orderdate) AS BIGINT) AS order_doy,
+           o_totalprice
+    FROM orders
+    WHERE o_custkey BETWEEN 100 AND 200
+      AND EXTRACT(doy FROM o_orderdate) BETWEEN 100 AND 150
+    ORDER BY o_orderkey
+    """,
+)
+def lake_zorder_compacted_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order sort compaction (Paimon ``CALL sys.compact(...,
+    order_strategy => 'zorder')``) through the oracle gate: orders scatter
+    as (custkey, day-of-year) points, three interleaved commits each span
+    the full 2-D domain, so BOTH single-dimension predicates plan every
+    file; after the zorder rewrite the per-file min/max are tight boxes in
+    both dimensions and each dimension prunes on its own — asserted
+    in-query on the metadata-only scan plan, the property lexicographic
+    sort compaction cannot deliver for the trailing column. The Morton key
+    is built from built-in width_bucket/shift/or expressions (whole-stage
+    codegen, no UDF) and never lands in the files.
+
+    Scale shape: the rewrite is one repartitionByRange on the key (the
+    same shuffle a plain sort compaction pays) plus one scalar min/max
+    agg; at 100 TB a dashboard's 2-D box query opens O(box volume) files
+    instead of O(table).
+    """
+    from incubator_paimon_trino_spark.functions.predicates import ColumnDomain, Range
+
+    cat = _fresh_catalog(spark)
+    cat.create_database("lake")
+    cat.create_table(
+        "lake",
+        "orders_z",
+        [
+            ("o_orderkey", "bigint"),
+            ("o_custkey", "bigint"),
+            ("order_doy", "bigint"),
+            ("o_totalprice", "double"),
+        ],
+        options={"clustering_partitions": "8"},
+    )
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.dayofyear("o_orderdate").cast("bigint").alias("order_doy"),
+        "o_totalprice",
+    )
+    for r in range(3):
+        cat.insert_into("lake", "orders_z", o.filter(F.col("o_orderkey") % 3 == r))
+    pred_cust = [ColumnDomain("o_custkey", ranges=[Range(low=100, high=200)])]
+    pred_doy = [ColumnDomain("order_doy", ranges=[Range(low=100, high=150)])]
+    # before: interleaved commits span the domain — nothing prunes
+    assert len(cat.scan_plan("lake.orders_z", predicate=pred_doy)) == len(
+        cat.scan_plan("lake.orders_z")
+    )
+    cat.sql(
+        "CALL sys.compact(table => 'lake.orders_z', order_strategy => 'zorder', "
+        "order_by => 'o_custkey,order_doy')"
+    )
+    n_files = len(cat.scan_plan("lake.orders_z"))
+    # after: EACH dimension prunes alone — the multi-dimensional property
+    assert len(cat.scan_plan("lake.orders_z", predicate=pred_cust)) < n_files
+    assert len(cat.scan_plan("lake.orders_z", predicate=pred_doy)) < n_files
+    out = cat.read_table("lake.orders_z", predicate=pred_cust + pred_doy)
+    return out.orderBy("o_orderkey")
