@@ -62,6 +62,7 @@ import hashlib
 import json
 import math
 import os
+import zlib
 from dataclasses import dataclass
 
 from incubator_paimon_trino_spark.catalog.metadata import TableSchema
@@ -143,6 +144,12 @@ def index_specs(schema: TableSchema) -> list[IndexSpec]:
     both = sorted(set(bloom_cols) & set(bitmap_cols))
     if both:
         raise ValueError(f"column(s) {both} appear in both bloom-filter and bitmap file indexes")
+    for label, cols in (("bloom-filter", bloom_cols), ("bitmap", bitmap_cols)):
+        dupes = sorted({c for c in cols if cols.count(c) > 1})
+        if dupes:
+            # a duplicate would make the build select two same-named columns,
+            # fail pd.unique, and silently mark every sidecar field unusable
+            raise ValueError(f"duplicate column(s) {dupes} in file-index.{label}.columns")
     out: list[IndexSpec] = []
     for kind, cols in (("bloom", bloom_cols), ("bitmap", bitmap_cols)):
         for name in cols:
@@ -370,11 +377,15 @@ def build_file_indexes(
                 acc = np.zeros(spec.m_bits // 8, dtype=np.uint8)
                 for p in rows["payload"]:
                     acc |= np.frombuffer(p, dtype=np.uint8)
+                # the bitset is m fixed bits regardless of the file's actual
+                # cardinality; a small file's mostly-zero set deflates to a
+                # few KB, so sidecars never dwarf their data files
                 fields[str(fid)] = {
                     "kind": "bloom",
                     "m": spec.m_bits,
                     "k": spec.k,
-                    "bits": base64.b64encode(acc.tobytes()).decode("ascii"),
+                    "enc": "zlib",
+                    "bits": base64.b64encode(zlib.compress(acc.tobytes(), 6)).decode("ascii"),
                 }
             else:
                 hs: set[str] = set()
@@ -461,38 +472,47 @@ def probe_domains(schema: TableSchema, domains: list[ColumnDomain]) -> list[tupl
 
 
 def _possibly_contains(doc: dict, fid: int, ddl: str, values: list) -> bool:
-    """May ANY of ``values`` exist in the file, per its sidecar? Unknown → True."""
-    entry = (doc.get("fields") or {}).get(str(fid))
-    if entry is None or entry.get("bad"):
-        return True
-    if entry["kind"] == "bloom":
-        m, k = int(entry["m"]), int(entry["k"])
-        bits = base64.b64decode(entry["bits"])
-        if len(bits) * 8 != m:
-            return True  # corrupt → keep
-        for v in values:
-            try:
-                c = canon_bytes(v, ddl)
-            except (ValueError, TypeError, ArithmeticError):
-                return True  # un-probe-able literal → keep
-            if c is None:
-                continue  # value cannot exist in this column type
-            if all(bits[p >> 3] & (1 << (p & 7)) for p in _bit_positions(c, m, k)):
-                return True
-        return False
-    if entry["kind"] == "bitmap":
-        hs = set(entry.get("hashes") or [])
-        for v in values:
-            try:
-                c = canon_bytes(v, ddl)
-            except (ValueError, TypeError, ArithmeticError):
-                return True
-            if c is None:
-                continue
-            if _value_hash(c) in hs:
-                return True
-        return False
-    return True  # unknown kind (future format) → keep
+    """May ANY of ``values`` exist in the file, per its sidecar? Unknown → True.
+
+    The outer try enforces the contract structurally: a sidecar that parses
+    as JSON but is malformed (missing keys, m=0, truncated base64, a future
+    format revision) must KEEP the file — an optimization-layer artifact may
+    never turn into a read failure."""
+    try:
+        entry = (doc.get("fields") or {}).get(str(fid))
+        if entry is None or entry.get("bad"):
+            return True
+        if entry["kind"] == "bloom":
+            m, k = int(entry["m"]), int(entry["k"])
+            raw = base64.b64decode(entry["bits"])
+            bits = zlib.decompress(raw) if entry.get("enc") == "zlib" else raw
+            if m <= 0 or k <= 0 or len(bits) * 8 != m:
+                return True  # corrupt → keep
+            for v in values:
+                try:
+                    c = canon_bytes(v, ddl)
+                except (ValueError, TypeError, ArithmeticError):
+                    return True  # un-probe-able literal → keep
+                if c is None:
+                    continue  # value cannot exist in this column type
+                if all(bits[p >> 3] & (1 << (p & 7)) for p in _bit_positions(c, m, k)):
+                    return True
+            return False
+        if entry["kind"] == "bitmap":
+            hs = set(entry.get("hashes") or [])
+            for v in values:
+                try:
+                    c = canon_bytes(v, ddl)
+                except (ValueError, TypeError, ArithmeticError):
+                    return True
+                if c is None:
+                    continue
+                if _value_hash(c) in hs:
+                    return True
+            return False
+        return True  # unknown kind (future format) → keep
+    except Exception:
+        return True  # structurally malformed entry → keep
 
 
 def _load_sidecar(path: str) -> dict | None:

@@ -66,6 +66,7 @@ from incubator_paimon_trino_spark.catalog.metadata import (
 )
 from incubator_paimon_trino_spark.catalog.file_index import (
     SUFFIX as _FIDX_SUFFIX,
+    _split_cols,
     build_file_indexes,
     index_specs as _file_index_specs,
     prune_files_by_index,
@@ -330,11 +331,16 @@ class WarehouseCatalog:
             s.partition_keys = [new_name if k == f.name else k for k in s.partition_keys]
         if s.options.get("bucket_key") == f.name:
             s.options["bucket_key"] = new_name
-        for opt in ("file_index_bloom_filter_columns", "file_index_bitmap_columns"):
-            cols = [c.strip() for c in s.options.get(opt, "").split(",") if c.strip()]
+        for opt in (
+            "file_index_bloom_filter_columns",
+            "file_index_bitmap_columns",
+            "clustering_columns",
+        ):
+            cols = _split_cols(s.options.get(opt))
             if f.name in cols:
-                # sidecar entries are keyed by field id, so existing indexes
-                # keep working — only the option's name list follows the rename
+                # column-list options follow the rename (sidecar entries are
+                # keyed by field id, so existing indexes keep working; a stale
+                # clustering list would brick every subsequent insert)
                 s.options[opt] = ",".join(new_name if c == f.name else c for c in cols)
         f.name = new_name  # field id unchanged — old files remain readable
         s.schema_id += 1
@@ -348,12 +354,17 @@ class WarehouseCatalog:
             raise ValueError(f"cannot drop key column {name!r}")
         if s.options.get("bucket_key") == f.name:
             raise ValueError(f"cannot drop bucket_key column {name!r}")
-        for opt in ("file_index_bloom_filter_columns", "file_index_bitmap_columns"):
-            cols = [c.strip() for c in s.options.get(opt, "").split(",") if c.strip()]
-            if f.name in cols:
+        for opt in (
+            "file_index_bloom_filter_columns",
+            "file_index_bitmap_columns",
+            "clustering_columns",
+        ):
+            if f.name in _split_cols(s.options.get(opt)):
+                # dropping a column an option still names would brick every
+                # later write/build that resolves the list
                 raise ValueError(
-                    f"cannot drop file-indexed column {name!r}; remove it from "
-                    f"the {opt} option first"
+                    f"cannot drop column {name!r} while the {opt} option names "
+                    "it; update the option first"
                 )
         s.fields = [x for x in s.fields if x.id != f.id]
         s.schema_id += 1
@@ -892,13 +903,15 @@ class WarehouseCatalog:
             # right at scale, but a tiny commit then collapses to one file
             # and min/max pruning has nothing to skip.
             n_ranges = int(schema.options.get("clustering_partitions", "0") or 0)
-            if schema.options.get("clustering_strategy", "").strip().lower() == "zorder":
-                # clustering.strategy='zorder': per-commit Morton clustering —
-                # every file becomes a tight box in ALL clustering dimensions
-                # (same key as zorder compaction; the commit-local min/max agg
+            w_strategy = schema.options.get("clustering_strategy", "").strip().lower()
+            if w_strategy in ("zorder", "hilbert"):
+                # curve-keyed write clustering: every commit's files become
+                # tight boxes in ALL clustering dimensions (same key as the
+                # matching compaction strategy; the commit-local min/max agg
                 # costs one scalar job over the commit, not the table)
+                key_of = self._zorder_expr if w_strategy == "zorder" else self._hilbert_expr
                 zc = "_zorder_key"
-                out = out.withColumn(zc, self._zorder_expr(out, schema, cluster_cols))
+                out = out.withColumn(zc, key_of(out, schema, cluster_cols))
                 out = (
                     out.repartitionByRange(n_ranges, F.col(zc))
                     if n_ranges > 0
@@ -2146,18 +2159,17 @@ class WarehouseCatalog:
             built += build_file_indexes(self.spark, paths, schema, read_names=read_names)
         return {"built": built, "skipped": skipped}
 
-    def _zorder_expr(self, df: DataFrame, schema: TableSchema, order_by: list[str]):
-        """Morton (Z-order) key over ``order_by`` as built-in expressions.
+    def _grid_cells(self, df: DataFrame, schema: TableSchema, order_by: list[str]):
+        """Per-column grid cells for the space-filling-curve keys.
 
         Each column maps to a cell on a 2^bits equal-width grid between its
         own min/max (ONE scalar agg over the compaction input — the rewrite
-        reads everything anyway); cells' bits interleave into one BIGINT via
-        shift/and/or expressions, so the whole key stays inside whole-stage
-        codegen. NULLs and degenerate (constant / all-null) columns land in
-        cell 0 — they cluster together at the low end, which is exactly the
-        min/max-stats-friendly placement. Equal-width (not equal-frequency)
-        cells: heavy skew degrades clustering quality, never correctness —
-        the same trade Paimon's byte-slice z-values make.
+        reads everything anyway). NULLs and degenerate (constant / all-null)
+        columns land in cell 0 — they cluster together at the low end, which
+        is exactly the min/max-stats-friendly placement. Equal-width (not
+        equal-frequency) cells: heavy skew degrades clustering quality,
+        never correctness — the same trade Paimon's byte-slice keys make.
+        Returns (cell Columns, bits per column).
         """
         k = len(order_by)
         bits = min(16, 60 // k)  # ≤ 60 total: the key must stay a positive bigint
@@ -2183,11 +2195,12 @@ class WarehouseCatalog:
         row = df.agg(
             *[a for i, n in enumerate(nums) for a in (F.min(n).alias(f"lo{i}"), F.max(n).alias(f"hi{i}"))]
         ).first()
-        z = F.lit(0).cast("bigint")
+        out = []
         for j, n in enumerate(nums):
             lo, hi = row[f"lo{j}"], row[f"hi{j}"]
             if lo is None or hi is None or lo == hi:
-                continue  # constant/all-null column contributes nothing
+                out.append(F.lit(0).cast("bigint"))  # constant/all-null column
+                continue
             cell = (
                 F.least(
                     F.lit(cells - 1),
@@ -2198,12 +2211,45 @@ class WarehouseCatalog:
                 )
                 .cast("bigint")
             )
-            cell = F.coalesce(cell, F.lit(0).cast("bigint"))
+            out.append(F.coalesce(cell, F.lit(0).cast("bigint")))
+        return out, bits
+
+    def _zorder_expr(self, df: DataFrame, schema: TableSchema, order_by: list[str]):
+        """Morton (Z-order) key over ``order_by`` as built-in expressions:
+        the grid cells' bits interleave into one BIGINT via shift/and/or
+        expressions, so the whole key stays inside whole-stage codegen."""
+        cells, bits = self._grid_cells(df, schema, order_by)
+        k = len(cells)
+        z = F.lit(0).cast("bigint")
+        for j, cell in enumerate(cells):
             for i in range(bits):
                 z = z.bitwiseOR(
                     F.shiftleft(F.shiftright(cell, i).bitwiseAND(F.lit(1)), i * k + j)
                 )
         return z
+
+    def _hilbert_expr(self, df: DataFrame, schema: TableSchema, order_by: list[str]):
+        """Hilbert-curve key over ``order_by`` (Paimon ``order_strategy =>
+        'hilbert'``): same grid as zorder, but cells map to their distance
+        along the Hilbert curve — every curve step moves ONE grid cell in
+        ONE dimension (no Morton jumps), so file boxes are tighter for the
+        same sort. The bit transform has no shift/or closed form, so the key
+        is an Arrow-batched pandas_udf over numpy (vectorized per batch,
+        maintenance-path only — the rewrite's shuffle dominates it)."""
+        from pyspark.sql.functions import pandas_udf
+
+        cells, bits = self._grid_cells(df, schema, order_by)
+
+        def _hkey(*cols):  # no annotations: varargs type hints unsupported
+            import numpy as np
+            import pandas as pd
+
+            from incubator_paimon_trino_spark.functions.hilbert import hilbert_index
+
+            arr = np.stack([c.to_numpy(dtype="int64") for c in cols], axis=1)
+            return pd.Series(hilbert_index(arr, bits))
+
+        return pandas_udf(_hkey, "bigint")(*cells)
 
     def compact(
         self,
@@ -2234,13 +2280,21 @@ class WarehouseCatalog:
         Columns normalize to a 2^bits equal-width grid between their min/max
         (one scalar agg; ``width_bucket``), bits interleave as built-in
         bitwise expressions — everything whole-stage-codegen, no UDF.
+
+        ``strategy='hilbert'`` (Paimon ``order_strategy => 'hilbert'``) sorts
+        by the Hilbert-curve distance over the same grid — each curve step
+        moves one cell in one dimension (no Morton power-of-two jumps), so
+        file boxes are tighter for the same rewrite cost; the key is an
+        Arrow-batched numpy transform (``functions/hilbert.py``).
         """
-        if strategy not in ("order", "zorder"):
-            raise ValueError(f"unknown compaction strategy {strategy!r} (have order, zorder)")
-        if strategy == "zorder" and (not order_by or len(order_by) < 2):
+        if strategy not in ("order", "zorder", "hilbert"):
             raise ValueError(
-                "zorder needs >= 2 order_by columns (a single column is plain "
-                "sort compaction — use strategy='order')"
+                f"unknown compaction strategy {strategy!r} (have order, zorder, hilbert)"
+            )
+        if strategy in ("zorder", "hilbert") and (not order_by or len(order_by) < 2):
+            raise ValueError(
+                f"{strategy} needs >= 2 order_by columns (a single column is "
+                "plain sort compaction — use strategy='order')"
             )
         tdir = self._table_dir(db, table)
         schema = self._latest_schema(tdir)
@@ -2277,8 +2331,10 @@ class WarehouseCatalog:
         total = sum(f.get("size_bytes", 0) for f in prev.files)
         n_parts = max(1, -(-total // target))
         zcol = "_zorder_key"
-        if order_by and strategy == "zorder":
-            out = out.withColumn(zcol, self._zorder_expr(out, schema, order_by))
+        curved = bool(order_by) and strategy in ("zorder", "hilbert")
+        if curved:
+            key_of = self._zorder_expr if strategy == "zorder" else self._hilbert_expr
+            out = out.withColumn(zcol, key_of(out, schema, order_by))
             sort_keys = [F.col(zcol)]
         else:
             sort_keys = [F.col(c) for c in order_by or []]
@@ -2294,8 +2350,8 @@ class WarehouseCatalog:
             out = out.sortWithinPartitions(*sort_keys)
         else:
             out = out.repartition(n_parts)
-        if order_by and strategy == "zorder":
-            # the Morton key ordered the shuffle + sort; it must not land in
+        if curved:
+            # the curve key ordered the shuffle + sort; it must not land in
             # the files (narrow projection preserves the partition-local sort)
             out = out.drop(zcol)
         staging = self._staging_dir(tdir, version)
@@ -2599,6 +2655,44 @@ class WarehouseCatalog:
             files = self._bucket_prune(schema, predicate, files)
             files = prune_files_by_index(self.spark, tdir, files, predicate, schema)
         return files
+
+    def scan_pruned_by_keys(
+        self,
+        name: str,
+        column: str,
+        keys: DataFrame,
+        max_keys: int = 1024,
+        predicate: list | None = None,
+    ) -> DataFrame:
+        """Dynamic FILE pruning — the file-level twin of dynamic partition
+        pruning (the reference's own unimplemented TODO,
+        ``common/TrinoSplitManagerBase.java:38-39``): before scanning
+        ``name``, collect the build side's DISTINCT join keys and push them
+        as an IN-domain through every file-skipping rung — manifest min/max,
+        bucket pruning, and the bloom/bitmap file-index sidecars — so an
+        equi-join against a small dimension opens only the fact files that
+        can hold a matching key.
+
+        The collect is bounded by ``max_keys`` (LIMIT max_keys+1; above the
+        bound the plain scan returns unchanged): the build side being tiny is
+        the same smallness contract that makes it the broadcast side of the
+        join, so the driver holds at most ``max_keys`` scalars. NULL keys are
+        dropped — they never match an equi-join.
+        """
+        from incubator_paimon_trino_spark.functions.predicates import ColumnDomain
+
+        vals = [
+            r[0]
+            for r in keys.select(column)
+            .where(F.col(column).isNotNull())
+            .distinct()
+            .limit(max_keys + 1)
+            .collect()
+        ]
+        if not vals or len(vals) > max_keys:
+            return self.read_table(name, predicate=predicate)
+        dom = [ColumnDomain(column, in_values=vals)] + list(predicate or [])
+        return self.read_table(name, predicate=dom)
 
     def read_table(
         self,
@@ -3997,11 +4091,12 @@ class WarehouseCatalog:
         if proc == "compact":
             db, tbl = split_name(take("table"))
             strategy = named.get("order_strategy", "order").lower()
-            if strategy not in ("order", "zorder", "none"):
+            if strategy not in ("order", "zorder", "hilbert", "none"):
                 raise ValueError(
                     f"sys.compact: order_strategy {strategy!r} not supported "
                     "(have 'order' [lexicographic sort-compaction], 'zorder' "
-                    "[Morton-interleaved multi-column clustering], 'none')"
+                    "[Morton-interleaved multi-column clustering], 'hilbert' "
+                    "[Hilbert-curve clustering], 'none')"
                 )
             if "partitions" in named:
                 raise ValueError(
@@ -4026,7 +4121,10 @@ class WarehouseCatalog:
                     "compaction"
                 )
             v = self.compact(
-                db, tbl, order_by=order_by, strategy="zorder" if strategy == "zorder" else "order"
+                db,
+                tbl,
+                order_by=order_by,
+                strategy=strategy if strategy in ("zorder", "hilbert") else "order",
             )
             return ok(result=f"compacted to snapshot {v}")
         if proc == "expire_snapshots":
@@ -4557,9 +4655,8 @@ _ENUM_OPTIONS: dict[str, tuple[str, ...]] = {
     "merge_engine": ("deduplicate", "partial-update", "aggregation", "first-row"),
     # CoreOptions.ChangelogProducer
     "changelog_producer": ("none", "input", "full-compaction", "lookup"),
-    # clustering.strategy (Paimon append-table write clustering; 'hilbert'
-    # is not implemented — zorder covers the multi-dimension case)
-    "clustering_strategy": ("order", "zorder"),
+    # clustering.strategy (Paimon append-table write clustering)
+    "clustering_strategy": ("order", "zorder", "hilbert"),
     # CoreOptions.StartupMode
     "scan_mode": (
         "default", "latest-full", "full", "latest", "compacted-full",
@@ -4782,18 +4879,19 @@ def _validate_table_options(
                 "timestamp column is required (non-numeric values would cast "
                 "to NULL and make merge order undefined)"
             )
-    if options.get("clustering_strategy", "").strip().lower() == "zorder":
+    w_strategy = options.get("clustering_strategy", "").strip().lower()
+    if w_strategy in ("zorder", "hilbert"):
         zcols = [c.strip() for c in options.get("clustering_columns", "").split(",") if c.strip()]
         if len(zcols) < 2:
             raise ValueError(
-                "clustering.strategy='zorder' needs >= 2 clustering.columns "
+                f"clustering.strategy='{w_strategy}' needs >= 2 clustering.columns "
                 "(one column is plain range clustering — use 'order')"
             )
         if types is not None:
             bad_z = [c for c in zcols if not _zorderable_ddl(types.get(c, ""))]
             if bad_z:
                 raise ValueError(
-                    f"clustering.strategy='zorder' on column(s) {bad_z} — "
+                    f"clustering.strategy='{w_strategy}' on column(s) {bad_z} — "
                     "numeric, date, or timestamp required (strings have no "
                     "grid embedding)"
                 )

@@ -2222,20 +2222,24 @@ def lake_bloom_index_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame
 
     cat = _fresh_catalog(spark)
     cat.create_database("lake")
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.md5(F.col("o_orderkey").cast("string")).alias("uid"),
+        "o_totalprice",
+    )
+    # size the filter from the data: a fixed items count saturates once a
+    # commit's distinct uids exceed it (fill → 1, every probe a false
+    # positive) — per-file sizing is exactly what the option exists for
+    items = max(10_000, o.count())
     cat.create_table(
         "lake",
         "orders_uid",
         [("o_orderkey", "bigint"), ("uid", "string"), ("o_totalprice", "double")],
         options={
             "file-index.bloom-filter.columns": "uid",
-            "file-index.bloom-filter.items": "100000",
+            "file-index.bloom-filter.items": str(items),
             "file-index.bloom-filter.fpp": "0.02",
         },
-    )
-    o = table(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        F.md5(F.col("o_orderkey").cast("string")).alias("uid"),
-        "o_totalprice",
     )
     for r in range(3):
         cat.insert_into("lake", "orders_uid", o.filter(F.col("o_orderkey") % 3 == r))
@@ -2358,4 +2362,84 @@ def lake_zorder_compacted_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert len(cat.scan_plan("lake.orders_z", predicate=pred_cust)) < n_files
     assert len(cat.scan_plan("lake.orders_z", predicate=pred_doy)) < n_files
     out = cat.read_table("lake.orders_z", predicate=pred_cust + pred_doy)
+    return out.orderBy("o_orderkey")
+
+
+@register(
+    "lake_dynamic_file_pruning",
+    oracle="""
+    WITH f AS (
+      SELECT o_orderkey, md5(CAST(o_orderkey AS VARCHAR)) AS uid, o_totalprice
+      FROM orders
+    ), d AS (
+      SELECT DISTINCT md5(CAST(o_orderkey AS VARCHAR)) AS uid
+      FROM orders WHERE o_orderkey <= 64 AND o_orderpriority = '1-URGENT'
+    )
+    SELECT f.o_orderkey, f.uid, f.o_totalprice
+    FROM f JOIN d ON f.uid = d.uid
+    ORDER BY f.o_orderkey
+    """,
+)
+def lake_dynamic_file_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic FILE pruning (the file-level twin of
+    ``lake_dynamic_partition_pruning``; the reference leaves its
+    dynamicFilter TODO unimplemented — ``TrinoSplitManagerBase.java:38-39``):
+    an equi-join against a tiny dimension collects the dim's distinct keys
+    (bounded — the same smallness contract that makes it the broadcast side)
+    and pushes them through every file-skipping rung, including the bloom
+    sidecars, BEFORE the fact scan plans. The uid column is md5-random, so
+    min/max stats span everything and only the file index can skip —
+    asserted in-query: the pruned plan opens strictly fewer files than the
+    full scan. At 100 TB a dim-driven point-set join opens the handful of
+    fact files holding matches, not the table.
+    """
+    from incubator_paimon_trino_spark.functions.predicates import ColumnDomain
+
+    cat = _fresh_catalog(spark)
+    cat.create_database("lake")
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.md5(F.col("o_orderkey").cast("string")).alias("uid"),
+        "o_totalprice",
+    )
+    # sized from the data so the in-query strictly-fewer-files assert holds
+    # at ANY scale factor: a saturated filter answers "maybe" for everything
+    items = max(10_000, o.count())
+    cat.create_table(
+        "lake",
+        "orders_dfp",
+        [("o_orderkey", "bigint"), ("uid", "string"), ("o_totalprice", "double")],
+        options={
+            "file-index.bloom-filter.columns": "uid",
+            "file-index.bloom-filter.items": str(items),
+            "file-index.bloom-filter.fpp": "0.01",
+        },
+    )
+    # commit 0 holds EVERY dim key (orderkey <= 64); six more commits hold
+    # none — so the pruned plan must collapse to commit 0's file(s) plus at
+    # most a bloom false positive, while uid min/max (md5-random) spans the
+    # full hex range in every file and can never skip
+    cat.insert_into("lake", "orders_dfp", o.filter(F.col("o_orderkey") <= 64))
+    for r in range(6):
+        cat.insert_into(
+            "lake",
+            "orders_dfp",
+            o.filter((F.col("o_orderkey") > 64) & ((F.col("o_orderkey") - 65) % 6 == r)),
+        )
+    dim = (
+        table(spark, sf_dir, "orders")
+        .filter((F.col("o_orderkey") <= 64) & (F.col("o_orderpriority") == "1-URGENT"))
+        .select(F.md5(F.col("o_orderkey").cast("string")).alias("uid"))
+        .distinct()
+    )
+    # in-query pin: the key-pruned plan opens strictly fewer files
+    keys = [r.uid for r in dim.collect()]
+    assert keys, "fixture regression: no urgent orders below orderkey 65"
+    n_all = len(cat.scan_plan("lake.orders_dfp"))
+    n_pruned = len(
+        cat.scan_plan("lake.orders_dfp", predicate=[ColumnDomain("uid", in_values=keys)])
+    )
+    assert 0 < n_pruned < n_all, (n_pruned, n_all)
+    fact = cat.scan_pruned_by_keys("lake.orders_dfp", "uid", dim)
+    out = fact.join(F.broadcast(dim), "uid").select("o_orderkey", "uid", "o_totalprice")
     return out.orderBy("o_orderkey")

@@ -31,7 +31,7 @@ MERGE_ENGINES = ("deduplicate", "first-row", "partial-update", "aggregation")
 
 #: Names the merge scaffolding uses internally; user columns must not collide
 #: (``_seq``/``_row_kind`` are the system columns themselves).
-RESERVED_INTERNAL = (SEQ_COL, KIND_COL, "_ord", "_k", "_row")
+RESERVED_INTERNAL = (SEQ_COL, KIND_COL, "_ord", "_k", "_row", "_zorder_key", "_fidx_file")
 
 #: Aggregation-engine retraction classes (Paimon's contract: sum-like
 #: aggregates subtract a ``-D`` row's contribution; last/first-value accept

@@ -243,6 +243,47 @@ def test_option_validation(cat, spark):
         )
 
 
+def test_duplicate_index_column_rejected(cat, spark):
+    cat.create_database("d")
+    with pytest.raises(ValueError, match="duplicate column"):
+        cat.create_table(
+            "d",
+            "t",
+            [("uid", "string")],
+            options={"file-index.bloom-filter.columns": "uid,uid"},
+        )
+
+
+def test_malformed_sidecar_keeps_file(cat, spark):
+    """A sidecar that parses as JSON but is structurally broken must KEEP the
+    file — an optimization artifact may never become a read failure."""
+    import json
+
+    commits = _mk_bloom_table(cat, spark, n_commits=2)
+    tdir = cat._table_dir("d", "t")
+    side = _sidecars(tdir)
+    fid = cat.schema_of("d", "t").field_by_name("uid").id
+    for payload in (
+        {"version": 1, "fields": {str(fid): {"kind": "bloom"}}},  # keys missing
+        {"version": 1, "fields": {str(fid): {"kind": "bloom", "m": 0, "k": 0, "bits": ""}}},
+        {"version": 1, "fields": {str(fid): {"kind": "martian", "x": 1}}},
+    ):
+        with open(side[0], "w") as fh:
+            json.dump(payload, fh)
+        fi._load_sidecar_cached.cache_clear()
+        pred = [ColumnDomain("uid", op="=", value=commits[0][0])]
+        assert cat.read_table("d.t", predicate=pred).count() == 1
+        pruned, total = _plan_files(cat, pred)
+        assert len(pruned) >= 1  # broken sidecar's file kept, never dropped
+
+
+def test_reserved_internal_names_rejected(cat, spark):
+    cat.create_database("d")
+    for bad in ("_zorder_key", "_fidx_file"):
+        with pytest.raises(ValueError, match="reserved"):
+            cat.create_table("d", "t_" + bad.strip("_"), [("a", "bigint"), (bad, "string")])
+
+
 def test_rename_keeps_index_and_drop_refuses(cat, spark):
     commits = _mk_bloom_table(cat, spark)
     cat.rename_column("d", "t", "uid", "user_id")
@@ -253,7 +294,7 @@ def test_rename_keeps_index_and_drop_refuses(cat, spark):
     assert cat.read_table("d.t", predicate=pred).count() == 1
     s = cat.schema_of("d", "t")
     assert s.options["file_index_bloom_filter_columns"] == "user_id"
-    with pytest.raises(ValueError, match="file-indexed"):
+    with pytest.raises(ValueError, match="file_index_bloom_filter_columns"):
         cat.drop_column("d", "t", "user_id")
 
 
@@ -363,6 +404,23 @@ def test_partitioned_table_indexes_data_columns(cat, spark):
     assert len(pruned) < total
     rows = cat.read_table("d.t", predicate=pred).collect()
     assert [(r.id, r.uid, r.p) for r in rows] == [(151, "u151", "p1")]
+
+
+def test_scan_pruned_by_keys_bounds(cat, spark):
+    commits = _mk_bloom_table(cat, spark)
+    dim = spark.createDataFrame([(commits[1][3],), (commits[1][4],)], "uid string")
+    out = cat.scan_pruned_by_keys("d.t", "uid", dim)
+    assert {r.uid for r in out.collect()} == {commits[1][3], commits[1][4]}
+    # above the bound: the plain (unpruned) scan returns unchanged
+    full = cat.scan_pruned_by_keys("d.t", "uid", cat.read_table("d.t"), max_keys=10)
+    assert full.count() == 900
+    # empty build side: no keys can match, but the scan itself is the plain
+    # one (an empty IN would wrongly prune everything for a later UNION use)
+    empty = spark.createDataFrame([], "uid string")
+    assert cat.scan_pruned_by_keys("d.t", "uid", empty).count() == 900
+    # NULL-only keys behave like empty (equi-join never matches NULL)
+    nulls = spark.createDataFrame([(None,)], "uid string")
+    assert cat.scan_pruned_by_keys("d.t", "uid", nulls).count() == 900
 
 
 # ---------------------------------------------------------------- lifecycle

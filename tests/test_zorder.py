@@ -99,9 +99,29 @@ def test_zorder_validation(cat, spark):
     with pytest.raises(ValueError, match="grid embedding"):
         cat.compact("d", "t", order_by=["x", "s"], strategy="zorder")
     with pytest.raises(ValueError, match="unknown compaction strategy"):
-        cat.compact("d", "t", order_by=["x", "x"], strategy="hilbert")
+        cat.compact("d", "t", order_by=["x", "x"], strategy="peano")
+    with pytest.raises(ValueError, match="grid embedding"):
+        cat.compact("d", "t", order_by=["x", "s"], strategy="hilbert")
     with pytest.raises(ValueError, match="not supported"):
         cat.sql("CALL sys.compact(table => 'd.t', order_strategy => 'bogus', order_by => 'x')")
+
+
+def test_clustering_columns_follow_rename_and_block_drop(cat, spark):
+    cat.create_database("d")
+    cat.create_table(
+        "d",
+        "t",
+        [("x", "bigint"), ("y", "bigint")],
+        options={"clustering.columns": "x,y", "clustering.strategy": "zorder"},
+    )
+    cat.insert_into("d", "t", spark.createDataFrame([(1, 2)], "x bigint, y bigint"))
+    cat.rename_column("d", "t", "x", "x2")
+    assert cat.schema_of("d", "t").options["clustering_columns"] == "x2,y"
+    # a stale list would make this insert raise "clustering column not a table column"
+    cat.insert_into("d", "t", spark.createDataFrame([(3, 4)], "x2 bigint, y bigint"))
+    assert cat.read_table("d.t").count() == 2
+    with pytest.raises(ValueError, match="clustering_columns"):
+        cat.drop_column("d", "t", "y")
 
 
 def test_zorder_constant_column_degrades_gracefully(cat, spark):
@@ -154,6 +174,71 @@ def test_write_clustering_zorder_validation(cat, spark):
             [("x", "bigint"), ("s", "string")],
             options={"clustering.columns": "x,s", "clustering.strategy": "zorder"},
         )
+
+
+def test_hilbert_curve_invariants():
+    """The transform must BE a Hilbert curve: a bijection onto the grid whose
+    consecutive positions are grid neighbors (one step, one dimension) — the
+    locality property that makes the sort worth more than Morton."""
+    import numpy as np
+
+    from incubator_paimon_trino_spark.functions.hilbert import hilbert_index
+
+    for k, bits in [(2, 1), (2, 3), (3, 2), (4, 2)]:
+        side = 1 << bits
+        pts = np.stack(np.meshgrid(*[np.arange(side)] * k, indexing="ij"), -1).reshape(-1, k)
+        h = hilbert_index(pts, bits)
+        assert sorted(h) == list(range(side**k)), (k, bits)
+        order = np.argsort(h)
+        steps = np.abs(np.diff(pts[order], axis=0)).sum(axis=1)
+        assert (steps == 1).all(), (k, bits)
+    # pinned 2x2 base case (Skilling orientation)
+    base = {(0, 0): 0, (0, 1): 1, (1, 1): 2, (1, 0): 3}
+    for xy, d in base.items():
+        assert hilbert_index(np.array([xy]), 1)[0] == d
+    with pytest.raises(ValueError):
+        hilbert_index(np.array([[4, 0]]), 2)  # out of grid
+    with pytest.raises(ValueError):
+        hilbert_index(np.array([[0, 0]]), 40)  # 80 bits > 62
+
+
+def test_hilbert_compaction_prunes_both_dimensions(cat, spark):
+    n = _grid_table(cat, spark)
+    cat.sql(
+        "CALL sys.compact(table => 'd.t', order_strategy => 'hilbert', order_by => 'x,y')"
+    )
+    n_files = len(cat.scan_plan("d.t"))
+    assert n_files > 1
+    for col in ("x", "y"):
+        pred = [ColumnDomain(col, ranges=[Range(low=5, high=12)])]
+        assert len(cat.scan_plan("d.t", predicate=pred)) < n_files, col
+    assert cat.read_table("d.t").count() == n
+    box = [
+        ColumnDomain("x", ranges=[Range(low=5, high=12)]),
+        ColumnDomain("y", ranges=[Range(low=5, high=12)]),
+    ]
+    assert cat.read_table("d.t", predicate=box).count() == 8 * 8
+
+
+def test_write_clustering_hilbert(cat, spark):
+    cat.create_database("d")
+    cat.create_table(
+        "d",
+        "t",
+        [("x", "bigint"), ("y", "bigint")],
+        options={
+            "clustering.columns": "x,y",
+            "clustering.strategy": "hilbert",
+            "clustering.partitions": "9",
+        },
+    )
+    pts = [(x, y) for x in range(60) for y in range(60)]
+    cat.insert_into("d", "t", spark.createDataFrame(pts, "x bigint, y bigint"))
+    n_files = len(cat.scan_plan("d.t"))
+    for col in ("x", "y"):
+        pred = [ColumnDomain(col, ranges=[Range(low=5, high=12)])]
+        assert len(cat.scan_plan("d.t", predicate=pred)) < n_files, col
+    assert cat.read_table("d.t").count() == 3600
 
 
 def test_zorder_pk_table_roundtrip(cat, spark):

@@ -80,8 +80,8 @@ SURVEY_2B = [
     ("Sampling / domain mixing (pipeline)", "sample_deterministic_hash, sample_stratified_by_lang, sample_reservoir_per_group, sample_train_val_test, mix_domain_weights"),
     ("Sequence packing / shard layout (pipeline)", "pack_concat_offsets, pack_sequence_stats, train_shuffle_shard"),
     ("SQL write facade (beyond reference)", "lake_dml_roundtrip (CTAS + INSERT + UPDATE + DELETE under the hash gate)"),
-    ("File indexes: bloom/bitmap sidecar data skipping (Paimon file-index family)", "lake_bloom_index_point_lookup, lake_bitmap_index_lookup; CALL sys.rebuild_file_index backfill (tests/test_file_index.py)"),
-    ("Z-order sort compaction (Paimon order_strategy => 'zorder')", "lake_zorder_compacted_scan (in-query plan asserts); tests/test_zorder.py"),
+    ("File indexes: bloom/bitmap sidecar data skipping (Paimon file-index family)", "lake_bloom_index_point_lookup, lake_bitmap_index_lookup, lake_dynamic_file_pruning (join-driven); CALL sys.rebuild_file_index backfill (tests/test_file_index.py)"),
+    ("Z-order / Hilbert sort compaction + write clustering (Paimon order_strategy / clustering.strategy)", "lake_zorder_compacted_scan (in-query plan asserts); tests/test_zorder.py (zorder + hilbert + write-clustering pins)"),
     ("TPC-H suite", "q1..q22 (22 queries)"),
 ]
 
