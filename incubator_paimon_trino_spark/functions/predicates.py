@@ -164,3 +164,36 @@ def apply_tuple_domain(df: DataFrame, domains: list[ColumnDomain], strict_scalar
     scalar comparisons to parquet and prunes partitions — the behaviors the
     reference implements by hand in ``applyFilter`` (A4)."""
     return df.filter(tuple_domain_to_column(domains, df, strict_scalar))
+
+
+def like_prefix_domain(column: str, pattern: str) -> ColumnDomain | None:
+    """``col LIKE 'abc%'`` as a prunable range domain, or None.
+
+    The reference's converter only pushes comparison/IN/NULL domains
+    (``common/TrinoFilterConverter.java:85-292``) — Trino itself evaluates
+    LIKE post-scan, so a prefix LIKE scans every file. Here a pattern with
+    ONE trailing ``%``/``_``-free prefix compiles to the half-open range
+    ``[prefix, next(prefix))``, which manifest min/max pruning (and sort/
+    curve-compacted layouts) can skip on; the caller still applies the full
+    LIKE as the residual filter — the domain is a superset, never a
+    substitute. Patterns that are not a plain prefix (leading/inner
+    wildcards, escapes, ``_``) return None: no safe range exists.
+
+    ``next(prefix)`` increments the last character; a prefix ending in the
+    maximum code point drops that character and carries (``'ab￿'`` →
+    ``'ac'``); an all-max prefix returns an unbounded-above range.
+    """
+    if not pattern or "_" in pattern or "\\" in pattern:
+        return None
+    body, _, rest = pattern.partition("%")
+    if rest not in ("",) or not pattern.endswith("%") or "%" in body or not body:
+        return None
+    hi = body
+    while hi and hi[-1] == "￿":
+        hi = hi[:-1]
+    if hi:
+        hi = hi[:-1] + chr(ord(hi[-1]) + 1)
+    return ColumnDomain(
+        column,
+        ranges=[Range(low=body, high=hi or None, high_inclusive=False)],
+    )

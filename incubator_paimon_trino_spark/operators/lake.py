@@ -2443,3 +2443,51 @@ def lake_dynamic_file_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact = cat.scan_pruned_by_keys("lake.orders_dfp", "uid", dim)
     out = fact.join(F.broadcast(dim), "uid").select("o_orderkey", "uid", "o_totalprice")
     return out.orderBy("o_orderkey")
+
+
+@register(
+    "lake_like_prefix_pruned_scan",
+    oracle="""
+    SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS acctbal
+    FROM customer
+    WHERE c_name LIKE 'Customer#00000012%'
+    ORDER BY c_custkey
+    """,
+)
+def lake_like_prefix_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-LIKE file skipping: the reference's converter pushes only
+    comparison/IN/NULL domains (``common/TrinoFilterConverter.java:85-292``)
+    — Trino evaluates LIKE post-scan, so ``LIKE 'abc%'`` reads every file.
+    ``like_prefix_domain`` compiles the prefix to the half-open range
+    ``[prefix, next(prefix))``; after sort compaction on the name column the
+    per-file min/max are disjoint and the range plans a strict subset of the
+    files (asserted in-query), while the FULL LIKE still runs as the
+    residual filter — the domain is a superset, never a substitute. At
+    100 TB a prefix lookup on a sorted/clustered key opens O(matching
+    range) files.
+    """
+    from incubator_paimon_trino_spark.functions.predicates import like_prefix_domain
+
+    cat = _fresh_catalog(spark)
+    cat.create_database("lake")
+    cat.create_table(
+        "lake",
+        "cust_named",
+        [("c_custkey", "bigint"), ("c_name", "string"), ("acctbal", "double")],
+        options={"clustering_partitions": "6"},
+    )
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", F.col("c_acctbal").cast("double").alias("acctbal")
+    )
+    for r in range(3):  # interleaved commits: every file spans the name domain
+        cat.insert_into("lake", "cust_named", c.filter(F.col("c_custkey") % 3 == r))
+    cat.compact("lake", "cust_named", order_by=["c_name"])
+    pattern = "Customer#00000012%"
+    dom = like_prefix_domain("c_name", pattern)
+    n_all = len(cat.scan_plan("lake.cust_named"))
+    n_pruned = len(cat.scan_plan("lake.cust_named", predicate=[dom]))
+    assert 0 < n_pruned < n_all, (n_pruned, n_all)
+    out = cat.read_table("lake.cust_named", predicate=[dom]).filter(
+        F.col("c_name").like(pattern)  # residual: the domain is a superset
+    )
+    return out.select("c_custkey", "c_name", "acctbal").orderBy("c_custkey")

@@ -101,3 +101,30 @@ def test_range_and_null_predicates_do_not_bucket_prune(cat, spark):
     assert _bucket_prune_values(isnull, schema) is None
     # a wide range (no bucket pruning possible) still reads everything
     assert cat.read_table("d.nb", predicate=rng).count() == 40
+
+
+def test_bucket_rescale_via_set_options_and_compact(spark, tmp_path):
+    """Paimon's offline bucket rescaling (change the bucket option, rewrite):
+    expressible here as set_options + compact — the rewrite re-buckets the
+    live set under the new count and point lookups prune to 1/new_n files,
+    while pre-rescale snapshots keep their old layout for time travel."""
+    from incubator_paimon_trino_spark.catalog import WarehouseCatalog
+    from incubator_paimon_trino_spark.functions.predicates import ColumnDomain
+
+    cat = WarehouseCatalog(str(tmp_path / "wh"), spark)
+    cat.create_database("d")
+    cat.create_table(
+        "d", "t", [("k", "bigint"), ("v", "string")], options={"bucket": "2", "bucket_key": "k"}
+    )
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(2000)], "k bigint, v string")
+    cat.insert_into("d", "t", df)
+    pred = [ColumnDomain("k", op="=", value=77)]
+    assert len(cat.scan_plan("d.t")) == 2
+    cat.set_options("d", "t", {"bucket": "8"})
+    cat.compact("d", "t")
+    assert len(cat.scan_plan("d.t")) == 8
+    assert len(cat.scan_plan("d.t", predicate=pred)) == 1
+    assert cat.read_table("d.t", predicate=pred).count() == 1
+    assert cat.read_table("d.t").count() == 2000
+    # the pre-rescale snapshot still reads (old layout untouched)
+    assert cat.read_table("d.t", version_as_of=1).count() == 2000

@@ -278,3 +278,24 @@ def test_timestamp_precision_truncates_not_rounds(spark, tmp_path):
     row = cat.read_table("d.tsr").collect()[0]
     assert row.t3 == datetime.datetime(2024, 1, 1, 0, 0, 0, 1000)  # not .002
     assert row.t0 == datetime.datetime(2024, 1, 1, 0, 0, 30)  # not :31
+
+
+def test_like_prefix_domain_edges():
+    """LIKE-prefix → range compilation: only plain trailing-%% prefixes
+    compile; the range is the half-open [prefix, next(prefix)) with max-code-
+    point carry; everything else returns None (no safe range exists)."""
+    from incubator_paimon_trino_spark.functions.predicates import like_prefix_domain
+
+    d = like_prefix_domain("c", "abc%")
+    r = d.ranges[0]
+    assert (r.low, r.high, r.low_inclusive, r.high_inclusive) == ("abc", "abd", True, False)
+    # max-code-point carry: 'ab￿%' -> next is 'ac'
+    assert like_prefix_domain("c", "ab￿%").ranges[0].high == "ac"
+    # all-max prefix: unbounded above
+    assert like_prefix_domain("c", "￿%").ranges[0].high is None
+    for bad in ("%abc", "a_c%", "a%c", "%", "", "a\\%", "abc"):
+        assert like_prefix_domain("c", bad) is None, bad
+    # the range is a SUPERSET of the LIKE: every 'abc…' string falls inside
+    # [abc, abd); 'abz' falls outside — so pruning can never drop a match
+    assert r.low <= "abcz" < r.high
+    assert not (r.low <= "abz" < r.high)

@@ -82,6 +82,7 @@ SURVEY_2B = [
     ("SQL write facade (beyond reference)", "lake_dml_roundtrip (CTAS + INSERT + UPDATE + DELETE under the hash gate)"),
     ("File indexes: bloom/bitmap sidecar data skipping (Paimon file-index family)", "lake_bloom_index_point_lookup, lake_bitmap_index_lookup, lake_dynamic_file_pruning (join-driven); CALL sys.rebuild_file_index backfill (tests/test_file_index.py)"),
     ("Z-order / Hilbert sort compaction + write clustering (Paimon order_strategy / clustering.strategy)", "lake_zorder_compacted_scan (in-query plan asserts); tests/test_zorder.py (zorder + hilbert + write-clustering pins)"),
+    ("Prefix-LIKE file skipping (beyond the reference's converter)", "lake_like_prefix_pruned_scan; like_prefix_domain edge pins in tests/test_types_predicates_plans.py"),
     ("TPC-H suite", "q1..q22 (22 queries)"),
 ]
 
