@@ -1920,8 +1920,21 @@ class WarehouseCatalog:
         # every snapshot at or above the smallest recorded next-position
         # survives, and so does its immediate predecessor — the changelog
         # diff for snapshot k needs k-1 as its baseline. Stale consumers
-        # are released with reset_consumer (Paimon: consumer expiration).
+        # are released manually with reset_consumer, or automatically here
+        # when the table sets consumer.expiration-time (Paimon's consumer
+        # expiration): a consumer that has not advanced within the window
+        # is deleted and stops pinning — an abandoned checkpoint must not
+        # hold a 100 TB table's history forever.
         consumers = self._consumers(tdir)
+        exp_opt = self._latest_schema(tdir).options.get("consumer_expiration_time")
+        dead_consumers = 0
+        if exp_opt:
+            stale_before = time.time() * 1000 - _parse_duration_ms(exp_opt)
+            for cid, meta in list(consumers.items()):
+                if int(meta.get("updated_ms", 0)) < stale_before:
+                    shutil.rmtree(os.path.join(tdir, "consumer", cid), ignore_errors=True)
+                    del consumers[cid]
+                    dead_consumers += 1
         min_next = min(
             (int(c["next_snapshot"]) for c in consumers.values()), default=None
         )
@@ -1933,7 +1946,11 @@ class WarehouseCatalog:
         ]
         kept = [s for s in snaps if s not in doomed]
         if not doomed:
-            return {"expired_snapshots": 0, "deleted_files": 0}
+            return {
+                "expired_snapshots": 0,
+                "deleted_files": 0,
+                "expired_consumers": dead_consumers,
+            }
         live = {f["path"] for s in kept for f in s.files}
         dead = {f["path"] for s in doomed for f in s.files} - live
         # files OUTSIDE this chain's namespace are shared, not owned: a
@@ -1961,7 +1978,11 @@ class WarehouseCatalog:
         self._prune_empty_dirs(os.path.join(tdir, "data"))
         self._gc_manifests(tdir)
         self._gc_dv_indexes(tdir, kept, doomed)
-        return {"expired_snapshots": len(doomed), "deleted_files": len(dead)}
+        return {
+            "expired_snapshots": len(doomed),
+            "deleted_files": len(dead),
+            "expired_consumers": dead_consumers,
+        }
 
     @staticmethod
     def _gc_dv_indexes(tdir: str, kept: list[Snapshot], doomed: list[Snapshot]) -> None:
@@ -3746,10 +3767,15 @@ class WarehouseCatalog:
     def snapshots(self, db: str, table: str) -> DataFrame:
         return self._system_table(db, table, "snapshots")
 
-    def read_incremental(self, name: str, from_snapshot: int, to_snapshot: int) -> DataFrame:
+    def read_incremental(
+        self, name: str, from_snapshot: int | str, to_snapshot: int | str
+    ) -> DataFrame:
         """Rows committed in snapshots ``(from_snapshot, to_snapshot]`` —
         Paimon's ``incremental-between`` scan, the batch twin of the
-        changelog stream.
+        changelog stream. Either bound may be a TAG NAME (Paimon's
+        ``incremental-between-tags``): tags pin their snapshot through
+        expiration, so tag-to-tag deltas stay readable after the raw ids
+        between them are gone.
 
         Data files are immutable and manifests accumulate them, so the delta
         is a pure file-set difference: no data is read to compute it, and
@@ -3759,6 +3785,17 @@ class WarehouseCatalog:
         """
         db, _, table = name.partition(".")
         tdir = self._table_dir(db, table)
+        if isinstance(from_snapshot, str) or isinstance(to_snapshot, str):
+            tags = self._tags(tdir)
+
+            def resolve(v):
+                if isinstance(v, int):
+                    return v
+                if v not in tags:
+                    raise ValueError(f"no tag {v!r} (have {sorted(tags)})")
+                return int(tags[v])
+
+            from_snapshot, to_snapshot = resolve(from_snapshot), resolve(to_snapshot)
         if self._dv_enabled(self._latest_schema(tdir)):
             # same hazard as the 'input' changelog: a DV delete commits no
             # data rows, so the raw file delta would silently omit deletes a
@@ -4732,6 +4769,21 @@ def _rm_sidecar(data_path: str) -> None:
         pass
 
 
+def _parse_duration_ms(v: str) -> int:
+    """Paimon TimeUtils-style durations: ``100``/``100 ms``/``30 s``/
+    ``10 min``/``2 h``/``1 d`` (unit optional = millis)."""
+    s = str(v).strip().lower()
+    m = re.fullmatch(r"(\d+)\s*(ms|s|sec|min|m|h|hour|d|day)?s?", s)
+    if m is None:
+        raise ValueError(f"unparseable duration {v!r} (use e.g. '100 ms', '30 s', '1 d')")
+    n = int(m.group(1))
+    unit = {
+        None: 1, "ms": 1, "s": 1000, "sec": 1000, "m": 60_000, "min": 60_000,
+        "h": 3_600_000, "hour": 3_600_000, "d": 86_400_000, "day": 86_400_000,
+    }[m.group(2)]
+    return n * unit
+
+
 def _parse_byte_conf(v) -> int:
     """Spark size-conf values: plain bytes, or ``10485760b`` / ``10MB`` /
     ``1g``-style suffixed strings; -1 disables."""
@@ -4879,6 +4931,9 @@ def _validate_table_options(
                 "timestamp column is required (non-numeric values would cast "
                 "to NULL and make merge order undefined)"
             )
+    exp = options.get("consumer_expiration_time")
+    if exp is not None:
+        _parse_duration_ms(exp)  # unparseable must fail at DDL, not at expire
     w_strategy = options.get("clustering_strategy", "").strip().lower()
     if w_strategy in ("zorder", "hilbert"):
         zcols = [c.strip() for c in options.get("clustering_columns", "").split(",") if c.strip()]

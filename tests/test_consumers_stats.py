@@ -301,3 +301,45 @@ def test_consumer_progress_rejects_traversal_ids(cat, spark):
     for bad in ("../snapshot", "a/b", "", ".hidden"):
         with pytest.raises(ValueError, match="invalid consumer_id"):
             cat.consumer_progress("d", "t", bad)
+
+
+def test_consumer_expiration_releases_retention(cat, spark):
+    """consumer.expiration-time (Paimon's consumer expiration): a consumer
+    that has not advanced within the window is deleted at expire time and
+    stops pinning retention — an abandoned checkpoint must not hold a
+    table's history forever. Unparseable durations fail at DDL."""
+    import time
+
+    _mk(cat, spark)  # snapshots 1..4
+    cat.advance_consumer("d", "t", "abandoned", 2)
+    with pytest.raises(ValueError, match="duration"):
+        cat.set_options("d", "t", {"consumer.expiration-time": "fortnight"})
+    cat.set_options("d", "t", {"consumer.expiration-time": "50 ms"})
+    # fresh consumer still pins (not yet stale)
+    stats = cat.expire_snapshots("d", "t", keep_last=1)
+    assert stats["expired_consumers"] == 0
+    assert {r.snapshot_id for r in cat.snapshots("d", "t").collect()} >= {2, 3, 4}
+    time.sleep(0.2)  # now stale
+    stats = cat.expire_snapshots("d", "t", keep_last=1)
+    assert stats["expired_consumers"] == 1
+    surviving = {r.snapshot_id for r in cat.snapshots("d", "t").collect()}
+    # set_options bumped the schema, not snapshots: latest data snapshot wins
+    assert max(surviving) == 4 and len(surviving) == 1
+    assert cat.read_table("d.t$consumers").count() == 0
+
+
+def test_incremental_between_tags(cat, spark):
+    """incremental-between-tags: tag names resolve to their pinned snapshot
+    ids, and the tag-to-tag delta stays readable after the raw snapshots
+    between the tags expire (tags pin their snapshot files)."""
+    _mk(cat, spark)  # snapshots 1..4
+    cat.create_tag("d", "t", "v1", 1)
+    cat.create_tag("d", "t", "v3", 3)
+    by_ids = {(r.k, r.v) for r in cat.read_incremental("d.t", 1, 3).collect()}
+    by_tags = {(r.k, r.v) for r in cat.read_incremental("d.t", "v1", "v3").collect()}
+    assert by_tags == by_ids == {(2, "v2"), (3, "v3")}
+    with pytest.raises(ValueError, match="no tag"):
+        cat.read_incremental("d.t", "v1", "nope")
+    # expire everything untagged below the tip: the tag delta still reads
+    cat.expire_snapshots("d", "t", keep_last=1)
+    assert {(r.k, r.v) for r in cat.read_incremental("d.t", "v1", "v3").collect()} == by_ids
