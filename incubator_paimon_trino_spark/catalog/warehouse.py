@@ -97,6 +97,7 @@ _SYSTEM_SUFFIXES = (
     "consumers",
     "statistics",
     "branches",
+    "ro",
 )
 
 #: Deletion-vector provenance columns (never user-visible: appended by
@@ -329,8 +330,11 @@ class WarehouseCatalog:
         if f.name in s.primary_key or f.name in s.partition_keys:
             s.primary_key = [new_name if k == f.name else k for k in s.primary_key]
             s.partition_keys = [new_name if k == f.name else k for k in s.partition_keys]
-        if s.options.get("bucket_key") == f.name:
-            s.options["bucket_key"] = new_name
+        for single in ("bucket_key", "sequence_field", "rowkind_field"):
+            # single-column options follow the rename — a stale sequence_field
+            # or rowkind_field would silently break every later merge/write
+            if s.options.get(single) == f.name:
+                s.options[single] = new_name
         for opt in (
             "file_index_bloom_filter_columns",
             "file_index_bitmap_columns",
@@ -342,6 +346,13 @@ class WarehouseCatalog:
                 # keyed by field id, so existing indexes keep working; a stale
                 # clustering list would brick every subsequent insert)
                 s.options[opt] = ",".join(new_name if c == f.name else c for c in cols)
+        for pre, suf in (("fields.", ".aggregate-function"), ("fields_", "_aggregate_function")):
+            # structured aggregate keys are ADDRESSED BY column name — a
+            # rename must move the key or the aggregation engine silently
+            # stops combining the renamed column
+            old_key = f"{pre}{f.name}{suf}"
+            if old_key in s.options:
+                s.options[f"{pre}{new_name}{suf}"] = s.options.pop(old_key)
         f.name = new_name  # field id unchanged — old files remain readable
         s.schema_id += 1
         self._write_schema(tdir, s)
@@ -352,8 +363,9 @@ class WarehouseCatalog:
         f = s.field_by_name(name)
         if f.name in s.primary_key or f.name in s.partition_keys:
             raise ValueError(f"cannot drop key column {name!r}")
-        if s.options.get("bucket_key") == f.name:
-            raise ValueError(f"cannot drop bucket_key column {name!r}")
+        for single in ("bucket_key", "sequence_field", "rowkind_field"):
+            if s.options.get(single) == f.name:
+                raise ValueError(f"cannot drop {single} column {name!r}")
         for opt in (
             "file_index_bloom_filter_columns",
             "file_index_bitmap_columns",
@@ -366,6 +378,10 @@ class WarehouseCatalog:
                     f"cannot drop column {name!r} while the {opt} option names "
                     "it; update the option first"
                 )
+        for pre, suf in (("fields.", ".aggregate-function"), ("fields_", "_aggregate_function")):
+            # the aggregate spec dies with its column (leaving it would poison
+            # the next set_options validation with an unknown-column error)
+            s.options.pop(f"{pre}{f.name}{suf}", None)
         s.fields = [x for x in s.fields if x.id != f.id]
         s.schema_id += 1
         self._write_schema(tdir, s)
@@ -792,6 +808,28 @@ class WarehouseCatalog:
                 )
 
         if schema.primary_key:
+            rk_field = schema.options.get("rowkind_field")
+            if rk_field and KIND_COL not in out.columns and row_kind is None:
+                # rowkind.field (Paimon CoreOption): the row kind comes from a
+                # DATA column's CDC literal — +I/I/+U keep the row, -D/D/-U
+                # retract it — so raw CDC feeds ingest without a synthetic
+                # _row_kind column. The column itself stays stored as data;
+                # an unknown literal fails the write loudly, executor-side.
+                lit = F.upper(F.trim(F.col(rk_field)))
+                out = out.withColumn(
+                    KIND_COL,
+                    F.when(lit.isin("+I", "I", "INSERT", "+U", "UPDATE_AFTER"), F.lit("I"))
+                    .when(lit.isin("-D", "D", "DELETE", "-U", "UPDATE_BEFORE"), F.lit("D"))
+                    .otherwise(
+                        F.raise_error(
+                            F.concat(
+                                F.lit(f"invalid rowkind in column {rk_field!r}: '"),
+                                F.coalesce(F.col(rk_field), F.lit("NULL")),
+                                F.lit("' (use +I/-D/+U/-U)"),
+                            )
+                        )
+                    ),
+                )
             if KIND_COL not in out.columns:
                 out = out.withColumn(KIND_COL, F.lit(row_kind or "I"))
             # sequence_field (Paimon CoreOption, surfaced through the
@@ -3587,6 +3625,33 @@ class WarehouseCatalog:
             return df.select(
                 F.lit("I").alias("rowkind"), *[f.name for f in schema.fields]
             )
+        if suffix == "ro":
+            # Paimon's read-optimized table (`t$ro`): serve the latest FULLY
+            # COMPACTED state — compaction already materialized the merge, so
+            # the read is a raw file scan with ZERO merge-on-read cost, at
+            # the price of staleness (rows committed after the last
+            # compaction are invisible). A never-compacted table has no
+            # compacted state: empty result, same as Paimon's level-max read.
+            schema = self._latest_schema(tdir)
+            user_cols = [f.name for f in schema.fields]
+            ro_snap = next(
+                (
+                    s
+                    for s in reversed(self._snapshots(tdir))
+                    if s.commit_kind == COMMIT_COMPACT
+                ),
+                None,
+            )
+            if ro_snap is None or not ro_snap.files:
+                return self.spark.createDataFrame([], schema.spark_schema())
+            df = self._read_files(tdir, schema, ro_snap)
+            out = df.select(*user_cols)
+            # user-facing read: CHAR columns surface n-padded like read_table
+            for f_ in schema.fields:
+                n_chars = char_length(f_.type)
+                if n_chars is not None:
+                    out = out.withColumn(f_.name, F.rpad(F.col(f_.name), n_chars, " "))
+            return out
         if suffix == "snapshots":
             rows = [
                 (
@@ -4934,6 +4999,19 @@ def _validate_table_options(
     exp = options.get("consumer_expiration_time")
     if exp is not None:
         _parse_duration_ms(exp)  # unparseable must fail at DDL, not at expire
+    rk_field = options.get("rowkind_field")
+    if rk_field:
+        if not primary_key:
+            raise ValueError("rowkind.field requires a primary-key table (row kinds drive merges)")
+        if rk_field not in names:
+            raise ValueError(f"rowkind.field {rk_field!r} not in columns {names}")
+        if types is not None:
+            t = types.get(rk_field, "").strip().lower()
+            if not (t == "string" or t.startswith("varchar") or t.startswith("char")):
+                raise ValueError(
+                    f"rowkind.field {rk_field!r} has type {t!r}; a string column "
+                    "holding +I/-D/+U/-U literals is required"
+                )
     w_strategy = options.get("clustering_strategy", "").strip().lower()
     if w_strategy in ("zorder", "hilbert"):
         zcols = [c.strip() for c in options.get("clustering_columns", "").split(",") if c.strip()]

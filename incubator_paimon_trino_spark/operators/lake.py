@@ -2491,3 +2491,110 @@ def lake_like_prefix_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_name").like(pattern)  # residual: the domain is a superset
     )
     return out.select("c_custkey", "c_name", "acctbal").orderBy("c_custkey")
+
+
+@register(
+    "lake_read_optimized_table",
+    oracle="""
+    WITH c1 AS (
+      SELECT o_custkey, MAX(o_orderkey) AS last_order FROM orders
+      WHERE o_orderkey <= 3000 GROUP BY o_custkey
+    ), c2 AS (
+      SELECT o_custkey, MAX(o_orderkey) AS last_order FROM orders
+      WHERE o_orderkey > 3000 AND o_orderkey <= 6000 GROUP BY o_custkey
+    )
+    SELECT COALESCE(c2.o_custkey, c1.o_custkey) AS o_custkey,
+           COALESCE(c2.last_order, c1.last_order) AS last_order
+    FROM c1 FULL OUTER JOIN c2 ON c1.o_custkey = c2.o_custkey
+    ORDER BY o_custkey
+    """,
+)
+def lake_read_optimized_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paimon's read-optimized system table (``t$ro``): serve the latest
+    FULLY COMPACTED state as a raw file scan — compaction already
+    materialized the merge, so the read carries ZERO merge-on-read cost
+    (no shuffle, no grouping), at the price of staleness: the third commit
+    below lands after the compaction and must be invisible to ``$ro``
+    while the normal read sees it (asserted in-query). At 100 TB this is
+    the dashboard-latency escape hatch: scan speed of an append table on a
+    PK table's compacted history.
+    """
+    cat = _fresh_catalog(spark)
+    cat.create_database("lake")
+    cat.create_table(
+        "lake",
+        "cust_ro",
+        [("o_custkey", "bigint"), ("last_order", "bigint")],
+        primary_key=["o_custkey"],
+    )
+    o = table(spark, sf_dir, "orders")
+    for lo, hi in ((0, 3000), (3000, 6000)):
+        cat.insert_into(
+            "lake",
+            "cust_ro",
+            o.filter((F.col("o_orderkey") > lo) & (F.col("o_orderkey") <= hi))
+            .groupBy("o_custkey")
+            .agg(F.max("o_orderkey").alias("last_order")),
+        )
+    cat.compact("lake", "cust_ro")
+    # post-compaction commit: visible to read_table, INVISIBLE to $ro
+    cat.insert_into(
+        "lake",
+        "cust_ro",
+        o.filter(F.col("o_orderkey") > 6000)
+        .groupBy("o_custkey")
+        .agg(F.max("o_orderkey").alias("last_order")),
+    )
+    ro = cat.read_table("lake.cust_ro$ro")
+    live = cat.read_table("lake.cust_ro")
+    assert live.count() != ro.count() or sf_dir.endswith("sf0.001")
+    return ro.orderBy("o_custkey")
+
+
+@register(
+    "lake_rowkind_field_cdc",
+    oracle="""
+    WITH base AS (
+      SELECT o_custkey, MAX(o_orderkey) AS last_order FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey,
+           CASE WHEN o_custkey % 4 = 1 THEN last_order + 1000000 ELSE last_order END
+             AS last_order
+    FROM base WHERE o_custkey % 4 <> 0
+    ORDER BY o_custkey
+    """,
+)
+def lake_rowkind_field_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``rowkind.field`` (Paimon CoreOption): raw CDC feeds carry their op
+    code in a DATA column — ``+I``/``+U`` keep the row, ``-D``/``-U``
+    retract it — so ingestion needs no synthetic ``_row_kind`` column and
+    the op column itself stays stored as ordinary data. Commit 1 inserts
+    every customer (+I); commit 2 replays a CDC batch that deletes the
+    custkey%4==0 rows (-D) and upserts custkey%4==1 with a bumped value
+    (+U); the merged read must equal the SQL replay.
+    """
+    cat = _fresh_catalog(spark)
+    cat.create_database("lake")
+    cat.create_table(
+        "lake",
+        "cust_cdc",
+        [("o_custkey", "bigint"), ("last_order", "bigint"), ("op", "string")],
+        primary_key=["o_custkey"],
+        options={"rowkind.field": "op"},
+    )
+    base = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.max("o_orderkey").alias("last_order"))
+    )
+    cat.insert_into("lake", "cust_cdc", base.withColumn("op", F.lit("+I")))
+    cdc = base.filter(F.col("o_custkey") % 4 < 2).select(
+        "o_custkey",
+        F.when(
+            F.col("o_custkey") % 4 == 1, F.col("last_order") + 1000000
+        ).otherwise(F.col("last_order")).alias("last_order"),
+        F.when(F.col("o_custkey") % 4 == 0, F.lit("-D")).otherwise(F.lit("+U")).alias("op"),
+    )
+    cat.insert_into("lake", "cust_cdc", cdc)
+    out = cat.read_table("lake.cust_cdc")
+    return out.select("o_custkey", "last_order").orderBy("o_custkey")

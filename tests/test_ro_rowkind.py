@@ -1,0 +1,171 @@
+"""$ro (read-optimized system table), rowkind.field, and the schema-evolution
+option-tracking fixes (single-column options + aggregate keys follow renames;
+drops refuse while an option names the column)."""
+
+from __future__ import annotations
+
+import pytest
+
+from incubator_paimon_trino_spark.catalog import WarehouseCatalog
+
+
+@pytest.fixture()
+def cat(spark, tmp_path):
+    return WarehouseCatalog(str(tmp_path / "wh"), spark)
+
+
+def _pk_table(cat, spark, **opts):
+    cat.create_database("d", ignore_if_exists=True)
+    cat.create_table(
+        "d", "t", [("k", "bigint"), ("v", "string")], primary_key=["k"], options=opts or None
+    )
+
+
+def test_ro_serves_compacted_state_without_merge(cat, spark):
+    _pk_table(cat, spark)
+    cat.insert_into("d", "t", spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, v string"))
+    cat.insert_into("d", "t", spark.createDataFrame([(2, "b2"), (3, "c")], "k bigint, v string"))
+    # never compacted: no read-optimized state exists yet
+    assert cat.read_table("d.t$ro").count() == 0
+    cat.compact("d", "t")
+    cat.insert_into("d", "t", spark.createDataFrame([(4, "d")], "k bigint, v string"))
+    ro = cat.read_table("d.t$ro")
+    assert {(r.k, r.v) for r in ro.collect()} == {(1, "a"), (2, "b2"), (3, "c")}
+    assert cat.read_table("d.t").count() == 4  # live read sees commit 4
+    # the whole point: a raw file scan, ZERO merge shuffle in the plan
+    plan = ro._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Sort" not in plan
+
+
+def test_ro_char_padding_matches_read_table(cat, spark):
+    cat.create_database("d")
+    cat.create_table("d", "c", [("k", "bigint"), ("code", "char(4)")], primary_key=["k"])
+    cat.insert_into("d", "c", spark.createDataFrame([(1, "ab")], "k bigint, code string"))
+    cat.compact("d", "c")
+    assert cat.read_table("d.c$ro").collect()[0].code == "ab  "
+
+
+def test_rowkind_field_drives_merge(cat, spark):
+    cat.create_database("d")
+    cat.create_table(
+        "d",
+        "t",
+        [("k", "bigint"), ("v", "string"), ("op", "string")],
+        primary_key=["k"],
+        options={"rowkind.field": "op"},
+    )
+    df1 = spark.createDataFrame(
+        [(1, "a", "+I"), (2, "b", "I"), (3, "c", "insert")], "k bigint, v string, op string"
+    )
+    cat.insert_into("d", "t", df1)
+    df2 = spark.createDataFrame(
+        [(1, "a", "-D"), (2, "b2", "+U"), (3, "c", "-U")], "k bigint, v string, op string"
+    )
+    cat.insert_into("d", "t", df2)
+    rows = {(r.k, r.v, r.op) for r in cat.read_table("d.t").collect()}
+    # 1 deleted, 3 retracted by -U (no +U followed), 2 upserted; the op
+    # column itself is stored data and reads back
+    assert rows == {(2, "b2", "+U")}
+    # bad literal fails the write loudly, never silently inserts
+    with pytest.raises(Exception, match="invalid rowkind"):
+        cat.insert_into(
+            "d",
+            "t",
+            spark.createDataFrame([(9, "x", "UPSERT")], "k bigint, v string, op string"),
+        )
+
+
+def test_rowkind_field_validation(cat, spark):
+    cat.create_database("d")
+    with pytest.raises(ValueError, match="primary-key"):
+        cat.create_table(
+            "d", "t1", [("k", "bigint"), ("op", "string")], options={"rowkind.field": "op"}
+        )
+    with pytest.raises(ValueError, match="not in columns"):
+        cat.create_table(
+            "d",
+            "t2",
+            [("k", "bigint")],
+            primary_key=["k"],
+            options={"rowkind.field": "nope"},
+        )
+    with pytest.raises(ValueError, match="string column"):
+        cat.create_table(
+            "d",
+            "t3",
+            [("k", "bigint"), ("op", "bigint")],
+            primary_key=["k"],
+            options={"rowkind.field": "op"},
+        )
+
+
+def test_rowkind_field_explicit_kind_wins(cat, spark):
+    """An explicit row_kind argument or _row_kind column outranks the option
+    (internal writers — DELETE, CDC apply — must keep working unchanged)."""
+    cat.create_database("d")
+    cat.create_table(
+        "d",
+        "t",
+        [("k", "bigint"), ("op", "string")],
+        primary_key=["k"],
+        options={"rowkind.field": "op"},
+    )
+    cat.insert_into(
+        "d", "t", spark.createDataFrame([(1, "+I")], "k bigint, op string")
+    )
+    # row_kind='D' wins over op='+I'
+    cat.insert_into(
+        "d",
+        "t",
+        spark.createDataFrame([(1, "+I")], "k bigint, op string"),
+        row_kind="D",
+    )
+    assert cat.read_table("d.t").count() == 0
+
+
+def test_single_column_options_follow_rename(cat, spark):
+    cat.create_database("d")
+    cat.create_table(
+        "d",
+        "t",
+        [("k", "bigint"), ("v", "string"), ("seq", "bigint")],
+        primary_key=["k"],
+        options={"sequence_field": "seq"},
+    )
+    cat.insert_into(
+        "d", "t", spark.createDataFrame([(1, "a", 10)], "k bigint, v string, seq bigint")
+    )
+    cat.rename_column("d", "t", "seq", "event_seq")
+    assert cat.schema_of("d", "t").options["sequence_field"] == "event_seq"
+    # merges keep working through the renamed sequence column
+    cat.insert_into(
+        "d",
+        "t",
+        spark.createDataFrame([(1, "OLD", 5)], "k bigint, v string, event_seq bigint"),
+    )
+    assert cat.read_table("d.t").collect()[0].v == "a"  # seq 10 outranks 5
+    with pytest.raises(ValueError, match="sequence_field"):
+        cat.drop_column("d", "t", "event_seq")
+
+
+def test_aggregate_function_key_follows_rename_and_drop(cat, spark):
+    cat.create_database("d")
+    cat.create_table(
+        "d",
+        "t",
+        [("k", "bigint"), ("total", "bigint"), ("note", "string")],
+        primary_key=["k"],
+        options={"merge_engine": "aggregation", "fields.total.aggregate-function": "sum"},
+    )
+    cat.insert_into("d", "t", spark.createDataFrame([(1, 10, "x")], "k bigint, total bigint, note string"))
+    cat.rename_column("d", "t", "total", "grand_total")
+    opts = cat.schema_of("d", "t").options
+    assert "fields.total.aggregate-function" not in opts
+    assert opts.get("fields.grand_total.aggregate-function") == "sum"
+    cat.insert_into(
+        "d", "t", spark.createDataFrame([(1, 5, "y")], "k bigint, grand_total bigint, note string")
+    )
+    assert cat.read_table("d.t").collect()[0].grand_total == 15  # still summing
+    # dropping a non-key column takes its aggregate spec with it
+    cat.drop_column("d", "t", "note")
+    cat.set_options("d", "t", {"snapshot.num-retained.max": "10"})  # revalidates clean

@@ -83,6 +83,7 @@ SURVEY_2B = [
     ("File indexes: bloom/bitmap sidecar data skipping (Paimon file-index family)", "lake_bloom_index_point_lookup, lake_bitmap_index_lookup, lake_dynamic_file_pruning (join-driven); CALL sys.rebuild_file_index backfill (tests/test_file_index.py)"),
     ("Z-order / Hilbert sort compaction + write clustering (Paimon order_strategy / clustering.strategy)", "lake_zorder_compacted_scan (in-query plan asserts); tests/test_zorder.py (zorder + hilbert + write-clustering pins)"),
     ("Prefix-LIKE file skipping (beyond the reference's converter)", "lake_like_prefix_pruned_scan; like_prefix_domain edge pins in tests/test_types_predicates_plans.py"),
+    ("Read-optimized table $ro + rowkind.field CDC ingestion", "lake_read_optimized_table, lake_rowkind_field_cdc; tests/test_ro_rowkind.py"),
     ("TPC-H suite", "q1..q22 (22 queries)"),
 ]
 
