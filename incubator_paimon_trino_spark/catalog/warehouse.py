@@ -811,15 +811,23 @@ class WarehouseCatalog:
             rk_field = schema.options.get("rowkind_field")
             if rk_field and KIND_COL not in out.columns and row_kind is None:
                 # rowkind.field (Paimon CoreOption): the row kind comes from a
-                # DATA column's CDC literal — +I/I/+U keep the row, -D/D/-U
-                # retract it — so raw CDC feeds ingest without a synthetic
-                # _row_kind column. The column itself stays stored as data;
-                # an unknown literal fails the write loudly, executor-side.
+                # DATA column's CDC literal — +I/I/+U keep the row, -D deletes
+                # it — so raw CDC feeds ingest without a synthetic _row_kind
+                # column. UPDATE_BEFORE (-U) images are DROPPED at ingestion
+                # (the upsert-sink convention): a DataFrame is unordered, so a
+                # -U/+U pair for one key in one batch has no arrival order —
+                # treating -U as a delete would let the commit-level
+                # delete-last tie-break erase the key the paired +U upserts.
+                # The +U alone IS the state change under latest-wins merging.
+                # The column itself stays stored as data; an unknown literal
+                # fails the write loudly, executor-side.
                 lit = F.upper(F.trim(F.col(rk_field)))
-                out = out.withColumn(
+                out = out.filter(
+                    lit.isNull() | ~lit.isin("-U", "UPDATE_BEFORE")
+                ).withColumn(
                     KIND_COL,
                     F.when(lit.isin("+I", "I", "INSERT", "+U", "UPDATE_AFTER"), F.lit("I"))
-                    .when(lit.isin("-D", "D", "DELETE", "-U", "UPDATE_BEFORE"), F.lit("D"))
+                    .when(lit.isin("-D", "D", "DELETE"), F.lit("D"))
                     .otherwise(
                         F.raise_error(
                             F.concat(
@@ -1171,7 +1179,11 @@ class WarehouseCatalog:
             if col not in [f.name for f in schema.fields]:
                 raise ValueError(f"unknown column {col!r}")
             updated = updated.withColumn(col, expr if isinstance(expr, Column) else F.lit(expr))
-        return self.insert_into(db, table, updated)
+        # explicit kind: an UPDATE rewrites matched rows as upserts — it must
+        # never re-derive kinds from a rowkind.field data column (stored op
+        # values are feed history, and a stored '-D' would turn the update
+        # into a silent delete; a NULL would crash the write)
+        return self.insert_into(db, table, updated, row_kind="I")
 
     def merge_into(
         self,
@@ -1969,7 +1981,14 @@ class WarehouseCatalog:
         if exp_opt:
             stale_before = time.time() * 1000 - _parse_duration_ms(exp_opt)
             for cid, meta in list(consumers.items()):
-                if int(meta.get("updated_ms", 0)) < stale_before:
+                updated = int(meta.get("updated_ms", 0) or 0)
+                # updated_ms == 0 means the marker's metadata could not be
+                # read — the _consumers docstring's concurrent-advance race
+                # (position survives via the file NAME). That consumer is
+                # ACTIVE, not stale: deleting it would unregister a live
+                # stream and expire snapshots underneath it. Skip; a truly
+                # abandoned consumer reports a real, old timestamp.
+                if updated and updated < stale_before:
                     shutil.rmtree(os.path.join(tdir, "consumer", cid), ignore_errors=True)
                     del consumers[cid]
                     dead_consumers += 1
@@ -2896,10 +2915,7 @@ class WarehouseCatalog:
             # internal pad_char=False reads (compaction, DML condition
             # evaluation) stay in storage form — declared metadata lives
             # in the catalog.
-            for f_ in schema.fields:
-                n_chars = char_length(f_.type)
-                if n_chars is not None:
-                    df = df.withColumn(f_.name, F.rpad(F.col(f_.name), n_chars, " "))
+            df = _pad_char_columns(df, schema)
         return df
 
     def _read_files(
@@ -3634,24 +3650,23 @@ class WarehouseCatalog:
             # compacted state: empty result, same as Paimon's level-max read.
             schema = self._latest_schema(tdir)
             user_cols = [f.name for f in schema.fields]
-            ro_snap = next(
-                (
-                    s
-                    for s in reversed(self._snapshots(tdir))
-                    if s.commit_kind == COMMIT_COMPACT
-                ),
-                None,
-            )
+            # newest-first: the first COMPACT is the read-optimized state —
+            # UNLESS an OVERWRITE/TRUNCATE supersedes it first (an overwrite
+            # REPLACES the live file set, so serving the older compacted
+            # files would resurrect overwritten rows — a correctness bug,
+            # not staleness). No compacted state then exists until the next
+            # compaction: empty, same as a never-compacted table.
+            ro_snap = None
+            for s in reversed(self._snapshots(tdir)):
+                if s.commit_kind == COMMIT_OVERWRITE:
+                    break
+                if s.commit_kind == COMMIT_COMPACT:
+                    ro_snap = s
+                    break
             if ro_snap is None or not ro_snap.files:
                 return self.spark.createDataFrame([], schema.spark_schema())
             df = self._read_files(tdir, schema, ro_snap)
-            out = df.select(*user_cols)
-            # user-facing read: CHAR columns surface n-padded like read_table
-            for f_ in schema.fields:
-                n_chars = char_length(f_.type)
-                if n_chars is not None:
-                    out = out.withColumn(f_.name, F.rpad(F.col(f_.name), n_chars, " "))
-            return out
+            return _pad_char_columns(df.select(*user_cols), schema)
         if suffix == "snapshots":
             rows = [
                 (
@@ -4834,18 +4849,38 @@ def _rm_sidecar(data_path: str) -> None:
         pass
 
 
+def _pad_char_columns(df: DataFrame, schema: TableSchema) -> DataFrame:
+    """User-facing CHAR(n) output form: storage stays rtrimmed-canonical,
+    the declared length pads on at the very end of the read (shared by
+    ``read_table`` and ``$ro`` so the padding contract has ONE home)."""
+    for f_ in schema.fields:
+        n_chars = char_length(f_.type)
+        if n_chars is not None:
+            df = df.withColumn(f_.name, F.rpad(F.col(f_.name), n_chars, " "))
+    return df
+
+
 def _parse_duration_ms(v: str) -> int:
-    """Paimon TimeUtils-style durations: ``100``/``100 ms``/``30 s``/
-    ``10 min``/``2 h``/``1 d`` (unit optional = millis)."""
+    """Paimon/Flink TimeUtils-style durations: ``100``/``100 ms``/``30 s``/
+    ``30 seconds``/``10 min``/``2 hours``/``1 d`` (unit optional = millis;
+    full words, abbreviations, and plurals all accepted, like
+    ``TimeUtils.parseDuration``)."""
     s = str(v).strip().lower()
-    m = re.fullmatch(r"(\d+)\s*(ms|s|sec|min|m|h|hour|d|day)?s?", s)
+    m = re.fullmatch(r"(\d+)\s*([a-z]*)", s)
     if m is None:
         raise ValueError(f"unparseable duration {v!r} (use e.g. '100 ms', '30 s', '1 d')")
     n = int(m.group(1))
-    unit = {
-        None: 1, "ms": 1, "s": 1000, "sec": 1000, "m": 60_000, "min": 60_000,
-        "h": 3_600_000, "hour": 3_600_000, "d": 86_400_000, "day": 86_400_000,
-    }[m.group(2)]
+    unit_word = m.group(2)
+    units = {
+        "": 1, "ms": 1, "msec": 1, "milli": 1, "millisecond": 1,
+        "s": 1000, "sec": 1000, "second": 1000,
+        "m": 60_000, "min": 60_000, "minute": 60_000,
+        "h": 3_600_000, "hr": 3_600_000, "hour": 3_600_000,
+        "d": 86_400_000, "day": 86_400_000,
+    }
+    unit = units.get(unit_word) or units.get(unit_word.rstrip("s"))
+    if unit is None:
+        raise ValueError(f"unparseable duration {v!r} (use e.g. '100 ms', '30 s', '1 d')")
     return n * unit
 
 

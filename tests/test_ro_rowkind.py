@@ -37,6 +37,39 @@ def test_ro_serves_compacted_state_without_merge(cat, spark):
     assert "Exchange" not in plan and "Sort" not in plan
 
 
+def test_ro_invalidated_by_overwrite(cat, spark):
+    """An OVERWRITE/TRUNCATE replaces the live file set — $ro must never
+    resurrect the pre-overwrite compacted rows; no read-optimized state
+    exists again until the next compaction."""
+    _pk_table(cat, spark)
+    cat.insert_into("d", "t", spark.createDataFrame([(1, "a")], "k bigint, v string"))
+    cat.compact("d", "t")
+    assert cat.read_table("d.t$ro").count() == 1
+    cat.insert_into(
+        "d", "t", spark.createDataFrame([(9, "z")], "k bigint, v string"), overwrite=True
+    )
+    assert cat.read_table("d.t").count() == 1  # the overwrite's row
+    assert cat.read_table("d.t$ro").count() == 0  # never the old compacted row
+    cat.compact("d", "t")
+    assert {(r.k, r.v) for r in cat.read_table("d.t$ro").collect()} == {(9, "z")}
+
+
+def test_duration_spellings():
+    from incubator_paimon_trino_spark.catalog.warehouse import _parse_duration_ms
+
+    assert _parse_duration_ms("100") == 100
+    assert _parse_duration_ms("100 ms") == 100
+    assert _parse_duration_ms("30 s") == _parse_duration_ms("30 seconds") == 30000
+    assert _parse_duration_ms("10 min") == _parse_duration_ms("10 minutes") == 600000
+    assert _parse_duration_ms("2 h") == _parse_duration_ms("2 hours") == 7200000
+    assert _parse_duration_ms("1 d") == _parse_duration_ms("1 day") == 86400000
+    import pytest as _pt
+
+    for bad in ("fortnight", "1 fortnight", "-5 s", "1.5 h"):
+        with _pt.raises(ValueError):
+            _parse_duration_ms(bad)
+
+
 def test_ro_char_padding_matches_read_table(cat, spark):
     cat.create_database("d")
     cat.create_table("d", "c", [("k", "bigint"), ("code", "char(4)")], primary_key=["k"])
@@ -63,9 +96,10 @@ def test_rowkind_field_drives_merge(cat, spark):
     )
     cat.insert_into("d", "t", df2)
     rows = {(r.k, r.v, r.op) for r in cat.read_table("d.t").collect()}
-    # 1 deleted, 3 retracted by -U (no +U followed), 2 upserted; the op
-    # column itself is stored data and reads back
-    assert rows == {(2, "b2", "+U")}
+    # 1 deleted; 2 upserted; 3's -U image is DROPPED at ingestion (the
+    # upsert-sink convention — see the CDC-pair test below), so 3 keeps its
+    # prior value; the op column itself is stored data and reads back
+    assert rows == {(2, "b2", "+U"), (3, "c", "insert")}
     # bad literal fails the write loudly, never silently inserts
     with pytest.raises(Exception, match="invalid rowkind"):
         cat.insert_into(
@@ -73,6 +107,54 @@ def test_rowkind_field_drives_merge(cat, spark):
             "t",
             spark.createDataFrame([(9, "x", "UPSERT")], "k bigint, v string, op string"),
         )
+
+
+def test_rowkind_field_cdc_update_pair_in_one_batch(cat, spark):
+    """The canonical CDC replay sends the (-U old image, +U new image) PAIR
+    for an update — often in one batch, where a DataFrame has no arrival
+    order. Treating -U as a delete would let the commit-level delete-last
+    tie-break erase the key its paired +U upserts; dropping -U images at
+    ingestion makes the pair a plain upsert."""
+    cat.create_database("d")
+    cat.create_table(
+        "d",
+        "t",
+        [("k", "bigint"), ("v", "string"), ("op", "string")],
+        primary_key=["k"],
+        options={"rowkind.field": "op"},
+    )
+    cat.insert_into("d", "t", spark.createDataFrame([(1, "old", "+I")], "k bigint, v string, op string"))
+    pair = spark.createDataFrame(
+        [(1, "old", "-U"), (1, "new", "+U")], "k bigint, v string, op string"
+    )
+    cat.insert_into("d", "t", pair)
+    rows = [(r.k, r.v) for r in cat.read_table("d.t").collect()]
+    assert rows == [(1, "new")]
+
+
+def test_rowkind_field_update_where_unaffected(cat, spark):
+    """UPDATE rewrites rows with an explicit kind — it must never re-derive
+    kinds from the stored op column (a stored '-D' would silently delete,
+    a NULL would crash the write)."""
+    cat.create_database("d")
+    cat.create_table(
+        "d",
+        "t",
+        [("k", "bigint"), ("v", "string"), ("op", "string")],
+        primary_key=["k"],
+        options={"rowkind.field": "op"},
+    )
+    cat.insert_into(
+        "d",
+        "t",
+        spark.createDataFrame([(1, "a", "-D")], "k bigint, v string, op string"),
+        row_kind="I",  # explicit-kind path stores op='-D' as plain data
+    )
+    from pyspark.sql import functions as F
+
+    cat.update_where("d", "t", F.col("k") == 1, {"v": "updated"})
+    rows = [(r.k, r.v, r.op) for r in cat.read_table("d.t").collect()]
+    assert rows == [(1, "updated", "-D")]  # updated, NOT deleted or crashed
 
 
 def test_rowkind_field_validation(cat, spark):
