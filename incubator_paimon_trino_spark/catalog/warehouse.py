@@ -1098,6 +1098,22 @@ class WarehouseCatalog:
                 self.expire_snapshots(db, table, keep_last=retained)
             except OSError:
                 pass
+        # snapshot.time-retained: the AGE dimension of Paimon's automatic
+        # expiration — history older than the window expires at commit time,
+        # with snapshot.num-retained.min as the retention floor (default 1:
+        # the live snapshot always survives). Same best-effort contract.
+        window = schema.options.get("snapshot_time_retained")
+        if window:
+            floor = int(schema.options.get("snapshot_num_retained_min", "1") or 1)
+            try:
+                self.expire_snapshots(
+                    db,
+                    table,
+                    keep_last=max(1, floor),
+                    older_than_ms=int(time.time() * 1000 - _parse_duration_ms(window)),
+                )
+            except OSError:
+                pass
         return version
 
     def insert_with_retries(
@@ -1949,11 +1965,20 @@ class WarehouseCatalog:
             out = out.filter(F.col("_change") != "-U")
         return out
 
-    def expire_snapshots(self, db: str, table: str, keep_last: int = 1) -> dict:
+    def expire_snapshots(
+        self, db: str, table: str, keep_last: int = 1, older_than_ms: int | None = None
+    ) -> dict:
         """Expire all but the newest ``keep_last`` snapshots and delete data
         files no surviving snapshot references — Paimon's snapshot
         expiration (``snapshot.num-retained.*`` options), the operation that
         bounds a lake table's storage over time.
+
+        ``older_than_ms`` adds Paimon's AGE dimension (``snapshot.
+        time-retained`` / the procedure's ``older_than``): only snapshots
+        committed BEFORE the cutoff expire, so ``keep_last`` becomes the
+        retention floor (num-retained.min) instead of the exact count —
+        recent history survives regardless of count, old history goes
+        regardless of recency pressure.
 
         Time travel to an expired version then fails with the same "no
         snapshot" error as a never-existing version. The live view is
@@ -2000,6 +2025,7 @@ class WarehouseCatalog:
             for s in snaps[:-keep_last]
             if s.snapshot_id not in tagged
             and (min_next is None or s.snapshot_id < min_next - 1)
+            and (older_than_ms is None or s.timestamp_ms < older_than_ms)
         ]
         kept = [s for s in snaps if s not in doomed]
         if not doomed:
@@ -4149,7 +4175,7 @@ class WarehouseCatalog:
 
         _ALLOWED_NAMED = {
             "compact": {"table", "order_strategy", "order_by", "partitions"},
-            "expire_snapshots": {"table", "retain_last"},
+            "expire_snapshots": {"table", "retain_last", "older_than"},
             "rollback": {"table", "version", "snapshot"},
             "create_tag": {"table", "tag", "snapshot"},
             "delete_tag": {"table", "tag"},
@@ -4247,8 +4273,11 @@ class WarehouseCatalog:
         if proc == "expire_snapshots":
             db, tbl = split_name(take("table"))
             keep = int(take("retain_last", "1"))
+            older = named.get("older_than")  # epoch millis (Paimon procedure arg)
             no_leftovers()
-            stats = self.expire_snapshots(db, tbl, keep_last=keep)
+            stats = self.expire_snapshots(
+                db, tbl, keep_last=keep, older_than_ms=int(older) if older else None
+            )
             return ok(result=f"expired {stats['expired_snapshots']} snapshots, "
                              f"deleted {stats['deleted_files']} files")
         if proc == "rollback":
@@ -5031,9 +5060,10 @@ def _validate_table_options(
                 "timestamp column is required (non-numeric values would cast "
                 "to NULL and make merge order undefined)"
             )
-    exp = options.get("consumer_expiration_time")
-    if exp is not None:
-        _parse_duration_ms(exp)  # unparseable must fail at DDL, not at expire
+    for dur_opt in ("consumer_expiration_time", "snapshot_time_retained"):
+        dur = options.get(dur_opt)
+        if dur is not None:
+            _parse_duration_ms(dur)  # unparseable must fail at DDL, not at expire
     rk_field = options.get("rowkind_field")
     if rk_field:
         if not primary_key:

@@ -887,3 +887,53 @@ def test_review_fixes_round5_changelog_and_ddl(cat, spark):
             "m", "badseq", [("k", "bigint"), ("s", "bigint"), ("v", "string")],
             primary_key=["k", "s"], options={"sequence_field": "s"},
         )
+
+
+def test_snapshot_time_retained_auto_expire(spark, tmp_path):
+    """snapshot.time-retained (Paimon's age-based automatic expiration):
+    commits older than the window expire at commit time, with
+    snapshot.num-retained.min as the retention floor — recent history
+    survives regardless of count, old history goes regardless of recency."""
+    import time as _time
+
+    from incubator_paimon_trino_spark.catalog import WarehouseCatalog
+
+    cat = WarehouseCatalog(str(tmp_path / "wh"), spark)
+    cat.create_database("d")
+    cat.create_table(
+        "d",
+        "t",
+        [("k", "bigint")],
+        options={"snapshot.time-retained": "1 h"},
+    )
+    for i in range(3):
+        cat.insert_into("d", "t", spark.createDataFrame([(i,)], "k bigint"))
+    # all commits are inside the 1h window: protected despite keep floor 1
+    assert cat.read_table("d.t$snapshots").count() == 3
+    cat.set_options("d", "t", {"snapshot.time-retained": "150 ms"})
+    _time.sleep(0.3)  # now 1..3 are older than the shrunk window
+    cat.insert_into("d", "t", spark.createDataFrame([(99,)], "k bigint"))
+    ids = {r.snapshot_id for r in cat.read_table("d.t$snapshots").collect()}
+    assert ids == {4}  # aged history expired, the fresh commit survives
+    assert cat.read_table("d.t").count() == 4  # data untouched (live view)
+
+
+def test_expire_snapshots_older_than_procedure(spark, tmp_path):
+    import time as _time
+
+    from incubator_paimon_trino_spark.catalog import WarehouseCatalog
+
+    cat = WarehouseCatalog(str(tmp_path / "wh"), spark)
+    cat.create_database("d")
+    cat.create_table("d", "t", [("k", "bigint")])
+    for i in range(4):
+        cat.insert_into("d", "t", spark.createDataFrame([(i,)], "k bigint"))
+    future = int(_time.time() * 1000) + 10_000
+    # age cutoff admits everything; retain_last floor keeps the newest 3
+    cat.sql(f"CALL sys.expire_snapshots(table => 'd.t', retain_last => 3, older_than => '{future}')")
+    assert cat.read_table("d.t$snapshots").count() == 3
+    # cutoff in the past: nothing is old enough, floor 1 notwithstanding
+    cat.sql("CALL sys.expire_snapshots(table => 'd.t', retain_last => 1, older_than => '1000')")
+    assert cat.read_table("d.t$snapshots").count() == 3
+    with pytest.raises(ValueError, match="duration"):
+        cat.set_options("d", "t", {"snapshot.time-retained": "eon"})

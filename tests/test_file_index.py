@@ -518,3 +518,76 @@ def test_bit_positions_stable():
     assert fi._bit_positions(b"s:hello", 1024, 3) == [683, 194, 729]
     assert fi._value_hash(b"s:hello") == "8c3ecaacea0f56ab"
     assert fi._bit_positions(b"s:hello", 1024, 3) != fi._bit_positions(b"s:hellp", 1024, 3)
+
+
+# ------------------------------------------------------------- property tests
+def test_bloom_never_false_negative_property():
+    """THE bloom invariant: a value that was indexed must always probe
+    'possibly present' — a false negative silently drops a file holding
+    matching rows. Exercised across random value sets, sizes, and fpp."""
+    import base64 as _b64
+    import zlib as _zlib
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    value_sets = st.lists(
+        st.one_of(
+            st.text(min_size=0, max_size=40),
+            st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(vals=value_sets, items=st.integers(10, 5000), fpp=st.floats(0.001, 0.4))
+    def check(vals, items, fpp):
+        import numpy as np
+
+        m, k = fi.bloom_params(items, fpp)
+        bits = np.zeros(m // 8, dtype=np.uint8)
+        for v in vals:
+            ddl = "string" if isinstance(v, str) else "bigint"
+            c = fi.canon_bytes(v, ddl)
+            for pos in fi._bit_positions(c, m, k):
+                bits[pos >> 3] |= 1 << (pos & 7)
+        doc = {
+            "version": 1,
+            "fields": {
+                "7": {
+                    "kind": "bloom",
+                    "m": m,
+                    "k": k,
+                    "enc": "zlib",
+                    "bits": _b64.b64encode(_zlib.compress(bits.tobytes())).decode(),
+                }
+            },
+        }
+        for v in vals:
+            ddl = "string" if isinstance(v, str) else "bigint"
+            assert fi._possibly_contains(doc, 7, ddl, [v]), v
+
+    check()
+
+
+def test_bitmap_membership_exact_property():
+    """Bitmap kind: present values always probe True; absent values probe
+    False (64-bit hash membership — a collision can only KEEP a file)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=100, deadline=None)
+    @given(
+        present=st.sets(st.text(max_size=20), min_size=1, max_size=40),
+        probe=st.text(max_size=20),
+    )
+    def check(present, probe):
+        hashes = sorted(fi._value_hash(fi.canon_bytes(v, "string")) for v in present)
+        doc = {"version": 1, "fields": {"3": {"kind": "bitmap", "hashes": hashes}}}
+        for v in present:
+            assert fi._possibly_contains(doc, 3, "string", [v])
+        expected = probe in present
+        assert fi._possibly_contains(doc, 3, "string", [probe]) == expected
+
+    check()
