@@ -228,7 +228,18 @@ def canon_bytes(v, ddl: str) -> bytes | None:
         return b"i:%d" % v
     if d == "boolean":
         if isinstance(v, str):
-            v = v.strip().lower() == "true"
+            # Spark's string→boolean cast set; anything else casts to NULL,
+            # which never satisfies an equality — None = "provably absent",
+            # exactly right. Mapping unknown strings to False instead would
+            # be a FALSE NEGATIVE for 't'/'1'-style probes (files holding
+            # true rows would be dropped).
+            s = v.strip().lower()
+            if s in ("true", "t", "yes", "y", "1"):
+                v = True
+            elif s in ("false", "f", "no", "n", "0"):
+                v = False
+            else:
+                return None
         return b"b:1" if v else b"b:0"
     if d == "date":
         if isinstance(v, _dt.datetime):

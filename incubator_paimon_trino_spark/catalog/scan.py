@@ -109,8 +109,17 @@ def _norm(v, ddl: str):
         s = v.decode("utf-8", "replace") if isinstance(v, (bytes, bytearray)) else str(v)
         return None if len(s) >= _MAX_STR_STAT else s
     if d == "boolean":
-        if isinstance(v, str):  # partition-path value
-            return v.lower() == "true"
+        if isinstance(v, str):  # partition-path value or user literal
+            # Spark's string→boolean cast set; anything else casts to NULL
+            # (None = no usable value → file kept). Mapping unknown strings
+            # to False would wrongly prune all-True files on a 't'/'1'-style
+            # literal the residual filter then matches.
+            s = v.strip().lower()
+            if s in ("true", "t", "yes", "y", "1"):
+                return True
+            if s in ("false", "f", "no", "n", "0"):
+                return False
+            return None
         return bool(v)
     return None  # binary / array / map / struct: no stats
 

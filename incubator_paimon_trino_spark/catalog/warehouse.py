@@ -309,6 +309,7 @@ class WarehouseCatalog:
         s = self._latest_schema(tdir)
         if any(f.name.lower() == name.lower() for f in s.fields):
             raise ValueError(f"column {name!r} already exists")
+        _check_not_reserved(name)  # same reservation CREATE TABLE enforces
         # fail at DDL time on a type the READ-path parser rejects — a bad
         # string written into the schema JSON would otherwise brick every
         # subsequent read
@@ -326,6 +327,10 @@ class WarehouseCatalog:
         s = self._latest_schema(tdir)
         if any(f.name.lower() == new_name.lower() for f in s.fields):
             raise ValueError(f"column {new_name!r} already exists")
+        # renaming INTO a reserved name would let the write scaffolding
+        # (merge columns, the curve-clustering key, the index build's file
+        # alias) silently overwrite the user's column — same guard as CREATE
+        _check_not_reserved(new_name)
         f = s.field_by_name(name)
         if f.name in s.primary_key or f.name in s.partition_keys:
             s.primary_key = [new_name if k == f.name else k for k in s.primary_key]
@@ -936,11 +941,7 @@ class WarehouseCatalog:
             # every file overlapping the whole domain. The range exchange is
             # per-commit and sampling-based (Spark's RangePartitioner), so
             # cost stays proportional to the commit, not the table.
-            cluster_cols = [
-                c.strip()
-                for c in schema.options["clustering_columns"].split(",")
-                if c.strip()
-            ]
+            cluster_cols = _split_cols(schema.options["clustering_columns"])
             for c in cluster_cols:
                 if c not in expected:
                     raise ValueError(f"clustering column {c!r} not a table column")
@@ -1414,13 +1415,23 @@ class WarehouseCatalog:
             if not positions:
                 continue
             top = positions[-1]
+            marker = os.path.join(cdir, f"pos-{top}.json")
             try:
-                meta = read_json(os.path.join(cdir, f"pos-{top}.json")) or {}
+                meta = read_json(marker) or {}
             except FileNotFoundError:
                 meta = {}  # pruned between listdir and read — name carries the position
+            # liveness = max(written timestamp, marker mtime): a caught-up
+            # stream's same-position re-advance can only TOUCH the existing
+            # marker (exclusive create refuses a rewrite), so mtime is the
+            # signal that keeps consumer.expiration-time from reaping a live
+            # consumer that simply has nothing new to consume
+            try:
+                mtime_ms = int(os.path.getmtime(marker) * 1000)
+            except OSError:
+                mtime_ms = 0
             out[cid] = {
                 "next_snapshot": top,
-                "updated_ms": int(meta.get("updated_ms", 0)),
+                "updated_ms": max(int(meta.get("updated_ms", 0)), mtime_ms),
             }
         return out
 
@@ -1481,7 +1492,15 @@ class WarehouseCatalog:
                 exclusive=True,
             )
         except CommitConflictError:
-            pass  # another worker recorded the same position — idempotent
+            # another worker recorded the same position — idempotent for the
+            # POSITION, but the caller just proved LIVENESS: touch the marker
+            # so consumer.expiration-time sees a caught-up stream that keeps
+            # checkpointing at an unchanged tip as active, not abandoned
+            # (expiry reads max(updated_ms, marker mtime))
+            try:
+                os.utime(os.path.join(cdir, f"pos-{int(next_snapshot)}.json"))
+            except OSError:
+                pass  # marker pruned by a concurrent faster advance: fine
         # best-effort prune of superseded markers (a marker that vanishes
         # under a concurrent pruner is success, and max-wins is unaffected)
         for p in positions:
@@ -2475,8 +2494,13 @@ class WarehouseCatalog:
             fb_counts = self._write_avro_fallback(out, staging, schema)  # module-less
         final_paths = self._finalize_commit(tdir, staging, version, ext)
         files = self._commit_files(tdir, final_paths, ext, schema, fb_counts)
-        # compaction rewrites the live set: the rewritten files get fresh
-        # file-index sidecars exactly like an insert's (built pre-publish)
+        for e in files:
+            # provenance marker: $ro serves exactly the files a compaction
+            # wrote. Entry metadata CARRIES FORWARD through later commits'
+            # accumulated file lists, so the read-optimized state survives
+            # expiry of the COMPACT snapshot JSON itself, and an OVERWRITE
+            # (which replaces the whole live set) clears it naturally.
+            e["source"] = "compact"
         build_file_indexes(self.spark, final_paths, schema)
         if n_buckets > 0 and bucket_key:
             _record_buckets(files, schema, bucket_key, n_buckets)
@@ -3676,22 +3700,20 @@ class WarehouseCatalog:
             # compacted state: empty result, same as Paimon's level-max read.
             schema = self._latest_schema(tdir)
             user_cols = [f.name for f in schema.fields]
-            # newest-first: the first COMPACT is the read-optimized state —
-            # UNLESS an OVERWRITE/TRUNCATE supersedes it first (an overwrite
-            # REPLACES the live file set, so serving the older compacted
-            # files would resurrect overwritten rows — a correctness bug,
-            # not staleness). No compacted state then exists until the next
-            # compaction: empty, same as a never-compacted table.
-            ro_snap = None
-            for s in reversed(self._snapshots(tdir)):
-                if s.commit_kind == COMMIT_OVERWRITE:
-                    break
-                if s.commit_kind == COMMIT_COMPACT:
-                    ro_snap = s
-                    break
-            if ro_snap is None or not ro_snap.files:
+            # the CURRENT snapshot's compaction-written files (provenance
+            # marker set by compact()) ARE the read-optimized state: entry
+            # metadata carries forward through later appends, so $ro
+            # survives expiry of the COMPACT snapshot JSON itself; an
+            # OVERWRITE/TRUNCATE replaces the whole live set — no marked
+            # files remain, so serving pre-overwrite compacted rows (a
+            # correctness bug, not staleness) is impossible by construction.
+            # Never/not-yet-recompacted states are empty, like Paimon's
+            # max-level read of a level-0-only table.
+            snap = self._pin_snapshot(tdir, None, None, None)
+            ro_files = [e for e in (snap.files if snap else []) if e.get("source") == "compact"]
+            if not ro_files:
                 return self.spark.createDataFrame([], schema.spark_schema())
-            df = self._read_files(tdir, schema, ro_snap)
+            df = self._read_files(tdir, schema, dataclasses.replace(snap, files=ro_files))
             return _pad_char_columns(df.select(*user_cols), schema)
         if suffix == "snapshots":
             rows = [
@@ -4868,6 +4890,16 @@ def _zorderable_ddl(ddl: str) -> bool:
     )
 
 
+def _check_not_reserved(name: str) -> None:
+    """Reject a (new) column name the internal scaffolding owns — shared by
+    CREATE TABLE, ADD COLUMN, and RENAME COLUMN so no DDL path can smuggle
+    one in (the write paths would silently overwrite the user's column)."""
+    from incubator_paimon_trino_spark.operators.merge_on_read import RESERVED_INTERNAL
+
+    if name.lower() in {r.lower() for r in RESERVED_INTERNAL}:
+        raise ValueError(f"column name {name!r} is reserved (system columns)")
+
+
 def _rm_sidecar(data_path: str) -> None:
     """Remove a data file's colocated file-index sidecar, if any. Called
     wherever the data file itself is deleted — colocation makes the sidecar's
@@ -4907,7 +4939,15 @@ def _parse_duration_ms(v: str) -> int:
         "h": 3_600_000, "hr": 3_600_000, "hour": 3_600_000,
         "d": 86_400_000, "day": 86_400_000,
     }
-    unit = units.get(unit_word) or units.get(unit_word.rstrip("s"))
+    unit = units.get(unit_word)
+    if unit is None and unit_word.endswith("s"):
+        # plural of a PLURALIZABLE word only ('seconds', 'mins', 'hrs');
+        # a blanket strip would wrong-accept typos, possibly at wild
+        # magnitudes ('30 ss', '500 mss')
+        base = unit_word[:-1]
+        if base in ("sec", "second", "min", "minute", "hr", "hour", "day",
+                    "msec", "milli", "millisecond"):
+            unit = units.get(base)
     if unit is None:
         raise ValueError(f"unparseable duration {v!r} (use e.g. '100 ms', '30 s', '1 d')")
     return n * unit
@@ -5079,7 +5119,7 @@ def _validate_table_options(
                 )
     w_strategy = options.get("clustering_strategy", "").strip().lower()
     if w_strategy in ("zorder", "hilbert"):
-        zcols = [c.strip() for c in options.get("clustering_columns", "").split(",") if c.strip()]
+        zcols = _split_cols(options.get("clustering_columns"))
         if len(zcols) < 2:
             raise ValueError(
                 f"clustering.strategy='{w_strategy}' needs >= 2 clustering.columns "

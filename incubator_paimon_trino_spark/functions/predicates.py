@@ -179,20 +179,32 @@ def like_prefix_domain(column: str, pattern: str) -> ColumnDomain | None:
     substitute. Patterns that are not a plain prefix (leading/inner
     wildcards, escapes, ``_``) return None: no safe range exists.
 
-    ``next(prefix)`` increments the last character; a prefix ending in the
-    maximum code point drops that character and carries (``'ab￿'`` →
-    ``'ac'``); an all-max prefix returns an unbounded-above range.
+    ``next(prefix)`` increments the last character, skipping the surrogate
+    block (no ENCODABLE string contains a lone surrogate, so jumping
+    U+D7FF→U+E000 excludes nothing representable) and carrying past
+    U+10FFFF (``'ab\\U0010FFFF'`` → ``'ac'``); a prefix of all-maximal code
+    points returns an unbounded-above range.
     """
     if not pattern or "_" in pattern or "\\" in pattern:
         return None
     body, _, rest = pattern.partition("%")
     if rest not in ("",) or not pattern.endswith("%") or "%" in body or not body:
         return None
+
+    def succ(ch: str) -> str | None:
+        o = ord(ch)
+        if o >= 0x10FFFF:
+            return None  # no successor: carry into the previous character
+        n = o + 1
+        if 0xD800 <= n <= 0xDFFF:
+            n = 0xE000  # surrogates are unencodable — no valid string lost
+        return chr(n)
+
     hi = body
-    while hi and hi[-1] == "￿":
+    while hi and succ(hi[-1]) is None:
         hi = hi[:-1]
     if hi:
-        hi = hi[:-1] + chr(ord(hi[-1]) + 1)
+        hi = hi[:-1] + succ(hi[-1])
     return ColumnDomain(
         column,
         ranges=[Range(low=body, high=hi or None, high_inclusive=False)],

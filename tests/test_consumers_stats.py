@@ -291,7 +291,12 @@ def test_consumers_tolerates_pruned_marker_race(cat, spark, monkeypatch):
 
     monkeypatch.setattr(wh, "read_json", _gone)
     out = cat._consumers(cat._table_dir("d", "t"))
-    assert out == {"job1": {"next_snapshot": 3, "updated_ms": 0}}
+    assert out["job1"]["next_snapshot"] == 3  # the NAME carries the position
+    # liveness falls back to the marker's mtime (r9: same-position advances
+    # can only TOUCH the exclusive-create marker), so a fresh marker whose
+    # metadata read raced reports as recently active — never as epoch-0
+    # stale, which consumer.expiration-time would wrongly reap
+    assert out["job1"]["updated_ms"] > 0
 
 
 def test_consumer_progress_rejects_traversal_ids(cat, spark):

@@ -406,6 +406,35 @@ def test_partitioned_table_indexes_data_columns(cat, spark):
     assert [(r.id, r.uid, r.p) for r in rows] == [(151, "u151", "p1")]
 
 
+def test_boolean_string_literal_probes(cat, spark):
+    """Spark casts 't'/'1'/'yes' to TRUE in a boolean comparison — the index
+    (and stats) must canonicalize the same way, or a file of true rows is
+    dropped on a 't' probe: a false negative, the forbidden failure."""
+    cat.create_database("d")
+    cat.create_table(
+        "d",
+        "t",
+        [("id", "bigint"), ("flag", "boolean")],
+        options={"file-index.bitmap.columns": "flag"},
+    )
+    df = spark.createDataFrame([(1, True), (2, True)], "id bigint, flag boolean")
+    cat.insert_into("d", "t", df.coalesce(1))
+    for lit_true in (True, "t", "true", "1", "yes", "Y"):
+        pred = [ColumnDomain("flag", op="=", value=lit_true)]
+        pruned, total = _plan_files(cat, pred)
+        assert len(pruned) == total == 1, lit_true  # file KEPT
+        assert cat.read_table("d.t", predicate=pred).count() == 2, lit_true
+    for lit_false in (False, "f", "false", "0", "no"):
+        pred = [ColumnDomain("flag", op="=", value=lit_false)]
+        pruned, _ = _plan_files(cat, pred)
+        assert pruned == [], lit_false  # provably absent → dropped
+    # a non-castable literal compares as NULL: matches nothing, prune-safe
+    pred = [ColumnDomain("flag", op="=", value="maybe")]
+    pruned, _ = _plan_files(cat, pred)
+    assert pruned == []
+    assert cat.read_table("d.t", predicate=pred).count() == 0
+
+
 def test_scan_pruned_by_keys_bounds(cat, spark):
     commits = _mk_bloom_table(cat, spark)
     dim = spark.createDataFrame([(commits[1][3],), (commits[1][4],)], "uid string")

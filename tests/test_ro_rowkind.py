@@ -37,6 +37,22 @@ def test_ro_serves_compacted_state_without_merge(cat, spark):
     assert "Exchange" not in plan and "Sort" not in plan
 
 
+def test_ro_survives_expiry_of_compact_snapshot(cat, spark):
+    """Routine snapshot expiration removes the COMPACT snapshot JSON while
+    the compacted FILES stay live (carried forward in newer snapshots) —
+    $ro must keep serving them: the provenance marker lives in the manifest
+    entries, not the expired snapshot metadata."""
+    _pk_table(cat, spark)
+    cat.insert_into("d", "t", spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, v string"))
+    cat.compact("d", "t")  # snapshot 2 (COMPACT)
+    cat.insert_into("d", "t", spark.createDataFrame([(3, "c")], "k bigint, v string"))
+    cat.expire_snapshots("d", "t", keep_last=1)  # the COMPACT snapshot JSON dies
+    assert {r.snapshot_id for r in cat.read_table("d.t$snapshots").collect()} == {3}
+    ro = {(r.k, r.v) for r in cat.read_table("d.t$ro").collect()}
+    assert ro == {(1, "a"), (2, "b")}  # still the at-compaction state
+    assert cat.read_table("d.t").count() == 3
+
+
 def test_ro_invalidated_by_overwrite(cat, spark):
     """An OVERWRITE/TRUNCATE replaces the live file set — $ro must never
     resurrect the pre-overwrite compacted rows; no read-optimized state
@@ -65,7 +81,9 @@ def test_duration_spellings():
     assert _parse_duration_ms("1 d") == _parse_duration_ms("1 day") == 86400000
     import pytest as _pt
 
-    for bad in ("fortnight", "1 fortnight", "-5 s", "1.5 h"):
+    for bad in ("fortnight", "1 fortnight", "-5 s", "1.5 h", "30 ss", "500 mss"):
+        # '30 ss' / '500 mss' are typos that must FAIL, not silently parse
+        # at a wildly wrong magnitude (ss ≠ seconds, mss ≠ minutes)
         with _pt.raises(ValueError):
             _parse_duration_ms(bad)
 
@@ -203,6 +221,44 @@ def test_rowkind_field_explicit_kind_wins(cat, spark):
         row_kind="D",
     )
     assert cat.read_table("d.t").count() == 0
+
+
+def test_rename_add_refuse_reserved_names(cat, spark):
+    """Every DDL path enforces the reserved-name list — a column renamed to
+    _zorder_key would be silently overwritten (and dropped) by the curve
+    write-clustering scaffolding."""
+    cat.create_database("d")
+    cat.create_table("d", "t", [("k", "bigint"), ("v", "string")])
+    for bad in ("_zorder_key", "_fidx_file", "_seq", "_row_kind"):
+        with pytest.raises(ValueError, match="reserved"):
+            cat.rename_column("d", "t", "v", bad)
+        with pytest.raises(ValueError, match="reserved"):
+            cat.add_column("d", "t", bad, "string")
+
+
+def test_consumer_touch_keeps_caught_up_stream_alive(cat, spark):
+    """A caught-up stream re-advances at an UNCHANGED position every
+    checkpoint; the exclusive-create marker can't be rewritten, so liveness
+    must flow through the marker's mtime — expiration would otherwise reap
+    a live consumer 'expiration-time' after its last POSITION CHANGE."""
+    import os as _os
+    import time as _time
+
+    cat.create_database("d")
+    cat.create_table("d", "t", [("k", "bigint")], primary_key=["k"])
+    cat.insert_into("d", "t", spark.createDataFrame([(1,)], "k bigint"))
+    cat.insert_into("d", "t", spark.createDataFrame([(2,)], "k bigint"))
+    cat.set_options("d", "t", {"consumer.expiration-time": "300 ms"})
+    cat.advance_consumer("d", "t", "live", 2)
+    _time.sleep(0.4)  # marker now older than the window...
+    cat.advance_consumer("d", "t", "live", 2)  # ...but the stream just checkpointed
+    stats = cat.expire_snapshots("d", "t", keep_last=1)
+    assert stats["expired_consumers"] == 0  # touch proved liveness
+    assert cat.consumer_progress("d", "t", "live") == 2
+    # stop checkpointing → genuinely abandoned → reaped
+    _time.sleep(0.4)
+    stats = cat.expire_snapshots("d", "t", keep_last=1)
+    assert stats["expired_consumers"] == 1
 
 
 def test_single_column_options_follow_rename(cat, spark):

@@ -289,10 +289,14 @@ def test_like_prefix_domain_edges():
     d = like_prefix_domain("c", "abc%")
     r = d.ranges[0]
     assert (r.low, r.high, r.low_inclusive, r.high_inclusive) == ("abc", "abd", True, False)
-    # max-code-point carry: 'ab￿%' -> next is 'ac'
-    assert like_prefix_domain("c", "ab￿%").ranges[0].high == "ac"
-    # all-max prefix: unbounded above
-    assert like_prefix_domain("c", "￿%").ranges[0].high is None
+    # U+FFFF has a real successor (U+10000): the bound stays tight
+    assert like_prefix_domain("c", "ab￿%").ranges[0].high == "ab\U00010000"
+    # true maximum code point carries into the previous character
+    assert like_prefix_domain("c", "ab\U0010FFFF%").ranges[0].high == "ac"
+    # successor would be a lone surrogate: skip the unencodable block
+    assert like_prefix_domain("c", "ab\ud7ff%").ranges[0].high == "ab\ue000"
+    # all-maximal prefix: unbounded above
+    assert like_prefix_domain("c", "\U0010FFFF%").ranges[0].high is None
     for bad in ("%abc", "a_c%", "a%c", "%", "", "a\\%", "abc"):
         assert like_prefix_domain("c", bad) is None, bad
     # the range is a SUPERSET of the LIKE: every 'abc…' string falls inside
