@@ -2935,11 +2935,15 @@ class WarehouseCatalog:
                 # to ts=201, and compaction would re-stamp rows with that
                 # garbage sequence, silently outranking later real inserts)
                 aggs[seq_field] = "last_value"
+            for c in _collect_distinct_cols(schema.options):
+                if aggs.get(c) == "collect":  # DDL-validated; internal variant name
+                    aggs[c] = "collect_distinct"
             df = merge_on_read(
                 df,
                 primary_key=schema.primary_key,
                 merge_engine=schema.options.get("merge_engine", "deduplicate"),
                 field_aggregates=aggs,
+                sequence_groups=_sequence_group_specs(schema.options) or None,
             )
             # schema column order (merge_on_read returns PK-first) so reads
             # before/after the first commit and across tables are positional-
@@ -4981,8 +4985,18 @@ def _canonical_options(options: dict[str, str] | None) -> dict[str, str]:
     out: dict[str, str] = {}
     for k, v in (options or {}).items():
         kk = k.strip()
-        if kk.startswith("fields.") and kk.endswith(".aggregate-function"):
+        if kk.startswith("fields.") and (
+            kk.endswith(".aggregate-function")
+            or kk.endswith(".sequence-group")
+            or kk.endswith(".distinct")
+        ):
             pass  # dotted structured key: kept verbatim (column case preserved)
+        elif m := re.fullmatch(r"fields[._](.+)[._]sequence[-_]group", kk):
+            mid = m.group(1).replace(".", "_").replace("-", "_")
+            kk = f"fields_{mid}_sequence_group"
+        elif m := re.fullmatch(r"fields[._](.+)[._]distinct", kk):
+            mid = m.group(1).replace(".", "_").replace("-", "_")
+            kk = f"fields_{mid}_distinct"
         elif m := re.fullmatch(r"fields[._](.+)[._]aggregate[-_]function", kk):
             # any other separator mix (pure-mangled or hybrid like
             # ``fields.MyCol.aggregate_function``): normalize separators to
@@ -5041,6 +5055,60 @@ def _validate_table_options(
             raise ValueError(
                 f"unknown aggregate-function {func!r} for {col!r}; have {FIELD_AGGREGATES}"
             )
+        if types is not None and func in ("collect", "merge_map"):
+            t = types.get(col, "").strip().lower()
+            want = "array" if func == "collect" else "map"
+            if not t.startswith(want):
+                raise ValueError(
+                    f"aggregate-function {func!r} requires an {want.upper()} column; "
+                    f"{col!r} is {t!r}"
+                )
+    for col in _collect_distinct_cols(options):
+        if specs.get(col) != "collect":
+            raise ValueError(
+                f"fields.{col}.distinct requires aggregate-function 'collect' on that "
+                "column (distinct is the collect aggregate's switch)"
+            )
+    sgroups = _sequence_group_specs(options)
+    if sgroups:
+        if options.get("merge_engine") != "partial-update":
+            raise ValueError(
+                "fields.<seq>.sequence-group requires merge_engine='partial-update' "
+                "(otherwise the configured groups would be silently ignored)"
+            )
+        if not primary_key:
+            raise ValueError("fields.<seq>.sequence-group requires a primary-key table")
+        seen_members: dict[str, str] = {}
+        for g, members in sgroups.items():
+            if g not in names:
+                raise ValueError(f"sequence-group column {g!r} not in columns {names}")
+            if g in primary_key:
+                raise ValueError(f"sequence-group column {g!r} must not be a primary-key column")
+            if not members:
+                raise ValueError(f"sequence-group for {g!r} has no member columns")
+            if types is not None:
+                t = types.get(g, "").strip().lower()
+                if not _SEQ_FIELD_TYPE_RE.match(t):
+                    raise ValueError(
+                        f"sequence-group column {g!r} has type {t!r}; an integral or "
+                        "timestamp column is required (group merge order)"
+                    )
+            for m in members:
+                if m not in names:
+                    raise ValueError(f"sequence-group member {m!r} not in columns {names}")
+                if m in primary_key:
+                    raise ValueError(f"sequence-group member {m!r} must not be a primary-key column")
+                if m in sgroups:
+                    raise ValueError(
+                        f"column {m!r} is both a sequence-group column and a member "
+                        "(a group's seq already travels with its members)"
+                    )
+                if m in seen_members:
+                    raise ValueError(
+                        f"column {m!r} belongs to two sequence groups "
+                        f"({seen_members[m]!r} and {g!r}); membership must be disjoint"
+                    )
+                seen_members[m] = g
     dv = options.get("deletion_vectors_enabled", "").strip().lower()
     if dv and dv not in ("true", "false"):
         raise ValueError(f"invalid deletion-vectors.enabled {dv!r}; use true/false")
@@ -5172,6 +5240,40 @@ def _field_aggregate_specs(options: dict[str, str]) -> dict[str, str]:
                         f"conflicting aggregate-function spellings for column {col!r}"
                     )
                 out[col] = v
+    return out
+
+
+def _sequence_group_specs(options: dict[str, str]) -> dict[str, list[str]]:
+    """Parse Paimon's ``fields.<seq-col>.sequence-group=<a,b,...>`` option
+    keys (partial-update merge engine's multi-stream sequence groups). Same
+    dual-spelling contract as ``_field_aggregate_specs``; the VALUE is a
+    comma-separated member column list, whitespace-tolerant."""
+    out: dict[str, list[str]] = {}
+    for pre, suf in (("fields.", ".sequence-group"), ("fields_", "_sequence_group")):
+        for k, v in (options or {}).items():
+            if k.startswith(pre) and k.endswith(suf) and len(k) > len(pre) + len(suf):
+                col = k[len(pre) : -len(suf)]
+                members = [m.strip() for m in v.split(",") if m.strip()]
+                if col in out and out[col] != members:
+                    raise ValueError(f"conflicting sequence-group spellings for column {col!r}")
+                out[col] = members
+    return out
+
+
+def _collect_distinct_cols(options: dict[str, str]) -> set[str]:
+    """Parse ``fields.<col>.distinct=true`` (collect aggregate's distinct
+    switch — Paimon CoreOptions). Returns the column names with a true value;
+    a non-boolean value raises (silent ignore would drop the user's intent)."""
+    out: set[str] = set()
+    for pre, suf in (("fields.", ".distinct"), ("fields_", "_distinct")):
+        for k, v in (options or {}).items():
+            if k.startswith(pre) and k.endswith(suf) and len(k) > len(pre) + len(suf):
+                col = k[len(pre) : -len(suf)]
+                vv = v.strip().lower()
+                if vv not in ("true", "false"):
+                    raise ValueError(f"invalid fields.{col}.distinct {v!r}; use true/false")
+                if vv == "true":
+                    out.add(col)
     return out
 
 

@@ -2598,3 +2598,170 @@ def lake_rowkind_field_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat.insert_into("lake", "cust_cdc", cdc)
     out = cat.read_table("lake.cust_cdc")
     return out.select("o_custkey", "last_order").orderBy("o_custkey")
+
+
+@register(
+    "lake_partial_update_sequence_group",
+    oracle="""
+    WITH fullagg AS (
+      SELECT o_custkey, MAX(o_orderkey) AS last_order FROM orders GROUP BY o_custkey
+    ), open_agg AS (
+      SELECT o_custkey, COUNT(*) AS n_open
+      FROM orders WHERE o_orderstatus = 'O' AND o_custkey % 2 = 0 GROUP BY o_custkey
+    )
+    SELECT f.o_custkey,
+           CASE WHEN f.o_custkey % 5 = 0 THEN NULL ELSE CAST(2 AS BIGINT) END AS s1,
+           CASE WHEN f.o_custkey % 5 = 0 THEN NULL ELSE f.last_order END AS last_order,
+           CASE WHEN o.o_custkey IS NOT NULL THEN CAST(1 AS BIGINT) END AS s2,
+           o.n_open AS n_open
+    FROM fullagg f LEFT JOIN open_agg o ON f.o_custkey = o.o_custkey
+    """,
+)
+def lake_partial_update_sequence_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """partial-update SEQUENCE GROUPS through the oracle gate (Paimon
+    ``fields.<seq>.sequence-group`` CoreOption; multi-stream partial update —
+    the reference inherits PartialUpdateMergeFunction's behavior through
+    core, DDL-surfaced like every CoreOption,
+    ``common/TrinoTableOptionUtils.java:51-135``). Exercised end-to-end:
+
+    - out-of-order protection: stream 1 commits its NEWER rows (s1=2) before
+      its stale snapshot (s1=1) — the stale commit must not win although it
+      is later in changelog order;
+    - group isolation: stream 2 (s2 group) updates ``n_open`` without
+      disturbing stream 1's columns;
+    - group retraction: a -D with s1=3 retracts ONLY group s1 (last_order and
+      s1 go null) for custkey%5==0 keys; the key itself survives.
+
+    Still one groupBy(o_custkey) with max_by aggregates — partial map-side
+    aggregation holds, so the shuffle stays one pre-merged row per key per
+    map partition at any scale."""
+    cat = _fresh_catalog(spark)
+    cat.create_database("lake")
+    cat.create_table(
+        "lake",
+        "cust_sg",
+        [
+            ("o_custkey", "bigint"),
+            ("s1", "bigint"),
+            ("last_order", "bigint"),
+            ("s2", "bigint"),
+            ("n_open", "bigint"),
+        ],
+        primary_key=["o_custkey"],
+        options={
+            "merge_engine": "partial-update",
+            "fields.s1.sequence-group": "last_order",
+            "fields.s2.sequence-group": "n_open",
+        },
+    )
+    o = table(spark, sf_dir, "orders")
+    nulls = lambda *cs: [F.lit(None).cast("bigint").alias(c) for c in cs]  # noqa: E731
+    full = o.groupBy("o_custkey").agg(F.max("o_orderkey").alias("last_order"))
+    c_new = full.select(
+        "o_custkey", F.lit(2).cast("bigint").alias("s1"), "last_order", *nulls("s2", "n_open")
+    )
+    c_stale = (
+        o.filter(F.col("o_orderkey") <= 3000)
+        .groupBy("o_custkey")
+        .agg(F.max("o_orderkey").alias("last_order"))
+        .select("o_custkey", F.lit(1).cast("bigint").alias("s1"), "last_order", *nulls("s2", "n_open"))
+    )
+    c_open = (
+        o.filter((F.col("o_orderstatus") == "O") & (F.col("o_custkey") % 2 == 0))
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_open"))
+        .select("o_custkey", *nulls("s1", "last_order"), F.lit(1).cast("bigint").alias("s2"), "n_open")
+    )
+    retract = full.filter(F.col("o_custkey") % 5 == 0).select(
+        "o_custkey", F.lit(3).cast("bigint").alias("s1"), *nulls("last_order", "s2", "n_open")
+    )
+    cat.insert_into("lake", "cust_sg", c_new)
+    cat.insert_into("lake", "cust_sg", c_stale)
+    cat.insert_into("lake", "cust_sg", c_open)
+    cat.insert_into("lake", "cust_sg", retract, row_kind="D")
+    return cat.read_table("lake.cust_sg")
+
+
+@register(
+    "lake_agg_collect_merge_map",
+    oracle="""
+    WITH c1 AS (
+      SELECT o_custkey, COUNT(*) AS n, MIN(o_orderkey) AS lo
+      FROM orders WHERE o_orderkey <= 3000 GROUP BY o_custkey
+    ), c2 AS (
+      SELECT o_custkey, COUNT(*) AS n, MAX(o_orderkey) AS hi
+      FROM orders WHERE o_orderkey > 3000 GROUP BY o_custkey
+    ), ks AS (
+      SELECT o_custkey,
+             ARRAY_TO_STRING(LIST(o_orderkey ORDER BY o_orderkey), ',') AS ks
+      FROM orders GROUP BY o_custkey
+    ), entries AS (
+      SELECT o_custkey, 'lo' AS mk, lo AS mv FROM c1
+      UNION ALL
+      SELECT o_custkey, 'hi' AS mk, hi AS mv FROM c2
+      UNION ALL
+      SELECT COALESCE(c1.o_custkey, c2.o_custkey) AS o_custkey, 'n' AS mk,
+             COALESCE(c2.n, c1.n) AS mv
+      FROM c1 FULL OUTER JOIN c2 ON c1.o_custkey = c2.o_custkey
+    )
+    SELECT e.o_custkey, k.ks, e.mk, e.mv
+    FROM entries e JOIN ks k ON e.o_custkey = k.o_custkey
+    """,
+)
+def lake_agg_collect_merge_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``collect`` + ``merge_map`` aggregation merge functions through the
+    oracle gate (Paimon's FieldCollectAgg / FieldMergeMapAgg, the two
+    container-typed ``fields.<name>.aggregate-function`` values; CoreOptions
+    surfaced via the reference's DDL reflection like the scalar ones).
+
+    ``ks`` (ARRAY<BIGINT>, collect): two commits' arrays concatenate per key;
+    output sorted so the hash is order-insensitive. ``m`` (MAP<STRING,BIGINT>,
+    merge_map): commit 2's 'n' overwrites commit 1's, 'lo'/'hi' survive from
+    whichever commit supplied them. The merged map is EXPLODED to (mk, mv)
+    rows — structs/maps normalize differently across engines, scalar rows
+    hash identically. Both functions stay single JVM aggregate expressions,
+    so partial aggregation holds map-side."""
+    cat = _fresh_catalog(spark)
+    cat.create_database("lake")
+    cat.create_table(
+        "lake",
+        "cust_cm",
+        [("o_custkey", "bigint"), ("ks", "array<bigint>"), ("m", "map<string,bigint>")],
+        primary_key=["o_custkey"],
+        options={
+            "merge_engine": "aggregation",
+            "fields.ks.aggregate-function": "collect",
+            "fields.m.aggregate-function": "merge_map",
+        },
+    )
+    o = table(spark, sf_dir, "orders")
+    c1 = (
+        o.filter(F.col("o_orderkey") <= 3000)
+        .groupBy("o_custkey")
+        .agg(
+            F.sort_array(F.collect_list("o_orderkey")).alias("ks"),
+            F.create_map(
+                F.lit("n"), F.count("*"), F.lit("lo"), F.min("o_orderkey")
+            ).alias("m"),
+        )
+    )
+    c2 = (
+        o.filter(F.col("o_orderkey") > 3000)
+        .groupBy("o_custkey")
+        .agg(
+            F.sort_array(F.collect_list("o_orderkey")).alias("ks"),
+            F.create_map(
+                F.lit("n"), F.count("*"), F.lit("hi"), F.max("o_orderkey")
+            ).alias("m"),
+        )
+    )
+    cat.insert_into("lake", "cust_cm", c1)
+    cat.insert_into("lake", "cust_cm", c2)
+    out = cat.read_table("lake.cust_cm")
+    entry = F.explode(F.col("m"))
+    # CSV-join the sorted array: the driver canonicalizer hashes scalar
+    # cells only — a string column hashes identically across engines
+    ks_csv = F.array_join(
+        F.transform(F.array_sort("ks"), lambda x: x.cast("string")), ","
+    )
+    return out.select("o_custkey", ks_csv.alias("ks"), entry.alias("mk", "mv"))

@@ -37,7 +37,7 @@ RESERVED_INTERNAL = (SEQ_COL, KIND_COL, "_ord", "_k", "_row", "_zorder_key", "_f
 #: aggregates subtract a ``-D`` row's contribution; last/first-value accept
 #: retraction by ignoring it; everything else throws "aggregate function does
 #: not support retraction" at read time — never a silent no-op).
-RETRACTABLE_AGGREGATES = ("sum", "count")
+RETRACTABLE_AGGREGATES = ("sum", "count", "collect")
 IGNORE_RETRACT_AGGREGATES = (
     "last_value",
     "last_non_null_value",
@@ -62,6 +62,8 @@ FIELD_AGGREGATES = (
     "bool_and",
     "bool_or",
     "count",
+    "collect",
+    "merge_map",
 )
 
 
@@ -101,6 +103,15 @@ def _field_agg_expr(func: str, c: str, insert_mask: F.Column | None = None) -> F
         return F.bool_and(val).alias(c)
     if func == "bool_or":
         return F.bool_or(val).alias(c)
+    if func in ("collect", "collect_distinct"):
+        # insert_mask → is_delete inversion: rows outside the mask are deletes
+        return _collect_agg_expr(
+            c,
+            None if insert_mask is None else ~insert_mask,
+            distinct=func == "collect_distinct",
+        )
+    if func == "merge_map":
+        return _merge_map_agg_expr(c)
     if func == "count":
         # SUM of partial counts, not COUNT of rows: the write path stores
         # each raw row's contribution as 0/1 (see warehouse.insert_into) and
@@ -109,6 +120,80 @@ def _field_agg_expr(func: str, c: str, insert_mask: F.Column | None = None) -> F
         # compacted row contribute 1 instead of its accumulated count.
         return F.sum(val).alias(c)
     raise ValueError(f"unknown aggregate-function {func!r}; have {FIELD_AGGREGATES}")
+
+
+def _ordered_values(c: str, mask: F.Column | None, payload_orderable: bool = True) -> F.Column:
+    """Array of column ``c``'s non-null values in changelog order (rows where
+    ``mask`` is false excluded). collect_list is order-nondeterministic, so
+    (ord, value) pairs are collected and sorted — the same move listagg uses.
+
+    ``payload_orderable=False`` (map-typed values, which Spark cannot
+    compare) sorts by the order key alone via an explicit comparator; ties on
+    the key then keep collect order — same-commit merge order for one key is
+    undefined, matching Paimon's tie contract. Orderable payloads keep the
+    default whole-struct sort so equal-key ties stay value-deterministic."""
+    val = F.col(c) if mask is None else F.when(mask, F.col(c))
+    pairs = F.collect_list(F.when(val.isNotNull(), F.struct(F.col("_ord").alias("o"), val.alias("v"))))
+    if payload_orderable:
+        return F.transform(F.array_sort(pairs), lambda s: s["v"])
+    by_o = lambda l, r: F.when(l["o"] < r["o"], -1).when(l["o"] > r["o"], 1).otherwise(0)  # noqa: E731
+    return F.transform(F.array_sort(pairs, by_o), lambda s: s["v"])
+
+
+def _collect_agg_expr(c: str, is_delete: F.Column | None, distinct: bool = False) -> F.Column:
+    """Paimon's ``collect`` aggregate (FieldCollectAgg): the stored value is
+    ARRAY<T>; rows' arrays concatenate in changelog order. Retraction removes
+    ONE occurrence per retracted element (counting semantics; null elements
+    pass through concatenation but cannot be retracted — array_position
+    cannot address them). ``distinct`` (``fields.<c>.distinct=true``) keeps
+    first occurrences only. The expression is a single aggregate Column, so
+    partial aggregation still applies map-side; compaction stores the merged
+    array, which re-merges by further concatenation — associative like sum."""
+    ins = F.flatten(_ordered_values(c, None if is_delete is None else ~is_delete))
+    if is_delete is not None:
+        dels = F.flatten(_ordered_values(c, is_delete))
+        # remove the FIRST occurrence of each retracted element: slice out
+        # the element at array_position; a miss (pos null/0) keeps acc as-is
+        def _remove_one(acc, x):
+            pos = F.array_position(acc, x)
+            hit = F.concat(
+                F.slice(acc, F.lit(1), pos - F.lit(1)),
+                F.slice(acc, pos + F.lit(1), F.size(acc) - pos),
+            )
+            return F.when(pos > 0, hit).otherwise(acc)
+
+        ins = F.aggregate(dels, ins, _remove_one)
+    if distinct:
+        ins = F.array_distinct(ins)
+    return ins.alias(c)
+
+
+def _merge_map_agg_expr(c: str) -> F.Column:
+    """Paimon's ``merge_map`` aggregate (FieldMergeMapAgg): the stored value
+    is MAP<K,V>; later rows' entries overwrite earlier entries per key, keys
+    never seen later survive. No retraction (strict class — deletes raise).
+
+    Single-expression formulation: flatten all maps' entries in changelog
+    order with a running index, then per distinct key keep the max-index
+    entry. The index is unique, so the (i, v) struct max is decided by i
+    alone — but V must still be an ORDERABLE type (no map-valued maps), the
+    price of expressing last-wins inside one aggregate Column so partial
+    aggregation survives. NULL map VALUES overwrite like any other value."""
+    maps = _ordered_values(c, None, payload_orderable=False)
+    entries = F.flatten(F.transform(maps, lambda m: F.map_entries(m)))
+    ientries = F.transform(
+        entries,
+        lambda e, i: F.struct(e["key"].alias("k"), F.struct(i.alias("i"), e["value"].alias("v")).alias("iv")),
+    )
+    keys = F.array_distinct(F.transform(ientries, lambda x: x["k"]))
+    merged = F.transform(
+        keys,
+        lambda k: F.struct(
+            k.alias("key"),
+            F.array_max(F.filter(ientries, lambda x: x["k"] == k))["iv"]["v"].alias("value"),
+        ),
+    )
+    return F.when(F.size(maps) > 0, F.map_from_entries(merged)).alias(c)
 
 
 def _retraction_guard(message: str):
@@ -123,11 +208,87 @@ def _retraction_guard(message: str):
     ).otherwise(F.lit(True))
 
 
+def _partial_update_sequence_groups(
+    df: DataFrame,
+    primary_key: list[str],
+    value_cols: list[str],
+    sequence_groups: dict[str, list[str]],
+) -> DataFrame:
+    """partial-update with SEQUENCE GROUPS (Paimon's
+    ``fields.<seq-col>.sequence-group=<a,b,...>`` CoreOption; the multi-stream
+    partial-update the reference inherits through core's
+    PartialUpdateMergeFunction). Per primary key:
+
+    - each group's columns (the seq column itself plus its members) are taken
+      TOGETHER from the row with the highest (group-seq, changelog-order) key
+      among inserts whose group seq is NON-NULL — a true per-group partial
+      update: a winning row's null member values DO overwrite (unlike the
+      default engine's per-field non-null rule), and a row with a null group
+      seq leaves the group untouched;
+    - a -D row with a non-null group seq RETRACTS the group (fields and seq
+      go null) when its (seq, order) key is >= the winner's — Paimon's
+      sequence-group retraction contract, so partial-update accepts deletes
+      once groups are declared (the group-less engine has no seq to compare,
+      which is why Paimon rejects deletes there);
+    - columns in no group keep the default per-field last-non-null rule over
+      insert rows;
+    - the KEY survives retraction (deletes null groups out, they never drop
+      the row) — only keys with zero insert rows are absent.
+
+    One groupBy(pk) with max_by/max aggregates — partial aggregation applies
+    map-side, so the shuffle carries one pre-merged row per PK per map
+    partition regardless of changelog depth."""
+    groups = list(sequence_groups.items())
+    scaffold = [f"_sg{x}{i}" for i in range(len(groups)) for x in ("w", "k", "r")]
+    clash = sorted(set(df.columns) & set(scaffold))
+    if clash:
+        raise ValueError(f"column name(s) {clash} collide with sequence-group merge scaffolding")
+    member_group = {}  # value column -> (group index, is that group's seq col)
+    for i, (g, members) in enumerate(groups):
+        member_group[g] = i
+        for m in members:
+            member_group[m] = i
+    ungrouped = [c for c in value_cols if c not in member_group]
+    is_insert = F.col(KIND_COL) != "D"
+    aggs = []
+    for i, (g, members) in enumerate(groups):
+        gkey = F.struct(F.col(g).alias("g"), F.col("_ord").alias("t"))
+        ins_key = F.when(is_insert & F.col(g).isNotNull(), gkey)
+        del_key = F.when(~is_insert & F.col(g).isNotNull(), gkey)
+        aggs.append(
+            F.max_by(F.struct(*[F.col(x) for x in (g, *members)]), ins_key).alias(f"_sgw{i}")
+        )
+        aggs.append(F.max(ins_key).alias(f"_sgk{i}"))
+        aggs.append(F.max(del_key).alias(f"_sgr{i}"))
+    for c in ungrouped:
+        aggs.append(
+            F.max_by(
+                F.struct(F.col("_ord"), F.col(c)),
+                F.when(is_insert & F.col(c).isNotNull(), F.col("_ord")),
+            )[c].alias(c)
+        )
+    merged = df.groupBy(*primary_key).agg(
+        *aggs, F.max(F.when(is_insert, 1).otherwise(0)).alias("_has_i")
+    )
+    out = []
+    for c in value_cols:
+        i = member_group.get(c)
+        if i is None:
+            out.append(F.col(c))
+            continue
+        retracted = F.col(f"_sgr{i}").isNotNull() & (
+            F.col(f"_sgk{i}").isNull() | (F.col(f"_sgr{i}") >= F.col(f"_sgk{i}"))
+        )
+        out.append(F.when(retracted, F.lit(None)).otherwise(F.col(f"_sgw{i}.{c}")).alias(c))
+    return merged.filter(F.col("_has_i") == 1).select(*primary_key, *out)
+
+
 def merge_on_read(
     df: DataFrame,
     primary_key: list[str],
     merge_engine: str = "deduplicate",
     field_aggregates: dict[str, str] | None = None,
+    sequence_groups: dict[str, list[str]] | None = None,
 ) -> DataFrame:
     """Collapse a changelog DataFrame to its merged table view.
 
@@ -140,9 +301,15 @@ def merge_on_read(
     function name per Paimon's ``fields.<name>.aggregate-function`` option;
     unspecified columns keep the default (sum for numerics, last value
     otherwise).
+
+    ``sequence_groups`` (partial-update engine only) maps a sequence column →
+    its member columns per Paimon's ``fields.<seq>.sequence-group`` option;
+    see ``_partial_update_sequence_groups`` for the merge contract.
     """
     if merge_engine not in MERGE_ENGINES:
         raise ValueError(f"unknown merge_engine {merge_engine!r}; have {MERGE_ENGINES}")
+    if sequence_groups and merge_engine != "partial-update":
+        raise ValueError("sequence_groups require merge_engine='partial-update'")
     clash = sorted(set(df.columns) & set(RESERVED_INTERNAL) - {SEQ_COL, KIND_COL})
     if clash:
         # a user column named _ord/_k/_row would be silently overwritten by
@@ -198,6 +365,13 @@ def merge_on_read(
         )
 
     if merge_engine == "partial-update":
+        if sequence_groups:
+            bad = sorted(
+                {c for g, ms in sequence_groups.items() for c in (g, *ms)} - set(value_cols)
+            )
+            if bad:
+                raise ValueError(f"sequence-group column(s) {bad} not among value columns")
+            return _partial_update_sequence_groups(df, primary_key, value_cols, sequence_groups)
         # last non-null per field, in sequence order; deletes reset the row
         # (simplified: deletes drop the key if they are the latest row)
         last_kind = F.max_by(F.col(KIND_COL), F.col("_ord"))
@@ -230,9 +404,13 @@ def merge_on_read(
         func = specs.get(c)
         if func is None:
             func = "sum" if isinstance(by_name[c], num_types) else "last_value"
-        if func in RETRACTABLE_AGGREGATES:
+        if func in ("sum", "count"):
             # sum/count both store additive contributions — retract by sign
             aggs.append(F.sum(F.when(is_delete, -F.col(c)).otherwise(F.col(c))).alias(c))
+        elif func in ("collect", "collect_distinct"):
+            # retract-capable (RETRACTABLE_AGGREGATES): -D rows' elements
+            # remove one occurrence each from the accumulated array
+            aggs.append(_collect_agg_expr(c, is_delete, distinct=func == "collect_distinct"))
         elif func in IGNORE_RETRACT_AGGREGATES:
             aggs.append(_field_agg_expr(func, c, insert_mask=~is_delete))
         else:

@@ -168,3 +168,74 @@ def test_mangled_field_aggregate_spelling(spark, tmp_path):
     cat.insert_into("m", "fm", mk([(1, 3)]))
     got = {r.k: r.v for r in cat.read_table("m.fm").collect()}
     assert got == {1: 10}, f"max aggregate ignored: {got}"
+
+
+def _clg(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_collect_concatenates_in_changelog_order(spark):
+    rows = [
+        (1, [3, 1], 1, "I"),
+        (1, None, 2, "I"),  # null array contributes nothing
+        (1, [1, 2], 3, "I"),
+        (2, [], 1, "I"),
+    ]
+    df = _clg(spark, rows, "k int, v array<int>, _seq bigint, _row_kind string")
+    out = merge_on_read(df, ["k"], "aggregation", field_aggregates={"v": "collect"})
+    got = {r.k: r.v for r in out.collect()}
+    assert got[1] == [3, 1, 1, 2]
+    assert got[2] == []
+
+
+def test_collect_distinct_keeps_first_occurrences(spark):
+    rows = [(1, [2, 1, 2], 1, "I"), (1, [1, 3], 2, "I")]
+    df = _clg(spark, rows, "k int, v array<int>, _seq bigint, _row_kind string")
+    out = merge_on_read(
+        df, ["k"], "aggregation", field_aggregates={"v": "collect_distinct"}
+    )
+    assert out.collect()[0].v == [2, 1, 3]
+
+
+def test_collect_retraction_removes_one_occurrence_each(spark):
+    rows = [
+        (1, [1, 2, 2, 3], 1, "I"),
+        (1, [2, 9], 2, "D"),  # retract ONE 2; 9 was never present → no-op
+        (1, [4], 3, "I"),
+    ]
+    df = _clg(spark, rows, "k int, v array<int>, _seq bigint, _row_kind string")
+    out = merge_on_read(df, ["k"], "aggregation", field_aggregates={"v": "collect"})
+    assert out.collect()[0].v == [1, 2, 3, 4]
+
+
+def test_merge_map_last_wins_per_key(spark):
+    rows = [
+        (1, {"a": 1, "b": 2}, 1, "I"),
+        (1, None, 2, "I"),  # null map contributes nothing
+        (1, {"b": 20, "c": 30}, 3, "I"),
+    ]
+    df = _clg(spark, rows, "k int, v map<string,int>, _seq bigint, _row_kind string")
+    out = merge_on_read(df, ["k"], "aggregation", field_aggregates={"v": "merge_map"})
+    got = out.collect()[0].v
+    assert got == {"a": 1, "b": 20, "c": 30}
+
+
+def test_merge_map_null_value_overwrites_and_all_null_is_null(spark):
+    rows = [
+        (1, {"a": 1}, 1, "I"),
+        (1, {"a": None}, 2, "I"),  # entry with null VALUE still overwrites
+        (2, None, 1, "I"),  # key with no map at all → null, not empty map
+    ]
+    df = _clg(spark, rows, "k int, v map<string,int>, _seq bigint, _row_kind string")
+    out = merge_on_read(df, ["k"], "aggregation", field_aggregates={"v": "merge_map"})
+    got = {r.k: r.v for r in out.collect()}
+    assert got[1] == {"a": None}
+    assert got[2] is None
+
+
+def test_merge_map_rejects_retraction(spark):
+    rows = [(1, {"a": 1}, 1, "I"), (1, {"a": 1}, 2, "D")]
+    df = _clg(spark, rows, "k int, v map<string,int>, _seq bigint, _row_kind string")
+    out = merge_on_read(df, ["k"], "aggregation", field_aggregates={"v": "merge_map"})
+    with pytest.raises(Exception, match="retraction"):
+        out.collect()
