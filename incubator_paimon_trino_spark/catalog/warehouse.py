@@ -1115,6 +1115,16 @@ class WarehouseCatalog:
                 )
             except OSError:
                 pass
+        # partition.expiration-time: Paimon's commit-time partition
+        # retention — partitions older than now − window leave the live set
+        # in a metadata-only follow-up commit. Same best-effort contract
+        # (a conflicting concurrent committer simply triggers it again).
+        p_window = schema.options.get("partition_expiration_time")
+        if p_window and schema.partition_keys:
+            try:
+                self.expire_partitions(db, table, expiration_time=p_window)
+            except (OSError, CommitConflictError):
+                pass
         return version
 
     def insert_with_retries(
@@ -1983,6 +1993,111 @@ class WarehouseCatalog:
         if producer == "none":
             out = out.filter(F.col("_change") != "-U")
         return out
+
+    def expire_partitions(
+        self,
+        db: str,
+        table: str,
+        older_than: str | None = None,
+        expiration_time: str | None = None,
+        partition_column: str | None = None,
+        dry_run: bool = False,
+    ) -> dict:
+        """Paimon's partition expiration (``partition.expiration-time``
+        CoreOption / ``CALL sys.expire_partitions``): drop WHOLE partitions
+        whose partition value is older than a cutoff, as one METADATA-ONLY
+        commit — no data file is read or rewritten, the expired entries just
+        leave the live file list (snapshot isolation keeps them
+        time-travelable until snapshot expiration deletes the bytes). At
+        100 TB this is the retention mechanism for date-partitioned fact
+        tables: O(live files) driver work on manifest entries, zero data IO.
+
+        Cutoff forms: ``older_than`` is an absolute literal compared against
+        the partition value in the COLUMN'S OWN type (dates ISO, integrals
+        numeric, strings lexicographic — Paimon's timestamp-formatter
+        patterns 'yyyy-MM-dd'/'yyyyMMdd' order correctly as strings);
+        ``expiration_time`` is Paimon's relative form ('7 d': cutoff =
+        now − duration, inherently wall-clock). Values STRICTLY BELOW the
+        cutoff expire; null partition values never expire (conservative
+        keep). ``partition_column`` defaults to the first partition key —
+        Paimon likewise formats the leading partition field.
+
+        The commit is OVERWRITE-kind with a fresh single manifest (doubles
+        as metadata compaction); the manifest STREAM emits nothing for it —
+        no files are added, matching Paimon's no-changelog contract for
+        expiration. DV metadata carries forward: marks pointing at dropped
+        files are dangling-but-harmless (the anti-join never sees those
+        paths again).
+        """
+        tdir = self._table_dir(db, table)
+        schema = self._latest_schema(tdir)
+        if not schema.partition_keys:
+            raise ValueError("expire_partitions requires a partitioned table")
+        col = partition_column or schema.partition_keys[0]
+        if col not in schema.partition_keys:
+            raise ValueError(
+                f"partition_column {col!r} is not a partition key {schema.partition_keys}"
+            )
+        ddl = next(f.type for f in schema.fields if f.name == col)
+        if older_than is not None:
+            cutoff = _typed_partition_cutoff(older_than, ddl)
+        elif expiration_time is not None:
+            ms = _parse_duration_ms(expiration_time)
+            cut_dt = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None) - _dt.timedelta(
+                milliseconds=ms
+            )
+            t = ddl.strip().lower()
+            if t == "date":
+                cutoff = cut_dt.date()
+            elif t.startswith("timestamp"):
+                cutoff = cut_dt
+            else:
+                # string partition values: Paimon's timestamp-formatter
+                # contract — ISO date text orders lexicographically
+                cutoff = cut_dt.date().isoformat()
+        else:
+            raise ValueError("expire_partitions needs older_than or expiration_time")
+        prev = self._latest_snapshot(tdir)
+        if prev is None:
+            return {"expired_partitions": 0, "expired_files": 0, "snapshot": None}
+        keep, drop, gone_parts = [], [], set()
+        for e in prev.files:
+            raw = partition_values(e["path"]).get(col)
+            try:
+                v = None if raw is None else _typed_partition_cutoff(raw, ddl)
+            except (ValueError, TypeError):
+                v = None  # unparseable partition value: conservative keep
+            if v is not None and v < cutoff:
+                drop.append(e)
+                gone_parts.add(raw)
+            else:
+                keep.append(e)
+        if not drop or dry_run:
+            return {
+                "expired_partitions": len(gone_parts),
+                "expired_files": len(drop),
+                "snapshot": None,
+            }
+        version = prev.snapshot_id + 1
+        snap = Snapshot(
+            snapshot_id=version,
+            schema_id=schema.schema_id,
+            commit_user=self.commit_user,
+            commit_identifier=version,
+            commit_kind=COMMIT_OVERWRITE,
+            timestamp_ms=int(time.time() * 1000),
+            files=keep,
+            record_count=sum(e["record_count"] for e in keep),
+        )
+        if prev.dv is not None:
+            snap.dv = prev.dv
+            snap.dv_marks = prev.dv_marks
+        self._publish_snapshot(tdir, snap, keep, [])
+        return {
+            "expired_partitions": len(gone_parts),
+            "expired_files": len(drop),
+            "snapshot": version,
+        }
 
     def expire_snapshots(
         self, db: str, table: str, keep_last: int = 1, older_than_ms: int | None = None
@@ -4202,6 +4317,14 @@ class WarehouseCatalog:
         _ALLOWED_NAMED = {
             "compact": {"table", "order_strategy", "order_by", "partitions"},
             "expire_snapshots": {"table", "retain_last", "older_than"},
+            "expire_partitions": {
+                "table",
+                "older_than",
+                "expiration_time",
+                "partition_column",
+                "timestamp_formatter",
+                "dry_run",
+            },
             "rollback": {"table", "version", "snapshot"},
             "create_tag": {"table", "tag", "snapshot"},
             "delete_tag": {"table", "tag"},
@@ -4306,6 +4429,22 @@ class WarehouseCatalog:
             )
             return ok(result=f"expired {stats['expired_snapshots']} snapshots, "
                              f"deleted {stats['deleted_files']} files")
+        if proc == "expire_partitions":
+            db, tbl = split_name(take("table"))
+            older = named.get("older_than")
+            exp = named.get("expiration_time")
+            pcol = named.get("partition_column")
+            named.pop("timestamp_formatter", None)  # accepted: ordering IS the format contract
+            dry = (named.get("dry_run") or "false").strip().lower() == "true"
+            no_leftovers()
+            stats = self.expire_partitions(
+                db, tbl, older_than=older, expiration_time=exp,
+                partition_column=pcol, dry_run=dry,
+            )
+            return ok(
+                result=f"expired {stats['expired_partitions']} partitions "
+                f"({stats['expired_files']} files)"
+            )
         if proc == "rollback":
             db, tbl = split_name(take("table"))
             snap = named.get("version") or named.get("snapshot") or take("version")
@@ -4405,9 +4544,9 @@ class WarehouseCatalog:
             return ok(result=f"fast-forwarded main to snapshot {tip} from branch {br}")
         raise ValueError(
             f"unknown procedure sys.{proc} (have compact, expire_snapshots, "
-            "rollback, create_tag, delete_tag, remove_orphan_files, "
-            "reset_consumer, analyze, create_branch, delete_branch, "
-            "fast_forward)"
+            "expire_partitions, rollback, create_tag, delete_tag, "
+            "remove_orphan_files, reset_consumer, analyze, create_branch, "
+            "delete_branch, fast_forward)"
         )
 
     _MERGE_RE = re.compile(
@@ -5109,6 +5248,14 @@ def _validate_table_options(
                         f"({seen_members[m]!r} and {g!r}); membership must be disjoint"
                     )
                 seen_members[m] = g
+    p_exp = options.get("partition_expiration_time")
+    if p_exp:
+        _parse_duration_ms(p_exp)  # malformed duration fails at DDL, not first commit
+        if partition_keys is not None and not partition_keys:
+            raise ValueError(
+                "partition.expiration-time requires a partitioned table "
+                "(there is no partition value to age out)"
+            )
     dv = options.get("deletion_vectors_enabled", "").strip().lower()
     if dv and dv not in ("true", "false"):
         raise ValueError(f"invalid deletion-vectors.enabled {dv!r}; use true/false")
@@ -5241,6 +5388,21 @@ def _field_aggregate_specs(options: dict[str, str]) -> dict[str, str]:
                     )
                 out[col] = v
     return out
+
+
+def _typed_partition_cutoff(v: str, ddl: str):
+    """Parse a hive-path partition value (or a user cutoff literal) into the
+    partition column's own comparison domain. Strings stay strings —
+    Paimon's timestamp-formatter patterns ('yyyy-MM-dd', 'yyyyMMdd') order
+    lexicographically, which is exactly the formatter contract."""
+    t = ddl.strip().lower()
+    if t in ("tinyint", "smallint", "int", "integer", "bigint"):
+        return int(v)
+    if t == "date":
+        return _dt.date.fromisoformat(v)
+    if t.startswith("timestamp"):
+        return _dt.datetime.fromisoformat(v)
+    return str(v)
 
 
 def _sequence_group_specs(options: dict[str, str]) -> dict[str, list[str]]:

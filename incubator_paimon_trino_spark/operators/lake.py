@@ -2765,3 +2765,33 @@ def lake_agg_collect_merge_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(F.array_sort("ks"), lambda x: x.cast("string")), ","
     )
     return out.select("o_custkey", ks_csv.alias("ks"), entry.alias("mk", "mv"))
+
+
+@register(
+    "lake_partition_expiration",
+    oracle="""
+    SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+           CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS order_year
+    FROM orders
+    WHERE EXTRACT(YEAR FROM o_orderdate) >= 1995
+    """,
+)
+def lake_partition_expiration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition expiration through the oracle gate (Paimon's
+    ``partition.expiration-time`` CoreOption / ``CALL sys.expire_partitions``
+    — retention for date-partitioned fact tables). The procedure drops every
+    order_year partition below 1995 in ONE metadata-only commit: zero data
+    IO (entries leave the manifest; bytes stay until snapshot expiration),
+    O(live files) driver work at any scale. Read back = exactly the
+    surviving partitions; the pre-expiration snapshot stays time-travelable
+    (asserted in-query)."""
+    cat = _orders_by_year(spark, sf_dir)
+    before = cat.read_table("lake.orders_by_year").count()
+    res = cat.sql(
+        "CALL sys.expire_partitions(table => 'lake.orders_by_year', older_than => '1995')"
+    ).collect()
+    assert "expired" in res[0][0], res
+    # snapshot isolation: version 1 (pre-expiration) still serves every year
+    trav = cat.read_table("lake.orders_by_year", version_as_of=1).count()
+    assert trav == before, (trav, before)
+    return cat.read_table("lake.orders_by_year")
