@@ -870,6 +870,13 @@ class WarehouseCatalog:
                             )
                             .cast(ftype),
                         )
+            # ignore-delete (Paimon CoreOption): -D records are DISCARDED at
+            # write time — they never enter the changelog, so merge engines
+            # that reject retraction (first-row) accept raw CDC feeds, and
+            # $audit/streams consistently never see the dropped deletes.
+            # delete_where refuses loudly instead of no-opping (below).
+            if schema.options.get("ignore_delete", "").strip().lower() == "true":
+                out = out.filter(F.col(KIND_COL) != "D")
         elif KIND_COL in out.columns or row_kind not in (None, "I"):
             raise ValueError("row kinds require a primary-key table")
 
@@ -1158,6 +1165,13 @@ class WarehouseCatalog:
         schema = self.schema_of(db, table)
         if not schema.primary_key:
             raise ValueError("delete_where requires a primary-key table")
+        if schema.options.get("ignore_delete", "").strip().lower() == "true":
+            # the write path would silently drop every -D row this DELETE
+            # produces — a "successful" no-op; refuse instead
+            raise ValueError(
+                "DELETE is not supported on an ignore-delete table "
+                "(ignore-delete discards -D records at write time)"
+            )
         if schema.options.get("merge_engine") == "first-row":
             # first-row keeps the EARLIEST insert and ignores every later
             # row including retractions (merge_on_read filters -D out before
@@ -5256,6 +5270,14 @@ def _validate_table_options(
                 "partition.expiration-time requires a partitioned table "
                 "(there is no partition value to age out)"
             )
+    ig = options.get("ignore_delete", "").strip().lower()
+    if ig and ig not in ("true", "false"):
+        raise ValueError(f"invalid ignore-delete {ig!r}; use true/false")
+    if ig == "true" and not primary_key:
+        raise ValueError(
+            "ignore-delete requires a primary-key table (append tables "
+            "have no delete records to ignore)"
+        )
     dv = options.get("deletion_vectors_enabled", "").strip().lower()
     if dv and dv not in ("true", "false"):
         raise ValueError(f"invalid deletion-vectors.enabled {dv!r}; use true/false")

@@ -2795,3 +2795,38 @@ def lake_partition_expiration(spark: SparkSession, sf_dir: str) -> DataFrame:
     trav = cat.read_table("lake.orders_by_year", version_as_of=1).count()
     assert trav == before, (trav, before)
     return cat.read_table("lake.orders_by_year")
+
+
+@register(
+    "lake_ignore_delete",
+    oracle=f"""
+    WITH c1 AS ({_C1_SQL}),
+         c2 AS ({_C2_SQL})
+    SELECT COALESCE(c1.o_custkey, c2.o_custkey) AS o_custkey,
+           COALESCE(c1.last_order, c2.last_order) AS last_order,
+           COALESCE(c1.n, c2.n) AS n
+    FROM c1 FULL OUTER JOIN (SELECT * FROM c2 WHERE kind = 'I') c2
+      ON c1.o_custkey = c2.o_custkey
+    """,
+)
+def lake_ignore_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ignore-delete`` through the oracle gate (Paimon CoreOption; the
+    documented recipe for feeding raw CDC into merge engines that reject
+    retraction). first-row + ignore-delete: commit 2's -D rows are DISCARDED
+    AT WRITE TIME — without the option this exact feed raises first-row's
+    retraction error (pinned in tests/test_ignore_delete.py) — while its +I
+    rows still add never-seen keys. Deletes never enter the changelog, so
+    streams and $audit stay consistent with the merged view."""
+    cat = _fresh_catalog(spark)
+    cat.create_database("lake")
+    cat.create_table(
+        "lake",
+        "cust_igd",
+        [("o_custkey", "bigint"), ("last_order", "bigint"), ("n", "bigint")],
+        primary_key=["o_custkey"],
+        options={"merge_engine": "first-row", "ignore_delete": "true"},
+    )
+    c1, c2 = _orders_commits(spark, sf_dir)
+    cat.insert_into("lake", "cust_igd", c1)
+    cat.insert_into("lake", "cust_igd", c2)  # carries per-row -D kinds
+    return cat.read_table("lake.cust_igd")
