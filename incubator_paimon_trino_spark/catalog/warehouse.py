@@ -515,6 +515,16 @@ class WarehouseCatalog:
         final: list[str] = []
         for p in glob.glob(os.path.join(staging, "**", f"*.{ext}"), recursive=True):
             rel_dir = os.path.relpath(os.path.dirname(p), staging)
+            if "_bucket=" in rel_dir:
+                # dynamic-bucket writes stage through a hive `_bucket=N`
+                # partitionBy column; the final layout uses Paimon's plain
+                # `bucket-N` directory instead — a non-k=v segment, so
+                # Catalyst's partition inference never surfaces a _bucket
+                # column to readers (it only parses k=v dirs)
+                rel_dir = os.sep.join(
+                    f"bucket-{seg.split('=', 1)[1]}" if seg.startswith("_bucket=") else seg
+                    for seg in rel_dir.split(os.sep)
+                )
             dest_dir = os.path.join(tdir, "data") if rel_dir == "." else os.path.join(
                 tdir, "data", rel_dir
             )
@@ -938,8 +948,14 @@ class WarehouseCatalog:
         bucket_key = schema.options.get("bucket_key") or (
             schema.primary_key[0] if schema.primary_key else None
         )
+        dyn_index_delta: str | None = None
         if n_buckets > 0 and bucket_key:
             out = out.repartition(n_buckets, F.col(bucket_key))
+        elif n_buckets == -1:
+            # dynamic bucket mode (bucket = -1): stable key→bucket from the
+            # maintained index, new keys fill buckets up to target-row-num
+            out, dyn_index_delta = self._dynamic_bucket_assign(tdir, schema, out, version)
+            out = out.repartition(F.col("_bucket"))
         elif schema.options.get("clustering_columns"):
             # clustering.columns (Paimon append-table clustering): range-
             # partition + sort the commit on the clustering key so each file
@@ -994,8 +1010,14 @@ class WarehouseCatalog:
             staging = self._staging_dir(tdir, version)
             fb_counts: dict[str, int] | None = None
             writer = out.write.mode("errorifexists")
-            if schema.partition_keys:
-                writer = writer.partitionBy(*schema.partition_keys)
+            part_cols = list(schema.partition_keys)
+            if "_bucket" in out.columns:
+                # dynamic bucket: the bucket id rides as the INNERMOST hive
+                # partitionBy layer; _finalize_commit renames `_bucket=N` to
+                # Paimon's plain `bucket-N` so readers never see the column
+                part_cols.append("_bucket")
+            if part_cols:
+                writer = writer.partitionBy(*part_cols)
             if fmt == "ORC":
                 writer.orc(staging)
             elif fmt == "PARQUET":
@@ -1026,6 +1048,8 @@ class WarehouseCatalog:
             dv_cached.unpersist()
         if n_buckets > 0 and bucket_key:
             _record_buckets(new_files, schema, bucket_key, n_buckets)
+        elif n_buckets == -1:
+            _record_dynamic_buckets(new_files)
         n = sum(e["record_count"] for e in new_files)
         fresh = overwrite or prev is None
         files = new_files if fresh else prev.files + new_files
@@ -1072,6 +1096,11 @@ class WarehouseCatalog:
                         os.remove(os.path.join(tdir, "index", idx_name))
                     except FileNotFoundError:
                         pass
+            if dyn_index_delta is not None:
+                # the loser's key→bucket assignments must not linger: the
+                # winner (or the retry) re-assigns with ITS view of the
+                # index, and two deltas for one key would race the lookup
+                shutil.rmtree(dyn_index_delta, ignore_errors=True)
             self._prune_empty_dirs(os.path.join(tdir, "data"))
             raise
 
@@ -2594,6 +2623,14 @@ class WarehouseCatalog:
             out = out.repartition(n_buckets, F.col(bucket_key))
             if sort_keys:
                 out = out.sortWithinPartitions(*sort_keys)
+        elif n_buckets == -1:
+            # dynamic bucket: re-attach each key's stable bucket from the
+            # index (compaction introduces no new keys — every key is
+            # already assigned) so the rewrite preserves the bucket layout
+            out, _ = self._dynamic_bucket_assign(tdir, schema, out, version)
+            out = out.repartition(F.col("_bucket"))
+            if sort_keys:
+                out = out.sortWithinPartitions(*sort_keys)
         elif sort_keys:
             # honor the table's clustering_partitions pin if set (same knob
             # as write clustering); else size range buckets by volume
@@ -2608,8 +2645,11 @@ class WarehouseCatalog:
             out = out.drop(zcol)
         staging = self._staging_dir(tdir, version)
         writer = out.write.mode("errorifexists")
-        if schema.partition_keys:
-            writer = writer.partitionBy(*schema.partition_keys)
+        part_cols = list(schema.partition_keys)
+        if "_bucket" in out.columns:
+            part_cols.append("_bucket")  # finalize renames to bucket-N dirs
+        if part_cols:
+            writer = writer.partitionBy(*part_cols)
         fmt = schema.options.get("file_format", "PARQUET").upper()
         if fmt not in ("PARQUET", "ORC", "AVRO"):
             raise ValueError(f"unsupported file_format {fmt!r} (have PARQUET, ORC, AVRO)")
@@ -2633,6 +2673,8 @@ class WarehouseCatalog:
         build_file_indexes(self.spark, final_paths, schema)
         if n_buckets > 0 and bucket_key:
             _record_buckets(files, schema, bucket_key, n_buckets)
+        elif n_buckets == -1:
+            _record_dynamic_buckets(files)
         n = sum(e["record_count"] for e in files)
         snap = Snapshot(
             snapshot_id=version,
@@ -2792,6 +2834,92 @@ class WarehouseCatalog:
             snap = snaps[-1] if snaps else None
         return snap
 
+    def _dynamic_bucket_assign(
+        self, tdir: str, schema: TableSchema, out: DataFrame, version: int
+    ) -> tuple[DataFrame, str | None]:
+        """Dynamic bucket mode (Paimon ``bucket = -1`` on PK tables): every
+        key gets a STABLE bucket from a maintained key→bucket index; new keys
+        fill buckets sequentially so each holds at most
+        ``dynamic-bucket.target-row-num`` keys — bucket count GROWS with the
+        table instead of being fixed at DDL time (the fixed-bucket
+        resize/rescale problem this mode exists to avoid).
+
+        The index lives as parquet under ``index/dynamic-bucket/`` — written
+        and read by Spark jobs, never materialized on the driver (Paimon's
+        writers load it into task memory; at 100 TB ours stays a distributed
+        hash join of the batch against the index). Assignment of new keys is
+        the two-pass global-rank recipe (per-partition row_number + broadcast
+        offsets — no single-task sort): bucket = (existing_keys + rank) //
+        target. Exact bucket composition is not replay-deterministic (rank
+        partitioning isn't), but the INVARIANTS queries rely on are: one
+        bucket per key, stable across commits, ≤ target keys per bucket.
+
+        Returns ``out`` with a ``_bucket`` column (the writer turns it into
+        Paimon's ``bucket-N`` directory layer) and the index-delta directory
+        this commit wrote (for conflict cleanup), or None if no new keys.
+        """
+        from pyspark.sql import Window
+
+        pk = schema.primary_key
+        target = int(schema.options.get("dynamic_bucket_target_row_num", "2000000") or 0)
+        if target <= 0:
+            raise ValueError("dynamic-bucket.target-row-num must be a positive integer")
+        idx_dir = os.path.join(tdir, "index", "dynamic-bucket")
+        idx_ddl = ", ".join(f"{k} {schema.field_by_name(k).type}" for k in pk) + ", _bucket int"
+        idx_files = glob.glob(os.path.join(idx_dir, "*", "*.parquet"))
+        if idx_files:
+            idx = self.spark.read.schema(idx_ddl).parquet(*idx_files)
+        else:
+            idx = self.spark.createDataFrame([], idx_ddl)
+        keys = out.select(*pk).dropDuplicates()
+        looked_up = keys.join(idx, pk, "left").persist()
+        try:
+            # n0 = TOTAL keys ever assigned (cumulative fill position), not
+            # just this batch's matches: bucket b holds exactly the keys
+            # whose global assignment index fell in [b·target, (b+1)·target)
+            n0 = idx.count()
+            new_keys = looked_up.filter(F.col("_bucket").isNull()).select(*pk)
+            delta_dir: str | None = None
+            if new_keys.isEmpty():
+                amap = looked_up.filter(F.col("_bucket").isNotNull())
+            else:
+                tagged = new_keys.withColumn("_pid", F.spark_partition_id()).persist()
+                try:
+                    counts = {r._pid: r["count"] for r in tagged.groupBy("_pid").count().collect()}
+                    off, acc = {}, 0
+                    for pid in sorted(counts):
+                        off[pid] = acc
+                        acc += counts[pid]
+                    off_col = F.element_at(
+                        F.create_map(
+                            *[F.lit(x) for kv in sorted(off.items()) for x in kv]
+                        ),
+                        F.col("_pid"),
+                    )
+                    w = Window.partitionBy("_pid").orderBy(*pk)
+                    assigned = (
+                        tagged.withColumn(
+                            "_rank", F.row_number().over(w) - 1 + off_col
+                        )
+                        .withColumn(
+                            "_bucket",
+                            ((F.col("_rank") + F.lit(n0)) / F.lit(target)).cast("int"),
+                        )
+                        .select(*pk, "_bucket")
+                    )
+                    delta_dir = os.path.join(idx_dir, f"commit-{version}-{uuid.uuid4().hex[:8]}")
+                    assigned.write.parquet(delta_dir)
+                finally:
+                    tagged.unpersist()
+                written = self.spark.read.schema(idx_ddl).parquet(delta_dir)
+                amap = looked_up.filter(F.col("_bucket").isNotNull()).unionByName(written)
+            # every batch key now has a bucket; the join is PK-equi and the
+            # assignment side is exactly this batch's keys (small relative
+            # to the table), so Catalyst broadcast/shuffle-hash picks apply
+            return out.join(amap, pk, "inner"), delta_dir
+        finally:
+            looked_up.unpersist()
+
     def _bucket_prune(self, schema: TableSchema, predicate: list | None, files: list[dict]) -> list[dict]:
         """Hash-bucket file skipping for point lookups (Paimon's bucket
         pruning): an equality/IN predicate on the bucket key touches only
@@ -2810,7 +2938,11 @@ class WarehouseCatalog:
             if fid not in pk_ids:
                 return files
         layouts = {
-            e["bucket_n"] for e in files if "bucket" in e and e.get("bucket_fid") == fid
+            e["bucket_n"]
+            for e in files
+            # bucket_n <= 0 = dynamic layout: the id came from the index,
+            # not a hash — pmod(hash(v), n) says nothing about it
+            if "bucket" in e and e.get("bucket_fid") == fid and e.get("bucket_n", 0) > 0
         }
         if not layouts:
             return files
@@ -4912,6 +5044,19 @@ def partition_column_expr(pname: str, type_ddl: str) -> Column:
     )
 
 
+def _record_dynamic_buckets(files: list[dict]) -> None:
+    """Stamp dynamic-bucket manifest entries from their ``bucket-N`` path
+    segment. ``bucket_n = -1`` marks the layout as index-assigned: the hash
+    pruner must skip these (bucket id is NOT hash-derivable from a key —
+    that is the whole point of dynamic mode), so only ``$files``/maintenance
+    consumers read the stamp."""
+    for e in files:
+        m = re.search(r"(?:^|/)bucket-(\d+)/", e["path"].replace("\\", "/"))
+        if m:
+            e["bucket"] = int(m.group(1))
+            e["bucket_n"] = -1
+
+
 def _record_buckets(files: list[dict], schema: TableSchema, bucket_key: str, n: int) -> None:
     """Stamp each manifest entry with the hash bucket its file holds.
 
@@ -5270,6 +5415,34 @@ def _validate_table_options(
                 "partition.expiration-time requires a partitioned table "
                 "(there is no partition value to age out)"
             )
+    b_raw = options.get("bucket")
+    if b_raw is not None:
+        try:
+            b = int(b_raw)
+        except ValueError:
+            raise ValueError(f"invalid bucket {b_raw!r}; an integer (-1 = dynamic) required")
+        if b < -1:
+            raise ValueError(f"invalid bucket {b}; use a positive count or -1 (dynamic)")
+        if b == -1:
+            # dynamic bucket mode: key→bucket comes from the maintained
+            # index, so only PK tables qualify and the bucket key IS the
+            # primary key (Paimon's dynamic-bucket contract)
+            if not primary_key:
+                raise ValueError("bucket = -1 (dynamic) requires a primary-key table")
+            if options.get("bucket_key"):
+                raise ValueError(
+                    "bucket = -1 (dynamic) uses the primary key as the bucket "
+                    "key; bucket-key must not be set"
+                )
+            if options.get("file_format", "parquet").strip().lower() == "avro":
+                raise ValueError(
+                    "bucket = -1 (dynamic) requires PARQUET or ORC (the "
+                    "module-less avro fallback writer cannot partition by "
+                    "the bucket layer)"
+                )
+    tn = options.get("dynamic_bucket_target_row_num")
+    if tn is not None and (not str(tn).strip().isdigit() or int(tn) <= 0):
+        raise ValueError(f"dynamic-bucket.target-row-num must be a positive integer, got {tn!r}")
     ig = options.get("ignore_delete", "").strip().lower()
     if ig and ig not in ("true", "false"):
         raise ValueError(f"invalid ignore-delete {ig!r}; use true/false")

@@ -2830,3 +2830,63 @@ def lake_ignore_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat.insert_into("lake", "cust_igd", c1)
     cat.insert_into("lake", "cust_igd", c2)  # carries per-row -D kinds
     return cat.read_table("lake.cust_igd")
+
+
+@register(
+    "lake_dynamic_bucket",
+    oracle=f"""
+    WITH c1 AS ({_C1_SQL}), c2 AS ({_C2_SQL})
+    SELECT COALESCE(c2.o_custkey, c1.o_custkey) AS o_custkey,
+           COALESCE(c2.last_order, c1.last_order) AS last_order,
+           COALESCE(c2.n, c1.n) AS n
+    FROM c1 FULL OUTER JOIN c2 ON c1.o_custkey = c2.o_custkey
+    WHERE c2.kind IS NULL OR c2.kind <> 'D'
+    """,
+)
+def lake_dynamic_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic bucket mode through the oracle gate (Paimon ``bucket = -1`` +
+    ``dynamic-bucket.target-row-num``; the bucket option family the reference
+    surfaces as DDL properties, ``common/TrinoTableOptionUtils.java:51-135``).
+    Same two commits (upserts + per-row deletes) as ``lake_merge_on_read``,
+    same oracle — bucketing must never change query results — but the write
+    path routes every key through the maintained key→bucket index: files
+    land under Paimon's ``bucket-N`` directory layer, each bucket holds at
+    most target-row-num keys, and a key's bucket is STABLE across commits
+    (both invariants asserted in-query from metadata + the index). At scale
+    the index lookup is one PK-equi join of the batch against the index —
+    distributed, never driver-held."""
+    import glob as _glob
+    import os as _os
+    import re as _re
+
+    target = 256
+    cat = _fresh_catalog(spark)
+    cat.create_database("lake")
+    cat.create_table(
+        "lake",
+        "cust_dyn",
+        [("o_custkey", "bigint"), ("last_order", "bigint"), ("n", "bigint")],
+        primary_key=["o_custkey"],
+        options={"bucket": "-1", "dynamic_bucket_target_row_num": str(target)},
+    )
+    c1, c2 = _orders_commits(spark, sf_dir)
+    cat.insert_into("lake", "cust_dyn", c1)
+    tdir = cat._table_dir("lake", "cust_dyn")
+    idx_files = lambda: _glob.glob(  # noqa: E731
+        _os.path.join(tdir, "index", "dynamic-bucket", "*", "*.parquet")
+    )
+    before_files = idx_files()
+    cat.insert_into("lake", "cust_dyn", c2)
+    after_df = spark.read.parquet(*idx_files())
+    # invariant 1: bucket sizes bounded by target-row-num (scalar agg)
+    overfull = after_df.groupBy("_bucket").count().filter(F.col("count") > target).count()
+    assert overfull == 0
+    # invariant 2: existing keys kept their bucket — distributed equi-join
+    # of the two index states, only the mismatch COUNT reaches the driver
+    before_df = spark.read.parquet(*before_files).withColumnRenamed("_bucket", "_b0")
+    moved = after_df.join(before_df, "o_custkey").filter(F.col("_bucket") != F.col("_b0")).count()
+    assert moved == 0
+    # invariant 3: every committed file sits under a bucket-N directory
+    snap = cat._latest_snapshot(tdir)
+    assert all(_re.search(r"(?:^|/)bucket-\d+/", e["path"]) for e in snap.files)
+    return cat.read_table("lake.cust_dyn")

@@ -549,3 +549,28 @@ def test_window_ntile_percent_no_single_task_table_sort(spark):
         for m in _re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
             spec = m.group(1)
             assert "c_acctbal" not in spec or "bucket" in spec, (name, spec)
+
+
+def test_sequence_group_merge_is_one_partial_aggregate(spark):
+    """r9 continuation: sequence-group partial-update merges in ONE
+    groupBy(pk) — partial (map-side) aggregation present, no Window, no
+    extra shuffle beyond the single merge exchange + the write-side plan."""
+    df = _q("lake_partial_update_sequence_group")(spark, SF_SMOKE)
+    plan = physical_plan(df)
+    low = plan.lower()
+    assert "windowspecdefinition" not in low
+    # the merge runs as an aggregate with a map-side partial_ pass (struct
+    # max_by routes to SortAggregate — still partial + final, one exchange)
+    assert ("hashaggregate" in low or "sortaggregate" in low) and "partial_max_by" in low
+    assert "cartesianproduct" not in low
+
+
+def test_dynamic_bucket_read_has_no_bucket_column_and_no_extra_exchange(spark):
+    """r9 continuation: the bucket-N directory layer is a WRITE-side layout
+    — readers must see neither a _bucket column nor any join against the
+    dynamic-bucket index (assignment happens at write time only)."""
+    df = _q("lake_dynamic_bucket")(spark, SF_SMOKE)
+    assert "_bucket" not in df.columns
+    plan = physical_plan(df).lower()
+    assert "_bucket" not in plan
+    assert "dynamic-bucket" not in plan  # index parquet never in a read plan
