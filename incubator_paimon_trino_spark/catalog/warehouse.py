@@ -1185,7 +1185,9 @@ class WarehouseCatalog:
                     raise
 
     def delete_where(self, db: str, table: str, condition) -> int:
-        """DELETE: write -D changelog rows for matching keys (PK tables only).
+        """DELETE: -D changelog rows for matching keys on PK tables; on
+        append tables, a partition-scoped predicate drops whole partitions
+        as one metadata-only commit (``drop_partitions``).
 
         The reference has no DELETE (negative finding, SURVEY §2.A) — data
         changes arrive via external writers. We go further: a delete is just
@@ -1193,7 +1195,14 @@ class WarehouseCatalog:
         """
         schema = self.schema_of(db, table)
         if not schema.primary_key:
-            raise ValueError("delete_where requires a primary-key table")
+            # append tables: partition-predicate DELETE drops whole
+            # partitions metadata-only (drop_partitions validates the
+            # predicate is partition-scoped and raises otherwise)
+            stats = self.drop_partitions(db, table, condition)
+            if stats["snapshot"] is not None:
+                return stats["snapshot"]
+            prev = self._latest_snapshot(self._table_dir(db, table))
+            return prev.snapshot_id if prev else 0
         if schema.options.get("ignore_delete", "").strip().lower() == "true":
             # the write path would silently drop every -D row this DELETE
             # produces — a "successful" no-op; refuse instead
@@ -2121,6 +2130,21 @@ class WarehouseCatalog:
                 "expired_files": len(drop),
                 "snapshot": None,
             }
+        version = self._overwrite_live_set(tdir, schema, prev, keep)
+        return {
+            "expired_partitions": len(gone_parts),
+            "expired_files": len(drop),
+            "snapshot": version,
+        }
+
+    def _overwrite_live_set(self, tdir: str, schema: TableSchema, prev, keep: list[dict]) -> int:
+        """Publish a METADATA-ONLY commit whose live set is ``keep`` — the
+        shared tail of partition expiration and partition-predicate DELETE.
+        OVERWRITE-kind (replaces the accumulated manifest chain with one
+        fresh manifest, which doubles as metadata compaction); no data file
+        is read, written, or removed — dropped entries stay time-travelable
+        until snapshot expiration reclaims the bytes. DV metadata carries
+        forward (marks pointing at dropped files are dangling-but-harmless)."""
         version = prev.snapshot_id + 1
         snap = Snapshot(
             snapshot_id=version,
@@ -2136,9 +2160,71 @@ class WarehouseCatalog:
             snap.dv = prev.dv
             snap.dv_marks = prev.dv_marks
         self._publish_snapshot(tdir, snap, keep, [])
+        return version
+
+    def drop_partitions(self, db: str, table: str, condition) -> dict:
+        """DELETE whole partitions by a partition-column predicate — the
+        append-table DELETE (Paimon's drop-partition overwrite; PK tables
+        delete by key through ``delete_where``'s -D rows instead).
+
+        The predicate is evaluated BY SPARK over one row per live partition
+        (metadata-sized: distinct partition tuples from the manifest
+        entries, typed with the partition columns' own types), so every
+        predicate form Spark can evaluate works — =, IN, ranges, AND/OR —
+        with exact engine semantics, never a Python re-implementation. A
+        predicate referencing any non-partition column fails loudly: a
+        row-level DELETE on an append table would need rewrites this engine
+        deliberately refuses (matching Paimon's append-table contract).
+        The commit is the metadata-only ``_overwrite_live_set`` — zero data
+        IO at any scale.
+        """
+        tdir = self._table_dir(db, table)
+        schema = self._latest_schema(tdir)
+        pkeys = schema.partition_keys
+        if not pkeys:
+            raise ValueError(
+                "DELETE on a table without a primary key requires a partition "
+                "predicate on a partitioned table (append tables delete whole "
+                "partitions; row-level deletes need a primary key)"
+            )
+        prev = self._latest_snapshot(tdir)
+        if prev is None:
+            return {"deleted_partitions": 0, "deleted_files": 0, "snapshot": None}
+        by_tuple: dict[tuple, list[dict]] = {}
+        for e in prev.files:
+            vals = partition_values(e["path"])
+            by_tuple.setdefault(tuple(vals.get(k) for k in pkeys), []).append(e)
+        raw_cols = [f"_raw_{i}" for i in range(len(pkeys))]
+        ddl_of = {f.name: f.type for f in schema.fields}
+        raw_df = self.spark.createDataFrame(
+            [tuple(t) for t in sorted(by_tuple, key=str)],
+            ", ".join(f"{c} string" for c in raw_cols),
+        )
+        typed = raw_df.select(
+            *raw_cols,
+            *[
+                F.col(c).cast(castable_ddl(ddl_of[k])).alias(k)
+                for c, k in zip(raw_cols, pkeys)
+            ],
+        )
+        try:
+            doomed_rows = typed.filter(condition).collect()  # one row per partition
+        except Exception as ex:
+            if "UNRESOLVED_COLUMN" in str(ex) or "cannot be resolved" in str(ex):
+                raise ValueError(
+                    "DELETE on an append table must reference partition columns "
+                    f"only ({pkeys}); for row-level deletes use a primary-key table"
+                ) from ex
+            raise
+        doomed = {tuple(r[c] for c in raw_cols) for r in doomed_rows}
+        if not doomed:
+            return {"deleted_partitions": 0, "deleted_files": 0, "snapshot": None}
+        keep = [e for t, es in by_tuple.items() if t not in doomed for e in es]
+        n_files = sum(len(by_tuple[t]) for t in doomed)
+        version = self._overwrite_live_set(tdir, schema, prev, keep)
         return {
-            "expired_partitions": len(gone_parts),
-            "expired_files": len(drop),
+            "deleted_partitions": len(doomed),
+            "deleted_files": n_files,
             "snapshot": version,
         }
 

@@ -2890,3 +2890,33 @@ def lake_dynamic_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     snap = cat._latest_snapshot(tdir)
     assert all(_re.search(r"(?:^|/)bucket-\d+/", e["path"]) for e in snap.files)
     return cat.read_table("lake.cust_dyn")
+
+
+@register(
+    "lake_partition_delete",
+    oracle="""
+    SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+           CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS order_year
+    FROM orders
+    WHERE EXTRACT(YEAR FROM o_orderdate) NOT IN (1992, 1997)
+    """,
+)
+def lake_partition_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-table DELETE by partition predicate through the oracle gate
+    (Paimon's drop-partition overwrite — the one DELETE form an append table
+    supports). ``DELETE FROM t WHERE order_year IN (1992, 1997)`` drops both
+    partitions in ONE metadata-only commit: the predicate is evaluated by
+    Spark over one row per live partition (engine semantics for IN/ranges,
+    never a Python re-implementation), zero data IO at any scale. A
+    non-partition predicate on the same table raises (asserted in-query);
+    the pre-delete snapshot stays time-travelable (asserted in-query)."""
+    cat = _orders_by_year(spark, sf_dir)
+    before = cat.read_table("lake.orders_by_year").count()
+    cat.sql("DELETE FROM lake.orders_by_year WHERE order_year IN (1992, 1997)")
+    try:
+        cat.sql("DELETE FROM lake.orders_by_year WHERE o_totalprice > 100")
+        raise AssertionError("row-level DELETE on an append table must raise")
+    except ValueError:
+        pass
+    assert cat.read_table("lake.orders_by_year", version_as_of=1).count() == before
+    return cat.read_table("lake.orders_by_year")
