@@ -1161,6 +1161,20 @@ class WarehouseCatalog:
                 self.expire_partitions(db, table, expiration_time=p_window)
             except (OSError, CommitConflictError):
                 pass
+        # tag.automatic-creation = process-time (Paimon's auto tags): the
+        # FIRST commit of each creation period names its snapshot after the
+        # period start ('2026-08-16' daily / '2026-08-16 14' hourly), giving
+        # retention-proof daily/hourly savepoints with zero operator action.
+        # Best-effort; later commits in the same period see the tag exists.
+        if schema.options.get("tag_automatic_creation", "").strip().lower() == "process-time":
+            period = schema.options.get("tag_creation_period", "daily").strip().lower()
+            now = _dt.datetime.now(_dt.timezone.utc)
+            name = now.strftime("%Y-%m-%d") if period == "daily" else now.strftime("%Y-%m-%d %H")
+            if name not in self._tags(tdir):
+                try:
+                    self.create_tag(db, table, name, snapshot_id=version)
+                except (OSError, ValueError):
+                    pass  # concurrent committer tagged this period first
         return version
 
     def insert_with_retries(
@@ -3270,6 +3284,12 @@ class WarehouseCatalog:
             from incubator_paimon_trino_spark.operators.merge_on_read import merge_on_read
 
             aggs = _field_aggregate_specs(schema.options)
+            col_names = {f.name for f in schema.fields}
+            default_agg = None
+            if "default" in aggs and "default" not in col_names:
+                # fields.default-aggregate-function (a real column named
+                # 'default' outranks the fallback reading — DDL-validated)
+                default_agg = aggs.pop("default")
             seq_field = schema.options.get("sequence_field")
             if (
                 schema.options.get("merge_engine") == "aggregation"
@@ -3291,6 +3311,8 @@ class WarehouseCatalog:
                 merge_engine=schema.options.get("merge_engine", "deduplicate"),
                 field_aggregates=aggs,
                 sequence_groups=_sequence_group_specs(schema.options) or None,
+                nested_keys=_nested_key_specs(schema.options) or None,
+                default_aggregate=default_agg,
             )
             # schema column order (merge_on_read returns PK-first) so reads
             # before/after the first commit and across tables are positional-
@@ -5220,6 +5242,10 @@ _ENUM_OPTIONS: dict[str, tuple[str, ...]] = {
     ),
     # CoreOptions.LogConsistency
     "log_consistency": ("transactional", "eventual"),
+    # CoreOptions.TagCreationMode / TagCreationPeriod (watermark mode needs
+    # a stream watermark this batch writer doesn't carry — rejected at DDL)
+    "tag_automatic_creation": ("none", "process-time"),
+    "tag_creation_period": ("daily", "hourly"),
     # CoreOptions.LogChangelogMode
     "log_changelog_mode": ("auto", "all", "upsert"),
     # CoreOptions.StreamingReadMode
@@ -5373,8 +5399,12 @@ def _canonical_options(options: dict[str, str] | None) -> dict[str, str]:
             kk.endswith(".aggregate-function")
             or kk.endswith(".sequence-group")
             or kk.endswith(".distinct")
+            or kk.endswith(".nested-key")
         ):
             pass  # dotted structured key: kept verbatim (column case preserved)
+        elif m := re.fullmatch(r"fields[._](.+)[._]nested[-_]key", kk):
+            mid = m.group(1).replace(".", "_").replace("-", "_")
+            kk = f"fields_{mid}_nested_key"
         elif m := re.fullmatch(r"fields[._](.+)[._]sequence[-_]group", kk):
             mid = m.group(1).replace(".", "_").replace("-", "_")
             kk = f"fields_{mid}_sequence_group"
@@ -5431,6 +5461,22 @@ def _validate_table_options(
     if specs and not primary_key:
         raise ValueError("fields.<name>.aggregate-function requires a primary-key table")
     for col, func in specs.items():
+        if col == "default" and "default" not in names:
+            # Paimon's fields.default-aggregate-function: the fallback for
+            # unspecified value columns (a real column named 'default'
+            # outranks this reading). Container functions need a typed
+            # column and cannot be a table-wide fallback.
+            if func not in FIELD_AGGREGATES:
+                raise ValueError(
+                    f"unknown default aggregate-function {func!r}; have {FIELD_AGGREGATES}"
+                )
+            if func in ("collect", "merge_map", "nested_update", "count"):
+                raise ValueError(
+                    f"default aggregate-function cannot be {func!r} (container "
+                    "functions need a typed ARRAY/MAP column; count needs the "
+                    "write path's per-column 0/1 partials)"
+                )
+            continue
         if col not in names:
             raise ValueError(f"aggregate-function on unknown column {col!r}")
         if col in primary_key:
@@ -5439,14 +5485,31 @@ def _validate_table_options(
             raise ValueError(
                 f"unknown aggregate-function {func!r} for {col!r}; have {FIELD_AGGREGATES}"
             )
-        if types is not None and func in ("collect", "merge_map"):
+        if types is not None and func in ("collect", "merge_map", "nested_update"):
             t = types.get(col, "").strip().lower()
-            want = "array" if func == "collect" else "map"
-            if not t.startswith(want):
+            want = "array<struct" if func == "nested_update" else (
+                "array" if func == "collect" else "map"
+            )
+            if not re.match(want.replace("<", r"\s*<\s*"), t):
                 raise ValueError(
-                    f"aggregate-function {func!r} requires an {want.upper()} column; "
-                    f"{col!r} is {t!r}"
+                    f"aggregate-function {func!r} requires an {want.upper()}<...> "
+                    f"column; {col!r} is {t!r}"
                 )
+    for col, keys in _nested_key_specs(options).items():
+        if specs.get(col) != "nested_update":
+            raise ValueError(
+                f"fields.{col}.nested-key requires aggregate-function "
+                "'nested_update' on that column"
+            )
+        if types is not None:
+            fields = _struct_field_names(types.get(col, ""))
+            if fields is not None:
+                missing = sorted(set(keys) - set(fields))
+                if missing:
+                    raise ValueError(
+                        f"nested-key field(s) {missing} not in {col!r}'s row type "
+                        f"(has {fields})"
+                    )
     for col in _collect_distinct_cols(options):
         if specs.get(col) != "collect":
             raise ValueError(
@@ -5701,6 +5764,45 @@ def _sequence_group_specs(options: dict[str, str]) -> dict[str, list[str]]:
                     raise ValueError(f"conflicting sequence-group spellings for column {col!r}")
                 out[col] = members
     return out
+
+
+def _nested_key_specs(options: dict[str, str]) -> dict[str, list[str]]:
+    """Parse ``fields.<col>.nested-key=<k1,k2,...>`` (the nested_update
+    aggregate's upsert key). Same dual-spelling contract as the other
+    structured fields.* options."""
+    out: dict[str, list[str]] = {}
+    for pre, suf in (("fields.", ".nested-key"), ("fields_", "_nested_key")):
+        for k, v in (options or {}).items():
+            if k.startswith(pre) and k.endswith(suf) and len(k) > len(pre) + len(suf):
+                col = k[len(pre) : -len(suf)]
+                keys = [m.strip() for m in v.split(",") if m.strip()]
+                if col in out and out[col] != keys:
+                    raise ValueError(f"conflicting nested-key spellings for column {col!r}")
+                out[col] = keys
+    return out
+
+
+def _struct_field_names(array_struct_ddl: str) -> list[str] | None:
+    """Field names of an ``array<struct<...>>`` DDL string, or None when the
+    type is not that shape. Top-level-comma split — names only (the full
+    type is enforced by Spark at read time; this guards DDL typos early)."""
+    t = array_struct_ddl.strip().lower()
+    m = re.fullmatch(r"array\s*<\s*struct\s*<(.*)>\s*>", t, re.DOTALL)
+    if m is None:
+        return None
+    inner, depth, part, names = m.group(1), 0, [], []
+    for ch in inner:
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        if ch == "," and depth == 0:
+            names.append("".join(part))
+            part = []
+        else:
+            part.append(ch)
+    names.append("".join(part))
+    return [n.strip().split(":")[0].split()[0] for n in names if n.strip()]
 
 
 def _collect_distinct_cols(options: dict[str, str]) -> set[str]:

@@ -2920,3 +2920,61 @@ def lake_partition_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         pass
     assert cat.read_table("lake.orders_by_year", version_as_of=1).count() == before
     return cat.read_table("lake.orders_by_year")
+
+
+@register(
+    "lake_agg_nested_update",
+    oracle="""
+    WITH c1 AS (
+      SELECT o_custkey, CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS y,
+             COUNT(*) AS n
+      FROM orders WHERE o_orderkey <= 3000 GROUP BY 1, 2
+    ), c2 AS (
+      SELECT o_custkey, CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS y,
+             COUNT(*) AS n
+      FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) >= 1995 GROUP BY 1, 2
+    )
+    SELECT COALESCE(c2.o_custkey, c1.o_custkey) AS o_custkey,
+           COALESCE(c2.y, c1.y) AS y,
+           COALESCE(c2.n, c1.n) AS n
+    FROM c1 FULL OUTER JOIN c2
+      ON c1.o_custkey = c2.o_custkey AND c1.y = c2.y
+    """,
+)
+def lake_agg_nested_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``nested_update`` aggregate through the oracle gate (Paimon's
+    FieldNestedUpdateAgg with ``fields.<col>.nested-key`` — the 1:N "child
+    table inside a column" pattern). Each customer's per-year order counts
+    live as ARRAY<ROW(y, n)>; commit 2 UPSERTS the years it covers (equal
+    nested key replaces in place) and appends new years, commit 1's other
+    years survive. The merged array is exploded to scalar rows for the
+    cross-engine hash. Merge is a single JVM aggregate expression — partial
+    aggregation applies; the per-key array is the only materialization."""
+    cat = _fresh_catalog(spark)
+    cat.create_database("lake")
+    cat.create_table(
+        "lake",
+        "cust_years",
+        [("o_custkey", "bigint"), ("v", "array<struct<y:int,n:bigint>>")],
+        primary_key=["o_custkey"],
+        options={
+            "merge_engine": "aggregation",
+            "fields.v.aggregate-function": "nested_update",
+            "fields.v.nested-key": "y",
+        },
+    )
+    o = table(spark, sf_dir, "orders").withColumn("y", F.year("o_orderdate"))
+    mk = lambda flt: (  # noqa: E731
+        o.filter(flt)
+        .groupBy("o_custkey", "y")
+        .agg(F.count("*").alias("n"))
+        .groupBy("o_custkey")
+        .agg(F.sort_array(F.collect_list(F.struct("y", "n"))).alias("v"))
+    )
+    cat.insert_into("lake", "cust_years", mk(F.col("o_orderkey") <= 3000))
+    cat.insert_into("lake", "cust_years", mk(F.col("y") >= 1995))
+    out = cat.read_table("lake.cust_years")
+    e = F.explode("v")
+    return out.select("o_custkey", e.alias("e")).select(
+        "o_custkey", F.col("e.y").alias("y"), F.col("e.n").alias("n")
+    )

@@ -64,10 +64,16 @@ FIELD_AGGREGATES = (
     "count",
     "collect",
     "merge_map",
+    "nested_update",
 )
 
 
-def _field_agg_expr(func: str, c: str, insert_mask: F.Column | None = None) -> F.Column:
+def _field_agg_expr(
+    func: str,
+    c: str,
+    insert_mask: F.Column | None = None,
+    nested_key: list[str] | None = None,
+) -> F.Column:
     """One aggregate Column for value column ``c`` ordered by ``_ord``.
 
     ``insert_mask`` (ignore-retract aggregates): a boolean Column; rows where
@@ -112,6 +118,8 @@ def _field_agg_expr(func: str, c: str, insert_mask: F.Column | None = None) -> F
         )
     if func == "merge_map":
         return _merge_map_agg_expr(c)
+    if func == "nested_update":
+        return _nested_update_agg_expr(c, nested_key)
     if func == "count":
         # SUM of partial counts, not COUNT of rows: the write path stores
         # each raw row's contribution as 0/1 (see warehouse.insert_into) and
@@ -166,6 +174,33 @@ def _collect_agg_expr(c: str, is_delete: F.Column | None, distinct: bool = False
     if distinct:
         ins = F.array_distinct(ins)
     return ins.alias(c)
+
+
+def _nested_update_agg_expr(c: str, nested_key: list[str] | None) -> F.Column:
+    """Paimon's ``nested_update`` aggregate (FieldNestedUpdateAgg): the
+    stored value is ARRAY<ROW> — the 1:N "child table inside a column"
+    pattern. Without ``fields.<c>.nested-key`` rows APPEND in changelog
+    order (collect semantics over rows). With a nested key, a later row
+    REPLACES the earlier row sharing its key (last-wins upsert inside the
+    array, first-appearance order preserved) — same single-expression
+    last-wins machinery as merge_map, keyed by the nested-key subfields.
+    No retraction (strict class — deletes raise), like Paimon's."""
+    rows_ = F.flatten(_ordered_values(c, None, payload_orderable=False))
+    if not nested_key:
+        return rows_.alias(c)
+    key_of = lambda e: F.struct(*[e[k].alias(k) for k in nested_key])  # noqa: E731
+    irows = F.transform(
+        rows_,
+        lambda e, i: F.struct(
+            key_of(e).alias("k"), F.struct(i.alias("i"), e.alias("v")).alias("iv")
+        ),
+    )
+    keys = F.array_distinct(F.transform(irows, lambda x: x["k"]))
+    merged = F.transform(
+        keys,
+        lambda k: F.array_max(F.filter(irows, lambda x: x["k"] == k))["iv"]["v"],
+    )
+    return merged.alias(c)
 
 
 def _merge_map_agg_expr(c: str) -> F.Column:
@@ -289,6 +324,8 @@ def merge_on_read(
     merge_engine: str = "deduplicate",
     field_aggregates: dict[str, str] | None = None,
     sequence_groups: dict[str, list[str]] | None = None,
+    nested_keys: dict[str, list[str]] | None = None,
+    default_aggregate: str | None = None,
 ) -> DataFrame:
     """Collapse a changelog DataFrame to its merged table view.
 
@@ -305,6 +342,11 @@ def merge_on_read(
     ``sequence_groups`` (partial-update engine only) maps a sequence column →
     its member columns per Paimon's ``fields.<seq>.sequence-group`` option;
     see ``_partial_update_sequence_groups`` for the merge contract.
+
+    ``nested_keys`` maps a nested_update column → its ``fields.<c>.nested-key``
+    subfields; ``default_aggregate`` is Paimon's
+    ``fields.default-aggregate-function`` — the function unspecified value
+    columns use instead of the sum/last_value fallback.
     """
     if merge_engine not in MERGE_ENGINES:
         raise ValueError(f"unknown merge_engine {merge_engine!r}; have {MERGE_ENGINES}")
@@ -401,7 +443,7 @@ def merge_on_read(
     is_delete = F.col(KIND_COL) == "D"
     aggs, strict_cols = [], []
     for c in value_cols:
-        func = specs.get(c)
+        func = specs.get(c) or default_aggregate
         if func is None:
             func = "sum" if isinstance(by_name[c], num_types) else "last_value"
         if func in ("sum", "count"):
@@ -417,7 +459,7 @@ def merge_on_read(
             # groups containing a delete raise below, so computing these
             # aggregates over the full frame (deletes included) only affects
             # groups that never survive to output
-            aggs.append(_field_agg_expr(func, c))
+            aggs.append(_field_agg_expr(func, c, nested_key=(nested_keys or {}).get(c)))
             strict_cols.append((c, func))
     merged = df.groupBy(*primary_key).agg(
         *aggs,

@@ -937,3 +937,36 @@ def test_expire_snapshots_older_than_procedure(spark, tmp_path):
     assert cat.read_table("d.t$snapshots").count() == 3
     with pytest.raises(ValueError, match="duration"):
         cat.set_options("d", "t", {"snapshot.time-retained": "eon"})
+
+
+def test_tag_automatic_creation_process_time(spark, tmp_path):
+    """tag.automatic-creation=process-time: the FIRST commit of a creation
+    period tags its snapshot with the period name; later commits in the same
+    period leave the tag pointing at that first snapshot."""
+    import datetime as dt
+
+    from incubator_paimon_trino_spark.catalog import WarehouseCatalog
+
+    cat = WarehouseCatalog(str(tmp_path / "wh"), spark)
+    cat.create_database("d")
+    cat.create_table(
+        "d", "t", [("k", "int")], options={"tag.automatic-creation": "process-time"}
+    )
+    cat.insert_into("d", "t", spark.createDataFrame([(1,)], "k int"))
+    name = dt.datetime.now(dt.timezone.utc).strftime("%Y-%m-%d")
+    tags = cat._tags(cat._table_dir("d", "t"))
+    assert tags.get(name) == 1
+    cat.insert_into("d", "t", spark.createDataFrame([(2,)], "k int"))
+    assert cat._tags(cat._table_dir("d", "t"))[name] == 1  # unchanged
+    # the tag reads back as the first commit's state
+    assert cat.read_table("d.t", tag=name).count() == 1
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="tag_automatic_creation"):
+        cat.create_table("d", "bad", [("k", "int")],
+                         options={"tag.automatic-creation": "watermark"})
+    with _pytest.raises(ValueError, match="tag_creation_period"):
+        cat.create_table("d", "bad2", [("k", "int")],
+                         options={"tag.automatic-creation": "process-time",
+                                  "tag.creation-period": "weekly"})

@@ -239,3 +239,111 @@ def test_merge_map_rejects_retraction(spark):
     out = merge_on_read(df, ["k"], "aggregation", field_aggregates={"v": "merge_map"})
     with pytest.raises(Exception, match="retraction"):
         out.collect()
+
+
+def test_nested_update_append_without_key(spark):
+    rows = [
+        (1, [(10, "a")], 1, "I"),
+        (1, [(20, "b"), (10, "c")], 2, "I"),
+    ]
+    df = _clg(spark, rows, "k int, v array<struct<id:int,s:string>>, _seq bigint, _row_kind string")
+    out = merge_on_read(df, ["k"], "aggregation", field_aggregates={"v": "nested_update"})
+    got = [tuple(r) for r in out.collect()[0].v]
+    assert got == [(10, "a"), (20, "b"), (10, "c")]  # pure append, changelog order
+
+
+def test_nested_update_with_nested_key_upserts(spark):
+    rows = [
+        (1, [(10, "old"), (20, "keep")], 1, "I"),
+        (1, None, 2, "I"),
+        (1, [(10, "new"), (30, "add")], 3, "I"),
+    ]
+    df = _clg(spark, rows, "k int, v array<struct<id:int,s:string>>, _seq bigint, _row_kind string")
+    out = merge_on_read(
+        df, ["k"], "aggregation",
+        field_aggregates={"v": "nested_update"}, nested_keys={"v": ["id"]},
+    )
+    got = [tuple(r) for r in out.collect()[0].v]
+    # id=10 replaced in place (first-appearance order), 30 appended
+    assert got == [(10, "new"), (20, "keep"), (30, "add")]
+
+
+def test_nested_update_rejects_retraction(spark):
+    rows = [(1, [(10, "a")], 1, "I"), (1, [(10, "a")], 2, "D")]
+    df = _clg(spark, rows, "k int, v array<struct<id:int,s:string>>, _seq bigint, _row_kind string")
+    out = merge_on_read(df, ["k"], "aggregation", field_aggregates={"v": "nested_update"})
+    with pytest.raises(Exception, match="retraction"):
+        out.collect()
+
+
+def test_default_aggregate_function(spark):
+    # default max: v would sum without it; explicit spec still outranks
+    got = _merged_with(spark, {"s": "listagg"}, default="max")
+    assert got[1].v == 10 and got[1].s == "a,b"
+
+
+def _merged_with(spark, specs, default=None):
+    out = merge_on_read(
+        _changelog(spark), ["k"], "aggregation",
+        field_aggregates=specs, default_aggregate=default,
+    )
+    return {r.k: r for r in out.collect()}
+
+
+def test_nested_update_through_catalog_with_validation(spark, tmp_path):
+    cat = WarehouseCatalog(str(tmp_path / "wh"), spark)
+    cat.create_database("d")
+    cat.create_table(
+        "d", "t",
+        [("k", "int"), ("v", "array<struct<id:int,s:string>>")],
+        primary_key=["k"],
+        options={"merge_engine": "aggregation",
+                 "fields.v.aggregate-function": "nested_update",
+                 "fields.v.nested-key": "id"},
+    )
+    ddl = "k int, v array<struct<id:int,s:string>>"
+    cat.insert_into("d", "t", spark.createDataFrame([(1, [(10, "old")])], ddl))
+    cat.insert_into("d", "t", spark.createDataFrame([(1, [(10, "new"), (20, "b")])], ddl))
+    got = [tuple(r) for r in cat.read_table("d.t").collect()[0].v]
+    assert got == [(10, "new"), (20, "b")]
+
+    with pytest.raises(ValueError, match="not in 'v''s row type|not in"):
+        cat.create_table(
+            "d", "bad", [("k", "int"), ("v", "array<struct<id:int>>")],
+            primary_key=["k"],
+            options={"merge_engine": "aggregation",
+                     "fields.v.aggregate-function": "nested_update",
+                     "fields.v.nested-key": "nope"})
+    with pytest.raises(ValueError, match="ARRAY<STRUCT"):
+        cat.create_table(
+            "d", "bad2", [("k", "int"), ("v", "array<int>")],
+            primary_key=["k"],
+            options={"merge_engine": "aggregation",
+                     "fields.v.aggregate-function": "nested_update"})
+    with pytest.raises(ValueError, match="nested-key requires"):
+        cat.create_table(
+            "d", "bad3", [("k", "int"), ("v", "array<struct<id:int>>")],
+            primary_key=["k"],
+            options={"merge_engine": "aggregation",
+                     "fields.v.nested-key": "id"})
+
+
+def test_default_aggregate_through_catalog(spark, tmp_path):
+    cat = WarehouseCatalog(str(tmp_path / "wh"), spark)
+    cat.create_database("d")
+    cat.create_table(
+        "d", "t", [("k", "int"), ("a", "int"), ("b", "int")], primary_key=["k"],
+        options={"merge_engine": "aggregation",
+                 "fields.default-aggregate-function": "max",
+                 "fields.a.aggregate-function": "sum"},
+    )
+    cat.insert_into("d", "t", spark.createDataFrame([(1, 3, 7)], "k int, a int, b int"))
+    cat.insert_into("d", "t", spark.createDataFrame([(1, 4, 5)], "k int, a int, b int"))
+    r = cat.read_table("d.t").collect()[0]
+    assert (r.a, r.b) == (7, 7)  # a summed (explicit), b maxed (default)
+
+    with pytest.raises(ValueError, match="default aggregate-function cannot"):
+        cat.create_table(
+            "d", "bad", [("k", "int"), ("v", "int")], primary_key=["k"],
+            options={"merge_engine": "aggregation",
+                     "fields.default-aggregate-function": "count"})
