@@ -4268,6 +4268,24 @@ class WarehouseCatalog:
     def snapshots(self, db: str, table: str) -> DataFrame:
         return self._system_table(db, table, "snapshots")
 
+    def read_incremental_by_timestamp(self, name: str, from_ms: int, to_ms: int) -> DataFrame:
+        """Paimon's ``incremental-between-timestamp`` — rows committed AFTER
+        ``from_ms`` up to and including ``to_ms`` (epoch millis). Each bound
+        resolves to the newest snapshot committed at or before it (no
+        snapshot at/before from_ms → the table's beginning), then delegates
+        to the id-based delta — the same metadata-only file-set difference.
+        """
+        if to_ms < from_ms:
+            raise ValueError(f"to_ms {to_ms} precedes from_ms {from_ms}")
+        db, _, table = name.partition(".")
+        snaps = self._snapshots(self._table_dir(db, table))
+
+        def at_or_before(ms: int) -> int:
+            ids = [s.snapshot_id for s in snaps if s.timestamp_ms <= ms]
+            return max(ids) if ids else 0
+
+        return self.read_incremental(name, at_or_before(from_ms), at_or_before(to_ms))
+
     def read_incremental(
         self, name: str, from_snapshot: int | str, to_snapshot: int | str
     ) -> DataFrame:

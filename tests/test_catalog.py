@@ -1119,3 +1119,29 @@ def test_char_pk_merge_matches(cat, spark):
     )
     got = {r.k: r.v for r in cat.read_table("cm.t").collect()}
     assert got == {"ab  ": 100, "cd  ": 2, "zz  ": 3}, got
+
+
+def test_read_incremental_by_timestamp(spark, tmp_path):
+    """incremental-between-timestamp: bounds resolve to the newest snapshot
+    at-or-before each epoch-millis value, then the id-based delta applies."""
+    from incubator_paimon_trino_spark.catalog import WarehouseCatalog
+
+    cat = WarehouseCatalog(str(tmp_path / "wh"), spark)
+    cat.create_database("d")
+    cat.create_table("d", "t", [("k", "int")])
+    for i in range(3):
+        cat.insert_into("d", "t", spark.createDataFrame([(i,)], "k int"))
+    snaps = cat._snapshots(cat._table_dir("d", "t"))
+    ts = {s.snapshot_id: s.timestamp_ms for s in snaps}
+    # (ts1, ts2]: exactly commit 2's row
+    got = cat.read_incremental_by_timestamp("d.t", ts[1], ts[2]).collect()
+    assert [r.k for r in got] == [1]
+    # before-the-beginning lower bound: everything up to ts2
+    got = sorted(r.k for r in cat.read_incremental_by_timestamp("d.t", 0, ts[2]).collect())
+    assert got == [0, 1]
+    # empty window
+    assert cat.read_incremental_by_timestamp("d.t", ts[3], ts[3]).count() == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="precedes"):
+        cat.read_incremental_by_timestamp("d.t", ts[2], ts[1])
