@@ -1233,6 +1233,23 @@ class WarehouseCatalog:
                 "DELETE is not supported on first-row merge-engine tables "
                 "(first-row ignores retractions; the key would remain visible)"
             )
+        if schema.options.get("merge_engine") == "partial-update":
+            # Paimon's partial-update delete contract: a -D needs one of the
+            # three configured handlings, else every later READ would raise —
+            # fail the DELETE itself instead of poisoning the table
+            has_groups = bool(_sequence_group_specs(schema.options))
+            rrod = (
+                schema.options.get("partial_update_remove_record_on_delete", "")
+                .strip()
+                .lower()
+                == "true"
+            )
+            if not has_groups and not rrod:
+                raise ValueError(
+                    "DELETE on a partial-update table requires 'ignore-delete', "
+                    "'partial-update.remove-record-on-delete', or sequence groups "
+                    "(the engine has no rule for what a bare delete outranks)"
+                )
         doomed = self.read_table(f"{db}.{table}", pad_char=False).filter(condition)
         return self.insert_into(db, table, doomed, row_kind="D")
 
@@ -3313,6 +3330,12 @@ class WarehouseCatalog:
                 sequence_groups=_sequence_group_specs(schema.options) or None,
                 nested_keys=_nested_key_specs(schema.options) or None,
                 default_aggregate=default_agg,
+                remove_record_on_delete=(
+                    schema.options.get("partial_update_remove_record_on_delete", "")
+                    .strip()
+                    .lower()
+                    == "true"
+                ),
             )
             # schema column order (merge_on_read returns PK-first) so reads
             # before/after the first commit and across tables are positional-
@@ -5610,6 +5633,16 @@ def _validate_table_options(
     tn = options.get("dynamic_bucket_target_row_num")
     if tn is not None and (not str(tn).strip().isdigit() or int(tn) <= 0):
         raise ValueError(f"dynamic-bucket.target-row-num must be a positive integer, got {tn!r}")
+    rrod = options.get("partial_update_remove_record_on_delete", "").strip().lower()
+    if rrod and rrod not in ("true", "false"):
+        raise ValueError(
+            f"invalid partial-update.remove-record-on-delete {rrod!r}; use true/false"
+        )
+    if rrod == "true" and options.get("merge_engine") != "partial-update":
+        raise ValueError(
+            "partial-update.remove-record-on-delete requires "
+            "merge_engine='partial-update'"
+        )
     ig = options.get("ignore_delete", "").strip().lower()
     if ig and ig not in ("true", "false"):
         raise ValueError(f"invalid ignore-delete {ig!r}; use true/false")

@@ -326,6 +326,7 @@ def merge_on_read(
     sequence_groups: dict[str, list[str]] | None = None,
     nested_keys: dict[str, list[str]] | None = None,
     default_aggregate: str | None = None,
+    remove_record_on_delete: bool = False,
 ) -> DataFrame:
     """Collapse a changelog DataFrame to its merged table view.
 
@@ -414,17 +415,62 @@ def merge_on_read(
             if bad:
                 raise ValueError(f"sequence-group column(s) {bad} not among value columns")
             return _partial_update_sequence_groups(df, primary_key, value_cols, sequence_groups)
-        # last non-null per field, in sequence order; deletes reset the row
-        # (simplified: deletes drop the key if they are the latest row)
-        last_kind = F.max_by(F.col(KIND_COL), F.col("_ord"))
+        # last non-null per field, in sequence order. Delete handling is
+        # Paimon's partial-update trio: by default -D rows RAISE (the engine
+        # has no per-field seq to decide what a delete outranks); with
+        # partial-update.remove-record-on-delete a delete RESETS the
+        # accumulated row at its position — the key survives only if an
+        # insert follows the last delete, and each field keeps only values
+        # from after it (no pre-delete resurrection); sequence groups
+        # (above) retract per group. ignore-delete filters at write time,
+        # so those feeds never reach here.
+        is_insert = F.col(KIND_COL) != "D"
+        if remove_record_on_delete:
+            scaffold = [f"_pu{i}" for i in range(len(value_cols))] + ["_dmax", "_imax"]
+            clash2 = sorted(set(df.columns) & set(scaffold))
+            if clash2:
+                raise ValueError(
+                    f"column name(s) {clash2} collide with partial-update merge scaffolding"
+                )
+            aggs = [
+                F.max_by(
+                    F.struct(F.col("_ord").alias("o"), F.col(c).alias("v")),
+                    F.when(is_insert & F.col(c).isNotNull(), F.col("_ord")),
+                ).alias(f"_pu{i}")
+                for i, c in enumerate(value_cols)
+            ]
+            merged = df.groupBy(*primary_key).agg(
+                F.max(F.when(~is_insert, F.col("_ord"))).alias("_dmax"),
+                F.max(F.when(is_insert, F.col("_ord"))).alias("_imax"),
+                *aggs,
+            )
+            alive = F.col("_imax").isNotNull() & (
+                F.col("_dmax").isNull() | (F.col("_imax") > F.col("_dmax"))
+            )
+            after_reset = lambda i: F.when(  # noqa: E731
+                F.col("_dmax").isNull() | (F.col(f"_pu{i}.o") > F.col("_dmax")),
+                F.col(f"_pu{i}.v"),
+            )
+            return merged.filter(alive).select(
+                *primary_key,
+                *[after_reset(i).alias(c) for i, c in enumerate(value_cols)],
+            )
         aggs = [
             F.max_by(F.struct(F.col("_ord"), F.col(c)), F.when(F.col(c).isNotNull(), F.col("_ord")))[
                 c
             ].alias(c)
             for c in value_cols
         ]
-        merged = df.groupBy(*primary_key).agg(last_kind.alias("_k"), *aggs)
-        return merged.filter(F.col("_k") != "D").select(*primary_key, *value_cols)
+        merged = df.groupBy(*primary_key).agg(
+            F.max(F.when(~is_insert, 1).otherwise(0)).alias("_has_d"),
+            *aggs,
+        )
+        guard = _retraction_guard(
+            "merge-engine 'partial-update' does not support retraction (delete "
+            "rows present); configure 'ignore-delete', "
+            "'partial-update.remove-record-on-delete', or sequence groups"
+        )
+        return merged.filter(guard).select(*primary_key, *value_cols)
 
     # aggregation: per-field function when configured, else sum numeric
     # fields and last_value for the rest. Delete handling follows Paimon's

@@ -1145,3 +1145,42 @@ def test_read_incremental_by_timestamp(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="precedes"):
         cat.read_incremental_by_timestamp("d.t", ts[2], ts[1])
+
+
+def test_partial_update_remove_record_on_delete(spark, tmp_path):
+    """partial-update.remove-record-on-delete: DELETE drops the whole row
+    (later inserts re-add); without any delete handling, DELETE refuses at
+    write time so reads never poison."""
+    from incubator_paimon_trino_spark.catalog import WarehouseCatalog
+
+    cat = WarehouseCatalog(str(tmp_path / "wh"), spark)
+    cat.create_database("d")
+    cat.create_table(
+        "d", "t", [("k", "int"), ("x", "string"), ("y", "string")],
+        primary_key=["k"],
+        options={"merge_engine": "partial-update",
+                 "partial-update.remove-record-on-delete": "true"},
+    )
+    ddl = "k int, x string, y string"
+    cat.insert_into("d", "t", spark.createDataFrame([(1, "a", None)], ddl))
+    cat.insert_into("d", "t", spark.createDataFrame([(1, None, "b")], ddl))
+    cat.delete_where("d", "t", "k = 1")
+    assert cat.read_table("d.t").count() == 0
+    # re-insert AFTER the delete: the row rebuilds from scratch — the
+    # pre-delete y='b' must NOT resurrect (reset, not drop-if-latest)
+    cat.insert_into("d", "t", spark.createDataFrame([(1, "re", None)], ddl))
+    assert [tuple(r) for r in cat.read_table("d.t").collect()] == [(1, "re", None)]
+
+    import pytest as _pytest
+
+    cat.create_table(
+        "d", "plain", [("k", "int"), ("x", "string")], primary_key=["k"],
+        options={"merge_engine": "partial-update"},
+    )
+    cat.insert_into("d", "plain", spark.createDataFrame([(1, "a")], "k int, x string"))
+    with _pytest.raises(ValueError, match="remove-record-on-delete"):
+        cat.delete_where("d", "plain", "k = 1")
+    with _pytest.raises(ValueError, match="requires"):
+        cat.create_table(
+            "d", "bad", [("k", "int"), ("x", "string")], primary_key=["k"],
+            options={"partial-update.remove-record-on-delete": "true"})

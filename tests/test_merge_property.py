@@ -97,21 +97,48 @@ def test_first_row_matches_model(spark, commits):
 @given(commits=changelogs())
 @HYP
 def test_partial_update_matches_model(spark, commits):
+    """remove-record-on-delete semantics (Paimon's delete-accepting option
+    for partial-update; the default engine REJECTS deletes — pinned below
+    in test_partial_update_default_rejects_deletes)."""
     df = _df(spark, commits)
-    got = {r.k: (r.v, r.tag) for r in merge_on_read(df, ["k"], "partial-update").collect()}
-    last_kind, last_v, last_tag = {}, {}, {}
-    for k, kind, v, tag, seq in _flat(commits):
-        last_kind[k] = kind
-        if v is not None:
-            last_v[k] = v
-        if tag is not None:
-            last_tag[k] = tag
-    want = {
-        k: (last_v.get(k), last_tag.get(k))
-        for k, kind in last_kind.items()
-        if kind != "D"
+    got = {
+        r.k: (r.v, r.tag)
+        for r in merge_on_read(
+            df, ["k"], "partial-update", remove_record_on_delete=True
+        ).collect()
     }
+    # replay model: a delete RESETS the key's accumulated row at its
+    # position (Paimon's remove-record-on-delete) — later inserts rebuild
+    # from scratch, pre-delete values never resurrect, delete rows
+    # contribute no values
+    state: dict = {}
+    for k, kind, v, tag, seq in _flat(commits):
+        if kind == "D":
+            state.pop(k, None)
+        else:
+            cur = state.setdefault(k, [None, None])
+            if v is not None:
+                cur[0] = v
+            if tag is not None:
+                cur[1] = tag
+    want = {k: (cur[0], cur[1]) for k, cur in state.items()}
     assert got == want
+
+
+def test_partial_update_default_rejects_deletes(spark):
+    """Paimon's partial-update delete contract: without ignore-delete /
+    remove-record-on-delete / sequence groups, a -D row RAISES at merge
+    time — never a silent drop (the engine has no rule for what a bare
+    delete outranks)."""
+    import pytest as _pytest
+
+    df = _df(spark, [[(1, "I", 1, "a")], [(1, "D", None, None)]])
+    with _pytest.raises(Exception, match="retraction"):
+        merge_on_read(df, ["k"], "partial-update").collect()
+    # delete-free histories keep merging fine without any option
+    clean = _df(spark, [[(1, "I", 1, "a")], [(1, "I", None, "b")]])
+    got = {r.k: (r.v, r.tag) for r in merge_on_read(clean, ["k"], "partial-update").collect()}
+    assert got == {1: (1, "b")}
 
 
 @given(commits=changelogs())
