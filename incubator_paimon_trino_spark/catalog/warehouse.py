@@ -2134,6 +2134,11 @@ class WarehouseCatalog:
                 cutoff = cut_dt.date()
             elif t.startswith("timestamp"):
                 cutoff = cut_dt
+            elif t in ("tinyint", "smallint", "int", "integer", "bigint"):
+                # integral partition columns follow the 'yyyyMMdd' formatter
+                # convention (numeric order == date order); a bare string
+                # cutoff here would make the int-vs-str compare crash
+                cutoff = int(cut_dt.strftime("%Y%m%d"))
             else:
                 # string partition values: Paimon's timestamp-formatter
                 # contract — ISO date text orders lexicographically

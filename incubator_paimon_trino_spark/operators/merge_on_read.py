@@ -33,10 +33,11 @@ MERGE_ENGINES = ("deduplicate", "first-row", "partial-update", "aggregation")
 #: (``_seq``/``_row_kind`` are the system columns themselves).
 RESERVED_INTERNAL = (SEQ_COL, KIND_COL, "_ord", "_k", "_row", "_zorder_key", "_fidx_file")
 
-#: Aggregation-engine retraction classes (Paimon's contract: sum-like
-#: aggregates subtract a ``-D`` row's contribution; last/first-value accept
-#: retraction by ignoring it; everything else throws "aggregate function does
-#: not support retraction" at read time — never a silent no-op).
+#: Aggregation-engine retraction classes (Paimon's contract: sum/count
+#: subtract a ``-D`` row's contribution, collect removes one occurrence per
+#: retracted element; last/first-value accept retraction by ignoring it;
+#: everything else throws "aggregate function does not support retraction"
+#: at read time — never a silent no-op).
 RETRACTABLE_AGGREGATES = ("sum", "count", "collect")
 IGNORE_RETRACT_AGGREGATES = (
     "last_value",

@@ -132,3 +132,15 @@ def test_snapshot_expiration_reclaims_expired_partition_bytes(spark, tmp_path):
     # only the surviving partition's file remains on disk
     assert len(live) == 1
     assert [r.p for r in cat.read_table("d.t").collect()] == [2020]
+
+
+def test_relative_expiration_on_integral_partition_column(spark, tmp_path):
+    """expiration_time on an INT partition column: the cutoff follows the
+    yyyyMMdd formatter convention (numeric order == date order) — a string
+    cutoff would crash the int-vs-str compare."""
+    cat = _table(spark, tmp_path)
+    cat.insert_into("d", "t", spark.createDataFrame(
+        [(1, 1, 19990101), (2, 2, 99990101)], "k int, v int, p int"))
+    stats = cat.expire_partitions("d", "t", expiration_time="1 d")
+    assert stats["expired_partitions"] == 1
+    assert [r.p for r in cat.read_table("d.t").collect()] == [99990101]
