@@ -3341,6 +3341,7 @@ class WarehouseCatalog:
                     .lower()
                     == "true"
                 ),
+                ignore_retract=_ignore_retract_cols(schema.options) or None,
             )
             # schema column order (merge_on_read returns PK-first) so reads
             # before/after the first commit and across tables are positional-
@@ -5446,8 +5447,12 @@ def _canonical_options(options: dict[str, str] | None) -> dict[str, str]:
             or kk.endswith(".sequence-group")
             or kk.endswith(".distinct")
             or kk.endswith(".nested-key")
+            or kk.endswith(".ignore-retract")
         ):
             pass  # dotted structured key: kept verbatim (column case preserved)
+        elif m := re.fullmatch(r"fields[._](.+)[._]ignore[-_]retract", kk):
+            mid = m.group(1).replace(".", "_").replace("-", "_")
+            kk = f"fields_{mid}_ignore_retract"
         elif m := re.fullmatch(r"fields[._](.+)[._]nested[-_]key", kk):
             mid = m.group(1).replace(".", "_").replace("-", "_")
             kk = f"fields_{mid}_nested_key"
@@ -5562,6 +5567,15 @@ def _validate_table_options(
                 f"fields.{col}.distinct requires aggregate-function 'collect' on that "
                 "column (distinct is the collect aggregate's switch)"
             )
+    for col in _ignore_retract_cols(options):
+        if options.get("merge_engine") != "aggregation":
+            raise ValueError(
+                f"fields.{col}.ignore-retract requires merge_engine='aggregation'"
+            )
+        if col not in names:
+            raise ValueError(f"ignore-retract on unknown column {col!r}")
+        if col in primary_key:
+            raise ValueError(f"ignore-retract on primary-key column {col!r}")
     sgroups = _sequence_group_specs(options)
     if sgroups:
         if options.get("merge_engine") != "partial-update":
@@ -5861,21 +5875,33 @@ def _struct_field_names(array_struct_ddl: str) -> list[str] | None:
     return [n.strip().split(":")[0].split()[0] for n in names if n.strip()]
 
 
-def _collect_distinct_cols(options: dict[str, str]) -> set[str]:
-    """Parse ``fields.<col>.distinct=true`` (collect aggregate's distinct
-    switch — Paimon CoreOptions). Returns the column names with a true value;
-    a non-boolean value raises (silent ignore would drop the user's intent)."""
+def _fields_bool_cols(options: dict[str, str], dotted: str, mangled: str) -> set[str]:
+    """Columns whose ``fields.<col>.<dotted>=true`` (or mangled spelling) —
+    shared by the distinct and ignore-retract switches. A non-boolean value
+    raises (silent ignore would drop the user's intent)."""
     out: set[str] = set()
-    for pre, suf in (("fields.", ".distinct"), ("fields_", "_distinct")):
+    for pre, suf in (("fields.", f".{dotted}"), ("fields_", f"_{mangled}")):
         for k, v in (options or {}).items():
             if k.startswith(pre) and k.endswith(suf) and len(k) > len(pre) + len(suf):
                 col = k[len(pre) : -len(suf)]
                 vv = v.strip().lower()
                 if vv not in ("true", "false"):
-                    raise ValueError(f"invalid fields.{col}.distinct {v!r}; use true/false")
+                    raise ValueError(f"invalid fields.{col}.{dotted} {v!r}; use true/false")
                 if vv == "true":
                     out.add(col)
     return out
+
+
+def _collect_distinct_cols(options: dict[str, str]) -> set[str]:
+    """``fields.<col>.distinct=true`` (collect aggregate's distinct switch)."""
+    return _fields_bool_cols(options, "distinct", "distinct")
+
+
+def _ignore_retract_cols(options: dict[str, str]) -> set[str]:
+    """``fields.<col>.ignore-retract=true`` (Paimon CoreOption): the column's
+    -D rows contribute nothing and never raise, whatever the function's
+    native retraction class."""
+    return _fields_bool_cols(options, "ignore-retract", "ignore_retract")
 
 
 def _limit_pushable(schema: TableSchema, predicate: list | None, files: list[dict]) -> bool:

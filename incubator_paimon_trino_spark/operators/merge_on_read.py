@@ -111,16 +111,18 @@ def _field_agg_expr(
     if func == "bool_or":
         return F.bool_or(val).alias(c)
     if func in ("collect", "collect_distinct"):
-        # insert_mask → is_delete inversion: rows outside the mask are deletes
-        return _collect_agg_expr(
-            c,
-            None if insert_mask is None else ~insert_mask,
-            distinct=func == "collect_distinct",
-        )
+        # through _field_agg_expr a mask means IGNORE the masked-out rows
+        # (the ignore-retract path) — delete rows contribute nothing and
+        # nothing is removed; the retract-capable removal path calls
+        # _collect_agg_expr directly with its is_delete column instead
+        ins = F.flatten(_ordered_values(c, insert_mask))
+        if func == "collect_distinct":
+            ins = F.array_distinct(ins)
+        return ins.alias(c)
     if func == "merge_map":
-        return _merge_map_agg_expr(c)
+        return _merge_map_agg_expr(c, insert_mask)
     if func == "nested_update":
-        return _nested_update_agg_expr(c, nested_key)
+        return _nested_update_agg_expr(c, nested_key, insert_mask)
     if func == "count":
         # SUM of partial counts, not COUNT of rows: the write path stores
         # each raw row's contribution as 0/1 (see warehouse.insert_into) and
@@ -177,7 +179,9 @@ def _collect_agg_expr(c: str, is_delete: F.Column | None, distinct: bool = False
     return ins.alias(c)
 
 
-def _nested_update_agg_expr(c: str, nested_key: list[str] | None) -> F.Column:
+def _nested_update_agg_expr(
+    c: str, nested_key: list[str] | None, mask: F.Column | None = None
+) -> F.Column:
     """Paimon's ``nested_update`` aggregate (FieldNestedUpdateAgg): the
     stored value is ARRAY<ROW> — the 1:N "child table inside a column"
     pattern. Without ``fields.<c>.nested-key`` rows APPEND in changelog
@@ -185,8 +189,10 @@ def _nested_update_agg_expr(c: str, nested_key: list[str] | None) -> F.Column:
     REPLACES the earlier row sharing its key (last-wins upsert inside the
     array, first-appearance order preserved) — same single-expression
     last-wins machinery as merge_map, keyed by the nested-key subfields.
-    No retraction (strict class — deletes raise), like Paimon's."""
-    rows_ = F.flatten(_ordered_values(c, None, payload_orderable=False))
+    No retraction (strict class — deletes raise), like Paimon's; with
+    ``fields.<c>.ignore-retract`` the caller passes an insert ``mask`` and
+    deletes simply contribute nothing."""
+    rows_ = F.flatten(_ordered_values(c, mask, payload_orderable=False))
     if not nested_key:
         return rows_.alias(c)
     key_of = lambda e: F.struct(*[e[k].alias(k) for k in nested_key])  # noqa: E731
@@ -204,7 +210,7 @@ def _nested_update_agg_expr(c: str, nested_key: list[str] | None) -> F.Column:
     return merged.alias(c)
 
 
-def _merge_map_agg_expr(c: str) -> F.Column:
+def _merge_map_agg_expr(c: str, mask: F.Column | None = None) -> F.Column:
     """Paimon's ``merge_map`` aggregate (FieldMergeMapAgg): the stored value
     is MAP<K,V>; later rows' entries overwrite earlier entries per key, keys
     never seen later survive. No retraction (strict class — deletes raise).
@@ -215,7 +221,7 @@ def _merge_map_agg_expr(c: str) -> F.Column:
     alone — but V must still be an ORDERABLE type (no map-valued maps), the
     price of expressing last-wins inside one aggregate Column so partial
     aggregation survives. NULL map VALUES overwrite like any other value."""
-    maps = _ordered_values(c, None, payload_orderable=False)
+    maps = _ordered_values(c, mask, payload_orderable=False)
     entries = F.flatten(F.transform(maps, lambda m: F.map_entries(m)))
     ientries = F.transform(
         entries,
@@ -328,6 +334,7 @@ def merge_on_read(
     nested_keys: dict[str, list[str]] | None = None,
     default_aggregate: str | None = None,
     remove_record_on_delete: bool = False,
+    ignore_retract: set[str] | None = None,
 ) -> DataFrame:
     """Collapse a changelog DataFrame to its merged table view.
 
@@ -493,7 +500,17 @@ def merge_on_read(
         func = specs.get(c) or default_aggregate
         if func is None:
             func = "sum" if isinstance(by_name[c], num_types) else "last_value"
-        if func in ("sum", "count"):
+        if c in (ignore_retract or ()):
+            # fields.<c>.ignore-retract (Paimon CoreOption): this column's
+            # -D rows contribute nothing and never raise — the per-field
+            # escape hatch for feeds whose retractions should be dropped,
+            # regardless of the function's native retraction class
+            aggs.append(
+                _field_agg_expr(
+                    func, c, insert_mask=~is_delete, nested_key=(nested_keys or {}).get(c)
+                )
+            )
+        elif func in ("sum", "count"):
             # sum/count both store additive contributions — retract by sign
             aggs.append(F.sum(F.when(is_delete, -F.col(c)).otherwise(F.col(c))).alias(c))
         elif func in ("collect", "collect_distinct"):
