@@ -111,3 +111,28 @@ def test_sequence_group_audit_view_keeps_raw_rows(cat, spark):
     assert kinds == ["D", "I"]
     merged = cat.read_table("d.t").collect()
     assert [(r.k, r.g, r.a) for r in merged] == [(1, None, None)]  # retracted, key kept
+
+
+def test_cross_partition_upsert_merges_globally(cat, spark):
+    """A key that MOVES partition between commits (cross-partition upsert):
+    merge-on-read groups by PK across partitions, so the newer partition's
+    row wins and the old partition's version never resurrects — with
+    dynamic buckets, the key's bucket assignment also stays put."""
+    cat.create_database("d")
+    cat.create_table(
+        "d", "t", [("k", "bigint"), ("v", "string"), ("p", "int")],
+        primary_key=["k"], partitioned_by=["p"],
+        options={"bucket": "-1", "dynamic_bucket_target_row_num": "4"},
+    )
+    ddl = "k bigint, v string, p int"
+    cat.insert_into("d", "t", spark.createDataFrame([(1, "old", 10), (2, "b", 10)], ddl))
+    cat.insert_into("d", "t", spark.createDataFrame([(1, "new", 20)], ddl))  # k=1 moves
+    got = {r.k: (r.v, r.p) for r in cat.read_table("d.t").collect()}
+    assert got == {1: ("new", 20), 2: ("b", 10)}
+    import glob as _glob
+    import os as _os
+
+    idx = spark.read.parquet(
+        *_glob.glob(_os.path.join(cat._table_dir("d", "t"), "index", "dynamic-bucket", "*", "*.parquet"))
+    )
+    assert idx.count() == 2  # the moved key re-used its assignment, no dup
