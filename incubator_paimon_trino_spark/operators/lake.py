@@ -2978,3 +2978,78 @@ def lake_agg_nested_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("o_custkey", e.alias("e")).select(
         "o_custkey", F.col("e.y").alias("y"), F.col("e.n").alias("n")
     )
+
+
+@register(
+    "lake_agg_ignore_retract",
+    oracle="""
+    WITH base AS (
+      SELECT o_custkey,
+             SUM(CASE WHEN o_orderkey <= 3000 THEN 1 ELSE -1 END) AS n,
+             MAX(CASE WHEN o_orderkey <= 3000 THEN o_orderkey END) AS hi,
+             MAX(CASE WHEN o_orderkey <= 3000 THEN o_totalprice END) AS top_price
+      FROM orders
+      WHERE o_orderkey <= 3000 OR o_custkey % 3 = 0
+      GROUP BY o_custkey
+      -- all-delete keys (no insert row) drop from the merged view
+      HAVING MAX(CASE WHEN o_orderkey <= 3000 THEN 1 ELSE 0 END) = 1
+    )
+    SELECT o_custkey, CAST(n AS BIGINT) AS n, hi,
+           CAST(top_price AS DOUBLE) AS top_price
+    FROM base
+    """,
+)
+def lake_agg_ignore_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``fields.<col>.ignore-retract`` + ``fields.default-aggregate-function``
+    through the oracle gate. One aggregation table, one -D commit, three
+    behaviors at once:
+
+    - ``n`` (sum, retract-capable): the delete SUBTRACTS its contribution;
+    - ``hi`` (max + ignore-retract): max is STRICT (raises on deletes —
+      asserted by tests/test_ignore_retract.py), the switch makes the
+      delete contribute nothing — commit 1's max survives;
+    - ``top_price`` (via default-aggregate-function = max, plus its own
+      ignore-retract): an UNSPECIFIED column picks up the table-wide
+      default function and the per-column switch still applies.
+
+    The oracle replays it as CASE algebra over one scan. Commit 2's rows
+    (custkey%3=0, orderkey>3000) arrive as -D: n loses their count, hi and
+    top_price ignore them entirely."""
+    cat = _fresh_catalog(spark)
+    cat.create_database("lake")
+    cat.create_table(
+        "lake",
+        "cust_ir",
+        [("o_custkey", "bigint"), ("n", "bigint"), ("hi", "bigint"), ("top_price", "double")],
+        primary_key=["o_custkey"],
+        options={
+            "merge_engine": "aggregation",
+            "fields.n.aggregate-function": "sum",
+            "fields.hi.aggregate-function": "max",
+            "fields.hi.ignore-retract": "true",
+            "fields.top_price.ignore-retract": "true",
+            "fields.default-aggregate-function": "max",
+        },
+    )
+    o = table(spark, sf_dir, "orders")
+    c1 = (
+        o.filter(F.col("o_orderkey") <= 3000)
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n"),
+            F.max("o_orderkey").alias("hi"),
+            F.max("o_totalprice").cast("double").alias("top_price"),
+        )
+    )
+    dels = (
+        o.filter((F.col("o_custkey") % 3 == 0) & (F.col("o_orderkey") > 3000))
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n"),
+            F.max("o_orderkey").alias("hi"),
+            F.max("o_totalprice").cast("double").alias("top_price"),
+        )
+    )
+    cat.insert_into("lake", "cust_ir", c1)
+    cat.insert_into("lake", "cust_ir", dels, row_kind="D")
+    return cat.read_table("lake.cust_ir")
