@@ -1217,6 +1217,25 @@ class WarehouseCatalog:
                 return stats["snapshot"]
             prev = self._latest_snapshot(self._table_dir(db, table))
             return prev.snapshot_id if prev else 0
+        if schema.partition_keys and set(schema.partition_keys) <= set(schema.primary_key):
+            # partition-drop FAST PATH for PK tables whose partition keys are
+            # part of the key: every version of a key then lives in ONE
+            # partition (the key pins the partition value), so dropping whole
+            # partitions is exactly row deletion — metadata-only, no -D rows,
+            # no retraction semantics involved (works on first-row /
+            # unconfigured partial-update / ignore-delete tables too). A
+            # predicate touching non-partition columns falls through to the
+            # row-level -D path below.
+            try:
+                stats = self.drop_partitions(db, table, condition)
+            except ValueError as ex:
+                if "partition columns" not in str(ex):
+                    raise
+            else:
+                if stats["snapshot"] is not None:
+                    return stats["snapshot"]
+                prev = self._latest_snapshot(self._table_dir(db, table))
+                return prev.snapshot_id if prev else 0
         if schema.options.get("ignore_delete", "").strip().lower() == "true":
             # the write path would silently drop every -D row this DELETE
             # produces — a "successful" no-op; refuse instead

@@ -61,3 +61,46 @@ def test_unpartitioned_append_table_still_refuses(spark, tmp_path):
     cat.insert_into("d", "flat", spark.createDataFrame([(1,)], "k int"))
     with pytest.raises(ValueError, match="primary key"):
         cat.delete_where("d", "flat", "k = 1")
+
+
+def test_pk_table_partition_drop_fast_path(spark, tmp_path):
+    """Partition keys ⊆ primary key: a partition-scoped DELETE drops whole
+    partitions metadata-only — no -D rows are written, and it works even on
+    engines that reject retraction (first-row)."""
+    cat = WarehouseCatalog(str(tmp_path / "wh"), spark)
+    cat.create_database("d")
+    cat.create_table(
+        "d", "t", [("k", "int"), ("y", "int"), ("v", "string")],
+        primary_key=["k", "y"], partitioned_by=["y"],
+        options={"merge_engine": "first-row"},
+    )
+    ddl = "k int, y int, v string"
+    cat.insert_into("d", "t", spark.createDataFrame(
+        [(1, 2020, "a"), (2, 2021, "b")], ddl))
+    cat.delete_where("d", "t", "y = 2020")
+    assert [(r.k, r.y) for r in cat.read_table("d.t").collect()] == [(2, 2021)]
+    # metadata-only: the raw changelog view holds NO -D rows
+    raw = cat.read_table("d.t", with_system_columns=True)
+    assert raw.filter(raw._row_kind == "D").count() == 0
+    tdir = cat._table_dir("d", "t")
+    assert cat._latest_snapshot(tdir).commit_kind == "OVERWRITE"
+    # row-level DELETE still refuses on first-row
+    with pytest.raises(ValueError, match="first-row"):
+        cat.delete_where("d", "t", "k = 2")
+
+
+def test_pk_table_partition_not_in_key_uses_row_path(spark, tmp_path):
+    """Partition key NOT in the primary key: a key can move partitions, so
+    the fast path must not apply — the delete goes through -D rows."""
+    cat = WarehouseCatalog(str(tmp_path / "wh"), spark)
+    cat.create_database("d")
+    cat.create_table(
+        "d", "t", [("k", "int"), ("y", "int"), ("v", "string")],
+        primary_key=["k"], partitioned_by=["y"],
+    )
+    ddl = "k int, y int, v string"
+    cat.insert_into("d", "t", spark.createDataFrame([(1, 2020, "a"), (2, 2021, "b")], ddl))
+    cat.delete_where("d", "t", "y = 2020")
+    assert [(r.k,) for r in cat.read_table("d.t").select("k").collect()] == [(2,)]
+    raw = cat.read_table("d.t", with_system_columns=True)
+    assert raw.filter(raw._row_kind == "D").count() == 1  # -D path, not metadata
