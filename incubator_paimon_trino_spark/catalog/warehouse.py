@@ -3234,6 +3234,7 @@ class WarehouseCatalog:
         predicate: list | None = None,
         limit: int | None = None,
         pad_char: bool = True,
+        use_fallback: bool = True,
     ) -> DataFrame:
         """Read ``db.table`` (or ``db.table$system``) as a DataFrame.
 
@@ -3270,6 +3271,31 @@ class WarehouseCatalog:
             return self._system_table(db, table, suffix)
         tdir = self._table_dir(db, table)
         schema = self._latest_schema(tdir)
+        fb = schema.options.get("scan_fallback_branch")
+        if (
+            use_fallback
+            and fb
+            and "$branch_" not in table  # branch reads never re-fall-back
+            and version_as_of is None
+            and timestamp_as_of is None
+            and tag is None
+            and not with_system_columns
+            and schema.partition_keys
+        ):
+            # scan.fallback-branch (Paimon CoreOption): partitions absent
+            # from the CURRENT branch are served from the fallback branch —
+            # the batch/stream dual-write pattern where main backfills
+            # partitions the streaming branch hasn't produced yet (or vice
+            # versa). Composition: the main read (fallback disabled) union
+            # the branch read left-semi-joined to the missing partitions —
+            # the partition diff is manifest metadata, the semi join is a
+            # broadcast of partition tuples, and each side runs its own
+            # full merge independently (sound: the partition sets are
+            # disjoint by construction, and partitioned PK tables co-locate
+            # a key's versions within its partition).
+            return self._fallback_branch_union(
+                db, table, fb, schema, predicate, limit, pad_char
+            )
         snap = self._pin_snapshot(tdir, version_as_of, timestamp_as_of, tag)
         if predicate:
             # CHAR(n) predicate literals are pad-insensitive (stored form is
@@ -3388,6 +3414,61 @@ class WarehouseCatalog:
             # in the catalog.
             df = _pad_char_columns(df, schema)
         return df
+
+    def _fallback_branch_union(
+        self,
+        db: str,
+        table: str,
+        fb: str,
+        schema: TableSchema,
+        predicate: list | None,
+        limit: int | None,
+        pad_char: bool,
+    ) -> DataFrame:
+        """``scan.fallback-branch`` composition (see read_table): main read ∪
+        (branch read ⋉ missing partitions). Metadata-only partition diff; the
+        semi join broadcasts one row per missing partition. Fallback
+        partitions whose partition value is NULL are never served (a semi
+        join cannot match null keys) — documented conservative gap."""
+        known = self._branches(self._table_dir(db, table))
+        if fb not in known:
+            raise ValueError(
+                f"scan.fallback-branch {fb!r}: no such branch on {db}.{table} "
+                f"(have {sorted(known)})"
+            )
+        pkeys = list(schema.partition_keys)
+        main_df = self.read_table(
+            f"{db}.{table}", predicate=predicate, pad_char=pad_char, use_fallback=False
+        )
+        bdir = self._table_dir(db, f"{table}$branch_{fb}")
+        bsnap = self._latest_snapshot(bdir)
+        out = main_df
+        if bsnap is not None and bsnap.files:
+            tdir = self._table_dir(db, table)
+            msnap = self._latest_snapshot(tdir)
+            part_of = lambda e: tuple(partition_values(e["path"]).get(k) for k in pkeys)  # noqa: E731
+            cur = {part_of(e) for e in (msnap.files if msnap else [])}
+            missing = sorted({part_of(e) for e in bsnap.files} - cur, key=str)
+            missing = [t for t in missing if all(v is not None for v in t)]
+            if missing:
+                fb_df = self.read_table(
+                    f"{db}.{table}$branch_{fb}", predicate=predicate, pad_char=pad_char
+                )
+                ddl_of = {f.name: f.type for f in schema.fields}
+                raw_cols = [f"_raw_{i}" for i in range(len(pkeys))]
+                mdf = self.spark.createDataFrame(
+                    missing, ", ".join(f"{c} string" for c in raw_cols)
+                ).select(
+                    *[
+                        F.col(c).cast(castable_ddl(ddl_of[k])).alias(k)
+                        for c, k in zip(raw_cols, pkeys)
+                    ]
+                )
+                fb_df = fb_df.join(F.broadcast(mdf), pkeys, "left_semi")
+                out = main_df.unionByName(fb_df)
+        if limit is not None:
+            out = out.limit(limit)
+        return out
 
     def _read_files(
         self, tdir: str, schema: TableSchema, snap: Snapshot, with_pos: bool = False

@@ -3053,3 +3053,43 @@ def lake_agg_ignore_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat.insert_into("lake", "cust_ir", c1)
     cat.insert_into("lake", "cust_ir", dels, row_kind="D")
     return cat.read_table("lake.cust_ir")
+
+
+@register(
+    "lake_fallback_branch",
+    oracle="""
+    SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+           CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS order_year
+    FROM orders
+    """,
+)
+def lake_fallback_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``scan.fallback-branch`` through the oracle gate (Paimon CoreOption;
+    the batch/stream dual-write pattern): main holds every year EXCEPT 1995,
+    the 'stream' branch holds 1995 plus a POISONED copy of 1996 (prices
+    zeroed). The fallback read serves 1995 from the branch and keeps 1996
+    from main — so the result equals the plain full projection of orders iff
+    missing-partition routing AND shadowing both work. The partition diff is
+    manifest metadata; the branch side is restricted by a broadcast semi
+    join on the missing partition tuples."""
+    cat = _fresh_catalog(spark)
+    cat.create_database("lake")
+    cat.create_table(
+        "lake",
+        "orders_fb",
+        [("o_orderkey", "bigint"), ("o_totalprice", "double"), ("order_year", "int")],
+        partitioned_by=["order_year"],
+    )
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        F.year("o_orderdate").alias("order_year"),
+    )
+    cat.insert_into("lake", "orders_fb", o.filter(F.col("order_year") != 1995))
+    cat.create_branch("lake", "orders_fb", "stream")
+    cat.set_options("lake", "orders_fb", {"scan.fallback-branch": "stream"})
+    branch_rows = o.filter(F.col("order_year") == 1995).unionByName(
+        o.filter(F.col("order_year") == 1996).withColumn("o_totalprice", F.lit(0.0))
+    )
+    cat.insert_into("lake", "orders_fb$branch_stream", branch_rows)
+    return cat.read_table("lake.orders_fb")
