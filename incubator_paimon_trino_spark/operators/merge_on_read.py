@@ -281,27 +281,78 @@ def _partial_update_sequence_groups(
     map-side, so the shuffle carries one pre-merged row per PK per map
     partition regardless of changelog depth."""
     groups = list(sequence_groups.items())
-    scaffold = [f"_sg{x}{i}" for i in range(len(groups)) for x in ("w", "k", "r")]
+    scaffold = [f"_sg{i}" for i in range(len(groups))]
     clash = sorted(set(df.columns) & set(scaffold))
     if clash:
         raise ValueError(f"column name(s) {clash} collide with sequence-group merge scaffolding")
-    member_group = {}  # value column -> (group index, is that group's seq col)
+    member_group = {}  # value column -> index of the group it belongs to
     for i, (g, members) in enumerate(groups):
         member_group[g] = i
         for m in members:
             member_group[m] = i
     ungrouped = [c for c in value_cols if c not in member_group]
+    ddl_of = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     is_insert = F.col(KIND_COL) != "D"
     aggs = []
     for i, (g, members) in enumerate(groups):
-        gkey = F.struct(F.col(g).alias("g"), F.col("_ord").alias("t"))
-        ins_key = F.when(is_insert & F.col(g).isNotNull(), gkey)
-        del_key = F.when(~is_insert & F.col(g).isNotNull(), gkey)
-        aggs.append(
-            F.max_by(F.struct(*[F.col(x) for x in (g, *members)]), ins_key).alias(f"_sgw{i}")
+        # ORDERED REPLAY, not a global max: Paimon's PartialUpdateMergeFunction
+        # processes records sequentially — after a retraction, a LATER insert
+        # with a LOWER group seq re-wins against the now-empty state (pinned
+        # by tests/test_container_agg_property.py's replay model, which a
+        # max-over-all-inserts formulation fails). Events sort by changelog
+        # order (comparator on the order key only, so member types need not
+        # be orderable) and fold through one F.aggregate state machine —
+        # still a single aggregate Column per group, partial aggregation
+        # applies to the collect_list, per-key memory O(versions).
+        bad = sorted(set((g, *members)) & {"_g", "_o", "_ins"})
+        if bad:
+            raise ValueError(
+                f"sequence-group column name(s) {bad} collide with the replay "
+                "state fields (_g/_o/_ins are reserved)"
+            )
+        ev = F.collect_list(
+            F.when(
+                F.col(g).isNotNull(),
+                F.struct(
+                    F.col("_ord").alias("_o"),
+                    is_insert.alias("_ins"),
+                    F.col(g).alias("_g"),
+                    *[F.col(m).alias(m) for m in members],
+                ),
+            )
         )
-        aggs.append(F.max(ins_key).alias(f"_sgk{i}"))
-        aggs.append(F.max(del_key).alias(f"_sgr{i}"))
+        by_o = lambda l, r: F.when(l["_o"] < r["_o"], -1).when(l["_o"] > r["_o"], 1).otherwise(0)  # noqa: E731
+        state_ddl = (
+            "struct<_g:"
+            + ddl_of[g]
+            + ",_o:"
+            + "struct<s:bigint,k:int>"
+            + "".join(f",`{m}`:{ddl_of[m]}" for m in members)
+            + ">"
+        )
+        empty = F.lit(None).cast(state_ddl)
+
+        def _mk_step(members, empty):
+            def _step(acc, e):
+                outranks = acc.isNull() | (
+                    F.struct(e["_g"], e["_o"]) >= F.struct(acc["_g"], acc["_o"])
+                )
+                won = F.struct(
+                    e["_g"].alias("_g"),
+                    e["_o"].alias("_o"),
+                    *[e[m].alias(m) for m in members],
+                )
+                return (
+                    F.when(outranks & e["_ins"], won)
+                    .when(outranks & ~e["_ins"], empty)
+                    .otherwise(acc)
+                )
+
+            return _step
+
+        aggs.append(
+            F.aggregate(F.array_sort(ev, by_o), empty, _mk_step(members, empty)).alias(f"_sg{i}")
+        )
     for c in ungrouped:
         aggs.append(
             F.max_by(
@@ -318,10 +369,8 @@ def _partial_update_sequence_groups(
         if i is None:
             out.append(F.col(c))
             continue
-        retracted = F.col(f"_sgr{i}").isNotNull() & (
-            F.col(f"_sgk{i}").isNull() | (F.col(f"_sgr{i}") >= F.col(f"_sgk{i}"))
-        )
-        out.append(F.when(retracted, F.lit(None)).otherwise(F.col(f"_sgw{i}.{c}")).alias(c))
+        field = "_g" if c == groups[i][0] else c
+        out.append(F.col(f"_sg{i}")[field].alias(c))
     return merged.filter(F.col("_has_i") == 1).select(*primary_key, *out)
 
 

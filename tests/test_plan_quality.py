@@ -559,9 +559,10 @@ def test_sequence_group_merge_is_one_partial_aggregate(spark):
     plan = physical_plan(df)
     low = plan.lower()
     assert "windowspecdefinition" not in low
-    # the merge runs as an aggregate with a map-side partial_ pass (struct
-    # max_by routes to SortAggregate — still partial + final, one exchange)
-    assert ("hashaggregate" in low or "sortaggregate" in low) and "partial_max_by" in low
+    # the merge runs as ONE aggregate with a map-side partial_ pass (the
+    # ordered-replay groups collect events via partial_collect_list into
+    # ObjectHashAggregate — still partial + final, one exchange)
+    assert "aggregate" in low and "partial_collect_list" in low
     assert "cartesianproduct" not in low
 
 
