@@ -4727,6 +4727,8 @@ class WarehouseCatalog:
                 "dry_run",
             },
             "rollback": {"table", "version", "snapshot"},
+            "rollback_to_timestamp": {"table", "timestamp"},
+            "create_tag_from_timestamp": {"table", "tag", "timestamp"},
             "create_tag": {"table", "tag", "snapshot"},
             "delete_tag": {"table", "tag"},
             "remove_orphan_files": {"table", "older_than", "dry_run"},
@@ -4854,6 +4856,31 @@ class WarehouseCatalog:
             no_leftovers()
             self.rollback_to(db, tbl, int(snap))
             return ok(result=f"rolled back to snapshot {snap}")
+        if proc in ("rollback_to_timestamp", "create_tag_from_timestamp"):
+            # both procedures resolve an epoch-millis cutoff to the newest
+            # snapshot committed at or before it (Paimon's contract)
+            db, tbl = split_name(take("table"))
+            ts = named.get("timestamp") or take("timestamp")
+            if ts is None:
+                raise ValueError(f"sys.{proc}: missing timestamp argument")
+            snaps = self._snapshots(self._table_dir(db, tbl))
+            ids = [s.snapshot_id for s in snaps if s.timestamp_ms <= int(ts)]
+            if not ids:
+                raise ValueError(
+                    f"sys.{proc}: no snapshot at or before timestamp {ts} "
+                    f"(earliest is {min((s.timestamp_ms for s in snaps), default=None)})"
+                )
+            target = max(ids)
+            if proc == "rollback_to_timestamp":
+                no_leftovers()
+                self.rollback_to(db, tbl, target)
+                return ok(result=f"rolled back to snapshot {target}")
+            tag = named.get("tag") or take("tag")
+            if tag is None:
+                raise ValueError("sys.create_tag_from_timestamp: missing tag argument")
+            no_leftovers()
+            self.create_tag(db, tbl, tag, snapshot_id=target)
+            return ok(result=f"tag {tag} created at snapshot {target}")
         if proc == "create_tag":
             db, tbl = split_name(take("table"))
             tag = take("tag")

@@ -970,3 +970,28 @@ def test_tag_automatic_creation_process_time(spark, tmp_path):
         cat.create_table("d", "bad2", [("k", "int")],
                          options={"tag.automatic-creation": "process-time",
                                   "tag.creation-period": "weekly"})
+
+
+def test_timestamp_procedures(spark, tmp_path):
+    """sys.rollback_to_timestamp / sys.create_tag_from_timestamp: the
+    epoch-millis cutoff resolves to the newest snapshot at-or-before it."""
+    import pytest as _pytest
+
+    from incubator_paimon_trino_spark.catalog import WarehouseCatalog
+
+    cat = WarehouseCatalog(str(tmp_path / "wh"), spark)
+    cat.create_database("d")
+    cat.create_table("d", "t", [("k", "int")])
+    for i in range(3):
+        cat.insert_into("d", "t", spark.createDataFrame([(i,)], "k int"))
+    tdir = cat._table_dir("d", "t")
+    ts2 = {s.snapshot_id: s.timestamp_ms for s in cat._snapshots(tdir)}[2]
+    res = cat.sql(
+        f"CALL sys.create_tag_from_timestamp(table => 'd.t', tag => 'at2', timestamp => '{ts2}')"
+    ).collect()
+    assert "snapshot 2" in res[0][0]
+    assert cat.read_table("d.t", tag="at2").count() == 2
+    cat.sql(f"CALL sys.rollback_to_timestamp(table => 'd.t', timestamp => '{ts2}')")
+    assert cat.read_table("d.t").count() == 2
+    with _pytest.raises(ValueError, match="no snapshot at or before"):
+        cat.sql("CALL sys.rollback_to_timestamp(table => 'd.t', timestamp => '1')")
