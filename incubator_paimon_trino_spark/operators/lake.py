@@ -3093,3 +3093,102 @@ def lake_fallback_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cat.insert_into("lake", "orders_fb$branch_stream", branch_rows)
     return cat.read_table("lake.orders_fb")
+
+
+@register(
+    "lake_partial_update_remove_on_delete",
+    oracle="""
+    WITH c1 AS (
+      SELECT o_custkey, MAX(o_orderkey) AS last_order, COUNT(*) AS n
+      FROM orders WHERE o_orderkey <= 3000 GROUP BY o_custkey
+    ), re AS (
+      SELECT o_custkey, MAX(o_orderkey) AS last_order
+      FROM orders WHERE o_custkey % 10 = 0 GROUP BY o_custkey
+    )
+    SELECT COALESCE(c1.o_custkey, re.o_custkey) AS o_custkey,
+           COALESCE(re.last_order,
+                    CASE WHEN c1.o_custkey % 5 = 0 THEN NULL ELSE c1.last_order END
+           ) AS last_order,
+           CASE WHEN c1.o_custkey IS NULL OR c1.o_custkey % 5 = 0
+                THEN NULL ELSE c1.n END AS n
+    FROM c1 FULL OUTER JOIN re ON c1.o_custkey = re.o_custkey
+    WHERE c1.o_custkey IS NULL OR c1.o_custkey % 5 <> 0 OR re.o_custkey IS NOT NULL
+    """,
+)
+def lake_partial_update_remove_on_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``partial-update.remove-record-on-delete`` through the oracle gate:
+    a DELETE RESETS the key at its position — keys deleted and never
+    re-inserted vanish; keys re-inserted AFTER the delete rebuild from
+    scratch (the pre-delete ``n`` must NOT resurrect: only ``last_order``
+    comes back, from the re-insert). Three commits: c1 seeds custkeys
+    (orders<=3000), c2 deletes custkey%5==0, c3 re-inserts custkey%10==0
+    with a fresh last_order and a null n."""
+    cat = _fresh_catalog(spark)
+    cat.create_database("lake")
+    cat.create_table(
+        "lake",
+        "cust_rrod",
+        [("o_custkey", "bigint"), ("last_order", "bigint"), ("n", "bigint")],
+        primary_key=["o_custkey"],
+        options={
+            "merge_engine": "partial-update",
+            "partial-update.remove-record-on-delete": "true",
+        },
+    )
+    o = table(spark, sf_dir, "orders")
+    c1 = (
+        o.filter(F.col("o_orderkey") <= 3000)
+        .groupBy("o_custkey")
+        .agg(F.max("o_orderkey").alias("last_order"), F.count("*").alias("n"))
+    )
+    cat.insert_into("lake", "cust_rrod", c1)
+    cat.delete_where("lake", "cust_rrod", "o_custkey % 5 = 0")
+    c3 = (
+        o.filter(F.col("o_custkey") % 10 == 0)
+        .groupBy("o_custkey")
+        .agg(F.max("o_orderkey").alias("last_order"))
+        .withColumn("n", F.lit(None).cast("bigint"))
+    )
+    cat.insert_into("lake", "cust_rrod", c3)
+    return cat.read_table("lake.cust_rrod")
+
+
+@register(
+    "lake_incremental_by_timestamp",
+    oracle="""
+    SELECT o_custkey, MAX(o_orderkey) AS last_order, COUNT(*) AS n
+    FROM orders WHERE o_orderkey > 1000 GROUP BY o_custkey
+    """,
+)
+def lake_incremental_by_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``incremental-between-timestamp`` through the oracle gate: the query
+    reads its own table's committed timestamps from ``$snapshots`` at run
+    time and asks for the window (ts1, ts2] — exactly commit 2's raw rows
+    (the same metadata-only file-set delta as the id-based form, so the
+    scan touches only commit 2's files). Timestamps are wall-clock but the
+    RESULT is deterministic: whatever they are, the window resolves to
+    snapshot ids (1, 2]."""
+    cat = _fresh_catalog(spark)
+    cat.create_database("lake")
+    cat.create_table(
+        "lake",
+        "cust_ts",
+        [("o_custkey", "bigint"), ("last_order", "bigint"), ("n", "bigint")],
+        primary_key=["o_custkey"],
+    )
+    o = table(spark, sf_dir, "orders")
+    mk = lambda cond: (  # noqa: E731
+        o.filter(cond)
+        .groupBy("o_custkey")
+        .agg(F.max("o_orderkey").alias("last_order"), F.count("*").alias("n"))
+    )
+    cat.insert_into("lake", "cust_ts", mk(F.col("o_orderkey") <= 1000))
+    cat.insert_into("lake", "cust_ts", mk(F.col("o_orderkey") > 1000))
+    ts = {
+        r.snapshot_id: r.timestamp_ms
+        for r in cat.read_table("lake.cust_ts$snapshots")
+        .select("snapshot_id", "timestamp_ms")
+        .collect()
+    }
+    out = cat.read_incremental_by_timestamp("lake.cust_ts", ts[1], ts[2])
+    return out.select("o_custkey", "last_order", "n")
