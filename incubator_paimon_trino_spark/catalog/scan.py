@@ -156,10 +156,29 @@ def collect_file_stats(
     by_name = {f.name: f for f in schema.fields}
     agg: dict[int, dict] = {}
     broken: set[int] = set()
+    # _row_kind footer stats ('I' < n/a < 'D' is not the order — 'D' < 'I'
+    # lexicographically, so min == 'I' proves the file holds NO -D rows):
+    # recorded as the manifest entry's `all_inserts` flag, which lets
+    # merge-on-read take retraction-free fast paths (sequence groups via one
+    # max_by instead of ordered replay) when EVERY live file is all-inserts.
+    # Compaction rewrites files as 'I', so a table returns to the fast path
+    # after compaction even if its history carried deletes.
+    rk_min = rk_max = None
+    rk_broken = False
     for rg in range(meta.num_row_groups):
         group = meta.row_group(rg)
         for ci in range(group.num_columns):
             col = group.column(ci)
+            if col.path_in_schema == "_row_kind" and not rk_broken:
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    rk_broken = True
+                else:
+                    lo = st.min.decode() if isinstance(st.min, bytes) else str(st.min)
+                    hi = st.max.decode() if isinstance(st.max, bytes) else str(st.max)
+                    rk_min = lo if rk_min is None else min(rk_min, lo)
+                    rk_max = hi if rk_max is None else max(rk_max, hi)
+                continue
             f = by_name.get(col.path_in_schema)  # top-level names only
             if f is None or f.id in broken:
                 continue
@@ -199,11 +218,19 @@ def collect_file_stats(
                 cur["nulls"] = (
                     None if (nulls is None or cur["nulls"] is None) else cur["nulls"] + nulls
                 )
-    return {
+    out = {
         "record_count": meta.num_rows,
         "size_bytes": size,
         "stats": {str(fid): s for fid, s in agg.items()},
     }
+    if meta.num_rows == 0:
+        out["all_inserts"] = True  # no rows at all — trivially no -D rows
+    elif rk_min is not None and not rk_broken:
+        # the column only ever holds 'I'/'D'; min == max == 'I' proves
+        # all-inserts. Key absent = unknown (ORC/avro/legacy manifests) —
+        # readers then conservatively assume retractions may exist.
+        out["all_inserts"] = rk_min == "I" and rk_max == "I"
+    return out
 
 
 # -------------------------------------------------------- partition parsing

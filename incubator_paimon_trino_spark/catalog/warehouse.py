@@ -1269,7 +1269,15 @@ class WarehouseCatalog:
                     "'partial-update.remove-record-on-delete', or sequence groups "
                     "(the engine has no rule for what a bare delete outranks)"
                 )
-        doomed = self.read_table(f"{db}.{table}", pad_char=False).filter(condition)
+        # use_fallback=False on every internal physical/write read: fallback-
+        # branch is a SCAN-TIME option (Paimon serves missing partitions from
+        # the branch at read time only) — a DML/maintenance path that read
+        # main ∪ fallback would commit the branch's rows as MAIN data files,
+        # permanently shadowing later fallback updates.
+        doomed = (
+            self.read_table(f"{db}.{table}", pad_char=False, use_fallback=False)
+            .filter(condition)
+        )
         return self.insert_into(db, table, doomed, row_kind="D")
 
     def update_where(self, db: str, table: str, condition, assignments: dict) -> int:
@@ -1303,7 +1311,11 @@ class WarehouseCatalog:
                 "UPDATE is not supported on first-row merge-engine tables "
                 "(the earliest insert wins; the rewritten row would be ignored)"
             )
-        updated = self.read_table(f"{db}.{table}", pad_char=False).filter(condition)
+        # use_fallback=False: scan-time option, see delete_where
+        updated = (
+            self.read_table(f"{db}.{table}", pad_char=False, use_fallback=False)
+            .filter(condition)
+        )
         for col, expr in assignments.items():
             if col not in [f.name for f in schema.fields]:
                 raise ValueError(f"unknown column {col!r}")
@@ -1353,7 +1365,8 @@ class WarehouseCatalog:
         if when_not_matched not in ("insert", None):
             raise ValueError(f"when_not_matched must be 'insert' or None, got {when_not_matched!r}")
 
-        target = self.read_table(f"{db}.{table}", pad_char=False)
+        # use_fallback=False: scan-time option, see delete_where
+        target = self.read_table(f"{db}.{table}", pad_char=False, use_fallback=False)
         target_keys = target.select(*on)
         pieces = []
         if when_matched == "update":
@@ -2142,26 +2155,30 @@ class WarehouseCatalog:
             )
         ddl = next(f.type for f in schema.fields if f.name == col)
         if older_than is not None:
+            # absolute form: the user named a literal in the column's own
+            # type — compare in that domain
             cutoff = _typed_partition_cutoff(older_than, ddl)
+            parse = lambda raw: _typed_partition_cutoff(raw, ddl)  # noqa: E731
         elif expiration_time is not None:
+            # relative form ('7 d', and the auto partition.expiration-time
+            # commit hook): the cutoff is wall-clock, so only DATE-LIKE
+            # partition values may expire. Paimon skips values its
+            # timestamp-formatter cannot parse; comparing a raw int/string
+            # against a yyyyMMdd-sized cutoff instead would silently expire
+            # an ENTIRE non-date partition set (e.g. int region ids) on the
+            # next commit. Compare in DATE space; unparseable values are
+            # kept by the loop's conservative-keep.
             ms = _parse_duration_ms(expiration_time)
             cut_dt = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None) - _dt.timedelta(
                 milliseconds=ms
             )
             t = ddl.strip().lower()
-            if t == "date":
-                cutoff = cut_dt.date()
-            elif t.startswith("timestamp"):
+            if t.startswith("timestamp"):
                 cutoff = cut_dt
-            elif t in ("tinyint", "smallint", "int", "integer", "bigint"):
-                # integral partition columns follow the 'yyyyMMdd' formatter
-                # convention (numeric order == date order); a bare string
-                # cutoff here would make the int-vs-str compare crash
-                cutoff = int(cut_dt.strftime("%Y%m%d"))
+                parse = lambda raw: _typed_partition_cutoff(raw, ddl)  # noqa: E731
             else:
-                # string partition values: Paimon's timestamp-formatter
-                # contract — ISO date text orders lexicographically
-                cutoff = cut_dt.date().isoformat()
+                cutoff = cut_dt.date()
+                parse = _date_like_partition_value
         else:
             raise ValueError("expire_partitions needs older_than or expiration_time")
         prev = self._latest_snapshot(tdir)
@@ -2171,7 +2188,7 @@ class WarehouseCatalog:
         for e in prev.files:
             raw = partition_values(e["path"]).get(col)
             try:
-                v = None if raw is None else _typed_partition_cutoff(raw, ddl)
+                v = None if raw is None else parse(raw)
             except (ValueError, TypeError):
                 v = None  # unparseable partition value: conservative keep
             if v is not None and v < cutoff:
@@ -2723,9 +2740,12 @@ class WarehouseCatalog:
         prev = self._latest_snapshot(tdir)
         if prev is None:
             raise ValueError(f"nothing to compact in {db}.{table}")
-        merged = self.read_table(f"{db}.{table}", pad_char=False)  # merged view,
-        # STORAGE form — re-storing padded CHAR bytes would break the
-        # rtrimmed-canonical invariant predicates and stats rely on
+        # merged view, STORAGE form — re-storing padded CHAR bytes would
+        # break the rtrimmed-canonical invariant predicates and stats rely
+        # on; use_fallback=False — compaction rewrites THIS branch's files
+        # only (fallback is a scan-time option; committing the fallback
+        # branch's rows as main data would permanently shadow the branch)
+        merged = self.read_table(f"{db}.{table}", pad_char=False, use_fallback=False)
         version = prev.snapshot_id + 1
 
         out = merged
@@ -2853,8 +2873,9 @@ class WarehouseCatalog:
 
         # storage form: ANALYZE min/max must agree with the manifest's
         # file stats (both describe the stored bytes), and the rpad
-        # projection would be pure overhead on a full-table scan
-        df = self.read_table(f"{db}.{table}", pad_char=False)
+        # projection would be pure overhead on a full-table scan;
+        # use_fallback=False — the stats describe THIS branch's files
+        df = self.read_table(f"{db}.{table}", pad_char=False, use_fallback=False)
         aggs = [F.count(F.lit(1)).alias("__rows")]  # one pass, not count()+agg
         scalar_cols = []
         for f in df.schema.fields:
@@ -3372,6 +3393,14 @@ class WarehouseCatalog:
             for c in _collect_distinct_cols(schema.options):
                 if aggs.get(c) == "collect":  # DDL-validated; internal variant name
                     aggs[c] = "collect_distinct"
+            # retraction-free proof from the manifest: every live file's
+            # parquet footer showed _row_kind min==max=='I' (collect_file_
+            # stats records `all_inserts`; absent = unknown = assume
+            # retractions). O(live files) driver work on metadata already in
+            # hand; unlocks the one-struct-per-key fast paths in the order-
+            # sensitive replay aggregates. Compaction rewrites everything as
+            # 'I', so tables return to the fast path after compaction.
+            no_d = all(e.get("all_inserts") is True for e in snap.files)
             df = merge_on_read(
                 df,
                 primary_key=schema.primary_key,
@@ -3380,6 +3409,7 @@ class WarehouseCatalog:
                 sequence_groups=_sequence_group_specs(schema.options) or None,
                 nested_keys=_nested_key_specs(schema.options) or None,
                 default_aggregate=default_agg,
+                no_retractions=no_d,
                 remove_record_on_delete=(
                     schema.options.get("partial_update_remove_record_on_delete", "")
                     .strip()
@@ -5712,6 +5742,19 @@ def _validate_table_options(
             )
         if not primary_key:
             raise ValueError("fields.<seq>.sequence-group requires a primary-key table")
+        if (
+            options.get("partial_update_remove_record_on_delete", "").strip().lower()
+            == "true"
+        ):
+            # Paimon rejects the combination: with groups configured the
+            # merge routes through the sequence-group engine and
+            # remove-record-on-delete would be SILENTLY ignored — the
+            # state this validation layer exists to prevent
+            raise ValueError(
+                "partial-update.remove-record-on-delete cannot be combined with "
+                "sequence groups (deletes then retract per group; the option "
+                "would be silently ignored)"
+            )
         seen_members: dict[str, str] = {}
         for g, members in sgroups.items():
             if g not in names:
@@ -5751,6 +5794,24 @@ def _validate_table_options(
                 "partition.expiration-time requires a partitioned table "
                 "(there is no partition value to age out)"
             )
+        if partition_keys and types:
+            # the relative cutoff is a wall-clock DATE: the leading partition
+            # column must be able to hold one (date/timestamp natively;
+            # int/string by Paimon's yyyyMMdd / yyyy-MM-dd formatter
+            # conventions — non-date-like VALUES are then skipped at expire
+            # time). A float/bool/binary partition column can never age out,
+            # so the option would be a silent no-op — reject at DDL.
+            lead = partition_keys[0]
+            t = (types.get(lead) or "").strip().lower()
+            ok = t in ("date", "tinyint", "smallint", "int", "integer", "bigint") or t.startswith(
+                ("timestamp", "string", "varchar", "char")
+            )
+            if not ok:
+                raise ValueError(
+                    f"partition.expiration-time needs a date-like leading partition "
+                    f"column; {lead!r} is {t!r} (use date/timestamp, or int/string "
+                    "holding yyyyMMdd / yyyy-MM-dd values)"
+                )
     b_raw = options.get("bucket")
     if b_raw is not None:
         try:
@@ -5929,6 +5990,20 @@ def _field_aggregate_specs(options: dict[str, str]) -> dict[str, str]:
                     )
                 out[col] = v
     return out
+
+
+def _date_like_partition_value(raw) -> "_dt.date":
+    """A partition value as a date, accepting ONLY Paimon's timestamp-
+    formatter shapes — 'yyyy-MM-dd' (ISO) and 'yyyyMMdd' (the integral
+    convention). Anything else raises, which relative partition expiration
+    turns into a conservative keep — a region id 1..25 must never compare
+    against a wall-clock cutoff."""
+    s = str(raw).strip()
+    if re.fullmatch(r"\d{4}-\d{2}-\d{2}", s):
+        return _dt.date.fromisoformat(s)
+    if re.fullmatch(r"\d{8}", s):
+        return _dt.datetime.strptime(s, "%Y%m%d").date()
+    raise ValueError(f"partition value {raw!r} is not date-like (yyyy-MM-dd / yyyyMMdd)")
 
 
 def _typed_partition_cutoff(v: str, ddl: str):

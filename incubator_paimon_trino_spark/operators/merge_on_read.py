@@ -15,8 +15,16 @@ _row_kind)`` columns; merging is a single hash-shuffle by PK:
 - ``aggregation``   — numeric fields sum across rows per PK.
 
 All four are one ``groupBy(pk)`` with ``max_by``/``min_by``/aggregate
-expressions — partial aggregation applies map-side, so at 100 TB the shuffle
-carries one pre-merged row per PK per map partition, not the raw changelog.
+expressions. For the single-winner engines (deduplicate / first-row / plain
+partial-update) partial aggregation applies map-side, so at 100 TB the
+shuffle carries one pre-merged row per PK per map partition, not the raw
+changelog. The ORDER-SENSITIVE replay aggregates (collect with retraction,
+sequence groups with deletes) are the exception: they collect (ord, event)
+lists, so the shuffle carries every changelog version of the replayed
+columns — inherent to retraction semantics, not an implementation choice.
+``no_retractions=True`` (the caller proved the live file set holds no -D
+rows, e.g. from ``all_inserts`` footer stats) routes sequence groups back
+through the one-struct-per-key max_by fast path.
 """
 
 from __future__ import annotations
@@ -31,7 +39,20 @@ MERGE_ENGINES = ("deduplicate", "first-row", "partial-update", "aggregation")
 
 #: Names the merge scaffolding uses internally; user columns must not collide
 #: (``_seq``/``_row_kind`` are the system columns themselves).
-RESERVED_INTERNAL = (SEQ_COL, KIND_COL, "_ord", "_k", "_row", "_zorder_key", "_fidx_file")
+RESERVED_INTERNAL = (
+    SEQ_COL,
+    KIND_COL,
+    "_ord",
+    "_k",
+    "_row",
+    "_zorder_key",
+    "_fidx_file",
+    # dynamic-bucket writes stage through a hive `_bucket=N` partitionBy
+    # column that _finalize_commit renames to `bucket-N` dirs — a user
+    # column with this name would be silently consumed by that rename
+    # (values become a non-k=v dir segment, read back as NULL)
+    "_bucket",
+)
 
 #: Aggregation-engine retraction classes (Paimon's contract: sum/count
 #: subtract a ``-D`` row's contribution, collect removes one occurrence per
@@ -154,29 +175,57 @@ def _ordered_values(c: str, mask: F.Column | None, payload_orderable: bool = Tru
 def _collect_agg_expr(c: str, is_delete: F.Column | None, distinct: bool = False) -> F.Column:
     """Paimon's ``collect`` aggregate (FieldCollectAgg): the stored value is
     ARRAY<T>; rows' arrays concatenate in changelog order. Retraction removes
-    ONE occurrence per retracted element (counting semantics; null elements
-    pass through concatenation but cannot be retracted — array_position
-    cannot address them). ``distinct`` (``fields.<c>.distinct=true``) keeps
-    first occurrences only. The expression is a single aggregate Column, so
-    partial aggregation still applies map-side; compaction stores the merged
-    array, which re-merges by further concatenation — associative like sum."""
-    ins = F.flatten(_ordered_values(c, None if is_delete is None else ~is_delete))
-    if is_delete is not None:
-        dels = F.flatten(_ordered_values(c, is_delete))
-        # remove the FIRST occurrence of each retracted element: slice out
-        # the element at array_position; a miss (pos null/0) keeps acc as-is
-        def _remove_one(acc, x):
-            pos = F.array_position(acc, x)
-            hit = F.concat(
-                F.slice(acc, F.lit(1), pos - F.lit(1)),
-                F.slice(acc, pos + F.lit(1), F.size(acc) - pos),
-            )
-            return F.when(pos > 0, hit).otherwise(acc)
+    ONE occurrence per retracted element FROM THE STATE SO FAR — Paimon folds
+    add/retract sequentially, so a -D that arrives BEFORE its +I (out-of-order
+    CDC across commits) is a no-op and the later insert survives. Null
+    elements pass through concatenation but cannot be retracted —
+    array_position cannot address them. ``distinct``
+    (``fields.<c>.distinct=true``) keeps first occurrences only.
 
-        ins = F.aggregate(dels, ins, _remove_one)
+    Formulation: one collect_list of (ord, kind, values) events, array_sort by
+    ord, then a single F.aggregate replay — insert events concat, delete
+    events remove one occurrence per element from the accumulator. Still a
+    single aggregate Column (partial aggregation applies to the collect_list),
+    but the shuffle carries every changelog version per key — retraction is
+    inherently order-sensitive, so pre-merging map-side would lose the events
+    a reduce-side retract needs."""
+    if is_delete is None:
+        ins = F.flatten(_ordered_values(c, None))
+        if distinct:
+            ins = F.array_distinct(ins)
+        return ins.alias(c)
+    val = F.col(c)
+    ev = F.collect_list(
+        F.when(
+            val.isNotNull(),
+            F.struct(F.col("_ord").alias("o"), is_delete.alias("d"), val.alias("v")),
+        )
+    )
+    by_o = lambda l, r: F.when(l["o"] < r["o"], -1).when(l["o"] > r["o"], 1).otherwise(0)  # noqa: E731
+    events = F.array_sort(ev, by_o)
+    # typed empty ARRAY<T> without DDL plumbing: flatten a zero-length slice
+    # of the events' value arrays
+    empty = F.flatten(F.transform(F.slice(events, 1, 0), lambda e: e["v"]))
+
+    # remove the FIRST occurrence of one retracted element: slice out the
+    # element at array_position; a miss (pos null/0) keeps acc as-is
+    def _remove_one(acc, x):
+        pos = F.array_position(acc, x)
+        hit = F.concat(
+            F.slice(acc, F.lit(1), pos - F.lit(1)),
+            F.slice(acc, pos + F.lit(1), F.size(acc) - pos),
+        )
+        return F.when(pos > 0, hit).otherwise(acc)
+
+    def _step(acc, e):
+        return F.when(e["d"], F.aggregate(e["v"], acc, _remove_one)).otherwise(
+            F.concat(acc, e["v"])
+        )
+
+    out = F.aggregate(events, empty, _step)
     if distinct:
-        ins = F.array_distinct(ins)
-    return ins.alias(c)
+        out = F.array_distinct(out)
+    return out.alias(c)
 
 
 def _nested_update_agg_expr(
@@ -255,6 +304,7 @@ def _partial_update_sequence_groups(
     primary_key: list[str],
     value_cols: list[str],
     sequence_groups: dict[str, list[str]],
+    no_retractions: bool = False,
 ) -> DataFrame:
     """partial-update with SEQUENCE GROUPS (Paimon's
     ``fields.<seq-col>.sequence-group=<a,b,...>`` CoreOption; the multi-stream
@@ -277,9 +327,16 @@ def _partial_update_sequence_groups(
     - the KEY survives retraction (deletes null groups out, they never drop
       the row) — only keys with zero insert rows are absent.
 
-    One groupBy(pk) with max_by/max aggregates — partial aggregation applies
-    map-side, so the shuffle carries one pre-merged row per PK per map
-    partition regardless of changelog depth."""
+    Scale shape: retraction makes the merge ORDER-SENSITIVE (after a
+    retraction, a later insert with a LOWER group seq re-wins against the
+    empty state), so the general path replays (ord, event) lists per key —
+    partial aggregation applies to the collect_list, but the shuffle still
+    carries every changelog version of every grouped column, O(versions) per
+    key. ``no_retractions=True`` (the caller proved the changelog holds no
+    -D rows — the common case, re-established by every compaction) collapses
+    each group to ONE max_by aggregate: the winner is simply the insert with
+    the highest (group-seq, order) key, so the shuffle carries one struct
+    per key per map partition."""
     groups = list(sequence_groups.items())
     scaffold = [f"_sg{i}" for i in range(len(groups))]
     clash = sorted(set(df.columns) & set(scaffold))
@@ -295,6 +352,23 @@ def _partial_update_sequence_groups(
     is_insert = F.col(KIND_COL) != "D"
     aggs = []
     for i, (g, members) in enumerate(groups):
+        if no_retractions:
+            # retraction-free fast path: with no -D rows the replay below
+            # reduces to "insert with the highest (group-seq, order) key
+            # wins the group" — one max_by struct per key, pre-merged
+            # map-side (max_by skips null ordering keys, so null-seq rows
+            # leave the group untouched, same as the replay)
+            aggs.append(
+                F.max_by(
+                    F.struct(
+                        F.col(g).alias("_g"), *[F.col(m).alias(m) for m in members]
+                    ),
+                    F.when(
+                        F.col(g).isNotNull(), F.struct(F.col(g), F.col("_ord"))
+                    ),
+                ).alias(f"_sg{i}")
+            )
+            continue
         # ORDERED REPLAY, not a global max: Paimon's PartialUpdateMergeFunction
         # processes records sequentially — after a retraction, a LATER insert
         # with a LOWER group seq re-wins against the now-empty state (pinned
@@ -384,6 +458,7 @@ def merge_on_read(
     default_aggregate: str | None = None,
     remove_record_on_delete: bool = False,
     ignore_retract: set[str] | None = None,
+    no_retractions: bool = False,
 ) -> DataFrame:
     """Collapse a changelog DataFrame to its merged table view.
 
@@ -405,11 +480,25 @@ def merge_on_read(
     subfields; ``default_aggregate`` is Paimon's
     ``fields.default-aggregate-function`` — the function unspecified value
     columns use instead of the sum/last_value fallback.
+
+    ``no_retractions=True`` asserts the changelog contains NO -D rows (the
+    warehouse proves it from per-file ``all_inserts`` footer stats over the
+    live set); the order-sensitive replay aggregates then take their
+    associative fast paths. Semantically a pure optimization — results are
+    identical on retraction-free input.
     """
     if merge_engine not in MERGE_ENGINES:
         raise ValueError(f"unknown merge_engine {merge_engine!r}; have {MERGE_ENGINES}")
     if sequence_groups and merge_engine != "partial-update":
         raise ValueError("sequence_groups require merge_engine='partial-update'")
+    if sequence_groups and remove_record_on_delete:
+        # Paimon rejects the combination (the sequence-group engine would
+        # silently ignore remove-record-on-delete); DDL validation enforces
+        # this too — the guard here covers direct API callers
+        raise ValueError(
+            "remove_record_on_delete cannot be combined with sequence_groups "
+            "(deletes then retract per group)"
+        )
     clash = sorted(set(df.columns) & set(RESERVED_INTERNAL) - {SEQ_COL, KIND_COL})
     if clash:
         # a user column named _ord/_k/_row would be silently overwritten by
@@ -471,7 +560,9 @@ def merge_on_read(
             )
             if bad:
                 raise ValueError(f"sequence-group column(s) {bad} not among value columns")
-            return _partial_update_sequence_groups(df, primary_key, value_cols, sequence_groups)
+            return _partial_update_sequence_groups(
+                df, primary_key, value_cols, sequence_groups, no_retractions=no_retractions
+            )
         # last non-null per field, in sequence order. Delete handling is
         # Paimon's partial-update trio: by default -D rows RAISE (the engine
         # has no per-field seq to decide what a delete outranks); with
@@ -564,8 +655,16 @@ def merge_on_read(
             aggs.append(F.sum(F.when(is_delete, -F.col(c)).otherwise(F.col(c))).alias(c))
         elif func in ("collect", "collect_distinct"):
             # retract-capable (RETRACTABLE_AGGREGATES): -D rows' elements
-            # remove one occurrence each from the accumulated array
-            aggs.append(_collect_agg_expr(c, is_delete, distinct=func == "collect_distinct"))
+            # remove one occurrence each from the accumulated array; with a
+            # proven retraction-free changelog the ordered-replay machinery
+            # collapses to the plain (associative) ordered concatenation
+            aggs.append(
+                _collect_agg_expr(
+                    c,
+                    None if no_retractions else is_delete,
+                    distinct=func == "collect_distinct",
+                )
+            )
         elif func in IGNORE_RETRACT_AGGREGATES:
             aggs.append(_field_agg_expr(func, c, insert_mask=~is_delete))
         else:

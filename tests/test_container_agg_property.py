@@ -68,11 +68,20 @@ def test_collect_matches_multiset_replay(spark, commits):
                     if x in cur:
                         cur.remove(x)  # removes the first occurrence
     want = {k: state.get(k, []) for k in has_i}
-    # our engine removes from the FINAL concatenation, the model removes
-    # in arrival order — both realize the same multiset; compare sorted
-    assert {k: sorted(v) for k, v in got.items()} == {
-        k: sorted(v) for k, v in want.items()
-    }
+    # the engine replays (ord, kind, values) events in changelog order —
+    # exactly the model — so element ORDER must match too, not just multiset
+    assert got == want
+
+
+def test_collect_retract_before_insert_is_noop(spark):
+    """Out-of-order CDC: a -D for an element that arrives BEFORE its +I must
+    be a no-op (retract of an absent element), so the later insert survives —
+    Paimon folds add/retract in sequence order. Regression for the
+    remove-from-final-concatenation formulation, which deleted the later
+    insert."""
+    df = _df(spark, [[(0, "D", [2])], [(0, "I", [2])]], "array<int>")
+    out = merge_on_read(df, ["k"], "aggregation", field_aggregates={"v": "collect"})
+    assert {r.k: r.v for r in out.collect()} == {0: [2]}
 
 
 @given(commits=histories(MAP, kinds=("I",)))

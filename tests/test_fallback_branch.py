@@ -81,6 +81,44 @@ def test_pk_tables_merge_each_side(cat, spark):
     assert got == [(1, "new", 1), (5, "b-new", 9)]
 
 
+def test_compact_does_not_absorb_fallback_rows(cat, spark):
+    """Maintenance/write paths operate on the branch's own files only —
+    fallback-branch is a SCAN-TIME option. A compact() that read main ∪
+    fallback would commit p=3 (fallback-served) as MAIN data, permanently
+    shadowing later fallback updates. Regression for the use_fallback=True
+    default leaking into compact/analyze/DML."""
+    _mk(cat, spark)
+    cat.compact("d", "t")
+    # main-branch-only address must still hold exactly main's own rows
+    main_only = sorted(
+        (r.k, r.p) for r in cat.read_table("d.t", use_fallback=False).collect()
+    )
+    assert main_only == [(1, 1), (2, 2)]
+    # a later fallback update to p=3 must still reach the scan
+    cat.insert_into(
+        "d", "t$branch_stream",
+        spark.createDataFrame([(30, "b3-v2", 3)], "k int, v string, p int"),
+    )
+    got = sorted((r.k, r.v, r.p) for r in cat.read_table("d.t").collect())
+    assert got == [(1, "m1", 1), (2, "m2", 2), (3, "b3", 3), (30, "b3-v2", 3)]
+
+
+def test_dml_does_not_absorb_fallback_rows(cat, spark):
+    """delete_where on a fallback-configured PK table must evaluate its
+    condition against MAIN's own files only — a fallback-inclusive read
+    would emit -D rows for (and thereby materialize) branch-served keys."""
+    from pyspark.sql import functions as F
+
+    _mk(cat, spark, pk=["k", "p"])
+    # row-level -D path (condition touches non-partition column k): removes
+    # main's k=2 only; k=3/k=20 live in the fallback branch, untouched
+    cat.delete_where("d", "t", F.col("k") >= 2)
+    got = sorted((r.k, r.p) for r in cat.read_table("d.t").collect())
+    assert got == [(1, 1), (3, 3)]
+    br = sorted(r.k for r in cat.read_table("d.t$branch_stream").collect())
+    assert br == [3, 20]
+
+
 def test_unknown_fallback_branch_raises(cat, spark):
     cat.create_database("d")
     cat.create_table("d", "t", [("k", "int"), ("p", "int")], partitioned_by=["p"])

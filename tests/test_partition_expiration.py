@@ -144,3 +144,37 @@ def test_relative_expiration_on_integral_partition_column(spark, tmp_path):
     stats = cat.expire_partitions("d", "t", expiration_time="1 d")
     assert stats["expired_partitions"] == 1
     assert [r.p for r in cat.read_table("d.t").collect()] == [99990101]
+
+
+def test_relative_expiration_skips_non_date_like_values(spark, tmp_path):
+    """Relative expiration must NEVER compare raw non-date values against the
+    wall-clock cutoff: int region ids 1..25 all sit numerically below
+    yyyyMMdd-today, so the buggy raw compare expired the ENTIRE live set
+    through the commit hook. Paimon skips values its timestamp-formatter
+    cannot parse — conservative keep."""
+    cat = _table(spark, tmp_path)
+    cat.insert_into("d", "t", spark.createDataFrame(
+        [(1, 1, 1), (2, 2, 25), (3, 3, 19990101)], "k int, v int, p int"))
+    stats = cat.expire_partitions("d", "t", expiration_time="1 d")
+    # only the genuinely date-like yyyyMMdd value expires
+    assert stats["expired_partitions"] == 1
+    assert sorted(r.p for r in cat.read_table("d.t").collect()) == [1, 25]
+    # string columns: non-date text is kept too
+    cat.create_table("d", "s", [("k", "int"), ("p", "string")], partitioned_by=["p"])
+    cat.insert_into("d", "s", spark.createDataFrame(
+        [(1, "EUROPE"), (2, "1999-01-01"), (3, "asia")], "k int, p string"))
+    stats = cat.expire_partitions("d", "s", expiration_time="1 d")
+    assert stats["expired_partitions"] == 1
+    assert sorted(r.p for r in cat.read_table("d.s").collect()) == ["EUROPE", "asia"]
+
+
+def test_expiration_option_rejects_undateable_partition_type(spark, tmp_path):
+    """partition.expiration-time on a leading partition column that can never
+    hold a date (double/boolean/binary) would be a silent no-op under the
+    skip rule — reject at DDL instead."""
+    cat = WarehouseCatalog(str(tmp_path / "wh"), spark)
+    cat.create_database("d")
+    with pytest.raises(ValueError, match="date-like"):
+        cat.create_table("d", "bad", [("k", "int"), ("p", "double")],
+                         partitioned_by=["p"],
+                         options={"partition.expiration-time": "1 d"})

@@ -164,6 +164,70 @@ def test_end_to_end_through_catalog_options(spark, tmp_path):
     assert [(r.k, r.g1, r.a, r.g2, r.b) for r in rows] == [(1, 20, 7, 5, 30)]
 
 
+def test_no_retraction_fast_path_plan_and_equivalence(spark, tmp_path):
+    """With every live file footer-proven all-inserts, the catalog routes
+    sequence groups through the one-max_by-per-group fast path (no
+    collect_list replay in the plan); a -D commit flips the table to replay;
+    compact() — which rewrites everything as 'I' — restores the fast path.
+    Results agree with the replay engine throughout."""
+    from incubator_paimon_trino_spark.catalog import WarehouseCatalog
+
+    cat = WarehouseCatalog(str(tmp_path / "wh"), spark)
+    cat.create_database("d")
+    cat.create_table(
+        "d", "t",
+        [("k", "int"), ("g1", "bigint"), ("a", "int"), ("b", "int")],
+        primary_key=["k"],
+        options={"merge_engine": "partial-update", "fields.g1.sequence-group": "a,b"},
+    )
+    ddl = "k int, g1 bigint, a int, b int"
+    cat.insert_into("d", "t", spark.createDataFrame([(1, 20, 7, None), (2, 5, 1, 2)], ddl))
+    cat.insert_into("d", "t", spark.createDataFrame([(1, 10, 9, 9), (2, 6, None, 4)], ddl))
+
+    def plan(df):
+        return df._jdf.queryExecution().optimizedPlan().toString()
+
+    df = cat.read_table("d.t")
+    assert "collect_list" not in plan(df)  # fast path: max_by only
+    got = sorted((r.k, r.g1, r.a, r.b) for r in df.collect())
+    assert got == [(1, 20, 7, None), (2, 6, None, 4)]
+
+    # a retraction forces the ordered replay (collect_list appears)
+    cat.insert_into(
+        "d", "t", spark.createDataFrame([(2, 7, None, None)], ddl), row_kind="D"
+    )
+    df = cat.read_table("d.t")
+    assert "collect_list" in plan(df)
+    got = sorted((r.k, r.g1, r.a, r.b) for r in df.collect())
+    assert got == [(1, 20, 7, None), (2, None, None, None)]  # group retracted
+
+    # compaction materializes the merged state as 'I' rows → fast path again
+    cat.compact("d", "t")
+    df = cat.read_table("d.t")
+    assert "collect_list" not in plan(df)
+    assert sorted((r.k, r.g1, r.a, r.b) for r in df.collect()) == got
+
+
+def test_fast_path_matches_replay_on_insert_only_histories(spark):
+    """Direct-API equivalence: on retraction-free changelogs the max_by fast
+    path and the ordered replay must be value-identical (the optimization
+    claim no_retractions makes)."""
+    rows = [
+        (1, 20, 7, None, None, None, "u1", 1, "I"),
+        (1, 10, 1, 2, 5, 30, None, 2, "I"),
+        (1, None, None, None, 5, 40, "u2", 3, "I"),
+        (2, None, None, None, None, None, "x", 1, "I"),
+        (2, 3, 1, None, 3, 1, None, 1, "I"),  # same-commit tie
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    slow = merge_on_read(df, ["k"], "partial-update", sequence_groups=GROUPS)
+    fast = merge_on_read(
+        df, ["k"], "partial-update", sequence_groups=GROUPS, no_retractions=True
+    )
+    key = lambda r: r.k  # noqa: E731
+    assert sorted(slow.collect(), key=key) == sorted(fast.collect(), key=key)
+
+
 def test_ddl_validation(spark, tmp_path):
     from incubator_paimon_trino_spark.catalog import WarehouseCatalog
 
@@ -193,6 +257,14 @@ def test_ddl_validation(spark, tmp_path):
             "d", "t5", [("k", "int"), ("g1", "string"), ("a", "int")],
             primary_key=["k"],
             options={"merge_engine": "partial-update",
+                     "fields.g1.sequence-group": "a"})
+    with pytest.raises(ValueError, match="remove-record-on-delete"):
+        # Paimon rejects the combination — the sequence-group engine would
+        # silently ignore remove-record-on-delete
+        cat.create_table(
+            "d", "t5b", cols, primary_key=["k"],
+            options={"merge_engine": "partial-update",
+                     "partial-update.remove-record-on-delete": "true",
                      "fields.g1.sequence-group": "a"})
     # mangled spelling resolves to the same option (reference DDL reflection)
     cat.create_table(
