@@ -546,6 +546,7 @@ class WarehouseCatalog:
         per-row Python encode; the JVM writer is preferred when present."""
         from incubator_paimon_trino_spark.formats.avro_ocf import (
             OcfWriter,
+            encode_batch,
             record_schema,
         )
 
@@ -579,20 +580,41 @@ class WarehouseCatalog:
             att = ctx.taskAttemptId()
             tmp = _os.path.join(staging, f".attempt-{att}")
             writers: dict[tuple, tuple] = {}
+            avro_names = [c for c, _ in avro_fields]
+
+            def writer_for(key):
+                w = writers.get(key)
+                if w is None:
+                    segs = [
+                        f"{k}={hive_null if v is None else _up.quote(str(v), safe='')}"
+                        for k, v in zip(part_keys, key)
+                    ]
+                    name = f"part-{tid:05d}-{_uuid.uuid4().hex}.c000.avro"
+                    _os.makedirs(_os.path.join(tmp, *segs), exist_ok=True)
+                    fh = open(_os.path.join(tmp, *segs, name), "wb")
+                    w = writers[key] = (fh, OcfWriter(fh, aschema), segs, name)
+                return w
+
             for batch in batches:
-                for row in batch.to_pylist():
-                    key = tuple(row[k] for k in part_keys)
-                    w = writers.get(key)
-                    if w is None:
-                        segs = [
-                            f"{k}={hive_null if v is None else _up.quote(str(v), safe='')}"
-                            for k, v in zip(part_keys, key)
-                        ]
-                        name = f"part-{tid:05d}-{_uuid.uuid4().hex}.c000.avro"
-                        _os.makedirs(_os.path.join(tmp, *segs), exist_ok=True)
-                        fh = open(_os.path.join(tmp, *segs, name), "wb")
-                        w = writers[key] = (fh, OcfWriter(fh, aschema), segs, name)
-                    w[1].write(row)
+                # split by hive partition tuple (order-preserving take), then
+                # encode each slice as one numpy-vectorized block run; the
+                # per-row closure path remains for nested-typed schemas
+                if part_keys:
+                    keys = list(zip(*(batch.column(k).to_pylist() for k in part_keys)))
+                    by_key: dict[tuple, list] = {}
+                    for i, k in enumerate(keys):
+                        by_key.setdefault(k, []).append(i)
+                    groups = [(k, batch.take(idxs)) for k, idxs in by_key.items()]
+                else:
+                    groups = [((), batch)]
+                for key, sub in groups:
+                    w = writer_for(key)
+                    enc = encode_batch(sub.select(avro_names), aschema)
+                    if enc is not None:
+                        w[1].write_encoded(*enc)
+                    else:
+                        for row in sub.to_pylist():
+                            w[1].write(row)
             rels, rows_per = [], []
             for fh, ocf, segs, name in writers.values():
                 ocf.close()
