@@ -174,6 +174,11 @@ def _typed_partition_value(raw: str | None, ddl: str):
         return _dt.datetime.fromisoformat(raw.replace(" ", "T"))
     if s.startswith("time"):
         return _dt.time.fromisoformat(raw)
+    if s == "binary":
+        # Spark spells binary partition dir values as the raw bytes decoded
+        # (its own writer refuses path-hostile bytes); surrogateescape
+        # round-trips whatever byte sequence the filesystem accepted
+        return raw.encode("utf-8", "surrogateescape")
     raise ValueError(f"unsupported partition column type {ddl!r}")
 
 
@@ -184,6 +189,7 @@ def _partition_type_supported(ddl: str) -> bool:
     return s in (
         "tinyint", "byte", "smallint", "short", "int", "integer", "bigint",
         "long", "float", "real", "double", "boolean", "date", "string",
+        "binary",
     ) or s.startswith(("decimal", "char", "varchar", "timestamp", "time"))
 
 
@@ -235,6 +241,16 @@ def stream_output_columns(schema: TableSchema, dv: bool) -> list[tuple[str, str]
     if dv:
         cols += [(DV_VER_COL, "bigint")]
     return cols
+
+
+def transport_ddl(ddl: str) -> str:
+    """The type a column crosses the Python DataSource Arrow bridge as:
+    TIME travels as bigint MICROS (the bridge rejects arrow time64 with
+    UNSUPPORTED_ARROWTYPE); ``changelog._manifest_stream`` restores the
+    declared type with a make_time projection Spark-side. Everything else
+    is bridge-safe as-is."""
+    s = ddl.strip().lower()
+    return "bigint" if s == "time" or s.startswith("time(") else ddl
 
 
 class _ManifestStreamReader(DataSourceStreamReader):
@@ -349,7 +365,9 @@ class _ManifestStreamReader(DataSourceStreamReader):
         snaps = load_snapshots(self.tdir)
         current = _latest_schema(self.tdir)
         is_pk = bool(current.primary_key)
-        out_cols = stream_output_columns(current, self.dv)
+        out_cols = [
+            (n, transport_ddl(t)) for n, t in stream_output_columns(current, self.dv)
+        ]
         by_id = {s.snapshot_id: s for s in snaps}
         ids = [s.snapshot_id for s in snaps if lo < s.snapshot_id <= hi]
         prev_id = max((s.snapshot_id for s in snaps if s.snapshot_id <= lo), default=0)
@@ -665,7 +683,12 @@ def _output_batches(table, out_cols, renames, missing_cols, parts, dv_commit):
             arr = pa.array(["D"] * n, type=at)
         elif name in part_vals:
             pddl, raw = part_vals[name]
-            arr = pa.array([_typed_partition_value(raw, pddl)] * n, type=at)
+            v = _typed_partition_value(raw, pddl)
+            if at == pa.int64() and v is not None and not isinstance(v, int):
+                # TIME transported as bigint micros (the Arrow bridge
+                # rejects time64 — see changelog._manifest_stream)
+                v = ((v.hour * 60 + v.minute) * 60 + v.second) * 1_000_000 + v.microsecond
+            arr = pa.array([v] * n, type=at)
         elif name in renamed:
             old, _ = renamed[name]
             arr = table.column(old).cast(at)
