@@ -114,20 +114,83 @@ _PRIORITY_NAMES = {
 # empty and new surface may land at the front again (r4 verdict item 6).
 _DEFER_NEW: set[str] = set()
 
-# Verified-green queries whose SEMANTICS changed in review fixes (result
-# set or oracle rewritten) — their standing green verdicts predate the
-# change. Re-proof them right after the never-checked block so the driver's
-# ~50-slot prefix re-establishes an honest verdict. (The six r4 entries
-# drained in r5.) r9: the four DV queries now build their tables with
-# ``dv-index.inline-threshold = 0`` to exercise the SHARDED index format
-# (r8 verdict item 1 — executor-written per-bucket shards); their green
-# verdicts predate the format, so they re-prove on it.
-_REPROOF: set[str] = {
+# Verified-green queries whose CODE PATH changed since their last driver
+# verdict — r10 amendment (VERDICT r9 item 2): changed-code greens outrank
+# stale-but-unchanged greens in the prefix. ORDERED, most-changed first.
+# r10's wave: window_ntile_percent + the four pattern queries carry pre-r9
+# verdicts over r9-changed plans (two-pass window; vectorized linear NFA);
+# then everything the r10 read-path work touched — the collect aggregate's
+# ordered-retraction rewrite, the sequence-group/no-retraction fast paths,
+# the fully-compacted and delta-vs-base merge fast paths (every read_table
+# consumer), the DV broadcast hint, the vectorized avro codec, the
+# fallback-branch/DML isolation, and relative partition expiration.
+_REPROOF: tuple[str, ...] = (
+    "window_ntile_percent",
+    "pattern_match_recognize_funnel",
+    "pattern_funnel_view_click_purchase",
+    "pattern_error_within_5min_of_purchase",
+    "pattern_longest_click_streak",
+    # collect/merge-engine semantics + fast paths
+    "lake_agg_collect_merge_map",
+    "lake_agg_nested_update",
+    "lake_agg_ignore_retract",
+    "lake_aggregation_merge_engine",
+    "lake_partial_update_sequence_group",
+    "lake_partial_update_merge",
+    "lake_partial_update_remove_on_delete",
+    "lake_first_row_merge",
+    "lake_sequence_field_merge",
+    "lake_merge_on_read",
+    "lake_rowkind_field_cdc",
+    "lake_ignore_delete",
+    # compaction-adjacent reads (fully-compacted + delta-split fast paths)
+    "lake_sort_compacted_range_scan",
+    "lake_zorder_compacted_scan",
+    "lake_clustered_scan",
+    "lake_read_optimized_table",
+    "lake_time_travel_v1",
+    "lake_tag_time_travel",
+    "lake_dml_roundtrip",
+    "lake_partition_delete",
+    "lake_partition_expiration",
+    "lake_fallback_branch",
+    # DV (broadcast hint) + streams (transport) + avro (vectorized codec)
     "lake_deletion_vector_read",
     "lake_dv_changelog_stream",
-    "lake_manifest_changelog_stream",
     "lake_dv_cdc_pipeline",
-}
+    "lake_manifest_changelog_stream",
+    "lake_avro_roundtrip",
+    "lake_char_padded_read",
+    # remaining read_table consumers, least-changed last
+    "lake_dynamic_bucket",
+    "lake_bucket_point_lookup",
+    "lake_incremental_read",
+    "lake_incremental_by_timestamp",
+    "lake_consumer_incremental_dedup",
+    "lake_consumer_resume",
+    "lake_schema_evolution",
+    "lake_orc_scan",
+    "lake_timestamp_precision",
+    "lake_bloom_index_point_lookup",
+    "lake_bitmap_index_lookup",
+    "lake_like_prefix_pruned_scan",
+    "lake_dynamic_file_pruning",
+    "lake_limit_pushdown_partition_scoped",
+    "lake_partition_pruned_scan",
+    "lake_dynamic_partition_pruning",
+    "lake_stats_broadcast_join",
+    "lake_branch_fast_forward",
+    "lake_rollback_to_snapshot",
+    "lake_expire_snapshots",
+    "lake_changelog_producer_lookup",
+    "lake_metadata_min_max",
+    "lake_metadata_count",
+    "lake_snapshots_system_table",
+    "lake_files_system_table",
+    "lake_partitions_system_table",
+    "lake_audit_log",
+    "lake_information_schema_columns",
+)
 
 
 def _ordered_names() -> list[str]:
@@ -141,7 +204,7 @@ def _ordered_names() -> list[str]:
     verified, red = _driver_verified()
     # a typo'd or renamed entry in the hand-kept sets would silently void the
     # ordering policy it encodes — make drift loud instead
-    for n in _PRIORITY_NAMES | _DEFER_NEW | _REPROOF:
+    for n in _PRIORITY_NAMES | _DEFER_NEW | set(_REPROOF):
         assert n in QUERIES, f"ordering policy names unknown query {n!r}"
     order = [n for n in QUERIES if n in red]  # fixed red rows re-prove first
     pri = [
@@ -162,7 +225,10 @@ def _ordered_names() -> list[str]:
     for row in zip_longest(*fams.values()):
         order.extend(n for n in row if n is not None)
     order.extend(n for n in QUERIES if n in _DEFER_NEW and n not in verified and n not in red)
-    order.extend(n for n in QUERIES if n in _REPROOF and n in verified)
+    # _REPROOF is ORDERED (most-changed code first) so the driver's prefix
+    # spends its slots on the riskiest re-proofs
+    emitted = set(order)
+    order.extend(n for n in _REPROOF if n in verified and n not in emitted)
     reg_idx = {n: i for i, n in enumerate(QUERIES)}
     tail = [n for n in QUERIES if n in verified and n not in _REPROOF]
     tail.sort(key=lambda n: (verified[n], reg_idx[n]))  # stalest verdict first

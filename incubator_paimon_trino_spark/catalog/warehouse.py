@@ -3390,6 +3390,22 @@ class WarehouseCatalog:
             if has_dv:
                 df = self._dv_apply_distributed(df, tdir, snap)
             df = df.select(*[f.name for f in schema.fields])
+        elif (
+            schema.primary_key
+            and not with_system_columns
+            and snap.files
+            and all(e.get("source") == "compact" for e in snap.files)
+        ):
+            # FULLY-COMPACTED fast path (r10, found by bench_lake: the
+            # merge was 7.6x a raw scan): when every live file is
+            # compaction output and nothing was committed since, the
+            # stored rows ARE the merged state — unique keys, no -D rows —
+            # so the whole groupBy/shuffle disappears and filters and
+            # projections push straight into the file scan. Zero
+            # staleness, unlike $ro: this is the pinned snapshot's own
+            # live set. Later appends add non-compact files and the
+            # condition goes false.
+            df = df.select(*[f.name for f in schema.fields])
         elif schema.primary_key and not with_system_columns:
             from incubator_paimon_trino_spark.operators.merge_on_read import merge_on_read
 
@@ -3423,8 +3439,7 @@ class WarehouseCatalog:
             # sensitive replay aggregates. Compaction rewrites everything as
             # 'I', so tables return to the fast path after compaction.
             no_d = all(e.get("all_inserts") is True for e in snap.files)
-            df = merge_on_read(
-                df,
+            merge_kwargs = dict(
                 primary_key=schema.primary_key,
                 merge_engine=schema.options.get("merge_engine", "deduplicate"),
                 field_aggregates=aggs,
@@ -3440,6 +3455,37 @@ class WarehouseCatalog:
                 ),
                 ignore_retract=_ignore_retract_cols(schema.options) or None,
             )
+            split = self._delta_base_split(tdir, schema, snap)
+            if split is not None:
+                # DELTA-vs-BASE merge (r10, found by bench_lake: the full
+                # merge was 7.6x a raw scan): compaction output has unique
+                # keys and no -D rows, so only keys TOUCHED since the last
+                # compaction need the merge at all. The base splits on a
+                # broadcast of the (small, manifest-counted) delta's keys:
+                # untouched base rows pass through scan-direct, touched
+                # ones join the delta in the merge — the groupBy shuffles
+                # the delta's key set, not the table.
+                base, delta = split
+                user_cols = [f.name for f in schema.fields]
+                dkeys = F.broadcast(
+                    delta.select(
+                        *[F.col(k).alias(f"_dk_{k}") for k in schema.primary_key]
+                    ).distinct()
+                )
+                # null-safe equality: the split must group exactly like the
+                # full merge's groupBy (which puts null keys in one group)
+                cond = None
+                for k in schema.primary_key:
+                    c = base[k].eqNullSafe(dkeys[f"_dk_{k}"])
+                    cond = c if cond is None else cond & c
+                untouched = base.join(dkeys, cond, "left_anti")
+                touched = base.join(dkeys, cond, "left_semi")
+                merged = merge_on_read(touched.unionByName(delta), **merge_kwargs)
+                df = untouched.select(*user_cols).unionByName(
+                    merged.select(*user_cols)
+                )
+            else:
+                df = merge_on_read(df, **merge_kwargs)
             # schema column order (merge_on_read returns PK-first) so reads
             # before/after the first commit and across tables are positional-
             # union safe
@@ -3581,6 +3627,24 @@ class WarehouseCatalog:
                         "parquet/orc readers; avro has none"
                     ) from ex
                 df = self._read_avro_fallback(paths, old, is_pk)
+            if sid == schema.schema_id and not schema.partition_keys:
+                # no evolution between write and read (the common case):
+                # the physical schema IS the current schema — skip the
+                # per-column cast/alias projection, which was pure py4j
+                # chatter (bench_lake r10: plan BUILD was half the DV
+                # read's wall time, dominated by expression round trips).
+                # Partitioned tables keep the projection: directory
+                # inference appends partition columns at the END, so the
+                # select also restores declared column order there.
+                if with_pos:
+                    df = df.withColumns(
+                        {
+                            _DV_FILE: F.col("_metadata.file_path"),
+                            _DV_POS: F.col("_metadata.row_index"),
+                        }
+                    )
+                parts.append(df)
+                continue
             cols = []
             for fid, cur in sorted(current.items()):
                 old_field = next((of for of in old.fields if of.id == fid), None)
@@ -3906,6 +3970,32 @@ class WarehouseCatalog:
             self.spark.read.format("text").option("wholetext", "true").load(paths)
         )
 
+    #: delta-vs-base merge gate: the delta's keys broadcast to split the
+    #: base, so the delta must be broadcast-sized (manifest record counts
+    #: decide driver-side, no job)
+    _DELTA_BROADCAST_ROWS = 2_000_000
+
+    def _delta_base_split(
+        self, tdir: str, schema: TableSchema, snap: Snapshot
+    ) -> "tuple[DataFrame, DataFrame] | None":
+        """(base DataFrame, delta DataFrame) when the snapshot's live set
+        splits into compaction output (``source == "compact"`` — unique
+        keys, no -D rows, the materialized merge) plus a BROADCAST-SIZED
+        delta of later commits; None otherwise (no compact base, no delta,
+        or a delta too large to broadcast — callers then run the full
+        merge). The decision costs no job: manifest record counts bound the
+        delta's key count."""
+        compact_files = [e for e in snap.files if e.get("source") == "compact"]
+        delta_files = [e for e in snap.files if e.get("source") != "compact"]
+        if not compact_files or not delta_files:
+            return None
+        counts = [e.get("record_count") for e in delta_files]
+        if any(c is None for c in counts) or sum(counts) > self._DELTA_BROADCAST_ROWS:
+            return None
+        base = self._read_files(tdir, schema, dataclasses.replace(snap, files=compact_files))
+        delta = self._read_files(tdir, schema, dataclasses.replace(snap, files=delta_files))
+        return base, delta
+
     def _dv_apply_distributed(self, df: DataFrame, tdir: str, snap: Snapshot) -> DataFrame:
         """Drop DV-marked rows with the marks side read BY SPARK from the
         snapshot's committed index (``_dv_marks_df``): the anti-join side
@@ -3917,6 +4007,13 @@ class WarehouseCatalog:
         marks = self._dv_marks_df(tdir, snap.dv) if snap.dv else None
         df = df.withColumn(_DV_FILE, F.element_at(F.split(F.col(_DV_FILE), "/"), -1))
         if marks is not None:
+            if snap.dv_marks is not None and snap.dv_marks <= 2_000_000:
+                # the snapshot records the cumulative mark count, so the
+                # broadcast decision costs no job — a JSON-parsed side has
+                # no stats, and without the hint AQE sort-merge-joined a
+                # 23k-mark index against the scan (bench_lake r10: the
+                # join was 2/3 of the DV read's 3x overhead)
+                marks = F.broadcast(marks)
             df = df.join(marks, [_DV_FILE, _DV_POS], "left_anti")
         return df.drop(_DV_FILE, _DV_POS)
 
