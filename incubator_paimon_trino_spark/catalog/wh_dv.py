@@ -1,0 +1,480 @@
+"""Deletion vectors: commit-time mark building (inline + sharded
+index formats), the distributed mark application, and the
+delta-vs-base merge split.
+
+Split out of ``warehouse.py`` in r10 — one mixin of
+``WarehouseCatalog``; no behavior change, the class surface is
+assembled in ``warehouse.py``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import datetime as _dt
+import uuid
+import glob
+import os
+import re
+import shutil
+import time
+import warnings
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from incubator_paimon_trino_spark.catalog.metadata import (
+    COMMIT_APPEND,
+    COMMIT_COMPACT,
+    COMMIT_OVERWRITE,
+    KIND_COL,
+    SEQ_COL,
+    CommitConflictError,
+    Field,
+    Snapshot,
+    TableSchema,
+    _parse_type as _meta_parse_type,
+    load_snapshots,
+    read_json,
+    write_json_atomic,
+)
+from incubator_paimon_trino_spark.catalog.file_index import (
+    SUFFIX as _FIDX_SUFFIX,
+    _split_cols,
+    build_file_indexes,
+    index_specs as _file_index_specs,
+    prune_files_by_index,
+)
+from incubator_paimon_trino_spark.catalog.scan import (
+    _HIVE_NULL,
+    collect_file_stats,
+    partition_values,
+    prune_files,
+)
+from incubator_paimon_trino_spark.functions.types import (
+    castable_ddl,
+    char_length,
+    paimon_to_spark,
+    spark_to_paimon,
+    timestamp_precision,
+)
+
+from incubator_paimon_trino_spark.catalog.wh_helpers import *  # noqa: F401,F403
+
+
+class DeletionVectorMixin:
+    # ---------------------------------------------------- deletion vectors
+    # Paimon's ``deletion-vectors.enabled`` (DV mode): instead of merging
+    # row versions at read time, each commit MARKS the positions of the
+    # rows it supersedes in older files; a read is then scan − DV — no
+    # merge shuffle at all. The reference connector inherits this from
+    # Paimon core at scan time; here it is executable end-to-end: writes
+    # pay a key lookup against the live files (Paimon's lookup compaction
+    # cost), reads drop the whole merge-on-read exchange.
+
+    @staticmethod
+    def _dv_enabled(schema: TableSchema) -> bool:
+        return (
+            bool(schema.primary_key)
+            and schema.options.get("deletion_vectors_enabled", "").strip().lower() == "true"
+        )
+
+    def _dv_vectors(self, tdir: str, snap: Snapshot | None) -> dict[str, list[int]]:
+        """TEST/DEBUG utility: the snapshot's cumulative deletion vectors
+        as a driver dict {rel-or-base path → sorted positions}, either
+        format. NEVER on a read, stream, or commit path (pinned by
+        monkeypatch in tests/test_deletion_vectors.py and
+        tests/test_dv_stream.py) — a sharded index is O(live deleted rows).
+        Missing/absent → {} (nothing deleted)."""
+        from incubator_paimon_trino_spark.catalog.dv_index import (
+            load_index_meta,
+            mark_file_names,
+        )
+
+        meta = load_index_meta(tdir, snap.dv if snap else None)
+        if meta is None:
+            return {}
+        if meta["kind"] == "inline":
+            return meta["vectors"]
+        out: dict[str, list[int]] = {}
+        for name in mark_file_names(tdir, snap.dv):
+            try:
+                doc = read_json(os.path.join(tdir, "index", name))
+            except FileNotFoundError:
+                continue
+            out.update(doc.get("vectors", {}))
+        return out
+
+    def _dv_marks_df(self, tdir: str, dv_name: str | None) -> DataFrame | None:
+        """The index's marks as a Spark-read DataFrame (file basename,
+        position) — the ONE way marks reach any read/stream plan. Inline or
+        sharded, the mark-bearing files share the ``{"vectors": ...}``
+        document shape, so both formats flow through the same
+        ``explode_dv_index_text`` pipeline: an inline index parses as one
+        executor task of O(index) (bounded by the inline threshold), a
+        sharded one as many small per-bucket parse tasks. None = no marks
+        (no index, or reaped by expiry)."""
+        from incubator_paimon_trino_spark.catalog.dv_index import mark_file_names
+
+        paths = [
+            os.path.join(tdir, "index", n) for n in mark_file_names(tdir, dv_name)
+        ]
+        paths = [p for p in paths if os.path.exists(p)]
+        if not paths:
+            return None
+        return explode_dv_index_text(
+            self.spark.read.format("text").option("wholetext", "true").load(paths)
+        )
+
+    #: delta-vs-base merge gate: the delta's keys broadcast to split the
+    #: base, so the delta must be broadcast-sized (manifest record counts
+    #: decide driver-side, no job)
+    _DELTA_BROADCAST_ROWS = 2_000_000
+
+    def _delta_base_split(
+        self, tdir: str, schema: TableSchema, snap: Snapshot
+    ) -> "tuple[DataFrame, DataFrame] | None":
+        """(base DataFrame, delta DataFrame) when the snapshot's live set
+        splits into compaction output (``source == "compact"`` — unique
+        keys, no -D rows, the materialized merge) plus a BROADCAST-SIZED
+        delta of later commits; None otherwise (no compact base, no delta,
+        or a delta too large to broadcast — callers then run the full
+        merge). The decision costs no job: manifest record counts bound the
+        delta's key count."""
+        compact_files = [e for e in snap.files if e.get("source") == "compact"]
+        delta_files = [e for e in snap.files if e.get("source") != "compact"]
+        if not compact_files or not delta_files:
+            return None
+        counts = [e.get("record_count") for e in delta_files]
+        if any(c is None for c in counts) or sum(counts) > self._DELTA_BROADCAST_ROWS:
+            return None
+        base = self._read_files(tdir, schema, dataclasses.replace(snap, files=compact_files))
+        delta = self._read_files(tdir, schema, dataclasses.replace(snap, files=delta_files))
+        return base, delta
+
+    def _dv_apply_distributed(self, df: DataFrame, tdir: str, snap: Snapshot) -> DataFrame:
+        """Drop DV-marked rows with the marks side read BY SPARK from the
+        snapshot's committed index (``_dv_marks_df``): the anti-join side
+        never transits the driver (O(1) driver memory), and the join
+        strategy is left to AQE — a small index broadcasts (the common
+        case, marks bounded by deletions since the last compaction), a
+        large one shuffles. A sharded index reads as many small per-bucket
+        parse tasks; an index reaped by expiry reads as no-marks."""
+        marks = self._dv_marks_df(tdir, snap.dv) if snap.dv else None
+        df = df.withColumn(_DV_FILE, F.element_at(F.split(F.col(_DV_FILE), "/"), -1))
+        if marks is not None:
+            if snap.dv_marks is not None and snap.dv_marks <= 2_000_000:
+                # the snapshot records the cumulative mark count, so the
+                # broadcast decision costs no job — a JSON-parsed side has
+                # no stats, and without the hint AQE sort-merge-joined a
+                # 23k-mark index against the scan (bench_lake r10: the
+                # join was 2/3 of the DV read's 3x overhead)
+                marks = F.broadcast(marks)
+            df = df.join(marks, [_DV_FILE, _DV_POS], "left_anti")
+        return df.drop(_DV_FILE, _DV_POS)
+
+    def _dv_build(
+        self,
+        tdir: str,
+        schema: TableSchema,
+        prev: Snapshot,
+        batch: DataFrame,
+        version: int,
+    ) -> tuple[str, int, int, list[str]]:
+        """Find the rows this commit supersedes and publish the commit's DV
+        index; returns (index name, newly marked, cumulative marks, files
+        this commit wrote — the conflict-cleanup set).
+
+        The mark scan is fully distributed: live files are read with native
+        row positions (``_metadata.row_index``), prev's marks drop the
+        already-dead rows via the same distributed anti-join every read
+        uses, and a LEFT SEMI join against the batch's DISTINCT keys finds
+        the superseded positions. What happens to the hits then depends on
+        the CUMULATIVE size (decided from ``prev.dv_marks`` + a distributed
+        count — never a parse):
+
+        - at or under ``dv-index.inline-threshold``: collect (bounded by
+          the threshold) and fold into one inline JSON — the legacy format,
+          O(threshold) driver memory by construction;
+        - above it (or once sharded): executors write per-bucket shard
+          files for ONLY the touched buckets; untouched buckets carry
+          forward by name. No mark set ever reaches the driver — the last
+          O(live deleted rows) driver bound of the DV design is gone.
+        """
+        from incubator_paimon_trino_spark.catalog.dv_index import (
+            inline_threshold,
+            is_sharded,
+            load_index_meta,
+        )
+
+        pk = schema.primary_key
+        keys = batch.select(*pk).dropDuplicates().persist()
+        try:
+            # Bound the mark scan by the BATCH's key range (r9 — previously
+            # claimed, now executed): the lead PK's min/max over the batch
+            # prunes the live files through the same manifest min/max
+            # machinery every read uses, so a point DELETE on a huge table
+            # opens only the files whose key range admits its keys — not
+            # the table. One scalar agg over the (already persisted) batch.
+            lead = pk[0]
+            lo, hi = keys.agg(F.min(lead), F.max(lead)).collect()[0]
+            scan_snap = prev
+            if lo is None and keys.isEmpty():
+                # empty batch (e.g. a DELETE matching nothing): no key can
+                # supersede anything — skip the scan outright
+                scan_snap = dataclasses.replace(prev, files=[])
+            elif lo is not None:
+                from incubator_paimon_trino_spark.functions.predicates import (
+                    ColumnDomain,
+                    Range,
+                )
+
+                pruned = prune_files(
+                    prev.files,
+                    [ColumnDomain(lead, ranges=[Range(low=lo, high=hi)])],
+                    schema,
+                    lambda sid: self._schema(tdir, sid),
+                )
+                scan_snap = dataclasses.replace(prev, files=pruned)
+            if scan_snap.files:
+                old = self._read_files(tdir, schema, scan_snap, with_pos=True)
+                old = old.withColumn(
+                    _DV_FILE, F.element_at(F.split(F.col(_DV_FILE), "/"), -1)
+                )
+                prev_marks = self._dv_marks_df(tdir, prev.dv) if prev.dv else None
+                if prev_marks is not None:
+                    old = old.join(prev_marks, [_DV_FILE, _DV_POS], "left_anti")
+                hits = old.join(keys, pk, "left_semi").select(
+                    _DV_FILE, F.col(_DV_POS).cast("bigint").alias(_DV_POS)
+                )
+            else:  # no live file's key range admits any batch key
+                hits = self.spark.createDataFrame(
+                    [], f"{_DV_FILE} string, {_DV_POS} bigint"
+                )
+            hits = hits.persist()
+        finally:
+            keys.unpersist()
+        try:
+            n_hits = hits.count()
+            prev_meta = load_index_meta(tdir, prev.dv)
+            prev_count = prev.dv_marks
+            if prev_count is None:
+                prev_count = (
+                    0
+                    if prev_meta is None
+                    else (
+                        prev_meta["marks"]
+                        if prev_meta["marks"] is not None
+                        # legacy inline without a recorded count: the dict
+                        # is already parsed, size it directly
+                        else sum(len(ps) for ps in prev_meta["vectors"].values())
+                    )
+                )
+            sharded = is_sharded(prev.dv) or (
+                prev_count + n_hits > inline_threshold(schema.options)
+            )
+            if not sharded:
+                return self._dv_fold_inline(tdir, prev, prev_meta, hits, n_hits, version)
+            return self._dv_write_shards(
+                tdir, schema, prev_meta, hits, n_hits, prev_count, version
+            )
+        finally:
+            hits.unpersist()
+
+    def _dv_fold_inline(
+        self,
+        tdir: str,
+        prev: Snapshot,
+        prev_meta: dict | None,
+        hits: DataFrame,
+        n_hits: int,
+        version: int,
+    ) -> tuple[str, int, int, list[str]]:
+        """Inline-format commit: cumulative marks ≤ threshold by the
+        caller's decision, so collecting the new hits and folding them into
+        the prior parsed dict is bounded driver work (the docstring
+        contract: the dict survives only here, and only under the
+        threshold). Marks of files no longer live are dropped."""
+        prev_vec = prev_meta["vectors"] if prev_meta else {}
+        base_to_rel = {
+            os.path.basename(f["path"].replace("\\", "/")): f["path"]
+            for f in prev.files
+        }
+        merged: dict[str, set[int]] = {
+            rel: set(ps)
+            for rel, ps in prev_vec.items()
+            if os.path.basename(rel.replace("\\", "/")) in base_to_rel
+        }
+        for r in hits.collect():
+            merged.setdefault(base_to_rel[r[0]], set()).add(int(r[1]))
+        vectors = {rel: sorted(ps) for rel, ps in sorted(merged.items())}
+        total = sum(len(ps) for ps in vectors.values())
+        name = self._dv_write_inline(tdir, version, vectors)
+        return name, n_hits, total, [name]
+
+    def _dv_write_inline(self, tdir: str, version: int, vectors: dict[str, list[int]]) -> str:
+        """Write an inline cumulative DV index for ``version`` BEFORE the
+        snapshot publish (readers must never see the snapshot without its
+        vectors). Nonce-named so racing committers at one version can't
+        cross-wire: each snapshot references exactly the file its own
+        writer produced."""
+        name = f"dv-{version}-{uuid.uuid4().hex[:8]}.json"
+        write_json_atomic(
+            os.path.join(tdir, "index", name),
+            {"vectors": vectors, "marks": sum(len(ps) for ps in vectors.values())},
+        )
+        return name
+
+    def _dv_write_shards(
+        self,
+        tdir: str,
+        schema: TableSchema,
+        prev_meta: dict | None,
+        hits: DataFrame,
+        n_hits: int,
+        prev_count: int,
+        version: int,
+    ) -> tuple[str, int, int, list[str]]:
+        """Sharded-format commit: EXECUTORS write one ``{"vectors": ...}``
+        document per touched bucket (marks hashed by data-file basename);
+        untouched buckets carry their prior shard files forward BY NAME, so
+        consumers diff two snapshots with a metadata-only name compare. The
+        driver handles only bucket ids (≤ ``dv-index.buckets``) and file
+        renames — never marks.
+
+        Rewrite set per bucket = prior marks of that bucket ∪ new hits:
+        prior marks come from reading ONLY the touched buckets' shard files
+        (or the one prior inline file on the threshold-crossing commit).
+        Liveness filtering is deliberately skipped — a dead file's marks
+        anti-join against nothing (harmless) and compaction resets the
+        index wholesale; filtering would force reading every bucket every
+        commit."""
+        from incubator_paimon_trino_spark.catalog.dv_index import index_buckets
+
+        k = index_buckets(schema.options)
+        nonce = uuid.uuid4().hex[:8]
+        bucket = F.pmod(F.crc32(F.encode(F.col(_DV_FILE), "UTF-8")), F.lit(k)).cast("int")
+        carried: dict[int, list[str]] = {}
+        base: DataFrame | None = None
+        if prev_meta is None:
+            touched = None  # no prior marks: every hit bucket gets written
+        elif prev_meta["kind"] == "inline":
+            # threshold-crossing commit: rewrite ALL prior marks into shards
+            touched = None
+            if prev_meta["vectors"]:
+                base = self._dv_marks_df(tdir, prev_meta["name"])
+        elif prev_meta["buckets"] != k:
+            # bucket-count change: full rewrite under the new k (consumers
+            # see every bucket as touched and diff executor-side — correct,
+            # just not incremental for this one commit)
+            touched = None
+            base = self._dv_marks_df(tdir, prev_meta["name"])
+        else:
+            touched = sorted(
+                r[0] for r in hits.select(bucket.alias("_b")).distinct().collect()
+            )
+            carried = {
+                b: names
+                for b, names in prev_meta["shards"].items()
+                if b not in set(touched)
+            }
+            prior_paths = [
+                os.path.join(tdir, "index", n)
+                for b in touched
+                for n in prev_meta["shards"].get(b, [])
+            ]
+            prior_paths = [p for p in prior_paths if os.path.exists(p)]
+            if prior_paths:
+                base = explode_dv_index_text(
+                    self.spark.read.format("text")
+                    .option("wholetext", "true")
+                    .load(prior_paths)
+                )
+        rewrite = hits if base is None else hits.unionByName(base)
+        # Bound each shard DOCUMENT (it aggregates into one JSON string, so
+        # one buffer): buckets whose rewrite exceeds max-marks-per-shard
+        # split into sub-shards by data-file hash — the manifest lists a
+        # LIST of files per bucket and every reader unions marks across
+        # them, so sub-splitting is invisible downstream. Per-file
+        # granularity floor: one data file's marks stay in one document,
+        # bounded by that file's row count. The per-bucket sizing pass is
+        # K rows on the driver.
+        from incubator_paimon_trino_spark.catalog.dv_index import max_marks_per_shard
+
+        max_marks = max_marks_per_shard(schema.options)
+        rewrite = rewrite.withColumn("_b", bucket).persist()
+        try:
+            sizes = {
+                r["_b"]: r["n"]
+                for r in rewrite.groupBy("_b").agg(F.count("*").alias("n")).collect()
+            }
+            subs_of = {b: -(-n // max_marks) for b, n in sizes.items()}
+            over = {b: s for b, s in subs_of.items() if s > 1}
+            if over:
+                # flat map lookup, not a nested WHEN per oversized bucket
+                # (a wide bulk delete could otherwise build a K-deep CASE)
+                sub_count = F.coalesce(
+                    F.element_at(
+                        F.create_map(
+                            *[x for b, s in sorted(over.items()) for x in (F.lit(b), F.lit(s))]
+                        ),
+                        F.col("_b"),
+                    ),
+                    F.lit(1),
+                )
+                sub_expr = F.pmod(
+                    F.crc32(F.encode(F.col(_DV_FILE), "UTF-8")), sub_count
+                )
+            else:
+                sub_expr = F.lit(0)
+            docs = (
+                rewrite.withColumn("_s", sub_expr.cast("int"))
+                .groupBy("_b", "_s", _DV_FILE)
+                .agg(F.sort_array(F.collect_set(_DV_POS)).alias("_ps"))
+                .groupBy("_b", "_s")
+                .agg(
+                    F.to_json(
+                        F.struct(
+                            F.map_from_entries(
+                                F.sort_array(
+                                    F.collect_list(
+                                        F.struct(F.col(_DV_FILE), F.col("_ps"))
+                                    )
+                                )
+                            ).alias("vectors")
+                        )
+                    ).alias("value")
+                )
+            )
+            staging = os.path.join(tdir, "index", f".staging-dv-{version}-{nonce}")
+            docs.write.partitionBy("_b", "_s").text(staging)
+        finally:
+            rewrite.unpersist()
+        written: list[str] = []
+        shards: dict[int, list[str]] = dict(carried)
+        for sdir in sorted(glob.glob(os.path.join(staging, "_b=*", "_s=*"))):
+            b = int(os.path.basename(os.path.dirname(sdir)).split("=", 1)[1])
+            s = int(os.path.basename(sdir).split("=", 1)[1])
+            parts = sorted(glob.glob(os.path.join(sdir, "part-*")))
+            # one row per (bucket, sub) in `docs` → exactly one part file
+            assert len(parts) == 1, f"expected one doc for bucket {b}/{s}: {parts}"
+            name = f"dv-{version}-{nonce}-b{b}-s{s}.json"
+            os.replace(parts[0], os.path.join(tdir, "index", name))
+            written.append(name)
+            if b in carried:
+                raise AssertionError(f"bucket {b} both carried and rewritten")
+            shards.setdefault(b, []).append(name)
+        shutil.rmtree(staging, ignore_errors=True)
+        total = prev_count + n_hits  # hits are strictly new (pre-filtered)
+        manifest = f"dvm-{version}-{nonce}.json"
+        write_json_atomic(
+            os.path.join(tdir, "index", manifest),
+            {
+                "format": "sharded",
+                "buckets": k,
+                "marks": total,
+                "shards": {str(b): names for b, names in sorted(shards.items())},
+            },
+        )
+        written.append(manifest)
+        return manifest, n_hits, total, written
+

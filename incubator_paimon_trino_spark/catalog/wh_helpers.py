@@ -1,0 +1,1080 @@
+"""Shared module-level helpers and constants of the warehouse catalog.
+
+Split out of ``warehouse.py`` in r10 (the file passed 6k lines): these are
+the pure functions and constants every ``WarehouseCatalog`` mixin module
+uses — option parsing/validation, sequence/partition-value coercion,
+physical schemas, bucket recording, and the shared DV index explode.
+``warehouse`` re-exports everything here, so existing
+``from ...warehouse import X`` call sites keep working.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import datetime as _dt
+import uuid
+import glob
+import os
+import re
+import shutil
+import time
+import warnings
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from incubator_paimon_trino_spark.catalog.metadata import (
+    COMMIT_APPEND,
+    COMMIT_COMPACT,
+    COMMIT_OVERWRITE,
+    KIND_COL,
+    SEQ_COL,
+    CommitConflictError,
+    Field,
+    Snapshot,
+    TableSchema,
+    _parse_type as _meta_parse_type,
+    load_snapshots,
+    read_json,
+    write_json_atomic,
+)
+from incubator_paimon_trino_spark.catalog.file_index import (
+    SUFFIX as _FIDX_SUFFIX,
+    _split_cols,
+    build_file_indexes,
+    index_specs as _file_index_specs,
+    prune_files_by_index,
+)
+from incubator_paimon_trino_spark.catalog.scan import (
+    _HIVE_NULL,
+    collect_file_stats,
+    partition_values,
+    prune_files,
+)
+from incubator_paimon_trino_spark.functions.types import (
+    castable_ddl,
+    char_length,
+    paimon_to_spark,
+    spark_to_paimon,
+    timestamp_precision,
+)
+
+_SYSTEM_SUFFIXES = (
+    "snapshots",
+    "schemas",
+    "files",
+    "options",
+    "audit_log",
+    "tags",
+    "partitions",
+    "manifests",
+    "consumers",
+    "statistics",
+    "branches",
+    "ro",
+)
+
+#: Deletion-vector provenance columns (never user-visible: appended by
+#: ``_read_files(with_pos=True)`` and consumed/dropped by ``_dv_apply``).
+_DV_FILE = "__dv_file"
+_DV_POS = "__dv_pos"
+
+
+def explode_dv_index_text(df: DataFrame, ver_col=None) -> DataFrame:
+    """(file basename, position) marks from wholetext DV index JSON rows —
+    the ONE parse/explode pipeline shared by the batch DV read
+    (``_dv_apply_distributed``), the retraction stream's marks side, and
+    its resume baseline (``streaming/changelog.py``), so no two paths can
+    disagree on path normalization. ``ver_col`` (optional expression) rides
+    along as ``_dv_ver``. An index that does not parse fails LOUDLY —
+    silently exploding nothing would drop deletes."""
+    carry = ["_dv_ver"] if ver_col is not None else []
+    head = [ver_col.alias("_dv_ver")] if ver_col is not None else []
+    parsed = F.from_json("value", "vectors map<string, array<bigint>>")
+    return (
+        df.select(*head, parsed.alias("_vecs"))
+        .filter(
+            F.assert_true(
+                F.col("_vecs.vectors").isNotNull(),
+                F.concat(F.lit("unreadable DV index: "), F.input_file_name()),
+            ).isNull()
+        )
+        .select(*carry, F.explode("_vecs.vectors").alias("_rel", "_ps"))
+        .select(
+            *carry,
+            F.element_at(
+                F.split(F.regexp_replace("_rel", r"\\", "/"), "/"), -1
+            ).alias(_DV_FILE),
+            F.explode("_ps").alias(_DV_POS),
+        )
+    )
+
+
+def partition_column_expr(pname: str, type_ddl: str) -> Column:
+    """Rebuild hive partition column ``pname`` from ``input_file_name()``.
+
+    Two escape layers: input_file_name returns a URI (its own %XX encoding)
+    wrapping the hive-escaped dir name. Decode twice, each time shielding
+    literal '+' (legal in both layers) from url_decode's plus-means-space.
+    Used by both the batch read path and the changelog stream reader, so
+    partitioned tables never depend on Spark's directory inference (which
+    cannot see manifest-selected file subsets)."""
+    raw = F.regexp_extract(F.input_file_name(), "/" + re.escape(pname) + "=([^/]*)/", 1)
+    shield = lambda c: F.regexp_replace(c, r"\+", "%2B")  # noqa: E731
+    decoded = F.url_decode(shield(F.url_decode(shield(raw))))
+    return (
+        F.when(raw == F.lit(_HIVE_NULL), F.lit(None))
+        .otherwise(decoded)
+        .cast(castable_ddl(type_ddl))
+    )
+
+
+def _record_dynamic_buckets(files: list[dict]) -> None:
+    """Stamp dynamic-bucket manifest entries from their ``bucket-N`` path
+    segment. ``bucket_n = -1`` marks the layout as index-assigned: the hash
+    pruner must skip these (bucket id is NOT hash-derivable from a key —
+    that is the whole point of dynamic mode), so only ``$files``/maintenance
+    consumers read the stamp."""
+    for e in files:
+        m = re.search(r"(?:^|/)bucket-(\d+)/", e["path"].replace("\\", "/"))
+        if m:
+            e["bucket"] = int(m.group(1))
+            e["bucket_n"] = -1
+
+
+def _record_buckets(files: list[dict], schema: TableSchema, bucket_key: str, n: int) -> None:
+    """Stamp each manifest entry with the hash bucket its file holds.
+
+    ``repartition(n, col)`` gives the write stage exactly n tasks; the task
+    index survives in the ``part-NNNNN`` file-name component (one write
+    stage, hive partitioning doesn't renumber), so bucket id = part index.
+    Recording (bucket, n, key-field-id) per FILE makes pruning robust to
+    later bucket-count/key changes — each file is judged against the layout
+    it was written under."""
+    fid = schema.field_by_name(bucket_key).id
+    for e in files:
+        m = re.search(r"-part-(\d+)-", os.path.basename(e["path"]))
+        if m and int(m.group(1)) < n:
+            e["bucket"] = int(m.group(1))
+            e["bucket_n"] = n
+            e["bucket_fid"] = fid
+
+
+def _bucket_prune_values(predicate: list | None, schema: TableSchema) -> tuple[int, list] | None:
+    """Equality/IN values on a column usable for bucket pruning, as
+    (field_id, values) — None when the predicate doesn't pin the column."""
+    for d in predicate or []:
+        if d.null_allowed or d.is_null is True or d.ranges:
+            continue
+        try:
+            fid = schema.field_by_name(d.column).id
+        except KeyError:
+            continue
+        if d.op == "=" and d.in_values is None:
+            return fid, [d.value]
+        if d.in_values is not None and d.op is None:
+            return fid, list(d.in_values)
+    return None
+
+
+#: column types a sequence_field may have — merge order needs a total order
+#: that survives the bigint/micros encoding in ``_sequence_expr``.
+_SEQ_FIELD_TYPE_RE = re.compile(r"^(tinyint|smallint|int(eger)?|bigint|long|timestamp(_ntz)?)\b")
+
+
+def _sequence_expr(schema: TableSchema, version: int):
+    """The ``_seq`` value for a commit: the configured sequence_field column
+    (business-time merge order) or the snapshot id (Paimon's default
+    commit-level sequencing). Timestamps encode as epoch micros so sub-second
+    ordering survives; type validity is enforced at CREATE/ALTER time."""
+    seq_field = schema.options.get("sequence_field")
+    if not seq_field:
+        return F.lit(version).cast("bigint")
+    t = schema.field_by_name(seq_field).type.strip().lower()
+    if t.startswith("timestamp"):
+        return F.unix_micros(F.col(seq_field).cast("timestamp_ltz"))
+    return F.col(seq_field).cast("bigint")
+
+
+#: The reference surfaces every Paimon CoreOption as a DDL property with
+#: `.`/`-` mangled to `_` (``TrinoTableOptionUtils.convertOptionKey``,
+#: ``common/TrinoTableOptionUtils.java:130-135``); unknown-but-valid keys
+#: pass through as stored metadata. The seven enum-typed options
+#: (``TrinoTableOptionUtils.java:94-128``) are validated against their value
+#: sets at DDL time, exactly as the reference's typed properties reject a bad
+#: value in CREATE TABLE rather than at first read/write.
+_ENUM_OPTIONS: dict[str, tuple[str, ...]] = {
+    # CoreOptions.FileFormatType
+    "file_format": ("orc", "parquet", "avro"),
+    # CoreOptions.MergeEngine
+    "merge_engine": ("deduplicate", "partial-update", "aggregation", "first-row"),
+    # CoreOptions.ChangelogProducer
+    "changelog_producer": ("none", "input", "full-compaction", "lookup"),
+    # clustering.strategy (Paimon append-table write clustering)
+    "clustering_strategy": ("order", "zorder", "hilbert"),
+    # CoreOptions.StartupMode
+    "scan_mode": (
+        "default", "latest-full", "full", "latest", "compacted-full",
+        "from-timestamp", "from-snapshot", "from-snapshot-full", "incremental",
+    ),
+    # CoreOptions.LogConsistency
+    "log_consistency": ("transactional", "eventual"),
+    # CoreOptions.TagCreationMode / TagCreationPeriod (watermark mode needs
+    # a stream watermark this batch writer doesn't carry — rejected at DDL)
+    "tag_automatic_creation": ("none", "process-time"),
+    "tag_creation_period": ("daily", "hourly"),
+    # CoreOptions.LogChangelogMode
+    "log_changelog_mode": ("auto", "all", "upsert"),
+    # CoreOptions.StreamingReadMode
+    "streaming_read_mode": ("log", "file"),
+}
+
+
+def _sql_like_to_regex(pattern: str, escape: str | None) -> re.Pattern:
+    """Compile a SQL LIKE pattern (``%``/``_`` wildcards, optional ESCAPE
+    character) to an anchored regex. An escaped wildcard is a literal; an
+    escaped escape character is a literal escape character; a trailing
+    escape with nothing to escape is an error (SQL semantics)."""
+    out: list[str] = []
+    i = 0
+    while i < len(pattern):
+        ch = pattern[i]
+        if escape and ch == escape:
+            if i + 1 >= len(pattern):
+                raise ValueError(f"LIKE pattern ends with escape character: {pattern!r}")
+            out.append(re.escape(pattern[i + 1]))
+            i += 2
+            continue
+        if ch == "%":
+            out.append(".*")
+        elif ch == "_":
+            out.append(".")
+        else:
+            out.append(re.escape(ch))
+        i += 1
+    return re.compile("".join(out))
+
+
+def _shared_data_path(rel: str) -> bool:
+    """True for manifest entries whose file lives OUTSIDE this snapshot
+    chain's own ``data/`` dir: a branch's inherited parent files
+    (``../../data/...``) and main entries grafted from a fast-forwarded
+    branch (``branch/<name>/data/...``). Shared files are never deleted by
+    this chain's expire/rollback — the parent's expiry (tag-pinned) and
+    ``delete_branch`` own their lifecycle."""
+    return rel.startswith("..") or rel.startswith("branch" + os.sep) or rel.startswith("branch/")
+
+
+def _zorderable_ddl(ddl: str) -> bool:
+    """Types with a monotonic grid embedding for the Morton key (see
+    ``_zorder_expr``): numerics, date, timestamp. Strings have none."""
+    d = ddl.lower()
+    return (
+        d
+        in (
+            "tinyint", "smallint", "int", "integer", "bigint", "long",
+            "short", "byte", "float", "double", "real",
+        )
+        or d.startswith("decimal")
+        or d == "date"
+        or d.startswith("timestamp")
+    )
+
+
+def _check_not_reserved(name: str) -> None:
+    """Reject a (new) column name the internal scaffolding owns — shared by
+    CREATE TABLE, ADD COLUMN, and RENAME COLUMN so no DDL path can smuggle
+    one in (the write paths would silently overwrite the user's column)."""
+    from incubator_paimon_trino_spark.operators.merge_on_read import RESERVED_INTERNAL
+
+    if name.lower() in {r.lower() for r in RESERVED_INTERNAL}:
+        raise ValueError(f"column name {name!r} is reserved (system columns)")
+
+
+def _rm_sidecar(data_path: str) -> None:
+    """Remove a data file's colocated file-index sidecar, if any. Called
+    wherever the data file itself is deleted — colocation makes the sidecar's
+    lifecycle exactly the data file's, so no GC pass tracks them separately."""
+    try:
+        os.remove(data_path + _FIDX_SUFFIX)
+    except FileNotFoundError:
+        pass
+
+
+def _pad_char_columns(df: DataFrame, schema: TableSchema) -> DataFrame:
+    """User-facing CHAR(n) output form: storage stays rtrimmed-canonical,
+    the declared length pads on at the very end of the read (shared by
+    ``read_table`` and ``$ro`` so the padding contract has ONE home)."""
+    for f_ in schema.fields:
+        n_chars = char_length(f_.type)
+        if n_chars is not None:
+            df = df.withColumn(f_.name, F.rpad(F.col(f_.name), n_chars, " "))
+    return df
+
+
+def _parse_duration_ms(v: str) -> int:
+    """Paimon/Flink TimeUtils-style durations: ``100``/``100 ms``/``30 s``/
+    ``30 seconds``/``10 min``/``2 hours``/``1 d`` (unit optional = millis;
+    full words, abbreviations, and plurals all accepted, like
+    ``TimeUtils.parseDuration``)."""
+    s = str(v).strip().lower()
+    m = re.fullmatch(r"(\d+)\s*([a-z]*)", s)
+    if m is None:
+        raise ValueError(f"unparseable duration {v!r} (use e.g. '100 ms', '30 s', '1 d')")
+    n = int(m.group(1))
+    unit_word = m.group(2)
+    units = {
+        "": 1, "ms": 1, "msec": 1, "milli": 1, "millisecond": 1,
+        "s": 1000, "sec": 1000, "second": 1000,
+        "m": 60_000, "min": 60_000, "minute": 60_000,
+        "h": 3_600_000, "hr": 3_600_000, "hour": 3_600_000,
+        "d": 86_400_000, "day": 86_400_000,
+    }
+    unit = units.get(unit_word)
+    if unit is None and unit_word.endswith("s"):
+        # plural of a PLURALIZABLE word only ('seconds', 'mins', 'hrs');
+        # a blanket strip would wrong-accept typos, possibly at wild
+        # magnitudes ('30 ss', '500 mss')
+        base = unit_word[:-1]
+        if base in ("sec", "second", "min", "minute", "hr", "hour", "day",
+                    "msec", "milli", "millisecond"):
+            unit = units.get(base)
+    if unit is None:
+        raise ValueError(f"unparseable duration {v!r} (use e.g. '100 ms', '30 s', '1 d')")
+    return n * unit
+
+
+def _parse_byte_conf(v) -> int:
+    """Spark size-conf values: plain bytes, or ``10485760b`` / ``10MB`` /
+    ``1g``-style suffixed strings; -1 disables."""
+    s = str(v).strip().lower()
+    m = re.match(r"^(-?\d+)\s*(b|k|kb|m|mb|g|gb|t|tb)?$", s)
+    if not m:
+        return -1
+    n = int(m.group(1))
+    mult = {
+        None: 1, "b": 1, "k": 1024, "kb": 1024, "m": 1024**2, "mb": 1024**2,
+        "g": 1024**3, "gb": 1024**3, "t": 1024**4, "tb": 1024**4,
+    }[m.group(2)]
+    return n * mult
+
+
+def _canonical_options(options: dict[str, str] | None) -> dict[str, str]:
+    """Mangle option keys to the reference's DDL spelling: `.` and `-` → `_`
+    (``TrinoTableOptionUtils.convertOptionKey``,
+    ``common/TrinoTableOptionUtils.java:130-135``), so Paimon-native dotted
+    keys (``snapshot.num-retained.max``) and mangled ones
+    (``snapshot_num_retained_max``) address the SAME stored option — without
+    this a dotted spelling would be stored but silently ignored by every
+    consumer, and enum validation could be bypassed. Structured
+    ``fields.<name>.aggregate-function`` keys keep their dotted namespace
+    (the column name may itself contain the characters being mangled)."""
+    out: dict[str, str] = {}
+    for k, v in (options or {}).items():
+        kk = k.strip()
+        if kk.startswith("fields.") and (
+            kk.endswith(".aggregate-function")
+            or kk.endswith(".sequence-group")
+            or kk.endswith(".distinct")
+            or kk.endswith(".nested-key")
+            or kk.endswith(".ignore-retract")
+        ):
+            pass  # dotted structured key: kept verbatim (column case preserved)
+        elif m := re.fullmatch(r"fields[._](.+)[._]ignore[-_]retract", kk):
+            mid = m.group(1).replace(".", "_").replace("-", "_")
+            kk = f"fields_{mid}_ignore_retract"
+        elif m := re.fullmatch(r"fields[._](.+)[._]nested[-_]key", kk):
+            mid = m.group(1).replace(".", "_").replace("-", "_")
+            kk = f"fields_{mid}_nested_key"
+        elif m := re.fullmatch(r"fields[._](.+)[._]sequence[-_]group", kk):
+            mid = m.group(1).replace(".", "_").replace("-", "_")
+            kk = f"fields_{mid}_sequence_group"
+        elif m := re.fullmatch(r"fields[._](.+)[._]distinct", kk):
+            mid = m.group(1).replace(".", "_").replace("-", "_")
+            kk = f"fields_{mid}_distinct"
+        elif m := re.fullmatch(r"fields[._](.+)[._]aggregate[-_]function", kk):
+            # any other separator mix (pure-mangled or hybrid like
+            # ``fields.MyCol.aggregate_function``): normalize separators to
+            # the mangled spelling but do NOT lower() — the middle is a
+            # column name, and folding its case would resolve
+            # ``fields_MyCol_aggregate_function`` to a nonexistent column
+            # while the dotted spelling preserves case
+            mid = m.group(1).replace(".", "_").replace("-", "_")
+            kk = f"fields_{mid}_aggregate_function"
+        else:
+            kk = kk.lower().replace(".", "_").replace("-", "_")
+        if kk in _ENUM_OPTIONS:
+            # normalize enum VALUES too: consumers compare exactly, so a
+            # validated-but-unnormalized 'First-Row' would pass CREATE and
+            # then crash (or silently diverge) at first read/write
+            v = v.strip().lower()
+        if kk in out and out[kk] != v:
+            raise ValueError(f"conflicting spellings for option {kk!r}")
+        out[kk] = v
+    return out
+
+
+def _validate_table_options(
+    names: list[str],
+    primary_key: list[str],
+    options: dict[str, str],
+    types: dict[str, str] | None = None,
+    partition_keys: list[str] | None = None,
+) -> None:
+    """Option-coherence checks shared by CREATE TABLE and SET PROPERTIES —
+    validating only at create would let ALTER re-introduce the silently-
+    ignored states these errors exist to prevent. Unknown option KEYS pass
+    through (the reference reflects the full CoreOptions surface; storing an
+    option our engine does not consume is valid metadata, not an error)."""
+    from incubator_paimon_trino_spark.operators.merge_on_read import FIELD_AGGREGATES
+
+    for key, allowed in _ENUM_OPTIONS.items():
+        val = options.get(key)
+        if val is not None and val.strip().lower() not in allowed:
+            raise ValueError(f"invalid {key} {val!r}; allowed values: {allowed}")
+
+    specs = _field_aggregate_specs(options)
+    if specs and options.get("merge_engine") != "aggregation":
+        raise ValueError(
+            "fields.<name>.aggregate-function requires merge_engine='aggregation' "
+            "(otherwise the configured aggregates would be silently ignored)"
+        )
+    if specs and not primary_key:
+        raise ValueError("fields.<name>.aggregate-function requires a primary-key table")
+    for col, func in specs.items():
+        if col == "default" and "default" not in names:
+            # Paimon's fields.default-aggregate-function: the fallback for
+            # unspecified value columns (a real column named 'default'
+            # outranks this reading). Container functions need a typed
+            # column and cannot be a table-wide fallback.
+            if func not in FIELD_AGGREGATES:
+                raise ValueError(
+                    f"unknown default aggregate-function {func!r}; have {FIELD_AGGREGATES}"
+                )
+            if func in ("collect", "merge_map", "nested_update", "count"):
+                raise ValueError(
+                    f"default aggregate-function cannot be {func!r} (container "
+                    "functions need a typed ARRAY/MAP column; count needs the "
+                    "write path's per-column 0/1 partials)"
+                )
+            continue
+        if col not in names:
+            raise ValueError(f"aggregate-function on unknown column {col!r}")
+        if col in primary_key:
+            raise ValueError(f"aggregate-function on primary-key column {col!r}")
+        if func not in FIELD_AGGREGATES:
+            raise ValueError(
+                f"unknown aggregate-function {func!r} for {col!r}; have {FIELD_AGGREGATES}"
+            )
+        if types is not None and func in ("collect", "merge_map", "nested_update"):
+            t = types.get(col, "").strip().lower()
+            want = "array<struct" if func == "nested_update" else (
+                "array" if func == "collect" else "map"
+            )
+            if not re.match(want.replace("<", r"\s*<\s*"), t):
+                raise ValueError(
+                    f"aggregate-function {func!r} requires an {want.upper()}<...> "
+                    f"column; {col!r} is {t!r}"
+                )
+    for col, keys in _nested_key_specs(options).items():
+        if specs.get(col) != "nested_update":
+            raise ValueError(
+                f"fields.{col}.nested-key requires aggregate-function "
+                "'nested_update' on that column"
+            )
+        if types is not None:
+            fields = _struct_field_names(types.get(col, ""))
+            if fields is not None:
+                missing = sorted(set(keys) - set(fields))
+                if missing:
+                    raise ValueError(
+                        f"nested-key field(s) {missing} not in {col!r}'s row type "
+                        f"(has {fields})"
+                    )
+    for col in _collect_distinct_cols(options):
+        if specs.get(col) != "collect":
+            raise ValueError(
+                f"fields.{col}.distinct requires aggregate-function 'collect' on that "
+                "column (distinct is the collect aggregate's switch)"
+            )
+    for col in _ignore_retract_cols(options):
+        if options.get("merge_engine") != "aggregation":
+            raise ValueError(
+                f"fields.{col}.ignore-retract requires merge_engine='aggregation'"
+            )
+        if col not in names:
+            raise ValueError(f"ignore-retract on unknown column {col!r}")
+        if col in primary_key:
+            raise ValueError(f"ignore-retract on primary-key column {col!r}")
+    sgroups = _sequence_group_specs(options)
+    if sgroups:
+        if options.get("merge_engine") != "partial-update":
+            raise ValueError(
+                "fields.<seq>.sequence-group requires merge_engine='partial-update' "
+                "(otherwise the configured groups would be silently ignored)"
+            )
+        if not primary_key:
+            raise ValueError("fields.<seq>.sequence-group requires a primary-key table")
+        if (
+            options.get("partial_update_remove_record_on_delete", "").strip().lower()
+            == "true"
+        ):
+            # Paimon rejects the combination: with groups configured the
+            # merge routes through the sequence-group engine and
+            # remove-record-on-delete would be SILENTLY ignored — the
+            # state this validation layer exists to prevent
+            raise ValueError(
+                "partial-update.remove-record-on-delete cannot be combined with "
+                "sequence groups (deletes then retract per group; the option "
+                "would be silently ignored)"
+            )
+        seen_members: dict[str, str] = {}
+        for g, members in sgroups.items():
+            if g not in names:
+                raise ValueError(f"sequence-group column {g!r} not in columns {names}")
+            if g in primary_key:
+                raise ValueError(f"sequence-group column {g!r} must not be a primary-key column")
+            if not members:
+                raise ValueError(f"sequence-group for {g!r} has no member columns")
+            if types is not None:
+                t = types.get(g, "").strip().lower()
+                if not _SEQ_FIELD_TYPE_RE.match(t):
+                    raise ValueError(
+                        f"sequence-group column {g!r} has type {t!r}; an integral or "
+                        "timestamp column is required (group merge order)"
+                    )
+            for m in members:
+                if m not in names:
+                    raise ValueError(f"sequence-group member {m!r} not in columns {names}")
+                if m in primary_key:
+                    raise ValueError(f"sequence-group member {m!r} must not be a primary-key column")
+                if m in sgroups:
+                    raise ValueError(
+                        f"column {m!r} is both a sequence-group column and a member "
+                        "(a group's seq already travels with its members)"
+                    )
+                if m in seen_members:
+                    raise ValueError(
+                        f"column {m!r} belongs to two sequence groups "
+                        f"({seen_members[m]!r} and {g!r}); membership must be disjoint"
+                    )
+                seen_members[m] = g
+    p_exp = options.get("partition_expiration_time")
+    if p_exp:
+        _parse_duration_ms(p_exp)  # malformed duration fails at DDL, not first commit
+        if partition_keys is not None and not partition_keys:
+            raise ValueError(
+                "partition.expiration-time requires a partitioned table "
+                "(there is no partition value to age out)"
+            )
+        if partition_keys and types:
+            # the relative cutoff is a wall-clock DATE: the leading partition
+            # column must be able to hold one (date/timestamp natively;
+            # int/string by Paimon's yyyyMMdd / yyyy-MM-dd formatter
+            # conventions — non-date-like VALUES are then skipped at expire
+            # time). A float/bool/binary partition column can never age out,
+            # so the option would be a silent no-op — reject at DDL.
+            lead = partition_keys[0]
+            t = (types.get(lead) or "").strip().lower()
+            ok = t in ("date", "tinyint", "smallint", "int", "integer", "bigint") or t.startswith(
+                ("timestamp", "string", "varchar", "char")
+            )
+            if not ok:
+                raise ValueError(
+                    f"partition.expiration-time needs a date-like leading partition "
+                    f"column; {lead!r} is {t!r} (use date/timestamp, or int/string "
+                    "holding yyyyMMdd / yyyy-MM-dd values)"
+                )
+    b_raw = options.get("bucket")
+    if b_raw is not None:
+        try:
+            b = int(b_raw)
+        except ValueError:
+            raise ValueError(f"invalid bucket {b_raw!r}; an integer (-1 = dynamic) required")
+        if b < -1:
+            raise ValueError(f"invalid bucket {b}; use a positive count or -1 (dynamic)")
+        if b == -1:
+            # dynamic bucket mode: key→bucket comes from the maintained
+            # index, so only PK tables qualify and the bucket key IS the
+            # primary key (Paimon's dynamic-bucket contract)
+            if not primary_key:
+                raise ValueError("bucket = -1 (dynamic) requires a primary-key table")
+            if options.get("bucket_key"):
+                raise ValueError(
+                    "bucket = -1 (dynamic) uses the primary key as the bucket "
+                    "key; bucket-key must not be set"
+                )
+            if options.get("file_format", "parquet").strip().lower() == "avro":
+                raise ValueError(
+                    "bucket = -1 (dynamic) requires PARQUET or ORC (the "
+                    "module-less avro fallback writer cannot partition by "
+                    "the bucket layer)"
+                )
+    tn = options.get("dynamic_bucket_target_row_num")
+    if tn is not None and (not str(tn).strip().isdigit() or int(tn) <= 0):
+        raise ValueError(f"dynamic-bucket.target-row-num must be a positive integer, got {tn!r}")
+    rrod = options.get("partial_update_remove_record_on_delete", "").strip().lower()
+    if rrod and rrod not in ("true", "false"):
+        raise ValueError(
+            f"invalid partial-update.remove-record-on-delete {rrod!r}; use true/false"
+        )
+    if rrod == "true" and options.get("merge_engine") != "partial-update":
+        raise ValueError(
+            "partial-update.remove-record-on-delete requires "
+            "merge_engine='partial-update'"
+        )
+    ig = options.get("ignore_delete", "").strip().lower()
+    if ig and ig not in ("true", "false"):
+        raise ValueError(f"invalid ignore-delete {ig!r}; use true/false")
+    if ig == "true" and not primary_key:
+        raise ValueError(
+            "ignore-delete requires a primary-key table (append tables "
+            "have no delete records to ignore)"
+        )
+    dv = options.get("deletion_vectors_enabled", "").strip().lower()
+    if dv and dv not in ("true", "false"):
+        raise ValueError(f"invalid deletion-vectors.enabled {dv!r}; use true/false")
+    if dv == "true":
+        # Paimon's deletion-vector mode: reads skip the merge entirely, so
+        # the invariants that make "scan minus DV = merged state" true must
+        # hold — latest-commit-wins ordering (deduplicate, no business-time
+        # sequence) over a primary key.
+        if not primary_key:
+            raise ValueError("deletion-vectors.enabled requires a primary-key table")
+        if options.get("merge_engine", "deduplicate") != "deduplicate":
+            raise ValueError(
+                "deletion-vectors.enabled requires merge_engine='deduplicate' "
+                "(value-combining engines still need read-time merging, which "
+                "DV mode's merge-free read skips)"
+            )
+        if options.get("sequence_field"):
+            raise ValueError(
+                "deletion-vectors.enabled is incompatible with sequence_field: "
+                "vectors mark OLDER COMMITS' rows as superseded, but a business"
+                "-time sequence lets an older commit outrank a newer one"
+            )
+        if options.get("file_format", "parquet").strip().lower() != "parquet":
+            # the mark scan reads native row positions via
+            # _metadata.row_index, which Spark provides for parquet only
+            # (ORC/Avro raise FIELD_NOT_FOUND at the second commit)
+            raise ValueError(
+                "deletion-vectors.enabled requires file_format='PARQUET' "
+                "(row positions come from _metadata.row_index, which Spark "
+                "exposes for parquet scans only)"
+            )
+    seq_field = options.get("sequence_field")
+    if seq_field and seq_field not in names:
+        raise ValueError(f"sequence_field {seq_field!r} not in columns {names}")
+    if seq_field and seq_field in primary_key:
+        # a sequence column inside the key can never advance for a given key:
+        # every rewrite ties with the row it replaces (merge order undefined),
+        # and UPDATE becomes impossible (it must advance the sequence but may
+        # not assign PK columns — two contradictory errors with no escape)
+        raise ValueError(
+            f"sequence_field {seq_field!r} must not be a primary-key column "
+            "(key equality pins the sequence, so merge order between row "
+            "versions would be undefined and UPDATE impossible)"
+        )
+    if seq_field and specs.get(seq_field) not in (None, "last_value", "first_value"):
+        raise ValueError(
+            f"sequence_field {seq_field!r} cannot carry aggregate-function "
+            f"{specs[seq_field]!r}: the sequence column orders merges and a "
+            "value-combining aggregate (sum/product/...) would produce a "
+            "garbage sequence that outranks later real inserts"
+        )
+    if seq_field and types is not None:
+        t = types.get(seq_field, "").strip().lower()
+        if not _SEQ_FIELD_TYPE_RE.match(t):
+            raise ValueError(
+                f"sequence_field {seq_field!r} has type {t!r}; an integral or "
+                "timestamp column is required (non-numeric values would cast "
+                "to NULL and make merge order undefined)"
+            )
+    for dur_opt in ("consumer_expiration_time", "snapshot_time_retained"):
+        dur = options.get(dur_opt)
+        if dur is not None:
+            _parse_duration_ms(dur)  # unparseable must fail at DDL, not at expire
+    rk_field = options.get("rowkind_field")
+    if rk_field:
+        if not primary_key:
+            raise ValueError("rowkind.field requires a primary-key table (row kinds drive merges)")
+        if rk_field not in names:
+            raise ValueError(f"rowkind.field {rk_field!r} not in columns {names}")
+        if types is not None:
+            t = types.get(rk_field, "").strip().lower()
+            if not (t == "string" or t.startswith("varchar") or t.startswith("char")):
+                raise ValueError(
+                    f"rowkind.field {rk_field!r} has type {t!r}; a string column "
+                    "holding +I/-D/+U/-U literals is required"
+                )
+    w_strategy = options.get("clustering_strategy", "").strip().lower()
+    if w_strategy in ("zorder", "hilbert"):
+        zcols = _split_cols(options.get("clustering_columns"))
+        if len(zcols) < 2:
+            raise ValueError(
+                f"clustering.strategy='{w_strategy}' needs >= 2 clustering.columns "
+                "(one column is plain range clustering — use 'order')"
+            )
+        if types is not None:
+            bad_z = [c for c in zcols if not _zorderable_ddl(types.get(c, ""))]
+            if bad_z:
+                raise ValueError(
+                    f"clustering.strategy='{w_strategy}' on column(s) {bad_z} — "
+                    "numeric, date, or timestamp required (strings have no "
+                    "grid embedding)"
+                )
+    if any(k.startswith("file_index_") for k in options):
+        # file-index coherence: resolve the specs against a synthetic schema
+        # so CREATE/ALTER fail loudly (unknown column, unsupported type,
+        # partition/value-column misuse raise inside index_specs) instead of
+        # storing an option every write would silently skip
+        tmp = TableSchema(
+            schema_id=0,
+            fields=[Field(i, n, (types or {}).get(n, "string")) for i, n in enumerate(names)],
+            primary_key=list(primary_key),
+            partition_keys=list(partition_keys or []),
+            options=options,
+        )
+        if _file_index_specs(tmp):
+            fmt = options.get("file_format", "parquet").strip().lower()
+            if fmt != "parquet":
+                raise ValueError(
+                    "file-index options require file_format='PARQUET' (the "
+                    "index build reads the written files with pyarrow/Spark "
+                    "parquet; ORC/AVRO files would silently never be indexed)"
+                )
+
+
+def _field_aggregate_specs(options: dict[str, str]) -> dict[str, str]:
+    """Parse Paimon's ``fields.<name>.aggregate-function`` option keys
+    (aggregation merge engine, CoreOptions surfaced via A16 DDL props).
+    The reference's mangled DDL spelling ``fields_<name>_aggregate_function``
+    (TrinoTableOptionUtils.convertOptionKey) is accepted too — fixed
+    prefix/suffix make the column name unambiguous even with underscores;
+    conflicting spellings for one column raise."""
+    out: dict[str, str] = {}
+    for pre, suf in (("fields.", ".aggregate-function"), ("fields_", "_aggregate_function")):
+        for k, v in options.items():
+            if k.startswith(pre) and k.endswith(suf) and len(k) > len(pre) + len(suf):
+                col = k[len(pre) : -len(suf)]
+                if col in out and out[col] != v:
+                    raise ValueError(
+                        f"conflicting aggregate-function spellings for column {col!r}"
+                    )
+                out[col] = v
+    return out
+
+
+def _date_like_partition_value(raw) -> "_dt.date":
+    """A partition value as a date, accepting ONLY Paimon's timestamp-
+    formatter shapes — 'yyyy-MM-dd' (ISO) and 'yyyyMMdd' (the integral
+    convention). Anything else raises, which relative partition expiration
+    turns into a conservative keep — a region id 1..25 must never compare
+    against a wall-clock cutoff."""
+    s = str(raw).strip()
+    if re.fullmatch(r"\d{4}-\d{2}-\d{2}", s):
+        return _dt.date.fromisoformat(s)
+    if re.fullmatch(r"\d{8}", s):
+        return _dt.datetime.strptime(s, "%Y%m%d").date()
+    raise ValueError(f"partition value {raw!r} is not date-like (yyyy-MM-dd / yyyyMMdd)")
+
+
+def _typed_partition_cutoff(v: str, ddl: str):
+    """Parse a hive-path partition value (or a user cutoff literal) into the
+    partition column's own comparison domain. Strings stay strings —
+    Paimon's timestamp-formatter patterns ('yyyy-MM-dd', 'yyyyMMdd') order
+    lexicographically, which is exactly the formatter contract."""
+    t = ddl.strip().lower()
+    if t in ("tinyint", "smallint", "int", "integer", "bigint"):
+        return int(v)
+    if t == "date":
+        return _dt.date.fromisoformat(v)
+    if t.startswith("timestamp"):
+        return _dt.datetime.fromisoformat(v)
+    return str(v)
+
+
+def _sequence_group_specs(options: dict[str, str]) -> dict[str, list[str]]:
+    """Parse Paimon's ``fields.<seq-col>.sequence-group=<a,b,...>`` option
+    keys (partial-update merge engine's multi-stream sequence groups). Same
+    dual-spelling contract as ``_field_aggregate_specs``; the VALUE is a
+    comma-separated member column list, whitespace-tolerant."""
+    out: dict[str, list[str]] = {}
+    for pre, suf in (("fields.", ".sequence-group"), ("fields_", "_sequence_group")):
+        for k, v in (options or {}).items():
+            if k.startswith(pre) and k.endswith(suf) and len(k) > len(pre) + len(suf):
+                col = k[len(pre) : -len(suf)]
+                members = [m.strip() for m in v.split(",") if m.strip()]
+                if col in out and out[col] != members:
+                    raise ValueError(f"conflicting sequence-group spellings for column {col!r}")
+                out[col] = members
+    return out
+
+
+def _nested_key_specs(options: dict[str, str]) -> dict[str, list[str]]:
+    """Parse ``fields.<col>.nested-key=<k1,k2,...>`` (the nested_update
+    aggregate's upsert key). Same dual-spelling contract as the other
+    structured fields.* options."""
+    out: dict[str, list[str]] = {}
+    for pre, suf in (("fields.", ".nested-key"), ("fields_", "_nested_key")):
+        for k, v in (options or {}).items():
+            if k.startswith(pre) and k.endswith(suf) and len(k) > len(pre) + len(suf):
+                col = k[len(pre) : -len(suf)]
+                keys = [m.strip() for m in v.split(",") if m.strip()]
+                if col in out and out[col] != keys:
+                    raise ValueError(f"conflicting nested-key spellings for column {col!r}")
+                out[col] = keys
+    return out
+
+
+def _struct_field_names(array_struct_ddl: str) -> list[str] | None:
+    """Field names of an ``array<struct<...>>`` DDL string, or None when the
+    type is not that shape. Top-level-comma split — names only (the full
+    type is enforced by Spark at read time; this guards DDL typos early)."""
+    t = array_struct_ddl.strip().lower()
+    m = re.fullmatch(r"array\s*<\s*struct\s*<(.*)>\s*>", t, re.DOTALL)
+    if m is None:
+        return None
+    inner, depth, part, names = m.group(1), 0, [], []
+    for ch in inner:
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        if ch == "," and depth == 0:
+            names.append("".join(part))
+            part = []
+        else:
+            part.append(ch)
+    names.append("".join(part))
+    return [n.strip().split(":")[0].split()[0] for n in names if n.strip()]
+
+
+def _fields_bool_cols(options: dict[str, str], dotted: str, mangled: str) -> set[str]:
+    """Columns whose ``fields.<col>.<dotted>=true`` (or mangled spelling) —
+    shared by the distinct and ignore-retract switches. A non-boolean value
+    raises (silent ignore would drop the user's intent)."""
+    out: set[str] = set()
+    for pre, suf in (("fields.", f".{dotted}"), ("fields_", f"_{mangled}")):
+        for k, v in (options or {}).items():
+            if k.startswith(pre) and k.endswith(suf) and len(k) > len(pre) + len(suf):
+                col = k[len(pre) : -len(suf)]
+                vv = v.strip().lower()
+                if vv not in ("true", "false"):
+                    raise ValueError(f"invalid fields.{col}.{dotted} {v!r}; use true/false")
+                if vv == "true":
+                    out.add(col)
+    return out
+
+
+def _collect_distinct_cols(options: dict[str, str]) -> set[str]:
+    """``fields.<col>.distinct=true`` (collect aggregate's distinct switch)."""
+    return _fields_bool_cols(options, "distinct", "distinct")
+
+
+def _ignore_retract_cols(options: dict[str, str]) -> set[str]:
+    """``fields.<col>.ignore-retract=true`` (Paimon CoreOption): the column's
+    -D rows contribute nothing and never raise, whatever the function's
+    native retraction class."""
+    return _fields_bool_cols(options, "ignore-retract", "ignore_retract")
+
+
+def _limit_pushable(schema: TableSchema, predicate: list | None, files: list[dict]) -> bool:
+    """A8 guard (``TrinoMetadataBase.java:418-445``): a scan-level LIMIT is
+    sound only when partition values alone EXACTLY decide every surviving
+    file — every predicate column is a partition key present in each file's
+    path whose value (and the domain's literals) normalize cleanly, so the
+    kept files contain ONLY matching rows — and no merge-on-read can
+    collapse rows afterwards. Any conservative keep (unparseable value,
+    truncated >=64-char string, renamed path column) disables the pushdown:
+    counting a maybe-matching file toward the stop test could starve the
+    limit."""
+    from incubator_paimon_trino_spark.catalog.scan import _norm
+
+    if schema.primary_key:
+        return False
+    domains = list(predicate or [])
+    cols = {d.column for d in domains}
+    if not cols:
+        return True
+    if not cols <= set(schema.partition_keys):
+        return False
+    ddls = {c: schema.field_by_name(c).type for c in cols}
+    def decided(v, ddl) -> bool:
+        try:
+            return _norm(v, ddl) is not None
+        except (TypeError, ValueError):
+            return False  # _norm raises on type mismatches (scan.py contract)
+
+    for d in domains:
+        lits = ([d.value] if d.op is not None else []) + list(d.in_values or []) + [
+            b for r in d.ranges for b in (r.low, r.high) if b is not None
+        ]
+        if any(lit is not None and not decided(lit, ddls[d.column]) for lit in lits):
+            return False
+    for e in files:
+        pv = partition_values(e["path"])
+        if not cols <= set(pv):
+            return False  # renamed/missing partition path column → not exact
+        for c in cols:
+            if pv[c] is not None and not decided(pv[c], ddls[c]):
+                return False  # value the pruner could not decide exactly
+    return True
+
+
+def _limit_file_prefix(files: list[dict], limit: int) -> list[dict]:
+    """Shortest manifest prefix whose KNOWN record counts reach ``limit``
+    (unknown counts add rows but never count toward the stop test, so the
+    truncation can only keep extra files — never starve the limit)."""
+    out: list[dict] = []
+    acc = 0
+    for e in files:
+        out.append(e)
+        acc += e.get("record_count") or 0
+        if acc >= limit:
+            break
+    return out
+
+
+def _physical_schema(schema: TableSchema, is_pk: bool, exclude: set[str] | None = None):
+    """Schema of the bytes actually in a data file: table schema minus
+    hive-layout partition columns (they live in the path), plus the PK
+    changelog system columns."""
+    from pyspark.sql import types as T
+
+    full = schema.spark_schema()
+    s = T.StructType([f for f in full.fields if f.name not in (exclude or set())])
+    if is_pk:
+        s = s.add(SEQ_COL, T.LongType()).add(KIND_COL, T.StringType())
+    return s
+
+
+def _split_col_comment(type_ddl: str) -> tuple[str, str | None]:
+    """Split an optional trailing ``COMMENT 'text'`` (Trino column DDL) off a
+    type string; ``''`` doubles as an escaped quote. Used by CREATE TABLE and
+    ALTER TABLE ADD COLUMN so the comment is stored as field metadata, never
+    as part of the type."""
+    cm = re.match(r"(?is)^(.*?)\s+COMMENT\s+'((?:[^']|'')*)'\s*$", type_ddl)
+    if cm:
+        return cm.group(1).strip(), cm.group(2).replace("''", "'")
+    return type_ddl, None
+
+
+def _split_top_level(s: str) -> list[str]:
+    """Split on commas not nested in parentheses or quotes (UPDATE SET list)."""
+    parts, depth, quote, cur = [], 0, None, []
+    for ch in s:
+        if quote:
+            if ch == quote:
+                quote = None
+        elif ch in "'\"":
+            quote = ch
+        elif ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+            continue
+        cur.append(ch)
+    if cur:
+        parts.append("".join(cur))
+    return [p for p in (x.strip() for x in parts) if p]
+
+
+def _quoted_spans(sql: str) -> list[tuple[int, int]]:
+    """[start, end) spans of single-quoted string literals ('' escapes)."""
+    spans, i, n = [], 0, len(sql)
+    while i < n:
+        if sql[i] == "'":
+            j = i + 1
+            while j < n:
+                if sql[j] == "'":
+                    if j + 1 < n and sql[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            spans.append((i, min(j + 1, n)))
+            i = j + 1
+        else:
+            i += 1
+    return spans
+
+
+def _file_row_count(path: str, ext: str) -> int:
+    """Row count from the file footer — no data read, no plan re-execution."""
+    if ext == "parquet":
+        import pyarrow.parquet as pq
+
+        return pq.ParquetFile(path).metadata.num_rows
+    import pyarrow.orc as orc
+
+    return orc.ORCFile(path).nrows
+
+__all__ = [
+    "COMMIT_APPEND",
+    "COMMIT_COMPACT",
+    "COMMIT_OVERWRITE",
+    "CommitConflictError",
+    "Field",
+    "KIND_COL",
+    "SEQ_COL",
+    "Snapshot",
+    "TableSchema",
+    "_DV_FILE",
+    "_DV_POS",
+    "_FIDX_SUFFIX",
+    "_HIVE_NULL",
+    "_SEQ_FIELD_TYPE_RE",
+    "_SYSTEM_SUFFIXES",
+    "_bucket_prune_values",
+    "_canonical_options",
+    "_check_not_reserved",
+    "_collect_distinct_cols",
+    "_date_like_partition_value",
+    "_field_aggregate_specs",
+    "_fields_bool_cols",
+    "_file_index_specs",
+    "_file_row_count",
+    "_ignore_retract_cols",
+    "_limit_file_prefix",
+    "_limit_pushable",
+    "_meta_parse_type",
+    "_nested_key_specs",
+    "_pad_char_columns",
+    "_parse_byte_conf",
+    "_parse_duration_ms",
+    "_physical_schema",
+    "_quoted_spans",
+    "_record_buckets",
+    "_record_dynamic_buckets",
+    "_rm_sidecar",
+    "_sequence_expr",
+    "_sequence_group_specs",
+    "_shared_data_path",
+    "_split_col_comment",
+    "_split_cols",
+    "_split_top_level",
+    "_sql_like_to_regex",
+    "_struct_field_names",
+    "_typed_partition_cutoff",
+    "_validate_table_options",
+    "_zorderable_ddl",
+    "build_file_indexes",
+    "castable_ddl",
+    "char_length",
+    "collect_file_stats",
+    "explode_dv_index_text",
+    "load_snapshots",
+    "paimon_to_spark",
+    "partition_column_expr",
+    "partition_values",
+    "prune_files",
+    "prune_files_by_index",
+    "read_json",
+    "spark_to_paimon",
+    "timestamp_precision",
+    "write_json_atomic",
+]

@@ -1,0 +1,869 @@
+"""The SQL facade: DDL/DML/MERGE statement parsing, CALL procedures,
+SHOW CREATE TABLE, information_schema, and the table-reference
+rewriter behind ``WarehouseCatalog.sql``.
+
+Split out of ``warehouse.py`` in r10 — one mixin of
+``WarehouseCatalog``; no behavior change, the class surface is
+assembled in ``warehouse.py``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import datetime as _dt
+import uuid
+import glob
+import os
+import re
+import shutil
+import time
+import warnings
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from incubator_paimon_trino_spark.catalog.metadata import (
+    COMMIT_APPEND,
+    COMMIT_COMPACT,
+    COMMIT_OVERWRITE,
+    KIND_COL,
+    SEQ_COL,
+    CommitConflictError,
+    Field,
+    Snapshot,
+    TableSchema,
+    _parse_type as _meta_parse_type,
+    load_snapshots,
+    read_json,
+    write_json_atomic,
+)
+from incubator_paimon_trino_spark.catalog.file_index import (
+    SUFFIX as _FIDX_SUFFIX,
+    _split_cols,
+    build_file_indexes,
+    index_specs as _file_index_specs,
+    prune_files_by_index,
+)
+from incubator_paimon_trino_spark.catalog.scan import (
+    _HIVE_NULL,
+    collect_file_stats,
+    partition_values,
+    prune_files,
+)
+from incubator_paimon_trino_spark.functions.types import (
+    castable_ddl,
+    char_length,
+    paimon_to_spark,
+    spark_to_paimon,
+    timestamp_precision,
+)
+
+from incubator_paimon_trino_spark.catalog.wh_helpers import *  # noqa: F401,F403
+
+
+class SqlMixin:
+    # ------------------------------------------------------------------ SQL
+    _TABLE_REF = re.compile(
+        r"\b(?P<db>[A-Za-z_]\w*)\.(?P<tbl>[A-Za-z_]\w*)(?:\$(?P<sys>\w+))?"
+        r"(?:\s+FOR\s+(?:VERSION\s+AS\s+OF\s+(?P<ver>\d+|'[^']*')"
+        r"|TIMESTAMP\s+AS\s+OF\s+(?P<ts>\d+|'[^']*')))?",
+        re.IGNORECASE,
+    )
+
+    _INSERT_RE = re.compile(
+        r"^\s*INSERT\s+(INTO|OVERWRITE)\s+(?P<db>[A-Za-z_]\w*)\.(?P<tbl>[A-Za-z_]\w*(?:\$branch_\w+)?)"
+        r"(?:\s*\((?P<cols>\s*[A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*\s*)\))?"
+        r"\s+(?P<rest>.+)$",
+        re.IGNORECASE | re.DOTALL,
+    )
+    _DELETE_RE = re.compile(
+        r"^\s*DELETE\s+FROM\s+(?P<db>[A-Za-z_]\w*)\.(?P<tbl>[A-Za-z_]\w*(?:\$branch_\w+)?)"
+        r"(?:\s+WHERE\s+(?P<where>.+))?\s*$",
+        re.IGNORECASE | re.DOTALL,
+    )
+    _TRUNCATE_RE = re.compile(
+        r"^\s*TRUNCATE\s+TABLE\s+(?P<db>[A-Za-z_]\w*)\.(?P<tbl>[A-Za-z_]\w*(?:\$branch_\w+)?)\s*$",
+        re.IGNORECASE,
+    )
+    _UPDATE_RE = re.compile(
+        r"^\s*UPDATE\s+(?P<db>[A-Za-z_]\w*)\.(?P<tbl>[A-Za-z_]\w*(?:\$branch_\w+)?)\s+SET\s+(?P<sets>.+?)\s+WHERE\s+(?P<where>.+)$",
+        re.IGNORECASE | re.DOTALL,
+    )
+
+    _DDL_RES = {
+        "show_create": re.compile(
+            r"^\s*SHOW\s+CREATE\s+TABLE\s+(?P<db>[A-Za-z_]\w*)\.(?P<tbl>[A-Za-z_]\w*)\s*$", re.I),
+        "call_proc": re.compile(
+            r"^\s*CALL\s+sys\.(?P<proc>[A-Za-z_]\w*)\s*\((?P<args>[^)]*)\)\s*$", re.I),
+        "create_schema": re.compile(r"^\s*CREATE\s+(SCHEMA|DATABASE)\s+(IF\s+NOT\s+EXISTS\s+)?(?P<db>[A-Za-z_]\w*)\s*$", re.I),
+        "drop_schema": re.compile(r"^\s*DROP\s+(SCHEMA|DATABASE)\s+(?P<db>[A-Za-z_]\w*)(?P<cascade>\s+CASCADE)?\s*$", re.I),
+        "create_table": re.compile(
+            r"^\s*CREATE\s+TABLE\s+(?P<db>[A-Za-z_]\w*)\.(?P<tbl>[A-Za-z_]\w*)\s*"
+            r"\((?P<cols>.+?)\)\s*(WITH\s*\((?P<props>.+)\))?\s*$", re.I | re.S),
+        "ctas": re.compile(
+            r"^\s*CREATE\s+TABLE\s+(?P<db>[A-Za-z_]\w*)\.(?P<tbl>[A-Za-z_]\w*)\s*"
+            r"(?:WITH\s*\((?P<props>.+?)\)\s*)?AS\s+(?P<select>.+)$", re.I | re.S),
+        "drop_table": re.compile(r"^\s*DROP\s+TABLE\s+(?P<db>[A-Za-z_]\w*)\.(?P<tbl>[A-Za-z_]\w*)\s*$", re.I),
+        "rename_table": re.compile(
+            r"^\s*ALTER\s+TABLE\s+(?P<db>[A-Za-z_]\w*)\.(?P<tbl>[A-Za-z_]\w*)\s+RENAME\s+TO\s+(?P<new>[A-Za-z_]\w*)\s*$", re.I),
+        "add_column": re.compile(
+            r"^\s*ALTER\s+TABLE\s+(?P<db>[A-Za-z_]\w*)\.(?P<tbl>[A-Za-z_]\w*)\s+ADD\s+COLUMN\s+(?P<col>[A-Za-z_]\w*)\s+(?P<type>.+?)\s*$", re.I),
+        "rename_column": re.compile(
+            r"^\s*ALTER\s+TABLE\s+(?P<db>[A-Za-z_]\w*)\.(?P<tbl>[A-Za-z_]\w*)\s+RENAME\s+COLUMN\s+(?P<col>[A-Za-z_]\w*)\s+TO\s+(?P<new>[A-Za-z_]\w*)\s*$", re.I),
+        "drop_column": re.compile(
+            r"^\s*ALTER\s+TABLE\s+(?P<db>[A-Za-z_]\w*)\.(?P<tbl>[A-Za-z_]\w*)\s+DROP\s+COLUMN\s+(?P<col>[A-Za-z_]\w*)\s*$", re.I),
+        "set_props": re.compile(
+            r"^\s*ALTER\s+TABLE\s+(?P<db>[A-Za-z_]\w*)\.(?P<tbl>[A-Za-z_]\w*)\s+SET\s+PROPERTIES\s+(?P<props>.+)$", re.I | re.S),
+        "show_schemas": re.compile(
+            r"^\s*SHOW\s+(SCHEMAS|DATABASES)"
+            r"(?:\s+LIKE\s+'(?P<like>[^']*)'(?:\s+ESCAPE\s+'(?P<esc>.)')?)?\s*$",
+            re.I,
+        ),
+        "show_tables": re.compile(
+            r"^\s*SHOW\s+TABLES\s+(FROM|IN)\s+(?P<db>[A-Za-z_]\w*)"
+            r"(?:\s+LIKE\s+'(?P<like>[^']*)'(?:\s+ESCAPE\s+'(?P<esc>.)')?)?\s*$",
+            re.I,
+        ),
+        "show_columns": re.compile(
+            r"^\s*(SHOW\s+COLUMNS\s+(FROM|IN)|DESC(?:RIBE)?(?:\s+TABLE)?)"
+            r"\s+(?P<db>[A-Za-z_]\w*)\.(?P<tbl>[A-Za-z_]\w*)\s*$", re.I),
+        "analyze": re.compile(
+            r"^\s*ANALYZE\s+(?:TABLE\s+)?(?P<db>[A-Za-z_]\w*)\.(?P<tbl>[A-Za-z_]\w*)"
+            r"(?:\s+COMPUTE\s+STATISTICS)?\s*$", re.I),
+    }
+
+    @staticmethod
+    def _parse_props(txt: str) -> dict:
+        out = {}
+        for part in _split_top_level(txt):
+            k, _, v = part.partition("=")
+            v = v.strip()
+            if len(v) >= 2 and v[0] == v[-1] and v[0] in "'\"":
+                # quoted value: drop delimiters, unescape doubled quotes
+                # (SHOW CREATE TABLE emits '' for a literal ')
+                v = v[1:-1].replace(v[0] * 2, v[0])
+            out[k.strip().lower()] = v
+        return out
+
+    def _sql_ddl(self, query: str):
+        """DDL statement surface (SURVEY A14-A19): the reference exposes
+        exactly these through Trino SQL (``TestTrinoITCase.java:327-501``).
+        Returns a (possibly empty) result DataFrame, or None if not DDL."""
+        R = self._DDL_RES
+        ok = lambda: self.spark.createDataFrame([(True,)], "ok boolean")  # noqa: E731
+        if m := R["create_schema"].match(query):
+            self.create_database(m.group("db"), ignore_if_exists=bool(m.group(2)))
+            return ok()
+        if m := R["drop_schema"].match(query):
+            self.drop_database(m.group("db"), cascade=bool(m.group("cascade")))
+            return ok()
+        if m := R["create_table"].match(query):
+            cols, pk, parts = [], [], []
+            for c in _split_top_level(m.group("cols")):
+                name, _, type_ddl = c.strip().partition(" ")
+                type_ddl, comment = _split_col_comment(type_ddl.strip())
+                cols.append((name, type_ddl) if comment is None else (name, type_ddl, comment))
+            options = self._parse_props(m.group("props") or "")
+            if "primary_key" in options:
+                pk = [x.strip() for x in options.pop("primary_key").split(",")]
+            if "partitioned_by" in options:
+                parts = [x.strip() for x in options.pop("partitioned_by").split(",")]
+            self.create_table(m.group("db"), m.group("tbl"), cols,
+                              primary_key=pk, partitioned_by=parts, options=options)
+            return ok()
+        if m := R["ctas"].match(query):
+            # CTAS — beyond the read-only reference (its engine-level
+            # testCreateTableAsSelect is skipped), but the natural write-side
+            # completion of the DDL surface: column types come from the
+            # SELECT's Spark schema via the A20 type mapping.
+            df = self.sql(m.group("select"))
+            options = self._parse_props(m.group("props") or "")
+            pk = [x.strip() for x in options.pop("primary_key").split(",")] \
+                if "primary_key" in options else []
+            parts = [x.strip() for x in options.pop("partitioned_by").split(",")] \
+                if "partitioned_by" in options else []
+            cols = [(f.name, spark_to_paimon(f.dataType)) for f in df.schema.fields]
+            self.create_table(m.group("db"), m.group("tbl"), cols,
+                              primary_key=pk, partitioned_by=parts, options=options)
+            try:
+                self.insert_into(m.group("db"), m.group("tbl"), df)
+            except BaseException:
+                # atomic CTAS: a failed load must not leave a created-but-
+                # empty table behind — but only drop if NO commit was ever
+                # published (a concurrent writer may have raced us onto the
+                # fresh table and succeeded; dropping then would destroy its
+                # committed snapshot, not our debris)
+                try:
+                    if not self._snapshots(self._table_dir(m.group("db"), m.group("tbl"))):
+                        self.drop_table(m.group("db"), m.group("tbl"))
+                except Exception:
+                    pass
+                raise
+            return ok()
+        if m := R["drop_table"].match(query):
+            self.drop_table(m.group("db"), m.group("tbl"))
+            return ok()
+        if m := R["rename_table"].match(query):
+            self.rename_table(m.group("db"), m.group("tbl"), m.group("new"))
+            return ok()
+        if m := R["add_column"].match(query):
+            # same COMMENT handling as CREATE TABLE columns — the comment
+            # must never be stored as part of the type string (an embedded
+            # COMMENT breaks char/varchar parsing on the next read)
+            type_ddl, comment = _split_col_comment(m.group("type"))
+            self.add_column(m.group("db"), m.group("tbl"), m.group("col"),
+                            type_ddl, comment=comment)
+            return ok()
+        if m := R["rename_column"].match(query):
+            self.rename_column(m.group("db"), m.group("tbl"), m.group("col"), m.group("new"))
+            return ok()
+        if m := R["drop_column"].match(query):
+            self.drop_column(m.group("db"), m.group("tbl"), m.group("col"))
+            return ok()
+        if m := R["set_props"].match(query):
+            self.set_options(m.group("db"), m.group("tbl"), self._parse_props(m.group("props")))
+            return ok()
+        if m := R["show_schemas"].match(query):
+            dbs = self.list_databases()
+            if m.group("like") is not None:
+                rx = _sql_like_to_regex(m.group("like"), m.group("esc"))
+                dbs = [d for d in dbs if rx.fullmatch(d)]
+            return self.spark.createDataFrame([(d,) for d in dbs], "schema string")
+        if m := R["show_tables"].match(query):
+            tables = self.list_tables(m.group("db"))
+            if m.group("like") is not None:
+                # SQL LIKE over table names, with ESCAPE (the Trino surface:
+                # ``testShowTablesLikeWithEscape``,
+                # common-test/TestTrinoDistributedQuery.java:841): % and _
+                # are wildcards unless preceded by the escape character.
+                rx = _sql_like_to_regex(m.group("like"), m.group("esc"))
+                tables = [t for t in tables if rx.fullmatch(t)]
+            return self.spark.createDataFrame(
+                [(t,) for t in tables], "table string")
+        if m := R["show_columns"].match(query):
+            return self.spark.createDataFrame(
+                self.describe(m.group("db"), m.group("tbl")), "column string, type string")
+        if m := R["show_create"].match(query):
+            return self.spark.createDataFrame(
+                [(self.show_create_table(m.group("db"), m.group("tbl")),)],
+                "create_table string",
+            )
+        if m := R["call_proc"].match(query):
+            return self._call_procedure(m.group("proc").lower(), m.group("args") or "")
+        if m := R["analyze"].match(query):
+            st = self.analyze(m.group("db"), m.group("tbl"))
+            return self.spark.createDataFrame(
+                [(int(st["row_count"]), int(st["snapshot_id"]), len(st["columns"]))],
+                "row_count bigint, snapshot_id bigint, columns_analyzed int",
+            )
+        return None
+
+    def show_create_table(self, db: str, table: str) -> str:
+        """Reconstruct the CREATE TABLE statement (SHOW CREATE TABLE —
+        ``TestTrinoITCase.java:315-331``) from the current schema: columns,
+        primary_key / partitioned_by, and every stored option, in the same
+        WITH-property syntax ``sql()`` accepts back (round-trippable)."""
+        schema = self.schema_of(db, table)
+        cols = ",\n  ".join(
+            f"{f.name} {f.type}"
+            # `is not None`: an explicit empty-string comment must round-trip
+            + (" COMMENT '{}'".format(f.comment.replace("'", "''"))
+               if f.comment is not None else "")
+            for f in schema.fields
+        )
+        props = dict(schema.options)
+        if schema.primary_key:
+            props["primary_key"] = ",".join(schema.primary_key)
+        if schema.partition_keys:
+            props["partitioned_by"] = ",".join(schema.partition_keys)
+        with_clause = ""
+        if props:
+            body = ",\n  ".join(
+                "{} = '{}'".format(k, str(v).replace("'", "''"))
+                for k, v in sorted(props.items())
+            )
+            with_clause = f"\nWITH (\n  {body}\n)"
+        return f"CREATE TABLE {db}.{table} (\n  {cols}\n){with_clause}"
+
+    def _call_procedure(self, proc: str, raw_args: str) -> DataFrame:
+        """``CALL sys.<proc>(...)`` — the maintenance-procedure surface
+        Paimon exposes to Spark (sys.compact, sys.expire_snapshots,
+        sys.rollback, sys.create_tag, sys.delete_tag); the reference's
+        Trino build predates procedures, so this is executable parity with
+        the lake feature set its DDL options describe."""
+        # Paimon procedures accept both positional and named (``key => value``)
+        # arguments; partition the raw tokens into the two forms first.
+        pos: list[str] = []
+        named: dict[str, str] = {}
+        for tok in _split_top_level(raw_args):
+            tok = tok.strip()
+            if not tok:
+                continue
+            m = re.fullmatch(r"([A-Za-z_]\w*)\s*=>\s*(.+)", tok, re.DOTALL)
+            if m:
+                named[m.group(1).lower()] = m.group(2).strip().strip("'\"")
+            else:
+                pos.append(tok.strip("'\""))
+
+        _ALLOWED_NAMED = {
+            "compact": {"table", "order_strategy", "order_by", "partitions"},
+            "expire_snapshots": {"table", "retain_last", "older_than"},
+            "expire_partitions": {
+                "table",
+                "older_than",
+                "expiration_time",
+                "partition_column",
+                "timestamp_formatter",
+                "dry_run",
+            },
+            "rollback": {"table", "version", "snapshot"},
+            "rollback_to_timestamp": {"table", "timestamp"},
+            "create_tag_from_timestamp": {"table", "tag", "timestamp"},
+            "create_tag": {"table", "tag", "snapshot"},
+            "delete_tag": {"table", "tag"},
+            "remove_orphan_files": {"table", "older_than", "dry_run"},
+            "rebuild_file_index": {"table", "force"},
+            "reset_consumer": {"table", "consumer_id", "next_snapshot_id"},
+            "analyze": {"table"},
+            "create_branch": {"table", "branch", "tag"},
+            "delete_branch": {"table", "branch"},
+            "fast_forward": {"table", "branch"},
+        }
+        if proc in _ALLOWED_NAMED:
+            unknown = set(named) - _ALLOWED_NAMED[proc]
+            if unknown:
+                raise ValueError(
+                    f"sys.{proc}: unknown named argument(s) {sorted(unknown)}; "
+                    f"accepted: {sorted(_ALLOWED_NAMED[proc])}"
+                )
+
+        _cursor = [0]
+
+        def take(name: str, default: str | None = None) -> str | None:
+            """Named wins; else the NEXT unconsumed positional; else default.
+            Binding is cursor-order — each call consumes one positional — so
+            a mixed call (``table => 'db.t', 'v1'``) binds remaining
+            positionals to the remaining parameters in call order."""
+            if name in named:
+                return named[name]
+            if _cursor[0] < len(pos):
+                v = pos[_cursor[0]]
+                _cursor[0] += 1
+                return v
+            return default
+
+        def no_leftovers() -> None:
+            """Excess positional arguments must fail, not vanish: a silently
+            dropped sort column or trailing token means the procedure did
+            something other than what the caller wrote."""
+            if _cursor[0] < len(pos):
+                raise ValueError(
+                    f"sys.{proc}: unexpected extra positional argument(s) "
+                    f"{pos[_cursor[0]:]}"
+                )
+
+        def split_name(name: str | None) -> tuple[str, str]:
+            if not name:
+                raise ValueError(f"sys.{proc}: missing table argument")
+            db, _, tbl = name.partition(".")
+            if not tbl:
+                raise ValueError(f"procedure table argument must be db.table, got {name!r}")
+            return db, tbl
+
+        ok = lambda **kw: self.spark.createDataFrame(  # noqa: E731
+            [tuple(kw.values())], ", ".join(f"{k} string" for k in kw)
+        )
+        if proc == "compact":
+            db, tbl = split_name(take("table"))
+            strategy = named.get("order_strategy", "order").lower()
+            if strategy not in ("order", "zorder", "hilbert", "none"):
+                raise ValueError(
+                    f"sys.compact: order_strategy {strategy!r} not supported "
+                    "(have 'order' [lexicographic sort-compaction], 'zorder' "
+                    "[Morton-interleaved multi-column clustering], 'hilbert' "
+                    "[Hilbert-curve clustering], 'none')"
+                )
+            if "partitions" in named:
+                raise ValueError(
+                    "sys.compact: partition-scoped compaction is not supported; "
+                    "omit `partitions` to compact the whole table"
+                )
+            if "order_by" in named:
+                order_by = [c.strip() for c in named["order_by"].split(",") if c.strip()]
+                no_leftovers()  # positional sort columns alongside a named
+                # order_by would be silently shadowed — reject instead
+            else:
+                order_by = [a for a in pos[_cursor[0]:] if a] or None
+                _cursor[0] = len(pos)
+            if strategy == "none" and order_by:
+                raise ValueError("sys.compact: order_by given but order_strategy => 'none'")
+            if "order_strategy" in named and strategy != "none" and not order_by:
+                # the caller explicitly asked for sort-compaction; silently
+                # compacting unsorted would not be what they requested
+                raise ValueError(
+                    f"sys.compact: order_strategy => '{strategy}' requires "
+                    "order_by (sort columns); omit order_strategy for plain "
+                    "compaction"
+                )
+            v = self.compact(
+                db,
+                tbl,
+                order_by=order_by,
+                strategy=strategy if strategy in ("zorder", "hilbert") else "order",
+            )
+            return ok(result=f"compacted to snapshot {v}")
+        if proc == "expire_snapshots":
+            db, tbl = split_name(take("table"))
+            keep = int(take("retain_last", "1"))
+            older = named.get("older_than")  # epoch millis (Paimon procedure arg)
+            no_leftovers()
+            stats = self.expire_snapshots(
+                db, tbl, keep_last=keep, older_than_ms=int(older) if older else None
+            )
+            return ok(result=f"expired {stats['expired_snapshots']} snapshots, "
+                             f"deleted {stats['deleted_files']} files")
+        if proc == "expire_partitions":
+            db, tbl = split_name(take("table"))
+            older = named.get("older_than")
+            exp = named.get("expiration_time")
+            pcol = named.get("partition_column")
+            named.pop("timestamp_formatter", None)  # accepted: ordering IS the format contract
+            dry = (named.get("dry_run") or "false").strip().lower() == "true"
+            no_leftovers()
+            stats = self.expire_partitions(
+                db, tbl, older_than=older, expiration_time=exp,
+                partition_column=pcol, dry_run=dry,
+            )
+            return ok(
+                result=f"expired {stats['expired_partitions']} partitions "
+                f"({stats['expired_files']} files)"
+            )
+        if proc == "rollback":
+            db, tbl = split_name(take("table"))
+            snap = named.get("version") or named.get("snapshot") or take("version")
+            if snap is None:
+                raise ValueError("sys.rollback: missing snapshot/version argument")
+            no_leftovers()
+            self.rollback_to(db, tbl, int(snap))
+            return ok(result=f"rolled back to snapshot {snap}")
+        if proc in ("rollback_to_timestamp", "create_tag_from_timestamp"):
+            # both procedures resolve an epoch-millis cutoff to the newest
+            # snapshot committed at or before it (Paimon's contract)
+            db, tbl = split_name(take("table"))
+            ts = named.get("timestamp") or take("timestamp")
+            if ts is None:
+                raise ValueError(f"sys.{proc}: missing timestamp argument")
+            snaps = self._snapshots(self._table_dir(db, tbl))
+            ids = [s.snapshot_id for s in snaps if s.timestamp_ms <= int(ts)]
+            if not ids:
+                raise ValueError(
+                    f"sys.{proc}: no snapshot at or before timestamp {ts} "
+                    f"(earliest is {min((s.timestamp_ms for s in snaps), default=None)})"
+                )
+            target = max(ids)
+            if proc == "rollback_to_timestamp":
+                no_leftovers()
+                self.rollback_to(db, tbl, target)
+                return ok(result=f"rolled back to snapshot {target}")
+            tag = named.get("tag") or take("tag")
+            if tag is None:
+                raise ValueError("sys.create_tag_from_timestamp: missing tag argument")
+            no_leftovers()
+            self.create_tag(db, tbl, tag, snapshot_id=target)
+            return ok(result=f"tag {tag} created at snapshot {target}")
+        if proc == "create_tag":
+            db, tbl = split_name(take("table"))
+            tag = take("tag")
+            if tag is None:
+                raise ValueError("sys.create_tag: missing tag argument")
+            snap_s = take("snapshot")
+            no_leftovers()
+            self.create_tag(db, tbl, tag, snapshot_id=int(snap_s) if snap_s else None)
+            return ok(result=f"tag {tag} created")
+        if proc == "delete_tag":
+            db, tbl = split_name(take("table"))
+            tag = take("tag")
+            if tag is None:
+                raise ValueError("sys.delete_tag: missing tag argument")
+            no_leftovers()
+            self.delete_tag(db, tbl, tag)
+            return ok(result=f"tag {tag} deleted")
+        if proc == "remove_orphan_files":
+            db, tbl = split_name(take("table"))
+            older = take("older_than")
+            no_leftovers()
+            dry = named.get("dry_run", "false").strip().lower() in ("true", "1", "yes")
+            stats = self.remove_orphan_files(
+                db, tbl, older_than_ms=int(older) if older else None, dry_run=dry
+            )
+            return ok(
+                result=f"removed {stats['deleted_files']} orphan files, "
+                f"{stats['deleted_staging_dirs']} staging dirs "
+                f"(skipped {stats['skipped_in_flight']} in-flight)"
+            )
+        if proc == "rebuild_file_index":
+            db, tbl = split_name(take("table"))
+            force = (take("force", "false") or "").strip().lower() in ("true", "1", "yes")
+            no_leftovers()
+            stats = self.rebuild_file_index(db, tbl, force=force)
+            return ok(
+                result=f"built {stats['built']} file-index sidecars "
+                f"(skipped {stats['skipped']} shared/non-parquet files)"
+            )
+        if proc == "reset_consumer":
+            # Paimon's sys.reset_consumer: pin to next_snapshot_id, or DELETE
+            # the consumer (releasing its retention pin) when omitted
+            db, tbl = split_name(take("table"))
+            cid = take("consumer_id")
+            if cid is None:
+                raise ValueError("sys.reset_consumer: missing consumer_id argument")
+            nxt = take("next_snapshot_id")
+            no_leftovers()
+            self.reset_consumer(db, tbl, cid, next_snapshot=int(nxt) if nxt else None)
+            return ok(
+                result=f"consumer {cid} "
+                + (f"reset to next snapshot {nxt}" if nxt else "deleted")
+            )
+        if proc == "analyze":
+            db, tbl = split_name(take("table"))
+            no_leftovers()
+            st = self.analyze(db, tbl)
+            return ok(
+                result=f"analyzed {st['row_count']} rows at snapshot "
+                f"{st['snapshot_id']} ({len(st['columns'])} columns)"
+            )
+        if proc == "create_branch":
+            db, tbl = split_name(take("table"))
+            br = take("branch")
+            if br is None:
+                raise ValueError("sys.create_branch: missing branch argument")
+            tag = take("tag")
+            no_leftovers()
+            self.create_branch(db, tbl, br, from_tag=tag)
+            return ok(
+                result=f"branch {br} created"
+                + (f" from tag {tag}" if tag else " (empty)")
+            )
+        if proc == "delete_branch":
+            db, tbl = split_name(take("table"))
+            br = take("branch")
+            if br is None:
+                raise ValueError("sys.delete_branch: missing branch argument")
+            no_leftovers()
+            self.delete_branch(db, tbl, br)
+            return ok(result=f"branch {br} deleted")
+        if proc == "fast_forward":
+            db, tbl = split_name(take("table"))
+            br = take("branch")
+            if br is None:
+                raise ValueError("sys.fast_forward: missing branch argument")
+            no_leftovers()
+            tip = self.fast_forward(db, tbl, br)
+            return ok(result=f"fast-forwarded main to snapshot {tip} from branch {br}")
+        raise ValueError(
+            f"unknown procedure sys.{proc} (have compact, expire_snapshots, "
+            "expire_partitions, rollback, create_tag, delete_tag, "
+            "remove_orphan_files, reset_consumer, analyze, create_branch, "
+            "delete_branch, fast_forward)"
+        )
+
+    _MERGE_RE = re.compile(
+        r"^\s*MERGE\s+INTO\s+(?P<db>[A-Za-z_]\w*)\.(?P<tbl>[A-Za-z_]\w*(?:\$branch_\w+)?)"
+        r"\s+USING\s+(?P<src>\(.*\)|[A-Za-z_]\w*\.[A-Za-z_]\w*)\s*(?:(?:AS\s+)?(?!ON\b)[A-Za-z_]\w*\s*)?"
+        r"\s+ON\s+(?P<on>.+?)\s+(?P<clauses>WHEN\s+.+?)\s*$",
+        re.IGNORECASE | re.DOTALL,
+    )
+
+    def _sql_merge(self, m) -> int:
+        """``MERGE INTO t USING s ON <pk equality> WHEN MATCHED THEN
+        UPDATE SET * | DELETE / WHEN NOT MATCHED THEN INSERT *`` — the
+        whole-row merge form (Paimon's Spark MERGE surface); column-level
+        SET lists are not parsed (use ``merge_into``/``update_where``)."""
+        src = m.group("src").strip()
+        if src.startswith("("):
+            source = self.sql(src[1:-1])  # facade views are storage-form
+        else:
+            # storage form, like the target read inside merge_into — a
+            # padded source vs rtrimmed target would never match CHAR keys
+            source = self.read_table(src, pad_char=False)
+        keys = []
+        for conj in re.split(r"\s+AND\s+", m.group("on").strip(), flags=re.IGNORECASE):
+            eq = re.fullmatch(
+                r"\s*(?:[A-Za-z_]\w*\.)?([A-Za-z_]\w*)\s*=\s*(?:[A-Za-z_]\w*\.)?([A-Za-z_]\w*)\s*",
+                conj,
+            )
+            if not eq or eq.group(1).lower() != eq.group(2).lower():
+                raise ValueError(f"MERGE ON must be PK equality conjuncts, got {conj!r}")
+            keys.append(eq.group(1))
+        clauses = m.group("clauses")
+        when_matched = None
+        if re.search(r"WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*", clauses, re.IGNORECASE):
+            when_matched = "update"
+        elif re.search(r"WHEN\s+MATCHED\s+THEN\s+DELETE", clauses, re.IGNORECASE):
+            when_matched = "delete"
+        when_not_matched = (
+            "insert"
+            if re.search(r"WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT", clauses, re.IGNORECASE)
+            else None
+        )
+        return self.merge_into(
+            m.group("db"), m.group("tbl"), source, keys,
+            when_matched=when_matched, when_not_matched=when_not_matched,
+        )
+
+    def _sql_dml(self, query: str):
+        """INSERT INTO/OVERWRITE, DELETE FROM, UPDATE on lake tables —
+        write statements the read-only reference never had. Returns the
+        snapshot id of the commit, or None if ``query`` is not DML."""
+        m = self._INSERT_RE.match(query)
+        if m:
+            df = self.sql(m.group("rest"))
+            db, tbl = m.group("db"), m.group("tbl")
+            schema = self._latest_schema(self._table_dir(db, tbl))
+            expected = [(f.name, f.type) for f in schema.fields]
+            names = [n for n, _ in expected]
+            listed = [c.strip() for c in (m.group("cols") or "").split(",") if c.strip()]
+            # the arity/rebind logic below sees only data columns: a rider
+            # _row_kind changelog column from the source query is not part of
+            # the positional binding and must not trip the arity check
+            data_cols = [c for c in df.columns if c != KIND_COL]
+            if KIND_COL in df.columns:
+                # move the rider last so the positional toDF rebinds below
+                # map data columns 1:1 regardless of where it appeared
+                df = df.select(*data_cols, KIND_COL)
+            if listed:
+                # explicit column list: bind the SELECT/VALUES positionally to
+                # the listed columns, fill the rest with typed NULLs
+                unknown = [c for c in listed if c not in names]
+                if unknown:
+                    raise ValueError(f"INSERT column(s) {unknown} not in {names}")
+                if len(listed) != len(data_cols):
+                    raise ValueError(
+                        f"INSERT lists {len(listed)} column(s) but the query "
+                        f"produces {len(data_cols)}"
+                    )
+                df = df.toDF(*listed, *([KIND_COL] if KIND_COL in df.columns else []))
+                for n, tp in expected:
+                    if n not in listed:
+                        df = df.withColumn(n, F.lit(None).cast(paimon_to_spark(tp)))
+            elif set(data_cols) != set(names):
+                # no column list and names don't line up (e.g. a VALUES tuple
+                # with synthetic col1/col2 names): SQL INSERT is positional
+                if len(data_cols) != len(names):
+                    raise ValueError(
+                        f"INSERT arity mismatch: table has {len(names)} "
+                        f"column(s), query produces {len(data_cols)}"
+                    )
+                df = df.toDF(*names, *([KIND_COL] if KIND_COL in df.columns else []))
+            # coerce to the declared types (SQL assignment casts; a VALUES
+            # integer literal lands in a BIGINT column, etc.); an explicit
+            # _row_kind changelog column rides along untouched
+            df = df.select(
+                *[F.col(n).cast(paimon_to_spark(t)).alias(n) for n, t in expected],
+                *([KIND_COL] if KIND_COL in df.columns else []),
+            )
+            return self.insert_into(
+                db, tbl, df, overwrite=m.group(1).upper() == "OVERWRITE"
+            )
+        m = self._MERGE_RE.match(query)
+        if m:
+            return self._sql_merge(m)
+        m = self._DELETE_RE.match(query)
+        if m:
+            cond = F.expr(m.group("where")) if m.group("where") else F.lit(True)
+            return self.delete_where(m.group("db"), m.group("tbl"), cond)
+        m = self._TRUNCATE_RE.match(query)
+        if m:
+            # TRUNCATE = an overwrite commit with zero rows: works on both
+            # PK and append-only tables (DELETE is PK-only), and history
+            # stays time-travelable — the pre-truncate snapshots keep their
+            # file lists until expiration.
+            from pyspark.sql import types as _T
+
+            schema = self._latest_schema(self._table_dir(m.group("db"), m.group("tbl")))
+            empty = self.spark.createDataFrame(
+                [],
+                _T.StructType(
+                    [_T.StructField(f.name, paimon_to_spark(f.type)) for f in schema.fields]
+                ),
+            )
+            return self.insert_into(m.group("db"), m.group("tbl"), empty, overwrite=True)
+        m = self._UPDATE_RE.match(query)
+        if m:
+            assignments = {}
+            for part in _split_top_level(m.group("sets")):
+                col, _, expr = part.partition("=")
+                assignments[col.strip()] = F.expr(expr.strip())
+            return self.update_where(
+                m.group("db"), m.group("tbl"), F.expr(m.group("where")), assignments
+            )
+        return None
+
+    #: information_schema relations (Trino builds these from the connector's
+    #: listSchemaNames/listTables/streamTableColumns —
+    #: ``common/TrinoMetadataBase.java:271-287``).
+    _INFO_SCHEMA_RELATIONS = ("schemata", "tables", "columns")
+
+    def information_schema(self, relation: str) -> DataFrame:
+        """Queryable ``information_schema`` relation as a DataFrame.
+
+        Metadata-only: rows come from the catalog's schema JSONs — no data
+        file is opened, so this stays O(#tables) at any data scale (the same
+        property the reference gets by answering from ``TrinoMetadataBase``
+        handles rather than scans).
+        """
+        rel = relation.lower()
+        if rel == "schemata":
+            rows = [(db,) for db in sorted(self.list_databases())]
+            return self.spark.createDataFrame(rows, "schema_name string")
+        if rel == "tables":
+            rows = [
+                (db, t, "BASE TABLE")
+                for db in sorted(self.list_databases())
+                for t in sorted(self.list_tables(db))
+            ]
+            return self.spark.createDataFrame(
+                rows, "table_schema string, table_name string, table_type string"
+            )
+        if rel == "columns":
+            rows = []
+            for db in sorted(self.list_databases()):
+                for t in sorted(self.list_tables(db)):
+                    s = self.schema_of(db, t)
+                    pk = set(s.primary_key or ())
+                    for i, f in enumerate(s.fields, 1):
+                        # PK columns are NOT NULL by definition in Paimon
+                        nullable = f.nullable and f.name not in pk
+                        rows.append(
+                            # column_default is always NULL — Paimon has no
+                            # column defaults; Trino's connector columns view
+                            # carries the slot anyway, in the SQL-standard
+                            # order ordinal_position, column_default,
+                            # is_nullable, data_type
+                            # (common/TrinoMetadataBase.java:271-287)
+                            (db, t, f.name, i, None,
+                             "YES" if nullable else "NO", f.type, f.comment)
+                        )
+            return self.spark.createDataFrame(
+                rows,
+                "table_schema string, table_name string, column_name string, "
+                "ordinal_position int, column_default string, "
+                "is_nullable string, data_type string, comment string",
+            )
+        raise ValueError(
+            f"unknown information_schema relation {relation!r}; "
+            f"have {self._INFO_SCHEMA_RELATIONS}"
+        )
+
+    _INFO_SCHEMA_REF = re.compile(
+        r"\binformation_schema\.(schemata|tables|columns)\b", re.IGNORECASE
+    )
+
+    def sql(self, query: str) -> DataFrame:
+        """Run SQL over lake tables — the Trino entry-point surface (SURVEY
+        §3.1/§3.2) on Spark SQL.
+
+        ``db.table`` references (plus ``db.table$snapshots``-style system
+        tables — A13 — and ``FOR VERSION AS OF n`` / ``FOR TIMESTAMP AS OF
+        ts`` time travel — A11) are resolved through the catalog: each
+        becomes a temp view over the catalog's DataFrame (merge-on-read,
+        snapshot-pinned, etc.) and the query text is rewritten to the view
+        name. Spark SQL then plans the query exactly as Trino's engine
+        would plan over connector handles — pushdowns reach the parquet
+        scan through the view.
+
+        Dotted names that do not resolve in the catalog (e.g. alias.column
+        references) are left untouched. Timestamps accept epoch-millis or a
+        quoted ``'YYYY-MM-DD HH:MM:SS'`` literal (UTC).
+        """
+        ddl = self._sql_ddl(query)
+        if ddl is not None:
+            return ddl
+        dml = self._sql_dml(query)
+        if dml is not None:
+            return self.spark.createDataFrame([(dml,)], "snapshot_id bigint")
+
+        # information_schema.<rel> references resolve to metadata views
+        quoted0 = _quoted_spans(query)
+        if any(
+            not any(a <= m.start() < b for a, b in quoted0)
+            for m in self._INFO_SCHEMA_REF.finditer(query)
+        ):
+            referenced = {
+                m.group(1).lower()
+                for m in self._INFO_SCHEMA_REF.finditer(query)
+                if not any(a <= m.start() < b for a, b in quoted0)
+            }
+            for rel in referenced:
+                # build only what the query names — the columns view reads
+                # every table's schema JSON, too costly to create eagerly
+                self.information_schema(rel).createOrReplaceTempView(
+                    f"information_schema__{rel}"
+                )
+            pieces, last0 = [], 0
+            for m in self._INFO_SCHEMA_REF.finditer(query):
+                if any(a <= m.start() < b for a, b in quoted0):
+                    continue
+                pieces.append(query[last0 : m.start()])
+                pieces.append(f"information_schema__{m.group(1).lower()}")
+                last0 = m.end()
+            query = "".join(pieces) + query[last0:]
+
+        dbs = set(self.list_databases())
+        quoted = _quoted_spans(query)
+        out, last = [], 0
+        for m in self._TABLE_REF.finditer(query):
+            if any(a <= m.start() < b for a, b in quoted):
+                continue  # inside a string literal — not a table reference
+            db, tbl, sys_sfx = m.group("db"), m.group("tbl"), m.group("sys")
+            if db not in dbs or tbl not in self.list_tables(db):
+                continue
+            ver_raw = m.group("ver")
+            ver = tag = None
+            if ver_raw is not None:
+                if ver_raw.startswith("'"):
+                    # Paimon accepts tag names in VERSION AS OF travel
+                    tag = ver_raw.strip("'")
+                else:
+                    ver = int(ver_raw)
+            ts_raw = m.group("ts")
+            ts = None
+            if ts_raw is not None:
+                if ts_raw.startswith("'"):
+                    dt = _dt.datetime.fromisoformat(ts_raw.strip("'"))
+                    ts = int(dt.replace(tzinfo=_dt.timezone.utc).timestamp() * 1000)
+                else:
+                    ts = int(ts_raw)
+            view = f"{db}__{tbl}"
+            name = f"{db}.{tbl}"
+            if sys_sfx:
+                view += f"__{sys_sfx}"
+                name += f"${sys_sfx}"
+            if ver is not None:
+                view += f"__v{ver}"
+            if tag is not None:
+                view += "__tag_" + re.sub(r"\W", "_", tag)
+            if ts is not None:
+                view += f"__t{ts}"
+            # STORAGE-form views (pad_char=False): Spark SQL has no CHAR
+            # comparator, so a padded view would make WHERE c = 'ab' on a
+            # CHAR(5) column silently match nothing — the worst failure
+            # mode. Storage-form views keep every comparison/group/join
+            # over char columns pad-insensitive with unpadded literals
+            # (the pre-r9 facade semantics); the reference-faithful PADDED
+            # surface is the API read (read_table), hash-gated by
+            # lake_char_padded_read. Documented in functions/types.py.
+            df = self.read_table(
+                name, version_as_of=ver, timestamp_as_of=ts, tag=tag, pad_char=False
+            )
+            if sys_sfx is None and ver is None and tag is None and ts is None:
+                # plain current-version reads get the ANALYZE-stats broadcast
+                # decision (time-travel/system reads describe other versions)
+                df = self._broadcast_by_stats(db, tbl, df)
+            df.createOrReplaceTempView(view)
+            out.append(query[last : m.start()])
+            out.append(view)
+            last = m.end()
+        return self.spark.sql("".join(out) + query[last:])
+
+
