@@ -3192,3 +3192,80 @@ def lake_incremental_by_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame
     }
     out = cat.read_incremental_by_timestamp("lake.cust_ts", ts[1], ts[2])
     return out.select("o_custkey", "last_order", "n")
+
+
+_MERGED_12_SQL = f"""
+    WITH c1 AS ({_C1_SQL}), c2 AS ({_C2_SQL})
+    SELECT COALESCE(c2.o_custkey, c1.o_custkey) AS o_custkey,
+           COALESCE(c2.last_order, c1.last_order) AS last_order,
+           COALESCE(c2.n, c1.n) AS n
+    FROM c1 FULL OUTER JOIN c2 ON c1.o_custkey = c2.o_custkey
+    WHERE c2.kind IS NULL OR c2.kind <> 'D'
+"""
+
+
+@register(
+    "lake_compacted_merge_free_read",
+    oracle=f"SELECT * FROM ({_MERGED_12_SQL})",
+)
+def lake_compacted_merge_free_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r10 FULLY-COMPACTED fast path under the hash gate: after
+    ``CALL sys.compact`` every live file is compaction output, so the main
+    read serves the stored rows scan-direct — the plan is asserted
+    merge-free (no Aggregate, no Join) and the values must equal the
+    two-commit merged state, exactly what ``lake_merge_on_read`` proves for
+    the merging plan. Zero staleness, unlike $ro: this is the pinned
+    snapshot's own live set."""
+    cat, name = _pk_table(spark, sf_dir)
+    db, tbl = name.split(".")
+    cat.compact(db, tbl)
+    out = cat.read_table(name)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Aggregate" not in plan and "Join" not in plan, plan[:400]
+    return out
+
+
+@register(
+    "lake_delta_base_split_read",
+    oracle=f"""
+    WITH merged AS ({_MERGED_12_SQL}),
+    c3 AS (
+      SELECT DISTINCT o_custkey,
+             CASE WHEN o_custkey % 11 = 0 THEN 'D' ELSE 'I' END AS kind
+      FROM orders WHERE o_custkey % 5 = 0 OR o_custkey % 11 = 0
+    )
+    SELECT COALESCE(m.o_custkey, c3.o_custkey) AS o_custkey,
+           CASE WHEN c3.o_custkey IS NOT NULL THEN c3.o_custkey
+                ELSE m.last_order END AS last_order,
+           CASE WHEN c3.o_custkey IS NOT NULL THEN CAST(0 AS BIGINT)
+                ELSE m.n END AS n
+    FROM merged m FULL OUTER JOIN c3 ON m.o_custkey = c3.o_custkey
+    WHERE c3.kind IS NULL OR c3.kind <> 'D'
+    """,
+)
+def lake_delta_base_split_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r10 DELTA-vs-BASE merge split under the hash gate: compaction
+    output plus one small post-compaction commit (upserts for custkey%5,
+    deletes for custkey%11) — the read broadcasts the delta's keys (plan
+    asserted: BroadcastHashJoin present) so only touched keys enter the
+    merge shuffle, and the values must equal the replayed history. The
+    delete-over-upsert overlap (custkey%55) pins the -D-wins tie."""
+    cat, name = _pk_table(spark, sf_dir)
+    db, tbl = name.split(".")
+    cat.compact(db, tbl)
+    o = table(spark, sf_dir, "orders")
+    c3 = (
+        o.filter((F.col("o_custkey") % 5 == 0) | (F.col("o_custkey") % 11 == 0))
+        .select("o_custkey").distinct()
+        .select(
+            F.col("o_custkey"),
+            F.col("o_custkey").alias("last_order"),
+            F.lit(0).cast("bigint").alias("n"),
+            F.when(F.col("o_custkey") % 11 == 0, "D").otherwise("I").alias("_row_kind"),
+        )
+    )
+    cat.insert_into(db, tbl, c3)
+    out = cat.read_table(name)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:400]
+    return out
