@@ -100,6 +100,16 @@ def main() -> None:
     cat.insert_into("b", "dv", li)
     cat.delete_where("b", "dv", F.col("l_orderkey") % 20 == 0)
 
+    # DV point-delete twin: one deleted key → the r10 clean/dirty split
+    # position-joins only the file(s) holding the mark; the rest scan plain.
+    cat.create_table(
+        "b", "dvp", cols, primary_key=pk,
+        options={"deletion-vectors.enabled": "true"},
+    )
+    cat.insert_into("b", "dvp", li)
+    one_key = li.select("l_orderkey").first()[0]
+    cat.delete_where("b", "dvp", F.col("l_orderkey") == int(one_key))
+
     # Indexed append table: bloom sidecar on l_partkey, three commits so
     # the probe has a multi-file live set to prune.
     cat.create_table(
@@ -129,6 +139,7 @@ def main() -> None:
         "pk_delta_split_read": lambda: agg(cat.read_table("b.pkd")).collect(),
         "pk_ro_read": lambda: agg(cat.read_table("b.pkc$ro")).collect(),
         "dv_read": lambda: agg(cat.read_table("b.dv")).collect(),
+        "dv_point_delete_read": lambda: agg(cat.read_table("b.dvp")).collect(),
         "incremental_read": lambda: cat.read_incremental(
             "b.pk", inc_from, inc_to
         ).count(),
@@ -160,6 +171,7 @@ def main() -> None:
         "pk_delta_split_read": round(timings["pk_delta_split_read"] / base_scan, 2),
         "pk_ro_read": round(timings["pk_ro_read"] / base_scan, 2),
         "dv_read": round(timings["dv_read"] / base_scan, 2),
+        "dv_point_delete_read": round(timings["dv_point_delete_read"] / base_scan, 2),
         "incremental_read": round(timings["incremental_read"] / base_scan, 2),
         "indexed_point_lookup": round(
             timings["indexed_point_lookup"] / base_point, 2

@@ -104,6 +104,23 @@ class DeletionVectorMixin:
             out.update(doc.get("vectors", {}))
         return out
 
+    def _dv_dirty_files(self, tdir: str, snap: Snapshot | None) -> "set[str] | None":
+        """Basenames of the MARK-BEARING files when the snapshot's index is
+        INLINE — one bounded driver parse (the same O(inline-threshold)
+        contract the commit-side fold already uses), read-path-legal unlike
+        ``_dv_vectors``. Returns None for SHARDED indexes (their file names
+        live inside per-bucket shard documents; enumerating them is O(live
+        deleted rows), the driver bound r9 removed) — callers then keep the
+        all-files position join. Missing index → empty set (no marks)."""
+        from incubator_paimon_trino_spark.catalog.dv_index import load_index_meta
+
+        meta = load_index_meta(tdir, snap.dv if snap else None)
+        if meta is None:
+            return set()
+        if meta["kind"] != "inline":
+            return None
+        return {os.path.basename(k) for k in meta["vectors"]}
+
     def _dv_marks_df(self, tdir: str, dv_name: str | None) -> DataFrame | None:
         """The index's marks as a Spark-read DataFrame (file basename,
         position) — the ONE way marks reach any read/stream plan. Inline or

@@ -337,3 +337,27 @@ def test_dv_read_marks_never_transit_driver(cat, spark, monkeypatch):
     monkeypatch.setattr(WarehouseCatalog, "_dv_vectors", boom)
     got = {(r.k, r.v) for r in cat.read_table("d.t").collect()}
     assert got == expect
+
+
+def test_clean_dirty_split_equals_all_files_join(cat, spark, monkeypatch):
+    """r10 clean/dirty split: reads of an inline-index DV table must be
+    value-identical whether files without marks bypass the position join
+    (the split) or every file pays it (forced via dirty=None)."""
+    cat.create_database("s")
+    cat.create_table(
+        "s", "t", [("k", "bigint"), ("v", "string")], primary_key=["k"],
+        options={"deletion-vectors.enabled": "true"},
+    )
+    for base in (0, 100, 200):
+        cat.insert_into(
+            "s", "t",
+            spark.createDataFrame(
+                [(base + i, f"v{base+i}") for i in range(30)], "k bigint, v string"
+            ).coalesce(1),
+        )
+    cat.sql("DELETE FROM s.t WHERE k IN (5, 105)")  # marks in 2 of 3 files
+    split = sorted((r.k, r.v) for r in cat.read_table("s.t").collect())
+    monkeypatch.setattr(WarehouseCatalog, "_dv_dirty_files", lambda *a, **k: None)
+    full = sorted((r.k, r.v) for r in cat.read_table("s.t").collect())
+    assert split == full
+    assert len(split) == 88 and (5, "v5") not in split and (105, "v105") not in split
