@@ -311,6 +311,305 @@ def find_matches_linear(
     return out
 
 
+# ----------------------------------------- product-construction vectorizer
+#
+# Non-linear patterns (alternation / grouped quantifiers, e.g. ``(A | B) C+``)
+# vectorize through an explicit NFA product: compile the AST into an ε-free
+# PRIORITIZED automaton (Thompson construction + priority-ordered ε-closure —
+# the standard leftmost-greedy encoding), then compute the full
+# state-set × position feasibility table F[i, q] = "an accepting path exists
+# from state q consuming rows i.." with numpy boolean-matrix suffix products
+# (Hillis–Steele doubling scan over per-row transition matrices, blocked so
+# memory stays O(block·|Q|²)). Match starts read off one vectorized OR over
+# the start state's consume moves; reconstruction walks first-feasible moves
+# — one tiny Python step per MATCHED row only, same order of work as
+# materializing the output. Equivalence to the backtracking NFA is pinned
+# exhaustively + randomized in tests/test_match_recognize.py.
+#
+# The one shape the product path refuses is a quantifier over a NULLABLE
+# body (``(A?)+``, ``(A*)*``): the backtracker skips empty body iterations
+# (the ``mid == j`` guard), which standard automaton compilation cannot
+# mirror without a non-empty-language transform. Those degenerate patterns
+# (the quantifier adds nothing a simpler pattern wouldn't) keep the
+# allow_python_nfa fence.
+
+
+def _nullable(node) -> bool:
+    """Can ``node`` match zero rows?"""
+    if isinstance(node, _Sym):
+        return False
+    if isinstance(node, _Seq):
+        return all(_nullable(p) for p in node.parts)
+    if isinstance(node, _Alt):
+        return any(_nullable(o) for o in node.options)
+    return node.min_count == 0 or _nullable(node.node)
+
+
+def _product_eligible(node) -> bool:
+    """True when every quantifier body is non-nullable — the class the
+    compiled-automaton matcher is NFA-equivalent on (see block comment)."""
+    if isinstance(node, _Sym):
+        return True
+    if isinstance(node, _Seq):
+        return all(_product_eligible(p) for p in node.parts)
+    if isinstance(node, _Alt):
+        return all(_product_eligible(o) for o in node.options)
+    return (not _nullable(node.node)) and _product_eligible(node.node)
+
+
+def compile_nfa(node) -> tuple[list[list[tuple]], int]:
+    """AST → ε-free prioritized NFA ``(moves, start)``.
+
+    ``moves[q]`` is the priority-ordered move list of state q: entries are
+    ``("c", symbol, next_state)`` (consume one row where ``symbol`` holds)
+    or ``("a",)`` (accept — end the match here). Priority order is exactly
+    the backtracker's preference (greedy quantifiers re-enter their body
+    before exiting; alternation tries options left to right), so walking
+    "first move whose target is still feasible" reproduces the NFA's first
+    yield. Lists are truncated at the first accept: accept is always
+    feasible, so later moves are dead in preference order — which also makes
+    every list "consumes then optional accept"."""
+    edges: list[list[tuple]] = []
+
+    def new() -> int:
+        edges.append([])
+        return len(edges) - 1
+
+    final = new()
+
+    def build(n, out) -> int:
+        if isinstance(n, _Sym):
+            u = new()
+            edges[u].append(("sym", n.name, out))
+            return u
+        if isinstance(n, _Seq):
+            entry = out
+            for p in reversed(n.parts):
+                entry = build(p, entry)
+            return entry
+        if isinstance(n, _Alt):
+            u = new()
+            for o in n.options:
+                edges[u].append(("eps", build(o, out)))
+            return u
+        # _Rep — only the three quantifier shapes the grammar produces
+        if n.max_count == 1:  # ?
+            u = new()
+            edges[u].append(("eps", build(n.node, out)))
+            edges[u].append(("eps", out))
+            return u
+        if n.min_count == 1:  # + : body once, then greedy loop-or-exit
+            loop = new()
+            entry = build(n.node, loop)
+            edges[loop].append(("eps", entry))
+            edges[loop].append(("eps", out))
+            return entry
+        # * : greedy enter-body-or-exit; body loops back to the fork
+        fork = new()
+        entry = build(n.node, fork)
+        edges[fork].append(("eps", entry))
+        edges[fork].append(("eps", out))
+        return fork
+
+    start_entry = build(node, final)
+
+    def closure(u: int) -> list[tuple]:
+        mv: list[tuple] = []
+        seen: set[int] = set()
+        seen_c: set[tuple] = set()
+        done = False
+
+        def dfs(v: int) -> None:
+            nonlocal done
+            if done or v in seen:
+                return
+            seen.add(v)
+            for e in edges[v]:
+                if done:
+                    return
+                if e[0] == "sym":
+                    if (e[1], e[2]) not in seen_c:
+                        seen_c.add((e[1], e[2]))
+                        mv.append(("c", e[1], e[2]))
+                else:
+                    dfs(e[1])
+            if v == final and not done:
+                mv.append(("a",))
+                done = True
+
+        dfs(u)
+        return mv
+
+    closures: dict[int, list[tuple]] = {}
+    order: list[int] = []
+    work = [start_entry]
+    while work:
+        u = work.pop()
+        if u in closures:
+            continue
+        closures[u] = closure(u)
+        order.append(u)
+        for m in closures[u]:
+            if m[0] == "c" and m[2] not in closures:
+                work.append(m[2])
+    idx = {u: i for i, u in enumerate(order)}
+    moves = [
+        [("c", m[1], idx[m[2]]) if m[0] == "c" else ("a",) for m in closures[u]]
+        for u in order
+    ]
+    return moves, idx[start_entry]
+
+
+def _backtrack_first(
+    moves: list[list[tuple]], fa: dict, n: int, start: int, j: int, budget: list
+) -> tuple[int, list[str]] | None:
+    """First yield (preference order) of the compiled automaton from row j,
+    by iterative DFS — the compiled twin of ``_match_from``'s ``next()``.
+    Decrements ``budget[0]`` per step; returns None early when exhausted
+    (caller falls back to the feasibility-table path)."""
+    stack: list[list] = [[start, j, 0]]
+    cls: list[str] = []
+    while stack:
+        frame = stack[-1]
+        q, p, mi = frame
+        mv = moves[q]
+        if mi >= len(mv):
+            stack.pop()
+            if stack:
+                cls.pop()
+            continue
+        frame[2] = mi + 1
+        budget[0] -= 1
+        if budget[0] < 0:
+            return None
+        m = mv[mi]
+        if m[0] == "a":
+            return p, cls.copy()
+        if p < n and fa[m[1]][p]:
+            cls.append(m[1])
+            stack.append([m[2], p + 1, 0])
+    return None
+
+
+def find_matches_product(
+    moves: list[list[tuple]],
+    start: int,
+    flags: dict[str, "object"],
+    n: int,
+    after_match: str,
+    _block: int = 65536,
+    _sparse_frac: float = 0.05,
+) -> list[tuple[int, list[str]]]:
+    """``find_matches`` for compiled non-linear patterns, row loop vectorized.
+
+    Feasibility F[i, q] satisfies F[i] = acc | M_i · F[i+1] where M_i is the
+    per-row boolean transition matrix; folding the accept vector into an
+    augmented (|Q|+1)² matrix turns the whole table into suffix MATRIX
+    PRODUCTS, computed blockwise with a Hillis–Steele doubling scan (log b
+    batched matmuls per block — no per-row Python). Scanning for match
+    starts is one vectorized OR + a next-start jump table; the only Python
+    iteration left is per MATCHED row (reconstruction), which is the same
+    order of work as emitting the output rows."""
+    import numpy as np
+
+    Q = len(moves)
+    acc = np.array([any(m[0] == "a" for m in mv) for mv in moves], dtype=np.uint8)
+    trans = [(q, m[1], m[2]) for q, mv in enumerate(moves) for m in mv if m[0] == "c"]
+    fa = {s: np.asarray(flags[s], dtype=bool) for s in {t[1] for t in trans}}
+
+    # Sparse dispatch: a match can only START where one of the start state's
+    # consume symbols fires. When those rows are rare (real funnels: the
+    # anchor event is <<5% of traffic) the feasibility table is wasted work —
+    # backtrack from each candidate instead, under a step budget that falls
+    # back to the table path if a pathological pattern ever blows up.
+    cand = np.zeros(n, dtype=bool)
+    for m in moves[start]:
+        if m[0] == "c":
+            cand |= fa[m[1]][:n]
+    cand_idx = np.flatnonzero(cand)
+    if n and len(cand_idx) <= _sparse_frac * n:
+        budget = [50 * len(cand_idx) + 10_000]
+        out: list[tuple[int, list[str]]] = []
+        i, ci = 0, 0
+        ok = True
+        while ci < len(cand_idx):
+            j = int(cand_idx[ci])
+            if j < i:
+                ci += 1
+                continue
+            hit = _backtrack_first(moves, fa, n, start, j, budget)
+            if budget[0] < 0:
+                ok = False
+                break
+            if hit is not None and hit[0] > j:
+                out.append((j, hit[1]))
+                i = hit[0] if after_match == "skip_past_last" else j + 1
+            else:
+                i = j + 1
+        if ok:
+            return out
+
+    Qp = Q + 1
+    # uint8 matmul sums ≤ Qp one-bit products per cell — exact while Qp ≤ 255
+    dt = np.uint8 if Qp <= 255 else np.int32
+    F = np.zeros((n + 1, Q), dtype=bool)
+    F[n] = acc.astype(bool)
+    g_next = np.append(acc.astype(dt), dt(1))  # augmented G at block end
+    lo = ((n - 1) // _block) * _block if n else 0
+    while n and lo >= 0:
+        hi = min(lo + _block, n)
+        b = hi - lo
+        P = np.zeros((b, Qp, Qp), dtype=dt)
+        P[:, Q, Q] = 1
+        P[:, :Q, Q] = acc[None, :]
+        for q, s, t in trans:
+            P[:, q, t] |= fa[s][lo:hi].astype(dt)
+        d = 1
+        tmp = np.empty_like(P)
+        while d < b:
+            np.matmul(P[: b - d], P[d:], out=tmp[: b - d])
+            np.minimum(tmp[: b - d], 1, out=P[: b - d])
+            d *= 2
+        g = np.minimum(P @ g_next, 1).astype(dt)
+        F[lo:hi] = g[:, :Q].astype(bool)
+        g_next = g[0]
+        lo -= _block
+    # a match starts at i iff the first FEASIBLE start move is a consume
+    # (post-truncation lists are consumes-then-accept, so: any consume
+    # feasible). Mirrors find_matches' "first yield non-empty" semantics —
+    # e.g. (A* | B) at an A-false B-true row prefers the empty A* yield and
+    # does NOT match, in both engines.
+    ma = np.zeros(n, dtype=bool)
+    for m in moves[start]:
+        if m[0] == "c":
+            ma |= fa[m[1]][:n] & F[1:, m[2]]
+    starts_arr = np.where(ma, np.arange(n), n)
+    nxt_start = np.minimum.accumulate(starts_arr[::-1])[::-1] if n else starts_arr
+    out: list[tuple[int, list[str]]] = []
+    i = 0
+    while i < n:
+        j = int(nxt_start[i])
+        if j >= n:
+            break
+        q, p, cls = start, j, []
+        while True:
+            step = None
+            for m in moves[q]:
+                if m[0] == "a":
+                    break  # accept is the first feasible move: end the match
+                if p < n and fa[m[1]][p] and F[p + 1, m[2]]:
+                    step = m
+                    break
+            if step is None:
+                break
+            cls.append(step[1])
+            p += 1
+            q = step[2]
+        out.append((j, cls))  # p > j: ma[j] proved a feasible start consume
+        i = p if after_match == "skip_past_last" else j + 1
+    return out
+
+
 # ------------------------------------------------------------ the operator
 def match_recognize(
     df: DataFrame,
@@ -328,12 +627,15 @@ def match_recognize(
     ``match_no``, ``classifier``, ``match_row``.
 
     LINEAR patterns (a chain of single-symbol atoms with ``+ * ?`` — what
-    real funnels are) run the numpy-vectorized matcher. Non-linear patterns
-    (alternation / grouping, e.g. ``(A | B) C+``) only have the per-ROW
-    Python NFA, which at 100 TB is the slow path a user should opt into
-    knowingly: the default REFUSES them; pass ``allow_python_nfa=True`` to
-    accept the cost (r10 fence — VERDICT r9 'What's missing #1'; the
-    product-construction vectorization is future work)."""
+    real funnels are) run the numpy-vectorized linear matcher. Non-linear
+    patterns (alternation / grouping, e.g. ``(A | B) C+`` — the shapes the
+    reference's inherited suite exercises via
+    ``common-test/TestTrinoDistributedQuery.java:91,486``) run the
+    PRODUCT-CONSTRUCTION vectorized matcher (r11): compiled ε-free
+    prioritized NFA + numpy matrix-scan feasibility, NFA-equivalent by the
+    exhaustive pin in tests. The only remaining fence is a quantifier over
+    a NULLABLE body (``(A?)+``): those degenerate patterns keep the per-row
+    Python NFA behind ``allow_python_nfa=True``."""
     if after_match not in ("skip_past_last", "skip_to_next_row"):
         raise ValueError(f"unknown after_match {after_match!r}")
     ast = parse_pattern(pattern)
@@ -355,11 +657,14 @@ def match_recognize(
     )
 
     linear = _linear_atoms(ast)
-    if linear is None and not allow_python_nfa:
+    compiled = (
+        compile_nfa(ast) if linear is None and _product_eligible(ast) else None
+    )
+    if linear is None and compiled is None and not allow_python_nfa:
         raise ValueError(
-            f"pattern {pattern!r} is non-linear (alternation/grouping) and "
-            "only has the per-row Python NFA; pass allow_python_nfa=True to "
-            "accept that cost, or rewrite the pattern as a linear chain"
+            f"pattern {pattern!r} quantifies a NULLABLE group (e.g. (A?)+), "
+            "which only has the per-row Python NFA; pass allow_python_nfa="
+            "True to accept that cost, or drop the redundant inner quantifier"
         )
 
     def run(pdf):
@@ -368,11 +673,12 @@ def match_recognize(
         pdf = pdf.sort_values(order_by, kind="mergesort").reset_index(drop=True)
         flags = {s: pdf[f"_mr_{s}"].to_numpy() for s in symbols}
         n = len(pdf)
-        matches = (
-            find_matches_linear(linear, flags, n, after_match)
-            if linear is not None
-            else find_matches(ast, flags, n, after_match)
-        )
+        if linear is not None:
+            matches = find_matches_linear(linear, flags, n, after_match)
+        elif compiled is not None:
+            matches = find_matches_product(compiled[0], compiled[1], flags, n, after_match)
+        else:
+            matches = find_matches(ast, flags, n, after_match)
         starts, m_no, m_cls, m_row = [], [], [], []
         for k, (start, classifiers) in enumerate(matches, 1):
             for off, c in enumerate(classifiers):
@@ -446,4 +752,67 @@ def pattern_match_recognize_funnel(spark: SparkSession, sf_dir: str) -> DataFram
         F.min_by("event_id", "match_row").alias("start_event_id"),
         F.max_by("event_id", "match_row").alias("end_event_id"),
         F.sum(F.when(F.col("classifier") == "C", 1).otherwise(0)).alias("n_clicks"),
+    )
+
+
+@register(
+    "pattern_alternation_funnel",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, event_type, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    nc AS (
+      SELECT *, MAX(CASE WHEN event_type NOT IN ('click','error') THEN rn END)
+                 OVER (PARTITION BY user_id ORDER BY rn
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_nc
+      FROM seq
+    ),
+    matches AS (
+      SELECT p.user_id, s.rn AS srn, p.rn AS prn,
+             s.event_id AS start_event_id, p.event_id AS end_event_id
+      FROM nc p JOIN seq s ON s.user_id = p.user_id AND s.rn = p.prev_nc
+      WHERE p.event_type = 'purchase' AND s.event_type = 'view' AND p.rn - s.rn >= 2
+    )
+    SELECT m.user_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY m.user_id ORDER BY m.srn) AS BIGINT) AS match_no,
+           m.start_event_id, m.end_event_id,
+           CAST(SUM(CASE WHEN b.event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_clicks,
+           CAST(SUM(CASE WHEN b.event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors
+    FROM matches m JOIN seq b ON b.user_id = m.user_id AND b.rn > m.srn AND b.rn < m.prn
+    GROUP BY m.user_id, m.srn, m.start_event_id, m.end_event_id
+    """,
+)
+def pattern_alternation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PATTERN (V (C | E)+ P) — a NON-LINEAR pattern (alternation inside a
+    quantified group) through the r11 product-construction vectorized
+    matcher: a view, then one-or-more clicks-OR-errors, then a purchase, per
+    user in event-time order. The reference's inherited engine suite names
+    these shapes (``common-test/TestTrinoDistributedQuery.java:91,486``).
+
+    The DuckDB oracle derives the same matches in closed form: because every
+    interior row of a match is click-or-error, the last non-{click,error}
+    row before each purchase decides the whole match — so the compiled NFA's
+    match set, numbering, boundaries, and the per-classifier counts
+    (alternation attribution C vs E) are all value-hash-checked.
+    """
+    ev = table(spark, sf_dir, "events").select("user_id", "event_id", "event_type", "ts")
+    mr = match_recognize(
+        ev,
+        partition_by=["user_id"],
+        order_by=["ts", "event_id"],
+        pattern="V (C | E)+ P",
+        define={
+            "V": "event_type = 'view'",
+            "C": "event_type = 'click'",
+            "E": "event_type = 'error'",
+            "P": "event_type = 'purchase'",
+        },
+    )
+    return mr.groupBy("user_id", "match_no").agg(
+        F.min_by("event_id", "match_row").alias("start_event_id"),
+        F.max_by("event_id", "match_row").alias("end_event_id"),
+        F.sum(F.when(F.col("classifier") == "C", 1).otherwise(0)).alias("n_clicks"),
+        F.sum(F.when(F.col("classifier") == "E", 1).otherwise(0)).alias("n_errors"),
     )
