@@ -839,7 +839,7 @@ class WarehouseCatalog(WriteMixin, MaintenanceMixin, DeletionVectorMixin, SqlMix
                     tdir, schema, dataclasses.replace(snap, files=hot), with_pos=True
                 )
                 parts.append(
-                    self._dv_apply_distributed(d, tdir, snap).select(*user_cols)
+                    self._dv_apply_distributed(d, tdir, snap, schema).select(*user_cols)
                 )
             if not parts:
                 df = self.spark.createDataFrame([], schema.spark_schema())
@@ -857,7 +857,7 @@ class WarehouseCatalog(WriteMixin, MaintenanceMixin, DeletionVectorMixin, SqlMix
             # _dv_apply_distributed). with_system_columns still exposes
             # the raw unfiltered changelog view, like non-DV tables.
             if has_dv:
-                df = self._dv_apply_distributed(df, tdir, snap)
+                df = self._dv_apply_distributed(df, tdir, snap, schema)
             df = df.select(*[f.name for f in schema.fields])
         elif (
             schema.primary_key
@@ -1078,24 +1078,26 @@ class WarehouseCatalog(WriteMixin, MaintenanceMixin, DeletionVectorMixin, SqlMix
             # domain behavior (TrinoMetadataBase.java:363-376) for free.
             # .format().load(list) — DataFrameReader.orc() has no varargs
             # (its 2nd positional is mergeSchema), unlike .parquet().
-            try:
-                df = (
-                    self.spark.read.option("basePath", root)
-                    .schema(_physical_schema(old, is_pk))
-                    .format(fmt)
-                    .load(paths)
-                )
-            except Exception as ex:
-                if fmt != "avro" or "Failed to find data source" not in str(ex):
-                    raise
-                if with_pos:
-                    # unreachable from DV paths (DV requires parquet at
-                    # create time) — loud beats a missing-_metadata trace
-                    raise ValueError(
-                        "positional (row_index) reads need the native "
-                        "parquet/orc readers; avro has none"
-                    ) from ex
-                df = self._read_avro_fallback(paths, old, is_pk)
+            synth_pos = False
+            if fmt == "avro" and with_pos:
+                # positional avro read (r11 — DV on avro): only the Python
+                # OCF source can synthesize per-row ordinals (its ordered
+                # block decode IS the running count); the JVM spark-avro
+                # reader, even when present, has no _metadata.row_index
+                df = self._read_avro_fallback(paths, old, is_pk, with_pos=True)
+                synth_pos = True
+            else:
+                try:
+                    df = (
+                        self.spark.read.option("basePath", root)
+                        .schema(_physical_schema(old, is_pk))
+                        .format(fmt)
+                        .load(paths)
+                    )
+                except Exception as ex:
+                    if fmt != "avro" or "Failed to find data source" not in str(ex):
+                        raise
+                    df = self._read_avro_fallback(paths, old, is_pk)
             if sid == schema.schema_id and not schema.partition_keys:
                 # no evolution between write and read (the common case):
                 # the physical schema IS the current schema — skip the
@@ -1105,7 +1107,7 @@ class WarehouseCatalog(WriteMixin, MaintenanceMixin, DeletionVectorMixin, SqlMix
                 # Partitioned tables keep the projection: directory
                 # inference appends partition columns at the END, so the
                 # select also restores declared column order there.
-                if with_pos:
+                if with_pos and not synth_pos:
                     df = df.withColumns(
                         {
                             _DV_FILE: F.col("_metadata.file_path"),
@@ -1129,10 +1131,14 @@ class WarehouseCatalog(WriteMixin, MaintenanceMixin, DeletionVectorMixin, SqlMix
             if is_pk:
                 cols += [F.col(SEQ_COL), F.col(KIND_COL)]
             if with_pos:
-                cols += [
-                    F.col("_metadata.file_path").alias(_DV_FILE),
-                    F.col("_metadata.row_index").alias(_DV_POS),
-                ]
+                cols += (
+                    [F.col(_DV_FILE), F.col(_DV_POS)]
+                    if synth_pos
+                    else [
+                        F.col("_metadata.file_path").alias(_DV_FILE),
+                        F.col("_metadata.row_index").alias(_DV_POS),
+                    ]
+                )
             parts.append(df.select(*cols))
         out = parts[0]
         for p in parts[1:]:

@@ -653,14 +653,16 @@ def _validate_table_options(
                 "vectors mark OLDER COMMITS' rows as superseded, but a business"
                 "-time sequence lets an older commit outrank a newer one"
             )
-        if options.get("file_format", "parquet").strip().lower() != "parquet":
-            # the mark scan reads native row positions via
-            # _metadata.row_index, which Spark provides for parquet only
-            # (ORC/Avro raise FIELD_NOT_FOUND at the second commit)
+        if options.get("file_format", "parquet").strip().lower() not in ("parquet", "avro"):
+            # positional reads: parquet rides Spark's native
+            # _metadata.row_index; avro synthesizes exact ordinals from the
+            # OCF block decode (r11 — formats/avro_batch.py with_pos). ORC
+            # has neither (its native reader raises FIELD_NOT_FOUND on
+            # row_index and there is no Python fallback reader for it).
             raise ValueError(
-                "deletion-vectors.enabled requires file_format='PARQUET' "
-                "(row positions come from _metadata.row_index, which Spark "
-                "exposes for parquet scans only)"
+                "deletion-vectors.enabled requires file_format='PARQUET' or "
+                "'AVRO' (row positions come from parquet's _metadata."
+                "row_index or the avro OCF block decode; ORC has neither)"
             )
     seq_field = options.get("sequence_field")
     if seq_field and seq_field not in names:

@@ -289,13 +289,18 @@ class WriteMixin:
             shutil.rmtree(d, ignore_errors=True)
         return counts
 
-    def _read_avro_fallback(self, paths: list[str], old: TableSchema, is_pk: bool) -> DataFrame:
+    def _read_avro_fallback(
+        self, paths: list[str], old: TableSchema, is_pk: bool, with_pos: bool = False
+    ) -> DataFrame:
         """Batch-read avro data files without the spark-avro module, via the
         ``paimon_avro`` Python DataSource (``formats/avro_batch``): one
         Arrow-decode task per file, hive partition values injected from the
         path (what ``basePath`` directory inference does for native
         readers). Output columns are the WRITING schema's names/storage
-        types — ``_read_files`` maps them by field id like any format."""
+        types — ``_read_files`` maps them by field id like any format.
+        ``with_pos`` makes the source synthesize the DV provenance columns
+        (file path + in-file row ordinal) from its ordered block decode —
+        the avro twin of parquet's ``_metadata.row_index`` (r11)."""
         import json as _json
 
         from incubator_paimon_trino_spark.catalog.scan import partition_values
@@ -335,13 +340,17 @@ class WriteMixin:
             else:
                 tasks[-1].append(spec)
                 size += sz
-        ddl = ", ".join(f"`{n}` {t}" for n, t in data_fields + part_fields)
+        out_fields = data_fields + part_fields
+        if with_pos:
+            out_fields = out_fields + [("__dv_file", "string"), ("__dv_pos", "bigint")]
+        ddl = ", ".join(f"`{n}` {t}" for n, t in out_fields)
         return (
             self.spark.read.format("paimon_avro")
             .option("schema_ddl", ddl)
             .option("data_fields", _json.dumps(data_fields))
             .option("part_fields", _json.dumps(part_fields))
             .option("files", _json.dumps(tasks))
+            .option("with_pos", "true" if with_pos else "false")
             .load()
         )
 

