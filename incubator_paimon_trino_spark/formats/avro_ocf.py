@@ -68,7 +68,10 @@ def _flat_plan(schema) -> list[tuple] | None:
     """[(name, kind, extra)] for a vectorizable flat record, else None.
 
     kind ∈ varint (int/long + date/time/timestamp logicals), bool, f4, f8,
-    str, bin, dec(precision ≤ 18). Anything else → None (per-row fallback).
+    str, bin, dec(precision ≤ 18), arr (ARRAY of nullable int/long items —
+    r11, VERDICT r10 item 6: the item stream is just more varints, so block
+    counts, item union bytes and item values all ride the same bulk
+    machinery). Anything else → None (per-row fallback).
     """
     if not isinstance(schema, dict) or schema.get("type") != "record":
         return None
@@ -83,8 +86,21 @@ def _flat_plan(schema) -> list[tuple] | None:
             logical = t.get("logicalType")
             if not isinstance(t.get("type"), str):
                 return None
+            if t["type"] == "array":
+                it = t.get("items")
+                # nullable plain int/long items only (logicals would need a
+                # typed cast the list rebuild doesn't do) — else per-row path
+                if (
+                    isinstance(it, list)
+                    and len(it) == 2
+                    and it[0] == "null"
+                    and it[1] in ("int", "long")
+                ):
+                    plan.append((f["name"], "arr", it[1]))
+                    continue
+                return None
             if t["type"] not in ("int", "long", "boolean", "float", "double", "string", "bytes"):
-                return None  # nested record/array/map/fixed
+                return None  # nested record/map/fixed
             if logical == "decimal":
                 if t["precision"] > 18:
                     return None  # needs >64-bit unscaled math — per-row path
@@ -346,6 +362,44 @@ def encode_batch(batch, schema) -> "tuple[bytes, int] | None":
             lens, flat = _string_buffers(col)
             segments.append(_varint_segment(lens, valid))
             segments.append((flat, lens))
+        elif kind == "arr":
+            if not (pa.types.is_list(t) or pa.types.is_large_list(t)):
+                return None
+            child = col.values
+            if not pa.types.is_integer(child.type):
+                return None
+            off_dt = np.int64 if pa.types.is_large_list(t) else np.int32
+            offs = np.frombuffer(col.buffers()[1], dtype=off_dt)[
+                col.offset : col.offset + n + 1
+            ].astype(np.int64)
+            counts = np.where(valid, np.diff(offs), 0)
+            # item stream: per item [union byte][zigzag varint], interleaved
+            # item-major == row-major concatenated; null rows contribute no
+            # items (their offset deltas, if any, are masked out here)
+            src = np.repeat(offs[:-1], counts) + _ramp(counts)
+            it_valid = _valid_mask(child)[src] if len(src) else np.empty(0, bool)
+            it_vals = (
+                _primitive_values(child).astype(np.int64, copy=False)[src]
+                if len(src)
+                else np.empty(0, np.int64)
+            )
+            n_items = len(src)
+            vflat, vlens = _varint_segment(it_vals, it_valid)
+            istream = _interleave(
+                [(np.where(it_valid, 2, 0).astype(np.uint8), None), (vflat, vlens)],
+                n_items,
+            )
+            item_tot = 1 + vlens  # invalid items: union byte only
+            cs = np.zeros(n_items + 1, dtype=np.int64)
+            np.cumsum(item_tot, out=cs[1:])
+            row_starts = np.cumsum(counts) - counts
+            row_lens = cs[row_starts + counts] - cs[row_starts]
+            # [count varint (only when >0)] [items] [terminator 0x00]
+            segments.append(_varint_segment(counts, valid & (counts > 0)))
+            segments.append((istream, row_lens))
+            segments.append(
+                (np.zeros(int(valid.sum()), dtype=np.uint8), valid.astype(np.int64))
+            )
         elif kind == "dec":
             if not pa.types.is_decimal(t) or t.precision > 18:
                 return None
@@ -772,6 +826,36 @@ def _gen_scanner(plan):
     for i, (_, kind, _x) in enumerate(plan):
         body.append("        if buf[p]:")
         body.append("            p += 1")
+        if kind == "arr":
+            # array blocks: zigzag count (negative → byte-size prefix form),
+            # per item [union byte][varint] (skipped via tpos like top-level
+            # varints), repeated until a 0 count terminates the array
+            body.append("            c = 0")
+            body.append("            while True:")
+            body.append("                v, p = _uv(buf, p)")
+            body.append("                if v == 0:")
+            body.append("                    break")
+            body.append("                if v & 1:")
+            body.append("                    cnt = (v >> 1) + 1")
+            body.append("                    _sz, p = _uv(buf, p)")
+            body.append("                else:")
+            body.append("                    cnt = v >> 1")
+            body.append("                for _i in range(cnt):")
+            body.append("                    if buf[p]:")
+            body.append("                        p += 1")
+            body.append(f"                        s{i}(p)")
+            body.append("                        while tpos[ti] < p: ti += 1")
+            body.append("                        p = tpos[ti] + 1; ti += 1")
+            body.append("                    else:")
+            body.append("                        p += 1")
+            body.append(f"                        s{i}(-1)")
+            body.append("                c += cnt")
+            body.append(f"            l{i}(c)")
+            null = f"            l{i}(-1)"
+            body.append("        else:")
+            body.append("            p += 1")
+            body.append(null)
+            continue
         if kind == "varint":
             # record the start; skip to just past the first TERMINATOR byte
             # (high bit clear) at/after p — `tpos` lists every terminator
@@ -797,9 +881,27 @@ def _gen_scanner(plan):
         body.append("            p += 1")
         body.append(null)
     src = "\n".join(head + body + ["    return p"])
-    ns: dict = {}
+    ns: dict = {"_uv": _read_uvarint}
     exec(src, ns)  # noqa: S102 - fixed templates, no external strings
     return ns["_scan"]
+
+
+def _read_uvarint(buf, p):
+    """(raw unsigned varint value, next offset) — the scanner's helper for
+    array block counts (one call per block round, never per item)."""
+    b = buf[p]
+    if b < 128:
+        return b, p + 1
+    v = b & 127
+    s = 7
+    p += 1
+    while True:
+        b = buf[p]
+        p += 1
+        if b < 128:
+            return v | (b << s), p
+        v |= (b & 127) << s
+        s += 7
 
 
 def _flat_scanner(schema):
@@ -881,16 +983,44 @@ def _lane_phase_decode(whole, blocks, plan, wanted=None):
     starts_m = {}
     lens_m = {}
     vmax = {}  # per-varint-field max byte length seen (bounds the bulk gather)
+    arr_cnt = {}  # arr fields: per-(lane, record) item counts (-1 null row)
+    arr_chunks = {}  # arr fields: per-record-step (nblocks, n_inner) starts
     rec = []  # whether to RECORD field i (projection: unwanted fields are
     #           walked over — their bytes shape the stream — but never stored)
     for i, (name, kind, _x) in enumerate(plan):
         rec.append(wanted is None or name in wanted)
+        if kind == "arr":
+            vmax[i] = 1
+            if rec[i]:
+                arr_cnt[i] = np.full((nblocks, maxc), -1, dtype=np.int64)
+                arr_chunks[i] = []
+            continue
         if rec[i]:
             starts_m[i] = np.full((nblocks, maxc), -1, dtype=np.int64)
         if kind in ("str", "bin", "dec"):
             lens_m[i] = np.zeros((nblocks, maxc), dtype=np.int64) if rec[i] else None
         elif kind == "varint":
             vmax[i] = 1
+
+    def adv_varint(pos, nn, i):
+        # a varint spans ≤ 10 bytes: its end is the first high-bit-clear
+        # byte at/after pos. Gather an ADAPTIVE window of vmax[i] strided
+        # columns (vmax persists across steps, so after the first records
+        # each field gathers exactly its real max width — a date column
+        # reads 2 columns, an epoch-micros column 7) and argmax for the
+        # first terminator.
+        while True:
+            w = vmax[i]
+            term = np.empty((w, len(pos)), dtype=bool)
+            for j in range(w):
+                term[j] = bufp[pos + j] < 128
+            found = term.any(axis=0) | ~nn
+            if found.all() or w >= 10:
+                break
+            vmax[i] = min(10, w * 2)
+        vlen = np.argmax(term, axis=0) + 1
+        return np.where(nn, pos + vlen, pos)
+
     for step in range(maxc):
         active = step < counts
         for i, (_, kind, _x) in enumerate(plan):
@@ -899,23 +1029,48 @@ def _lane_phase_decode(whole, blocks, plan, wanted=None):
             if kind == "varint":
                 if rec[i]:
                     starts_m[i][:, step] = np.where(nn, pos, -1)
-                # a varint spans ≤ 10 bytes: its end is the first high-bit-
-                # clear byte at/after pos. Gather an ADAPTIVE window of
-                # vmax[i] strided columns (vmax persists across steps, so
-                # after the first records each field gathers exactly its
-                # real max width — a date column reads 2 columns, an epoch-
-                # micros column 7) and argmax for the first terminator.
+                pos = adv_varint(pos, nn, i)
+            elif kind == "arr":
+                # array blocks: zigzag count rounds (negative → extra
+                # byte-size varint), items as [union byte][varint] — decoded
+                # ONE ITEM per inner step across all lanes, exactly the
+                # record walk's shape one level down. A lane's items occupy
+                # consecutive inner steps, so inner-step index == item
+                # ordinal — reassembly is one scatter per record step.
+                rem = np.zeros(nblocks, dtype=np.int64)
+                done_a = ~nn
+                cnt_rec = np.zeros(nblocks, dtype=np.int64)
+                steps_i: list = []
                 while True:
-                    w = vmax[i]
-                    term = np.empty((w, len(pos)), dtype=bool)
-                    for j in range(w):
-                        term[j] = bufp[pos + j] < 128
-                    found = term.any(axis=0) | ~nn
-                    if found.all() or w >= 10:
+                    need = (~done_a) & (rem == 0)
+                    while need.any():
+                        v, vl = _varint_values_np(bufp, pos, with_len=True)
+                        zero = v == 0
+                        done_a |= need & zero
+                        pos = np.where(need, pos + vl, pos)
+                        szneed = need & (v < 0)
+                        if szneed.any():
+                            _sv, svl = _varint_values_np(bufp, pos, with_len=True)
+                            pos = np.where(szneed, pos + svl, pos)
+                        rem = np.where(need & ~zero, np.abs(v), rem)
+                        need = (~done_a) & (rem == 0)
+                    act = (~done_a) & (rem > 0)
+                    if not act.any():
                         break
-                    vmax[i] = min(10, w * 2)
-                vlen = np.argmax(term, axis=0) + 1
-                pos = np.where(nn, pos + vlen, pos)
+                    inn = act & (bufp[pos] != 0)
+                    pos = pos + act  # past the item union byte
+                    if rec[i]:
+                        steps_i.append(np.where(inn, pos, -1))
+                    pos = adv_varint(pos, inn, i)
+                    rem -= act
+                    cnt_rec += act
+                if rec[i]:
+                    arr_cnt[i][:, step] = np.where(nn, cnt_rec, -1)
+                    arr_chunks[i].append(
+                        np.stack(steps_i, axis=1)
+                        if steps_i
+                        else np.empty((nblocks, 0), dtype=np.int64)
+                    )
             elif kind == "bool":
                 if rec[i]:
                     starts_m[i][:, step] = np.where(nn, pos, -1)
@@ -951,6 +1106,21 @@ def _lane_phase_decode(whole, blocks, plan, wanted=None):
     for i, (_, kind, _x) in enumerate(plan):
         if not rec[i]:
             acc.append(None)  # projected away: walked over, never built
+            continue
+        if kind == "arr":
+            cnt = arr_cnt[i]
+            eff = np.where(cnt > 0, cnt, 0)
+            flat_eff = eff.ravel()
+            base = (np.cumsum(flat_eff) - flat_eff).reshape(nblocks, maxc)
+            item_flat = np.empty(int(flat_eff.sum()), dtype=np.int64)
+            for step, im in enumerate(arr_chunks[i]):
+                w = im.shape[1]
+                if w == 0:
+                    continue
+                msk = np.arange(w) < eff[:, step][:, None]
+                dest = base[:, step][:, None] + np.arange(w)
+                item_flat[dest[msk]] = im[msk]
+            acc.append((item_flat, cnt[keepmask]))
             continue
         starts = starts_m[i][keepmask]
         if kind == "bool":
@@ -995,6 +1165,28 @@ def _build_flat_columns(plan, acc, payload, n):
             # scanner hands a plain list (typed by the caller); the
             # lane-phase decoder hands a finished BooleanArray
             out[name] = a
+            continue
+        if kind == "arr":
+            # a = (item starts flat, per-row counts); -1 start = null ITEM,
+            # -1 count = null ROW. Items bulk-decode like any varint column.
+            istarts = np.asarray(a[0], dtype=np.int64)
+            counts = np.asarray(a[1], dtype=np.int64)
+            it_valid = istarts >= 0
+            ivals = np.zeros(len(istarts), dtype=np.int64)
+            if it_valid.any():
+                ivals[it_valid] = _varint_values_np(buf, istarts[it_valid])
+            values = pa.array(ivals, mask=~it_valid)
+            row_valid = counts >= 0
+            offsets = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(np.where(row_valid, counts, 0), out=offsets[1:])
+            if offsets[-1] < (1 << 31):
+                out[name] = pa.ListArray.from_arrays(
+                    pa.array(offsets.astype(np.int32)), values, mask=pa.array(~row_valid)
+                )
+            else:
+                out[name] = pa.LargeListArray.from_arrays(
+                    pa.array(offsets), values, mask=pa.array(~row_valid)
+                )
             continue
         starts = np.asarray(a[0], dtype=np.int64)
         valid = starts >= 0
