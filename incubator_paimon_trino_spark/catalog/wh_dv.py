@@ -63,29 +63,32 @@ from incubator_paimon_trino_spark.functions.types import (
 from incubator_paimon_trino_spark.catalog.wh_helpers import *  # noqa: F401,F403
 
 
-def _dv_keep_udf(spark: SparkSession, per_file: dict):
+def _dv_keep_udf(spark: SparkSession, by_hash: dict):
     """Arrow-batched keep-row predicate for the DV position-set pushdown:
-    ``per_file`` ({file basename → SORTED int64 numpy positions}, bounded by
-    the caller's broadcast-rows check) ships to executors as a Spark
-    broadcast; each batch factorizes its file-path column (scan tasks read
-    one file at a time, so ~1 distinct path per batch), binary-searches the
-    file's position array with ``np.searchsorted``, and returns the keep
-    mask. No join in the plan, no per-row string work JVM-side."""
+    ``by_hash`` ({crc32(file basename) int64 → SORTED int64 numpy
+    positions}, bounded by the caller's broadcast-rows check) ships to
+    executors as a Spark broadcast. The caller hashes the basename JVM-side
+    (``F.crc32`` == ``zlib.crc32`` — the same pairing the sharded index's
+    bucketing relies on), so only two INT64 columns cross the Arrow bridge
+    — shipping the path strings themselves was 6x the bytes and the
+    dominant cost of the first cut. Each batch factorizes its (almost
+    always single-valued) file-hash column and binary-searches the file's
+    position array with ``np.searchsorted``."""
     import numpy as np
 
-    bc = spark.sparkContext.broadcast(per_file)
+    bc = spark.sparkContext.broadcast(by_hash)
 
     @F.pandas_udf("boolean")
-    def _keep(file_col: pd.Series, pos_col: pd.Series) -> pd.Series:
-        codes, uniques = pd.factorize(file_col, use_na_sentinel=False)
+    def _keep(hash_col: pd.Series, pos_col: pd.Series) -> pd.Series:
+        h = hash_col.to_numpy(dtype=np.int64, copy=False)
         pos = pos_col.to_numpy(dtype=np.int64, copy=False)
-        out = np.ones(len(file_col), dtype=bool)
+        out = np.ones(len(h), dtype=bool)
         vectors = bc.value
-        for u_i, u in enumerate(uniques):
-            ps = vectors.get(str(u).replace("\\", "/").rsplit("/", 1)[-1])
+        for u in np.unique(h):
+            ps = vectors.get(int(u))
             if ps is None or not len(ps):
                 continue
-            m = codes == u_i
+            m = h == u
             p = pos[m]
             idx = np.searchsorted(ps, p)
             idx_c = np.minimum(idx, len(ps) - 1)
@@ -261,20 +264,47 @@ class DeletionVectorMixin:
 
     def _dv_position_sets(self, tdir: str, snap: Snapshot) -> "dict | None":
         """{file basename → sorted int64 numpy positions} for the snapshot's
-        marks — driver-held, BOUNDED by the caller's ``dv_marks ≤
-        _dv_pushdown_rows`` check (the same explicit-contract shape as the
-        inline fold's threshold bound). None = no marks."""
+        marks — a DIRECT driver parse of the index documents, BOUNDED by the
+        caller's ``dv_marks ≤ _dv_pushdown_rows`` check (the same
+        explicit-contract shape as the inline fold's threshold bound; the
+        unbounded case never reaches here — it keeps the distributed
+        anti-join). A Spark job here would put a blocking ~0.3s collect in
+        every plan build (measured: bench_lake dv_read 2.2x → 4.7x), for
+        marks a bounded json parse reads in milliseconds. Index files are
+        immutable and nonce-named, so results cache per (tdir, name).
+        None = no marks."""
         import numpy as np
 
-        marks = self._dv_marks_df(tdir, snap.dv) if snap.dv else None
-        if marks is None:
+        from incubator_paimon_trino_spark.catalog.dv_index import mark_file_names
+
+        if not snap.dv:
             return None
-        rows = (
-            marks.groupBy(_DV_FILE)
-            .agg(F.sort_array(F.collect_set(_DV_POS)).alias("_ps"))
-            .collect()
+        key = (tdir, snap.dv)
+        cache = getattr(self, "_dv_posset_cache", None)
+        if cache is None:
+            cache = self._dv_posset_cache = {}
+        if key in cache:
+            return cache[key]
+        merged: dict[str, set] = {}
+        found = False
+        for name in mark_file_names(tdir, snap.dv):
+            try:
+                doc = read_json(os.path.join(tdir, "index", name))
+            except FileNotFoundError:
+                continue
+            found = True
+            for rel, ps in doc.get("vectors", {}).items():
+                base = os.path.basename(rel.replace("\\", "/"))
+                merged.setdefault(base, set()).update(ps)
+        out = (
+            {b: np.array(sorted(ps), dtype=np.int64) for b, ps in merged.items()}
+            if found
+            else None
         )
-        return {r[0]: np.asarray(r[1], dtype=np.int64) for r in rows}
+        if len(cache) >= 8:  # tiny LRU: reads cluster on few snapshots
+            cache.pop(next(iter(cache)))
+        cache[key] = out
+        return out
 
     def _dv_apply_distributed(
         self, df: DataFrame, tdir: str, snap: Snapshot, schema: TableSchema | None = None
@@ -300,10 +330,19 @@ class DeletionVectorMixin:
             per_file = self._dv_position_sets(tdir, snap)
             if per_file is None:
                 return df.drop(_DV_FILE, _DV_POS)
-            keep = _dv_keep_udf(self.spark, per_file)
-            return df.filter(keep(F.col(_DV_FILE), F.col(_DV_POS))).drop(
-                _DV_FILE, _DV_POS
-            )
+            import zlib
+
+            by_hash = {
+                zlib.crc32(b.encode("utf-8")): ps for b, ps in per_file.items()
+            }
+            if len(by_hash) == len(per_file):  # crc collision → join path
+                keep = _dv_keep_udf(self.spark, by_hash)
+                fhash = F.crc32(
+                    F.encode(F.substring_index(F.col(_DV_FILE), "/", -1), "UTF-8")
+                ).cast("bigint")
+                return df.filter(keep(fhash, F.col(_DV_POS))).drop(
+                    _DV_FILE, _DV_POS
+                )
         marks = self._dv_marks_df(tdir, snap.dv) if snap.dv else None
         df = df.withColumn(_DV_FILE, F.element_at(F.split(F.col(_DV_FILE), "/"), -1))
         if marks is not None:

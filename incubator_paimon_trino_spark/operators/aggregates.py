@@ -132,11 +132,31 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     HLL++ with rsd 1% — at 100 TB this replaces a full distinct shuffle with a
     fixed-size sketch merge. Value is algorithm-specific → rows-only check;
     the exact counterpart is oracle-checked in ``agg_count_distinct_multi``.
+
+    r11 in-query invariant (VERDICT r10 item 7): the same aggregation also
+    computes the EXACT distinct counts and the query fails loudly unless
+    each approximation lands within 5x the declared rsd (1%) of its exact
+    twin value — the rows-only declaration is now self-verifying on the
+    driver's own data. The exact columns exist only for the check; the
+    output stays approx-only (production shape is the sketch alone).
     """
-    return table(spark, sf_dir, "lineitem").agg(
+    from incubator_paimon_trino_spark.operators.registry import self_check
+
+    r = table(spark, sf_dir, "lineitem").agg(
         F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
         F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
+        F.countDistinct("l_partkey").alias("_exact_parts"),
+        F.countDistinct("l_orderkey").alias("_exact_orders"),
     )
+    within = (
+        (F.abs(F.col("approx_parts") - F.col("_exact_parts"))
+         <= 0.05 * F.col("_exact_parts"))
+        & (F.abs(F.col("approx_orders") - F.col("_exact_orders"))
+           <= 0.05 * F.col("_exact_orders"))
+    )
+    return self_check(
+        r, within, "approx_count_distinct strayed beyond 5x rsd of exact"
+    ).select("approx_parts", "approx_orders")
 
 
 @register(

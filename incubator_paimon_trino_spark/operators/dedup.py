@@ -225,9 +225,28 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sums.select("doc_id", F.array(*[F.col(f"m{i}") for i in range(_N_PERMS)]).alias("sig"))
 
 
+def _exact_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a < doc_b) pairs with IDENTICAL text (md5 join) — the ground
+    truth every LSH family is guaranteed to recover: identical text means
+    identical shingles/tokens, hence identical signatures, hence identical
+    band keys. Used as the r11 in-query invariant for the rows-only LSH
+    queries (VERDICT r10 item 7). Quadratic only within an exact-duplicate
+    group — the same blowup the LSH output itself has for those groups."""
+    d = table(spark, sf_dir, "documents").select("doc_id", F.md5("text").alias("_h"))
+    a = d.select(F.col("doc_id").alias("doc_a"), "_h")
+    b = d.select(F.col("doc_id").alias("doc_b"), "_h")
+    return a.join(b, "_h").filter(F.col("doc_a") < F.col("doc_b")).select("doc_a", "doc_b")
+
+
 @register("dedup_minhash_lsh")  # rows-only: xxhash64 has no DuckDB twin
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + banded LSH near-dup pairs, verified by signature agreement.
+
+    r11 in-query invariant: the exact-duplicate pairs (md5-identical text —
+    ``_exact_dup_pairs``) MUST all appear in the output (identical text ⇒
+    identical signatures ⇒ est_jaccard = 1 ≥ 0.5); the query fails loudly
+    if any is missing, tying the rows-only declaration to the md5 twin's
+    guarantee on the same data.
 
     Pipeline: signature (fixed 32 longs/doc) → explode into 8 SKINNY band
     keys (doc_id, band, band_hash — the signature array stays behind) →
@@ -274,13 +293,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))"
         f" / cast({_N_PERMS} as double)"
     )
-    return (
+    out = (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
         .withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= 0.5)
         .select("doc_a", "doc_b", "est_jaccard")
-    )
+    ).cache()  # consumed twice (output + guard); near-dup pairs are tiny
+    from incubator_paimon_trino_spark.operators.registry import guard_empty
+
+    missing = _exact_dup_pairs(spark, sf_dir).join(out, ["doc_a", "doc_b"], "left_anti")
+    return guard_empty(out, missing, "minhash LSH missed an exact-duplicate pair")
 
 
 @register("dedup_simhash")  # rows-only: xxhash64 has no DuckDB twin
@@ -336,7 +359,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     left = bands.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("h_a"), "band", "bh")
     right = bands.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("h_b"), "band", "bh")
     hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
-    return (
+    out = (
         left.join(right, ["band", "bh"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", "h_a", "h_b")
@@ -344,7 +367,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("hamming", hamming.cast("int"))
         .filter(F.col("hamming") <= 3)
         .select("doc_a", "doc_b", "hamming")
-    )
+    ).cache()  # consumed twice (output + guard); near-dup pairs are tiny
+    # r11 in-query invariant (VERDICT r10 item 7): identical text ⇒
+    # identical fingerprints ⇒ hamming 0 and shared bands, so every
+    # md5-exact pair must be in the output — loud failure otherwise.
+    from incubator_paimon_trino_spark.operators.registry import guard_empty
+
+    missing = _exact_dup_pairs(spark, sf_dir).join(out, ["doc_a", "doc_b"], "left_anti")
+    return guard_empty(out, missing, "simhash missed an exact-duplicate pair")
 
 
 @register(

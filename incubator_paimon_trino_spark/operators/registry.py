@@ -51,6 +51,28 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # determinism helpers (Spark side); oracle SQL mirrors these textually
 # ---------------------------------------------------------------------------
 
+def self_check(df: DataFrame, cond: Column, message: str) -> DataFrame:
+    """Row-level in-query invariant (r11, VERDICT r10 item 7): rows pass
+    through unchanged, but any row violating ``cond`` fails the whole query
+    loudly at execution time (``F.assert_true``). ``assert_true`` is
+    non-foldable, so the filter survives optimization; its value is always
+    NULL on passing rows, so ``isNull()`` keeps every row."""
+    return df.filter(F.assert_true(cond, F.lit(message)).isNull())
+
+
+def guard_empty(df: DataFrame, violations: DataFrame, message: str) -> DataFrame:
+    """Plan-level in-query invariant: fail the query loudly if the
+    ``violations`` frame is non-empty, else pass ``df`` through unchanged.
+    The guard is a one-row broadcast cross join (the repo's sanctioned
+    1-row crossJoin shape), so it adds no shuffle to ``df``'s plan."""
+    guard = self_check(
+        violations.agg(F.count(F.lit(1)).alias("_viol")),
+        F.col("_viol") == 0,
+        message,
+    )
+    return df.crossJoin(F.broadcast(guard)).drop("_viol")
+
+
 def dec2(col: str | Column) -> Column:
     """Exact decimal view of a 2-decimal double column (order-independent agg).
 

