@@ -117,20 +117,48 @@ _DEFER_NEW: set[str] = set()
 # Verified-green queries whose CODE PATH changed since their last driver
 # verdict — r10 amendment (VERDICT r9 item 2): changed-code greens outrank
 # stale-but-unchanged greens in the prefix. ORDERED, most-changed first.
-# r10's wave: window_ntile_percent + the four pattern queries carry pre-r9
-# verdicts over r9-changed plans (two-pass window; vectorized linear NFA);
-# then everything the r10 read-path work touched — the collect aggregate's
-# ordered-retraction rewrite, the sequence-group/no-retraction fast paths,
-# the fully-compacted and delta-vs-base merge fast paths (every read_table
-# consumer), the DV broadcast hint, the vectorized avro codec, the
-# fallback-branch/DML isolation, and relative partition expiration.
+# r11's wave: the five formerly assert-free rows-only queries now carry
+# in-query invariants (plans changed materially — brief item 7); the DV
+# family reads through the new position-set pushdown (crc32-int UDF filter,
+# config-derived bounds — items 3/4); the four linear pattern queries run
+# through the touched match_recognize dispatch (item 1; the new non-linear
+# query is never-checked and jumps via the pattern_ prefix); avro queries
+# exercise the array-vectorized codec + the with_pos plumbing (items 5/6);
+# the delta-split/compacted fast paths now gate on the config-derived
+# broadcast bound; remaining read_table consumers follow (the _read_files
+# signature grew the synth_pos branch).
 _REPROOF: tuple[str, ...] = (
-    "window_ntile_percent",
+    # in-query invariants (new plans)
+    "agg_approx_count_distinct",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_lsh_bucketed",
+    "multimodal_feature_extract",
+    # DV position-set pushdown + config-derived bounds
+    "lake_deletion_vector_read",
+    "lake_dv_cdc_pipeline",
+    "lake_dv_changelog_stream",
+    # pattern dispatch touched by the product-construction work
     "pattern_match_recognize_funnel",
     "pattern_funnel_view_click_purchase",
     "pattern_error_within_5min_of_purchase",
     "pattern_longest_click_streak",
-    # collect/merge-engine semantics + fast paths
+    # avro codec (arrays) + positional plumbing
+    "lake_avro_roundtrip",
+    "lake_manifest_changelog_stream",
+    # broadcast-bound-gated fast paths
+    "lake_delta_base_split_read",
+    "lake_compacted_merge_free_read",
+    "lake_merge_on_read",
+    # remaining read_table consumers, least-changed last
+    "lake_time_travel_v1",
+    "lake_tag_time_travel",
+    "lake_dml_roundtrip",
+    "lake_partition_delete",
+    "lake_read_optimized_table",
+    "lake_sort_compacted_range_scan",
+    "lake_zorder_compacted_scan",
+    "lake_clustered_scan",
     "lake_agg_collect_merge_map",
     "lake_agg_nested_update",
     "lake_agg_ignore_retract",
@@ -140,28 +168,8 @@ _REPROOF: tuple[str, ...] = (
     "lake_partial_update_remove_on_delete",
     "lake_first_row_merge",
     "lake_sequence_field_merge",
-    "lake_merge_on_read",
     "lake_rowkind_field_cdc",
     "lake_ignore_delete",
-    # compaction-adjacent reads (fully-compacted + delta-split fast paths)
-    "lake_sort_compacted_range_scan",
-    "lake_zorder_compacted_scan",
-    "lake_clustered_scan",
-    "lake_read_optimized_table",
-    "lake_time_travel_v1",
-    "lake_tag_time_travel",
-    "lake_dml_roundtrip",
-    "lake_partition_delete",
-    "lake_partition_expiration",
-    "lake_fallback_branch",
-    # DV (broadcast hint) + streams (transport) + avro (vectorized codec)
-    "lake_deletion_vector_read",
-    "lake_dv_changelog_stream",
-    "lake_dv_cdc_pipeline",
-    "lake_manifest_changelog_stream",
-    "lake_avro_roundtrip",
-    "lake_char_padded_read",
-    # remaining read_table consumers, least-changed last
     "lake_dynamic_bucket",
     "lake_bucket_point_lookup",
     "lake_incremental_read",
@@ -171,25 +179,15 @@ _REPROOF: tuple[str, ...] = (
     "lake_schema_evolution",
     "lake_orc_scan",
     "lake_timestamp_precision",
+    "lake_char_padded_read",
     "lake_bloom_index_point_lookup",
     "lake_bitmap_index_lookup",
     "lake_like_prefix_pruned_scan",
     "lake_dynamic_file_pruning",
     "lake_limit_pushdown_partition_scoped",
     "lake_partition_pruned_scan",
-    "lake_dynamic_partition_pruning",
-    "lake_stats_broadcast_join",
-    "lake_branch_fast_forward",
-    "lake_rollback_to_snapshot",
-    "lake_expire_snapshots",
-    "lake_changelog_producer_lookup",
-    "lake_metadata_min_max",
-    "lake_metadata_count",
-    "lake_snapshots_system_table",
-    "lake_files_system_table",
-    "lake_partitions_system_table",
-    "lake_audit_log",
-    "lake_information_schema_columns",
+    "lake_partition_expiration",
+    "lake_fallback_branch",
 )
 
 
