@@ -62,10 +62,18 @@ class _Rep:
 
 
 def parse_pattern(pattern: str) -> object:
-    """Recursive-descent parser for the row-pattern grammar."""
+    """Recursive-descent parser for the row-pattern grammar.
+
+    Bounded quantifiers (Trino's ``{n}`` / ``{n,}`` / ``{n,m}`` — r11)
+    DESUGAR at parse time into the three core forms, preserving greedy
+    preference: ``X{n,m}`` = n copies then (m−n) right-nested optionals
+    ``(X (X …)?)?`` (greedy tries the longest first, exactly the flat
+    quantifier's order); ``X{n,}`` = n copies then ``X*``. Both matchers
+    (linear + compiled product) inherit them for free."""
     tokens = pattern.replace("(", " ( ").replace(")", " ) ").replace("|", " | ")
     for q in "+*?":
         tokens = tokens.replace(q, f" {q} ")
+    tokens = tokens.replace("{", " { ").replace("}", " } ").replace(",", " , ")
     toks = tokens.split()
     pos = 0
 
@@ -107,6 +115,37 @@ def parse_pattern(pattern: str) -> object:
         if q == "?":
             take()
             return _Rep(node, 0, 1)
+        if q == "{":
+            take()
+            lo_t = take()
+            if not lo_t.isdigit():
+                raise ValueError(f"bad quantifier bound {lo_t!r} in {pattern!r}")
+            lo = int(lo_t)
+            hi: int | None = lo
+            if peek() == ",":
+                take()
+                if peek() == "}":
+                    hi = None  # {n,}
+                else:
+                    hi_t = take()
+                    if not hi_t.isdigit():
+                        raise ValueError(f"bad quantifier bound {hi_t!r} in {pattern!r}")
+                    hi = int(hi_t)
+            if take() != "}":
+                raise ValueError(f"unclosed quantifier in {pattern!r}")
+            if hi is not None and hi < lo:
+                raise ValueError(f"quantifier {{{lo},{hi}}} inverted in {pattern!r}")
+            if hi == 0:
+                raise ValueError(f"quantifier {{0,0}} matches nothing in {pattern!r}")
+            # desugar (see docstring): copies share the AST node (immutable)
+            tail: object | None = None
+            if hi is None:
+                tail = _Rep(node, 0, None)  # {n,} → X^n X*
+            else:
+                for _ in range(hi - lo):  # right-nested greedy optionals
+                    tail = _Rep(node if tail is None else _Seq([node, tail]), 0, 1)
+            parts = [node] * lo + ([tail] if tail is not None else [])
+            return parts[0] if len(parts) == 1 else _Seq(parts)
         return node
 
     def parse_atom():
@@ -742,6 +781,61 @@ def pattern_match_recognize_funnel(spark: SparkSession, sf_dir: str) -> DataFram
         partition_by=["user_id"],
         order_by=["ts", "event_id"],
         pattern="V C+ P",
+        define={
+            "V": "event_type = 'view'",
+            "C": "event_type = 'click'",
+            "P": "event_type = 'purchase'",
+        },
+    )
+    return mr.groupBy("user_id", "match_no").agg(
+        F.min_by("event_id", "match_row").alias("start_event_id"),
+        F.max_by("event_id", "match_row").alias("end_event_id"),
+        F.sum(F.when(F.col("classifier") == "C", 1).otherwise(0)).alias("n_clicks"),
+    )
+
+
+@register(
+    "pattern_bounded_quantifier_funnel",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, event_type, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    nc AS (
+      SELECT *, MAX(CASE WHEN event_type <> 'click' THEN rn END)
+                 OVER (PARTITION BY user_id ORDER BY rn
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_nc
+      FROM seq
+    )
+    SELECT p.user_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY p.user_id ORDER BY s.rn) AS BIGINT) AS match_no,
+           s.event_id AS start_event_id,
+           p.event_id AS end_event_id,
+           CAST(p.rn - s.rn - 1 AS BIGINT) AS n_clicks
+    FROM nc p JOIN seq s ON s.user_id = p.user_id AND s.rn = p.prev_nc
+    WHERE p.event_type = 'purchase' AND s.event_type = 'view'
+      AND p.rn - s.rn BETWEEN 3 AND 5
+    """,
+)
+def pattern_bounded_quantifier_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PATTERN (V C{2,4} P) — Trino's bounded quantifier (r11): a view,
+    then two-to-four contiguous clicks, then a purchase. The parser
+    desugars ``{n,m}`` into right-nested greedy optionals, so the compiled
+    product matcher runs it (the desugared form is non-linear).
+
+    Closed-form oracle: the pattern consumes contiguous rows, so a match
+    exists iff the last non-click row before a purchase is a view at
+    distance 3..5 (1 view + 2..4 clicks). A longer click run can't match —
+    the purchase wouldn't be adjacent to the consumed clicks — which the
+    BETWEEN bound encodes exactly.
+    """
+    ev = table(spark, sf_dir, "events").select("user_id", "event_id", "event_type", "ts")
+    mr = match_recognize(
+        ev,
+        partition_by=["user_id"],
+        order_by=["ts", "event_id"],
+        pattern="V C{2,4} P",
         define={
             "V": "event_type = 'view'",
             "C": "event_type = 'click'",

@@ -297,3 +297,56 @@ def test_nullable_body_quantifier_fenced_by_default(spark):
         match_recognize(df, ["u"], ["ts"], "(A?)+ B", define)
     out = match_recognize(df, ["u"], ["ts"], "(A?)+ B", define, allow_python_nfa=True)
     assert out.count() == 2  # A then B in one match
+
+
+def test_bounded_quantifiers_desugar_and_match():
+    """r11: {n} / {n,} / {n,m} desugar into the three core forms with greedy
+    preference preserved — pinned against Python's re engine (an INDEPENDENT
+    leftmost-greedy reference) and against the backtracking NFA on both
+    product-matcher arms, exhaustively to length 6."""
+    import itertools
+    import re as _re
+
+    from incubator_paimon_trino_spark.operators.match_recognize import (
+        _product_eligible,
+        compile_nfa,
+        find_matches_product,
+    )
+
+    def re_reference(rx, s):
+        out, i, pat = [], 0, _re.compile(rx)
+        while i < len(s):
+            m = pat.match(s, i)
+            if m and m.end() > i:
+                out.append((i, m.end() - i))
+                i = m.end()
+            else:
+                i += 1
+        return out
+
+    cases = [
+        ("A{2}", "A{2}"), ("A{2,4} B", "A{2,4}B"), ("A{2,} B", "A{2,}B"),
+        ("(A B){1,2} C", "(AB){1,2}C"), ("A{0,2} B", "A{0,2}B"),
+        ("(A | B){2,3}", "[AB]{2,3}"),
+    ]
+    for pat, rx in cases:
+        ast = parse_pattern(pat)
+        assert _product_eligible(ast), pat
+        moves, start = compile_nfa(ast)
+        for n in range(0, 7):
+            for seq in itertools.product("ABC", repeat=n):
+                s = "".join(seq)
+                flags = {sym: [c == sym for c in seq] for sym in "ABC"}
+                got = find_matches(ast, flags, n, "skip_past_last")
+                assert [(st, len(cls)) for st, cls in got] == re_reference(rx, s), (pat, s)
+                for sf in (0.0, 1.0):
+                    fast = find_matches_product(
+                        moves, start, flags, n, "skip_past_last", _block=4, _sparse_frac=sf
+                    )
+                    assert fast == got, (pat, s, sf)
+    with pytest.raises(ValueError):
+        parse_pattern("A{3,2}")
+    with pytest.raises(ValueError):
+        parse_pattern("A{0,0}")
+    with pytest.raises(ValueError):
+        parse_pattern("A{2")

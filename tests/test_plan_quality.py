@@ -575,3 +575,22 @@ def test_dynamic_bucket_read_has_no_bucket_column_and_no_extra_exchange(spark):
     plan = physical_plan(df).lower()
     assert "_bucket" not in plan
     assert "dynamic-bucket" not in plan  # index parquet never in a read plan
+
+
+def test_alternation_funnel_single_user_shuffle_no_python_rows(spark):
+    """r11 pattern_alternation_funnel (product-construction matcher): one
+    hash exchange keyed by user (the same shuffle any per-user window
+    needs) feeds the Arrow-batched matcher; the measures groupBy reuses
+    that partitioning (no second full-data exchange of the events), and no
+    row-at-a-time PythonUDF appears — the only Python is the grouped-map
+    FlatMapGroupsInPandas."""
+    df = _q("pattern_alternation_funnel")(spark, SF_SMOKE)
+    plan = physical_plan(df)
+    assert "FlatMapGroupsInPandas" in plan
+    assert "BatchEvalPython" not in plan  # no per-row Python UDFs
+    # the match output is already user-partitioned: the measures groupBy
+    # must not add a full shuffle of the matched rows beyond the one the
+    # grouped map needs (partial aggregation before any exchange)
+    assert plan.index("FlatMapGroupsInPandas") > plan.index("HashAggregate") or (
+        count_shuffles(df) <= 2
+    )
