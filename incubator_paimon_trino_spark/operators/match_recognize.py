@@ -7,8 +7,9 @@ The reference's inherited Trino suite names row-pattern matching
 pure window plans; this module is the general engine those plans special-case:
 
 - **pattern**: a regex over symbol names — concatenation (space), ``|``
-  alternation, ``+ * ?`` greedy quantifiers, ``( )`` grouping. Example:
-  ``"V C+ (P | E)"``.
+  alternation, ``+ * ?`` greedy quantifiers plus bounded ``{n} {n,} {n,m}``
+  and reluctant ``+? *? ?? {n,m}?`` variants (r11 — Trino's full
+  quantifier surface), ``( )`` grouping. Example: ``"V C+ (P | E)"``.
 - **define**: per-symbol boolean SQL over the current row's columns
   (Trino's DEFINE clause). Conditions are evaluated ONCE, JVM-side inside
   whole-stage codegen, into boolean flag columns — the Python matcher only
@@ -59,6 +60,7 @@ class _Rep:
     node: object
     min_count: int  # 0 for * / ?, 1 for +
     max_count: int | None  # None = unbounded, 1 for ?
+    greedy: bool = True  # False = reluctant (+? *? ?? {n,m}?): prefer FEWER
 
 
 def parse_pattern(pattern: str) -> object:
@@ -103,18 +105,27 @@ def parse_pattern(pattern: str) -> object:
             raise ValueError(f"empty pattern segment in {pattern!r}")
         return parts[0] if len(parts) == 1 else _Seq(parts)
 
+    def reluctant() -> bool:
+        # SQL row patterns don't stack quantifiers, so a '?' right after a
+        # quantifier can only mean RELUCTANT (prefer fewer rows)
+        nonlocal pos
+        if peek() == "?":
+            pos += 1
+            return True
+        return False
+
     def parse_quant():
         node = parse_atom()
         q = peek()
         if q == "+":
             take()
-            return _Rep(node, 1, None)
+            return _Rep(node, 1, None, greedy=not reluctant())
         if q == "*":
             take()
-            return _Rep(node, 0, None)
+            return _Rep(node, 0, None, greedy=not reluctant())
         if q == "?":
             take()
-            return _Rep(node, 0, 1)
+            return _Rep(node, 0, 1, greedy=not reluctant())
         if q == "{":
             take()
             lo_t = take()
@@ -137,13 +148,16 @@ def parse_pattern(pattern: str) -> object:
                 raise ValueError(f"quantifier {{{lo},{hi}}} inverted in {pattern!r}")
             if hi == 0:
                 raise ValueError(f"quantifier {{0,0}} matches nothing in {pattern!r}")
+            g = not reluctant()
             # desugar (see docstring): copies share the AST node (immutable)
             tail: object | None = None
             if hi is None:
-                tail = _Rep(node, 0, None)  # {n,} → X^n X*
+                tail = _Rep(node, 0, None, greedy=g)  # {n,} → X^n X*
             else:
-                for _ in range(hi - lo):  # right-nested greedy optionals
-                    tail = _Rep(node if tail is None else _Seq([node, tail]), 0, 1)
+                for _ in range(hi - lo):  # right-nested optionals
+                    tail = _Rep(
+                        node if tail is None else _Seq([node, tail]), 0, 1, greedy=g
+                    )
             parts = [node] * lo + ([tail] if tail is not None else [])
             return parts[0] if len(parts) == 1 else _Seq(parts)
         return node
@@ -155,6 +169,29 @@ def parse_pattern(pattern: str) -> object:
             if take() != ")":
                 raise ValueError(f"unbalanced parens in {pattern!r}")
             return inner
+        if t.upper() == "PERMUTE" and peek() == "(":
+            # Trino's PERMUTE(A, B, ...) — all orderings, preference =
+            # lexicographic by argument position (the SQL-standard order),
+            # desugared to an alternation of sequences
+            import itertools as _it
+
+            take()  # (
+            syms = [parse_quant()]
+            while peek() == ",":
+                take()
+                syms.append(parse_quant())
+            if take() != ")":
+                raise ValueError(f"unclosed PERMUTE in {pattern!r}")
+            if len(syms) > 6:
+                raise ValueError(
+                    f"PERMUTE of {len(syms)} elements expands to "
+                    f"{len(syms)}! sequences; 6 is the supported max"
+                )
+            opts = [
+                p[0] if len(p) == 1 else _Seq(list(p))
+                for p in _it.permutations(syms)
+            ]
+            return opts[0] if len(opts) == 1 else _Alt(opts)
         if not t.isidentifier():
             raise ValueError(f"bad symbol {t!r} in pattern {pattern!r}")
         return _Sym(t)
@@ -212,15 +249,18 @@ def _match_from(node, flags: dict[str, "object"], i: int, n: int) -> Iterator[tu
         for opt in node.options:
             yield from _match_from(opt, flags, i, n)
         return
-    # _Rep: greedy — try one more body iteration first, then stop (if allowed)
+    # _Rep: greedy tries one more body iteration BEFORE stopping; reluctant
+    # stops first (if allowed), then tries one more
     def rep(count, j) -> Iterator[tuple[int, list[str]]]:
+        if not node.greedy and count >= node.min_count:
+            yield j, []
         if node.max_count is None or count < node.max_count:
             for mid, cls1 in _match_from(node.node, flags, j, n):
                 if mid == j:
                     continue  # zero-width body: stop looping
                 for end, cls2 in rep(count + 1, mid):
                     yield end, cls1 + cls2
-        if count >= node.min_count:
+        if node.greedy and count >= node.min_count:
             yield j, []
 
     yield from rep(0, i)
@@ -258,7 +298,9 @@ def _linear_atoms(node) -> list[tuple[str, int, int | None]] | None:
     for p in parts:
         if isinstance(p, _Sym):
             out.append((p.name, 1, 1))
-        elif isinstance(p, _Rep) and isinstance(p.node, _Sym):
+        elif isinstance(p, _Rep) and isinstance(p.node, _Sym) and p.greedy:
+            # reluctant quantifiers (r11) take the compiled product path —
+            # the linear recurrences assume greedy preference
             out.append((p.node.name, p.min_count, p.max_count))
         else:
             return None
@@ -431,23 +473,26 @@ def compile_nfa(node) -> tuple[list[list[tuple]], int]:
             for o in n.options:
                 edges[u].append(("eps", build(o, out)))
             return u
-        # _Rep — only the three quantifier shapes the grammar produces
+        # _Rep — only the three quantifier shapes the grammar produces.
+        # ε-edge ORDER encodes preference: greedy puts the body first,
+        # reluctant puts the exit first.
+        def ordered(u, body_entry):
+            pair = [("eps", body_entry), ("eps", out)]
+            edges[u].extend(pair if n.greedy else pair[::-1])
+
         if n.max_count == 1:  # ?
             u = new()
-            edges[u].append(("eps", build(n.node, out)))
-            edges[u].append(("eps", out))
+            ordered(u, build(n.node, out))
             return u
-        if n.min_count == 1:  # + : body once, then greedy loop-or-exit
+        if n.min_count == 1:  # + : body once, then loop-or-exit
             loop = new()
             entry = build(n.node, loop)
-            edges[loop].append(("eps", entry))
-            edges[loop].append(("eps", out))
+            ordered(loop, entry)
             return entry
-        # * : greedy enter-body-or-exit; body loops back to the fork
+        # * : enter-body-or-exit; body loops back to the fork
         fork = new()
         entry = build(n.node, fork)
-        edges[fork].append(("eps", entry))
-        edges[fork].append(("eps", out))
+        ordered(fork, entry)
         return fork
 
     start_entry = build(node, final)

@@ -350,3 +350,98 @@ def test_bounded_quantifiers_desugar_and_match():
         parse_pattern("A{0,0}")
     with pytest.raises(ValueError):
         parse_pattern("A{2")
+
+
+def test_reluctant_quantifiers_match_re_reference():
+    """r11: reluctant quantifiers (+? *? ?? {n,m}?) — preference order
+    flips to FEWER rows first, pinned against Python's re engine and the
+    product matcher on both arms, exhaustively to length 6. Reluctant
+    patterns never take the linear path (its recurrences assume greedy)."""
+    import itertools
+    import re as _re
+
+    from incubator_paimon_trino_spark.operators.match_recognize import (
+        _linear_atoms,
+        _product_eligible,
+        compile_nfa,
+        find_matches_product,
+    )
+
+    def re_reference(rx, s):
+        out, i, pat = [], 0, _re.compile(rx)
+        while i < len(s):
+            m = pat.match(s, i)
+            if m and m.end() > i:
+                out.append((i, m.end() - i))
+                i = m.end()
+            else:
+                i += 1
+        return out
+
+    cases = [
+        ("A+? B", "A+?B"), ("A*? B", "A*?B"), ("A?? B", "A??B"), ("A+?", "A+?"),
+        ("A B*? C", "AB*?C"), ("(A | B)+? C", "[AB]+?C"),
+        ("A{1,3}? B", "A{1,3}?B"), ("A{2,}? B", "A{2,}?B"),
+        ("(A B){1,2}? C", "(AB){1,2}?C"), ("A*?", "A*?"),
+    ]
+    for pat, rx in cases:
+        ast = parse_pattern(pat)
+        assert _linear_atoms(ast) is None, pat
+        assert _product_eligible(ast), pat
+        moves, start = compile_nfa(ast)
+        for n in range(0, 7):
+            for seq in itertools.product("ABC", repeat=n):
+                s = "".join(seq)
+                flags = {sym: [c == sym for c in seq] for sym in "ABC"}
+                got = find_matches(ast, flags, n, "skip_past_last")
+                assert [(st, len(c)) for st, c in got] == re_reference(rx, s), (pat, s)
+                for sf in (0.0, 1.0):
+                    fast = find_matches_product(
+                        moves, start, flags, n, "skip_past_last", _block=4, _sparse_frac=sf
+                    )
+                    assert fast == got, (pat, s, sf)
+
+
+def test_permute_desugars_to_preference_ordered_alternation():
+    """r11: PERMUTE(A, B, ...) — all orderings, lexicographic preference by
+    argument position (Trino/SQL-standard) — pinned against re; quantified
+    elements permute too; >6 elements refuse (factorial blowup)."""
+    import itertools
+    import re as _re
+
+    from incubator_paimon_trino_spark.operators.match_recognize import (
+        compile_nfa,
+        find_matches_product,
+    )
+
+    def re_reference(rx, s):
+        out, i, pat = [], 0, _re.compile(rx)
+        while i < len(s):
+            m = pat.match(s, i)
+            if m and m.end() > i:
+                out.append((i, m.end() - i))
+                i = m.end()
+            else:
+                i += 1
+        return out
+
+    cases = [
+        ("PERMUTE(A, B)", "(AB|BA)"),
+        ("PERMUTE(A, B, C)", "(ABC|ACB|BAC|BCA|CAB|CBA)"),
+        ("C PERMUTE(A, B) C", "C(AB|BA)C"),
+        ("PERMUTE(A+, B)", "(A+B|BA+)"),
+    ]
+    for pat, rx in cases:
+        ast = parse_pattern(pat)
+        moves, start = compile_nfa(ast)
+        for n in range(0, 7):
+            for seq in itertools.product("ABC", repeat=n):
+                s = "".join(seq)
+                flags = {sym: [c == sym for c in seq] for sym in "ABC"}
+                got = find_matches(ast, flags, n, "skip_past_last")
+                assert [(st, len(c)) for st, c in got] == re_reference(rx, s), (pat, s)
+                fast = find_matches_product(moves, start, flags, n, "skip_past_last", _block=4)
+                assert fast == got, (pat, s)
+    with pytest.raises(ValueError, match="PERMUTE"):
+        parse_pattern("PERMUTE(A, B, C, D, E, F, G)")
+    assert pattern_symbols(parse_pattern("PERMUTE(A, B)")) == ["A", "B"]
