@@ -694,6 +694,61 @@ def find_matches_product(
     return out
 
 
+# -------------------------------------------------- DEFINE navigation (r11)
+def _rewrite_navigation(cond: str, navs: list) -> str:
+    """Rewrite Trino's physical navigation calls ``PREV(expr[, k])`` /
+    ``NEXT(expr[, k])`` inside a DEFINE condition string into generated
+    column references; ``navs`` accumulates (kind, inner expr, offset,
+    column name) for the caller to materialize as ``lag``/``lead`` windows
+    over (partition_by, order_by) — exactly Trino's DEFINE semantics
+    (navigation is over PHYSICAL rows in partition order, not over matched
+    rows). Offsets must be integer literals (Trino's constraint too)."""
+    import re as _re
+
+    out: list[str] = []
+    i = 0
+    while True:
+        m = _re.search(r"\b(PREV|NEXT)\s*\(", cond[i:], _re.IGNORECASE)
+        if not m:
+            out.append(cond[i:])
+            return "".join(out)
+        start = i + m.start()
+        p = i + m.end()  # just past the '('
+        out.append(cond[i:start])
+        depth, j = 1, p
+        while depth:
+            if j >= len(cond):
+                raise ValueError(f"unbalanced parens in DEFINE condition {cond!r}")
+            if cond[j] == "(":
+                depth += 1
+            elif cond[j] == ")":
+                depth -= 1
+            j += 1
+        inner = cond[p : j - 1]
+        # top-level comma → optional constant offset
+        depth2, cut = 0, None
+        for idx, ch in enumerate(inner):
+            if ch == "(":
+                depth2 += 1
+            elif ch == ")":
+                depth2 -= 1
+            elif ch == "," and depth2 == 0:
+                cut = idx
+                break
+        expr, off = (inner, 1) if cut is None else (inner[:cut], inner[cut + 1 :])
+        if cut is not None:
+            off_s = str(off).strip()
+            if not off_s.isdigit():
+                raise ValueError(
+                    f"{m.group(1).upper()} offset must be an integer literal, got {off_s!r}"
+                )
+            off = int(off_s)
+        name = f"_mr_nav{len(navs)}"
+        navs.append((m.group(1).upper(), expr.strip(), off, name))
+        out.append(name)
+        i = j
+
+
 # ------------------------------------------------------------ the operator
 def match_recognize(
     df: DataFrame,
@@ -728,11 +783,35 @@ def match_recognize(
     if missing:
         raise ValueError(f"pattern symbols {missing} missing from define {sorted(define)}")
 
-    flagged = df
+    # DEFINE navigation (r11): PREV/NEXT in string conditions rewrite to
+    # lag/lead columns over (partition_by, order_by) — Trino's physical-row
+    # navigation. Requires order_by to be a TOTAL order within partitions
+    # (ties could sort differently between the window and the matcher's
+    # stable sort), same determinism contract the matcher itself carries.
+    navs: list[tuple] = []
+    conds: dict[str, Column] = {}
     for s in symbols:
         cond = define[s]
-        col = F.expr(cond) if isinstance(cond, str) else cond
-        flagged = flagged.withColumn(f"_mr_{s}", F.coalesce(col.cast("boolean"), F.lit(False)))
+        if isinstance(cond, str):
+            rewritten = _rewrite_navigation(cond, navs)
+            conds[s] = F.expr(rewritten)
+        else:
+            conds[s] = cond
+    flagged = df
+    if navs:
+        from pyspark.sql import Window as _W
+
+        w = _W.partitionBy(*partition_by).orderBy(*order_by)
+        flagged = flagged.withColumns(
+            {
+                name: (F.lag if kind == "PREV" else F.lead)(F.expr(expr), off).over(w)
+                for kind, expr, off, name in navs
+            }
+        )
+    for s in symbols:
+        flagged = flagged.withColumn(
+            f"_mr_{s}", F.coalesce(conds[s].cast("boolean"), F.lit(False))
+        )
 
     in_cols = df.columns
     schema = ", ".join(
@@ -836,6 +915,61 @@ def pattern_match_recognize_funnel(spark: SparkSession, sf_dir: str) -> DataFram
         F.min_by("event_id", "match_row").alias("start_event_id"),
         F.max_by("event_id", "match_row").alias("end_event_id"),
         F.sum(F.when(F.col("classifier") == "C", 1).otherwise(0)).alias("n_clicks"),
+    )
+
+
+@register(
+    "pattern_prev_navigation_runs",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, value, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pv
+      FROM events
+    ),
+    d AS (SELECT *, (value < pv) AS dn FROM seq),
+    isl AS (
+      SELECT *, rn - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+      FROM d WHERE dn
+    ),
+    runs AS (
+      SELECT user_id, MIN(rn) AS a, MAX(rn) AS b, COUNT(*) AS n_down
+      FROM isl GROUP BY user_id, grp
+    )
+    SELECT r.user_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY r.user_id ORDER BY r.a) AS BIGINT) AS match_no,
+           s.event_id AS start_event_id,
+           e.event_id AS end_event_id,
+           CAST(r.n_down AS BIGINT) AS n_down
+    FROM runs r
+    JOIN seq s ON s.user_id = r.user_id AND s.rn = r.a - 1
+    JOIN seq e ON e.user_id = r.user_id AND e.rn = r.b
+    """,
+)
+def pattern_prev_navigation_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PATTERN (A D+) with DEFINE D AS value < PREV(value) — Trino's
+    physical-row navigation in DEFINE (r11): maximal strictly-decreasing
+    value runs per user, the classic falling-price MATCH_RECOGNIZE. PREV
+    rewrites to a lag window over (user, event-time) before flag
+    evaluation, so the matcher still sees only a bit-matrix.
+
+    DuckDB oracle: gaps-and-islands over the same lag — every maximal
+    decreasing island [a..b] yields exactly one leftmost-greedy match
+    covering rows a-1..b (the island cannot start at rn=1: LAG is NULL
+    there and NULL comparisons flag false in both engines).
+    """
+    ev = table(spark, sf_dir, "events").select("user_id", "event_id", "value", "ts")
+    mr = match_recognize(
+        ev,
+        partition_by=["user_id"],
+        order_by=["ts", "event_id"],
+        pattern="A D+",
+        define={"A": "true", "D": "value < PREV(value)"},
+    )
+    return mr.groupBy("user_id", "match_no").agg(
+        F.min_by("event_id", "match_row").alias("start_event_id"),
+        F.max_by("event_id", "match_row").alias("end_event_id"),
+        F.sum(F.when(F.col("classifier") == "D", 1).otherwise(0)).alias("n_down"),
     )
 
 

@@ -445,3 +445,49 @@ def test_permute_desugars_to_preference_ordered_alternation():
     with pytest.raises(ValueError, match="PERMUTE"):
         parse_pattern("PERMUTE(A, B, C, D, E, F, G)")
     assert pattern_symbols(parse_pattern("PERMUTE(A, B)")) == ["A", "B"]
+
+
+def test_define_navigation_rewrite():
+    """r11: PREV/NEXT in DEFINE rewrite to generated lag/lead columns —
+    nested parens, explicit offsets, multiple calls; non-literal offsets
+    refuse (Trino's constraint)."""
+    from incubator_paimon_trino_spark.operators.match_recognize import (
+        _rewrite_navigation,
+    )
+
+    navs = []
+    out = _rewrite_navigation("value < PREV(value)", navs)
+    assert out == "value < _mr_nav0"
+    assert navs == [("PREV", "value", 1, "_mr_nav0")]
+    navs = []
+    out = _rewrite_navigation("PREV(CAST(v AS INT), 2) > next(x + (y))", navs)
+    assert out == "_mr_nav0 > _mr_nav1"
+    assert navs[0] == ("PREV", "CAST(v AS INT)", 2, "_mr_nav0")
+    assert navs[1] == ("NEXT", "x + (y)", 1, "_mr_nav1")
+    with pytest.raises(ValueError, match="integer literal"):
+        _rewrite_navigation("PREV(v, k)", [])
+    # no navigation → unchanged, and identifiers containing the words pass
+    navs = []
+    assert _rewrite_navigation("prevision > 1 AND x_next < 2", navs) == (
+        "prevision > 1 AND x_next < 2"
+    )
+    assert navs == []
+
+
+def test_define_navigation_e2e(spark):
+    """NEXT(value) in DEFINE end-to-end: rows where the NEXT row's value is
+    higher start an ascent; partition edges (lead NULL) flag false."""
+    rows = [
+        (1, 1, 10.0), (1, 2, 20.0), (1, 3, 15.0), (1, 4, 30.0), (1, 5, 5.0),
+    ]
+    df = spark.createDataFrame(rows, "u int, seq int, value double")
+    out = match_recognize(
+        df,
+        partition_by=["u"],
+        order_by=["seq"],
+        pattern="U+",
+        define={"U": "value < NEXT(value)"},
+    ).collect()
+    # rows 1 (10<20), 3 (15<30) qualify; row 4 (30>5) and row 5 (edge) do not
+    got = sorted((r.seq, r.match_no) for r in out)
+    assert got == [(1, 1), (3, 2)]
