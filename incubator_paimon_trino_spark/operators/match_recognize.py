@@ -266,8 +266,36 @@ def _match_from(node, flags: dict[str, "object"], i: int, n: int) -> Iterator[tu
     yield from rep(0, i)
 
 
+def _advance(j: int, classifiers: list[str], after_match) -> int:
+    """Next scan position after a match at rows j..j+len(classifiers)-1.
+
+    ``after_match`` is ``skip_past_last`` / ``skip_to_next_row`` or the
+    normalized tuple ``("first"|"last", symbol)`` for Trino's AFTER MATCH
+    SKIP TO FIRST/LAST <symbol> — resume AT that row (overlapping matches
+    are the point). Trino's two error cases are honored: the symbol must
+    be present in the match, and skipping to the match's own first row
+    would loop forever."""
+    if after_match == "skip_past_last":
+        return j + len(classifiers)
+    if after_match == "skip_to_next_row":
+        return j + 1
+    which, sym = after_match
+    hits = [j + off for off, c in enumerate(classifiers) if c == sym]
+    if not hits:
+        raise ValueError(
+            f"AFTER MATCH SKIP TO {which.upper()} {sym}: symbol not present in match"
+        )
+    t = hits[0] if which == "first" else hits[-1]
+    if t == j:
+        raise ValueError(
+            f"AFTER MATCH SKIP TO {which.upper()} {sym} would skip to the "
+            "match's own first row (infinite loop)"
+        )
+    return t
+
+
 def find_matches(
-    node, flags: dict[str, "object"], n: int, after_match: str
+    node, flags: dict[str, "object"], n: int, after_match
 ) -> list[tuple[int, list[str]]]:
     """Leftmost-greedy scan over one sorted partition.
 
@@ -280,7 +308,7 @@ def find_matches(
         if hit is not None and hit[0] > i:  # non-empty match
             end, classifiers = hit
             out.append((i, classifiers))
-            i = end if after_match == "skip_past_last" else i + 1
+            i = _advance(i, classifiers, after_match)
         else:
             i += 1
     return out
@@ -388,7 +416,7 @@ def find_matches_linear(
             i = j + 1
             continue
         out.append((j, cls))
-        i = p if after_match == "skip_past_last" else j + 1
+        i = _advance(j, cls, after_match)
     return out
 
 
@@ -627,7 +655,7 @@ def find_matches_product(
                 break
             if hit is not None and hit[0] > j:
                 out.append((j, hit[1]))
-                i = hit[0] if after_match == "skip_past_last" else j + 1
+                i = _advance(j, hit[1], after_match)
             else:
                 i = j + 1
         if ok:
@@ -690,7 +718,7 @@ def find_matches_product(
             p += 1
             q = step[2]
         out.append((j, cls))  # p > j: ma[j] proved a feasible start consume
-        i = p if after_match == "skip_past_last" else j + 1
+        i = _advance(j, cls, after_match)
     return out
 
 
@@ -775,10 +803,25 @@ def match_recognize(
     exhaustive pin in tests. The only remaining fence is a quantifier over
     a NULLABLE body (``(A?)+``): those degenerate patterns keep the per-row
     Python NFA behind ``allow_python_nfa=True``."""
-    if after_match not in ("skip_past_last", "skip_to_next_row"):
-        raise ValueError(f"unknown after_match {after_match!r}")
     ast = parse_pattern(pattern)
     symbols = pattern_symbols(ast)
+    if after_match not in ("skip_past_last", "skip_to_next_row"):
+        # Trino's AFTER MATCH SKIP TO FIRST/LAST <symbol> — normalize to
+        # ("first"|"last", symbol); matching resumes AT that row, so
+        # overlapping matches are produced by design
+        parts = str(after_match).split()
+        if (
+            len(parts) == 2
+            and parts[0] in ("skip_to_first", "skip_to_last")
+            and parts[1] in symbols
+        ):
+            after_match = (parts[0].rsplit("_", 1)[1], parts[1])
+        else:
+            raise ValueError(
+                f"unknown after_match {after_match!r}; use skip_past_last, "
+                "skip_to_next_row, 'skip_to_first <symbol>' or "
+                "'skip_to_last <symbol>'"
+            )
     missing = [s for s in symbols if s not in define]
     if missing:
         raise ValueError(f"pattern symbols {missing} missing from define {sorted(define)}")
@@ -915,6 +958,49 @@ def pattern_match_recognize_funnel(spark: SparkSession, sf_dir: str) -> DataFram
         F.min_by("event_id", "match_row").alias("start_event_id"),
         F.max_by("event_id", "match_row").alias("end_event_id"),
         F.sum(F.when(F.col("classifier") == "C", 1).otherwise(0)).alias("n_clicks"),
+    )
+
+
+@register(
+    "pattern_skip_to_last_overlap",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, event_type, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    c AS (
+      SELECT *,
+             LEAD(event_type) OVER (PARTITION BY user_id ORDER BY rn) AS nt,
+             LEAD(event_id) OVER (PARTITION BY user_id ORDER BY rn) AS nid
+      FROM seq
+    )
+    SELECT user_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn) AS BIGINT) AS match_no,
+           event_id AS start_event_id,
+           nid AS end_event_id
+    FROM c WHERE event_type = 'click' AND nt = 'click'
+    """,
+)
+def pattern_skip_to_last_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AFTER MATCH SKIP TO LAST C (r11): PATTERN (C C) over clicks with the
+    scan resuming AT each match's last row — a run of k clicks yields k−1
+    OVERLAPPING adjacent pairs (skip_past_last would give ⌊k/2⌋). The
+    DuckDB oracle is the closed form: every click whose next event (in the
+    same user's time order) is also a click heads exactly one match.
+    """
+    ev = table(spark, sf_dir, "events").select("user_id", "event_id", "event_type", "ts")
+    mr = match_recognize(
+        ev,
+        partition_by=["user_id"],
+        order_by=["ts", "event_id"],
+        pattern="C C",
+        define={"C": "event_type = 'click'"},
+        after_match="skip_to_last C",
+    )
+    return mr.groupBy("user_id", "match_no").agg(
+        F.min_by("event_id", "match_row").alias("start_event_id"),
+        F.max_by("event_id", "match_row").alias("end_event_id"),
     )
 
 

@@ -491,3 +491,50 @@ def test_define_navigation_e2e(spark):
     # rows 1 (10<20), 3 (15<30) qualify; row 4 (30>5) and row 5 (edge) do not
     got = sorted((r.seq, r.match_no) for r in out)
     assert got == [(1, 1), (3, 2)]
+
+
+def test_after_match_skip_to_first_last():
+    """r11: AFTER MATCH SKIP TO FIRST/LAST <symbol> — resume AT that row
+    (overlapping matches); symbol-absent and first-row-of-match cases
+    raise, matching Trino's two error conditions. Equivalent across all
+    three matchers (checked inline on the compiled path)."""
+    from incubator_paimon_trino_spark.operators.match_recognize import (
+        compile_nfa,
+        find_matches_product,
+    )
+
+    ast = parse_pattern("A B+")
+    flags = {s: [c == s for c in "ABBAB"] for s in "AB"}
+    # skip_to_last B: match [A B B] resumes at row 2 (a B) — no A there, so
+    # the next match starts at the next A
+    got = find_matches(ast, flags, 5, ("last", "B"))
+    assert got == [(0, ["A", "B", "B"]), (3, ["A", "B"])]
+    moves, start = compile_nfa(ast)
+    assert find_matches_product(moves, start, flags, 5, ("last", "B"), _block=4) == got
+    # chained overlap: C C over a click run with skip_to_last
+    ast2 = parse_pattern("C C")
+    f2 = {"C": [True, True, True, True]}
+    assert find_matches(ast2, f2, 4, ("last", "C")) == [
+        (0, ["C", "C"]), (1, ["C", "C"]), (2, ["C", "C"]),
+    ]
+    # errors: absent symbol; skip to the match's own first row
+    ast3 = parse_pattern("A B?")
+    f3 = {"A": [True], "B": [False]}
+    with pytest.raises(ValueError, match="not present"):
+        find_matches(ast3, f3, 1, ("last", "B"))
+    with pytest.raises(ValueError, match="first row"):
+        find_matches(ast3, {"A": [True, True], "B": [True, False]}, 2, ("first", "A"))
+
+
+def test_after_match_string_forms(spark):
+    """The public API accepts 'skip_to_first X' / 'skip_to_last X' strings
+    and validates the symbol against the pattern."""
+    df = spark.createDataFrame(
+        [(1, 1, "c"), (1, 2, "c"), (1, 3, "c")], "u int, ts int, e string"
+    )
+    out = match_recognize(
+        df, ["u"], ["ts"], "C C", {"C": "e = 'c'"}, after_match="skip_to_last C"
+    )
+    assert out.count() == 4  # two overlapping pairs
+    with pytest.raises(ValueError, match="unknown after_match"):
+        match_recognize(df, ["u"], ["ts"], "C C", {"C": "e = 'c'"}, after_match="skip_to_last X")
