@@ -242,7 +242,7 @@ def streaming_stateful_running_counts(spark: SparkSession, sf_dir: str) -> DataF
     stream = _events_stream(spark, sf_dir)
 
     def update(key, pdf_iter, state: GroupState):
-        (count,) = state.get() if state.exists else (0,)
+        (count,) = state.get if state.exists else (0,)  # .get is a property
         for pdf in pdf_iter:
             count += len(pdf)
         state.update((count,))
@@ -260,6 +260,69 @@ def streaming_stateful_running_counts(spark: SparkSession, sf_dir: str) -> DataF
         out.groupBy("user_id")
         .agg(F.max("n_events").alias("n_events"))
         .orderBy("user_id")
+    )
+
+
+@register(
+    "streaming_pattern_within_funnel",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, event_type, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    nc AS (
+      SELECT *, MAX(CASE WHEN event_type <> 'click' THEN rn END)
+                 OVER (PARTITION BY user_id ORDER BY rn
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_nc
+      FROM seq
+    )
+    SELECT p.user_id, s.event_id AS start_event_id, p.event_id AS end_event_id,
+           CAST(p.rn - s.rn - 1 AS BIGINT) AS n_clicks
+    FROM nc p JOIN seq s ON s.user_id = p.user_id AND s.rn = p.prev_nc
+    WHERE p.event_type = 'purchase' AND s.event_type = 'view' AND p.rn - s.rn >= 2
+      AND p.ts <= s.ts + INTERVAL 24 HOUR
+      AND s.ts + INTERVAL 24 HOUR
+          <= date_trunc('milliseconds', (SELECT MAX(ts) FROM events))
+    """,
+)
+def streaming_pattern_within_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MATCH_RECOGNIZE (r11): the V C+ P funnel as CEP over a
+    Structured Stream — ``match_recognize_stream`` buffers per-user events
+    in ``applyInPandasWithState`` state, matches leftmost-greedy under a
+    WITHIN 24 HOUR bound, and emits matches once the watermark proves them
+    complete (event-time timeouts flush without new per-key data).
+
+    Fully oracle-checked: the closed form is the batch funnel oracle plus
+    the two WITHIN rules the stream enforces — the purchase must land
+    inside 24 hours of its view, and a match only FINALIZES once the
+    watermark (max event time at ms precision, zero delay) passes the
+    view's 24-hour window, which the subquery bound mirrors exactly. The
+    match set is deterministic under any micro-batch chopping, which is
+    what makes a streaming CEP operator drivable by a SQL oracle at all.
+    """
+    from incubator_paimon_trino_spark.operators.match_recognize import (
+        match_recognize_stream,
+    )
+
+    stream = _events_stream(spark, sf_dir).select("user_id", "event_id", "event_type", "ts")
+    mr = match_recognize_stream(
+        stream,
+        key_col="user_id",
+        ts_col="ts",
+        id_col="event_id",
+        pattern="V C+ P",
+        define={
+            "V": "event_type = 'view'",
+            "C": "event_type = 'click'",
+            "P": "event_type = 'purchase'",
+        },
+        within="24 hours",
+    )
+    out = _run_stream(mr, "streaming_pattern_within_sink", "append")
+    return out.groupBy("user_id", F.col("start_event_id")).agg(
+        F.max_by("event_id", "match_row").alias("end_event_id"),
+        F.sum(F.when(F.col("classifier") == "C", 1).otherwise(0)).alias("n_clicks"),
     )
 
 

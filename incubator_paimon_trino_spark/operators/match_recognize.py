@@ -901,6 +901,163 @@ def match_recognize(
     return flagged.groupBy(*partition_by).applyInPandas(run, schema=schema)
 
 
+# ------------------------------------------------------------ streaming CEP
+def match_recognize_stream(
+    stream: DataFrame,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    pattern: str,
+    define: dict[str, str],
+    within: str,
+    delay: str = "0 seconds",
+) -> DataFrame:
+    """Streaming MATCH_RECOGNIZE (r11) — CEP over a Structured Stream via
+    ``applyInPandasWithState``, with Flink-CEP-style ``WITHIN`` semantics:
+    a match must complete inside ``within`` of its first row's event time
+    (the bound that makes per-key state FINITE — O(events in one within-
+    span), not O(stream)).
+
+    Determinism contract: rows buffer per key until the WATERMARK
+    guarantees completeness — a match starting at event time t0 finalizes
+    only once ``t0 + within ≤ watermark`` — so the emitted match set is
+    identical however the engine chops micro-batches, and identical to the
+    batch matcher run under the same within-slicing. Late rows beyond
+    ``delay`` are dropped by the watermark (the standard streaming trade).
+    Leftmost-greedy + skip-past-last over each key's time-ordered buffer;
+    scanned-and-finalized prefixes are evicted. Event-time TIMEOUTS flush
+    keys when the watermark passes their next finalization point, so
+    matches emit without needing new data for that key.
+
+    Output (append mode): one row per MATCHED row — (key, start_id, id,
+    ts, classifier, match_row); ``start_id`` (the match's first row id) is
+    the stable per-match grouping key for measures, numbering-free across
+    triggers. DEFINE conditions are SQL strings over the row's columns
+    (evaluated JVM-side into flag bits before grouping); PREV/NEXT
+    navigation is batch-only (windows don't stream) and refuses here.
+    ``key_col``/``id_col`` must be bigint; ``ts_col`` must be TIMESTAMP
+    (watermarks reject NTZ) — micros round-trip through state as int64."""
+    import pandas as _pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ast = parse_pattern(pattern)
+    symbols = pattern_symbols(ast)
+    if len(symbols) > 62:
+        raise ValueError("more than 62 pattern symbols cannot pack into the flag word")
+    missing = [s for s in symbols if s not in define]
+    if missing:
+        raise ValueError(f"pattern symbols {missing} missing from define {sorted(define)}")
+    within_us = int(_pd.Timedelta(within).total_seconds() * 1_000_000)
+    if within_us <= 0:
+        raise ValueError(f"within must be a positive duration, got {within!r}")
+
+    flagged = stream.withWatermark(ts_col, delay)
+    bits = []
+    for i, s in enumerate(symbols):
+        cond = define[s]
+        if isinstance(cond, str):
+            if _rewrite_navigation(cond, []) != cond:
+                raise ValueError(
+                    "PREV/NEXT navigation needs a window over the whole "
+                    "partition — batch-only; pre-compute lag/lead columns "
+                    "upstream for streams"
+                )
+            cond = F.expr(cond)
+        bits.append(
+            F.when(F.coalesce(cond.cast("boolean"), F.lit(False)), F.lit(1 << i)).otherwise(
+                F.lit(0)
+            )
+        )
+    flag_word = bits[0]
+    for b in bits[1:]:
+        flag_word = flag_word + b
+    flagged = flagged.select(
+        F.col(key_col),
+        F.col(ts_col),
+        F.col(id_col),
+        flag_word.cast("bigint").alias("_mr_flags"),
+    )
+
+    out_schema = (
+        f"{key_col} bigint, start_{id_col} bigint, {id_col} bigint, "
+        f"{ts_col} timestamp, classifier string, match_row int"
+    )
+
+    def fn(key, pdf_iter, state: GroupState):
+        import numpy as np
+
+        if state.exists:
+            t0, i0, f0 = state.get  # property in the PySpark GroupState API
+            buf_ts, buf_id, buf_fl = list(t0), list(i0), list(f0)
+        else:
+            buf_ts, buf_id, buf_fl = [], [], []
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            ts_us = (
+                pdf[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+            )
+            buf_ts.extend(ts_us.tolist())
+            buf_id.extend(pdf[id_col].astype("int64").tolist())
+            buf_fl.extend(pdf["_mr_flags"].astype("int64").tolist())
+        n = len(buf_ts)
+        ts = np.asarray(buf_ts, dtype=np.int64)
+        ids = np.asarray(buf_id, dtype=np.int64)
+        fl = np.asarray(buf_fl, dtype=np.int64)
+        order = np.lexsort((ids, ts))
+        ts, ids, fl = ts[order], ids[order], fl[order]
+        flags = {
+            s: ((fl >> i) & 1).astype(bool) for i, s in enumerate(symbols)
+        }
+        frontier = state.getCurrentWatermarkMs() * 1000  # us
+        o_key, o_start, o_id, o_ts, o_cls, o_row = [], [], [], [], [], []
+        i = 0
+        while i < n and ts[i] + within_us <= frontier:
+            end = int(np.searchsorted(ts, ts[i] + within_us, side="right"))
+            sliced = {s: a[i:end] for s, a in flags.items()}
+            hit = next(_match_from(ast, sliced, 0, end - i), None)
+            if hit is not None and hit[0] > 0:
+                _, cls = hit
+                for off, c in enumerate(cls):
+                    o_key.append(key[0])
+                    o_start.append(int(ids[i]))
+                    o_id.append(int(ids[i + off]))
+                    o_ts.append(int(ts[i + off]))
+                    o_cls.append(c)
+                    o_row.append(off + 1)
+                i += len(cls)  # skip_past_last
+            else:
+                i += 1
+        if i >= n:
+            state.remove()
+        else:
+            state.update((ts[i:].tolist(), ids[i:].tolist(), fl[i:].tolist()))
+            wake_ms = (int(ts[i]) + within_us) // 1000 + 1
+            state.setTimeoutTimestamp(max(wake_ms, state.getCurrentWatermarkMs() + 1))
+        if o_key:
+            yield _pd.DataFrame(
+                {
+                    key_col: _pd.Series(o_key, dtype="int64"),
+                    f"start_{id_col}": _pd.Series(o_start, dtype="int64"),
+                    id_col: _pd.Series(o_id, dtype="int64"),
+                    ts_col: _pd.Series(
+                        np.asarray(o_ts, dtype=np.int64).astype("datetime64[us]")
+                    ),
+                    "classifier": _pd.Series(o_cls, dtype="object"),
+                    "match_row": _pd.Series(o_row, dtype="int32"),
+                }
+            )
+
+    return flagged.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType="ts array<bigint>, ids array<bigint>, flags array<bigint>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 # ------------------------------------------------- registered demonstration
 from pyspark.sql import SparkSession  # noqa: E402
 

@@ -592,7 +592,7 @@ def running_totals_stateful(stream: DataFrame, key_col: str, value_col: str) -> 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def update(key, pdf_iter, state: GroupState):
-        count, total = state.get() if state.exists else (0, 0.0)
+        count, total = state.get if state.exists else (0, 0.0)  # .get is a property
         for pdf in pdf_iter:
             count += len(pdf)
             total += float(pdf[value_col].sum())
