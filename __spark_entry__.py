@@ -138,6 +138,8 @@ _REPROOF: tuple[str, ...] = (
     "lake_deletion_vector_read",
     "lake_dv_cdc_pipeline",
     "lake_dv_changelog_stream",
+    # stateful streaming (GroupState.get property fix)
+    "streaming_stateful_running_counts",
     # pattern dispatch touched by the product-construction work
     "pattern_match_recognize_funnel",
     "pattern_funnel_view_click_purchase",

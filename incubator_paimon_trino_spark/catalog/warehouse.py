@@ -1086,6 +1086,12 @@ class WarehouseCatalog(WriteMixin, MaintenanceMixin, DeletionVectorMixin, SqlMix
                 # reader, even when present, has no _metadata.row_index
                 df = self._read_avro_fallback(paths, old, is_pk, with_pos=True)
                 synth_pos = True
+            elif fmt == "orc" and with_pos:
+                # positional ORC read (r11 — DV on orc): pyarrow.orc per
+                # file with synthesized ordinals; the native ORC reader has
+                # no _metadata.row_index
+                df = self._read_orc_positional(paths, old, is_pk)
+                synth_pos = True
             else:
                 try:
                     df = (

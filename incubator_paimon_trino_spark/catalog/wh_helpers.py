@@ -653,16 +653,17 @@ def _validate_table_options(
                 "vectors mark OLDER COMMITS' rows as superseded, but a business"
                 "-time sequence lets an older commit outrank a newer one"
             )
-        if options.get("file_format", "parquet").strip().lower() not in ("parquet", "avro"):
-            # positional reads: parquet rides Spark's native
-            # _metadata.row_index; avro synthesizes exact ordinals from the
-            # OCF block decode (r11 — formats/avro_batch.py with_pos). ORC
-            # has neither (its native reader raises FIELD_NOT_FOUND on
-            # row_index and there is no Python fallback reader for it).
+        if options.get("file_format", "parquet").strip().lower() not in (
+            "parquet", "avro", "orc",
+        ):
+            # positional reads, per format (r11 — DV works on all three):
+            # parquet rides Spark's native _metadata.row_index; avro
+            # synthesizes exact ordinals from the OCF block decode
+            # (formats/avro_batch.py with_pos); orc reads in order through
+            # pyarrow.orc (formats/orc_pos.py)
             raise ValueError(
-                "deletion-vectors.enabled requires file_format='PARQUET' or "
-                "'AVRO' (row positions come from parquet's _metadata."
-                "row_index or the avro OCF block decode; ORC has neither)"
+                "deletion-vectors.enabled requires file_format PARQUET, "
+                "AVRO or ORC (positional reads exist for exactly those)"
             )
     seq_field = options.get("sequence_field")
     if seq_field and seq_field not in names:

@@ -354,6 +354,62 @@ class WriteMixin:
             .load()
         )
 
+    def _read_orc_positional(self, paths: list[str], old: TableSchema, is_pk: bool) -> DataFrame:
+        """Positional ORC read via the ``paimon_orc_pos`` Python DataSource
+        (``formats/orc_pos.py``): pyarrow.orc per file with ``__dv_file``/
+        ``__dv_pos`` synthesized from the in-order read — closes the last
+        DV format gap (Spark's native ORC reader has no row_index). Plain
+        ORC scans keep the native reader; this path serves with_pos only."""
+        import json as _json
+
+        from incubator_paimon_trino_spark.catalog.scan import partition_values
+        from incubator_paimon_trino_spark.formats.orc_pos import (
+            PaimonOrcPositionalSource,
+        )
+        from incubator_paimon_trino_spark.streaming.manifest_source import (
+            _storage_ddl,
+        )
+
+        self.spark.dataSource.register(PaimonOrcPositionalSource)
+        part = set(old.partition_keys)
+        data_fields = [
+            (f.name, _storage_ddl(f.type)) for f in old.fields if f.name not in part
+        ]
+        if is_pk:
+            data_fields += [(SEQ_COL, "bigint"), (KIND_COL, "string")]
+        part_fields = [
+            (f.name, _storage_ddl(f.type)) for f in old.fields if f.name in part
+        ]
+        target = 64 * 1024 * 1024
+        tasks: list[list[dict]] = []
+        size = 0
+        for p in sorted(paths):
+            spec = {
+                "path": p,
+                "parts": [
+                    (k, ddl, partition_values(p).get(k)) for k, ddl in part_fields
+                ],
+            }
+            sz = os.path.getsize(p) if os.path.exists(p) else target
+            if not tasks or size + sz > target:
+                tasks.append([spec])
+                size = sz
+            else:
+                tasks[-1].append(spec)
+                size += sz
+        out_fields = data_fields + part_fields + [
+            ("__dv_file", "string"), ("__dv_pos", "bigint"),
+        ]
+        ddl = ", ".join(f"`{n}` {t}" for n, t in out_fields)
+        return (
+            self.spark.read.format("paimon_orc_pos")
+            .option("schema_ddl", ddl)
+            .option("data_fields", _json.dumps(data_fields))
+            .option("part_fields", _json.dumps(part_fields))
+            .option("files", _json.dumps(tasks))
+            .load()
+        )
+
     def _commit_files(
         self,
         tdir: str,

@@ -159,25 +159,17 @@ def test_dv_on_branch_and_fast_forward(cat, spark):
     assert sorted(r.k for r in cat.read_table("d.t").collect()) == [3]
 
 
-def test_dv_cannot_be_disabled_with_history_and_refuses_orc(cat, spark):
+def test_dv_cannot_be_disabled_with_history(cat, spark):
     """Disabling DV on a table with history would hand DV-written files to
     merge-on-read, which knows nothing about the index — every
-    vector-deleted row (pure-metadata deletes!) would resurrect. And DV
-    needs positional reads: parquet has _metadata.row_index, avro
-    synthesizes ordinals from the OCF block decode (r11); ORC has neither."""
+    vector-deleted row (pure-metadata deletes!) would resurrect. (r11: the
+    format refusal is gone — positional reads exist for parquet, avro AND
+    orc; roundtrips pinned in tests/test_dv_pushdown.py.)"""
     mk = _mk_dv(cat, spark)
     cat.insert_into("d", "t", mk([(1, "a"), (2, "b")]))
     cat.delete_where("d", "t", F.col("k") == 1)
     with pytest.raises(ValueError, match="toggled"):
         cat.set_options("d", "t", {"deletion-vectors.enabled": "false"})
-    with pytest.raises(ValueError, match="PARQUET"):
-        cat.create_table(
-            "d", "x_orc", [("k", "int"), ("v", "string")], primary_key=["k"],
-            options={"deletion-vectors.enabled": "true", "file_format": "ORC"},
-        )
-    # and the format of an existing DV table cannot drift onto ORC
-    with pytest.raises(ValueError, match="PARQUET"):
-        cat.set_options("d", "t", {"file_format": "ORC"})
 
 
 def test_remove_orphan_files_reaps_lost_dv_indexes(cat, spark):
