@@ -154,3 +154,65 @@ def test_stream_refuses_navigation_and_validates(spark, tmp_path):
             stream, "user_id", "ts", "event_id", "A",
             {"A": "true"}, within="0 seconds",
         )
+
+
+def test_cep_over_lake_changelog_stream(spark, tmp_path):
+    """Cross-feature composition (r11): streaming MATCH_RECOGNIZE over a
+    LAKE TABLE's changelog stream — CDC in, CEP out. Events committed to an
+    append lake table across two commits stream through
+    read_changelog_stream into match_recognize_stream; the funnel emerges
+    once the watermark (driven by a later-committed sentinel) passes its
+    window."""
+    from incubator_paimon_trino_spark.catalog import WarehouseCatalog
+    from incubator_paimon_trino_spark.streaming.changelog import (
+        read_changelog_stream,
+    )
+
+    cat = WarehouseCatalog(str(tmp_path / "wh"), spark)
+    cat.create_database("s")
+    cat.create_table(
+        "s", "ev",
+        [("user_id", "bigint"), ("event_id", "bigint"),
+         ("event_type", "string"), ("ts", "timestamp(6)")],
+    )
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "user_id bigint, event_id bigint, event_type string, ts timestamp"
+    )
+    cat.insert_into("s", "ev", mk([
+        (1, 10, "view", _ts(0)), (1, 11, "click", _ts(5)),
+    ]))
+    cat.insert_into("s", "ev", mk([
+        (1, 12, "purchase", _ts(12)),
+        (9, 99, "signup", _ts(100000)),  # watermark driver
+    ]))
+    stream = read_changelog_stream(cat, "s.ev").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    mr = match_recognize_stream(
+        stream,
+        key_col="user_id",
+        ts_col="ts",
+        id_col="event_id",
+        pattern="V C+ P",
+        define={
+            "V": "event_type = 'view'",
+            "C": "event_type = 'click'",
+            "P": "event_type = 'purchase'",
+        },
+        within="1 hour",
+    )
+    q = (
+        mr.writeStream.format("memory")
+        .queryName("cep_lake")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r.user_id, r.start_event_id, r.event_id, r.classifier)
+        for r in spark.table("cep_lake").collect()
+    )
+    assert got == [
+        (1, 10, 10, "V"), (1, 10, 11, "C"), (1, 10, 12, "P"),
+    ]
