@@ -14,6 +14,9 @@ genuine ``readStream`` execution:
 - custom stateful operator: ``applyInPandasWithState`` running per-key event
   counts (the escape hatch for operators built-in streaming aggs can't
   express)
+- streaming MATCH_RECOGNIZE (r11): ``match_recognize_stream`` — CEP with a
+  WITHIN bound, watermark-finalized so the match set is deterministic under
+  any micro-batch chopping (which is what makes it SQL-oracle-checkable)
 
 Scale notes (100 TB design): window aggregations shuffle once on (window ×
 key) — the state per key is O(1). The streaming queries bound micro-batch

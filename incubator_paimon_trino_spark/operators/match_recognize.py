@@ -16,7 +16,9 @@ pure window plans; this module is the general engine those plans special-case:
   ever sees a bit-matrix, never row data.
 - **matching**: per partition, rows sorted by ``order_by``; leftmost match
   wins, greedy quantifiers prefer longer (SQL-standard preference order);
-  ``after_match`` = ``skip_past_last`` (default) or ``skip_to_next_row``.
+  ``after_match`` = ``skip_past_last`` (default), ``skip_to_next_row``, or
+  Trino's ``skip_to_first <symbol>`` / ``skip_to_last <symbol>`` (resume AT
+  that row — overlapping matches; r11).
 
 Output is Trino's ALL ROWS PER MATCH shape: every matched row with
 ``match_no`` (1-based per partition), ``classifier`` (the symbol that

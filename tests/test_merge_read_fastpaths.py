@@ -79,14 +79,15 @@ def test_delta_base_split_plan_and_equivalence(cat, spark):
     got = sorted((r.k, r.v, r.n) for r in df.collect())
 
     # force the full merge path and compare
-    old = WarehouseCatalog._DELTA_BROADCAST_ROWS
+    # r11: the bound is config-derived per table (_delta_broadcast_rows);
+    # force the full merge via the per-table option override
+    cat.set_options("d", "t", {"merge-read.delta-broadcast-rows": "0"})
     try:
-        WarehouseCatalog._DELTA_BROADCAST_ROWS = -1
         full_df = cat.read_table("d.t")
         assert "BroadcastHashJoin" not in _plan(full_df)
         full = sorted((r.k, r.v, r.n) for r in full_df.collect())
     finally:
-        WarehouseCatalog._DELTA_BROADCAST_ROWS = old
+        cat.set_options("d", "t", {"merge-read.delta-broadcast-rows": "2000000"})
     assert got == full
     assert 7 not in {k for k, _, _ in got} and (99, "new", 990) in got
     assert next(v for k, v, _ in got if k == 3) == "v3c"
@@ -116,12 +117,11 @@ def test_delta_base_split_with_aggregation_engine(cat, spark):
     assert rows[1] == (1101, [1, 9, 8])
     assert rows[2] == (2, [2])      # untouched base row, scan-direct
     assert rows[30] == (5, [5])     # delta-only new key
-    old = WarehouseCatalog._DELTA_BROADCAST_ROWS
+    cat.set_options("d", "a", {"merge-read.delta-broadcast-rows": "0"})
     try:
-        WarehouseCatalog._DELTA_BROADCAST_ROWS = -1
         full = {r.k: (r.s, r.c) for r in cat.read_table("d.a").collect()}
     finally:
-        WarehouseCatalog._DELTA_BROADCAST_ROWS = old
+        cat.set_options("d", "a", {"merge-read.delta-broadcast-rows": "2000000"})
     assert rows == full
 
 
