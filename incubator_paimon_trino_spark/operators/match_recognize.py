@@ -788,12 +788,23 @@ def match_recognize(
     define: dict[str, Column | str],
     after_match: str = "skip_past_last",
     allow_python_nfa: bool = False,
+    measures: "dict[str, str] | None" = None,
+    rows_per_match: str = "all",
+    subsets: "dict[str, list[str]] | None" = None,
 ) -> DataFrame:
-    """ALL-ROWS-PER-MATCH row-pattern matching (see module docstring).
+    """Row-pattern matching (see module docstring).
 
     ``define`` maps each pattern symbol to a boolean ``Column`` or SQL
-    string over the input columns. Returns the matched rows plus
-    ``match_no``, ``classifier``, ``match_row``.
+    string over the input columns. Default output is Trino's ALL ROWS PER
+    MATCH shape: the matched rows plus ``match_no``, ``classifier``,
+    ``match_row``. With ``measures`` (r11 — Trino's MEASURES clause +
+    ONE ROW PER MATCH), the output is one row per match: the partition
+    columns plus one column per measure — ``MATCH_NUMBER()``,
+    ``CLASSIFIER()``, ``FIRST/LAST(x[, k])``, ``SUM/AVG/MIN/MAX/COUNT``
+    over ``col`` / ``S.col`` / ``*`` / ``S.*`` scopes, or any raw Spark
+    SQL aggregate (the escape hatch). ``subsets`` declares Trino's SUBSET
+    union variables (``{"U": ["A", "B"]}``) for use as measure scopes;
+    ``rows_per_match="one"`` requires ``measures``.
 
     LINEAR patterns (a chain of single-symbol atoms with ``+ * ?`` — what
     real funnels are) run the numpy-vectorized linear matcher. Non-linear
@@ -827,6 +838,16 @@ def match_recognize(
     missing = [s for s in symbols if s not in define]
     if missing:
         raise ValueError(f"pattern symbols {missing} missing from define {sorted(define)}")
+    if rows_per_match not in ("all", "one"):
+        raise ValueError(f"rows_per_match must be 'all' or 'one', got {rows_per_match!r}")
+    if rows_per_match == "one" and not measures:
+        raise ValueError("rows_per_match='one' needs a measures dict")
+    for sub, members in (subsets or {}).items():
+        if sub in symbols:
+            raise ValueError(f"SUBSET name {sub!r} collides with a pattern symbol")
+        bad = [m for m in members if m not in symbols]
+        if bad:
+            raise ValueError(f"SUBSET {sub} references unknown symbols {bad}")
 
     # DEFINE navigation (r11): PREV/NEXT in string conditions rewrite to
     # lag/lead columns over (partition_by, order_by) — Trino's physical-row
@@ -900,7 +921,80 @@ def match_recognize(
         out["match_row"] = pd.Series(m_row, index=out.index, dtype="int32")
         return out
 
-    return flagged.groupBy(*partition_by).applyInPandas(run, schema=schema)
+    out = flagged.groupBy(*partition_by).applyInPandas(run, schema=schema)
+    if not measures:
+        return out
+    classifier_of: dict[str, Column] = {s: F.col("classifier") == s for s in symbols}
+    for sub, members in (subsets or {}).items():
+        classifier_of[sub] = F.col("classifier").isin(members)
+    aggs = [
+        _measure_column(e, classifier_of).alias(name) for name, e in measures.items()
+    ]
+    return out.groupBy(*partition_by, "match_no").agg(*aggs).drop("match_no")
+
+
+# ------------------------------------------------------- MEASURES (r11)
+def _measure_column(expr: str, classifier_of: dict[str, "Column"]):
+    """One MEASURES expression → an aggregate Column over the match's
+    ALL-ROWS group (Trino FINAL semantics — the whole match is visible).
+
+    Grammar (Trino's MEASURES surface): ``MATCH_NUMBER()``;
+    ``CLASSIFIER()`` (the LAST row's classifier); ``FIRST(x[, k])`` /
+    ``LAST(x[, k])`` with an optional integer offset from the match's
+    first/last row; ``COUNT(*)`` / ``COUNT(S.*)``; ``SUM/AVG/MIN/MAX/
+    COUNT(x)`` — where ``x`` is a column or ``S.col`` (rows classified S,
+    or any symbol of the SUBSET S). Anything else passes through as a raw
+    Spark SQL aggregate over the group (the power-user escape hatch), so
+    the sugar never limits what a measure can compute."""
+    import re as _re
+
+    s = expr.strip()
+    if _re.fullmatch(r"MATCH_NUMBER\s*\(\s*\)", s, _re.IGNORECASE):
+        return F.first("match_no")
+    if _re.fullmatch(r"CLASSIFIER\s*\(\s*\)", s, _re.IGNORECASE):
+        return F.max_by("classifier", "match_row")
+
+    def scoped(inner):
+        # "S.col" → (condition, col); "col" → (None, col); "*"/"S.*" ditto
+        m = _re.fullmatch(r"([A-Za-z_]\w*)\s*\.\s*(\*|[A-Za-z_]\w*)", inner.strip())
+        if m and m.group(1) in classifier_of:
+            return classifier_of[m.group(1)], m.group(2)
+        return None, inner.strip()
+
+    m = _re.fullmatch(
+        r"(FIRST|LAST)\s*\((.*?)(?:,\s*(\d+))?\s*\)", s, _re.IGNORECASE | _re.DOTALL
+    )
+    if m:
+        kind, inner, off = m.group(1).upper(), m.group(2), int(m.group(3) or 0)
+        cond, col = scoped(inner)
+        val = F.expr(col)
+        row = F.col("match_row")
+        if cond is not None:
+            val = F.when(cond, val)
+            row = F.when(cond, row)
+        # k-th matched row from the start/end: gather (row, val) structs
+        # sorted by position and index from the appropriate end (F.get is
+        # 0-based and NULL out of range — Trino's out-of-bounds NULL)
+        pairs = F.sort_array(
+            F.collect_list(F.struct(row.alias("_r"), val.alias("_v")))
+        )
+        idx = F.lit(off) if kind == "FIRST" else F.size(pairs) - 1 - F.lit(off)
+        return F.get(pairs, idx).getField("_v")
+    m = _re.fullmatch(
+        r"(SUM|AVG|MIN|MAX|COUNT)\s*\((.*)\)", s, _re.IGNORECASE | _re.DOTALL
+    )
+    if m:
+        agg, inner = m.group(1).upper(), m.group(2).strip()
+        if agg == "COUNT" and inner == "*":
+            return F.count(F.lit(1))
+        cond, col = scoped(inner)
+        if agg == "COUNT" and col == "*":
+            return F.sum(F.when(cond, 1).otherwise(0))
+        val = F.expr(col)
+        if cond is not None:
+            val = F.when(cond, val)
+        return getattr(F, agg.lower())(val)
+    return F.expr(s)  # raw Spark SQL aggregate over the group
 
 
 # ------------------------------------------------------------ streaming CEP
@@ -1117,6 +1211,79 @@ def pattern_match_recognize_funnel(spark: SparkSession, sf_dir: str) -> DataFram
         F.min_by("event_id", "match_row").alias("start_event_id"),
         F.max_by("event_id", "match_row").alias("end_event_id"),
         F.sum(F.when(F.col("classifier") == "C", 1).otherwise(0)).alias("n_clicks"),
+    )
+
+
+@register(
+    "pattern_measures_one_row",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, event_type, ts, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    nc AS (
+      SELECT *, MAX(CASE WHEN event_type <> 'click' THEN rn END)
+                 OVER (PARTITION BY user_id ORDER BY rn
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_nc
+      FROM seq
+    ),
+    matches AS (
+      SELECT p.user_id, s.rn AS srn, p.rn AS prn,
+             s.event_id AS start_event_id, p.event_id AS end_event_id
+      FROM nc p JOIN seq s ON s.user_id = p.user_id AND s.rn = p.prev_nc
+      WHERE p.event_type = 'purchase' AND s.event_type = 'view' AND p.rn - s.rn >= 2
+    )
+    SELECT m.user_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY m.user_id ORDER BY m.srn) AS BIGINT) AS mn,
+           m.start_event_id,
+           m.end_event_id,
+           MAX(CASE WHEN b.rn = m.srn + 1 THEN b.event_id END) AS first_click_id,
+           MAX(CASE WHEN b.rn = m.prn - 1 THEN b.event_id END) AS last_click_id,
+           CAST(SUM(CASE WHEN b.rn > m.srn AND b.rn < m.prn THEN 1 ELSE 0 END) AS BIGINT) AS n_clicks,
+           CAST(2 AS BIGINT) AS n_edge,
+           'P' AS cls,
+           CAST(SUM(CASE WHEN b.rn BETWEEN m.srn AND m.prn
+                         THEN CAST(b.value AS DECIMAL(9,2)) END) AS DOUBLE) AS total_value
+    FROM matches m JOIN seq b ON b.user_id = m.user_id
+                              AND b.rn BETWEEN m.srn AND m.prn
+    GROUP BY m.user_id, m.srn, m.prn, m.start_event_id, m.end_event_id
+    """,
+)
+def pattern_measures_one_row(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trino's MEASURES clause + ONE ROW PER MATCH + SUBSET (r11): the
+    funnel emitting one row per match straight from ``measures=`` —
+    MATCH_NUMBER(), FIRST/LAST with offsets, symbol- and SUBSET-scoped
+    COUNT, CLASSIFIER(), and the raw-SQL escape hatch (a decimal-cast SUM
+    for hash-stable doubles). Every measure is value-hash-checked against
+    the closed-form oracle, including the in-match navigation offsets
+    (FIRST(event_id, 1) = the first click; LAST(C.event_id) = the last)."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts", "value"
+    )
+    return match_recognize(
+        ev,
+        partition_by=["user_id"],
+        order_by=["ts", "event_id"],
+        pattern="V C+ P",
+        define={
+            "V": "event_type = 'view'",
+            "C": "event_type = 'click'",
+            "P": "event_type = 'purchase'",
+        },
+        measures={
+            "mn": "MATCH_NUMBER()",
+            "start_event_id": "FIRST(event_id)",
+            "end_event_id": "LAST(event_id)",
+            "first_click_id": "FIRST(event_id, 1)",
+            "last_click_id": "LAST(C.event_id)",
+            "n_clicks": "COUNT(C.*)",
+            "n_edge": "COUNT(U.*)",
+            "cls": "CLASSIFIER()",
+            "total_value": "CAST(SUM(CAST(value AS DECIMAL(9,2))) AS DOUBLE)",
+        },
+        rows_per_match="one",
+        subsets={"U": ["V", "P"]},
     )
 
 

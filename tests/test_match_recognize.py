@@ -538,3 +538,56 @@ def test_after_match_string_forms(spark):
     assert out.count() == 4  # two overlapping pairs
     with pytest.raises(ValueError, match="unknown after_match"):
         match_recognize(df, ["u"], ["ts"], "C C", {"C": "e = 'c'"}, after_match="skip_to_last X")
+
+
+def test_measures_one_row_per_match(spark):
+    """r11: MEASURES + ONE ROW PER MATCH + SUBSET — FIRST/LAST offsets,
+    symbol/subset scopes, CLASSIFIER/MATCH_NUMBER, raw-SQL escape hatch,
+    and out-of-range navigation returning NULL."""
+    rows = [
+        (1, 1, "view", 10.0), (1, 2, "click", 1.0), (1, 3, "click", 2.0),
+        (1, 4, "purchase", 100.0),
+        (1, 5, "view", 20.0), (1, 6, "click", 3.0), (1, 7, "purchase", 200.0),
+    ]
+    df = spark.createDataFrame(rows, "u int, seq int, e string, value double")
+    out = match_recognize(
+        df,
+        partition_by=["u"],
+        order_by=["seq"],
+        pattern="V C+ P",
+        define={"V": "e = 'view'", "C": "e = 'click'", "P": "e = 'purchase'"},
+        measures={
+            "mn": "MATCH_NUMBER()",
+            "first_seq": "FIRST(seq)",
+            "second_seq": "FIRST(seq, 1)",
+            "tenth_seq": "FIRST(seq, 9)",  # out of range → NULL
+            "last_click": "LAST(C.seq)",
+            "n_clicks": "COUNT(C.*)",
+            "n_edge": "COUNT(U.*)",
+            "cls": "CLASSIFIER()",
+            "raw": "sum(case when classifier = 'C' then value end)",
+        },
+        rows_per_match="one",
+        subsets={"U": ["V", "P"]},
+    ).collect()
+    got = sorted(
+        (r.u, r.mn, r.first_seq, r.second_seq, r.tenth_seq, r.last_click,
+         r.n_clicks, r.n_edge, r.cls, r.raw)
+        for r in out
+    )
+    assert got == [
+        (1, 1, 1, 2, None, 3, 2, 2, "P", 3.0),
+        (1, 2, 5, 6, None, 6, 1, 2, "P", 3.0),
+    ]
+    with pytest.raises(ValueError, match="needs a measures"):
+        match_recognize(df, ["u"], ["seq"], "V", {"V": "true"}, rows_per_match="one")
+    with pytest.raises(ValueError, match="collides"):
+        match_recognize(
+            df, ["u"], ["seq"], "V", {"V": "true"},
+            measures={"n": "COUNT(*)"}, subsets={"V": ["V"]},
+        )
+    with pytest.raises(ValueError, match="unknown symbols"):
+        match_recognize(
+            df, ["u"], ["seq"], "V", {"V": "true"},
+            measures={"n": "COUNT(*)"}, subsets={"U": ["X"]},
+        )
