@@ -974,9 +974,15 @@ def _measure_column(expr: str, classifier_of: dict[str, "Column"]):
             row = F.when(cond, row)
         # k-th matched row from the start/end: gather (row, val) structs
         # sorted by position and index from the appropriate end (F.get is
-        # 0-based and NULL out of range — Trino's out-of-bounds NULL)
-        pairs = F.sort_array(
-            F.collect_list(F.struct(row.alias("_r"), val.alias("_v")))
+        # 0-based and NULL out of range — Trino's out-of-bounds NULL).
+        # Scoped-out rows collect as null-_r structs (collect_list skips
+        # null VALUES, not structs of nulls) and would sort FIRST — filter
+        # them so FIRST(S.x) navigates over S's rows only.
+        pairs = F.filter(
+            F.sort_array(
+                F.collect_list(F.struct(row.alias("_r"), val.alias("_v")))
+            ),
+            lambda x: x.getField("_r").isNotNull(),
         )
         idx = F.lit(off) if kind == "FIRST" else F.size(pairs) - 1 - F.lit(off)
         return F.get(pairs, idx).getField("_v")

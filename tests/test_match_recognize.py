@@ -561,7 +561,9 @@ def test_measures_one_row_per_match(spark):
             "first_seq": "FIRST(seq)",
             "second_seq": "FIRST(seq, 1)",
             "tenth_seq": "FIRST(seq, 9)",  # out of range → NULL
+            "first_click": "FIRST(C.seq)",
             "last_click": "LAST(C.seq)",
+            "penult": "LAST(seq, 1)",
             "n_clicks": "COUNT(C.*)",
             "n_edge": "COUNT(U.*)",
             "cls": "CLASSIFIER()",
@@ -571,13 +573,13 @@ def test_measures_one_row_per_match(spark):
         subsets={"U": ["V", "P"]},
     ).collect()
     got = sorted(
-        (r.u, r.mn, r.first_seq, r.second_seq, r.tenth_seq, r.last_click,
-         r.n_clicks, r.n_edge, r.cls, r.raw)
+        (r.u, r.mn, r.first_seq, r.second_seq, r.tenth_seq, r.first_click,
+         r.last_click, r.penult, r.n_clicks, r.n_edge, r.cls, r.raw)
         for r in out
     )
     assert got == [
-        (1, 1, 1, 2, None, 3, 2, 2, "P", 3.0),
-        (1, 2, 5, 6, None, 6, 1, 2, "P", 3.0),
+        (1, 1, 1, 2, None, 2, 3, 3, 2, 2, "P", 3.0),
+        (1, 2, 5, 6, None, 6, 6, 6, 1, 2, "P", 3.0),
     ]
     with pytest.raises(ValueError, match="needs a measures"):
         match_recognize(df, ["u"], ["seq"], "V", {"V": "true"}, rows_per_match="one")
