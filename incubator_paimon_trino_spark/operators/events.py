@@ -286,7 +286,7 @@ def streaming_stateful_running_counts(spark: SparkSession, sf_dir: str) -> DataF
     WHERE p.event_type = 'purchase' AND s.event_type = 'view' AND p.rn - s.rn >= 2
       AND p.ts <= s.ts + INTERVAL 24 HOUR
       AND s.ts + INTERVAL 24 HOUR
-          <= date_trunc('milliseconds', (SELECT MAX(ts) FROM events))
+          < date_trunc('milliseconds', (SELECT MAX(ts) FROM events))
     """,
 )
 def streaming_pattern_within_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -300,7 +300,7 @@ def streaming_pattern_within_funnel(spark: SparkSession, sf_dir: str) -> DataFra
     the two WITHIN rules the stream enforces — the purchase must land
     inside 24 hours of its view, and a match only FINALIZES once the
     watermark (max event time at ms precision, zero delay) passes the
-    view's 24-hour window, which the subquery bound mirrors exactly. The
+    view's 24-hour window, which the subquery's strict bound mirrors exactly. The
     match set is deterministic under any micro-batch chopping, which is
     what makes a streaming CEP operator drivable by a SQL oracle at all.
     """

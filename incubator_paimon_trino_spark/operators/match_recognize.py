@@ -1115,7 +1115,11 @@ def match_recognize_stream(
         frontier = state.getCurrentWatermarkMs() * 1000  # us
         o_key, o_start, o_id, o_ts, o_cls, o_row = [], [], [], [], [], []
         i = 0
-        while i < n and ts[i] + within_us <= frontier:
+        # STRICT <: a row with event time exactly equal to the watermark is
+        # not yet late (Spark drops only ts < wm), so a window touching the
+        # watermark could still gain rows — finalize only strictly-passed
+        # windows, mirrored exactly by the registered oracle's < bound
+        while i < n and ts[i] + within_us < frontier:
             end = int(np.searchsorted(ts, ts[i] + within_us, side="right"))
             sliced = {s: a[i:end] for s, a in flags.items()}
             hit = next(_match_from(ast, sliced, 0, end - i), None)
