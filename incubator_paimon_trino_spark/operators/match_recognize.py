@@ -65,20 +65,67 @@ class _Rep:
     greedy: bool = True  # False = reluctant (+? *? ?? {n,m}?): prefer FEWER
 
 
+@dataclass
+class _Excl:
+    """Trino's pattern exclusion ``{- ... -}`` (r12): the enclosed rows
+    participate in matching (and in MEASURES) but are omitted from the
+    ALL ROWS PER MATCH output."""
+
+    node: object
+
+
+import re as _tok_re  # noqa: E402
+
+_TOKEN = _tok_re.compile(r"\s+|\{-|-\}|[A-Za-z_]\w*|\d+|[(){}|,+*?^$]")
+
+
+def _tokenize(pattern: str) -> list[str]:
+    toks: list[str] = []
+    pos = 0
+    for m in _TOKEN.finditer(pattern):
+        if m.start() != pos:
+            raise ValueError(f"bad character {pattern[pos]!r} in pattern {pattern!r}")
+        pos = m.end()
+        if not m.group(0).isspace():
+            toks.append(m.group(0))
+    if pos != len(pattern):
+        raise ValueError(f"bad character {pattern[pos]!r} in pattern {pattern!r}")
+    return toks
+
+
 def parse_pattern(pattern: str) -> object:
-    """Recursive-descent parser for the row-pattern grammar.
+    """Recursive-descent parser for the row-pattern grammar (no anchors —
+    ``match_recognize`` uses :func:`parse_pattern_anchored`, which also
+    accepts a leading ``^`` / trailing ``$``).
 
     Bounded quantifiers (Trino's ``{n}`` / ``{n,}`` / ``{n,m}`` — r11)
     DESUGAR at parse time into the three core forms, preserving greedy
     preference: ``X{n,m}`` = n copies then (m−n) right-nested optionals
     ``(X (X …)?)?`` (greedy tries the longest first, exactly the flat
     quantifier's order); ``X{n,}`` = n copies then ``X*``. Both matchers
-    (linear + compiled product) inherit them for free."""
-    tokens = pattern.replace("(", " ( ").replace(")", " ) ").replace("|", " | ")
-    for q in "+*?":
-        tokens = tokens.replace(q, f" {q} ")
-    tokens = tokens.replace("{", " { ").replace("}", " } ").replace(",", " , ")
-    toks = tokens.split()
+    (linear + compiled product) inherit them for free. Pattern exclusions
+    ``{- ... -}`` (r12) parse to :class:`_Excl` nodes."""
+    ast, a_start, a_end = parse_pattern_anchored(pattern)
+    if a_start or a_end:
+        raise ValueError(
+            f"anchors in {pattern!r}: use parse_pattern_anchored / match_recognize"
+        )
+    return ast
+
+
+def parse_pattern_anchored(pattern: str) -> tuple[object, bool, bool]:
+    """(ast, start_anchored, end_anchored) — Trino's partition anchors
+    ``^`` (match must start at the partition's first row) and ``$`` (match
+    must end at its last) are supported at the pattern's outermost start /
+    end only; anywhere else raises (per-branch anchors are not in the
+    grammar)."""
+    toks = _tokenize(pattern)
+    a_start = bool(toks) and toks[0] == "^"
+    if a_start:
+        toks = toks[1:]
+    a_end = bool(toks) and toks[-1] == "$"
+    if a_end:
+        toks = toks[:-1]
     pos = 0
 
     def peek() -> str | None:
@@ -101,7 +148,7 @@ def parse_pattern(pattern: str) -> object:
 
     def parse_seq():
         parts = []
-        while peek() is not None and peek() not in (")", "|"):
+        while peek() is not None and peek() not in (")", "|", "-}"):
             parts.append(parse_quant())
         if not parts:
             raise ValueError(f"empty pattern segment in {pattern!r}")
@@ -171,6 +218,11 @@ def parse_pattern(pattern: str) -> object:
             if take() != ")":
                 raise ValueError(f"unbalanced parens in {pattern!r}")
             return inner
+        if t == "{-":
+            inner = parse_alt()
+            if take() != "-}":
+                raise ValueError(f"unclosed exclusion {{- ... -}} in {pattern!r}")
+            return _Excl(inner)
         if t.upper() == "PERMUTE" and peek() == "(":
             # Trino's PERMUTE(A, B, ...) — all orderings, preference =
             # lexicographic by argument position (the SQL-standard order),
@@ -201,7 +253,7 @@ def parse_pattern(pattern: str) -> object:
     out = parse_alt()
     if pos != len(toks):
         raise ValueError(f"trailing tokens {toks[pos:]} in pattern {pattern!r}")
-    return out
+    return out, a_start, a_end
 
 
 def pattern_symbols(node) -> list[str]:
@@ -218,11 +270,43 @@ def pattern_symbols(node) -> list[str]:
         elif isinstance(n, _Alt):
             for p in n.options:
                 walk(p)
-        elif isinstance(n, _Rep):
+        elif isinstance(n, (_Rep, _Excl)):
             walk(n.node)
 
     walk(node)
     return out
+
+
+# --------------------------------------------- exclusion aliasing (r12)
+def _orig(classifier: str) -> str:
+    """Original symbol name of a (possibly exclusion-aliased) classifier."""
+    return classifier.partition("~")[0]
+
+
+def _strip_exclusions(node, alias_of: dict[str, str], inside: bool = False):
+    """Replace ``{- ... -}`` regions with exclusion-ALIASED symbol copies
+    (``B`` → ``B~x``) so the matchers need no exclusion concept at all: an
+    aliased classifier marks the row as matched-but-hidden. ``alias_of``
+    accumulates alias → original. ``~`` cannot appear in a user symbol
+    (the parser enforces identifiers), so aliases can't collide."""
+    if isinstance(node, _Sym):
+        if not inside:
+            return node
+        alias = node.name + "~x"
+        alias_of[alias] = node.name
+        return _Sym(alias)
+    if isinstance(node, _Seq):
+        return _Seq([_strip_exclusions(p, alias_of, inside) for p in node.parts])
+    if isinstance(node, _Alt):
+        return _Alt([_strip_exclusions(o, alias_of, inside) for o in node.options])
+    if isinstance(node, _Excl):
+        return _strip_exclusions(node.node, alias_of, True)
+    return _Rep(
+        _strip_exclusions(node.node, alias_of, inside),
+        node.min_count,
+        node.max_count,
+        node.greedy,
+    )
 
 
 # ------------------------------------------------------------- NFA matcher
@@ -250,6 +334,9 @@ def _match_from(node, flags: dict[str, "object"], i: int, n: int) -> Iterator[tu
     if isinstance(node, _Alt):
         for opt in node.options:
             yield from _match_from(opt, flags, i, n)
+        return
+    if isinstance(node, _Excl):  # exclusion affects OUTPUT, never matching
+        yield from _match_from(node.node, flags, i, n)
         return
     # _Rep: greedy tries one more body iteration BEFORE stopping; reluctant
     # stops first (if allowed), then tries one more
@@ -282,7 +369,8 @@ def _advance(j: int, classifiers: list[str], after_match) -> int:
     if after_match == "skip_to_next_row":
         return j + 1
     which, sym = after_match
-    hits = [j + off for off, c in enumerate(classifiers) if c == sym]
+    # exclusion-aliased rows still belong to their symbol for SKIP TO
+    hits = [j + off for off, c in enumerate(classifiers) if _orig(c) == sym]
     if not hits:
         raise ValueError(
             f"AFTER MATCH SKIP TO {which.upper()} {sym}: symbol not present in match"
@@ -297,16 +385,31 @@ def _advance(j: int, classifiers: list[str], after_match) -> int:
 
 
 def find_matches(
-    node, flags: dict[str, "object"], n: int, after_match
+    node,
+    flags: dict[str, "object"],
+    n: int,
+    after_match,
+    start_anchor: bool = False,
+    end_anchor: bool = False,
 ) -> list[tuple[int, list[str]]]:
     """Leftmost-greedy scan over one sorted partition.
 
     Returns [(start_row, classifiers)] — one entry per match, classifiers
-    aligned to consecutive rows from start_row."""
+    aligned to consecutive rows from start_row. Anchors (r12): ``^``
+    restricts starts to row 0; ``$`` accepts only completions at row n —
+    the preference order then ranges over anchored-valid completions only
+    (an earlier-preferred yield that stops short of the end is not a
+    match, exactly Trino's anchor semantics)."""
     out = []
     i = 0
     while i < n:
-        hit = next(_match_from(node, flags, i, n), None)
+        if start_anchor and i > 0:
+            break
+        gen = _match_from(node, flags, i, n)
+        if end_anchor:
+            hit = next((h for h in gen if h[0] == n), None)
+        else:
+            hit = next(gen, None)
         if hit is not None and hit[0] > i:  # non-empty match
             end, classifiers = hit
             out.append((i, classifiers))
@@ -342,6 +445,8 @@ def find_matches_linear(
     flags: dict[str, "object"],
     n: int,
     after_match: str,
+    start_anchor: bool = False,
+    end_anchor: bool = False,
 ) -> list[tuple[int, list[str]]]:
     """``find_matches`` for linear patterns with the row loop VECTORIZED
     (r8 verdict item 7: the per-group hot loop moved to numpy).
@@ -369,8 +474,13 @@ def find_matches_linear(
         runs[s] = nf - idx
     suffix: list = [None] * (m + 1)  # S_k, k-th atom onward (0-based)
     # the empty suffix consumes nothing and matches at every position
-    # (mirrors the NFA's unconditional (j, []) yield at sequence end)
-    suffix[m] = np.ones(n + 1, dtype=bool)
+    # (mirrors the NFA's unconditional (j, []) yield at sequence end);
+    # with an END ANCHOR ($) only position n completes a match, and every
+    # recurrence below then composes anchored feasibility for free
+    if end_anchor:
+        suffix[m] = idx == n
+    else:
+        suffix[m] = np.ones(n + 1, dtype=bool)
     prev_feasible: list = [None] * m  # per greedy atom: argmax-feasible index
     for k in range(m - 1, -1, -1):
         s, lo, hi_c = atoms[k]
@@ -399,7 +509,7 @@ def find_matches_linear(
     i = 0
     while i < n:
         j = int(nxt_start[i])
-        if j >= n:
+        if j >= n or (start_anchor and j > 0):
             break
         p, cls = j, []
         for k, (s, lo, hi_c) in enumerate(atoms):
@@ -453,7 +563,119 @@ def _nullable(node) -> bool:
         return all(_nullable(p) for p in node.parts)
     if isinstance(node, _Alt):
         return any(_nullable(o) for o in node.options)
+    if isinstance(node, _Excl):
+        return _nullable(node.node)
     return node.min_count == 0 or _nullable(node.node)
+
+
+# --------------------------------------- nullable-body rewrite (r12)
+#
+# The r11 fence: a quantifier over a NULLABLE body ((A?)+, (A* B?)+) had no
+# automaton mirror of the backtracker's skip-empty-iteration rule, so those
+# patterns kept the per-row Python NFA behind allow_python_nfa=True. r12
+# (VERDICT r11 item 2) CLOSES the fence by a parse-time rewrite: every
+# quantifier body normalizes to the ε-free regex of its NON-EMPTY yield
+# stream — which is exactly what the backtracker iterates over (the
+# ``mid == j`` guard skips empty body yields and moves to the NEXT yield,
+# and the iteration count only increments on non-empty bodies, so min/max
+# bounds carry over unchanged: ``(A?)+`` ≡ ``A+``, ``(A* B?)+`` ≡
+# ``(A+ B? | B)+``). The construction below preserves the backtracker's
+# yield ORDER up to removal of duplicate yields — sound because every
+# consumer either takes the stream's first yield or iterates it in order,
+# and a duplicate (end, classifiers) yield contributes nothing new —
+# pinned exhaustively + randomized against the Python NFA in
+# tests/test_match_recognize.py.
+
+_NO_YIELDS = object()  # sentinel: a stream position with no yields at all
+
+
+def _alt_of(parts: list) -> object:
+    parts = [p for p in parts if p is not _NO_YIELDS]
+    if not parts:
+        return _NO_YIELDS
+    flat: list = []
+    for p in parts:
+        flat.extend(p.options if isinstance(p, _Alt) else [p])
+    return flat[0] if len(flat) == 1 else _Alt(flat)
+
+
+def _seq_head(head: object, rest: list) -> object:
+    if head is _NO_YIELDS:
+        return _NO_YIELDS
+    parts = (head.parts if isinstance(head, _Seq) else [head]) + rest
+    return parts[0] if len(parts) == 1 else _Seq(parts)
+
+
+def _split_eps(n) -> tuple[object, bool, object]:
+    """Split ``n``'s yield stream (backtracker order) at its FIRST empty
+    yield: returns ``(pre, has_eps, post)`` where ``pre``/``post`` are
+    ε-free regexes for the non-empty yields strictly before / after that ε
+    (later duplicate ε yields are dropped). Assumes every quantifier body
+    inside ``n`` is already non-nullable (the bottom-up rewrite order), so
+    language nullability coincides with "yields ε"."""
+    if isinstance(n, _Sym):
+        return n, False, _NO_YIELDS
+    if isinstance(n, _Rep):  # body non-nullable by the bottom-up contract
+        if n.min_count >= 1:
+            return n, False, _NO_YIELDS
+        # X{1,1} is X itself — compile_nfa only ever sees the parser's
+        # three core shapes {0,1} / {1,None} / {0,None}
+        core = n.node if n.max_count == 1 else _Rep(n.node, 1, n.max_count, n.greedy)
+        # greedy Rep yields counts max..1 then ε; reluctant yields ε first
+        return (core, True, _NO_YIELDS) if n.greedy else (_NO_YIELDS, True, core)
+    if isinstance(n, _Alt):
+        pre: list = []
+        post: list = []
+        seen_eps = False
+        for o in n.options:
+            p, e, q = _split_eps(o)
+            if not seen_eps:
+                pre.append(p)
+                seen_eps = e
+                post.append(q)
+            else:  # later options sit entirely after the first ε;
+                post.append(_alt_of([p, q]))  # their own ε's are duplicates
+        return _alt_of(pre), seen_eps, _alt_of(post)
+    # _Seq: for each head yield y1 in order, all rest yields follow; the
+    # first ε total pairs the head's first ε with the rest's first ε
+    parts = n.parts
+    if len(parts) == 1:
+        return _split_eps(parts[0])
+    a_pre, a_eps, a_post = _split_eps(parts[0])
+    rest = parts[1:]
+    if not a_eps:  # head always consumes → no ε total, stream = head × rest
+        return _seq_head(a_pre, rest), False, _NO_YIELDS
+    rest_node = rest[0] if len(rest) == 1 else _Seq(rest)
+    b_pre, b_eps, b_post = _split_eps(rest_node)
+    pre = _alt_of([_seq_head(a_pre, rest), b_pre])
+    post = _alt_of([b_post, _seq_head(a_post, rest)])
+    return pre, b_eps, post
+
+
+def _nonull(n) -> object:
+    """ε-free regex of ``n``'s non-empty yield stream, order preserved."""
+    pre, _, post = _split_eps(n)
+    return _alt_of([pre, post])
+
+
+def _rewrite_nullable_bodies(node) -> object:
+    """Bottom-up: every quantifier body becomes non-nullable, preserving
+    the backtracker's preference order (see block comment). After this,
+    every pattern is product-eligible — the r11 fence is gone."""
+    if isinstance(node, _Sym):
+        return node
+    if isinstance(node, _Seq):
+        return _Seq([_rewrite_nullable_bodies(p) for p in node.parts])
+    if isinstance(node, _Alt):
+        return _Alt([_rewrite_nullable_bodies(o) for o in node.options])
+    if isinstance(node, _Excl):
+        return _Excl(_rewrite_nullable_bodies(node.node))
+    body = _rewrite_nullable_bodies(node.node)
+    if _nullable(body):
+        body = _nonull(body)
+        if body is _NO_YIELDS:  # unreachable with this grammar ({0,0} is
+            raise ValueError("quantifier body can only match empty")  # rejected)
+    return _Rep(body, node.min_count, node.max_count, node.greedy)
 
 
 def _product_eligible(node) -> bool:
@@ -468,7 +690,7 @@ def _product_eligible(node) -> bool:
     return (not _nullable(node.node)) and _product_eligible(node.node)
 
 
-def compile_nfa(node) -> tuple[list[list[tuple]], int]:
+def compile_nfa(node, truncate: bool = True) -> tuple[list[list[tuple]], int]:
     """AST → ε-free prioritized NFA ``(moves, start)``.
 
     ``moves[q]`` is the priority-ordered move list of state q: entries are
@@ -479,7 +701,10 @@ def compile_nfa(node) -> tuple[list[list[tuple]], int]:
     "first move whose target is still feasible" reproduces the NFA's first
     yield. Lists are truncated at the first accept: accept is always
     feasible, so later moves are dead in preference order — which also makes
-    every list "consumes then optional accept"."""
+    every list "consumes then optional accept". With an END ANCHOR accept
+    is only feasible at the partition's last row, so anchored compilation
+    passes ``truncate=False`` to keep the post-accept consume moves (the
+    accept stays at its preference position mid-list)."""
     edges: list[list[tuple]] = []
 
     def new() -> int:
@@ -532,9 +757,10 @@ def compile_nfa(node) -> tuple[list[list[tuple]], int]:
         seen: set[int] = set()
         seen_c: set[tuple] = set()
         done = False
+        has_acc = False
 
         def dfs(v: int) -> None:
-            nonlocal done
+            nonlocal done, has_acc
             if done or v in seen:
                 return
             seen.add(v)
@@ -547,9 +773,11 @@ def compile_nfa(node) -> tuple[list[list[tuple]], int]:
                         mv.append(("c", e[1], e[2]))
                 else:
                     dfs(e[1])
-            if v == final and not done:
+            if v == final and not has_acc:
                 mv.append(("a",))
-                done = True
+                has_acc = True
+                if truncate:
+                    done = True
 
         dfs(u)
         return mv
@@ -575,12 +803,20 @@ def compile_nfa(node) -> tuple[list[list[tuple]], int]:
 
 
 def _backtrack_first(
-    moves: list[list[tuple]], fa: dict, n: int, start: int, j: int, budget: list
+    moves: list[list[tuple]],
+    fa: dict,
+    n: int,
+    start: int,
+    j: int,
+    budget: list,
+    end_anchor: bool = False,
 ) -> tuple[int, list[str]] | None:
     """First yield (preference order) of the compiled automaton from row j,
     by iterative DFS — the compiled twin of ``_match_from``'s ``next()``.
     Decrements ``budget[0]`` per step; returns None early when exhausted
-    (caller falls back to the feasibility-table path)."""
+    (caller falls back to the feasibility-table path). With ``end_anchor``
+    accept moves are feasible only at position n (caller compiled with
+    ``truncate=False`` so post-accept consumes are present)."""
     stack: list[list] = [[start, j, 0]]
     cls: list[str] = []
     while stack:
@@ -598,11 +834,60 @@ def _backtrack_first(
             return None
         m = mv[mi]
         if m[0] == "a":
-            return p, cls.copy()
+            if not end_anchor or p == n:
+                return p, cls.copy()
+            continue  # anchored: accept short of the end is not a match
         if p < n and fa[m[1]][p]:
             cls.append(m[1])
             stack.append([m[2], p + 1, 0])
     return None
+
+
+def _scan_backtrack(
+    moves: list[list[tuple]],
+    fa: dict,
+    n: int,
+    start: int,
+    after_match,
+    cand_idx,
+    budget: list,
+    end_anchor: bool = False,
+) -> list[tuple[int, list[str]]] | None:
+    """Leftmost scan over candidate start rows with the compiled
+    backtracker; None when the step budget trips (caller falls back to the
+    feasibility-table path). ``cand_idx``: ascending row indices where one
+    of the start state's consume symbols fires — the only rows a match can
+    start at, so non-candidates are skipped without any Python stepping."""
+    out: list[tuple[int, list[str]]] = []
+    i = 0
+    for j in cand_idx:
+        j = int(j)
+        if j < i:
+            continue
+        hit = _backtrack_first(moves, fa, n, start, j, budget, end_anchor)
+        if budget[0] < 0:
+            return None
+        if hit is not None and hit[0] > j:
+            out.append((j, hit[1]))
+            i = _advance(j, hit[1], after_match)
+        else:
+            i = j + 1
+    return out
+
+
+#: feasibility-table ceiling on automaton size: above this, the blocked
+#: (b, Q+1, Q+1) matrices and Q³-per-row matmuls stop paying (ADVICE r11:
+#: a PERMUTE(5-6) or X{2,100} desugaring compiles to hundreds-to-thousands
+#: of states — the fixed 65536-row block then allocates gigabytes). Large
+#: automata run the compiled backtracker instead: exact preference-order
+#: DFS, O(pattern) memory; the state-heavy shapes (PERMUTE, wide bounded
+#: quantifiers) are alternation-like, where the DFS is near-linear per
+#: candidate start.
+_MATRIX_STATE_CAP = 64
+
+#: memory budget for ONE feasibility block (P plus its matmul scratch):
+#: the block length scales down as the state count grows
+_MATRIX_BUDGET_BYTES = 128 << 20
 
 
 def find_matches_product(
@@ -613,6 +898,8 @@ def find_matches_product(
     after_match: str,
     _block: int = 65536,
     _sparse_frac: float = 0.05,
+    start_anchor: bool = False,
+    end_anchor: bool = False,
 ) -> list[tuple[int, list[str]]]:
     """``find_matches`` for compiled non-linear patterns, row loop vectorized.
 
@@ -623,7 +910,12 @@ def find_matches_product(
     batched matmuls per block — no per-row Python). Scanning for match
     starts is one vectorized OR + a next-start jump table; the only Python
     iteration left is per MATCHED row (reconstruction), which is the same
-    order of work as emitting the output rows."""
+    order of work as emitting the output rows.
+
+    ``end_anchor`` requires ``moves`` compiled with ``truncate=False``
+    (accept is then only feasible at row n — the accept column drops out of
+    the augmented matrices and F[i, q] means "consume rows i..n-1 ENTIRELY
+    and accept"); ``start_anchor`` restricts candidate starts to row 0."""
     import numpy as np
 
     Q = len(moves)
@@ -641,41 +933,39 @@ def find_matches_product(
         if m[0] == "c":
             cand |= fa[m[1]][:n]
     cand_idx = np.flatnonzero(cand)
+    if start_anchor:
+        cand_idx = cand_idx[:1] if (len(cand_idx) and cand_idx[0] == 0) else cand_idx[:0]
+    Qp = Q + 1
+    if n and Qp > _MATRIX_STATE_CAP:
+        # ADVICE r11: no feasibility table above the state cap — DFS only,
+        # unbudgeted (exact, memory-O(pattern); see _MATRIX_STATE_CAP)
+        return _scan_backtrack(
+            moves, fa, n, start, after_match, cand_idx, [float("inf")], end_anchor
+        )
     if n and len(cand_idx) <= _sparse_frac * n:
         budget = [50 * len(cand_idx) + 10_000]
-        out: list[tuple[int, list[str]]] = []
-        i, ci = 0, 0
-        ok = True
-        while ci < len(cand_idx):
-            j = int(cand_idx[ci])
-            if j < i:
-                ci += 1
-                continue
-            hit = _backtrack_first(moves, fa, n, start, j, budget)
-            if budget[0] < 0:
-                ok = False
-                break
-            if hit is not None and hit[0] > j:
-                out.append((j, hit[1]))
-                i = _advance(j, hit[1], after_match)
-            else:
-                i = j + 1
-        if ok:
+        out = _scan_backtrack(
+            moves, fa, n, start, after_match, cand_idx, budget, end_anchor
+        )
+        if out is not None:
             return out
 
-    Qp = Q + 1
     # uint8 matmul sums ≤ Qp one-bit products per cell — exact while Qp ≤ 255
     dt = np.uint8 if Qp <= 255 else np.int32
+    # ADVICE r11: size the block to a fixed memory budget (P + matmul
+    # scratch = 2 · b · Qp² · itemsize); explicit small _block (tests) wins
+    block = min(_block, max(64, _MATRIX_BUDGET_BYTES // (2 * Qp * Qp * np.dtype(dt).itemsize)))
     F = np.zeros((n + 1, Q), dtype=bool)
     F[n] = acc.astype(bool)
     g_next = np.append(acc.astype(dt), dt(1))  # augmented G at block end
-    lo = ((n - 1) // _block) * _block if n else 0
+    lo = ((n - 1) // block) * block if n else 0
     while n and lo >= 0:
-        hi = min(lo + _block, n)
+        hi = min(lo + block, n)
         b = hi - lo
         P = np.zeros((b, Qp, Qp), dtype=dt)
         P[:, Q, Q] = 1
-        P[:, :Q, Q] = acc[None, :]
+        if not end_anchor:  # anchored: accepting short of row n is no match
+            P[:, :Q, Q] = acc[None, :]
         for q, s, t in trans:
             P[:, q, t] |= fa[s][lo:hi].astype(dt)
         d = 1
@@ -687,30 +977,34 @@ def find_matches_product(
         g = np.minimum(P @ g_next, 1).astype(dt)
         F[lo:hi] = g[:, :Q].astype(bool)
         g_next = g[0]
-        lo -= _block
+        lo -= block
     # a match starts at i iff the first FEASIBLE start move is a consume
     # (post-truncation lists are consumes-then-accept, so: any consume
     # feasible). Mirrors find_matches' "first yield non-empty" semantics —
     # e.g. (A* | B) at an A-false B-true row prefers the empty A* yield and
-    # does NOT match, in both engines.
+    # does NOT match, in both engines. (Under an end anchor an ε yield ends
+    # short of row n and is skipped rather than blocking, so "any consume
+    # feasible" is exact there too — F already encodes the anchor.)
     ma = np.zeros(n, dtype=bool)
     for m in moves[start]:
         if m[0] == "c":
             ma |= fa[m[1]][:n] & F[1:, m[2]]
     starts_arr = np.where(ma, np.arange(n), n)
     nxt_start = np.minimum.accumulate(starts_arr[::-1])[::-1] if n else starts_arr
-    out: list[tuple[int, list[str]]] = []
+    out = []
     i = 0
     while i < n:
         j = int(nxt_start[i])
-        if j >= n:
+        if j >= n or (start_anchor and j > 0):
             break
         q, p, cls = start, j, []
         while True:
             step = None
             for m in moves[q]:
                 if m[0] == "a":
-                    break  # accept is the first feasible move: end the match
+                    if not end_anchor or p == n:
+                        break  # accept is the first feasible move: end here
+                    continue  # anchored accept short of the end: dead move
                 if p < n and fa[m[1]][p] and F[p + 1, m[2]]:
                     step = m
                     break
@@ -780,6 +1074,28 @@ def _rewrite_navigation(cond: str, navs: list) -> str:
 
 
 # ------------------------------------------------------------ the operator
+def _normalize_after_match(after_match, symbols: list[str]):
+    """Validate/normalize the AFTER MATCH SKIP clause against the pattern's
+    ORIGINAL symbol names; returns ``skip_past_last`` / ``skip_to_next_row``
+    or ``("first"|"last", symbol)``."""
+    if after_match in ("skip_past_last", "skip_to_next_row"):
+        return after_match
+    # Trino's AFTER MATCH SKIP TO FIRST/LAST <symbol> — matching resumes AT
+    # that row, so overlapping matches are produced by design
+    parts = str(after_match).split()
+    if (
+        len(parts) == 2
+        and parts[0] in ("skip_to_first", "skip_to_last")
+        and parts[1] in symbols
+    ):
+        return (parts[0].rsplit("_", 1)[1], parts[1])
+    raise ValueError(
+        f"unknown after_match {after_match!r}; use skip_past_last, "
+        "skip_to_next_row, 'skip_to_first <symbol>' or "
+        "'skip_to_last <symbol>'"
+    )
+
+
 def match_recognize(
     df: DataFrame,
     partition_by: list[str],
@@ -797,57 +1113,71 @@ def match_recognize(
     ``define`` maps each pattern symbol to a boolean ``Column`` or SQL
     string over the input columns. Default output is Trino's ALL ROWS PER
     MATCH shape: the matched rows plus ``match_no``, ``classifier``,
-    ``match_row``. With ``measures`` (r11 — Trino's MEASURES clause +
-    ONE ROW PER MATCH), the output is one row per match: the partition
-    columns plus one column per measure — ``MATCH_NUMBER()``,
-    ``CLASSIFIER()``, ``FIRST/LAST(x[, k])``, ``SUM/AVG/MIN/MAX/COUNT``
-    over ``col`` / ``S.col`` / ``*`` / ``S.*`` scopes, or any raw Spark
-    SQL aggregate (the escape hatch). ``subsets`` declares Trino's SUBSET
-    union variables (``{"U": ["A", "B"]}``) for use as measure scopes;
-    ``rows_per_match="one"`` requires ``measures``.
+    ``match_row``. ``rows_per_match`` (r12 — the full Trino surface):
+
+    - ``"all"`` — every matched row; with ``measures``, each measure is
+      appended as a per-row column with Trino's RUNNING semantics by
+      default (aggregates over the match's rows up to and including the
+      current row) — prefix a measure with ``FINAL `` for whole-match
+      values, ``RUNNING `` to be explicit.
+    - ``"all_with_unmatched"`` — Trino's ``ALL ROWS PER MATCH WITH
+      UNMATCHED ROWS``: rows claimed by no match are emitted too, with
+      NULL ``match_no``/``classifier``/``match_row`` and NULL measures.
+      (Empty matches are always omitted — OMIT EMPTY MATCHES semantics;
+      a zero-width match never claims a row in this engine.)
+    - ``"one"`` — Trino's ONE ROW PER MATCH (requires ``measures``): one
+      row per match with the partition columns plus the measures, FINAL
+      semantics (RUNNING at the last row ≡ FINAL, so prefixes are
+      accepted and ignored).
+
+    Measure grammar: ``MATCH_NUMBER()``, ``CLASSIFIER()``,
+    ``FIRST/LAST(x[, k])``, ``SUM/AVG/MIN/MAX/COUNT`` over ``col`` /
+    ``S.col`` / ``*`` / ``S.*`` scopes, or any raw Spark SQL aggregate
+    (the escape hatch — must be a single aggregate call in the all-rows
+    modes, where it is evaluated over the match window). ``subsets``
+    declares Trino's SUBSET union variables (``{"U": ["A", "B"]}``) for
+    use as measure scopes.
+
+    Pattern exclusions ``{- ... -}`` (r12) omit the enclosed rows from the
+    all-rows output (they still match, still advance SKIP positions, and
+    still feed MEASURES — SQL-standard exclusion semantics). Anchors
+    ``^``/``$`` (r12) pin matches to the partition's first/last row.
 
     LINEAR patterns (a chain of single-symbol atoms with ``+ * ?`` — what
-    real funnels are) run the numpy-vectorized linear matcher. Non-linear
-    patterns (alternation / grouping, e.g. ``(A | B) C+`` — the shapes the
-    reference's inherited suite exercises via
-    ``common-test/TestTrinoDistributedQuery.java:91,486``) run the
-    PRODUCT-CONSTRUCTION vectorized matcher (r11): compiled ε-free
-    prioritized NFA + numpy matrix-scan feasibility, NFA-equivalent by the
-    exhaustive pin in tests. The only remaining fence is a quantifier over
-    a NULLABLE body (``(A?)+``): those degenerate patterns keep the per-row
-    Python NFA behind ``allow_python_nfa=True``."""
-    ast = parse_pattern(pattern)
-    symbols = pattern_symbols(ast)
-    if after_match not in ("skip_past_last", "skip_to_next_row"):
-        # Trino's AFTER MATCH SKIP TO FIRST/LAST <symbol> — normalize to
-        # ("first"|"last", symbol); matching resumes AT that row, so
-        # overlapping matches are produced by design
-        parts = str(after_match).split()
-        if (
-            len(parts) == 2
-            and parts[0] in ("skip_to_first", "skip_to_last")
-            and parts[1] in symbols
-        ):
-            after_match = (parts[0].rsplit("_", 1)[1], parts[1])
-        else:
-            raise ValueError(
-                f"unknown after_match {after_match!r}; use skip_past_last, "
-                "skip_to_next_row, 'skip_to_first <symbol>' or "
-                "'skip_to_last <symbol>'"
-            )
-    missing = [s for s in symbols if s not in define]
+    real funnels are) run the numpy-vectorized linear matcher. Everything
+    else runs the PRODUCT-CONSTRUCTION vectorized matcher (r11): compiled
+    ε-free prioritized NFA + numpy matrix-scan feasibility, NFA-equivalent
+    by the exhaustive pin in tests. Quantified nullable groups (``(A?)+``)
+    normalize at parse time to their non-nullable equivalent (r12 — the
+    r11 ``allow_python_nfa`` fence is gone; the parameter is accepted and
+    ignored for back-compat)."""
+    del allow_python_nfa  # r12: every pattern vectorizes (see docstring)
+    ast, a_start, a_end = parse_pattern_anchored(pattern)
+    user_symbols = [s for s in pattern_symbols(ast)]  # original names
+    after_match = _normalize_after_match(after_match, user_symbols)
+    missing = [s for s in user_symbols if s not in define]
     if missing:
         raise ValueError(f"pattern symbols {missing} missing from define {sorted(define)}")
-    if rows_per_match not in ("all", "one"):
-        raise ValueError(f"rows_per_match must be 'all' or 'one', got {rows_per_match!r}")
+    if rows_per_match not in ("all", "one", "all_with_unmatched"):
+        raise ValueError(
+            "rows_per_match must be 'all', 'one' or 'all_with_unmatched', "
+            f"got {rows_per_match!r}"
+        )
     if rows_per_match == "one" and not measures:
         raise ValueError("rows_per_match='one' needs a measures dict")
     for sub, members in (subsets or {}).items():
-        if sub in symbols:
+        if sub in user_symbols:
             raise ValueError(f"SUBSET name {sub!r} collides with a pattern symbol")
-        bad = [m for m in members if m not in symbols]
+        bad = [m for m in members if m not in user_symbols]
         if bad:
             raise ValueError(f"SUBSET {sub} references unknown symbols {bad}")
+    # exclusion aliasing + nullable-body normalization (r12): after these,
+    # every quantifier body is non-nullable — the pattern ALWAYS compiles
+    excl_alias: dict[str, str] = {}
+    ast = _strip_exclusions(ast, excl_alias)
+    ast = _rewrite_nullable_bodies(ast)
+    assert _product_eligible(ast), pattern  # guaranteed by the rewrite
+    symbols = pattern_symbols(ast)  # may include exclusion aliases
 
     # DEFINE navigation (r11): PREV/NEXT in string conditions rewrite to
     # lag/lead columns over (partition_by, order_by) — Trino's physical-row
@@ -857,7 +1187,7 @@ def match_recognize(
     navs: list[tuple] = []
     conds: dict[str, Column] = {}
     for s in symbols:
-        cond = define[s]
+        cond = define[_orig(s)]  # aliased symbols share the original DEFINE
         if isinstance(cond, str):
             rewritten = _rewrite_navigation(cond, navs)
             conds[s] = F.expr(rewritten)
@@ -886,15 +1216,8 @@ def match_recognize(
     )
 
     linear = _linear_atoms(ast)
-    compiled = (
-        compile_nfa(ast) if linear is None and _product_eligible(ast) else None
-    )
-    if linear is None and compiled is None and not allow_python_nfa:
-        raise ValueError(
-            f"pattern {pattern!r} quantifies a NULLABLE group (e.g. (A?)+), "
-            "which only has the per-row Python NFA; pass allow_python_nfa="
-            "True to accept that cost, or drop the redundant inner quantifier"
-        )
+    compiled = compile_nfa(ast, truncate=not a_end) if linear is None else None
+    with_unmatched = rows_per_match == "all_with_unmatched"
 
     def run(pdf):
         import pandas as pd
@@ -903,11 +1226,12 @@ def match_recognize(
         flags = {s: pdf[f"_mr_{s}"].to_numpy() for s in symbols}
         n = len(pdf)
         if linear is not None:
-            matches = find_matches_linear(linear, flags, n, after_match)
-        elif compiled is not None:
-            matches = find_matches_product(compiled[0], compiled[1], flags, n, after_match)
+            matches = find_matches_linear(linear, flags, n, after_match, a_start, a_end)
         else:
-            matches = find_matches(ast, flags, n, after_match)
+            matches = find_matches_product(
+                compiled[0], compiled[1], flags, n, after_match,
+                start_anchor=a_start, end_anchor=a_end,
+            )
         starts, m_no, m_cls, m_row = [], [], [], []
         for k, (start, classifiers) in enumerate(matches, 1):
             for off, c in enumerate(classifiers):
@@ -915,43 +1239,138 @@ def match_recognize(
                 m_no.append(k)
                 m_cls.append(c)
                 m_row.append(off + 1)
+        if with_unmatched:
+            claimed = set(starts)
+            un = [i for i in range(n) if i not in claimed]
+            starts += un
+            m_no += [None] * len(un)
+            m_cls += [None] * len(un)
+            m_row += [None] * len(un)
         out = pdf.iloc[starts][in_cols].copy() if starts else pdf.iloc[0:0][in_cols].copy()
-        out["match_no"] = pd.Series(m_no, index=out.index, dtype="int64")
-        out["classifier"] = pd.Series(m_cls, index=out.index, dtype="object")
-        out["match_row"] = pd.Series(m_row, index=out.index, dtype="int32")
+        if with_unmatched:  # nullable ints round-trip through Arrow
+            out["match_no"] = pd.array(m_no, dtype="Int64")
+            out["classifier"] = pd.Series(m_cls, index=out.index, dtype="object")
+            out["match_row"] = pd.array(m_row, dtype="Int32")
+        else:
+            out["match_no"] = pd.Series(m_no, index=out.index, dtype="int64")
+            out["classifier"] = pd.Series(m_cls, index=out.index, dtype="object")
+            out["match_row"] = pd.Series(m_row, index=out.index, dtype="int32")
         return out
 
     out = flagged.groupBy(*partition_by).applyInPandas(run, schema=schema)
-    if not measures:
-        return out
-    classifier_of: dict[str, Column] = {s: F.col("classifier") == s for s in symbols}
-    for sub, members in (subsets or {}).items():
-        classifier_of[sub] = F.col("classifier").isin(members)
-    aggs = [
-        _measure_column(e, classifier_of).alias(name) for name, e in measures.items()
-    ]
-    return out.groupBy(*partition_by, "match_no").agg(*aggs).drop("match_no")
+    if excl_alias:
+        # normalize classifiers Spark-side: keep the hidden-row marker,
+        # then report the ORIGINAL symbol (CLASSIFIER()/scopes never see an
+        # alias; excluded rows still feed SKIP positions and measures)
+        amap = F.create_map(
+            *[x for a, o in sorted(excl_alias.items()) for x in (F.lit(a), F.lit(o))]
+        )
+        out = out.withColumn(
+            "_mr_excl", F.element_at(amap, F.col("classifier")).isNotNull()
+        ).withColumn(
+            "classifier",
+            F.coalesce(F.element_at(amap, F.col("classifier")), F.col("classifier")),
+        )
+    if measures:
+        classifier_of: dict[str, Column] = {
+            s: F.col("classifier") == s for s in user_symbols
+        }
+        for sub, members in (subsets or {}).items():
+            classifier_of[sub] = F.col("classifier").isin(members)
+        if rows_per_match == "one":
+            aggs = [
+                _measure_column(e, classifier_of).alias(name)
+                for name, e in measures.items()
+            ]
+            return (
+                out.groupBy(*partition_by, "match_no").agg(*aggs).drop("match_no")
+            )
+        # ALL ROWS PER MATCH + MEASURES (r12): per-row window expressions
+        # over (partition, match_no) ordered by match_row — RUNNING = frame
+        # up to the current row (Trino's all-rows default), FINAL = the
+        # whole match. Same shuffle key the matcher already grouped by.
+        from pyspark.sql import Window as _W
+
+        wb = _W.partitionBy(*partition_by, "match_no").orderBy("match_row")
+        w_run = wb.rowsBetween(_W.unboundedPreceding, _W.currentRow)
+        w_fin = wb.rowsBetween(_W.unboundedPreceding, _W.unboundedFollowing)
+        for name, e in measures.items():
+            c = _measure_column(e, classifier_of, mode="all", w_run=w_run, w_fin=w_fin)
+            out = out.withColumn(name, F.when(F.col("match_no").isNotNull(), c))
+    if excl_alias:
+        if rows_per_match != "one":
+            out = out.filter(~F.col("_mr_excl"))
+        out = out.drop("_mr_excl")
+    return out
 
 
-# ------------------------------------------------------- MEASURES (r11)
-def _measure_column(expr: str, classifier_of: dict[str, "Column"]):
-    """One MEASURES expression → an aggregate Column over the match's
-    ALL-ROWS group (Trino FINAL semantics — the whole match is visible).
+# --------------------------------------------------- MEASURES (r11/r12)
+def _balanced(s: str) -> bool:
+    """ADVICE r11: the measure sugar regexes capture greedily, so a
+    compound like ``SUM(a) + COUNT(b)`` would parse as SUM of ``a) +
+    COUNT(b``. Only take a sugar path when the captured inner expression
+    has balanced parentheses; otherwise fall through to the raw-SQL
+    escape hatch."""
+    depth = 0
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth < 0:
+                return False
+    return depth == 0
 
-    Grammar (Trino's MEASURES surface): ``MATCH_NUMBER()``;
-    ``CLASSIFIER()`` (the LAST row's classifier); ``FIRST(x[, k])`` /
+
+def _measure_column(
+    expr: str,
+    classifier_of: dict[str, "Column"],
+    mode: str = "one",
+    w_run=None,
+    w_fin=None,
+):
+    """One MEASURES expression → a Column.
+
+    ``mode="one"`` (Trino ONE ROW PER MATCH): an aggregate Column over the
+    match's ALL-ROWS group — FINAL semantics (RUNNING at the last row ≡
+    FINAL, so a RUNNING/FINAL prefix is accepted and ignored).
+
+    ``mode="all"`` (r12 — ALL ROWS PER MATCH + MEASURES): a per-row Column
+    over the provided match windows — ``w_run`` (rows up to and including
+    the current row: Trino's all-rows DEFAULT, RUNNING semantics) or
+    ``w_fin`` (the whole match) when the measure carries a ``FINAL``
+    prefix.
+
+    Grammar (Trino's MEASURES surface): ``[RUNNING |FINAL ]`` prefix, then
+    ``MATCH_NUMBER()``; ``CLASSIFIER()`` (the last visible row's
+    classifier — RUNNING: the current row's); ``FIRST(x[, k])`` /
     ``LAST(x[, k])`` with an optional integer offset from the match's
     first/last row; ``COUNT(*)`` / ``COUNT(S.*)``; ``SUM/AVG/MIN/MAX/
     COUNT(x)`` — where ``x`` is a column or ``S.col`` (rows classified S,
-    or any symbol of the SUBSET S). Anything else passes through as a raw
-    Spark SQL aggregate over the group (the power-user escape hatch), so
-    the sugar never limits what a measure can compute."""
+    or any symbol of the SUBSET S). Anything else passes through as raw
+    Spark SQL (the power-user escape hatch) — an aggregate over the group
+    in one-row mode; in all-rows mode it must be a single aggregate call
+    (it is window-wrapped as a whole)."""
     import re as _re
 
     s = expr.strip()
+    pm = _re.match(r"(RUNNING|FINAL)\s+", s, _re.IGNORECASE)
+    sem = "running"  # Trino's ALL ROWS PER MATCH default
+    if pm:
+        sem = pm.group(1).lower()
+        s = s[pm.end() :].strip()
+
+    def win(c: Column) -> Column:  # semantics-dependent aggregate
+        if mode != "all":
+            return c
+        return c.over(w_fin if sem == "final" else w_run)
+
     if _re.fullmatch(r"MATCH_NUMBER\s*\(\s*\)", s, _re.IGNORECASE):
-        return F.first("match_no")
+        return F.col("match_no") if mode == "all" else F.first("match_no")
     if _re.fullmatch(r"CLASSIFIER\s*\(\s*\)", s, _re.IGNORECASE):
+        if mode == "all":
+            # RUNNING: the latest row so far is the current row
+            return F.col("classifier") if sem != "final" else F.last("classifier").over(w_fin)
         return F.max_by("classifier", "match_row")
 
     def scoped(inner):
@@ -964,7 +1383,7 @@ def _measure_column(expr: str, classifier_of: dict[str, "Column"]):
     m = _re.fullmatch(
         r"(FIRST|LAST)\s*\((.*?)(?:,\s*(\d+))?\s*\)", s, _re.IGNORECASE | _re.DOTALL
     )
-    if m:
+    if m and _balanced(m.group(2)):
         kind, inner, off = m.group(1).upper(), m.group(2), int(m.group(3) or 0)
         cond, col = scoped(inner)
         val = F.expr(col)
@@ -977,10 +1396,12 @@ def _measure_column(expr: str, classifier_of: dict[str, "Column"]):
         # 0-based and NULL out of range — Trino's out-of-bounds NULL).
         # Scoped-out rows collect as null-_r structs (collect_list skips
         # null VALUES, not structs of nulls) and would sort FIRST — filter
-        # them so FIRST(S.x) navigates over S's rows only.
+        # them so FIRST(S.x) navigates over S's rows only. In all-rows
+        # mode the collect runs over the RUNNING/FINAL window, so
+        # RUNNING LAST(x) is the latest visible row — Trino's navigation.
         pairs = F.filter(
             F.sort_array(
-                F.collect_list(F.struct(row.alias("_r"), val.alias("_v")))
+                win(F.collect_list(F.struct(row.alias("_r"), val.alias("_v"))))
             ),
             lambda x: x.getField("_r").isNotNull(),
         )
@@ -989,18 +1410,18 @@ def _measure_column(expr: str, classifier_of: dict[str, "Column"]):
     m = _re.fullmatch(
         r"(SUM|AVG|MIN|MAX|COUNT)\s*\((.*)\)", s, _re.IGNORECASE | _re.DOTALL
     )
-    if m:
+    if m and _balanced(m.group(2)):
         agg, inner = m.group(1).upper(), m.group(2).strip()
         if agg == "COUNT" and inner == "*":
-            return F.count(F.lit(1))
+            return win(F.count(F.lit(1)))
         cond, col = scoped(inner)
         if agg == "COUNT" and col == "*":
-            return F.sum(F.when(cond, 1).otherwise(0))
+            return win(F.sum(F.when(cond, 1).otherwise(0)))
         val = F.expr(col)
         if cond is not None:
             val = F.when(cond, val)
-        return getattr(F, agg.lower())(val)
-    return F.expr(s)  # raw Spark SQL aggregate over the group
+        return win(getattr(F, agg.lower())(val))
+    return win(F.expr(s)) if mode == "all" else F.expr(s)  # raw SQL escape
 
 
 # ------------------------------------------------------------ streaming CEP

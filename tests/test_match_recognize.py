@@ -283,20 +283,167 @@ def test_e2e_spark_plan_nonlinear(spark):
     assert out2.count() == 3  # A alone, then B+C
 
 
-def test_nullable_body_quantifier_fenced_by_default(spark):
-    """The residual fence (r11): a quantifier over a nullable group has no
-    automaton mirror of the backtracker's skip-empty-iteration rule, so it
-    keeps the per-row Python NFA behind allow_python_nfa=True."""
-    import pytest
-
+def test_nullable_body_quantifier_vectorizes(spark):
+    """r12 (VERDICT r11 item 2): the fence is GONE — quantified nullable
+    groups normalize at parse time to their non-nullable equivalent and run
+    the vectorized matchers; allow_python_nfa is an accepted no-op."""
     df = spark.createDataFrame(
         [(1, 1, "a"), (1, 2, "b")], "u int, ts int, e string"
     )
     define = {"A": "e = 'a'", "B": "e = 'b'"}
-    with pytest.raises(ValueError, match="allow_python_nfa"):
-        match_recognize(df, ["u"], ["ts"], "(A?)+ B", define)
-    out = match_recognize(df, ["u"], ["ts"], "(A?)+ B", define, allow_python_nfa=True)
+    out = match_recognize(df, ["u"], ["ts"], "(A?)+ B", define)
     assert out.count() == 2  # A then B in one match
+    # back-compat: the old opt-in parameter is still accepted
+    out2 = match_recognize(df, ["u"], ["ts"], "(A?)+ B", define, allow_python_nfa=True)
+    assert out2.count() == 2
+
+
+def test_nullable_rewrite_equals_nfa_exhaustively():
+    """r12 pin (the product pin's twin for the parse-time rewrite): on every
+    flag matrix, the REWRITTEN pattern through the vectorized matchers is
+    result-identical to the original pattern through the backtracking NFA —
+    same starts, classifiers, preference order, both after_match modes,
+    both product arms. Exhaustive to length 6 plus randomized independent
+    flags, over greedy/reluctant/alternation/sequence nullable bodies."""
+    import itertools
+    import random
+
+    from incubator_paimon_trino_spark.operators.match_recognize import (
+        _linear_atoms,
+        _product_eligible,
+        _rewrite_nullable_bodies,
+        compile_nfa,
+        find_matches_linear,
+        find_matches_product,
+    )
+
+    patterns = ["(A?)+", "(A*)*", "(A* B?)+ C", "((A | B)?)+", "(A? B?)+",
+                "(A??)+", "(A*? B?)+", "(A? | B)+ C", "((A|B)? C?)*",
+                "(A{0,2})+ B", "(A? B*)+", "((A | B?) C?)+", "(B? A)* C",
+                "A (B? C??)+"]
+    for pat in patterns:
+        ast = parse_pattern(pat)
+        rw = _rewrite_nullable_bodies(ast)
+        assert _product_eligible(rw), pat  # the rewrite's whole point
+        moves, start = compile_nfa(rw)
+        atoms = _linear_atoms(rw)
+        for n in range(0, 7):
+            for seq in itertools.product("ABC", repeat=n):
+                flags = {s: [c == s for c in seq] for s in "ABC"}
+                for am in ("skip_past_last", "skip_to_next_row"):
+                    slow = find_matches(ast, flags, n, am)
+                    if atoms is not None:
+                        fast = find_matches_linear(atoms, flags, n, am)
+                    else:
+                        fast = find_matches_product(
+                            moves, start, flags, n, am, _block=4, _sparse_frac=0.0
+                        )
+                    assert fast == slow, (pat, "".join(seq), am, fast, slow)
+    rng = random.Random(12)
+    for pat in patterns:
+        ast = parse_pattern(pat)
+        rw = _rewrite_nullable_bodies(ast)
+        moves, start = compile_nfa(rw)
+        for _ in range(120):
+            n = rng.randrange(0, 25)
+            flags = {s: [rng.random() < 0.45 for _ in range(n)] for s in "ABC"}
+            for am in ("skip_past_last", "skip_to_next_row"):
+                slow = find_matches(ast, flags, n, am)
+                for sf in (0.0, 1.0):
+                    fast = find_matches_product(
+                        moves, start, flags, n, am, _block=8, _sparse_frac=sf
+                    )
+                    assert fast == slow, (pat, n, am, sf)
+
+
+def test_anchors_equal_nfa_exhaustively():
+    """r12: partition anchors ^ / $ on all three matchers vs the
+    anchor-filtered backtracking NFA, exhaustive to length 6."""
+    import itertools
+
+    from incubator_paimon_trino_spark.operators.match_recognize import (
+        _linear_atoms,
+        compile_nfa,
+        find_matches_linear,
+        find_matches_product,
+    )
+
+    for pat in ["A B+", "(A | B) C", "A+", "A B? C*", "(A B | C)+"]:
+        ast = parse_pattern(pat)
+        atoms = _linear_atoms(ast)
+        for sa, se in [(True, False), (False, True), (True, True)]:
+            moves, start = compile_nfa(ast, truncate=not se)
+            for n in range(0, 7):
+                for seq in itertools.product("ABC", repeat=n):
+                    flags = {s: [c == s for c in seq] for s in "ABC"}
+                    for am in ("skip_past_last", "skip_to_next_row"):
+                        slow = find_matches(ast, flags, n, am, sa, se)
+                        for sf in (0.0, 1.0):
+                            fp = find_matches_product(
+                                moves, start, flags, n, am, _block=4,
+                                _sparse_frac=sf, start_anchor=sa, end_anchor=se,
+                            )
+                            assert fp == slow, (pat, "".join(seq), am, sa, se, sf)
+                        if atoms is not None:
+                            fl = find_matches_linear(atoms, flags, n, am, sa, se)
+                            assert fl == slow, (pat, "".join(seq), am, sa, se)
+
+
+def test_anchor_parse_and_e2e(spark):
+    """^/$ parse only at the pattern's outermost edges; $ end-anchors the
+    match to the partition's last row end-to-end."""
+    import pytest
+
+    from incubator_paimon_trino_spark.operators.match_recognize import (
+        parse_pattern_anchored,
+    )
+
+    _, sa, se = parse_pattern_anchored("^ A B+ $")
+    assert sa and se
+    with pytest.raises(ValueError):
+        parse_pattern("^ A")  # the unanchored entry point refuses anchors
+    df = spark.createDataFrame(
+        [(1, 1, "c"), (1, 2, "a"), (1, 3, "c"), (1, 4, "c")],
+        "u int, ts int, e string",
+    )
+    out = match_recognize(
+        df, ["u"], ["ts"], "C+ $", {"C": "e = 'c'"}
+    ).orderBy("ts").collect()
+    # only the TRAILING click run matches (rows 3..4), not the row-1 click
+    assert [r["ts"] for r in out] == [3, 4]
+    out2 = match_recognize(df, ["u"], ["ts"], "^ C", {"C": "e = 'c'"}).collect()
+    assert [r["ts"] for r in out2] == [1]
+
+
+def test_matrix_state_cap_and_block_scaling():
+    """ADVICE r11: automatons beyond _MATRIX_STATE_CAP never build (b,Q+1,Q+1)
+    blocks — the compiled DFS handles them (result-pinned vs the NFA); under
+    the cap the block length scales to the memory budget."""
+    from incubator_paimon_trino_spark.operators.match_recognize import (
+        _MATRIX_STATE_CAP,
+        compile_nfa,
+        find_matches_product,
+    )
+
+    # PERMUTE(5) compiles to hundreds of states — over the cap
+    ast = parse_pattern("PERMUTE(A, B, C, D, E)")
+    moves, start = compile_nfa(ast)
+    assert len(moves) + 1 > _MATRIX_STATE_CAP
+    seq = "DABEC" + "ACBDE" + "AAAAA"
+    flags = {s: [c == s for c in seq] for s in "ABCDE"}
+    n = len(seq)
+    slow = find_matches(ast, flags, n, "skip_past_last")
+    # dense flags (sparse dispatch off) force the over-cap arm
+    fast = find_matches_product(moves, start, flags, n, "skip_past_last", _sparse_frac=0.0)
+    assert fast == slow and len(fast) == 2
+    # under the cap: a huge explicit _block is clamped by the budget, the
+    # answer is unchanged (block boundaries already exercised elsewhere)
+    ast2 = parse_pattern("(A | B) C+")
+    moves2, start2 = compile_nfa(ast2)
+    flags2 = {s: [c == s for c in "ACCBCC"] for s in "ABC"}
+    got = find_matches_product(moves2, start2, flags2, 6, "skip_past_last",
+                               _block=1 << 30, _sparse_frac=0.0)
+    assert got == find_matches(ast2, flags2, 6, "skip_past_last")
 
 
 def test_bounded_quantifiers_desugar_and_match():
@@ -593,3 +740,106 @@ def test_measures_one_row_per_match(spark):
             df, ["u"], ["seq"], "V", {"V": "true"},
             measures={"n": "COUNT(*)"}, subsets={"U": ["X"]},
         )
+
+
+def test_measures_all_rows_running_final(spark):
+    """r12: ALL ROWS PER MATCH carrying MEASURES — RUNNING by default
+    (aggregates over the match prefix up to the current row), FINAL prefix
+    for whole-match values; matched rows keep match_no/classifier/match_row."""
+    rows = [
+        (1, 1, "view", 10.0), (1, 2, "click", 1.0), (1, 3, "click", 2.0),
+        (1, 4, "purchase", 100.0), (1, 5, "noise", 0.0),
+    ]
+    df = spark.createDataFrame(rows, "u int, seq int, e string, value double")
+    out = match_recognize(
+        df, ["u"], ["seq"], "V C+ P",
+        define={"V": "e = 'view'", "C": "e = 'click'", "P": "e = 'purchase'"},
+        measures={
+            "run_rows": "COUNT(*)",                # RUNNING is the default
+            "fin_rows": "FINAL COUNT(*)",
+            "run_clicks": "RUNNING COUNT(C.*)",
+            "run_sum": "SUM(value)",
+            "fin_cls": "FINAL CLASSIFIER()",
+            "cur_cls": "CLASSIFIER()",             # RUNNING: the current row
+            "run_last": "LAST(seq)",               # RUNNING LAST = current seq
+            "fin_first_click": "FINAL FIRST(C.seq)",
+        },
+        rows_per_match="all",
+    ).orderBy("seq").collect()
+    assert [r.seq for r in out] == [1, 2, 3, 4]
+    assert [r.run_rows for r in out] == [1, 2, 3, 4]
+    assert [r.fin_rows for r in out] == [4, 4, 4, 4]
+    assert [r.run_clicks for r in out] == [0, 1, 2, 2]
+    assert [r.run_sum for r in out] == [10.0, 11.0, 13.0, 113.0]
+    assert [r.fin_cls for r in out] == ["P"] * 4
+    assert [r.cur_cls for r in out] == ["V", "C", "C", "P"]
+    assert [r.run_last for r in out] == [1, 2, 3, 4]
+    assert [r.fin_first_click for r in out] == [2, 2, 2, 2]
+
+
+def test_with_unmatched_rows(spark):
+    """r12: ALL ROWS PER MATCH WITH UNMATCHED ROWS — unmatched rows emit
+    with NULL match_no/classifier/match_row and NULL measures."""
+    rows = [(1, 1, "a"), (1, 2, "b"), (1, 3, "x"), (1, 4, "a"), (1, 5, "b")]
+    df = spark.createDataFrame(rows, "u int, seq int, e string")
+    out = match_recognize(
+        df, ["u"], ["seq"], "A B", {"A": "e = 'a'", "B": "e = 'b'"},
+        measures={"n": "FINAL COUNT(*)"},
+        rows_per_match="all_with_unmatched",
+    ).orderBy("seq").collect()
+    assert [r.seq for r in out] == [1, 2, 3, 4, 5]
+    assert [r.match_no for r in out] == [1, 1, None, 2, 2]
+    assert [r.classifier for r in out] == ["A", "B", None, "A", "B"]
+    assert [r.n for r in out] == [2, 2, None, 2, 2]
+
+
+def test_pattern_exclusion(spark):
+    """r12: {- ... -} — excluded rows match (and advance SKIP / feed
+    MEASURES) but are omitted from the all-rows output; CLASSIFIER scopes
+    never see the internal alias."""
+    rows = [
+        (1, 1, "view"), (1, 2, "click"), (1, 3, "click"), (1, 4, "purchase"),
+        (1, 5, "view"), (1, 6, "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "u int, seq int, e string")
+    define = {"V": "e = 'view'", "C": "e = 'click'", "P": "e = 'purchase'"}
+    out = match_recognize(
+        df, ["u"], ["seq"], "V {- C* -} P", define
+    ).orderBy("seq").collect()
+    # clicks are matched (the V..P spans are contiguous) but not emitted
+    assert [(r.seq, r.classifier, r.match_no) for r in out] == [
+        (1, "V", 1), (4, "P", 1), (5, "V", 2), (6, "P", 2)
+    ]
+    # excluded rows still feed MEASURES (SQL-standard exclusion semantics)
+    one = match_recognize(
+        df, ["u"], ["seq"], "V {- C* -} P", define,
+        measures={"n_clicks": "COUNT(C.*)", "n_rows": "COUNT(*)"},
+        rows_per_match="one",
+    ).orderBy("n_rows").collect()
+    assert [(r.n_clicks, r.n_rows) for r in one] == [(0, 2), (2, 4)]
+    # exclusion + linear fast path + unmatched: hidden rows are NOT unmatched
+    un = match_recognize(
+        df, ["u"], ["seq"], "V {- C* -} P", define,
+        rows_per_match="all_with_unmatched",
+    ).orderBy("seq").collect()
+    assert [(r.seq, r.match_no) for r in un] == [
+        (1, 1), (4, 1), (5, 2), (6, 2)
+    ]
+    with pytest.raises(ValueError, match="unclosed exclusion|unexpected end"):
+        parse_pattern("V {- C*")
+
+
+def test_measure_sugar_balanced_parens():
+    """ADVICE r11: compound raw-SQL measures that merely START with an
+    aggregate name ('SUM(a) + COUNT(b)') must reach the raw-SQL escape
+    hatch, not mis-parse as a scoped SUM."""
+    from incubator_paimon_trino_spark.operators.match_recognize import (
+        _measure_column,
+    )
+
+    c = _measure_column("SUM(value) + COUNT(*)", {})
+    # renders as raw expr: the generated SQL keeps the full compound text
+    s = c._jc.toString()
+    assert "+" in s and "count" in s.lower()
+    c2 = _measure_column("FIRST(seq) - LAST(seq)", {})
+    assert "-" in c2._jc.toString()
