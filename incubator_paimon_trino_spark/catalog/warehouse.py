@@ -774,6 +774,29 @@ class WarehouseCatalog(WriteMixin, MaintenanceMixin, DeletionVectorMixin, SqlMix
                 db, table, fb, schema, predicate, limit, pad_char
             )
         snap = self._pin_snapshot(tdir, version_as_of, timestamp_as_of, tag)
+        # r12 (VERDICT r11 item 4): SESSION PLAN-FRAGMENT CACHE. The driver
+        # pays a fixed ~0.1s of py4j plan assembly per read (DV position-set
+        # broadcast, merge composition, char padding); snapshots are
+        # immutable and every plan-shaping input is in the key — snapshot
+        # id, schema id (bumped by DDL and SET PROPERTIES), the read flavor
+        # flags, and the broadcast threshold the DV/delta bounds derive
+        # from — so repeated reads of an unchanged snapshot reuse the
+        # assembled DataFrame (immutable logical plan) instead of
+        # rebuilding it. Predicated/limited reads are not cached (the
+        # pushed domain shapes the file list).
+        plan_key = None
+        if not predicate and limit is None and snap is not None:
+            plan_key = (
+                tdir,
+                snap.snapshot_id,
+                schema.schema_id,
+                with_system_columns,
+                pad_char,
+                self.spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB"),
+            )
+            cached = getattr(self, "_read_plan_cache", {}).get(plan_key)
+            if cached is not None:
+                return cached
         if predicate:
             # CHAR(n) predicate literals are pad-insensitive (stored form is
             # rtrimmed — see insert_into)
@@ -980,6 +1003,13 @@ class WarehouseCatalog(WriteMixin, MaintenanceMixin, DeletionVectorMixin, SqlMix
             # evaluation) stay in storage form — declared metadata lives
             # in the catalog.
             df = _pad_char_columns(df, schema)
+        if plan_key is not None:
+            cache = getattr(self, "_read_plan_cache", None)
+            if cache is None:
+                cache = self._read_plan_cache = {}
+            if len(cache) >= 64:  # tiny LRU: sessions read few hot tables
+                cache.pop(next(iter(cache)))
+            cache[plan_key] = df
         return df
 
     def _fallback_branch_union(

@@ -335,7 +335,19 @@ class DeletionVectorMixin:
             by_hash = {
                 zlib.crc32(b.encode("utf-8")): ps for b, ps in per_file.items()
             }
-            if len(by_hash) == len(per_file):  # crc collision → join path
+            # ADVICE r11: the filter keys on crc32(basename), so a collision
+            # between a MARKED file and ANY other data file in the snapshot
+            # (marked or not) would silently delete the colliding file's
+            # rows at the marked positions. Require crc32 to be injective
+            # over the union of marked + live basenames (O(live files) on
+            # metadata already in hand) — any collision falls back to the
+            # exact-basename anti-join below.
+            all_bases = set(per_file) | {
+                os.path.basename(e["path"].replace("\\", "/")) for e in snap.files
+            }
+            if len({zlib.crc32(b.encode("utf-8")) for b in all_bases}) == len(
+                all_bases
+            ):
                 keep = _dv_keep_udf(self.spark, by_hash)
                 fhash = F.crc32(
                     F.encode(F.substring_index(F.col(_DV_FILE), "/", -1), "UTF-8")

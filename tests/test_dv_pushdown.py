@@ -58,6 +58,26 @@ def test_pushdown_plan_has_no_join(cat, spark):
     ]
 
 
+def test_pushdown_crc_collision_falls_back(cat, spark, monkeypatch):
+    """ADVICE r11: the pushdown keys on crc32(basename), so it must verify
+    crc32 is injective over ALL live basenames in the snapshot — a marked
+    file colliding with an UNMARKED one would silently delete the unmarked
+    file's rows at the marked positions. Any collision abandons the
+    pushdown for the exact-basename anti-join (results identical)."""
+    import zlib
+
+    mk = _mk(cat, spark)
+    cat.insert_into("d", "t", mk([(i, f"v{i}") for i in range(1, 200)]))
+    cat.delete_where("d", "t", F.col("k") % 7 == 0)
+    monkeypatch.setattr(zlib, "crc32", lambda b: 42)  # everything collides
+    df = cat.read_table("d.t")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" in plan, plan  # fell back to the anti-join
+    assert sorted(r.k for r in df.collect()) == [
+        i for i in range(1, 200) if i % 7 != 0
+    ]
+
+
 def test_pushdown_equals_anti_join(cat, spark):
     """Result equality: the pushdown read and the forced anti-join read
     (per-table bound override = 0) return identical rows."""
@@ -236,3 +256,20 @@ def test_orc_dv_positions_exact_and_join_parity(cat, spark):
     cat.set_options("d", "oc2", {"deletion-vectors.broadcast-rows": "0"})
     got2 = sorted(r.k for r in cat.read_table("d.oc2").collect())
     assert got2 == got
+
+
+def test_read_plan_cache_reuse_and_invalidation(cat, spark):
+    """r12 (VERDICT r11 item 4): repeated reads of an unchanged snapshot
+    reuse the assembled plan object (the ~0.1s py4j build amortizes);
+    any commit, option change, or read-flavor change misses the cache."""
+    mk = _mk(cat, spark)
+    cat.insert_into("d", "t", mk([(1, "a"), (2, "b")]))
+    d1 = cat.read_table("d.t")
+    assert cat.read_table("d.t") is d1  # second read is plan-build-free
+    cat.delete_where("d", "t", F.col("k") == 1)  # new snapshot -> miss
+    d3 = cat.read_table("d.t")
+    assert d3 is not d1
+    assert sorted(r.k for r in d3.collect()) == [2]
+    # flavor flags and predicated reads never collide with the cached plan
+    assert cat.read_table("d.t", with_system_columns=True) is not d3
+    assert cat.read_table("d.t") is d3
