@@ -1425,6 +1425,99 @@ def _measure_column(
 
 
 # ------------------------------------------------------------ streaming CEP
+def _stream_scan(
+    moves: list[list[tuple]],
+    start: int,
+    fa: dict,
+    ts,
+    within_us: int,
+    frontier: int,
+    after_match,
+) -> tuple[list[tuple[int, list[str]]], int]:
+    """One trigger's scan over a key's time-sorted buffer (r12 — VERDICT
+    r11 item 3, the vectorized replacement for the per-row ``_match_from``
+    retry loop): candidate starts are pre-filtered to rows where one of the
+    compiled start state's consume symbols fires (one vectorized OR over
+    the flag arrays — non-candidate rows cost zero Python steps), and each
+    candidate runs the iterative compiled backtracker bounded to its
+    WITHIN-span. Only starts whose whole span is strictly past the
+    watermark are scanned (``ts + within < frontier`` — determinism under
+    any micro-batch chopping).
+
+    Returns ``(matches, keep_from)``: matches as (start_idx, classifiers),
+    and the eviction point — every row before it is either consumed, or a
+    non-candidate whose event time is too old (< frontier − within) to
+    serve any future admitted start."""
+    import numpy as np
+
+    n = len(ts)
+    fin_end = int(np.searchsorted(ts, frontier - within_us, side="left"))
+    cand = np.zeros(n, dtype=bool)
+    for m in moves[start]:
+        if m[0] == "c":
+            cand |= fa[m[1]][:n]
+    cand_idx = np.flatnonzero(cand[:fin_end])
+    budget = [float("inf")]
+    out: list[tuple[int, list[str]]] = []
+    i = 0
+    for j in cand_idx:
+        j = int(j)
+        if j < i:
+            continue
+        end = int(np.searchsorted(ts, ts[j] + within_us, side="right"))
+        hit = _backtrack_first(moves, fa, end, start, j, budget)
+        if hit is not None and hit[0] > j:
+            out.append((j, hit[1]))
+            i = _advance(j, hit[1], after_match)
+        else:
+            i = j + 1
+    return out, max(i, fin_end)
+
+
+def _parse_stream_measure(expr: str, symbols: list[str], id_col: str, ts_col: str):
+    """One streaming MEASURES expression → ``(evaluator, ddl_type)``.
+    The evaluator runs per finalized match over ``(ids, tss, classifiers)``
+    — the only columns streaming state carries (DEFINE results are packed
+    to flag bits before grouping; value columns belong downstream, joined
+    back on the emitted ids). Grammar: ``COUNT(*)``, ``COUNT(S.*)``,
+    ``CLASSIFIER()`` (last row), ``FIRST/LAST(<id>|<ts>[, k])`` optionally
+    scoped ``S.<col>``."""
+    import re as _re
+
+    s = expr.strip()
+    if _re.fullmatch(r"COUNT\s*\(\s*\*\s*\)", s, _re.IGNORECASE):
+        return (lambda ids, tss, cls: len(cls)), "bigint"
+    m = _re.fullmatch(r"COUNT\s*\(\s*([A-Za-z_]\w*)\s*\.\s*\*\s*\)", s, _re.IGNORECASE)
+    if m and m.group(1) in symbols:
+        sym = m.group(1)
+        return (lambda ids, tss, cls: sum(1 for c in cls if c == sym)), "bigint"
+    if _re.fullmatch(r"CLASSIFIER\s*\(\s*\)", s, _re.IGNORECASE):
+        return (lambda ids, tss, cls: cls[-1]), "string"
+    m = _re.fullmatch(
+        r"(FIRST|LAST)\s*\(\s*(?:([A-Za-z_]\w*)\s*\.\s*)?([A-Za-z_]\w*)"
+        r"\s*(?:,\s*(\d+))?\s*\)",
+        s,
+        _re.IGNORECASE,
+    )
+    if m and m.group(3) in (id_col, ts_col) and (m.group(2) or symbols[0]) in symbols:
+        kind, sym, col, off = m.group(1).upper(), m.group(2), m.group(3), int(m.group(4) or 0)
+        is_ts = col == ts_col
+
+        def ev(ids, tss, cls, kind=kind, sym=sym, off=off, is_ts=is_ts):
+            vals = tss if is_ts else ids
+            idxs = [k for k, c in enumerate(cls) if sym is None or c == sym]
+            if kind == "LAST":
+                idxs = idxs[::-1]
+            return int(vals[idxs[off]]) if off < len(idxs) else None
+
+        return ev, ("timestamp" if is_ts else "bigint")
+    raise ValueError(
+        f"unsupported streaming measure {expr!r}: use COUNT(*)/COUNT(S.*)/"
+        f"CLASSIFIER()/FIRST|LAST({id_col}|{ts_col}[, k]) — richer measures "
+        "belong downstream, joined back on the emitted row ids"
+    )
+
+
 def match_recognize_stream(
     stream: DataFrame,
     key_col: str,
@@ -1434,6 +1527,8 @@ def match_recognize_stream(
     define: dict[str, str],
     within: str,
     delay: str = "0 seconds",
+    after_match: str = "skip_past_last",
+    measures: "dict[str, str] | None" = None,
 ) -> DataFrame:
     """Streaming MATCH_RECOGNIZE (r11) — CEP over a Structured Stream via
     ``applyInPandasWithState``, with Flink-CEP-style ``WITHIN`` semantics:
@@ -1455,17 +1550,42 @@ def match_recognize_stream(
     Output (append mode): one row per MATCHED row — (key, start_id, id,
     ts, classifier, match_row); ``start_id`` (the match's first row id) is
     the stable per-match grouping key for measures, numbering-free across
-    triggers. DEFINE conditions are SQL strings over the row's columns
-    (evaluated JVM-side into flag bits before grouping); PREV/NEXT
-    navigation is batch-only (windows don't stream) and refuses here.
-    ``key_col``/``id_col`` must be bigint; ``ts_col`` must be TIMESTAMP
-    (watermarks reject NTZ) — micros round-trip through state as int64."""
+    triggers. With ``measures`` (r12 — VERDICT r11 item 5) the stream
+    emits ONE row per match instead: (key, start_id, <measures...>),
+    aggregated in-state before emission (grammar: COUNT(*) / COUNT(S.*) /
+    CLASSIFIER() / FIRST|LAST(id|ts[, k]) — the columns state carries).
+    ``after_match`` (r12): all four batch SKIP modes stream too —
+    ``skip_to_next_row`` / ``skip_to_first|last <symbol>`` produce
+    overlapping matches exactly like batch, still watermark-finalized.
+    DEFINE conditions are SQL strings over the row's columns (evaluated
+    JVM-side into flag bits before grouping); PREV/NEXT navigation is
+    batch-only (windows don't stream) and refuses here, as do anchors
+    (a streaming buffer has no partition end). ``key_col``/``id_col``
+    must be bigint; ``ts_col`` must be TIMESTAMP (watermarks reject NTZ)
+    — micros round-trip through state as int64.
+
+    The per-trigger matcher is the COMPILED backtracker over candidate
+    starts (r12 — see ``_stream_scan``): DEFINE bits arrive packed in one
+    int64 word, candidates are one vectorized mask, and dense buffers no
+    longer pay O(span²) generator steps per trigger (≥3× pinned in
+    tests/test_streaming_cep.py)."""
     import pandas as _pd
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    ast = parse_pattern(pattern)
+    ast, a_s, a_e = parse_pattern_anchored(pattern)
+    if a_s or a_e:
+        raise ValueError("anchors (^/$) are batch-only: a stream has no partition end")
+    no_excl: dict[str, str] = {}
+    if _strip_exclusions(ast, no_excl) and no_excl:
+        raise ValueError(
+            "pattern exclusions {- -} are batch-only (the stream emits "
+            "start_id-keyed rows; drop columns downstream instead)"
+        )
+    ast = _rewrite_nullable_bodies(ast)
     symbols = pattern_symbols(ast)
+    after_match = _normalize_after_match(after_match, symbols)
+    compiled_moves, compiled_start = compile_nfa(ast)
     if len(symbols) > 62:
         raise ValueError("more than 62 pattern symbols cannot pack into the flag word")
     missing = [s for s in symbols if s not in define]
@@ -1474,6 +1594,11 @@ def match_recognize_stream(
     within_us = int(_pd.Timedelta(within).total_seconds() * 1_000_000)
     if within_us <= 0:
         raise ValueError(f"within must be a positive duration, got {within!r}")
+    meas = (
+        {name: _parse_stream_measure(e, symbols, id_col, ts_col) for name, e in measures.items()}
+        if measures
+        else None
+    )
 
     flagged = stream.withWatermark(ts_col, delay)
     bits = []
@@ -1502,10 +1627,15 @@ def match_recognize_stream(
         flag_word.cast("bigint").alias("_mr_flags"),
     )
 
-    out_schema = (
-        f"{key_col} bigint, start_{id_col} bigint, {id_col} bigint, "
-        f"{ts_col} timestamp, classifier string, match_row int"
-    )
+    if meas is None:
+        out_schema = (
+            f"{key_col} bigint, start_{id_col} bigint, {id_col} bigint, "
+            f"{ts_col} timestamp, classifier string, match_row int"
+        )
+    else:
+        out_schema = f"{key_col} bigint, start_{id_col} bigint, " + ", ".join(
+            f"{name} {ddl}" for name, (_, ddl) in meas.items()
+        )
 
     def fn(key, pdf_iter, state: GroupState):
         import numpy as np
@@ -1534,35 +1664,33 @@ def match_recognize_stream(
             s: ((fl >> i) & 1).astype(bool) for i, s in enumerate(symbols)
         }
         frontier = state.getCurrentWatermarkMs() * 1000  # us
-        o_key, o_start, o_id, o_ts, o_cls, o_row = [], [], [], [], [], []
-        i = 0
         # STRICT <: a row with event time exactly equal to the watermark is
         # not yet late (Spark drops only ts < wm), so a window touching the
-        # watermark could still gain rows — finalize only strictly-passed
-        # windows, mirrored exactly by the registered oracle's < bound
-        while i < n and ts[i] + within_us < frontier:
-            end = int(np.searchsorted(ts, ts[i] + within_us, side="right"))
-            sliced = {s: a[i:end] for s, a in flags.items()}
-            hit = next(_match_from(ast, sliced, 0, end - i), None)
-            if hit is not None and hit[0] > 0:
-                _, cls = hit
-                for off, c in enumerate(cls):
-                    o_key.append(key[0])
-                    o_start.append(int(ids[i]))
-                    o_id.append(int(ids[i + off]))
-                    o_ts.append(int(ts[i + off]))
-                    o_cls.append(c)
-                    o_row.append(off + 1)
-                i += len(cls)  # skip_past_last
-            else:
-                i += 1
-        if i >= n:
+        # watermark could still gain rows — _stream_scan finalizes only
+        # strictly-passed windows, mirrored by the registered oracle's <
+        matches, keep_from = _stream_scan(
+            compiled_moves, compiled_start, flags, ts, within_us, frontier, after_match
+        )
+        if keep_from >= n:
             state.remove()
         else:
-            state.update((ts[i:].tolist(), ids[i:].tolist(), fl[i:].tolist()))
-            wake_ms = (int(ts[i]) + within_us) // 1000 + 1
+            state.update(
+                (ts[keep_from:].tolist(), ids[keep_from:].tolist(), fl[keep_from:].tolist())
+            )
+            wake_ms = (int(ts[keep_from]) + within_us) // 1000 + 1
             state.setTimeoutTimestamp(max(wake_ms, state.getCurrentWatermarkMs() + 1))
-        if o_key:
+        if not matches:
+            return
+        if meas is None:
+            o_key, o_start, o_id, o_ts, o_cls, o_row = [], [], [], [], [], []
+            for j, cls in matches:
+                for off, c in enumerate(cls):
+                    o_key.append(key[0])
+                    o_start.append(int(ids[j]))
+                    o_id.append(int(ids[j + off]))
+                    o_ts.append(int(ts[j + off]))
+                    o_cls.append(c)
+                    o_row.append(off + 1)
             yield _pd.DataFrame(
                 {
                     key_col: _pd.Series(o_key, dtype="int64"),
@@ -1575,6 +1703,30 @@ def match_recognize_stream(
                     "match_row": _pd.Series(o_row, dtype="int32"),
                 }
             )
+            return
+        # measures mode: one emitted row per match, aggregated in-state
+        cols: dict[str, list] = {name: [] for name in meas}
+        o_key, o_start = [], []
+        for j, cls in matches:
+            o_key.append(key[0])
+            o_start.append(int(ids[j]))
+            ids_m, ts_m = ids[j : j + len(cls)], ts[j : j + len(cls)]
+            for name, (ev, _ddl) in meas.items():
+                cols[name].append(ev(ids_m, ts_m, cls))
+        data = {
+            key_col: _pd.Series(o_key, dtype="int64"),
+            f"start_{id_col}": _pd.Series(o_start, dtype="int64"),
+        }
+        for name, (_ev, ddl) in meas.items():
+            if ddl == "timestamp":
+                data[name] = _pd.to_datetime(
+                    _pd.Series(cols[name], dtype="Int64"), unit="us"
+                )
+            elif ddl == "bigint":
+                data[name] = _pd.array(cols[name], dtype="Int64")
+            else:
+                data[name] = _pd.Series(cols[name], dtype="object")
+        yield _pd.DataFrame(data)
 
     return flagged.groupBy(key_col).applyInPandasWithState(
         fn,
