@@ -2084,3 +2084,228 @@ def pattern_alternation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("classifier") == "C", 1).otherwise(0)).alias("n_clicks"),
         F.sum(F.when(F.col("classifier") == "E", 1).otherwise(0)).alias("n_errors"),
     )
+
+
+@register(
+    "pattern_running_measures_all_rows",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, event_type, ts, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    nc AS (
+      SELECT *, MAX(CASE WHEN event_type <> 'click' THEN rn END)
+                 OVER (PARTITION BY user_id ORDER BY rn
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_nc
+      FROM seq
+    ),
+    matches AS (
+      SELECT p.user_id, s.rn AS srn, p.rn AS prn, p.event_id AS end_id
+      FROM nc p JOIN seq s ON s.user_id = p.user_id AND s.rn = p.prev_nc
+      WHERE p.event_type = 'purchase' AND s.event_type = 'view' AND p.rn - s.rn >= 2
+    )
+    SELECT m.user_id, b.event_id,
+           CAST(b.rn - m.srn + 1 AS BIGINT) AS rn_in_match,
+           CAST(CASE WHEN b.rn = m.srn THEN 0
+                     ELSE LEAST(b.rn, m.prn - 1) - m.srn END AS BIGINT) AS run_clicks,
+           CAST(m.prn - m.srn - 1 AS BIGINT) AS fin_clicks,
+           CAST(SUM(CAST(b.value AS DECIMAL(9,2)))
+                  OVER (PARTITION BY m.user_id, m.srn ORDER BY b.rn) AS DOUBLE)
+             AS run_value,
+           CASE WHEN b.rn = m.srn THEN 'V' WHEN b.rn = m.prn THEN 'P'
+                ELSE 'C' END AS cur_cls,
+           m.end_id AS fin_end_id
+    FROM matches m JOIN seq b ON b.user_id = m.user_id
+                              AND b.rn BETWEEN m.srn AND m.prn
+    """,
+)
+def pattern_running_measures_all_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trino's ALL ROWS PER MATCH + MEASURES with RUNNING vs FINAL
+    semantics (r12 — VERDICT r11 item 1a/1b): every matched funnel row
+    carries running aggregates over the match prefix (COUNT(*) ordinal,
+    click count, a decimal-exact running value sum) alongside FINAL
+    whole-match values (click total, last event id) and the per-row
+    CLASSIFIER(). The DuckDB oracle computes the same prefix windows over
+    the closed-form match set, so the RUNNING frame semantics are
+    value-hash-checked row by row."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts", "value"
+    )
+    mr = match_recognize(
+        ev,
+        partition_by=["user_id"],
+        order_by=["ts", "event_id"],
+        pattern="V C+ P",
+        define={
+            "V": "event_type = 'view'",
+            "C": "event_type = 'click'",
+            "P": "event_type = 'purchase'",
+        },
+        measures={
+            "rn_in_match": "RUNNING COUNT(*)",
+            "run_clicks": "RUNNING COUNT(C.*)",
+            "fin_clicks": "FINAL COUNT(C.*)",
+            "run_value": "RUNNING SUM(CAST(value AS DECIMAL(9,2)))",
+            "cur_cls": "CLASSIFIER()",
+            "fin_end_id": "FINAL LAST(event_id)",
+        },
+        rows_per_match="all",
+    )
+    return mr.select(
+        "user_id",
+        "event_id",
+        "rn_in_match",
+        "run_clicks",
+        "fin_clicks",
+        F.col("run_value").cast("double").alias("run_value"),
+        "cur_cls",
+        "fin_end_id",
+    )
+
+
+@register(
+    "pattern_exclusion_funnel_edges",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, event_type, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    nc AS (
+      SELECT *, MAX(CASE WHEN event_type <> 'click' THEN rn END)
+                 OVER (PARTITION BY user_id ORDER BY rn
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_nc
+      FROM seq
+    ),
+    matches AS (
+      SELECT p.user_id, s.rn AS srn, p.rn AS prn,
+             s.event_id AS sid, p.event_id AS pid
+      FROM nc p JOIN seq s ON s.user_id = p.user_id AND s.rn = p.prev_nc
+      WHERE p.event_type = 'purchase' AND s.event_type = 'view' AND p.rn - s.rn >= 2
+    )
+    SELECT user_id, sid AS event_id, 'V' AS classifier,
+           CAST(1 AS INTEGER) AS match_row FROM matches
+    UNION ALL
+    SELECT user_id, pid AS event_id, 'P' AS classifier,
+           CAST(prn - srn + 1 AS INTEGER) AS match_row FROM matches
+    """,
+)
+def pattern_exclusion_funnel_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pattern exclusion ``V {- C+ -} P`` (r12 — VERDICT r11 item 1d): the
+    clicks MATCH (the funnel still requires them, SKIP still advances past
+    them) but are omitted from the all-rows output — only the V and P edge
+    rows emit, with match_row keeping its true in-match position (the P
+    row's ordinal counts the hidden clicks, which the oracle mirrors as
+    prn − srn + 1)."""
+    ev = table(spark, sf_dir, "events").select("user_id", "event_id", "event_type", "ts")
+    mr = match_recognize(
+        ev,
+        partition_by=["user_id"],
+        order_by=["ts", "event_id"],
+        pattern="V {- C+ -} P",
+        define={
+            "V": "event_type = 'view'",
+            "C": "event_type = 'click'",
+            "P": "event_type = 'purchase'",
+        },
+    )
+    return mr.select("user_id", "event_id", "classifier", "match_row")
+
+
+@register(
+    "pattern_unmatched_rows_coverage",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, event_type, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    nc AS (
+      SELECT *, MAX(CASE WHEN event_type <> 'click' THEN rn END)
+                 OVER (PARTITION BY user_id ORDER BY rn
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_nc
+      FROM seq
+    ),
+    matches AS (
+      SELECT p.user_id, p.rn - s.rn + 1 AS mlen
+      FROM nc p JOIN seq s ON s.user_id = p.user_id AND s.rn = p.prev_nc
+      WHERE p.event_type = 'purchase' AND s.event_type = 'view' AND p.rn - s.rn >= 2
+    ),
+    per_user AS (
+      SELECT user_id, COUNT(*) AS n_rows FROM events GROUP BY user_id
+    )
+    SELECT u.user_id, u.n_rows,
+           CAST(COALESCE(SUM(m.mlen), 0) AS BIGINT) AS n_matched,
+           CAST(u.n_rows - COALESCE(SUM(m.mlen), 0) AS BIGINT) AS n_unmatched
+    FROM per_user u LEFT JOIN matches m ON m.user_id = u.user_id
+    GROUP BY u.user_id, u.n_rows
+    """,
+)
+def pattern_unmatched_rows_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL ROWS PER MATCH WITH UNMATCHED ROWS (r12 — VERDICT r11 item 1c):
+    every event row emits — matched rows with their classifier, unmatched
+    rows with NULL match columns — so matched/unmatched row counts per
+    user reconcile exactly against the closed-form match lengths (the
+    funnel's non-overlapping skip_past_last matches make the matched-row
+    total Σ(match length))."""
+    ev = table(spark, sf_dir, "events").select("user_id", "event_id", "event_type", "ts")
+    mr = match_recognize(
+        ev,
+        partition_by=["user_id"],
+        order_by=["ts", "event_id"],
+        pattern="V C+ P",
+        define={
+            "V": "event_type = 'view'",
+            "C": "event_type = 'click'",
+            "P": "event_type = 'purchase'",
+        },
+        rows_per_match="all_with_unmatched",
+    )
+    return mr.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("match_no").alias("n_matched"),
+        F.sum(F.when(F.col("match_no").isNull(), 1).otherwise(0)).alias("n_unmatched"),
+    )
+
+
+@register(
+    "pattern_end_anchor_trailing_run",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, event_type, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    agg AS (
+      SELECT user_id, MAX(rn) AS mx,
+             MAX(CASE WHEN event_type <> 'click' THEN rn ELSE 0 END) AS ln
+      FROM seq GROUP BY user_id
+    )
+    SELECT a.user_id, s.event_id AS start_event_id, e.event_id AS end_event_id,
+           CAST(a.mx - a.ln AS BIGINT) AS n_clicks
+    FROM agg a
+    JOIN seq s ON s.user_id = a.user_id AND s.rn = a.ln + 1
+    JOIN seq e ON e.user_id = a.user_id AND e.rn = a.mx
+    WHERE a.ln < a.mx
+    """,
+)
+def pattern_end_anchor_trailing_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition end anchor ``C+ $`` (r12 — VERDICT r11 item 1d): the
+    match must END at the user's last event, so the leftmost-greedy scan
+    finds exactly the MAXIMAL trailing click run (earlier click runs never
+    match — their greedy completion stops short of the partition end).
+    DuckDB oracle: rows after the user's last non-click event."""
+    ev = table(spark, sf_dir, "events").select("user_id", "event_id", "event_type", "ts")
+    mr = match_recognize(
+        ev,
+        partition_by=["user_id"],
+        order_by=["ts", "event_id"],
+        pattern="C+ $",
+        define={"C": "event_type = 'click'"},
+    )
+    return mr.groupBy("user_id", "match_no").agg(
+        F.min_by("event_id", "match_row").alias("start_event_id"),
+        F.max_by("event_id", "match_row").alias("end_event_id"),
+        F.count(F.lit(1)).alias("n_clicks"),
+    ).drop("match_no")
