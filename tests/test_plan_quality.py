@@ -601,3 +601,28 @@ def test_alternation_funnel_single_user_shuffle_no_python_rows(spark):
     assert plan.index("FlatMapGroupsInPandas") > plan.index("HashAggregate") or (
         count_shuffles(df) <= 2
     )
+
+
+def test_running_measures_all_rows_plan(spark):
+    """r12 pattern_running_measures_all_rows: ALL-ROWS measures are window
+    expressions over (user, match_no) — partitioned windows (never a
+    single-partition global sort), no join introduced, and the only Python
+    is the grouped-map matcher."""
+    df = _q("pattern_running_measures_all_rows")(spark, SF_SMOKE)
+    plan = physical_plan(df)
+    assert "FlatMapGroupsInPandas" in plan
+    assert "BatchEvalPython" not in plan
+    assert "Join" not in plan
+    assert "SinglePartition" not in plan  # windows keyed by (user, match_no)
+
+
+def test_exclusion_and_unmatched_plans_add_no_join(spark):
+    """r12: exclusion filtering is one literal-map projection + filter over
+    the matcher output (no join, no extra Python); unmatched-rows emission
+    happens inside the grouped map (no plan change at all)."""
+    for name in ("pattern_exclusion_funnel_edges", "pattern_unmatched_rows_coverage"):
+        df = _q(name)(spark, SF_SMOKE)
+        plan = physical_plan(df)
+        assert "FlatMapGroupsInPandas" in plan, name
+        assert "Join" not in plan, name
+        assert "BatchEvalPython" not in plan, name

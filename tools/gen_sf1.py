@@ -1,0 +1,62 @@
+"""Generate a local sf1 ``lineitem`` (~6M rows) for the lake read-path
+scale soak (r12 — VERDICT r11 item 6).
+
+Same generator CONTRACT as the driver's TESTDATA.md tables (seed=42,
+numpy), with every distribution matched to the profiled sf0.1 data so
+sf0.1 → sf1 is a pure 10× row scale-up:
+
+- rows = 6,000,000 · sf; ``l_orderkey`` uniform over [0, 1.5M·sf) (≈4
+  lines/order, Poisson-like multiplicity), ``l_partkey`` over
+  [0, 200k·sf), ``l_suppkey`` over [0, 10k·sf);
+- ``l_linenumber`` uniform 1..7 INDEPENDENT of orderkey (so duplicate
+  (orderkey, linenumber) pairs exist, exactly like the driver data —
+  bench_lake dedups once, same as at sf0.1);
+- quantity integer 1..50, extendedprice 2-decimal in [900, 105000),
+  discount 0..0.10 step 0.01, tax 0..0.08, returnflag A/N/R,
+  linestatus O/F, shipdate 1995..2001.
+
+Output: ``<out_dir>/lineitem.parquet`` (default ``.bench/sf1/`` — local
+only, gitignored; NEVER writes to /root/testdata).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def generate(out_dir: str, sf: float = 1.0) -> str:
+    n = int(6_000_000 * sf)
+    rng = np.random.default_rng(42)
+    days = rng.integers(0, 2500, n)
+    tbl = pa.table(
+        {
+            "l_orderkey": rng.integers(0, int(1_500_000 * sf), n, dtype=np.int64),
+            "l_partkey": rng.integers(0, int(200_000 * sf), n, dtype=np.int64),
+            "l_suppkey": rng.integers(0, int(10_000 * sf), n, dtype=np.int64),
+            "l_linenumber": rng.integers(1, 8, n, dtype=np.int32),
+            "l_quantity": rng.integers(1, 51, n).astype(np.float64),
+            "l_extendedprice": np.round(rng.uniform(900.0, 105_000.0, n), 2),
+            "l_discount": rng.integers(0, 11, n) / 100.0,
+            "l_tax": rng.integers(0, 9, n) / 100.0,
+            "l_returnflag": pa.array(np.array(["A", "N", "R"])[rng.integers(0, 3, n)]),
+            "l_linestatus": pa.array(np.array(["O", "F"])[rng.integers(0, 2, n)]),
+            "l_shipdate": pa.array(
+                np.datetime64("1995-01-01", "us") + days * np.timedelta64(86_400_000_000, "us")
+            ),
+        }
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, "lineitem.parquet")
+    pq.write_table(tbl, path, row_group_size=1 << 20)
+    return path
+
+
+if __name__ == "__main__":
+    out = sys.argv[1] if len(sys.argv) > 1 else ".bench/sf1"
+    sf = float(sys.argv[2]) if len(sys.argv) > 2 else 1.0
+    print(generate(out, sf))
