@@ -68,8 +68,14 @@ from dataclasses import dataclass
 from incubator_paimon_trino_spark.catalog.metadata import TableSchema
 from incubator_paimon_trino_spark.functions.predicates import ColumnDomain
 
-#: candidate-file count above which the probe fans out as a Spark job
-DRIVER_PROBE_MAX = 64
+#: candidate-file count above which the probe fans out as a Spark job.
+#: r12 (sf1 soak): the job path costs a fixed ~0.5s per probe and caches
+#: nothing, so a 96-file table paid it on EVERY point lookup while a
+#: 64-file table answered warm probes from the driver cache in ~0. The
+#: driver path with the (immutable-sidecar) LRU below is the right
+#: strategy up to a few hundred files (~100KB JSON each — a one-off
+#: sub-second cold parse); beyond that, executor fan-out wins.
+DRIVER_PROBE_MAX = 384
 
 #: sidecar filename suffix (``<data-file>.fidx``)
 SUFFIX = ".fidx"
@@ -536,7 +542,7 @@ def _load_sidecar(path: str) -> dict | None:
     return _load_sidecar_cached(path, st.st_size, int(st.st_mtime_ns))
 
 
-@functools.lru_cache(maxsize=64)
+@functools.lru_cache(maxsize=512)  # r12: must cover DRIVER_PROBE_MAX files
 def _load_sidecar_cached(path: str, size: int, mtime_ns: int) -> dict | None:
     # (size, mtime) key the cache: sidecars are written once via atomic
     # rename, so a hit is always current; a rewritten path (recreated table

@@ -971,8 +971,25 @@ class WarehouseCatalog(WriteMixin, MaintenanceMixin, DeletionVectorMixin, SqlMix
                     c = base[k].eqNullSafe(dkeys[f"_dk_{k}"])
                     cond = c if cond is None else cond & c
                 untouched = base.join(dkeys, cond, "left_anti")
-                touched = base.join(dkeys, cond, "left_semi")
-                merged = merge_on_read(touched.unionByName(delta), **merge_kwargs)
+                if (
+                    merge_kwargs["merge_engine"] == "deduplicate"
+                    and not seq_field
+                    and not merge_kwargs.get("sequence_groups")
+                ):
+                    # ONE-SCAN split (r12, sf1 soak: the semi branch made
+                    # the big compacted base scan TWICE — 4× super-linear
+                    # at 10× rows): under commit-sequence deduplicate, a
+                    # delta row STRICTLY supersedes its base row (later
+                    # commit ⇒ higher seq; a delta -D removes the key and
+                    # the anti join already drops the base row), so
+                    # touched base rows can never reach the output — merge
+                    # the delta alone. A user sequence_field (or sequence
+                    # groups) can make the BASE row win, so those keep the
+                    # touched∪delta merge below.
+                    merged = merge_on_read(delta, **merge_kwargs)
+                else:
+                    touched = base.join(dkeys, cond, "left_semi")
+                    merged = merge_on_read(touched.unionByName(delta), **merge_kwargs)
                 df = untouched.select(*user_cols).unionByName(
                     merged.select(*user_cols)
                 )

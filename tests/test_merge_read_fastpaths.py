@@ -140,3 +140,34 @@ def test_split_respects_predicates_and_time_travel(cat, spark):
     df = cat.read_table("d.t", version_as_of=ver_compact)
     assert "Aggregate" not in _plan(df)
     assert {r.k: r.v for r in df.collect()}[3] == "v3b"
+
+
+def test_dedup_delta_split_scans_base_once(cat, spark):
+    """r12 (sf1 soak): under commit-sequence deduplicate, the split's semi
+    branch (touched base rows entering the merge) is provably dead — delta
+    rows strictly supersede base rows — so the plan must scan the base
+    ONCE (anti join only, no LeftSemi). A user sequence_field CAN make the
+    base row win, so it keeps the touched∪delta merge (and stays correct
+    when the base row outranks)."""
+    cat.create_database("d")
+    ddl = _mk(cat, spark)
+    cat.compact("d", "t")
+    cat.insert_into("d", "t", spark.createDataFrame([(3, "v3c", 32)], ddl))
+    p = _plan(cat.read_table("d.t"))
+    assert "LeftAnti" in p and "LeftSemi" not in p, p
+
+    # sequence_field twin: base row carries the HIGHER sequence, so the
+    # base version must win — only the touched∪delta merge gets that right
+    cat.create_table(
+        "d", "sq", [("k", "int"), ("v", "string"), ("sq", "bigint")],
+        primary_key=["k"], options={"sequence.field": "sq"},
+    )
+    sddl = "k int, v string, sq bigint"
+    cat.insert_into("d", "sq", spark.createDataFrame(
+        [(i, f"v{i}", 100) for i in range(40)], sddl))
+    cat.compact("d", "sq")
+    cat.insert_into("d", "sq", spark.createDataFrame([(5, "stale", 50)], sddl))
+    psq = _plan(cat.read_table("d.sq"))
+    assert "LeftSemi" in psq, psq  # the one-scan shortcut must NOT fire
+    got = {r.k: (r.v, r.sq) for r in cat.read_table("d.sq").collect()}
+    assert got[5] == ("v5", 100)  # base outranks the stale delta
