@@ -117,42 +117,40 @@ _DEFER_NEW: set[str] = set()
 # Verified-green queries whose CODE PATH changed since their last driver
 # verdict — r10 amendment (VERDICT r9 item 2): changed-code greens outrank
 # stale-but-unchanged greens in the prefix. ORDERED, most-changed first.
-# r11's wave: the five formerly assert-free rows-only queries now carry
-# in-query invariants (plans changed materially — brief item 7); the DV
-# family reads through the new position-set pushdown (crc32-int UDF filter,
-# config-derived bounds — items 3/4); the four linear pattern queries run
-# through the touched match_recognize dispatch (item 1; the new non-linear
-# query is never-checked and jumps via the pattern_ prefix); avro queries
-# exercise the array-vectorized codec + the with_pos plumbing (items 5/6);
-# the delta-split/compacted fast paths now gate on the config-derived
-# broadcast bound; remaining read_table consumers follow (the _read_files
-# signature grew the synth_pos branch).
+# r12's wave: every pattern query runs through the rewritten
+# match_recognize dispatch (anchored parse + exclusion strip +
+# nullable-body rewrite before compile — brief items 1/2); the streaming
+# CEP queries run the new candidate-prefiltered compiled scan with SKIP /
+# measures plumbing (items 3/5); the delta-split read takes the new
+# one-scan deduplicate composition and the index lookups the raised
+# driver-probe threshold (item 6 soak fixes); and EVERY lake read now
+# flows through read_table's plan-fragment cache (item 4) — the lake
+# family re-proves stalest-first behind the named heads.
 _REPROOF: tuple[str, ...] = (
-    # in-query invariants (new plans)
-    "agg_approx_count_distinct",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "ann_lsh_bucketed",
-    "multimodal_feature_extract",
-    # DV position-set pushdown + config-derived bounds
-    "lake_deletion_vector_read",
-    "lake_dv_cdc_pipeline",
-    "lake_dv_changelog_stream",
-    # stateful streaming (GroupState.get property fix)
-    "streaming_stateful_running_counts",
-    # pattern dispatch touched by the product-construction work
+    # r12: rewritten match_recognize dispatch (all matchers re-dispatched)
     "pattern_match_recognize_funnel",
+    "pattern_measures_one_row",
+    "pattern_alternation_funnel",
+    "pattern_bounded_quantifier_funnel",
+    "pattern_prev_navigation_runs",
+    "pattern_skip_to_last_overlap",
     "pattern_funnel_view_click_purchase",
     "pattern_error_within_5min_of_purchase",
     "pattern_longest_click_streak",
-    # avro codec (arrays) + positional plumbing
-    "lake_avro_roundtrip",
-    "lake_manifest_changelog_stream",
-    # broadcast-bound-gated fast paths
+    # r12: streaming CEP scan rewrite (skip modes, measures, eviction)
+    "streaming_pattern_within_funnel",
+    # r12: one-scan deduplicate delta split + probe threshold (soak fixes)
     "lake_delta_base_split_read",
-    "lake_compacted_merge_free_read",
+    "lake_bloom_index_point_lookup",
+    "lake_bitmap_index_lookup",
+    # r12: grouped-map docstring twin's sibling (same oracle, same rows)
+    "udf_grouped_map_normalize",
+    # r12: plan-fragment cache — every read_table consumer, riskiest first
+    "lake_deletion_vector_read",
+    "lake_dv_cdc_pipeline",
+    "lake_dv_changelog_stream",
     "lake_merge_on_read",
-    # remaining read_table consumers, least-changed last
+    "lake_compacted_merge_free_read",
     "lake_time_travel_v1",
     "lake_tag_time_travel",
     "lake_dml_roundtrip",
@@ -180,16 +178,23 @@ _REPROOF: tuple[str, ...] = (
     "lake_consumer_resume",
     "lake_schema_evolution",
     "lake_orc_scan",
+    "lake_avro_roundtrip",
+    "lake_manifest_changelog_stream",
     "lake_timestamp_precision",
     "lake_char_padded_read",
-    "lake_bloom_index_point_lookup",
-    "lake_bitmap_index_lookup",
     "lake_like_prefix_pruned_scan",
     "lake_dynamic_file_pruning",
     "lake_limit_pushdown_partition_scoped",
     "lake_partition_pruned_scan",
     "lake_partition_expiration",
     "lake_fallback_branch",
+    # r11 invariant carriers (unchanged r12, still ahead of stale greens)
+    "agg_approx_count_distinct",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_lsh_bucketed",
+    "multimodal_feature_extract",
+    "streaming_stateful_running_counts",
 )
 
 
