@@ -196,9 +196,12 @@ def _partition_type_supported(ddl: str) -> bool:
 def validate_partition_types(schema: TableSchema) -> None:
     """Driver-side, stream-build-time guard: every partition column's type
     must be one ``_typed_partition_value`` can revive from a hive path
-    value, so an unsupported partition schema (e.g. BINARY) fails the
-    ``readStream`` build loudly instead of surfacing as an executor-side
-    ValueError on the first batch."""
+    value, so an unsupported partition schema fails the ``readStream``
+    build loudly instead of surfacing as an executor-side ValueError on
+    the first batch. As of r12 this is defense-in-depth: complex-typed
+    partition columns already refuse at CREATE TABLE
+    (``wh_helpers._validate_table_options``), so no catalog table can
+    reach here with a type this module can't revive."""
     for k in schema.partition_keys:
         t = _storage_ddl(schema.field_by_name(k).type)
         if not _partition_type_supported(t):
