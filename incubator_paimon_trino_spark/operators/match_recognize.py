@@ -1107,6 +1107,7 @@ def match_recognize(
     measures: "dict[str, str] | None" = None,
     rows_per_match: str = "all",
     subsets: "dict[str, list[str]] | None" = None,
+    empty_matches: str = "show",
 ) -> DataFrame:
     """Row-pattern matching (see module docstring).
 
@@ -1123,8 +1124,15 @@ def match_recognize(
     - ``"all_with_unmatched"`` — Trino's ``ALL ROWS PER MATCH WITH
       UNMATCHED ROWS``: rows claimed by no match are emitted too, with
       NULL ``match_no``/``classifier``/``match_row`` and NULL measures.
-      (Empty matches are always omitted — OMIT EMPTY MATCHES semantics;
-      a zero-width match never claims a row in this engine.)
+
+    ``empty_matches`` (r12 — Trino's SHOW/OMIT EMPTY MATCHES, default
+    SHOW like Trino): a NULLABLE pattern (``A*``, ``B??``) matches empty
+    at every scanned row where no non-empty match starts; with ``"show"``
+    each such EMPTY MATCH takes a match number and emits one row — the
+    row where it occurred, with NULL classifier/match_row and measures
+    evaluated over zero rows (COUNT 0, aggregates NULL). ``"omit"``
+    drops them (match numbering then skips them too, Trino's OMIT rule).
+    Non-nullable patterns have no empty matches — the modes coincide.
     - ``"one"`` — Trino's ONE ROW PER MATCH (requires ``measures``): one
       row per match with the partition columns plus the measures, FINAL
       semantics (RUNNING at the last row ≡ FINAL, so prefixes are
@@ -1165,6 +1173,8 @@ def match_recognize(
         )
     if rows_per_match == "one" and not measures:
         raise ValueError("rows_per_match='one' needs a measures dict")
+    if empty_matches not in ("show", "omit"):
+        raise ValueError(f"empty_matches must be 'show' or 'omit', got {empty_matches!r}")
     for sub, members in (subsets or {}).items():
         if sub in user_symbols:
             raise ValueError(f"SUBSET name {sub!r} collides with a pattern symbol")
@@ -1218,6 +1228,10 @@ def match_recognize(
     linear = _linear_atoms(ast)
     compiled = compile_nfa(ast, truncate=not a_end) if linear is None else None
     with_unmatched = rows_per_match == "all_with_unmatched"
+    # empty matches exist only for nullable patterns (and never under $ —
+    # an ε yield ends short of the partition end); everything else keeps
+    # the plain matched-rows emission untouched
+    show_empty = empty_matches == "show" and _nullable(ast) and not a_end
 
     def run(pdf):
         import pandas as pd
@@ -1232,8 +1246,33 @@ def match_recognize(
                 compiled[0], compiled[1], flags, n, after_match,
                 start_anchor=a_start, end_anchor=a_end,
             )
+        if show_empty:
+            # replay the scan: every visited position that did not start a
+            # non-empty match hosts an EMPTY match (a nullable pattern's
+            # first yield there is ε). Positions jumped over by AFTER
+            # MATCH SKIP were never scanned — no empty match there.
+            events: list[tuple[int, list[str] | None]] = []
+            mk, i = 0, 0
+            while i < n:
+                if a_start and i > 0:
+                    break
+                if mk < len(matches) and matches[mk][0] == i:
+                    events.append(matches[mk])
+                    i = _advance(i, matches[mk][1], after_match)
+                    mk += 1
+                else:
+                    events.append((i, None))
+                    i += 1
+        else:
+            events = matches
         starts, m_no, m_cls, m_row = [], [], [], []
-        for k, (start, classifiers) in enumerate(matches, 1):
+        for k, (start, classifiers) in enumerate(events, 1):
+            if classifiers is None:  # empty match: one row, zero-row match
+                starts.append(start)
+                m_no.append(k)
+                m_cls.append(None)
+                m_row.append(None)
+                continue
             for off, c in enumerate(classifiers):
                 starts.append(start + off)
                 m_no.append(k)
@@ -1247,7 +1286,7 @@ def match_recognize(
             m_cls += [None] * len(un)
             m_row += [None] * len(un)
         out = pdf.iloc[starts][in_cols].copy() if starts else pdf.iloc[0:0][in_cols].copy()
-        if with_unmatched:  # nullable ints round-trip through Arrow
+        if with_unmatched or show_empty:  # nullable ints through Arrow
             out["match_no"] = pd.array(m_no, dtype="Int64")
             out["classifier"] = pd.Series(m_cls, index=out.index, dtype="object")
             out["match_row"] = pd.array(m_row, dtype="Int32")
@@ -1365,13 +1404,29 @@ def _measure_column(
             return c
         return c.over(w_fin if sem == "final" else w_run)
 
+    #: an EMPTY match (r12, SHOW EMPTY MATCHES) emits one carrier row with
+    #: NULL match_row; measures must evaluate over ZERO rows there —
+    #: unscoped values gate on this (scoped ones gate on classifier,
+    #: which is NULL on the carrier row already)
+    in_match = F.col("match_row").isNotNull()
+
     if _re.fullmatch(r"MATCH_NUMBER\s*\(\s*\)", s, _re.IGNORECASE):
         return F.col("match_no") if mode == "all" else F.first("match_no")
-    if _re.fullmatch(r"CLASSIFIER\s*\(\s*\)", s, _re.IGNORECASE):
+    m = _re.fullmatch(r"CLASSIFIER\s*\(\s*([A-Za-z_]\w*)?\s*\)", s, _re.IGNORECASE)
+    if m and (m.group(1) is None or m.group(1) in classifier_of):
+        if m.group(1) is not None:
+            # Trino's CLASSIFIER(U): the last visible row mapped to the
+            # SUBSET (or symbol) U — NULL when no such row yet
+            cond = classifier_of[m.group(1)]
+            c = F.max_by(
+                F.when(cond, F.col("classifier")),
+                F.when(cond, F.col("match_row")),
+            )
+            return win(c) if mode == "all" else c
         if mode == "all":
             # RUNNING: the latest row so far is the current row
             return F.col("classifier") if sem != "final" else F.last("classifier").over(w_fin)
-        return F.max_by("classifier", "match_row")
+        return F.max_by("classifier", F.coalesce(F.col("match_row"), F.lit(0)))
 
     def scoped(inner):
         # "S.col" → (condition, col); "col" → (None, col); "*"/"S.*" ditto
@@ -1413,13 +1468,12 @@ def _measure_column(
     if m and _balanced(m.group(2)):
         agg, inner = m.group(1).upper(), m.group(2).strip()
         if agg == "COUNT" and inner == "*":
-            return win(F.count(F.lit(1)))
+            return win(F.count(F.when(in_match, 1)))  # 0 over an empty match
         cond, col = scoped(inner)
         if agg == "COUNT" and col == "*":
             return win(F.sum(F.when(cond, 1).otherwise(0)))
         val = F.expr(col)
-        if cond is not None:
-            val = F.when(cond, val)
+        val = F.when(cond if cond is not None else in_match, val)
         return win(getattr(F, agg.lower())(val))
     return win(F.expr(s)) if mode == "all" else F.expr(s)  # raw SQL escape
 
@@ -2309,3 +2363,63 @@ def pattern_end_anchor_trailing_run(spark: SparkSession, sf_dir: str) -> DataFra
         F.max_by("event_id", "match_row").alias("end_event_id"),
         F.count(F.lit(1)).alias("n_clicks"),
     ).drop("match_no")
+
+
+@register(
+    "pattern_show_empty_matches",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, event_type, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    err AS (
+      SELECT *, rn - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+      FROM seq WHERE event_type = 'error'
+    ),
+    runs AS (
+      SELECT user_id, grp, MIN(rn) AS srn, CAST(COUNT(*) AS BIGINT) AS len
+      FROM err GROUP BY user_id, grp
+    ),
+    items AS (
+      SELECT user_id, srn, len, TRUE AS ie FROM runs
+      UNION ALL
+      SELECT user_id, rn AS srn, CAST(0 AS BIGINT) AS len, FALSE AS ie
+      FROM seq WHERE event_type <> 'error'
+    ),
+    numbered AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY srn) AS BIGINT) AS match_no
+      FROM items
+    )
+    SELECT n.user_id, s.event_id, n.match_no, CAST(NULL AS VARCHAR) AS classifier,
+           CAST(NULL AS INTEGER) AS match_row, n.len AS n_err
+    FROM numbered n JOIN seq s ON s.user_id = n.user_id AND s.rn = n.srn
+    WHERE NOT n.ie
+    UNION ALL
+    SELECT n.user_id, s.event_id, n.match_no, 'E' AS classifier,
+           CAST(s.rn - n.srn + 1 AS INTEGER) AS match_row, n.len AS n_err
+    FROM numbered n JOIN seq s ON s.user_id = n.user_id
+                               AND s.rn BETWEEN n.srn AND n.srn + n.len - 1
+    WHERE n.ie
+    """,
+)
+def pattern_show_empty_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trino's SHOW EMPTY MATCHES — the ALL ROWS PER MATCH default (r12):
+    PATTERN (E*) per user matches every maximal error run, and EVERY other
+    scanned row hosts an EMPTY match — numbered like any match, emitted as
+    one carrier row with NULL classifier/match_row and zero-row measures
+    (FINAL COUNT(*) = 0). The DuckDB oracle interleaves the error-run
+    islands with the non-error rows and renumbers them in scan order, so
+    the empty-match NUMBERING (Trino's subtlest empty-match rule) is
+    value-hash-checked row by row."""
+    ev = table(spark, sf_dir, "events").select("user_id", "event_id", "event_type", "ts")
+    mr = match_recognize(
+        ev,
+        partition_by=["user_id"],
+        order_by=["ts", "event_id"],
+        pattern="E*",
+        define={"E": "event_type = 'error'"},
+        measures={"n_err": "FINAL COUNT(*)"},
+        rows_per_match="all",
+    )
+    return mr.select("user_id", "event_id", "match_no", "classifier", "match_row", "n_err")

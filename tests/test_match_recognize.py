@@ -843,3 +843,61 @@ def test_measure_sugar_balanced_parens():
     assert "+" in s and "count" in s.lower()
     c2 = _measure_column("FIRST(seq) - LAST(seq)", {})
     assert "-" in c2._jc.toString()
+
+
+def test_show_empty_matches(spark):
+    """r12: Trino's SHOW EMPTY MATCHES (the default) — a nullable pattern
+    matches empty at every scanned non-starting row; each empty match takes
+    a match number and emits one carrier row with NULL classifier/match_row
+    and zero-row measures. OMIT drops them (and renumbers)."""
+    df = spark.createDataFrame(
+        [(1, 1, "b"), (1, 2, "b"), (1, 3, "a"), (1, 4, "a"), (1, 5, "b")],
+        "u int, ts int, e string",
+    )
+    out = match_recognize(
+        df, ["u"], ["ts"], "A*", {"A": "e = 'a'"},
+        measures={"n": "FINAL COUNT(*)", "cls": "FINAL CLASSIFIER()"},
+        rows_per_match="all",
+    ).orderBy("ts").collect()
+    assert [(r.ts, r.match_no, r.classifier, r.match_row, r.n, r.cls) for r in out] == [
+        (1, 1, None, None, 0, None),
+        (2, 2, None, None, 0, None),
+        (3, 3, "A", 1, 2, "A"),
+        (4, 3, "A", 2, 2, "A"),
+        (5, 4, None, None, 0, None),
+    ]
+    omit = match_recognize(
+        df, ["u"], ["ts"], "A*", {"A": "e = 'a'"}, empty_matches="omit"
+    ).orderBy("ts").collect()
+    assert [(r.ts, r.match_no) for r in omit] == [(3, 1), (4, 1)]
+    one = match_recognize(
+        df, ["u"], ["ts"], "A*", {"A": "e = 'a'"},
+        measures={"n": "COUNT(*)", "first_a": "FIRST(A.ts)"},
+        rows_per_match="one",
+    ).collect()
+    assert sorted((r.n, r.first_a) for r in one) == [(0, None)] * 3 + [(2, 3)]
+    # non-nullable patterns have no empty matches: modes coincide
+    a = match_recognize(df, ["u"], ["ts"], "A+", {"A": "e = 'a'"}).count()
+    b = match_recognize(
+        df, ["u"], ["ts"], "A+", {"A": "e = 'a'"}, empty_matches="omit"
+    ).count()
+    assert a == b == 2
+    import pytest
+
+    with pytest.raises(ValueError, match="empty_matches"):
+        match_recognize(df, ["u"], ["ts"], "A*", {"A": "e='a'"}, empty_matches="x")
+
+
+def test_classifier_subset_measure(spark):
+    """r12: CLASSIFIER(U) — the last visible row mapped to the subset."""
+    df = spark.createDataFrame(
+        [(1, 1, "a"), (1, 2, "b"), (1, 3, "c")], "u int, ts int, e string"
+    )
+    out = match_recognize(
+        df, ["u"], ["ts"], "A B C",
+        {"A": "e = 'a'", "B": "e = 'b'", "C": "e = 'c'"},
+        measures={"last_ab": "CLASSIFIER(U)", "last_all": "CLASSIFIER()"},
+        rows_per_match="one",
+        subsets={"U": ["A", "B"]},
+    ).collect()
+    assert [(r.last_ab, r.last_all) for r in out] == [("B", "C")]
