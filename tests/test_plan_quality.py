@@ -589,16 +589,17 @@ def test_alternation_funnel_single_user_shuffle_no_python_rows(spark):
     hash exchange keyed by user (the same shuffle any per-user window
     needs) feeds the Arrow-batched matcher; the measures groupBy reuses
     that partitioning (no second full-data exchange of the events), and no
-    row-at-a-time PythonUDF appears — the only Python is the grouped-map
-    FlatMapGroupsInPandas."""
+    row-at-a-time PythonUDF appears — the only Python is the
+    partition-batched MapInPandas matcher (r12: one Arrow round-trip per
+    shuffle partition, not per user)."""
     df = _q("pattern_alternation_funnel")(spark, SF_SMOKE)
     plan = physical_plan(df)
-    assert "FlatMapGroupsInPandas" in plan
+    assert "MapInPandas" in plan
     assert "BatchEvalPython" not in plan  # no per-row Python UDFs
     # the match output is already user-partitioned: the measures groupBy
     # must not add a full shuffle of the matched rows beyond the one the
-    # grouped map needs (partial aggregation before any exchange)
-    assert plan.index("FlatMapGroupsInPandas") > plan.index("HashAggregate") or (
+    # matcher's repartition needs (partial aggregation before any exchange)
+    assert plan.index("MapInPandas") > plan.index("HashAggregate") or (
         count_shuffles(df) <= 2
     )
 
@@ -607,10 +608,10 @@ def test_running_measures_all_rows_plan(spark):
     """r12 pattern_running_measures_all_rows: ALL-ROWS measures are window
     expressions over (user, match_no) — partitioned windows (never a
     single-partition global sort), no join introduced, and the only Python
-    is the grouped-map matcher."""
+    is the partition-batched matcher."""
     df = _q("pattern_running_measures_all_rows")(spark, SF_SMOKE)
     plan = physical_plan(df)
-    assert "FlatMapGroupsInPandas" in plan
+    assert "MapInPandas" in plan
     assert "BatchEvalPython" not in plan
     assert "Join" not in plan
     assert "SinglePartition" not in plan  # windows keyed by (user, match_no)
@@ -619,10 +620,10 @@ def test_running_measures_all_rows_plan(spark):
 def test_exclusion_and_unmatched_plans_add_no_join(spark):
     """r12: exclusion filtering is one literal-map projection + filter over
     the matcher output (no join, no extra Python); unmatched-rows emission
-    happens inside the grouped map (no plan change at all)."""
+    happens inside the partition-batched matcher (no plan change at all)."""
     for name in ("pattern_exclusion_funnel_edges", "pattern_unmatched_rows_coverage"):
         df = _q(name)(spark, SF_SMOKE)
         plan = physical_plan(df)
-        assert "FlatMapGroupsInPandas" in plan, name
+        assert "MapInPandas" in plan, name
         assert "Join" not in plan, name
         assert "BatchEvalPython" not in plan, name
