@@ -901,3 +901,43 @@ def test_classifier_subset_measure(spark):
         subsets={"U": ["A", "B"]},
     ).collect()
     assert [(r.last_ab, r.last_all) for r in out] == [("B", "C")]
+
+
+def test_exclusion_interactions(spark):
+    """r12 corner cases: SKIP TO an EXCLUDED symbol still resolves (the row
+    is matched, just hidden); a symbol appearing both inside and outside an
+    exclusion keeps its visible occurrences and its full measure scope; and
+    SHOW EMPTY + WITH UNMATCHED compose (an empty-match carrier row is not
+    unmatched)."""
+    rows = [(1, i, e) for i, e in enumerate("abba", start=1)]
+    df = spark.createDataFrame(rows, "u int, ts int, e string")
+    define = {"A": "e = 'a'", "B": "e = 'b'"}
+    # skip to last B where B is excluded: overlap resumes AT the hidden row
+    out = match_recognize(
+        df, ["u"], ["ts"], "A {- B -}", define, after_match="skip_to_last B"
+    ).orderBy("ts").collect()
+    # match 1 = rows 1..2 (A shown, B hidden); scan resumes AT row 2 (B) —
+    # no A there, then row 4's A matches alone only if followed by B: no.
+    assert [(r.ts, r.classifier, r.match_no) for r in out] == [(1, "A", 1)]
+    # same symbol in AND out of exclusion: A {- A -} on "aa.." — first A
+    # shown, second hidden; COUNT(A.*) still sees both
+    df2 = spark.createDataFrame(
+        [(1, 1, "a"), (1, 2, "a"), (1, 3, "b")], "u int, ts int, e string"
+    )
+    shown = match_recognize(df2, ["u"], ["ts"], "A {- A -}", define).collect()
+    assert [(r.ts, r.classifier) for r in shown] == [(1, "A")]
+    one = match_recognize(
+        df2, ["u"], ["ts"], "A {- A -}", define,
+        measures={"n_a": "COUNT(A.*)", "last_a_ts": "LAST(A.ts)"},
+        rows_per_match="one",
+    ).collect()
+    assert [(r.n_a, r.last_a_ts) for r in one] == [(2, 2)]
+    # SHOW EMPTY + WITH UNMATCHED: empty carriers are matched, not unmatched
+    un = match_recognize(
+        df2, ["u"], ["ts"], "B*", define, rows_per_match="all_with_unmatched"
+    ).orderBy("ts").collect()
+    # rows 1,2 host empty matches (m1, m2); row 3 is a real B match (m3) —
+    # nothing is unmatched
+    assert [(r.ts, r.match_no, r.classifier) for r in un] == [
+        (1, 1, None), (2, 2, None), (3, 3, "B")
+    ]
