@@ -849,7 +849,9 @@ def test_show_empty_matches(spark):
     """r12: Trino's SHOW EMPTY MATCHES (the default) — a nullable pattern
     matches empty at every scanned non-starting row; each empty match takes
     a match number and emits one carrier row with NULL classifier/match_row
-    and zero-row measures. OMIT drops them (and renumbers)."""
+    and zero-row measures. OMIT drops the carrier rows but the dropped
+    matches still consume MATCH_NUMBER() — surviving matches keep gapped
+    numbers (r13 — ADVICE r12; SQL:2016/Trino OMIT semantics)."""
     df = spark.createDataFrame(
         [(1, 1, "b"), (1, 2, "b"), (1, 3, "a"), (1, 4, "a"), (1, 5, "b")],
         "u int, ts int, e string",
@@ -869,7 +871,9 @@ def test_show_empty_matches(spark):
     omit = match_recognize(
         df, ["u"], ["ts"], "A*", {"A": "e = 'a'"}, empty_matches="omit"
     ).orderBy("ts").collect()
-    assert [(r.ts, r.match_no) for r in omit] == [(3, 1), (4, 1)]
+    # rows at ts 1 and 2 host empty matches 1 and 2 (omitted); the A A
+    # match is therefore match number 3, not 1
+    assert [(r.ts, r.match_no) for r in omit] == [(3, 3), (4, 3)]
     one = match_recognize(
         df, ["u"], ["ts"], "A*", {"A": "e = 'a'"},
         measures={"n": "COUNT(*)", "first_a": "FIRST(A.ts)"},
@@ -941,3 +945,67 @@ def test_exclusion_interactions(spark):
     assert [(r.ts, r.match_no, r.classifier) for r in un] == [
         (1, 1, None), (2, 2, None), (3, 3, "B")
     ]
+
+
+def test_chunkwise_partition_streaming(spark):
+    """r13 (VERDICT r12 item 2 / ADVICE r12): the partition-batched matcher
+    streams Arrow chunks incrementally, carrying only the open trailing key
+    span between chunks. Forcing tiny Arrow batches — so every shuffle
+    partition arrives as many chunks and key spans straddle chunk
+    boundaries — must be result-identical to the default."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for u in range(1, 13):
+        for ts in range(1, rng.randint(5, 40)):
+            rows.append((u, ts, rng.choice("abc")))
+    df = spark.createDataFrame(rows, "u int, ts int, e string")
+    kw = dict(
+        partition_by=["u"],
+        order_by=["ts"],
+        pattern="A B* C?",
+        define={"A": "e='a'", "B": "e='b'", "C": "e='c'"},
+        measures={"n": "COUNT(*)"},
+        rows_per_match="all",
+    )
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    baseline = {tuple(r) for r in match_recognize(df, **kw).collect()}
+    assert baseline
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+        chunked = {tuple(r) for r in match_recognize(df, **kw).collect()}
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert chunked == baseline
+
+
+def test_unpartitioned_match_recognize(spark):
+    """ADVICE r12: partition_by=[] is ONE global logical partition — it must
+    run (coalesce(1), serial like Trino's unpartitioned MATCH_RECOGNIZE),
+    not raise from repartition() with zero columns."""
+    df = spark.createDataFrame(
+        [(i, e) for i, e in enumerate("abab", 1)], "ts int, e string"
+    )
+    out = (
+        match_recognize(df, [], ["ts"], "A B", {"A": "e='a'", "B": "e='b'"})
+        .orderBy("ts")
+        .collect()
+    )
+    assert [(r.ts, r.match_no, r.classifier) for r in out] == [
+        (1, 1, "A"),
+        (2, 1, "B"),
+        (3, 2, "A"),
+        (4, 2, "B"),
+    ]
+    # one-row measures and PREV navigation also run unpartitioned
+    one = match_recognize(
+        df,
+        [],
+        ["ts"],
+        "A B",
+        {"A": "e='a'", "B": "PREV(e) = 'a' AND e='b'"},
+        measures={"n": "COUNT(*)"},
+        rows_per_match="one",
+    ).collect()
+    assert sorted(r.n for r in one) == [2, 2]
