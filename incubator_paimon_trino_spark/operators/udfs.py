@@ -93,33 +93,69 @@ def udaf_pandas_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def udf_grouped_map_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """applyInPandas grouped-map: per-customer price normalization — one
-    pandas frame per group, shuffled by the group key.
+    """Per-group custom Python (per-customer price normalization) executed
+    PARTITION-BATCHED: ``repartition(key).sortWithinPartitions(key)`` +
+    ``mapInPandas`` with a trailing-open-key-span carry, pandas groupby
+    inside each Arrow chunk — the r12/r13 match_recognize execution shape.
 
-    COST CONTRACT (r12 — VERDICT r11 item 7): this query exists to
-    demonstrate the grouped-map API surface, and it pays that surface's
-    price — one Python/Arrow round-trip PER GROUP (~15k customer groups at
-    sf0.1 ⇒ ~24s, the sweep's slowest relational query). The computation
-    itself is a plain min-over-window; the exact built-in twin
-    ``udf_grouped_map_normalize_builtin_twin`` runs it JVM-side in a
-    whole-stage-codegen window (~1s at sf0.1). Reach for grouped-map ONLY
-    when the per-group logic genuinely can't be a window/aggregate; at 100
-    TB the shuffle is identical, but per-group Python overhead scales with
-    GROUP COUNT, not data size."""
+    COST CONTRACT (r13 — VERDICT r12 item 5, retiring the r11/r12 ~24s):
+    the DOCUMENTED ANTI-PATTERN this replaces was the grouped-map API
+    spelled directly::
 
-    def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        o.groupBy("o_custkey").applyInPandas(normalize, schema=...)
+
+    — one Python/Arrow round-trip PER GROUP (~6ms × ~15k customer groups
+    at sf0.1 ⇒ ~24s; overhead scales with GROUP COUNT, a real
+    scale-killer on high-cardinality keys — measured r11/r12). The
+    partition-batched spelling below keeps the identical per-group Python
+    semantics (each group's rows arrive contiguous and complete) at ONE
+    Arrow round-trip per chunk: ~8× on match_recognize in r12, ~10× here.
+    The grouped-map API surface itself stays exercised (small-frame
+    semantics pin in tests/test_udfs_surface.py); the exact built-in twin
+    ``udf_grouped_map_normalize_builtin_twin`` remains the true hot-path
+    answer when the logic IS expressible as a window (~1s at sf0.1).
+    At 100 TB: the shuffle is identical to the window twin's; Python cost
+    is O(rows) vectorized, not O(groups); peak worker memory is one Arrow
+    chunk + the largest single customer's rows."""
+
+    def normalize(pdf_iter):
+        carry = None
+        for pdf in pdf_iter:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if not len(pdf):
+                continue
+            k = pdf["o_custkey"]
+            # keys are sorted within the partition: the trailing key span
+            # may continue in the next chunk — hold it back
+            last_start = int(k.searchsorted(k.iloc[-1], side="left"))
+            if last_start == 0:
+                carry = pdf
+                continue
+            carry = pdf.iloc[last_start:].copy()
+            yield _normalize_block(pdf.iloc[:last_start])
+        if carry is not None and len(carry):
+            yield _normalize_block(carry)
+
+    def _normalize_block(pdf: pd.DataFrame) -> pd.DataFrame:
         cents = (pdf["o_totalprice"] * 100).round().astype("int64")
         return pd.DataFrame(
             {
                 "o_custkey": pdf["o_custkey"],
                 "o_orderkey": pdf["o_orderkey"],
-                "cents_above_min": cents - cents.min(),
+                "cents_above_min": cents - cents.groupby(pdf["o_custkey"]).transform("min"),
             }
         )
 
     o = table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
-    return o.groupBy("o_custkey").applyInPandas(
-        normalize, schema="o_custkey bigint, o_orderkey bigint, cents_above_min bigint"
+    return (
+        o.repartition("o_custkey")
+        .sortWithinPartitions("o_custkey")
+        .mapInPandas(
+            normalize,
+            schema="o_custkey bigint, o_orderkey bigint, cents_above_min bigint",
+        )
     )
 
 
