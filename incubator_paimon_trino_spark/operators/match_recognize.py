@@ -1661,9 +1661,77 @@ def _parse_stream_measure(expr: str, symbols: list[str], id_col: str, ts_col: st
         return ev, ("timestamp" if is_ts else "bigint")
     raise ValueError(
         f"unsupported streaming measure {expr!r}: use COUNT(*)/COUNT(S.*)/"
-        f"CLASSIFIER()/FIRST|LAST({id_col}|{ts_col}[, k]) — richer measures "
-        "belong downstream, joined back on the emitted row ids"
+        f"CLASSIFIER()/FIRST|LAST({id_col}|{ts_col}[, k]), or a value-column "
+        "aggregate SUM/AVG/MIN/MAX/COUNT/FIRST/LAST([S.]<numeric col>[, k]) "
+        "(r13 — the referenced column is projected into state as double)"
     )
+
+
+def _parse_stream_value_measure(expr: str, symbols: list[str], value_cols):
+    """One VALUE-COLUMN streaming measure (r13 — VERDICT r12 item 3) →
+    ``(evaluator, ddl_type, column)``. The evaluator runs per finalized
+    match over ``(ids, tss, classifiers, vals)`` where ``vals`` maps each
+    referenced column to its float64 span — the column is PROJECTED into
+    state (cast double) because joining the emitted matches back to the
+    source stream is unsound: a stateful operator's output rows are by
+    construction older than the watermark that finalized them, and Spark's
+    own multi-stateful correctness check rejects the downstream join/agg
+    ('can emit rows older than the current watermark ... these rows can be
+    discarded'). Grammar: ``SUM/AVG/MIN/MAX/COUNT([S.]col)`` and
+    ``FIRST/LAST([S.]col[, k])``; NULLs skip (SQL aggregate semantics),
+    all-NULL scopes yield NULL. Returns None when the expression is not a
+    value-column measure (caller falls back to the lean-grammar error)."""
+    import re as _re
+
+    import numpy as np
+
+    s = _re.sub(r"^(?:RUNNING|FINAL)\s+", "", expr.strip(), flags=_re.IGNORECASE)
+    m = _re.fullmatch(
+        r"(SUM|AVG|MIN|MAX|COUNT)\s*\(\s*(?:([A-Za-z_]\w*)\s*\.\s*)?([A-Za-z_]\w*)\s*\)",
+        s,
+        _re.IGNORECASE,
+    )
+    if m and m.group(3) in value_cols and (m.group(2) is None or m.group(2) in symbols):
+        fn, sym, col = m.group(1).upper(), m.group(2), m.group(3)
+
+        def ev(ids, tss, cls, vals, fn=fn, sym=sym, col=col):
+            v = vals[col]
+            if sym is not None:
+                v = v[[k for k, c in enumerate(cls) if c == sym]]
+            v = v[~np.isnan(v)]
+            if fn == "COUNT":
+                return int(len(v))
+            if not len(v):
+                return None
+            red = {"SUM": np.sum, "AVG": np.mean, "MIN": np.min, "MAX": np.max}[fn]
+            return float(red(v))
+
+        return ev, ("bigint" if fn == "COUNT" else "double"), col
+    m = _re.fullmatch(
+        r"(FIRST|LAST)\s*\(\s*(?:([A-Za-z_]\w*)\s*\.\s*)?([A-Za-z_]\w*)"
+        r"\s*(?:,\s*(\d+))?\s*\)",
+        s,
+        _re.IGNORECASE,
+    )
+    if m and m.group(3) in value_cols and (m.group(2) is None or m.group(2) in symbols):
+        kind, sym, col, off = (
+            m.group(1).upper(),
+            m.group(2),
+            m.group(3),
+            int(m.group(4) or 0),
+        )
+
+        def ev(ids, tss, cls, vals, kind=kind, sym=sym, col=col, off=off):
+            idxs = [k for k, c in enumerate(cls) if sym is None or c == sym]
+            if kind == "LAST":
+                idxs = idxs[::-1]
+            if off >= len(idxs):
+                return None
+            x = vals[col][idxs[off]]
+            return None if np.isnan(x) else float(x)
+
+        return ev, "double", col
+    return None
 
 
 def match_recognize_stream(
@@ -1700,8 +1768,19 @@ def match_recognize_stream(
     the stable per-match grouping key for measures, numbering-free across
     triggers. With ``measures`` (r12 — VERDICT r11 item 5) the stream
     emits ONE row per match instead: (key, start_id, <measures...>),
-    aggregated in-state before emission (grammar: COUNT(*) / COUNT(S.*) /
-    CLASSIFIER() / FIRST|LAST(id|ts[, k]) — the columns state carries).
+    aggregated in-state before emission. Grammar: COUNT(*) / COUNT(S.*) /
+    CLASSIFIER() / FIRST|LAST(id|ts[, k]) over the columns state always
+    carries, plus (r13 — VERDICT r12 item 3) VALUE-COLUMN aggregates —
+    ``SUM/AVG/MIN/MAX/COUNT([S.]col)``, ``FIRST/LAST([S.]col[, k])`` over
+    any numeric source column: each referenced column (and ONLY those) is
+    projected into state as double, +8 bytes/row/column within the same
+    O(within-span) bound; NULLs skip per SQL aggregate semantics. The
+    join-back alternative (emit ids, join the source stream downstream)
+    was prototyped and is UNSOUND: a stateful operator's emitted rows are
+    by construction older than the watermark that finalized them, and
+    Spark's multi-stateful correctness check refuses the downstream
+    join/agg — projected state keeps one operator, one watermark,
+    deterministic results.
     ``after_match`` (r12): all four batch SKIP modes stream too —
     ``skip_to_next_row`` / ``skip_to_first|last <symbol>`` produce
     overlapping matches exactly like batch, still watermark-finalized.
@@ -1742,11 +1821,43 @@ def match_recognize_stream(
     within_us = int(_pd.Timedelta(within).total_seconds() * 1_000_000)
     if within_us <= 0:
         raise ValueError(f"within must be a positive duration, got {within!r}")
-    meas = (
-        {name: _parse_stream_measure(e, symbols, id_col, ts_col) for name, e in measures.items()}
-        if measures
-        else None
-    )
+    # measures (r12 lean grammar; r13 adds value-column aggregates whose
+    # referenced columns are projected into state as double — never the
+    # whole row, and never a downstream join-back, which Spark's
+    # multi-stateful correctness check rightly refuses)
+    meas = None
+    needed: list[str] = []
+    if measures:
+        value_cols = {
+            f.name: f.dataType.simpleString()
+            for f in stream.schema.fields
+            if f.name not in (key_col, ts_col, id_col)
+        }
+        _numeric = ("tinyint", "smallint", "int", "bigint", "float", "double")
+        meas = {}
+        for name, e in measures.items():
+            try:
+                ev3, ddl = _parse_stream_measure(e, symbols, id_col, ts_col)
+                meas[name] = (
+                    (lambda ids, tss, cls, vals, _e=ev3: _e(ids, tss, cls)),
+                    ddl,
+                )
+                continue
+            except ValueError as lean_err:
+                vm = _parse_stream_value_measure(e, symbols, set(value_cols))
+                if vm is None:
+                    raise lean_err from None
+                ev4, ddl, col = vm
+                dt = value_cols[col]
+                if dt not in _numeric and not dt.startswith("decimal"):
+                    raise ValueError(
+                        f"streaming value measure {e!r}: column {col!r} has type "
+                        f"{dt}; only numeric columns project into state (strings "
+                        "belong downstream, joined on the emitted ids)"
+                    ) from None
+                if col not in needed:
+                    needed.append(col)
+                meas[name] = (ev4, ddl)
 
     flagged = stream.withWatermark(ts_col, delay)
     bits = []
@@ -1773,6 +1884,8 @@ def match_recognize_stream(
         F.col(ts_col),
         F.col(id_col),
         flag_word.cast("bigint").alias("_mr_flags"),
+        # r13: only the columns value measures reference ride into state
+        *[F.col(c).cast("double").alias(f"_mr_v_{c}") for c in needed],
     )
 
     if meas is None:
@@ -1789,10 +1902,12 @@ def match_recognize_stream(
         import numpy as np
 
         if state.exists:
-            t0, i0, f0 = state.get  # property in the PySpark GroupState API
-            buf_ts, buf_id, buf_fl = list(t0), list(i0), list(f0)
+            st = state.get  # property in the PySpark GroupState API
+            buf_ts, buf_id, buf_fl = list(st[0]), list(st[1]), list(st[2])
+            buf_v = [list(x) for x in st[3:]]
         else:
             buf_ts, buf_id, buf_fl = [], [], []
+            buf_v = [[] for _ in needed]
         for pdf in pdf_iter:
             if not len(pdf):
                 continue
@@ -1802,12 +1917,15 @@ def match_recognize_stream(
             buf_ts.extend(ts_us.tolist())
             buf_id.extend(pdf[id_col].astype("int64").tolist())
             buf_fl.extend(pdf["_mr_flags"].astype("int64").tolist())
+            for bi, col in enumerate(needed):
+                buf_v[bi].extend(pdf[f"_mr_v_{col}"].astype("float64").tolist())
         n = len(buf_ts)
         ts = np.asarray(buf_ts, dtype=np.int64)
         ids = np.asarray(buf_id, dtype=np.int64)
         fl = np.asarray(buf_fl, dtype=np.int64)
         order = np.lexsort((ids, ts))
         ts, ids, fl = ts[order], ids[order], fl[order]
+        vs = [np.asarray(b, dtype=np.float64)[order] for b in buf_v]
         flags = {
             s: ((fl >> i) & 1).astype(bool) for i, s in enumerate(symbols)
         }
@@ -1823,7 +1941,12 @@ def match_recognize_stream(
             state.remove()
         else:
             state.update(
-                (ts[keep_from:].tolist(), ids[keep_from:].tolist(), fl[keep_from:].tolist())
+                (
+                    ts[keep_from:].tolist(),
+                    ids[keep_from:].tolist(),
+                    fl[keep_from:].tolist(),
+                    *[v[keep_from:].tolist() for v in vs],
+                )
             )
             wake_ms = (int(ts[keep_from]) + within_us) // 1000 + 1
             state.setTimeoutTimestamp(max(wake_ms, state.getCurrentWatermarkMs() + 1))
@@ -1859,8 +1982,9 @@ def match_recognize_stream(
             o_key.append(key[0])
             o_start.append(int(ids[j]))
             ids_m, ts_m = ids[j : j + len(cls)], ts[j : j + len(cls)]
+            vals_m = {col: vs[bi][j : j + len(cls)] for bi, col in enumerate(needed)}
             for name, (ev, _ddl) in meas.items():
-                cols[name].append(ev(ids_m, ts_m, cls))
+                cols[name].append(ev(ids_m, ts_m, cls, vals_m))
         data = {
             key_col: _pd.Series(o_key, dtype="int64"),
             f"start_{id_col}": _pd.Series(o_start, dtype="int64"),
@@ -1872,14 +1996,19 @@ def match_recognize_stream(
                 )
             elif ddl == "bigint":
                 data[name] = _pd.array(cols[name], dtype="Int64")
+            elif ddl == "double":
+                data[name] = _pd.array(cols[name], dtype="Float64")
             else:
                 data[name] = _pd.Series(cols[name], dtype="object")
         yield _pd.DataFrame(data)
 
+    state_schema = "ts array<bigint>, ids array<bigint>, flags array<bigint>" + "".join(
+        f", v{i} array<double>" for i in range(len(needed))
+    )
     return flagged.groupBy(key_col).applyInPandasWithState(
         fn,
         outputStructType=out_schema,
-        stateStructType="ts array<bigint>, ids array<bigint>, flags array<bigint>",
+        stateStructType=state_schema,
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
