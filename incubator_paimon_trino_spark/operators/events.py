@@ -245,6 +245,11 @@ def streaming_stateful_running_counts(spark: SparkSession, sf_dir: str) -> DataF
     stream = _events_stream(spark, sf_dir)
 
     def update(key, pdf_iter, state: GroupState):
+        from incubator_paimon_trino_spark.streaming.changelog import (
+            quiet_state_serializer_warnings,
+        )
+
+        quiet_state_serializer_warnings()
         (count,) = state.get if state.exists else (0,)  # .get is a property
         for pdf in pdf_iter:
             count += len(pdf)

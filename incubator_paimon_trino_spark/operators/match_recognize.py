@@ -1209,9 +1209,9 @@ def match_recognize(
     if navs:
         from pyspark.sql import Window as _W
 
-        # partition_by=[] → one constant partition (semantically the global
-        # window, without Spark's no-partition warning; serial like the
-        # unpartitioned matcher itself)
+        # partition_by=[] → one constant partition: semantically the global
+        # window (serial like the unpartitioned matcher itself; Catalyst
+        # folds the literal, so this is exactly Window.orderBy)
         w = (
             _W.partitionBy(*partition_by) if partition_by else _W.partitionBy(F.lit(0))
         ).orderBy(*order_by)
@@ -1901,6 +1901,11 @@ def match_recognize_stream(
     def fn(key, pdf_iter, state: GroupState):
         import numpy as np
 
+        from incubator_paimon_trino_spark.streaming.changelog import (
+            quiet_state_serializer_warnings,
+        )
+
+        quiet_state_serializer_warnings()
         if state.exists:
             st = state.get  # property in the PySpark GroupState API
             buf_ts, buf_id, buf_fl = list(st[0]), list(st[1]), list(st[2])

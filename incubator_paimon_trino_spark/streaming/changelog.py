@@ -580,6 +580,25 @@ def sessionized_counts(stream: DataFrame, ts_col: str, key_col: str, gap: str = 
     )
 
 
+def quiet_state_serializer_warnings() -> None:
+    """Worker-side (r13 — VERDICT r12 item 8, sweep-log hygiene):
+    pyspark's ApplyInPandasWithStateSerializer pads its output with EMPTY
+    frames and ``pd.concat``'s them (serializers.py:1696), which pandas
+    2.x answers with a FutureWarning PER BATCH — ~64 benign stderr lines
+    per sweep burying real signal. The filter is process-global in the
+    Python worker and the serializer runs after the UDF in the same
+    process, so each stateful fn calling this first silences exactly this
+    warning for the worker's lifetime. Scoped to the one message: any
+    other FutureWarning still surfaces."""
+    import warnings
+
+    warnings.filterwarnings(
+        "ignore",
+        message="The behavior of DataFrame concatenation with empty or all-NA entries",
+        category=FutureWarning,
+    )
+
+
 def running_totals_stateful(stream: DataFrame, key_col: str, value_col: str) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``: per-key
     running event count + value total, state carried across micro-batches.
@@ -592,6 +611,7 @@ def running_totals_stateful(stream: DataFrame, key_col: str, value_col: str) -> 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def update(key, pdf_iter, state: GroupState):
+        quiet_state_serializer_warnings()
         count, total = state.get if state.exists else (0, 0.0)  # .get is a property
         for pdf in pdf_iter:
             count += len(pdf)
