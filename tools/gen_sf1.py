@@ -56,7 +56,36 @@ def generate(out_dir: str, sf: float = 1.0) -> str:
     return path
 
 
+def generate_events(out_dir: str, sf: float = 1.0) -> str:
+    """sf1 ``events`` for the PATTERN-family scale soak (r13 — VERDICT r12
+    item 6). Distribution-matched to the driver data so sf0.1 → sf1 is a
+    pure 10× row scale-up: rows = 1M·sf; 15k·sf users (≈67 events/user at
+    every sf — per-key span length is CONSTANT, only key count scales,
+    the shape the partition-batched matcher shuffles on); 5 uniform event
+    types; ts uniform over Jan 2024; value 2-decimal in [0.01, 490];
+    ``event_id`` = row ordinal (the driver's tie-break key)."""
+    n = int(1_000_000 * sf)
+    rng = np.random.default_rng(42)
+    types = np.array(["view", "click", "purchase", "signup", "error"])
+    us = rng.integers(0, 30 * 86_400_000_000, n)
+    tbl = pa.table(
+        {
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "ts": pa.array(np.datetime64("2024-01-01", "us") + us * np.timedelta64(1, "us")),
+            "user_id": rng.integers(0, int(15_000 * sf), n, dtype=np.int64),
+            "event_type": pa.array(types[rng.integers(0, 5, n)]),
+            "value": np.round(rng.uniform(0.01, 490.02, n), 2),
+            "props": pa.array([f'{{"k": {k}}}' for k in rng.integers(0, 100, n)]),
+        }
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, "events.parquet")
+    pq.write_table(tbl, path, row_group_size=1 << 20)
+    return path
+
+
 if __name__ == "__main__":
     out = sys.argv[1] if len(sys.argv) > 1 else ".bench/sf1"
     sf = float(sys.argv[2]) if len(sys.argv) > 2 else 1.0
     print(generate(out, sf))
+    print(generate_events(out, sf))
