@@ -117,19 +117,27 @@ _DEFER_NEW: set[str] = set()
 # Verified-green queries whose CODE PATH changed since their last driver
 # verdict — r10 amendment (VERDICT r9 item 2): changed-code greens outrank
 # stale-but-unchanged greens in the prefix. ORDERED, most-changed first.
-# r12's wave: every pattern query runs through the rewritten
-# match_recognize dispatch (anchored parse + exclusion strip +
-# nullable-body rewrite before compile — brief items 1/2); the streaming
-# CEP queries run the new candidate-prefiltered compiled scan with SKIP /
-# measures plumbing (items 3/5); the delta-split read takes the new
-# one-scan deduplicate composition and the index lookups the raised
-# driver-probe threshold (item 6 soak fixes); and EVERY lake read now
-# flows through read_table's plan-fragment cache (item 4) — the lake
-# family re-proves stalest-first behind the named heads.
+# r13's wave: every pattern query runs the CHUNK-WISE partition-batched
+# matcher (open-key-span carry) with the rewritten empty-match emission
+# (OMIT keeps gapped numbers — brief item 2 + ADVICE medium); the
+# streaming CEP family runs the extended measures parser + widened state
+# tuple (value-column projection, item 3); udf_grouped_map_normalize is
+# freshly partition-batched (item 5); the two global-rank windows and the
+# WITH TIES query carry the new one-valued partition spec (item 8); and
+# EVERY lake read flows through the r13 cache key (predicated domains +
+# honest LRU, item 4) — the lake family re-proves stalest-first behind
+# the named heads. (pattern_sql_match_recognize and
+# streaming_pattern_value_measures are NEW — they jump via the
+# never-checked priority prefixes, not this list.)
 _REPROOF: tuple[str, ...] = (
-    # r12: rewritten match_recognize dispatch (all matchers re-dispatched)
+    # r13: chunk-wise matcher + empty-match emission rewrite
+    "pattern_show_empty_matches",
+    "pattern_unmatched_rows_coverage",
     "pattern_match_recognize_funnel",
     "pattern_measures_one_row",
+    "pattern_running_measures_all_rows",
+    "pattern_exclusion_funnel_edges",
+    "pattern_end_anchor_trailing_run",
     "pattern_alternation_funnel",
     "pattern_bounded_quantifier_funnel",
     "pattern_prev_navigation_runs",
@@ -137,16 +145,21 @@ _REPROOF: tuple[str, ...] = (
     "pattern_funnel_view_click_purchase",
     "pattern_error_within_5min_of_purchase",
     "pattern_longest_click_streak",
-    # r12: streaming CEP scan rewrite (skip modes, measures, eviction)
+    # r13: streaming CEP measures parser + state tuple widened
+    "streaming_pattern_skip_next",
     "streaming_pattern_within_funnel",
-    # r12: one-scan deduplicate delta split + probe threshold (soak fixes)
+    # r13: partition-batched rewrite (item 5)
+    "udf_grouped_map_normalize",
+    # r13: one-valued partition spec on the metadata-scale windows (item 8)
+    "window_ntile_percent",
+    "window_global_rank_scalable",
+    "limit_fetch_with_ties",
+    # r13: plan cache rekeyed (predicated domains + honest LRU) — every
+    # read_table consumer, riskiest first
+    "lake_deletion_vector_read",
     "lake_delta_base_split_read",
     "lake_bloom_index_point_lookup",
     "lake_bitmap_index_lookup",
-    # r12: grouped-map docstring twin's sibling (same oracle, same rows)
-    "udf_grouped_map_normalize",
-    # r12: plan-fragment cache — every read_table consumer, riskiest first
-    "lake_deletion_vector_read",
     "lake_dv_cdc_pipeline",
     "lake_dv_changelog_stream",
     "lake_merge_on_read",

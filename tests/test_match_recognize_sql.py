@@ -282,3 +282,26 @@ def test_sql_keyword_in_identifier_not_clause(cat, spark):
         (1, 1, 1),
         (1, 2, 1),
     ]
+
+
+def test_sql_tablesample_spelling(cat, spark):
+    """r13 (VERDICT r12 missing #3): Trino's TABLESAMPLE BERNOULLI/SYSTEM(p)
+    spells through cat.sql as Spark's row sample. Nondeterministic by
+    definition — pinned by bounds and the degenerate fractions."""
+    cat.create_database("tsdb")
+    cat.create_table("tsdb", "rows", [("k", "BIGINT")])
+    cat.sql(
+        "INSERT INTO tsdb.rows VALUES " + ", ".join(f"({i})" for i in range(200))
+    )
+    full = cat.sql("SELECT * FROM tsdb.rows TABLESAMPLE BERNOULLI(100)").count()
+    assert full == 200
+    assert cat.sql("SELECT * FROM tsdb.rows TABLESAMPLE SYSTEM(0)").count() == 0
+    n = cat.sql("SELECT COUNT(*) AS n FROM tsdb.rows TABLESAMPLE BERNOULLI(50)").collect()[0].n
+    assert 0 <= n <= 200
+    # string literals containing the keyword are untouched
+    lit = cat.sql("SELECT 'TABLESAMPLE BERNOULLI(50)' AS s").collect()[0].s
+    assert lit == "TABLESAMPLE BERNOULLI(50)"
+    import pytest
+
+    with pytest.raises(ValueError, match="> 100"):
+        cat.sql("SELECT * FROM tsdb.rows TABLESAMPLE BERNOULLI(150)")

@@ -72,7 +72,10 @@ SURVEY_2B = [
     ("Time travel / system tables / merge-on-read (connector A9-A13)", "lake_time_travel_v1, lake_snapshots_system_table, lake_merge_on_read, lake_schema_evolution, lake_partition_pruned_scan, lake_bucket_point_lookup, lake_clustered_scan, lake_incremental_read, lake_changelog_producer_lookup, lake_limit_pushdown_partition_scoped, lake_orc_scan, lake_tag_time_travel, lake_audit_log, lake_expire_snapshots, lake_rollback_to_snapshot, lake_sort_compacted_range_scan, lake_information_schema_columns, lake_sequence_field_merge, lake_partial_update_merge, lake_first_row_merge, lake_aggregation_merge_engine"),
     ("Streaming (beyond reference)", "streaming_tumbling_counts, streaming_session_windows, streaming_stateful_running_counts, streaming_dedup_keys, streaming_enrich_static_join, streaming_changelog_startup_from_snapshot, events_tumbling_window, events_sliding_window, events_cohort_retention"),
     ("UDF/UDAF/UDTF", "udf_pandas_scalar, udaf_pandas_grouped, udf_grouped_map_normalize, udtf_expand_priorities"),
-    ("MATCH_RECOGNIZE-shaped patterns", "pattern_match_recognize_funnel, pattern_funnel_view_click_purchase, pattern_error_within_5min_of_purchase, pattern_longest_click_streak"),
+    ("MATCH_RECOGNIZE (full Trino surface: measures/skip/exclusions/anchors/empty/unmatched/SUBSET)", "pattern_match_recognize_funnel, pattern_measures_one_row, pattern_running_measures_all_rows, pattern_exclusion_funnel_edges, pattern_unmatched_rows_coverage, pattern_end_anchor_trailing_run, pattern_show_empty_matches, pattern_alternation_funnel, pattern_bounded_quantifier_funnel, pattern_prev_navigation_runs, pattern_skip_to_last_overlap, pattern_funnel_view_click_purchase, pattern_error_within_5min_of_purchase, pattern_longest_click_streak"),
+    ("MATCH_RECOGNIZE as a SQL clause through cat.sql (r13)", "pattern_sql_match_recognize; SQL-vs-DataFrame equality twins in tests/test_match_recognize_sql.py"),
+    ("Streaming CEP (WITHIN bound, skip modes, in-state + value-column measures)", "streaming_pattern_within_funnel, streaming_pattern_skip_next, streaming_pattern_value_measures"),
+    ("TABLESAMPLE BERNOULLI/SYSTEM spelling (r13)", "cat.sql rewrite -> Spark row sample; bounds-pinned in tests/test_match_recognize_sql.py (nondeterministic by definition — deterministic sampling is the sample_* family)"),
     ("Dedup (pipeline)", "dedup_exact, dedup_ngram_jaccard, dedup_minhash_lsh, dedup_minhash_lsh_md5, dedup_simhash, dedup_simhash_md5, dedup_embedding_cosine, dedup_embedding_cosine_blocked (scale path), dedup_cluster_components, dedup_containment, dedup_chunk_repetition, dedup_keep_list, dedup_incremental_new_batch"),
     ("Similarity search (pipeline)", "ann_cosine_topk, ann_lsh_bucketed, ann_lsh_bucketed_md5, ann_ivf_probe, embedding_norm_stats, embedding_kmeans_assign"),
     ("Text analysis (pipeline)", "text_langid, text_quality_score, text_token_count, text_fingerprint, text_rolling_hash_shingles, text_pii_scrub, text_contamination_check, text_quality_funnel, text_rare_word_ratio, text_unigram_logprob"),
