@@ -138,23 +138,24 @@ def freeze_tuple_domain(domains: "list[ColumnDomain] | None") -> tuple:
     def fv(v):
         return (type(v).__name__, repr(v))
 
-    return tuple(
-        sorted(
-            (
-                d.column,
-                d.op,
-                fv(d.value),
-                None if d.in_values is None else tuple(fv(v) for v in d.in_values),
-                tuple(
-                    (fv(r.low), fv(r.high), r.low_inclusive, r.high_inclusive)
-                    for r in d.ranges
-                ),
-                d.is_null,
-                d.null_allowed,
-            )
-            for d in (domains or [])
+    frozen = [
+        (
+            d.column,
+            d.op,
+            fv(d.value),
+            None if d.in_values is None else tuple(fv(v) for v in d.in_values),
+            tuple(
+                (fv(r.low), fv(r.high), r.low_inclusive, r.high_inclusive)
+                for r in d.ranges
+            ),
+            d.is_null,
+            d.null_allowed,
         )
-    )
+        for d in (domains or [])
+    ]
+    # sort key via repr: two domains on the SAME column would otherwise
+    # compare their op fields, where None vs str raises
+    return tuple(sorted(frozen, key=lambda t: (t[0], repr(t[1:]))))
 
 
 def normalize_char_domains(

@@ -1162,6 +1162,13 @@ def match_recognize(
     r11 ``allow_python_nfa`` fence is gone; the parameter is accepted and
     ignored for back-compat)."""
     del allow_python_nfa  # r12: every pattern vectorizes (see docstring)
+    if not order_by:
+        raise ValueError(
+            "match_recognize needs a non-empty order_by: pattern semantics "
+            "are defined over a total row order within each partition "
+            "(Trino's optional ORDER BY means 'input order', which a "
+            "distributed scan cannot reproduce deterministically)"
+        )
     ast, a_start, a_end = parse_pattern_anchored(pattern)
     user_symbols = [s for s in pattern_symbols(ast)]  # original names
     after_match = _normalize_after_match(after_match, user_symbols)
@@ -1360,24 +1367,48 @@ def match_recognize(
                 out["match_row"] = pd.Series(m_row, index=out.index, dtype="int32")
             return out
 
-        carry = None  # the open trailing key span, possibly mid-key
+        def continues(prev_tail: "pd.DataFrame", nxt: "pd.DataFrame") -> bool:
+            """Does nxt's first row share prev_tail's last row's key
+            (null-safe)? Decides span continuation across chunk boundaries
+            without concatenating."""
+            for k in partition_by:
+                va, vb = prev_tail[k].iloc[-1], nxt[k].iloc[0]
+                na, nb = pd.isna(va), pd.isna(vb)
+                if na and nb:
+                    continue
+                if na or nb or va != vb:
+                    return False
+            return True
+
+        # The open trailing span accumulates as a LIST of chunks and is
+        # concatenated once, when it closes (or at end-of-partition): each
+        # row is copied at most twice total (into its processed block; the
+        # trailing remainder once more into the next block). Re-concatenating
+        # the carry per chunk would be quadratic on a hot key — the exact
+        # case this streaming rewrite exists for.
+        carry: list = []
+        carry_len = 0
         for chunk in pdf_iter:
-            if carry is not None:
-                chunk = pd.concat([carry, chunk], ignore_index=True)
-                carry = None
             if not len(chunk):
                 continue
             starts_idx = key_starts(chunk)
-            last = int(starts_idx[-1])
-            if last == 0:  # one single (open) span — keep buffering
-                carry = chunk
+            cont = bool(carry) and continues(carry[-1], chunk)
+            # span starts in the VIRTUAL buffer carry + chunk
+            abs_starts = [0] + [carry_len + int(s) for s in starts_idx if s > 0]
+            if carry_len and not cont and carry_len not in abs_starts:
+                abs_starts.insert(1, carry_len)
+            last = abs_starts[-1]
+            if last == 0:  # still one open span — keep buffering, no copy
+                carry.append(chunk)
+                carry_len += len(chunk)
                 continue
-            # .copy() releases the concatenated parent frame — the carry
-            # must not pin the processed block's memory across chunks
-            carry = chunk.iloc[last:].copy()
-            yield process(chunk.iloc[:last], starts_idx[:-1])
-        if carry is not None and len(carry):
-            yield process(carry, key_starts(carry))
+            buf = pd.concat([*carry, chunk], ignore_index=True) if carry else chunk
+            carry = [buf.iloc[last:].copy()] if last < len(buf) else []
+            carry_len = len(buf) - last
+            yield process(buf.iloc[:last], np.asarray(abs_starts[:-1]))
+        if carry_len:
+            buf = carry[0] if len(carry) == 1 else pd.concat(carry, ignore_index=True)
+            yield process(buf, key_starts(buf))
 
     if partition_by:
         shuffled = flagged.repartition(*partition_by).sortWithinPartitions(

@@ -119,6 +119,10 @@ def udf_grouped_map_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk + the largest single customer's rows."""
 
     def normalize(pdf_iter):
+        # per-chunk carry re-concat is fine HERE (a customer has ~10
+        # orders, so a span straddles at most 2 chunks); for hot keys
+        # spanning many chunks use the list-accumulate carry in
+        # match_recognize.run — re-concatenating per chunk is quadratic
         carry = None
         for pdf in pdf_iter:
             if carry is not None:

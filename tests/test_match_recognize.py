@@ -1009,3 +1009,32 @@ def test_unpartitioned_match_recognize(spark):
         rows_per_match="one",
     ).collect()
     assert sorted(r.n for r in one) == [2, 2]
+
+
+def test_chunkwise_hot_key_spans_many_chunks(spark):
+    """r13: a single hot key spanning MANY Arrow chunks takes the
+    list-accumulate carry path (chunks buffer without per-chunk re-concat —
+    the quadratic-copy hazard) and still matches identically; a trailing
+    second key exercises the close-at-boundary flush."""
+    rows = [(1, ts, "ab"[ts % 2]) for ts in range(1, 301)] + [
+        (2, 1, "a"),
+        (2, 2, "b"),
+    ]
+    df = spark.createDataFrame(rows, "u int, ts int, e string")
+    kw = dict(
+        partition_by=["u"],
+        order_by=["ts"],
+        pattern="A B",
+        define={"A": "e='a'", "B": "e='b'"},
+    )
+    baseline = {tuple(r) for r in match_recognize(df, **kw).collect()}
+    # ts%2 starts at 'b': pairs (2,3),(4,5)..(298,299) = 149 matches on the
+    # hot key + 1 on key 2, two rows each
+    assert len(baseline) == 2 * (149 + 1)
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "16")
+        chunked = {tuple(r) for r in match_recognize(df, **kw).collect()}
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert chunked == baseline

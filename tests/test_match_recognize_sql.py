@@ -305,3 +305,13 @@ def test_sql_tablesample_spelling(cat, spark):
 
     with pytest.raises(ValueError, match="> 100"):
         cat.sql("SELECT * FROM tsdb.rows TABLESAMPLE BERNOULLI(150)")
+
+
+def test_sql_missing_order_by_refuses(cat, ev):
+    """ORDER BY omitted (Trino: 'input order') refuses loudly — a
+    distributed scan cannot reproduce input order deterministically."""
+    with pytest.raises(ValueError, match="order_by"):
+        cat.sql(
+            "SELECT * FROM mr_sql_events MATCH_RECOGNIZE ("
+            "PARTITION BY user_id PATTERN (A) DEFINE A AS etype = 'view')"
+        )
