@@ -219,10 +219,19 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy — no shingle string ever shuffles (r6 profile: −40% on the
     benched signature stage).
     """
+    # r13: measured a fan_out of the documents scan and REVERTED it (A/B
+    # ±0.05 s — noise), keeping the plan's "no shingle string ever shuffles"
+    # claim exactly true (a fanned scan would shuffle raw text locally).
     tok = _raw_shingles(table(spark, sf_dir, "documents")).withColumn("h", F.xxhash64("s"))
-    aggs = [F.min(F.xxhash64("h", F.lit(i))).alias(f"m{i}") for i in range(_N_PERMS)]
+    # One F.expr string per aggregate instead of nested Column calls: the
+    # expressions are identical (SQL integer literals are IntegerType, same
+    # as F.lit(int) — xxhash64 input bytes unchanged), but the driver issues
+    # ~4x fewer py4j roundtrips building the plan (r13: the builder itself
+    # was ~0.9 s of the benched query on this box's slow py4j path).
+    aggs = [F.expr(f"min(xxhash64(h, {i})) AS m{i}") for i in range(_N_PERMS)]
     sums = tok.groupBy("doc_id").agg(*aggs)
-    return sums.select("doc_id", F.array(*[F.col(f"m{i}") for i in range(_N_PERMS)]).alias("sig"))
+    sig = "array(" + ",".join(f"m{i}" for i in range(_N_PERMS)) + ") AS sig"
+    return sums.select("doc_id", F.expr(sig))
 
 
 def _exact_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -263,22 +272,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cross-checked against exact Jaccard in tests (tests/test_dedup.py).
     """
     sigs = minhash_signatures(spark, sf_dir)
-    bands = sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.element_at("sig", b * _ROWS_PER_BAND + r + 1) for r in range(_ROWS_PER_BAND)]
-                        ).alias("bh"),
-                    )
-                    for b in range(_N_BANDS)
-                ]
-            )
-        ).alias("bk"),
-    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+    # Single expr string for the band-key array (sig[i] is 0-based — same
+    # element element_at(sig, i+1) addressed; named_struct int literals match
+    # F.lit(int)'s IntegerType): ~60 fewer py4j roundtrips per build (r13).
+    band_arr = "array(" + ",".join(
+        "named_struct('band', {b}, 'bh', xxhash64({elems}))".format(
+            b=b,
+            elems=",".join(f"sig[{b * _ROWS_PER_BAND + r}]" for r in range(_ROWS_PER_BAND)),
+        )
+        for b in range(_N_BANDS)
+    ) + ")"
+    bands = sigs.select("doc_id", F.explode(F.expr(band_arr)).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh")
+    )
     left = bands.select(F.col("doc_id").alias("doc_a"), "band", "bh")
     right = bands.select(F.col("doc_id").alias("doc_b"), "band", "bh")
     cand = (
@@ -990,6 +996,10 @@ def dedup_chunk_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     already the DF table to cap on.
 
     Reference parity: no equivalent in the reference (pipeline surface).
+
+    r13: measured a fan_out of the documents scan and REVERTED it (A/B
+    +0.10/+0.01 s across two sittings — noise), keeping the "only 32-hex
+    hashes enter the shuffle" claim exactly true at every scale.
     """
     d = table(spark, sf_dir, "documents").select("doc_id", F.split("text", " ").alias("w"))
     ch = (

@@ -78,6 +78,9 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window as W
 
+    # r13: measured a fan_out of the corpus scan and REVERTED it (A/B
+    # ±0.02 s — noise at this corpus size; the gate makes it a no-op at
+    # cluster scale anyway, so there is nothing to buy here).
     e = embeddings_normalized(spark, sf_dir)
     q = e.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb"), F.col("norm").alias("q_norm")

@@ -32,7 +32,7 @@ from incubator_paimon_trino_spark.operators.registry import (
     sql_davg,
     sql_dsum,
 )
-from incubator_paimon_trino_spark.sources import table
+from incubator_paimon_trino_spark.sources import fan_out, table
 
 def _one():
     # F.lit needs an active SparkContext, so this can't be a module constant.
@@ -61,8 +61,15 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1: scan + filter pushdown + 8-agg groupBy + sort.
 
     Flagship query — the exact shape named in SURVEY §7 step 1.
+
+    r13: ``fan_out`` spreads the single-split scan across the cluster before
+    the exact-decimal 8-agg chain (guide §2.5 input skew): the BigDecimal
+    partial aggregation was the serial floor (~1.0 s of the 1.6 s sf0.1
+    query on one core); hash-exchanging the 7 read columns parallelizes it
+    (measured 1.64→0.99 s). Decimal sums are order-insensitive, so the
+    result is bit-identical. No-op whenever the scan splits on its own.
     """
-    li = table(spark, sf_dir, "lineitem")
+    li = fan_out(spark, sf_dir, "lineitem", "l_extendedprice", "l_quantity")
     price, disc, tax = dec2("l_extendedprice"), dec2("l_discount"), dec2("l_tax")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
@@ -110,6 +117,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
     )
+    # r13: measured fan_out here and REVERTED it — the probe chain over the
+    # pushed-filter scan costs less serially (~0.46 s at sf0.1) than the
+    # added exchange (~0.69 s); see OPTIMIZATION_r13.md interleaved A/B.
     li = table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp")
     )
@@ -151,6 +161,9 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
     )
+    # r13: measured fan_out here and REVERTED it (A/B: 0.39 s plain vs
+    # 0.52 s fanned — the 5-probe chain is cheaper serially than an extra
+    # exchange at this scale; see OPTIMIZATION_r13.md).
     li = table(spark, sf_dir, "lineitem")
     supp = table(spark, sf_dir, "supplier")
     nat = table(spark, sf_dir, "nation")
@@ -343,7 +356,11 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18: IN over a grouped-HAVING subquery → semi join on the
-    aggregated key set."""
+    aggregated key set.
+
+    r13: measured fan_out here and REVERTED it (A/B: 0.85 s plain vs 1.06 s
+    fanned — the high-cardinality partial agg doesn't reduce enough for the
+    extra exchange to pay; see OPTIMIZATION_r13.md)."""
     li = table(spark, sf_dir, "lineitem")
     big = (
         li.groupBy("l_orderkey")
@@ -416,6 +433,9 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderdate") >= F.lit("1996-10-01 00:00:00").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
     )
+    # r13: measured fan_out here and REVERTED it (A/B: 0.29 s plain vs
+    # 0.56 s fanned — the returnflag filter pushes into the scan and leaves
+    # too little work above it to amortize an exchange).
     li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     nat = table(spark, sf_dir, "nation")
     return (

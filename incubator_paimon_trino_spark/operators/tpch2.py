@@ -245,6 +245,10 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ``p_retailprice * l_quantity`` is the cost model standing in for
     ``ps_supplycost`` (no partsupp table). Decimal subtraction stays exact.
+
+    r13: measured fan_out here and REVERTED it (A/B: 0.55 s plain vs 0.86 s
+    fanned — probe chain cheaper serially than an extra exchange at this
+    scale; see OPTIMIZATION_r13.md).
     """
     li = table(spark, sf_dir, "lineitem")
     part = table(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
@@ -451,6 +455,11 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     order' replaces the receipt>commit lateness predicate (those date columns
     are absent). Catalyst plans the two correlations as left-semi and
     left-anti joins on l_orderkey.
+
+    r13: measured a fanned lineitem view (``views(..., fan=...)``) and
+    REVERTED it (A/B: 0.55 s plain vs 0.75 s fanned — the semi/anti joins
+    re-exchange on l_orderkey anyway, so the fan exchange was a pure extra
+    hop; see OPTIMIZATION_r13.md).
     """
     views(spark, sf_dir, "supplier", "lineitem", "orders", "nation")
     return spark.sql(_Q21_SQL)

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from incubator_paimon_trino_spark.operators.registry import register
-from incubator_paimon_trino_spark.sources import table
+from incubator_paimon_trino_spark.sources import fan_out, table
 
 
 @register(
@@ -55,8 +55,13 @@ def window_row_number_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def window_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-N per group (``testTopNPartitionedWindow``). Spark pushes the rn<=N
-    filter into the window sort (WindowGroupLimit) — no full rank materialized."""
-    li = table(spark, sf_dir, "lineitem")
+    filter into the window sort (WindowGroupLimit) — no full rank materialized.
+
+    r13: ``fan_out`` spreads the single-split scan so the PARTIAL
+    WindowGroupLimit (per-partition sort + top-3) runs on every core instead
+    of one (guide §2.5); row_number's full orderBy tie-break keeps the
+    result identical under any partitioning."""
+    li = fan_out(spark, sf_dir, "lineitem", "l_orderkey", "l_linenumber")
     w = W.partitionBy("l_suppkey").orderBy(
         F.desc("l_extendedprice"), "l_orderkey", "l_linenumber", "l_partkey"
     )

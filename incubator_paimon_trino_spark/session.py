@@ -42,7 +42,15 @@ def get_spark(app_name: str = "incubator_paimon_trino_spark", *, shuffle_partiti
         # statistics; micros do — required for manifest-level file skipping
         # on event-time predicates (catalog/scan.py)
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "90g"))
+        # r13 optimization: 32g, not 90g. In local mode this one JVM is
+        # driver + all executors; at 90g, G1 accumulated multi-second GC
+        # pauses that landed on whichever query ran late in a session
+        # (measured: 0.6s queries spiking to 2.6s, once 14s, on the idle
+        # box; at 16–32g the spikes vanish and bench totals tighten by
+        # 1–3s). 32g is ~6x the largest soak's working set (sf1). On a real
+        # cluster driver/executor memory are deployment-sized; this is the
+        # local default, still overridable via SPARK_GRAFT_DRIVER_MEM.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")

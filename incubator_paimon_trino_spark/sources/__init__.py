@@ -1,3 +1,3 @@
-from incubator_paimon_trino_spark.sources.registry import TABLE_NAMES, table
+from incubator_paimon_trino_spark.sources.registry import TABLE_NAMES, fan_out, table
 
-__all__ = ["table", "TABLE_NAMES"]
+__all__ = ["table", "fan_out", "TABLE_NAMES"]
