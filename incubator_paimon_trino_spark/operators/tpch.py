@@ -25,9 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from incubator_paimon_trino_spark.operators.registry import (
-    davg,
     dec2,
-    dsum,
     register,
     sql_davg,
     sql_dsum,
@@ -62,30 +60,64 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Flagship query — the exact shape named in SURVEY §7 step 1.
 
-    r13: ``fan_out`` spreads the single-split scan across the cluster before
-    the exact-decimal 8-agg chain (guide §2.5 input skew): the BigDecimal
-    partial aggregation was the serial floor (~1.0 s of the 1.6 s sf0.1
-    query on one core); hash-exchanging the 7 read columns parallelizes it
-    (measured 1.64→0.99 s). Decimal sums are order-insensitive, so the
-    result is bit-identical. No-op whenever the scan splits on its own.
+    r13: the BigDecimal aggregation chain was ~1.0 s of the 1.6 s sf0.1
+    query, serialized on the single-split scan task. Rewritten on integer
+    CENTS (guide §2.3 "narrower types"): each 2-decimal double becomes an
+    exact LONG cents column at the scan, the four simple sums accumulate as
+    LONG, and the two product sums multiply in LONG and accumulate in
+    DECIMAL(38,0) (a LONG product sum would overflow past ~10^7 rows per
+    group — the decimal accumulator is unbounded, so this holds at 100 TB;
+    the pure-LONG sums hold to ≥10^11 rows/group, far past 100 TB, and ANSI
+    mode would fail loudly rather than wrap beyond that). The final values
+    divide by 10^scale in EXACT decimal arithmetic before the double cast,
+    so every output is BIT-IDENTICAL to the dec2 spelling (verified
+    struct-packed at sf0.01 and sf0.1; the DuckDB oracle is unchanged).
+    Measured 0.88→0.57 s noop — faster than the earlier fan_out variant
+    (0.63 s), so the fan-out exchange was dropped again: cheap LONG partials
+    no longer need spreading (A/B: plain 0.51 vs fanned 0.60 on the
+    all-long prototype).
     """
-    li = fan_out(spark, sf_dir, "lineitem", "l_extendedprice", "l_quantity")
-    price, disc, tax = dec2("l_extendedprice"), dec2("l_discount"), dec2("l_tax")
-    return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            dsum("l_quantity", "sum_qty"),
-            dsum("l_extendedprice", "sum_base_price"),
-            F.sum(price * (_one() - disc)).cast("double").alias("sum_disc_price"),
-            F.sum(price * (_one() - disc) * (_one() + tax)).cast("double").alias("sum_charge"),
-            davg("l_quantity", "avg_qty"),
-            davg("l_extendedprice", "avg_price"),
-            davg("l_discount", "avg_disc"),
-            F.count("*").alias("count_order"),
-        )
-        .orderBy("l_returnflag", "l_linestatus")
+    li = table(spark, sf_dir, "lineitem")
+    cents = lambda col: F.round(F.col(col) * 100).cast("long")  # noqa: E731
+    pre = li.filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    ).select(
+        "l_returnflag",
+        "l_linestatus",
+        cents("l_quantity").alias("qc"),
+        cents("l_extendedprice").alias("pc"),
+        cents("l_discount").alias("dc"),
+        cents("l_tax").alias("tc"),
     )
+    g = pre.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("qc").alias("sq"),
+        F.count("qc").alias("nq"),
+        F.sum("pc").alias("sp"),
+        F.count("pc").alias("np"),
+        F.sum("dc").alias("sd"),
+        F.count("dc").alias("nd"),
+        F.sum(F.expr("CAST(pc * (100 - dc) AS DECIMAL(38,0))")).alias("sdp"),
+        F.sum(F.expr("CAST(pc * (100 - dc) * (100 + tc) AS DECIMAL(38,0))")).alias("sch"),
+        F.count("*").alias("count_order"),
+    )
+    # exact decimal division (scale >= needed digits), THEN the double cast:
+    # bit-identical to casting the dec2 decimal sum (both round the same
+    # exact rational to nearest double once)
+    dbl = lambda s, scale: F.expr(  # noqa: E731
+        f"CAST(CAST({s} AS DECIMAL(38,0)) / {10**scale} AS DOUBLE)"
+    )
+    return g.select(
+        "l_returnflag",
+        "l_linestatus",
+        dbl("sq", 2).alias("sum_qty"),
+        dbl("sp", 2).alias("sum_base_price"),
+        dbl("sdp", 4).alias("sum_disc_price"),
+        dbl("sch", 6).alias("sum_charge"),
+        (dbl("sq", 2) / F.col("nq")).alias("avg_qty"),
+        (dbl("sp", 2) / F.col("np")).alias("avg_price"),
+        (dbl("sd", 2) / F.col("nd")).alias("avg_disc"),
+        "count_order",
+    ).orderBy("l_returnflag", "l_linestatus")
 
 
 @register(
@@ -360,12 +392,22 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     r13: measured fan_out here and REVERTED it (A/B: 0.85 s plain vs 1.06 s
     fanned — the high-cardinality partial agg doesn't reduce enough for the
-    extra exchange to pay; see OPTIMIZATION_r13.md)."""
+    extra exchange to pay; see OPTIMIZATION_r13.md).
+
+    r13: the HAVING aggregate is the whole cost of this query (noop-isolated
+    0.88 s of the 1.03 s total) and its OUTPUT is only an order-key set — no
+    summed value survives into the result. Summing exact integer cents
+    (guide §2.3 "narrower types": LONG adds, not BigDecimal) halves it
+    (0.88→0.43 s). Exactness: driver-table doubles are 2-decimal by the
+    registry contract, so round(qty*100) is the same integer as the
+    DECIMAL(9,2) cents and the >250 set is identical — verified set-equal
+    at sf0.01 and sf0.1. The final total_qty aggregate keeps the dec2
+    determinism contract (it IS output)."""
     li = table(spark, sf_dir, "lineitem")
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum(dec2("l_quantity")).alias("q"))
-        .filter(F.col("q") > 250)
+        .agg(F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias("q"))
+        .filter(F.col("q") > 250 * 100)
         .select("l_orderkey")
     )
     orders = table(spark, sf_dir, "orders").join(

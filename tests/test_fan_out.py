@@ -33,17 +33,22 @@ def test_fan_out_rows_identical(spark):
 
 
 def test_fan_out_pushdown_below_exchange(spark):
-    """q1's shipdate filter and 7-column pruning must still reach the
-    parquet scan under the fan-out exchange."""
-    import __spark_entry__ as e
+    """A filter composed ABOVE fan_out must still reach the parquet scan
+    BELOW the fan-out exchange (Catalyst pushes predicates through
+    RepartitionByExpression), and pruning must keep only the used columns
+    plus the repartition keys."""
+    from pyspark.sql import functions as F
 
-    df = e.queries()["q1_pricing_summary"](spark, SF_SMOKE)
-    assert any("l_shipdate" in f for f in pushed_filters(df))
-    cols = set(read_schema_columns(df))
-    assert cols == {
-        "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
-        "l_discount", "l_tax", "l_shipdate",
-    }
+    from incubator_paimon_trino_spark.sources import fan_out
+
+    df = (
+        fan_out(spark, SF_SMOKE, "lineitem", "l_orderkey", "l_linenumber")
+        .filter(F.col("l_quantity") < 24)
+        .select("l_orderkey", "l_quantity")
+    )
+    assert "Exchange hashpartitioning(xxhash64" in physical_plan(df)
+    assert any("l_quantity" in f for f in pushed_filters(df))
+    assert set(read_schema_columns(df)) == {"l_orderkey", "l_linenumber", "l_quantity"}
 
 
 def test_fan_out_gate_noop_when_scan_splits(spark, tmp_path):

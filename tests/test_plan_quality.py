@@ -49,12 +49,12 @@ def test_q5_six_table_join_single_fact_shuffle(spark):
 
 
 def test_q1_single_shuffle_aggregation(spark):
-    """Partial (map-side) + final agg: one hash shuffle on the group-by keys
-    (+ range for order-by, + the r13 gated fan-out exchange that spreads the
-    locally-unsplittable single-row-group scan — a no-op at cluster scale,
-    see sources.fan_out and tests/test_fan_out.py)."""
+    """Partial (map-side) + final agg: exactly one hash shuffle on the
+    group-by keys (+ range for order-by). r13: the integer-cents rewrite
+    keeps the same canonical shape — LONG/DECIMAL(38,0) accumulators change
+    expressions, never exchanges."""
     df = _q("q1_pricing_summary")(spark, SF_SMOKE)
-    assert count_shuffles(df) <= 3  # fan-out + group-by + (range for order-by)
+    assert count_shuffles(df) <= 2  # group-by + (range for order-by)
     assert "partial" in physical_plan(df).lower() or "HashAggregate" in physical_plan(df)
 
 
