@@ -394,31 +394,39 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     fanned — the high-cardinality partial agg doesn't reduce enough for the
     extra exchange to pay; see OPTIMIZATION_r13.md).
 
-    r13: the HAVING aggregate is the whole cost of this query (noop-isolated
-    0.88 s of the 1.03 s total) and its OUTPUT is only an order-key set — no
-    summed value survives into the result. Summing exact integer cents
-    (guide §2.3 "narrower types": LONG adds, not BigDecimal) halves it
-    (0.88→0.43 s). Exactness: driver-table doubles are 2-decimal by the
-    registry contract, so round(qty*100) is the same integer as the
-    DECIMAL(9,2) cents and the >250 set is identical — verified set-equal
-    at sf0.01 and sf0.1. The final total_qty aggregate keeps the dec2
-    determinism contract (it IS output)."""
+    r13: the HAVING aggregate sums LONG cents instead of DECIMAL(9,2)
+    (guide §2.3 "narrower types": LONG adds, not BigDecimal) — driver-table
+    doubles are 2-decimal by the registry contract, so round(qty*100) is
+    the same integer as the decimal cents and the >250 set is identical
+    (HAVING leg 0.88→0.43 s noop).
+
+    r13 one-scan restructure (guide §1.2 step 1 "don't compute things you
+    throw away"): the original shape scanned lineitem TWICE — once for the
+    HAVING aggregate and again to re-sum l_quantity per surviving order for
+    the output — but o_orderkey is the orders PK, so the outer
+    GROUP BY (c_custkey, o_orderkey, o_orderdate, o_totalprice) groups are
+    exactly the surviving orders and total_qty IS the HAVING sum. The
+    output column divides the exact cents sum by 100 in decimal arithmetic
+    before the double cast — bit-identical to casting the DECIMAL(9,2) sum
+    (both round the same exact rational to nearest double once; verified
+    struct-packed at sf0.001/0.01/0.1 against the unchanged oracle). One
+    lineitem scan + one shuffle agg replace two of each: 0.87→0.56 s noop."""
     li = table(spark, sf_dir, "lineitem")
     big = (
         li.groupBy("l_orderkey")
         .agg(F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias("q"))
         .filter(F.col("q") > 250 * 100)
-        .select("l_orderkey")
+        .select(
+            "l_orderkey",
+            F.expr("CAST(CAST(q AS DECIMAL(38,0)) / 100 AS DOUBLE)").alias("total_qty"),
+        )
     )
-    orders = table(spark, sf_dir, "orders").join(
-        big.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey", "left_semi"
-    )
+    orders = table(spark, sf_dir, "orders")
     cust = table(spark, sf_dir, "customer")
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
-        .groupBy("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.sum(dec2("l_quantity")).cast("double").alias("total_qty"))
+        .select("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
         .limit(50)
     )

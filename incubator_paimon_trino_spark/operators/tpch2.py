@@ -460,6 +460,15 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     REVERTED it (A/B: 0.55 s plain vs 0.75 s fanned — the semi/anti joins
     re-exchange on l_orderkey anyway, so the fan exchange was a pure extra
     hop; see OPTIMIZATION_r13.md).
+
+    r13 wave 3: prototyped the single-scan aggregation rewrite (group by
+    (orderkey, suppkey) with per-order window counts replacing the
+    EXISTS/NOT-EXISTS self-joins — 3 lineitem scans → 1) and REJECTED it on
+    measurement: 0.65 s current vs 0.97 s rewritten (idle, noop best-of-3)
+    — at sf0.1 three pushed-filter single-task scans + broadcast probes
+    beat one full-width shuffle agg + window sort. Result-identical
+    (verified sf0.01/sf0.1); see OPTIMIZATION_r13.md for the scale
+    trade-off discussion.
     """
     views(spark, sf_dir, "supplier", "lineitem", "orders", "nation")
     return spark.sql(_Q21_SQL)

@@ -60,8 +60,17 @@ def window_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     r13: ``fan_out`` spreads the single-split scan so the PARTIAL
     WindowGroupLimit (per-partition sort + top-3) runs on every core instead
     of one (guide §2.5); row_number's full orderBy tie-break keeps the
-    result identical under any partitioning."""
-    li = fan_out(spark, sf_dir, "lineitem", "l_orderkey", "l_linenumber")
+    result identical under any partitioning.
+
+    r13 wave 3: the fan-out keys on the WINDOW PARTITION KEY itself
+    (``raw=True``) instead of xxhash64(orderkey, linenumber) — the one
+    exchange then satisfies the window's ClusteredDistribution and the
+    ENSURE_REQUIREMENTS exchange disappears (guide §2.4 "two operations
+    keyed the same way share one exchange"): 2 Exchange → 1, and each
+    partition holds complete groups so the single WindowGroupLimit prunes
+    to ≤3 rows per supplier before anything else runs. 0.94→0.56 s noop
+    (idle, best-of-3); result-identical (full tie-break + oracle)."""
+    li = fan_out(spark, sf_dir, "lineitem", "l_suppkey", raw=True)
     w = W.partitionBy("l_suppkey").orderBy(
         F.desc("l_extendedprice"), "l_orderkey", "l_linenumber", "l_partkey"
     )

@@ -130,14 +130,27 @@ def _size_bytes(v: str) -> int:
     return int(s)
 
 
-def fan_out(spark: SparkSession, sf_dir: str, name: str, *key_cols: str) -> DataFrame:
+def fan_out(
+    spark: SparkSession, sf_dir: str, name: str, *key_cols: str, raw: bool = False
+) -> DataFrame:
     """``table()`` with the scan fanned out over ``defaultParallelism``
     partitions when (and only when) the file cannot split that far on its
     own. Filters/projections still push below the exchange into the scan
     (Catalyst pushes through RepartitionByExpression — pinned in
     tests/test_plan_quality.py), so predicate pushdown and column pruning
     are unaffected; ``key_cols`` must be columns the downstream query
-    already reads."""
+    already reads.
+
+    ``raw=True`` partitions on the columns THEMSELVES instead of
+    xxhash64(cols) — for callers whose downstream operator (window, groupBy,
+    join) clusters by exactly these columns: hashpartitioning(cols) then
+    satisfies the operator's ClusteredDistribution and Spark plans NO second
+    exchange (guide §2.4 "share one exchange" — pinned in
+    tests/test_plan_quality.py::test_topn_uses_window_group_limit).
+    Only for keys the operator itself would hash on anyway (same skew
+    exposure either way); when the gate says the scan splits on its own,
+    the caller gets the plain table and the operator inserts its usual
+    AQE-coalescible exchange."""
     from pyspark.sql import functions as F
 
     df = table(spark, sf_dir, name)
@@ -145,6 +158,8 @@ def fan_out(spark: SparkSession, sf_dir: str, name: str, *key_cols: str) -> Data
     mpb = _size_bytes(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b"))
     if _scan_splits(os.path.join(sf_dir, f"{name}.parquet"), mpb) >= par:
         return df
+    if raw:
+        return df.repartition(par, *[F.col(c) for c in key_cols])
     return df.repartition(par, F.xxhash64(*key_cols))
 
 

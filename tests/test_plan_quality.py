@@ -59,9 +59,14 @@ def test_q1_single_shuffle_aggregation(spark):
 
 
 def test_topn_uses_window_group_limit(spark):
-    """rn <= 3 must push into the window sort (no full-rank materialization)."""
+    """rn <= 3 must push into the window sort (no full-rank materialization).
+
+    r13 wave 3: the fan-out keys on l_suppkey itself (raw=True), so the one
+    repartition exchange satisfies the window's ClusteredDistribution —
+    exactly ONE exchange in the whole plan (guide §2.4)."""
     df = _q("window_topn_per_group")(spark, SF_SMOKE)
     assert "WindowGroupLimit" in physical_plan(df)
+    assert count_shuffles(df) <= 1
 
 
 def test_topk_limit_uses_take_ordered(spark):
