@@ -79,41 +79,39 @@ def _assign(e: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
-# One persisted quantized corpus at a time, keyed by (session, sf_dir).
-# Both operators that train (assignment + blocked dedup) share the entry, so
-# the second caller reuses the SAME DataFrame object instead of re-persisting
-# an identical plan (the "already cached" CacheManager warning), and moving
-# to a different sf_dir/session unpersists the old entry — a long-lived
-# session holds exactly one corpus in executor memory, never an accretion.
-_CORPUS_CACHE: dict[tuple[str, str], DataFrame] = {}
-
-
 def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized corpus as a PLAIN plan — every action re-reads parquet.
+
+    r14: the r5-era ``persist()`` (and its ``_CORPUS_CACHE``) was REMOVED.
+    It kept the quantized embeddings materialized in executor memory across
+    the bench's warm→timed runs, so timed runs of every ``_trained_cells``
+    consumer read the base table from cache instead of parquet — a
+    cross-run base-table cache the bench contract bans (r13 VERDICT
+    "What's wrong #2"). The underlying ``table()`` read-plan memo caches
+    only the unexecuted scan plan (file-identity-keyed), never data. At
+    real scale a deployment would persist the corpus explicitly around its
+    own training loop — not silently inside the operator library.
+    """
+    return _quantized(spark, sf_dir)
+
+
+def _corpus_key(spark: SparkSession, sf_dir: str) -> tuple:
+    """Cache key for memoized TRAINING PLANS: session + file identity of
+    the embeddings parquet (path, mtime_ns, size — the same identity
+    ``table()`` keys on), so a regenerated file can never serve a stale
+    trained plan (r13 ADVICE item 1)."""
     import os
 
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
-    hit = _CORPUS_CACHE.get(key)
-    if hit is not None:
-        return hit
-    for k in list(_CORPUS_CACHE):
-        try:
-            _CORPUS_CACHE.pop(k).unpersist()
-        except Exception:
-            pass  # entry from a stopped session — nothing left to release
-    e = _quantized(spark, sf_dir).persist()
-    _CORPUS_CACHE[key] = e
-    return e
+    path = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
+    st = os.stat(path)
+    return (spark.sparkContext.applicationId, path, st.st_mtime_ns, st.st_size)
 
 
 def release_trained_corpus() -> None:
-    """Explicit lifecycle hook: drop the persisted k-means corpus now
+    """Explicit lifecycle hook: forget the memoized training PLANS now
     (pipelines that are done with clustering/dedup call this instead of
-    waiting for the next sf_dir switch or session end)."""
-    for k in list(_CORPUS_CACHE):
-        try:
-            _CORPUS_CACHE.pop(k).unpersist()
-        except Exception:
-            pass
+    waiting for the next sf_dir switch or session end). Since r14 nothing
+    is persisted — this only drops plan-memo references."""
     _TRAINED_CACHE.clear()
 
 
@@ -125,11 +123,13 @@ def release_trained_corpus() -> None:
 # DataFrames are immutable logical plans — reusing them caches NO data or
 # results (the former per-round `localCheckpoint(eager=False)` was dropped
 # for exactly that reason: a cached checkpoint would have carried the
-# materialized round-1/2 centroids across runs; without it every action
-# recomputes the full training lineage from parquet). The lineage is a
-# static ~10-stage DAG whose depth is bounded by the constant _ITERS, so
-# plan-size growth — the reason the checkpoint existed — is bounded too.
-_TRAINED_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame, DataFrame]] = {}
+# materialized round-1/2 centroids across runs; and since r14 the corpus
+# persist is gone too, so every action genuinely recomputes the full
+# training lineage from parquet). The lineage is a static ~10-stage DAG
+# whose depth is bounded by the constant _ITERS, so plan-size growth — the
+# reason the checkpoint existed — is bounded too. Keyed on the embeddings
+# file identity (``_corpus_key``), so in-place regeneration invalidates.
+_TRAINED_CACHE: dict[tuple, tuple[DataFrame, DataFrame, DataFrame]] = {}
 
 
 def _trained_cells(
@@ -140,19 +140,11 @@ def _trained_cells(
     training loop for the assignment operator, the blocked dedup, AND the
     trained-IVF probe (their shared oracle CTE chain assumes identical
     iteration semantics)."""
-    import os
-
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    key = _corpus_key(spark, sf_dir)
     hit = _TRAINED_CACHE.get(key)
     if hit is not None:
         return hit
-    _TRAINED_CACHE.clear()  # one (session, sf_dir) at a time, like _CORPUS_CACHE
-    # persist the quantized corpus: every Lloyd round re-reads it (seed,
-    # per-round assignment, final assignment — 4 scans here). Profiled r5:
-    # ~11% off the benched wall time; the remaining cost is fixed per-stage
-    # scheduling latency across the ~10-stage iteration chain, not data
-    # (2k vectors at sf0.1 — the design is sized for 100 TB where the
-    # corpus scans dominate and this cache pays off far more).
+    _TRAINED_CACHE.clear()  # one (session, corpus) at a time
     e = _corpus(spark, sf_dir)
     cents = e.filter(F.col("vec_id") < _K).select(
         F.col("vec_id").cast("int").alias("cell"), F.col("q").alias("c")

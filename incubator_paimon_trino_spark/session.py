@@ -23,7 +23,12 @@ import os
 from pyspark.sql import SparkSession
 
 
-def get_spark(app_name: str = "incubator_paimon_trino_spark", *, shuffle_partitions: int | None = None) -> SparkSession:
+def get_spark(
+    app_name: str = "incubator_paimon_trino_spark",
+    *,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if shuffle_partitions is None:
         shuffle_partitions = int(cpus) if cpus.isdigit() else 32
@@ -55,6 +60,8 @@ def get_spark(app_name: str = "incubator_paimon_trino_spark", *, shuffle_partiti
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
     )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -71,6 +71,13 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = cache.get(key)
     if df is not None:
         return df
+    # a rewritten file misses on (mtime, size): evict the superseded
+    # entries for the same path so the dict never accretes stale plans
+    # (r13 ADVICE item 3). NOTE the shared-object contract: repeated calls
+    # return the SAME DataFrame — self-joins must use .alias()/column-name
+    # join conditions, not attribute-style a.col == b.col equality.
+    for k in [k for k in cache if k[0] == path]:
+        del cache[k]
     if name == "events":
         df = spark.read.parquet(path)
         df = normalize_events_ts(df, events_ts_is_nanos(spark, sf_dir))

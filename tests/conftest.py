@@ -16,7 +16,20 @@ SF_ORACLE = "/root/testdata/sf0.01"
 def spark():
     from incubator_paimon_trino_spark import get_spark
 
-    spark = get_spark("tests", shuffle_partitions=8)
+    # spark.default.parallelism=2 (TEST session only): tests build tiny
+    # DataFrames from local lists, and every ACTION on such a pickled
+    # `parallelize` plan pays one Python-worker handshake PER SLICE —
+    # serially under the common `.coalesce(1)` write pattern. At the
+    # default local[32] slicing that is 32 handshakes ≈ 5.5 s per action
+    # (measured r14: a 10-row insert_into cost 6–12 s; with 2 slices it is
+    # 0.4–1.7 s). Two slices keep the multi-partition code paths exercised.
+    # The bench/driver sessions are untouched — benched queries read
+    # parquet, never local lists.
+    spark = get_spark(
+        "tests",
+        shuffle_partitions=8,
+        extra_conf={"spark.default.parallelism": "2"},
+    )
     yield spark
 
 
