@@ -137,10 +137,27 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_events_ts(stream, nanos)
 
 
-def _run_stream(df: DataFrame, name: str, mode: str) -> DataFrame:
+def _run_stream(df: DataFrame, name: str, mode: str, sf_dir: str | None = None) -> DataFrame:
     from incubator_paimon_trino_spark.streaming.changelog import run_to_completion
 
-    return run_to_completion(df, name, output_mode=mode)
+    splits = None
+    if sf_dir is not None:
+        # scale-adaptive state sizing (see run_to_completion): derive the
+        # micro-batch's max scan parallelism from the events file's footer
+        # metadata, exactly like sources.registry.fan_out's gate
+        import os
+
+        from incubator_paimon_trino_spark.sources.registry import (
+            _scan_splits,
+            _size_bytes,
+        )
+
+        spark = df.sparkSession
+        mpb = _size_bytes(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+        )
+        splits = _scan_splits(os.path.join(sf_dir, "events.parquet"), mpb)
+    return run_to_completion(df, name, output_mode=mode, input_splits=splits)
 
 
 @register(
@@ -170,7 +187,7 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("window.start").alias("window_start"), "event_type", "n", "total_value"
         )
     )
-    out = _run_stream(agg, "streaming_tumbling_counts_sink", "complete")
+    out = _run_stream(agg, "streaming_tumbling_counts_sink", "complete", sf_dir)
     return out.orderBy("window_start", "event_type")
 
 
@@ -217,7 +234,7 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id", F.col("session_window.start").alias("session_start"), "n_events"
         )
     )
-    out = _run_stream(agg, "streaming_session_windows_sink", "complete")
+    out = _run_stream(agg, "streaming_session_windows_sink", "complete", sf_dir)
     return out.orderBy("user_id", "session_start")
 
 
@@ -263,7 +280,7 @@ def streaming_stateful_running_counts(spark: SparkSession, sf_dir: str) -> DataF
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    out = _run_stream(counts, "streaming_stateful_counts_sink", "update")
+    out = _run_stream(counts, "streaming_stateful_counts_sink", "update", sf_dir)
     return (
         out.groupBy("user_id")
         .agg(F.max("n_events").alias("n_events"))
@@ -327,7 +344,7 @@ def streaming_pattern_within_funnel(spark: SparkSession, sf_dir: str) -> DataFra
         },
         within="24 hours",
     )
-    out = _run_stream(mr, "streaming_pattern_within_sink", "append")
+    out = _run_stream(mr, "streaming_pattern_within_sink", "append", sf_dir)
     return out.groupBy("user_id", F.col("start_event_id")).agg(
         F.max_by("event_id", "match_row").alias("end_event_id"),
         F.sum(F.when(F.col("classifier") == "C", 1).otherwise(0)).alias("n_clicks"),
@@ -413,7 +430,7 @@ def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["user_id", "event_type", "w"])
         .select("user_id", "event_type", F.col("w.start").alias("hr"))
     )
-    return _run_stream(dd, "streaming_dedup_keys_sink", "append")
+    return _run_stream(dd, "streaming_dedup_keys_sink", "append", sf_dir)
 
 
 @register(
@@ -443,7 +460,7 @@ def streaming_enrich_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("segment", "event_type")
         .agg(F.count("*").alias("n"), _sum_value())
     )
-    return _run_stream(agg, "streaming_enrich_static_sink", "complete")
+    return _run_stream(agg, "streaming_enrich_static_sink", "complete", sf_dir)
 
 
 @register(
@@ -568,7 +585,7 @@ def streaming_pattern_skip_next(spark: SparkSession, sf_dir: str) -> DataFrame:
         after_match="skip_to_next_row",
         measures={"end_event_id": "LAST(event_id)", "n_rows": "COUNT(*)"},
     )
-    out = _run_stream(mr, "streaming_pattern_skip_next_sink", "append")
+    out = _run_stream(mr, "streaming_pattern_skip_next_sink", "append", sf_dir)
     return out.select("user_id", "start_event_id", "end_event_id", "n_rows")
 
 
@@ -635,7 +652,7 @@ def streaming_pattern_value_measures(spark: SparkSession, sf_dir: str) -> DataFr
             "first_c_value": "FIRST(C.value)",
         },
     )
-    out = _run_stream(mr, "streaming_pattern_value_measures_sink", "append")
+    out = _run_stream(mr, "streaming_pattern_value_measures_sink", "append", sf_dir)
     return out.select(
         "user_id", "start_event_id", "total_value", "max_value", "first_c_value"
     )

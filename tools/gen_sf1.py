@@ -84,8 +84,90 @@ def generate_events(out_dir: str, sf: float = 1.0) -> str:
     return path
 
 
+def generate_orders(out_dir: str, sf: float = 1.0) -> str:
+    """sf1 ``orders`` for the q18 restructure soak (r14 — VERDICT r13
+    item 7). Distribution-matched to the driver's sf0.1 data: rows =
+    1.5M·sf, o_orderkey = row ordinal (PK, joins lineitem's uniform
+    l_orderkey), o_custkey over [0, 150k·sf), status O/F/P, totalprice
+    2-decimal in [1000, 500000), orderdate 1995..2001, 5 priorities."""
+    n = int(1_500_000 * sf)
+    rng = np.random.default_rng(43)
+    prios = np.array(["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"])
+    days = rng.integers(0, 2405, n)
+    tbl = pa.table(
+        {
+            "o_orderkey": pa.array(np.arange(n, dtype=np.int64)),
+            "o_custkey": rng.integers(0, int(150_000 * sf), n, dtype=np.int64),
+            "o_orderstatus": pa.array(np.array(["O", "F", "P"])[rng.integers(0, 3, n)]),
+            "o_totalprice": np.round(rng.uniform(1000.0, 500_000.0, n), 2),
+            "o_orderdate": pa.array(
+                np.datetime64("1995-01-01", "us") + days * np.timedelta64(86_400_000_000, "us")
+            ),
+            "o_orderpriority": pa.array(prios[rng.integers(0, 5, n)]),
+        }
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, "orders.parquet")
+    pq.write_table(tbl, path, row_group_size=1 << 20)
+    return path
+
+
+def generate_customer(out_dir: str, sf: float = 1.0) -> str:
+    """sf1 ``customer``: rows = 150k·sf, c_custkey = row ordinal (PK),
+    25 nations, acctbal 2-decimal in [-1000, 10000), 5 market segments."""
+    n = int(150_000 * sf)
+    rng = np.random.default_rng(44)
+    segs = np.array(["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"])
+    tbl = pa.table(
+        {
+            "c_custkey": pa.array(np.arange(n, dtype=np.int64)),
+            "c_name": pa.array([f"Customer#{i:09d}" for i in range(n)]),
+            "c_nationkey": rng.integers(0, 25, n, dtype=np.int64),
+            "c_acctbal": np.round(rng.uniform(-1000.0, 10_000.0, n), 2),
+            "c_mktsegment": pa.array(segs[rng.integers(0, 5, n)]),
+        }
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, "customer.parquet")
+    pq.write_table(tbl, path, row_group_size=1 << 20)
+    return path
+
+
+def generate_documents(out_dir: str, sf: float = 1.0) -> str:
+    """sf1 ``documents`` for the dedup-family soak: rows = 50k·sf docs of
+    10..100 words drawn uniformly from the driver's exact 31-word vocab
+    (same small vocab → real cross-doc chunk/shingle repeats, like the
+    driver data), 5 langs, 20 sources, n_chars = len(text)."""
+    n = int(50_000 * sf)
+    rng = np.random.default_rng(45)
+    vocab = np.array(
+        "a agg batch big column customer data dup fast filter group hash join key "
+        "line merge order part query row scan slow small sort spark stream table "
+        "the value vector window".split()
+    )
+    langs = np.array(["en", "de", "es", "fr", "zh"])
+    lens = rng.integers(10, 101, n)
+    texts = [" ".join(vocab[rng.integers(0, len(vocab), k)]) for k in lens]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "text": pa.array(texts),
+            "lang": pa.array(langs[rng.integers(0, 5, n)]),
+            "source": pa.array([f"src{i}" for i in rng.integers(0, 20, n)]),
+            "n_chars": pa.array(np.array([len(t) for t in texts], dtype=np.int64)),
+        }
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, "documents.parquet")
+    pq.write_table(tbl, path, row_group_size=1 << 20)
+    return path
+
+
 if __name__ == "__main__":
     out = sys.argv[1] if len(sys.argv) > 1 else ".bench/sf1"
     sf = float(sys.argv[2]) if len(sys.argv) > 2 else 1.0
     print(generate(out, sf))
     print(generate_events(out, sf))
+    print(generate_orders(out, sf))
+    print(generate_customer(out, sf))
+    print(generate_documents(out, sf))
