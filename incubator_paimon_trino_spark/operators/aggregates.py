@@ -133,21 +133,36 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-size sketch merge. Value is algorithm-specific → rows-only check;
     the exact counterpart is oracle-checked in ``agg_count_distinct_multi``.
 
-    r11 in-query invariant (VERDICT r10 item 7): the same aggregation also
-    computes the EXACT distinct counts and the query fails loudly unless
-    each approximation lands within 5x the declared rsd (1%) of its exact
-    twin value — the rows-only declaration is now self-verifying on the
-    driver's own data. The exact columns exist only for the check; the
-    output stays approx-only (production shape is the sketch alone).
+    r11 in-query invariant (VERDICT r10 item 7): the EXACT distinct counts
+    are computed alongside and the query fails loudly unless each
+    approximation lands within 5x the declared rsd (1%) of its exact twin
+    value — the rows-only declaration is self-verifying on the driver's
+    own data. The exact columns exist only for the check; the output stays
+    approx-only (production shape is the sketch alone).
+
+    r14: the exact twins moved to their OWN aggregation, attached by a
+    1-row broadcast crossJoin (the guard_empty shape). Mixed in one agg,
+    Spark's distinct rewrite dragged the approx aggregates through the
+    COUNT(DISTINCT) Expand, materializing a 1639-word HLL partial buffer
+    PER DISTINCT KEY GROUP (plan showed 2×1639 aggregate attributes keyed
+    by (l_partkey, l_orderkey, gid) — ~13 KB/group of agg state + shuffle
+    at any scale; at 100 TB that is a per-key sketch explosion). Split,
+    each pass is a clean single-group aggregation: 4.5 s warm → ~0.6 s at
+    sf0.01, and the sketch/exact VALUES are unchanged (HLL is
+    order/partition-insensitive on the same input multiset).
     """
     from incubator_paimon_trino_spark.operators.registry import self_check
 
-    r = table(spark, sf_dir, "lineitem").agg(
+    li = table(spark, sf_dir, "lineitem")
+    approx = li.agg(
         F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
         F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
+    )
+    exact = li.agg(
         F.countDistinct("l_partkey").alias("_exact_parts"),
         F.countDistinct("l_orderkey").alias("_exact_orders"),
     )
+    r = approx.crossJoin(F.broadcast(exact))
     within = (
         (F.abs(F.col("approx_parts") - F.col("_exact_parts"))
          <= 0.05 * F.col("_exact_parts"))
@@ -498,12 +513,16 @@ def agg_approx_count_distinct_bounded(spark: SparkSession, sf_dir: str) -> DataF
     """HLL++ estimate checked against its own accuracy contract: the sketch
     values themselves are algorithm-specific (rows-only twin
     ``agg_approx_count_distinct``), but |estimate − exact| / exact must stay
-    within ~3× the configured rsd — that bound IS oracle-checkable. Both the
-    estimate and the exact count are computed in one aggregate pass."""
-    est = table(spark, sf_dir, "lineitem").agg(
-        F.approx_count_distinct("l_partkey", 0.01).alias("approx"),
-        F.countDistinct("l_partkey").alias("exact"),
-    )
+    within ~3× the configured rsd — that bound IS oracle-checkable.
+
+    r14: estimate and exact run as separate aggregations joined by a 1-row
+    broadcast crossJoin — mixed in one agg, the COUNT(DISTINCT) rewrite
+    dragged the 1639-word HLL partial through the Expand per distinct key
+    (see ``agg_approx_count_distinct``). Values unchanged."""
+    li = table(spark, sf_dir, "lineitem")
+    est = li.agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx")
+    ).crossJoin(F.broadcast(li.agg(F.countDistinct("l_partkey").alias("exact"))))
     return est.select(
         (
             F.abs(F.col("approx") - F.col("exact")) / F.col("exact") < 0.03
